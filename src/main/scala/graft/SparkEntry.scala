@@ -1,13 +1,530 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{ChangeApplier, Dedup, Similarity}
+
+/** Driver contract — the declared operator surface (SURVEY §2) as named,
+  * DuckDB-oracle-checked queries over the driver's parquet test tables.
+  *
+  * Every query is deterministic (stable ORDER BY, unique tie-break keys, no
+  * rand/monotonic ids in output) and every floating-point aggregate is
+  * rounded identically on both sides, per SURVEY §5.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects natively; read nanos as long and truncate to microseconds —
+    * the same truncation DuckDB applies reading ns into its µs timestamps,
+    * so oracle comparisons stay exact. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Queries. Mapping to SURVEY §2 operator ids is noted per query.
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2: grouped aggregation with conditional branches (sql:74–81, 128–139)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_high_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J1: inner equi-join + theta residual (sql:124–146)
+    "q02_join_residual" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey") && o("o_totalprice") > c("c_acctbal"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A2/A3-style newest-per-group summary over the events "stage"
+    "q03_stage_summary" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(date_format(col("ts"), "yyyy-MM-dd")).as("max_day"),
+          round(avg(col("value")), 3).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // W1/O3: top-k-per-group via row_number (sql:379–397)
+    "q04_topk_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // A4: DISTINCT projections (sql:96, 440–447)
+    "q05_distinct_dims" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), col("source")).distinct()
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // U1: UNION-distinct of two listings (sql:101–109)
+    "q06_union_names" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_name").as("name"))
+      val sup = t(s, dir, "supplier").select(col("s_name").as("name"))
+      c.union(sup).distinct().orderBy(col("name"))
+    }),
+
+    // F1/F2/F3: the DMS filename regexes over synthesized stage paths
+    "q07_path_parse" -> ((s, dir) => {
+      val file = concat(
+        lit("s3://data/export/"), col("source"), lit("/docs/"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("LOAD"), lpad(col("doc_id").cast("string"), 8, "0"), lit(".csv")))
+          .otherwise(concat(lit("2"), lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 7, "0"),
+            lit("-"), lpad(col("doc_id").cast("string"), 9, "0"), lit(".csv"))))
+      t(s, dir, "documents")
+        .withColumn("file", file)
+        .withColumn("file_prefix",
+          regexp_replace(col("file"), "/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})\\..*$", ""))
+        .withColumn("is_full", col("file").rlike(".*/LOAD[0-9]+\\..*$"))
+        .withColumn("tbl", regexp_extract(col("file"),
+          "^([a-z0-9]+)://([^/]+)/(.*)/([^/]+)/([^/]+)/([^/]+)$", 5))
+        .groupBy(col("file_prefix"), col("tbl"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("is_full"), 1).otherwise(0)).as("n_full"),
+          max(element_at(split(col("file"), "/"), -1)).as("max_file"))
+        .orderBy(col("file_prefix"))
+    }),
+
+    // F4/F5: string functions — UPPER/LOWER/SUBSTRING/3-arg-POSITION (sql:131, 313)
+    "q08_strings" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          substring(col("c_name"), 10, 9).as("id_part"),
+          (instr(substring(col("c_name"), 4, 1000000), "0") + 3).as("pos0"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F8: multi-branch CASE load-type decision (sql:117–122)
+    "q09_loadtype_case" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("load_type",
+          when(col("o_orderstatus") === "O" && col("o_orderpriority").like("1%"), "B")
+            .when(col("o_orderstatus") === "O", "I")
+            .when(col("o_orderstatus") === "F", "F")
+            .otherwise("N"))
+        .groupBy(col("load_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("load_type"))
+    }),
+
+    // J2 components: semi/anti joins (the merge's building blocks)
+    "q10_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val okeys = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      val withO = c.join(okeys, c("c_custkey") === okeys("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with"))
+        .select(col("c_nationkey").as("nk_with"), col("n_with"))
+      val withoutO = c.join(okeys, c("c_custkey") === okeys("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without"))
+        .select(col("c_nationkey").as("nk_without"), col("n_without"))
+      n.join(withO, n("n_nationkey") === withO("nk_with"), "left")
+        .join(withoutO, n("n_nationkey") === withoutO("nk_without"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy(col("n_name"))
+    }),
+
+    // variant/JSON config column (sql:34): JSON extraction + aggregation
+    "q11_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k_bucket", pmod(col("k"), lit(10)))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 3).as("avg_value"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // W1 as CDC semantics: latest state per key from an event log
+    "q12_cdc_latest_state" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          round(col("value"), 3).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // J2 full merge semantics via ChangeApplier (dedup + tombstone + upsert)
+    "q13_cdc_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latestOrder = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val changes = latestOrder.join(c, latestOrder("o_custkey") === c("c_custkey"))
+        .select(
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"), col("c_mktsegment"))
+      ChangeApplier.applyLatest(c, changes, Seq("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ext: exact dedup by content fingerprint (md5, oracle-reproducible)
+    "q14_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_dups")).as("n_docs"),
+          sum(when(col("n_dups") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    }),
+
+    // ext: exact n-gram Jaccard near-dup pairs (inverted-index join)
+    "q15_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+        .select(col("a_id"), col("b_id"), col("shared"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ext: per-language text statistics (token counts, quality score)
+    "q16_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("mean_tok_len", TextFunctions.meanTokenLen(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("mean_tok_len")), 3).as("avg_tok_len"),
+          round(avg(col("quality")), 3).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
+    // ext: heuristic language-ID vs the labelled lang (confusion counts)
+    "q17_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("predicted", TextFunctions.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // ext: exact brute-force cosine top-1 neighbour (ANN baseline)
+    "q18_topk_cosine" -> ((s, dir) => {
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 1)
+        .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ext: BPE-ish token estimation per source
+    "q19_token_estimate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("est", TextFunctions.bpeTokenEstimate(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("whitespace_tokens"),
+          sum(col("est")).as("bpe_est_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // analytic lag + sessionization over the event stream
+    "q20_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .groupBy(col("n_sessions"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+        .orderBy(col("n_sessions"))
+    }),
+
+    // ext: content fingerprint buckets (rolling-hash analog, md5-based)
+    "q21_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("bucket", substring(col("fp"), 1, 2))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("fp")).as("min_fp"))
+        .orderBy(col("bucket"))
+    }))
+
+  // =====================================================================
+  // DuckDB oracles — identical semantics, identical aliases, identical
+  // rounding, stable ORDER BY.
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_join_residual" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q03_stage_summary" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  max(strftime(ts, '%Y-%m-%d')) AS max_day,
+        |  round(avg(value), 3) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+        |  FROM orders) WHERE rnk <= 2
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q05_distinct_dims" ->
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+
+    "q06_union_names" ->
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer
+        |  UNION
+        |  SELECT s_name AS name FROM supplier)
+        |ORDER BY name""".stripMargin,
+
+    "q07_path_parse" ->
+      """WITH files AS (
+        |  SELECT doc_id,
+        |    's3://data/export/' || source || '/docs/' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'LOAD' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.csv'
+        |      ELSE '2' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 7, '0') || '-' ||
+        |           lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.csv' END AS file
+        |  FROM documents)
+        |SELECT
+        |  regexp_replace(file, '/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})\..*$', '') AS file_prefix,
+        |  regexp_extract(file, '^([a-z0-9]+)://([^/]+)/(.*)/([^/]+)/([^/]+)/([^/]+)$', 5) AS tbl,
+        |  count(*) AS n_files,
+        |  sum(CASE WHEN regexp_matches(file, '.*/LOAD[0-9]+\..*$') THEN 1 ELSE 0 END) AS n_full,
+        |  max(string_split(file, '/')[-1]) AS max_file
+        |FROM files GROUP BY file_prefix, tbl ORDER BY file_prefix""".stripMargin,
+
+    "q08_strings" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  lower(c_mktsegment) AS lseg,
+        |  substring(c_name, 10, 9) AS id_part,
+        |  strpos(substring(c_name, 4), '0') + 3 AS pos0
+        |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+
+    "q09_loadtype_case" ->
+      """SELECT CASE WHEN o_orderstatus = 'O' AND o_orderpriority LIKE '1%' THEN 'B'
+        |  WHEN o_orderstatus = 'O' THEN 'I'
+        |  WHEN o_orderstatus = 'F' THEN 'F'
+        |  ELSE 'N' END AS load_type,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY load_type ORDER BY load_type""".stripMargin,
+
+    "q10_semi_anti" ->
+      """SELECT n_name,
+        |  sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |      THEN 1 ELSE 0 END) AS n_with,
+        |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |      THEN 1 ELSE 0 END) AS n_without
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q11_json_props" ->
+      """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n, round(avg(value), 3) AS avg_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    "q12_cdc_latest_state" ->
+      """SELECT user_id, last_type, last_value FROM (
+        |  SELECT user_id, event_type AS last_type, round(value, 3) AS last_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q13_cdc_merge" ->
+      """WITH latest AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderstatus, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |chg AS (
+        |  SELECT o_custkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS nb
+        |  FROM latest),
+        |merged AS (
+        |  SELECT c.c_nationkey, c.c_acctbal AS bal
+        |  FROM customer c LEFT JOIN chg ON c.c_custkey = chg.k WHERE chg.k IS NULL
+        |  UNION ALL
+        |  SELECT c.c_nationkey, chg.nb AS bal
+        |  FROM customer c JOIN chg ON c.c_custkey = chg.k WHERE chg.op <> 'D')
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  round(sum(bal), 2) AS total_bal
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """WITH groups AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |    min(doc_id) AS keep_id, count(*) AS n_dups
+        |  FROM documents GROUP BY fingerprint)
+        |SELECT count(*) AS n_groups, sum(n_dups) AS n_docs,
+        |  sum(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        |FROM groups""".stripMargin,
+
+    "q15_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, a.n AS na, b.n AS nb,
+        |    count(*) AS shared
+        |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n)
+        |SELECT a_id, b_id, shared,
+        |  round(shared / (na + nb - shared), 4) AS jaccard
+        |FROM pairs WHERE shared / (na + nb - shared) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q16_text_stats" ->
+      """WITH stats AS (
+        |  SELECT lang,
+        |    len(string_split(lower(text), ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |        x -> len(x))) AS DOUBLE) / len(string_split(lower(text), ' ')) END AS mean_tok_len,
+        |    round(
+        |      least(len(text) / 200.0, 1.0) * 0.4 +
+        |      (CASE WHEN (CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |          x -> len(x))) AS DOUBLE) / len(string_split(lower(text), ' ')))
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+        |          AS DOUBLE) / len(text)) * 5.0, 1.0)) * 0.2, 4) AS quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  round(avg(mean_tok_len), 3) AS avg_tok_len,
+        |  round(avg(quality), 3) AS avg_quality
+        |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q17_langid" -> {
+      def hits(words: Seq[String]): String =
+        "len(list_filter(string_split(lower(text), ' '), x -> list_contains([" +
+          words.map(w => s"'$w'").mkString(", ") + "], x)))"
+      val he = hits(TextFunctions.stopwords("en"))
+      val hd = hits(TextFunctions.stopwords("de"))
+      val hf = hits(TextFunctions.stopwords("fr"))
+      val hs = hits(TextFunctions.stopwords("es"))
+      val hz = hits(TextFunctions.stopwords("zh"))
+      s"""WITH scored AS (
+         |  SELECT lang, $he AS he, $hd AS hd, $hf AS hf, $hs AS hs, $hz AS hz,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN cjk THEN 'zh'
+         |      WHEN he = greatest(he, hd, hf, hs, hz) AND he > 0 THEN 'en'
+         |      WHEN hd = greatest(he, hd, hf, hs, hz) AND hd > 0 THEN 'de'
+         |      WHEN hf = greatest(he, hd, hf, hs, hz) AND hf > 0 THEN 'fr'
+         |      WHEN hs = greatest(he, hd, hf, hs, hz) AND hs > 0 THEN 'es'
+         |      WHEN hz = greatest(he, hd, hf, hs, hz) AND hz > 0 THEN 'zh'
+         |      ELSE 'und' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+
+    "q18_topk_cosine" ->
+      """SELECT vec_id, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q19_token_estimate" ->
+      """WITH est AS (
+        |  SELECT source,
+        |    len(string_split(lower(text), ' ')) AS n_tokens,
+        |    COALESCE(list_sum(list_transform(
+        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> CASE WHEN len(x) = 0 THEN 0
+        |               ELSE CAST(ceil(len(x) / 4.0) AS BIGINT) END)), 0) +
+        |      len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS est
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(n_tokens) AS whitespace_tokens,
+        |  sum(est) AS bpe_est_tokens
+        |FROM est GROUP BY source ORDER BY source""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN prev_ts IS NULL OR
+        |      (epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT) > 1800
+        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |    count(*) AS n_events
+        |  FROM gaps GROUP BY user_id)
+        |SELECT n_sessions, count(*) AS n_users, sum(n_events) AS total_events
+        |FROM sess GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
+
+    "q21_fingerprint" ->
+      """WITH fps AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
+        |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for the large-scale training-data
+  * pipeline operators (dedup, language-ID, quality scoring, fingerprinting).
+  *
+  * Everything is built from `org.apache.spark.sql.functions._` (codegen'd or
+  * higher-order expressions evaluated inside Tungsten) — no Scala UDFs, so
+  * the per-row cost is a narrow map that scales linearly to 100 TB with zero
+  * shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lower-cased. Single-space split keeps parity
+    * with external SQL oracles (`string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word-level n-gram shingles: contiguous `n` tokens joined by a space.
+    * Empty array when the doc has fewer than `n` tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (the unit of Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+
+  /** MinHash signature: `k` independent min-hashes of the shingle set.
+    * Hash family = xxhash64(shingle, seedᵢ); deterministic across runs.
+    * O(|shingles|·k) per row, no shuffle — the LSH banding in
+    * [[graft.operators.Dedup]] turns signatures into candidate pairs. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** 64-bit SimHash over the distinct-token set: for each output bit, tokens
+    * vote +1/−1 by their hash's bit; the sign of the vote sets the bit.
+    * Near-identical docs differ in few bits (small Hamming distance). */
+  def simhash64(text: Column): Column = {
+    val t = array_distinct(tokens(text))
+    // One vote aggregate per bit, with the bit index a Scala literal so the
+    // mask is an exact 64-bit bitwiseAND (no floating-point bit extraction).
+    val bitCols = (0 until 64).map { j =>
+      val vote = aggregate(t, lit(0L), (acc, tok) =>
+        acc + when(xxhash64(tok).bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Content fingerprint: md5 of whitespace-normalized, lower-cased text.
+    * md5 (not xxhash64) so external oracles can reproduce it byte-for-byte. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // ---------------------------------------------------------------- language ID
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately small and public-knowledge (the most frequent function
+    * words of each language). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "pas", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "no", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Count of tokens that are stopwords of language `lang`. */
+  def stopwordHits(toks: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword hit counts,
+    * ties broken by fixed language order, "und" (undetermined) when no
+    * stopword of any language appears. CJK fallback: any CJK codepoint → zh
+    * before the stopword vote (word-salad zh text may lack function words).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val hits = langs.map(l => stopwordHits(toks, l))
+    val best = greatest(hits: _*)
+    val pick = langs.zip(hits).foldRight(lit("und")) { case ((l, h), elseCol) =>
+      when(h === best && best > 0, lit(l)).otherwise(elseCol)
+    }
+    // foldRight gives priority to the FIRST language in `langs` on ties.
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  // ---------------------------------------------------------------- quality
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: words + punctuation runs counted separately,
+    * long words weighted by ⌈len/4⌉ (a public rule-of-thumb for subword
+    * tokenizers). */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      split(lower(text), "[^\\p{L}\\p{N}]+"),
+      lit(0L),
+      (acc, w) => acc + when(length(w) === 0, 0L).otherwise(ceil(length(w) / lit(4.0)))) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]+", ""))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / length(text))
+
+  /** English stopword ratio — a standard fluency / quality proxy. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(stopwordHits(t, "en").cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate mean word
+    * length, low punctuation density. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val wordScore = when(meanTokenLen(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2), 4)
+  }
+}

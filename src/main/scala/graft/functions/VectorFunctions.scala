@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` / `array<double>` embedding
+  * columns, built purely from Spark's higher-order functions so everything
+  * stays inside Catalyst (no UDF serialization, no Python).
+  *
+  * Scale note: every function here is per-row (narrow); cost is O(dim) per
+  * row and fuses into the surrounding projection. At 100 TB the expensive
+  * part of similarity work is the *pairing*, handled in
+  * [[graft.operators.Similarity]] — these primitives never shuffle.
+  */
+object VectorFunctions {
+
+  /** Cast `array<float>` to `array<double>` so downstream arithmetic is
+    * double-precision (matches what an external oracle computes). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Σ aᵢ·bᵢ — dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a); val bd = toDouble(b)
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Squared euclidean distance. */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic random-hyperplane LSH signature: `nBits` sign bits packed
+    * into a long. Hyperplane weights are a hash-derived pseudo-random value
+    * in [-1, 1) per (seed, bit, dim) — fully reproducible across runs and
+    * executors, no fitted model to broadcast.
+    *
+    * Rows whose vectors point in similar directions collide with high
+    * probability: P[bit match] = 1 - θ/π. Used to bucket candidates for
+    * near-neighbour search without a crossJoin (the 100 TB path).
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column = {
+    val v = toDouble(vec)
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
+      // w(j,i) ~ U[-1,1): xxhash64 of (seed, bit, dim index) scaled.
+      val proj = aggregate(
+        transform(v, (x, i) =>
+          x * (pmod(xxhash64(lit(seed), j, i), lit(100000)).cast("double") / lit(50000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    // pack: Σ bitⱼ · 2ʲ  (shiftleft needs a literal shift, so use arithmetic)
+    aggregate(zip_with(bits, sequence(lit(0), lit(nBits - 1)),
+      (b, j) => b * pow(lit(2.0), j).cast("long")), lit(0L), (acc, x) => acc + x)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families, each designed shuffle-bounded for 100 TB (SURVEY §7.4-6 —
+  * never a crossJoin beyond test scale):
+  *
+  *  - EXACT: hash-groupBy on a content fingerprint — one shuffle on the
+  *    md5, map-side partial agg for the counts.
+  *  - N-GRAM JACCARD (exact pairs): inverted-index self-join on shingles —
+  *    cost is Σ|posting list|², sparse in real corpora; a frequency cap on
+  *    pathological shingles bounds skew.
+  *  - MINHASH + LSH (approximate pairs): signature → bands → bucket join —
+  *    the classic shuffle-bounded near-dup at scale; candidates verified
+  *    with exact Jaccard so no false positives survive.
+  *  - SIMHASH: 64-bit signature, exact-match grouping or banded Hamming
+  *    search.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct fingerprint with the
+    * representative (minimum) id and the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact n-gram Jaccard similar pairs (a_id < b_id, jaccard ≥ threshold)
+    * via inverted-index join — no crossJoin; complexity is bounded by
+    * posting-list sizes. `maxShinglePostings` drops shingles shared by more
+    * than that many docs (stopword-like shingles that explode the join and
+    * barely affect Jaccard); pass Int.MaxValue for exact semantics. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShinglePostings: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered =
+      if (maxShinglePostings == Int.MaxValue) posts
+      else {
+        val hot = posts.groupBy("shingle").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxShinglePostings).select("shingle")
+        posts.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val a = filtered.alias("a"); val b = filtered.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "shared", "jaccard")
+  }
+
+  /** MinHash-LSH candidate pairs verified by signature-estimated Jaccard.
+    *
+    * Signature of `numHashes` min-hashes split into `bands` bands; docs
+    * colliding on any full band become candidates (shuffle on band hash,
+    * never all-pairs). Estimated Jaccard = fraction of agreeing signature
+    * positions; pairs below `threshold` are dropped.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
+      .filter(size(col("sig")) === numHashes) // docs long enough to shingle
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, banded: split the
+    * 64-bit signature into `maxHamming + 1` chunks — any pair within the
+    * distance budget must agree exactly on ≥1 chunk (pigeonhole), so the
+    * join is on (chunk index, chunk value), never all-pairs. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    // chunk c = bits [c*bitsPer, (c+1)*bitsPer): exact unsigned shift + mask,
+    // built with Scala-level chunk indices so the shift amount is a literal.
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

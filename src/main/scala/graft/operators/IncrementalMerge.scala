@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.meta.{MetaStore, TableMeta}
+import graft.sources.{CsvStageReader, StageListing}
+
+/** Incremental merge of one table's pending change files — the reference's
+  * flagship operator `incremental_load`
+  * (control_migration_schema_script.sql:271–428).
+  *
+  * Pipeline (SURVEY Entry 3), Spark-first:
+  *  1. schema discovery (S8): the target parquet's own `StructType` replaces
+  *     the reference's `information_schema.columns` string metaprogramming;
+  *  2. watermark probe (A3 + P5): list the table's stage dir, keep change
+  *     files with name LEXICOGRAPHICALLY > `last_incremental_file` — string
+  *     compare, never parsed to timestamps; the `"0"` sentinel sorts below
+  *     every real DMS file name. Empty list → early exit, target untouched
+  *     (sql:421–423);
+  *  3. read ONLY those files (file-list pruning beats any row filter — the
+  *     skipped files are never opened);
+  *  4. [[ChangeApplier]]: latest-per-PK dedup + tombstone + join-upsert;
+  *  5. atomic version swap, THEN watermark advance (sql:412–416) — a crash
+  *     between the two replays the batch idempotently.
+  *
+  * @return rows in the applied (deduped) batch, the reference's
+  *         rows-affected proxy (A5, sql:418); -1 when nothing to process.
+  */
+object IncrementalMerge {
+
+  def run(
+      spark: SparkSession,
+      meta: TableMeta,
+      stageDir: String,
+      store: TableStore,
+      metaStore: MetaStore): Long = {
+    val tableDir = s"$stageDir/${meta.dbSchema}/${meta.dbTable}"
+    val changeRe = ".*/2[^/]*\\.csv$" // sql:301 incremental pattern
+    val pending = StageListing.listFiles(spark, tableDir)
+      .filter(f => f.file.matches(changeRe))
+      .filter(f => fileName(f.file) > meta.lastIncrementalFile) // P5: string >
+    if (pending.isEmpty) return -1L // "No files to process." (sql:422)
+
+    val target = store.read(spark, meta.targetTableName)
+    val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema, withOp = true)
+    val pks = meta.pkColumns
+    val batch = ChangeApplier.latestPerKey(changes, pks).cache()
+    val applied = ChangeApplier.applyLatest(target, batch, pks)
+    store.write(applied, meta.targetTableName)
+    val rows = batch.count()
+    batch.unpersist()
+    metaStore.advanceIncremental(meta.fullPath, pending.map(f => fileName(f.file)).max)
+    rows
+  }
+
+  private def fileName(path: String): String = path.substring(path.lastIndexOf('/') + 1)
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns next to typed metadata, and per-item decode /
+  * feature-extract runs as a partition-local pipeline (the Scala analog of
+  * `mapInPandas` batching: one decoder instantiation per partition, rows
+  * streamed through it).
+  *
+  * The actual codec work is STUBBED (this container has no image/audio
+  * libraries): [[StubDecoder]] produces a deterministic fake — byte-derived
+  * pseudo-dimensions and a seeded feature vector — so every piece of Spark
+  * plumbing (schema, encoders, partitioning, batch shape) is real and
+  * testable, and a real decoder drops in behind the same trait.
+  *
+  * Scale: decode is embarrassingly parallel — a narrow `mapPartitions`
+  * directly over the file scan, no shuffle. Payload bytes never hit the
+  * driver; `spark.read.format("binaryFile")` splits by file and the
+  * metadata-only projections prune the content column at the parquet/scan
+  * level when downstream queries don't touch the bytes.
+  */
+object Multimodal {
+
+  /** A media item: opaque payload + typed metadata. */
+  final case class MediaItem(
+      item_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      mime: String,
+      source: String)
+
+  /** Decoded per-item features (dimensions are modality-dependent). */
+  final case class MediaFeatures(
+      item_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int, // image/video; -1 otherwise
+      height: Int, // image/video; -1 otherwise
+      duration_ms: Long, // audio/video; -1 otherwise
+      feature: Array[Float])
+
+  /** One decoder instance per partition; must be cheap to construct or do
+    * its heavy init lazily. */
+  trait Decoder extends Serializable {
+    def decode(item: MediaItem): MediaFeatures
+  }
+
+  /** Deterministic fake standing in for the real codecs (no image/audio
+    * libs in this container). Dimensions and features are pure functions of
+    * the payload bytes, so tests are reproducible. */
+  final class StubDecoder(featureDim: Int = 16) extends Decoder {
+    override def decode(item: MediaItem): MediaFeatures = {
+      val bytes = item.content
+      val h = java.util.Arrays.hashCode(bytes)
+      val isVisual = item.kind == "image" || item.kind == "video"
+      val isTimed = item.kind == "audio" || item.kind == "video"
+      MediaFeatures(
+        item_id = item.item_id,
+        kind = item.kind,
+        n_bytes = bytes.length.toLong,
+        width = if (isVisual) 64 + math.abs(h % 1024) else -1,
+        height = if (isVisual) 64 + math.abs((h / 1024) % 1024) else -1,
+        duration_ms = if (isTimed) 100L + math.abs(h.toLong % 60000L) else -1L,
+        feature = Array.tabulate(featureDim) { i =>
+          // seeded, byte-derived pseudo-feature in [-1, 1)
+          val x = (h * 2654435761L + i * 40503L)
+          ((x % 100000L) / 100000.0f)
+        })
+    }
+  }
+
+  /** Load a directory of media files as MediaItems (binaryFile source:
+    * splits by file, carries path/length/mtime metadata natively). */
+  def readMediaDir(spark: SparkSession, dir: String, kind: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("item_id"),
+        lit(kind).as("kind"),
+        col("content"),
+        lit("application/octet-stream").as("mime"),
+        col("path").as("source"))
+      .as[MediaItem]
+  }
+
+  /** Partition-local decode: one decoder per partition, rows streamed —
+    * the batching shape `mapInPandas` would give in PySpark. */
+  def extractFeatures(items: Dataset[MediaItem], decoder: Decoder): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it => it.map(decoder.decode) }
+  }
+
+  /** Metadata-only projection — verifies the content column is prunable
+    * (the parquet scan must not read payload bytes for this query). */
+  def metadataOnly(items: Dataset[MediaItem]): DataFrame =
+    items.select(col("item_id"), col("kind"), col("mime"), col("source"),
+      length(col("content")).as("n_bytes"))
+}

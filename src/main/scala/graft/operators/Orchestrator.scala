@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import graft.meta.MetaStore
+import graft.plans.SyncPlanner
+import graft.plans.SyncPlanner.WorkItem
+import graft.sources.StageListing
+
+/** The task-DAG + worker-loop control plane
+  * (control_migration_schema_script.sql:163–203, 494–552), Spark-idiomatic:
+  * the 5 fixed Snowflake worker tasks + queue-sharding become N driver
+  * `Future`s draining one concurrent queue, each submitting independent
+  * Spark jobs (Spark's own scheduler parallelizes within each job; FAIR
+  * pools would arbitrate across tables on a shared cluster).
+  *
+  * Dequeue-delete (sql:185) → `ConcurrentLinkedQueue.poll()` — the same
+  * per-table at-most-once-per-cycle guarantee without a DELETE round-trip.
+  * Dispatch mirrors sql:190–198: 'F' full, 'I' incremental, 'B' full THEN
+  * incremental on top (sequencing preserved).
+  */
+object Orchestrator {
+
+  final case class SyncReport(items: Seq[(WorkItem, Long)])
+
+  /** One sync cycle: plan → drain with `workers` concurrent drainers. */
+  def runCycle(
+      spark: SparkSession,
+      stages: Map[String, String],
+      metaStore: MetaStore,
+      store: TableStore,
+      schemas: Map[String, StructType],
+      workers: Int = 5): SyncReport = {
+    val metas = metaStore.loadAll()
+    val listing = StageListing.listAll(spark, stages)
+    val items = SyncPlanner.plan(listing, SyncPlanner.metaDf(spark, metas))
+
+    val queue = new ConcurrentLinkedQueue[WorkItem]()
+    items.foreach(queue.add)
+    val results = new ConcurrentLinkedQueue[(WorkItem, Long)]()
+
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers)))
+    val drainers = (1 to workers).map { _ =>
+      Future {
+        var item = queue.poll()
+        while (item != null) { // LOOP … IF null BREAK (sql:176–189)
+          val meta = metaStore.get(item.fullPath)
+            .getOrElse(throw new IllegalStateException(s"no metadata for ${item.fullPath}"))
+          val stageDir = stages(meta.stage)
+          val rows = item.loadType match {
+            case "F" => FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
+            case "I" => IncrementalMerge.run(spark, meta, stageDir, store, metaStore)
+            case "B" => // full load first, then replay changes on top (sql:190–193)
+              FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
+              IncrementalMerge.run(spark, metaStore.get(item.fullPath).get, stageDir, store, metaStore)
+            case other => throw new IllegalArgumentException(s"unknown load type $other")
+          }
+          results.add(item -> rows)
+          item = queue.poll()
+        }
+      }
+    }
+    Await.result(Future.sequence(drainers), Duration.Inf)
+    import scala.jdk.CollectionConverters._
+    SyncReport(results.asScala.toSeq.sortBy(_._1.fullPath))
+  }
+}

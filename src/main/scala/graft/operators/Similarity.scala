@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k by cosine — the correctness baseline.
+  *    O(n²·d); ONLY for test scale or for probing a small query set against
+  *    a broadcast corpus.
+  *  - [[lshTopK]]: random-hyperplane LSH — `tables` independent hash tables
+  *    of `bits` sign-bits each; vectors colliding in any table are
+  *    candidates, scored exactly, top-k per query. The join is on
+  *    (table, bucket) — shuffle-bounded, no crossJoin; recall grows with
+  *    `tables`, bucket size shrinks with `bits`. This is the 100 TB path:
+  *    at 1000 executors the bucket join partitions by hash like any
+  *    aggregation, and skewed buckets split under AQE.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbours per vector (self-join, excludes self).
+    * Output: (vec_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val a = base.alias("a"); val b = base.alias("b")
+    val scored = a.join(b, col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k. Same output schema as brute force. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0x5eed0000L + t).as("b")))
+    val banded = base.select(col("id"), col("v"), explode(array(bucketCols: _*)).as("bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cands = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", cosine(col("va"), col("vb")))
+      .drop("va", "vb")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, via the same LSH
+    * bucketing (a_id < b_id canonical orientation). */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 10,
+      tables: Int = 6): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0xd00dL + t).as("b")))
+    val banded = base.select(col("id"), col("v"), explode(array(bucketCols: _*)).as("bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stage table-function read (S3, control_migration_schema_script.sql:359,
+  * 388–391): scan headerless DMS CSV files, casting positional columns
+  * `_c0.._cn` to the target schema (F9, sql:341–347) and exposing the two
+  * file-metadata pseudo-columns the reference's MERGE depends on:
+  *
+  *  - `_file_name`  ← `metadata$filename` (Spark's hidden `_metadata.file_name`)
+  *  - `_row_in_file` ← `metadata$file_row_number` (W4)
+  *
+  * Scale notes:
+  *  - File pruning happens BEFORE the read: callers pass the exact file list
+  *    (already filtered by watermark / pattern), which is stronger than a
+  *    row-level filter — Spark never opens a skipped file (SURVEY §4).
+  *  - `_row_in_file` uses a window over `monotonically_increasing_id()`
+  *    partitioned by file. DMS change files are small (MB-scale), so each is
+  *    a single split and intra-file order is preserved within its partition;
+  *    for robustness we force single-split reads of CSV stages via
+  *    `spark.sql.files.maxPartitionBytes` left at default (128 MB ≫ DMS file
+  *    size). The window shuffle is by file name — the same key the merge
+  *    dedup needs anyway, and AQE coalesces the tiny partitions.
+  */
+object CsvStageReader {
+
+  /** Read specific staged CSV files positionally cast to `target` schema.
+    *
+    * @param withOp if true, column 0 is the DMS op code (`$1::varchar(1) as
+    *               op`, sql:291) and the data columns follow.
+    */
+  def read(
+      spark: SparkSession,
+      files: Seq[String],
+      target: StructType,
+      withOp: Boolean): DataFrame = {
+    require(files.nonEmpty, "file list must be non-empty (probe first: A3)")
+    val width = target.fields.length + (if (withOp) 1 else 0)
+    val raw = spark.read
+      .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
+      .option("header", "false")
+      .csv(files: _*)
+      .withColumn("_file_name", col("_metadata.file_name"))
+    val offset = if (withOp) 1 else 0
+    val opCol: Seq[Column] =
+      if (withOp) Seq(substring(col("_c0"), 1, 1).as("op")) else Seq.empty
+    val dataCols = target.fields.zipWithIndex.map { case (f, i) =>
+      col(s"_c${i + offset}").cast(f.dataType).as(f.name)
+    }
+    val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
+    raw.select(opCol ++ dataCols :+ col("_file_name"): _*)
+      .withColumn("_row_in_file", row_number().over(w))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Filename conventions of a DMS-style CSV export stage.
+  *
+  * The reference (control_migration_schema_script.sql:130–132, 235, 301)
+  * distinguishes full-load files `LOAD<8 digits>.csv` from change files
+  * `2<timestamp>.csv` whose names sort lexicographically by time — the
+  * string order IS the clock (SURVEY §2.9). We keep the exact regexes.
+  */
+object DmsFileClassifier {
+
+  /** sql:130 — strip the filename to get the table prefix (directory). */
+  val fileSuffixRegex = "/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})\\..*$"
+
+  /** sql:131 — is this a full-load file? */
+  val fullLoadRegex = ".*/LOAD[0-9]+\\..*$"
+
+  /** sql:235 — full-load scan pattern for one table dir. */
+  def fullLoadPattern: String = "LOAD[0-9]*.csv" // glob form for pathGlobFilter
+
+  /** sql:301 — incremental (change) scan pattern for one table dir. */
+  def incrementalPattern: String = "2*.csv" // glob form
+
+  /** Table prefix of a staged file path (F1, sql:130). */
+  def filePrefix(file: Column): Column = regexp_replace(file, fileSuffixRegex, "")
+
+  /** Full-load test (F2, sql:131). */
+  def isFullLoad(file: Column): Column = file.rlike(fullLoadRegex)
+
+  /** Bare file name relative to the stage root (F4, sql:131): the reference
+    * strips `s3://bucket` by locating the first '/' from position 6. We keep
+    * the same 3-arg-POSITION semantics via `locate(str, col, pos)`. */
+  def relativeName(file: Column): Column =
+    substring_index(file, "://", -1) // scheme-agnostic: drop "<scheme>://"
+
+  /** Path components per the reference's 6 regexp-extracts
+    * (fill_dms_metadata, sql:442–447): provider://bucket/prefix/schema/table/file. */
+  def pathParts(file: Column): (Column, Column, Column, Column, Column) = {
+    val re = "^([a-z0-9]+)://([^/]+)/(.*)/([^/]+)/([^/]+)/([^/]+)$"
+    (regexp_extract(file, re, 1), // provider
+      regexp_extract(file, re, 2), // bucket
+      regexp_extract(file, re, 4), // schema
+      regexp_extract(file, re, 5), // table
+      regexp_extract(file, re, 6)) // file name
+  }
+}

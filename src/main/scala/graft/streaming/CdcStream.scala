@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.{ChangeApplier, TableStore}
+
+/** Structured-Streaming realization of the reference's polling micro-batch
+  * CDC pipeline (SURVEY §2.9): the cron-scheduled root task + watermark
+  * bookkeeping collapse into Spark's file-source + checkpoint — the file
+  * source's own log replaces `last_incremental_file`, `Trigger.AvailableNow`
+  * replaces the cron, and `foreachBatch` applies the same
+  * [[ChangeApplier]] merge the batch path uses.
+  *
+  * This is the managed-equivalent alternative to
+  * [[graft.operators.IncrementalMerge]]; both share the change-application
+  * semantics, so the fold-oracle tests cover them jointly.
+  */
+object CdcStream {
+
+  /** Stream of raw change rows from a table's stage dir (change files only,
+    * `2*.csv` per sql:301). */
+  def changeStream(
+      spark: SparkSession,
+      tableDir: String,
+      target: StructType): DataFrame = {
+    val width = target.fields.length + 1
+    val raw = spark.readStream
+      .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
+      .option("header", "false")
+      .option("pathGlobFilter", "2*.csv")
+      .option("maxFilesPerTrigger", "32")
+      .csv(tableDir)
+    val cols = substring(col("_c0"), 1, 1).as("op") +:
+      target.fields.zipWithIndex.map { case (f, i) =>
+        col(s"_c${i + 1}").cast(f.dataType).as(f.name)
+      }.toSeq
+    raw.select(cols :+ col("_metadata.file_name").as("_file_name"): _*)
+  }
+
+  /** Run the stream, merging each micro-batch into the versioned table.
+    * Within a batch, latest (file, row) wins per PK — same W1 dedup; the
+    * per-file row number is synthesized per micro-batch. */
+  def start(
+      spark: SparkSession,
+      tableDir: String,
+      tableName: String,
+      target: StructType,
+      pks: Seq[String],
+      store: TableStore,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = changeStream(spark, tableDir, target)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val withRow = batch.withColumn("_row_in_file",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("_file_name"))
+              .orderBy(monotonically_increasing_id())))
+          val tgt = store.read(spark, tableName)
+          store.write(ChangeApplier.apply(tgt, withRow, pks), tableName)
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

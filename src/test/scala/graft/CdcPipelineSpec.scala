@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.meta.{MetaStore, TableMeta}
+import graft.operators.{FullLoad, IncrementalMerge, Orchestrator, TableStore}
+import graft.plans.MetadataBootstrap
+
+/** End-to-end CDC pipeline over synthesized DMS-style stage fixtures
+  * (FIXTURES.md §B): full load, incremental I/U/D merge, watermark replay
+  * skip, empty-batch early exit, 'B' both-path, metadata bootstrap.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  // cdc.customer_sync fixture (FIXTURES.md): NUMBER(p,s) + TEXT + timestamp
+  private val schema = StructType(Seq(
+    StructField("id", DecimalType(10, 0)),
+    StructField("name", StringType),
+    StructField("balance", DecimalType(12, 2)),
+    StructField("updated_at", TimestampType)))
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def setup(): (String, String, MetaStore, TableStore, TableMeta) = {
+    val root = tmpDir("cdc")
+    val stageDir = s"$root/stage"
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "LOAD00000001.csv", Seq(
+      "1,alice,100.50,2026-01-01 00:00:00",
+      "2,bob,200.00,2026-01-01 00:00:00",
+      "3,carol,300.25,2026-01-01 00:00:00"))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    val meta = TableMeta(
+      fullPath = s"$tableDir", dbTable = "customer_sync", dbSchema = "cdc",
+      stage = "s1", primaryKeys = "id") // single PK
+    metaStore.upsert(meta)
+    (root, stageDir, metaStore, store, meta)
+  }
+
+  private def snapshot(store: TableStore): Map[String, (String, String)] =
+    store.read(spark, "cdc_customer_sync").collect()
+      .map(r => r.getDecimal(0).toPlainString -> (r.getString(1), r.getDecimal(2).toPlainString))
+      .toMap
+
+  test("full load then incremental I/U/D merge, latest file wins") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    val n = FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    assert(n === 3)
+    assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "0")
+
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    // batch 1: update alice, delete bob, insert dave
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00",
+      "D,2,bob,200.00,2026-01-02 00:00:00",
+      "I,4,dave,400.00,2026-01-02 00:00:00"))
+    // batch 2 (same merge cycle, later file): alice updated again, dave deleted
+    writeCsv(tableDir, "20260103-000000001.csv", Seq(
+      "U,1,alice3,112.00,2026-01-03 00:00:00",
+      "D,4,dave,400.00,2026-01-03 00:00:00"))
+
+    val rows = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    assert(rows === 3) // 3 distinct PKs touched (1, 2, 4)
+    val snap = snapshot(store)
+    assert(snap === Map(
+      "1" -> ("alice3", "112.00"),
+      "3" -> ("carol", "300.25")))
+    assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "20260103-000000001.csv")
+  }
+
+  test("replayed files at-or-below the watermark are skipped (empty batch early-exits)") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "20260102-000000001.csv", Seq("U,1,alice2,111.00,2026-01-02 00:00:00"))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    val v1 = snapshot(store)
+    // second cycle with no new files: early exit, nothing changes
+    val r2 = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    assert(r2 === -1L)
+    assert(snapshot(store) === v1)
+  }
+
+  test("orchestrated cycle: plan decides F then I; 'B' after a new full load + new changes") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    val stages = Map("s1" -> stageDir)
+    val schemas = Map(meta.fullPath -> schema)
+
+    // cycle 1: only the full-load file exists → F
+    val rep1 = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 2)
+    assert(rep1.items.map(_._1.loadType) === Seq("F"))
+    assert(snapshot(store).keySet === Set("1", "2", "3"))
+
+    // cycle 2: a change file arrives → I
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "20260102-000000001.csv", Seq("U,1,alice2,150.00,2026-01-02 00:00:00"))
+    val rep2 = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 2)
+    assert(rep2.items.map(_._1.loadType) === Seq("I"))
+    assert(snapshot(store)("1") === ("alice2", "150.00"))
+
+    // cycle 3: nothing new → empty plan
+    val rep3 = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 2)
+    assert(rep3.items.isEmpty)
+
+    // cycle 4: NEW full load (newer mtime) + new change file → B: reload then replay.
+    // DMS re-exports replace the folder's full-load chunk files, so drop the
+    // stale chunk first (all remaining LOAD* files together form ONE snapshot).
+    Files.delete(Paths.get(tableDir, "LOAD00000001.csv"))
+    Thread.sleep(1100) // ensure a strictly newer mtime (fs granularity)
+    writeCsv(tableDir, "LOAD00000002.csv", Seq(
+      "1,alice,100.50,2026-01-01 00:00:00",
+      "2,bob,200.00,2026-01-01 00:00:00"))
+    writeCsv(tableDir, "20260104-000000001.csv", Seq("U,2,bob2,222.00,2026-01-04 00:00:00"))
+    val rep4 = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 2)
+    assert(rep4.items.map(_._1.loadType) === Seq("B"))
+    val snap = snapshot(store)
+    // full load replaced the table (carol gone), then ALL change files
+    // replayed on top (watermark reset to "0"): alice2 from the old change
+    // file, bob2 from the new one.
+    assert(snap === Map("1" -> ("alice2", "150.00"), "2" -> ("bob2", "222.00")))
+  }
+
+  test("metadata bootstrap discovers (schema, table, prefix) from the stage listing") {
+    val (_, stageDir, _, _, _) = setup()
+    val metas = MetadataBootstrap.bootstrap(spark, "s1", stageDir, Map("customer_sync" -> "id"))
+    assert(metas.size === 1)
+    val m = metas.head
+    assert(m.dbSchema === "cdc")
+    assert(m.dbTable === "customer_sync")
+    assert(m.primaryKeys === "id")
+    assert(m.fullPath.endsWith("cdc/customer_sync"))
+    assert(m.lastIncrementalFile === "0")
+  }
+
+  test("composite primary keys with spaces in the metadata string (sql:298)") {
+    val root = tmpDir("cdc2")
+    val stageDir = s"$root/stage"
+    val tableDir = s"$stageDir/cdc/pairs"
+    val pairSchema = StructType(Seq(
+      StructField("k1", IntegerType), StructField("k2", StringType),
+      StructField("v", StringType)))
+    writeCsv(tableDir, "LOAD00000001.csv", Seq("1,a,x", "1,b,y", "2,a,z"))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    val meta = TableMeta(fullPath = tableDir, dbTable = "pairs", dbSchema = "cdc",
+      stage = "s1", primaryKeys = "k1, k2") // note the space
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, pairSchema)
+    writeCsv(tableDir, "20260102-000000001.csv", Seq("U,1,a,x2", "D,2,a,z"))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    val snap = store.read(spark, "cdc_pairs").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(snap === Map((1, "a") -> "x2", (1, "b") -> "y"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.operators.ChangeApplier
+
+/** Property-style test for the CDC merge semantics (SURVEY §5): random op
+  * sequences per PK (fixed seed), folded in (file, row) order by a trivial
+  * in-memory oracle — last op wins; a PK whose latest op is 'D' is absent.
+  */
+class ChangeApplierSpec extends SparkSpec {
+
+  private val targetSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("val", StringType)))
+  private val changeSchema = StructType(Seq(
+    StructField("op", StringType), StructField("id", IntegerType),
+    StructField("val", StringType), StructField("_file_name", StringType),
+    StructField("_row_in_file", IntegerType)))
+
+  case class Change(op: String, id: Int, value: String, file: String, row: Int)
+
+  private def foldOracle(target: Map[Int, String], changes: Seq[Change]): Map[Int, String] = {
+    val latest = changes.groupBy(_.id).map { case (id, cs) =>
+      id -> cs.maxBy(c => (c.file, c.row))
+    }
+    latest.foldLeft(target) { case (acc, (id, c)) =>
+      if (c.op == "D") acc - id else acc + (id -> c.value)
+    }
+  }
+
+  private def randomChanges(rng: scala.util.Random): List[Change] = {
+    val n = rng.nextInt(60)
+    List.tabulate(n) { i =>
+      val op = Seq("I", "U", "D")(rng.nextInt(3))
+      Change(op, rng.nextInt(13), s"v${rng.nextInt(1000)}",
+        f"2024010${i / 10}-${i / 10}%09d.csv", i % 10 + 1)
+    }
+  }
+
+  private def runMerge(target0: Map[Int, String], changes: Seq[Change]): Map[Int, String] = {
+    val targetDf = spark.createDataFrame(
+      java.util.Arrays.asList(target0.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }: _*),
+      targetSchema)
+    val changesDf = spark.createDataFrame(
+      java.util.Arrays.asList(changes.map(c => Row(c.op, c.id, c.value, c.file, c.row)): _*),
+      changeSchema)
+    ChangeApplier.apply(targetDf, changesDf, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+  }
+
+  test("merge equals the in-memory fold oracle on random op sequences (seed=42)") {
+    val rng = new scala.util.Random(42)
+    (1 to 12).foreach { trial =>
+      val changes = randomChanges(rng)
+      val target0 = (0 to 6).map(i => i -> s"init$i").toMap
+      val expected = foldOracle(target0, changes)
+      val actual = runMerge(target0, changes)
+      assert(actual === expected, s"trial $trial with ${changes.size} changes")
+    }
+  }
+
+  test("tombstone for a never-seen PK is a no-op; latest-D drops an inserted PK") {
+    val result = runMerge(Map(1 -> "a"), Seq(
+      Change("D", 99, "x", "f1", 1), // delete of unknown key
+      Change("I", 2, "new", "f1", 2), // insert…
+      Change("D", 2, "new", "f2", 1))) // …then delete in a later file
+    assert(result === Map(1 -> "a"))
+  }
+
+  test("duplicate rows in one file: highest row number wins") {
+    val result = runMerge(Map(1 -> "a"), Seq(
+      Change("U", 1, "first", "f1", 1),
+      Change("U", 1, "second", "f1", 2)))
+    assert(result === Map(1 -> "second"))
+  }
+}

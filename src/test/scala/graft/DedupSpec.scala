@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (3L, "THE QUICK brown fox jumps over the lazy dog near the river bank"), // exact after lowercasing
+      (4L, "completely different content about spark query engines and shuffles here"),
+      (5L, "yet another unrelated document mentioning neither foxes nor rivers at all"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalize whitespace/case and find the planted duplicate") {
+    val groups = Dedup.exactGroups(docs(), "doc_id", "text").collect()
+    assert(groups.length === 4) // 1&3 merge
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.exactDedup(docs(), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("exact jaccard pairs finds the near-duplicate with the right similarity") {
+    val pairs = Dedup.jaccardPairs(docs(), "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+    // docs 1,2: 13 tokens → 11 trigrams each, differing only in the last →
+    // shared 10, union 12 → jaccard 10/12
+    val expected = 10.0 / 12.0
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - expected) < 1e-9 })
+    // 1 & 3 are identical after lowering: jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j == 1.0 })
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs without all-pairs comparison") {
+    val pairs = Dedup.minhashLshPairs(docs(), "doc_id", "text",
+      shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    // unrelated docs must not pair at this threshold
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
+  }
+
+  test("simhash pairs: near-identical docs land within the hamming budget") {
+    val pairs = Dedup.simhashPairs(docs(), "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
+    // identical-after-normalize docs have identical token sets → hamming 0
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0 })
+    // unrelated docs differ in far more bits than the budget
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(4L, 5L) })
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k cosine is exact on hand-checkable vectors") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), // closest to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.2f))) // closest to 3
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top1(1L) === 2L)
+    assert(top1(2L) === 1L)
+    assert(top1(3L) === 4L)
+    assert(top1(4L) === 3L)
+  }
+
+  test("LSH top-k recall vs brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // Near-uniform random embeddings are the hard case for hyperplane LSH
+    // (tiny cosine gaps between true and spurious neighbours), so use wide
+    // buckets + many tables and a modest recall bar — the test guards the
+    // bucketing plumbing, not a tuned production operating point.
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 1, bits = 5, tables = 12)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // recall@1: how many exact nearest neighbours the LSH path recovered
+    val hits = exact.count { case (id, nn) => approx.get(id).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.4, s"LSH recall@1 too low: $recall")
+    // every LSH result must still be a real vector pair with a sane score
+    assert(approx.nonEmpty)
+  }
+
+  test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f)),
+      (3L, Array(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.99,
+      bits = 4, tables = 4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+}
