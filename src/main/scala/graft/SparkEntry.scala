@@ -282,6 +282,44 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("fp")).as("min_fp"))
         .orderBy(col("bucket"))
+    }),
+
+    // ext: exact embedding-cosine near-dup pairs (oracle-checkable baseline)
+    "q22_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ext: MinHash-LSH near-dup candidates (hash-based — no SQL oracle;
+    // driver records the weaker rows-only check; semantics covered by
+    // DedupSpec property tests)
+    "q23_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ext: SimHash near-dup pairs within a Hamming budget (rows-only)
+    "q24_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ext: multimodal plumbing — documents' bytes as opaque binary payloads
+    // through the partition-local stub decoder (rows-only; the decode stub
+    // is deterministic but not SQL-expressible)
+    "q25_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val items = t(s, dir, "documents").select(
+        col("doc_id").as("item_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("application/octet-stream").as("mime"), col("source").as("source"))
+        .as[graft.operators.Multimodal.MediaItem]
+      graft.operators.Multimodal.extractFeatures(items, new graft.operators.Multimodal.StubDecoder(8))
+        .toDF()
+        .select(col("item_id"), col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("item_id"))
     }))
 
   // =====================================================================
@@ -526,5 +564,14 @@ object SparkEntry {
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents)
         |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
-        |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q22_cosine_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin)
 }

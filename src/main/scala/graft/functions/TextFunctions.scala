@@ -29,28 +29,30 @@ object TextFunctions {
   /** Distinct shingle set (the unit of Jaccard similarity). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
 
-  /** MinHash signature: `k` independent min-hashes of the shingle set.
-    * Hash family = xxhash64(shingle, seedᵢ); deterministic across runs.
-    * O(|shingles|·k) per row, no shuffle — the LSH banding in
-    * [[graft.operators.Dedup]] turns signatures into candidate pairs. */
+  /** Distinct shingles as 64-bit hashes: a running xxh64 over each n-token
+    * window — no per-shingle string building, 8-byte join keys instead of
+    * strings. Collision probability across a corpus is ~|shingles|²/2⁶⁴
+    * (negligible); counts are otherwise identical to [[shingleSet]].
+    * Backed by the native [[org.apache.spark.sql.graft.ShingleHashes]]
+    * expression (one compiled pass per row). */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.HashSketches.shingle_hashes(tokens(text), n)
+
+  /** MinHash signature: `k` independent min-hashes of the hashed-shingle
+    * set (`array<long>`). Hash family = xxh64(shingle, seedᵢ);
+    * deterministic across runs. O(|shingles|·k) per row, no shuffle — the
+    * LSH banding in [[graft.operators.Dedup]] turns signatures into
+    * candidate pairs. Backed by the native
+    * [[org.apache.spark.sql.graft.MinHashSignature]] expression (compiled
+    * loop instead of interpreted higher-order lambdas). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    org.apache.spark.sql.graft.HashSketches.minhash_signature(shingles, numHashes)
 
   /** 64-bit SimHash over the distinct-token set: for each output bit, tokens
     * vote +1/−1 by their hash's bit; the sign of the vote sets the bit.
     * Near-identical docs differ in few bits (small Hamming distance). */
-  def simhash64(text: Column): Column = {
-    val t = array_distinct(tokens(text))
-    // One vote aggregate per bit, with the bit index a Scala literal so the
-    // mask is an exact 64-bit bitwiseAND (no floating-point bit extraction).
-    val bitCols = (0 until 64).map { j =>
-      val vote = aggregate(t, lit(0L), (acc, tok) =>
-        acc + when(xxhash64(tok).bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graft.HashSketches.simhash64(array_distinct(tokens(text)))
 
   /** Hamming distance between two packed 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -18,9 +18,12 @@ object VectorFunctions {
     * double-precision (matches what an external oracle computes). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ — dot product of two equal-length numeric arrays. */
+  /** Σ aᵢ·bᵢ — dot product of two equal-length `array<double>` columns,
+    * backed by the codegen'd native expression
+    * [[org.apache.spark.sql.graft.DotProduct]] (bit-identical to the
+    * higher-order `aggregate(zip_with(...))` fold, far faster). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.NativeFunctions.vec_dot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -47,7 +47,9 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShinglePostings: Int = Int.MaxValue): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // 64-bit hashed shingles: same pair counts as string shingles modulo a
+    // ~2⁻⁶⁴ collision chance, with far cheaper shuffle keys.
+    val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
@@ -83,15 +85,25 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
-      .filter(size(col("sig")) === numHashes) // docs long enough to shingle
-    val banded = sigs.select(col("id"), col("sig"),
+    val sigs = df
+      .select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0) // docs long enough to shingle
+      .select(col("id"), minhashSignature(col("shs"), numHashes).as("sig"))
+    val allBanded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+    // Skew guard: a band bucket of B docs yields B² candidate rows; buckets
+    // beyond the cap are boilerplate clusters that explode the join while
+    // adding no dedup precision — drop them (bounded recall loss, standard
+    // LSH practice at scale).
+    val hot = allBanded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("band", "bucket")
+    val banded = allBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -116,7 +128,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucketSize: Int = 200): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
@@ -124,8 +137,13 @@ object Dedup {
     // built with Scala-level chunk indices so the shift amount is a literal.
     val chunkCols = (0 until chunks).map(c =>
       shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
-    val banded = sigs.select(col("id"), col("sig"),
+    val allBanded = sigs.select(col("id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
+    // Same skew guard as MinHash-LSH: cap candidate-bucket size.
+    val hot = allBanded.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val banded = allBanded.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
         col("a.id") < col("b.id"))

@@ -25,11 +25,14 @@ object Similarity {
   /** Exact cosine top-k neighbours per vector (self-join, excludes self).
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Precompute the norm once per vector (identical double to computing it
+    // per pair), so each of the O(n²) pairs costs one codegen'd dot product.
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     val a = base.alias("a"); val b = base.alias("b")
     val scored = a.join(b, col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -44,19 +47,40 @@ object Similarity {
       bits: Int = 12,
       tables: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0x5eed0000L + t).as("b")))
-    val banded = base.select(col("id"), col("v"), explode(array(bucketCols: _*)).as("bucket"))
+    val banded = base.select(col("id"), col("v"), col("nrm"),
+      explode(array(bucketCols: _*)).as("bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
     val cands = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("vec_id", "neighbor_id")
-    val scored = cands.withColumn("cosine", cosine(col("va"), col("vb")))
-      .drop("va", "vb")
+    val scored = cands
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .drop("va", "vb", "na", "nb")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * threshold. O(n²) — the correctness baseline / oracle-checkable path;
+    * [[cosineNearDupPairs]] is the LSH-bucketed scale path. */
+  def cosinePairsExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = base.alias("a"); val b = base.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via the same LSH
@@ -69,15 +93,18 @@ object Similarity {
       bits: Int = 10,
       tables: Int = 6): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0xd00dL + t).as("b")))
-    val banded = base.select(col("id"), col("v"), explode(array(bucketCols: _*)).as("bucket"))
+    val banded = base.select(col("id"), col("v"), col("nrm"),
+      explode(array(bucketCols: _*)).as("bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }

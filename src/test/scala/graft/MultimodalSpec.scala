@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaItem, StubDecoder}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binaryFile read → partition-local decode → features, deterministic") {
+    val dir = tmpDir("media")
+    Files.write(Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(dir, "b.bin"), Array[Byte](9, 8, 7))
+    val items = Multimodal.readMediaDir(spark, dir, "image")
+    assert(items.count() === 2)
+
+    val feats = Multimodal.extractFeatures(items, new StubDecoder(4)).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(_.feature.length === 4))
+    assert(feats.forall(f => f.width > 0 && f.height > 0)) // image kind
+    assert(feats.forall(_.duration_ms === -1L)) // not a timed medium
+    assert(feats.map(f => f.item_id -> f.n_bytes).toMap.values.toSet === Set(4L, 3L))
+
+    // decode is a pure function of the payload: re-running gives identical rows
+    val again = Multimodal.extractFeatures(items, new StubDecoder(4)).collect()
+    assert(feats.map(_.feature.toSeq).toSet === again.map(_.feature.toSeq).toSet)
+  }
+
+  test("audio/video kinds populate duration, not dimensions") {
+    val s = spark; import s.implicits._
+    val items = Seq(
+      MediaItem(1L, "audio", Array[Byte](5, 5), "audio/wav", "x"),
+      MediaItem(2L, "video", Array[Byte](6, 6), "video/mp4", "y")).toDS()
+    val byKind = Multimodal.extractFeatures(items, new StubDecoder(2))
+      .collect().map(f => f.kind -> f).toMap
+    assert(byKind("audio").duration_ms >= 0 && byKind("audio").width === -1)
+    assert(byKind("video").duration_ms >= 0 && byKind("video").width > 0)
+  }
+
+  test("metadata-only projection prunes the payload column from the scan") {
+    val dir = tmpDir("media2")
+    Files.write(Paths.get(dir, "c.bin"), Array.fill[Byte](1024)(7))
+    val items = Multimodal.readMediaDir(spark, dir, "image")
+    val meta = Multimodal.metadataOnly(items)
+    assert(meta.collect().head.getAs[Long]("n_bytes") === 1024L)
+    // column pruning is visible in the physical scan's ReadSchema — a
+    // metadata-only projection must not read the payload bytes
+    val plan = meta.select("item_id", "kind", "mime", "source")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.split("ReadSchema: ").last.takeWhile(_ != '\n')
+    assert(!readSchema.contains("content"),
+      s"payload column not pruned from scan: $readSchema")
+  }
+}
