@@ -66,6 +66,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` Voronoi cells around deterministically sampled centroids
+    * (the `nCells` vectors with the smallest xxhash64(id) — a uniform,
+    * reproducible sample; no iterative k-means fit needed for a recall
+    * baseline), assign every vector to its nearest centroid, then search
+    * each query only against its `nProbe` nearest cells.
+    *
+    * Scale path: centroids are tiny and BROADCAST twice (assignment +
+    * probe); the candidate join is an equi-join on cell id — shuffle-
+    * bounded like any aggregation, ~nProbe/nCells of the corpus scanned
+    * per query instead of all of it. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val centroids = base
+      .withColumn("_h", xxhash64(col("id")))
+      .orderBy(col("_h")).limit(nCells)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    // nearest-centroid assignment (1 broadcast-nested-loop over nCells rows)
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    // queries probe their nProbe nearest cells
+    val probes = base.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("c_id").as("cell"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"),
+        (dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
     * threshold. O(n²) — the correctness baseline / oracle-checkable path;
     * [[cosineNearDupPairs]] is the LSH-bucketed scale path. */

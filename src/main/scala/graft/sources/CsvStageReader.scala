@@ -38,6 +38,20 @@ object CsvStageReader {
       target: StructType,
       withOp: Boolean): DataFrame = {
     require(files.nonEmpty, "file list must be non-empty (probe first: A3)")
+    // _row_in_file is only correct when each CSV file is a single split
+    // (Spark orders split partitions by size, not file offset, so a split
+    // file would interleave). DMS files are MB-scale; enforce the
+    // assumption instead of silently mis-numbering.
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").trim.toLong
+    val fs = new org.apache.hadoop.fs.Path(files.head)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    files.foreach { f =>
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      require(len <= maxSplit,
+        s"staged file $f is $len bytes > spark.sql.files.maxPartitionBytes=$maxSplit; " +
+          "raise the conf so each DMS file stays a single split (row-number contract)")
+    }
     val width = target.fields.length + (if (withOp) 1 else 0)
     val raw = spark.read
       .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))

@@ -38,6 +38,18 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k recall vs brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1, nCells = 8, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf.size === exact.size) // every vector gets a neighbour
+    val recall = exact.count { case (id, nn) => ivf.get(id).contains(nn) }.toDouble / exact.size
+    // probing half the cells on near-uniform data: expect well above chance
+    assert(recall > 0.5, s"IVF recall@1 too low: $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val s = spark; import s.implicits._
     val df = Seq(
