@@ -53,13 +53,15 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered =
+    val filtered0 =
       if (maxShinglePostings == Int.MaxValue) posts
       else {
         val hot = posts.groupBy("shingle").agg(count(lit(1)).as("c"))
           .filter(col("c") > maxShinglePostings).select("shingle")
         posts.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
+    // both sides of the self-join read the posting table — persist it
+    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.alias("a"); val b = filtered.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
@@ -100,10 +102,14 @@ object Dedup {
     // beyond the cap are boilerplate clusters that explode the join while
     // adding no dedup precision — drop them (bounded recall loss, standard
     // LSH practice at scale).
-    val hot = allBanded.groupBy(col("band"), col("bucket"))
+    // The banded signature table is read three times (hot-bucket agg + both
+    // sides of the self-join); persist it — at cluster scale you would
+    // materialize the signature table anyway before pairing.
+    val allBanded0 = allBanded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = allBanded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("band", "bucket")
-    val banded = allBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val banded = allBanded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -33,9 +33,22 @@ object Similarity {
     val scored = a.join(b, col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    if (k == 1) {
+      // top-1 as an aggregate: partial max_by combines map-side, so only
+      // one row per vec_id reaches the shuffle (vs all n−1 scored pairs
+      // through a window sort). Tie-break matches the window ordering:
+      // struct compares (cosine desc, then −neighbor_id desc = id asc).
+      scored
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("neighbor_id"), col("cosine")),
+          struct(col("cosine"), -col("neighbor_id"))).as("best"))
+        .select(col("vec_id"), col("best.neighbor_id").as("neighbor_id"),
+          col("best.cosine").as("cosine"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 
   /** LSH-bucketed approximate top-k. Same output schema as brute force. */
