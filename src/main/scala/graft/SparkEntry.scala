@@ -217,12 +217,25 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ext: per-language text statistics (token counts, quality score)
+    // ext: per-language text statistics (token counts, quality score).
+    // Tokenization runs ONCE per row; downstream stats reuse the column —
+    // arithmetic identical to the TextFunctions formulas (and the oracle).
     "q16_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-        .withColumn("mean_tok_len", TextFunctions.meanTokenLen(col("text")))
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("mean_tok_len",
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+              .cast("double") / col("n_tokens")))
+        .withColumn("quality", {
+          val lenScore = least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
+          val wordScore = when(col("mean_tok_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+          val punct = when(length(col("text")) === 0, lit(0.0)).otherwise(
+            length(regexp_replace(col("text"), "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") /
+              length(col("text")))
+          round(lenScore * 0.4 + wordScore * 0.4 + (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2, 4)
+        })
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

@@ -36,6 +36,15 @@ object DmsFileClassifier {
   def relativeName(file: Column): Column =
     substring_index(file, "://", -1) // scheme-agnostic: drop "<scheme>://"
 
+  /** HTTP-date parse (F6, sql:132): the reference parses S3's last-modified
+    * `'DY, DD MON YYYY HH24:MI:SS GMT'` strings; our native listing returns
+    * a real timestamp so this only exists for stages that surface
+    * HTTP-style dates. */
+  def httpDate(col: Column): Column =
+    // day-of-week text is format-only in Spark 3+ parse patterns — drop the
+    // redundant "DY, " prefix before parsing
+    to_timestamp(regexp_replace(col, "^[A-Za-z]{3}, ", ""), "dd MMM yyyy HH:mm:ss 'GMT'")
+
   /** Path components per the reference's 6 regexp-extracts
     * (fill_dms_metadata, sql:442–447): provider://bucket/prefix/schema/table/file. */
   def pathParts(file: Column): (Column, Column, Column, Column, Column) = {

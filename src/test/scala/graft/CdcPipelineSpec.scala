@@ -125,6 +125,24 @@ class CdcPipelineSpec extends SparkSpec {
     assert(snap === Map("1" -> ("alice2", "150.00"), "2" -> ("bob2", "222.00")))
   }
 
+  test("crash between table write and watermark advance replays idempotently") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00",
+      "D,2,bob,200.00,2026-01-02 00:00:00"))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    val afterFirst = snapshot(store)
+    // simulate a crash AFTER the new table version was swapped in but
+    // BEFORE the watermark advanced: roll the watermark back and replay
+    metaStore.advanceIncremental(meta.fullPath, "0")
+    val replayed = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    assert(replayed >= 0) // batch re-applied, not skipped
+    assert(snapshot(store) === afterFirst) // …but the state is unchanged
+    assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "20260102-000000001.csv")
+  }
+
   test("metadata bootstrap discovers (schema, table, prefix) from the stage listing") {
     val (_, stageDir, _, _, _) = setup()
     val metas = MetadataBootstrap.bootstrap(spark, "s1", stageDir, Map("customer_sync" -> "id"))

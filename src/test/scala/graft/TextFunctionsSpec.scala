@@ -54,4 +54,11 @@ class TextFunctionsSpec extends SparkSpec {
     val est = one[Long](bpeTokenEstimate(col("text")), "short words here")
     assert(est >= 3L)
   }
+
+  test("http-date parse (F6) matches the reference's S3 last-modified format") {
+    val ts = one[java.sql.Timestamp](
+      graft.sources.DmsFileClassifier.httpDate(col("text")),
+      "Wed, 12 Aug 2026 06:30:00 GMT")
+    assert(ts.toInstant.toString === "2026-08-12T06:30:00Z")
+  }
 }
