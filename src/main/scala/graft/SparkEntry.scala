@@ -319,6 +319,65 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // flagship CDC pipeline end-to-end, as a benchable query: synthesize a
+    // deterministic DMS-style stage from the orders table (full-load CSV +
+    // three change files with U/D ops), run FullLoad + IncrementalMerge
+    // through the real operators, return the final table summarized.
+    // (rows-only: the stage is synthesized at run time, outside the
+    // oracle's view; semantics are covered by CdcPipelineSpec.)
+    "q26_cdc_pipeline" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q26").toString
+      val stageDir = s"$root/stage"
+      val tableDir = s"$stageDir/sales/orders_sync"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+      val o = t(s, dir, "orders").orderBy(col("o_orderkey"))
+      val csvCols = concat_ws(",", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      def writeFile(df: DataFrame, name: String): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.select(csvCols.as("line")).coalesce(1).write.mode("overwrite").text(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(tableDir, name))
+      }
+      def writeChangeFile(df: DataFrame, name: String): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.select(concat_ws(",", col("op"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")).as("line"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(tableDir, name))
+      }
+      // full load: orders with orderkey % 5 != 0; changes: the rest as three
+      // lexicographically ordered files — updates (doubled price), deletes
+      // (orderkey % 10 == 0), and re-updates overriding earlier ones.
+      writeFile(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0), "LOAD00000001.csv")
+      val rest = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      writeChangeFile(rest.withColumn("op", lit("I")), "20260101-000000001.csv")
+      writeChangeFile(rest.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("op", lit("D")), "20260102-000000001.csv")
+      writeChangeFile(rest.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        .withColumn("op", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "20260103-000000001.csv")
+
+      val metaStore = new graft.meta.MetaStore(s"$root/meta")
+      val store = new graft.operators.TableStore(s"$root/warehouse")
+      val meta = graft.meta.TableMeta(fullPath = tableDir, dbTable = "orders_sync",
+        dbSchema = "sales", stage = "s1", primaryKeys = "o_orderkey")
+      metaStore.upsert(meta)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      graft.operators.FullLoad.run(s, meta, stageDir, store, metaStore, schema)
+      graft.operators.IncrementalMerge.run(s, metaStore.get(meta.fullPath).get,
+        stageDir, store, metaStore)
+      store.read(s, "sales_orders_sync")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)

@@ -44,8 +44,11 @@ object Orchestrator {
 
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers)))
-    val drainers = (1 to workers).map { _ =>
+    val drainers = (1 to workers).map { i =>
       Future {
+        // one FAIR pool per drainer so concurrent table loads share the
+        // cluster fairly when spark.scheduler.mode=FAIR is configured
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-worker-$i")
         var item = queue.poll()
         while (item != null) { // LOOP … IF null BREAK (sql:176–189)
           val meta = metaStore.get(item.fullPath)
