@@ -45,11 +45,23 @@ object Similarity {
         .select(col("vec_id"), col("best.neighbor_id").as("neighbor_id"),
           col("best.cosine").as("cosine"), lit(1).as("rank"))
     } else {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      topKFromScored(scored, k)
     }
   }
+
+  /** Per-group top-k via the [[org.apache.spark.sql.graft.TopKPairs]]
+    * aggregate: partial top-k buffers combine map-side, so only k rows per
+    * (group, partition) reach the shuffle — vs a window sort moving every
+    * scored candidate. Same deterministic order as
+    * `row_number() over (order by cosine desc, neighbor_id asc)`. */
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("idx", "e")))
+      .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.score").as("cosine"), (col("idx") + 1).as("rank"))
 
   /** LSH-bucketed approximate top-k. Same output schema as brute force. */
   def lshTopK(
@@ -74,9 +86,7 @@ object Similarity {
     val scored = cands
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .drop("va", "vb", "na", "nb")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKFromScored(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -118,14 +128,12 @@ object Similarity {
       .filter(col("c_rank") <= nProbe)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
         col("c_id").as("cell"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(assigned, Seq("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"),
         (dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cosine"))
       .dropDuplicates("vec_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKFromScored(scored, k)
   }
 
   /** Exact embedding near-duplicate pairs: all (a < b) pairs with cosine ≥

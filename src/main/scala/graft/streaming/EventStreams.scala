@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over an event stream
+  * (event_id, ts, user_id, event_type, value) — the Structured Streaming
+  * surface beyond CDC file ingestion: watermarked windowed aggregation and
+  * custom session state via flatMapGroupsWithState.
+  *
+  * Both transforms are source-agnostic (work on `readStream` or batch
+  * DataFrames); state lives in Spark's checkpointed state store, which is
+  * what makes them viable on an unbounded 100 TB-class stream — per-key
+  * state is bounded by the watermark, and the shuffle is the usual
+  * hash-partition on the grouping key.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a lateness watermark:
+    * late events beyond `watermarkDelay` are dropped and their windows
+    * finalized (enabling append-mode emission + state eviction). */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int, totalValue: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Custom session state: per-user sessions closed after `gapSeconds` of
+    * event-time silence. Sessions complete either when a later event in the
+    * same group leaves a gap (emitted immediately) or when the watermark
+    * passes the gap deadline (event-time timeout). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) => // gap exceeded within the batch: close + restart
+                  closed += Session(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.lastMs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes last-event + gap
+              state.setTimeoutTimestamp(s.lastMs + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling-window aggregation emits finalized windows") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedEventCounts(
+        input.toDF(), windowLength = "1 hour", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      Event(1, ts("2026-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 00:40:00"), 2, "click", 2.0),
+      Event(3, ts("2026-01-01 00:50:00"), 1, "view", 3.0))
+    query.processAllAvailable()
+    // advance the watermark past the first hour → its windows finalize
+    input.addData(Event(4, ts("2026-01-01 02:30:00"), 1, "click", 4.0))
+    query.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    query.stop()
+    assert(rows === Set(
+      ("2026-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2026-01-01 00:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization: in-batch gap close + event-time timeout") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapSeconds = 600,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    // user 1: two events 5 min apart (one session), then a 30-min gap →
+    // second session opens in the same batch, closing the first inline
+    input.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "a", 1.0),
+      Event(2, ts("2026-01-01 00:05:00"), 1, "a", 1.0),
+      Event(3, ts("2026-01-01 00:35:00"), 1, "a", 1.0))
+    query.processAllAvailable()
+    // advance the watermark far past user 1's open session → timeout fires
+    input.addData(Event(9, ts("2026-01-01 03:00:00"), 2, "b", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(10, ts("2026-01-01 06:00:00"), 2, "b", 1.0))
+    query.processAllAvailable()
+    val sessions = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1L)
+      .map(x => (x.session_start.toString, x.session_end.toString, x.n_events))
+      .toSet
+    query.stop()
+    assert(sessions === Set(
+      ("2026-01-01 00:00:00.0", "2026-01-01 00:05:00.0", 2),
+      ("2026-01-01 00:35:00.0", "2026-01-01 00:35:00.0", 1)))
+  }
+}

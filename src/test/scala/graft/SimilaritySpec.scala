@@ -38,6 +38,30 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("top-k aggregate path (k>1) equals the window formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaAgg = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    // reference: a window-rank computed independently over the same scores
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val base = emb.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = base.alias("a"); val b = base.alias("b")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val viaWindow = a.join(b, col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(viaAgg === viaWindow)
+  }
+
   test("IVF top-k recall vs brute force on the real embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
