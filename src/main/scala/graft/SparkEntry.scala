@@ -222,12 +222,12 @@ object SparkEntry {
     // arithmetic identical to the TextFunctions formulas (and the oracle).
     "q16_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("st", org.apache.spark.sql.graft.HashSketches
+          .token_stats(TextFunctions.tokens(col("text"))))
+        .withColumn("n_tokens", col("st.n_tokens"))
         .withColumn("mean_tok_len",
           when(col("n_tokens") === 0, lit(0.0))
-            .otherwise(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
-              .cast("double") / col("n_tokens")))
+            .otherwise(col("st.n_chars").cast("double") / col("n_tokens")))
         .withColumn("quality", {
           val lenScore = least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
           val wordScore = when(col("mean_tok_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))

@@ -111,11 +111,13 @@ object TextFunctions {
       (acc, w) => acc + when(length(w) === 0, 0L).otherwise(ceil(length(w) / lit(4.0)))) +
       length(regexp_replace(text, "[\\p{L}\\p{N}\\s]+", ""))
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters (one native pass over the tokens;
+    * same integer character count as `length()`, so the derived double is
+    * bit-identical to the lambda formulation). */
   def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, lit(0.0))
-      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+    val st = org.apache.spark.sql.graft.HashSketches.token_stats(tokens(text))
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("n_chars").cast("double") / st.getField("n_tokens"))
   }
 
   /** Punctuation character ratio. */

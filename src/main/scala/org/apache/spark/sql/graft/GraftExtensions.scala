@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for graft's native expressions, so `spark.sql` users
+  * get them too:
+  *
+  *  - `vec_dot(a, b)`            — [[DotProduct]]
+  *  - `shingle_hashes(toks, n)`  — [[ShingleHashes]] (n: int literal)
+  *  - `minhash_signature(sh, k)` — [[MinHashSignature]] (k: int literal)
+  *  - `simhash64(toks)`          — [[SimHash64]]
+  *  - `token_stats(toks)`        — [[TokenStats]]
+  *
+  * Two entry points: [[GraftFunctions.register]] on a live session, or
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` at
+  * session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => DotProduct(es(0), es(1))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle size n"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "token_stats" -> (es => TokenStats(es(0))))
+
+  /** Register all native functions on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

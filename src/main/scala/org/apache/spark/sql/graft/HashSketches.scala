@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** Native MinHash signature: for each of `numHashes` hash functions
   * h_i(s) = xxh64(s, seed=i+1), the minimum over the input `array<long>`
@@ -122,7 +122,38 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native one-pass token statistics over an `array<string>` column:
+  * `struct<n_tokens:int, n_chars:bigint>`. Replaces an interpreted
+  * `aggregate(tokens, 0L, acc + length(w))` lambda in the text-quality hot
+  * path; the character count is the same `length()` semantics (code
+  * points), so derived means are bit-identical. */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var chars = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) chars += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, chars))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashSketches {
+  def token_stats(tokens: Column): Column =
+    ExpressionUtils.column(TokenStats(ExpressionUtils.expression(tokens)))
+
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
 
