@@ -34,8 +34,27 @@ import org.apache.spark.sql.functions._
 object ChangeApplier {
 
   /** Latest-row-per-PK dedup (W1). Input must carry `_file_name` and
-    * `_row_in_file`; output keeps one row per PK, still carrying `op`. */
+    * `_row_in_file`; output keeps one row per PK, still carrying `op`.
+    *
+    * Implemented as `max_by(payload, (file, row))` — the reference's
+    * `rank() over (order by file desc, row# desc) = 1` is exactly the
+    * maximum under the lexicographic (file, row) order, and the aggregate
+    * formulation is the scale-correct plan: partial aggregation collapses
+    * duplicate keys map-side before the shuffle and a hot PK (one key with
+    * millions of updates) reduces inside each task instead of piling into
+    * one window partition. */
   def latestPerKey(changes: DataFrame, pks: Seq[String]): DataFrame = {
+    val others = changes.columns.filterNot(pks.contains).toSeq
+    changes
+      .groupBy(pks.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col("_file_name"), col("_row_in_file"))).as("_best"))
+      .select(pks.map(col) ++ others.map(o => col(s"_best.$o").as(o)): _*)
+  }
+
+  /** The window formulation of [[latestPerKey]] — same result (kept for
+    * plan comparison and as documentation of the reference's shape). */
+  def latestPerKeyWindow(changes: DataFrame, pks: Seq[String]): DataFrame = {
     val w = Window.partitionBy(pks.map(col): _*)
       .orderBy(col("_file_name").desc, col("_row_in_file").desc)
     changes.withColumn("_rn", row_number().over(w))

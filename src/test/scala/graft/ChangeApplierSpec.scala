@@ -67,6 +67,21 @@ class ChangeApplierSpec extends SparkSpec {
     assert(result === Map(1 -> "a"))
   }
 
+  test("aggregate latestPerKey equals the window formulation on random logs") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val changes = randomChanges(rng)
+      val changesDf = spark.createDataFrame(
+        java.util.Arrays.asList(changes.map(c => Row(c.op, c.id, c.value, c.file, c.row)): _*),
+        changeSchema)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("op", "id", "val", "_file_name", "_row_in_file")
+          .collect().map(_.toSeq).toSet
+      assert(canon(ChangeApplier.latestPerKey(changesDf, Seq("id"))) ===
+        canon(ChangeApplier.latestPerKeyWindow(changesDf, Seq("id"))))
+    }
+  }
+
   test("duplicate rows in one file: highest row number wins") {
     val result = runMerge(Map(1 -> "a"), Seq(
       Change("U", 1, "first", "f1", 1),
