@@ -69,6 +69,10 @@ final class MetaStore(dir: String) {
   }
 
   // ------------------------------------------------------------------ CRUD
+  // Mutations are read-modify-write over the whole file, and orchestrator
+  // workers update different tables concurrently — serialize them on this
+  // instance so no update is lost (the file move itself is atomic, but two
+  // interleaved loadAll→saveAll cycles would drop one row's change).
   def loadAll(): Seq[TableMeta] =
     if (!Files.exists(file)) Seq.empty
     else Files.readAllLines(file, StandardCharsets.UTF_8).asScala.toSeq
@@ -76,26 +80,29 @@ final class MetaStore(dir: String) {
 
   def get(fullPath: String): Option[TableMeta] = loadAll().find(_.fullPath == fullPath)
 
-  def saveAll(metas: Seq[TableMeta]): Unit = {
+  def saveAll(metas: Seq[TableMeta]): Unit = this.synchronized {
     val tmp = Paths.get(file.toString + ".tmp")
     Files.write(tmp, metas.map(toJson).mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def upsert(meta: TableMeta): Unit =
+  def upsert(meta: TableMeta): Unit = this.synchronized {
     saveAll(loadAll().filterNot(_.fullPath == meta.fullPath) :+ meta)
+  }
 
   /** Watermark advance after a successful incremental merge (sql:412–416). */
-  def advanceIncremental(fullPath: String, lastFile: String): Unit =
+  def advanceIncremental(fullPath: String, lastFile: String): Unit = this.synchronized {
     saveAll(loadAll().map(m =>
       if (m.fullPath == fullPath) m.copy(lastIncrementalFile = lastFile) else m))
+  }
 
   /** Watermark reset after a full load (sql:244): stamp the load date and
     * reset the incremental watermark to the `"0"` sentinel so ALL change
     * files replay on top of the fresh snapshot. */
-  def resetAfterFullLoad(fullPath: String, loadDate: Timestamp): Unit =
+  def resetAfterFullLoad(fullPath: String, loadDate: Timestamp): Unit = this.synchronized {
     saveAll(loadAll().map(m =>
       if (m.fullPath == fullPath)
         m.copy(lastFullLoadDate = Some(loadDate), lastIncrementalFile = "0")
       else m))
+  }
 }

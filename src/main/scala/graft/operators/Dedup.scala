@@ -29,10 +29,15 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle. */
+  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle with
+    * map-side partial min_by — duplicate clusters collapse inside each task
+    * before shuffling, so even a pathological million-copy document costs
+    * one row per partition. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_keep"))
+      .select(cols.map(c => col(s"_keep.$c").as(c)): _*)
   }
 
   /** Exact n-gram Jaccard similar pairs (a_id < b_id, jaccard ≥ threshold)

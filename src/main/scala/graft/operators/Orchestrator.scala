@@ -42,8 +42,8 @@ object Orchestrator {
     items.foreach(queue.add)
     val results = new ConcurrentLinkedQueue[(WorkItem, Long)]()
 
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val drainers = (1 to workers).map { i =>
       Future {
         // one FAIR pool per drainer so concurrent table loads share the
@@ -67,7 +67,8 @@ object Orchestrator {
         }
       }
     }
-    Await.result(Future.sequence(drainers), Duration.Inf)
+    try Await.result(Future.sequence(drainers), Duration.Inf)
+    finally pool.shutdown()
     import scala.jdk.CollectionConverters._
     SyncReport(results.asScala.toSeq.sortBy(_._1.fullPath))
   }
