@@ -82,6 +82,25 @@ class ChangeApplierSpec extends SparkSpec {
     }
   }
 
+  test("hot-key skew: one PK with 20k updates reduces to its latest row") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val target = Seq((1, "init"), (2, "other")).toDF("id", "val")
+    // 20k updates to id=1 across 200 files, plus one late row for id=2
+    val changes = s.range(20000)
+      .select(
+        lit("U").as("op"), lit(1).cast("int").as("id"),
+        concat(lit("v"), col("id")).as("val"),
+        format_string("20260101-%09d.csv", expr("id div 100")).as("_file_name"),
+        (pmod(col("id"), lit(100)) + 1).cast("int").as("_row_in_file"))
+      .unionByName(Seq(("U", 2, "late", "20260102-000000000.csv", 1))
+        .toDF("op", "id", "val", "_file_name", "_row_in_file"))
+    val result = graft.operators.ChangeApplier.apply(target, changes, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // latest for id=1: max (file, row) = file 199, row 100 → source row 19999
+    assert(result === Map(1 -> "v19999", 2 -> "late"))
+  }
+
   test("duplicate rows in one file: highest row number wins") {
     val result = runMerge(Map(1 -> "a"), Seq(
       Change("U", 1, "first", "f1", 1),
