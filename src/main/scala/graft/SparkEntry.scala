@@ -624,7 +624,7 @@ object SparkEntry {
         |sess AS (
         |  SELECT user_id,
         |    sum(CASE WHEN prev_ts IS NULL OR
-        |      (epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT) > 1800
+        |      (floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT) > 1800
         |      THEN 1 ELSE 0 END) AS n_sessions,
         |    count(*) AS n_events
         |  FROM gaps GROUP BY user_id)

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     additionally guards the pathological duplicate-position tie
   *     (SURVEY §7.4-4, documented deviation).
   *  2. apply tombstones: a PK whose latest op is 'D' is dropped even if
-  *     earlier ops inserted it (sql:401–407; only 'D' is special — any
-  *     other op is an upsert).
+  *     earlier ops inserted it (sql:401–407; 'D' deletes, a NULL op is a
+  *     no-op exactly as in the reference's MERGE, and any other op is an
+  *     upsert).
   *  3. join-based upsert onto the target: `target ANTI-JOIN changed-pks`
   *     UNION `surviving latest rows` — one shuffle on the PK, no
   *     full-outer reconstruction needed.
@@ -73,11 +74,16 @@ object ChangeApplier {
   def applyLatest(target: DataFrame, latest: DataFrame, pks: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "primary keys required for incremental merge (sql:303–305)")
     val targetCols = target.columns.toSeq
+    // A NULL op is a no-op in the reference's MERGE (both `op = 'D'` and
+    // `op <> 'D'` evaluate to NULL → no clause fires, sql:401–407), so a
+    // PK whose LATEST row has a null op leaves the target row untouched —
+    // drop such rows before building the touched-key set.
+    val effective = latest.filter(col("op").isNotNull)
     // All touched PKs leave the target (delete-or-replace)…
-    val touchedKeys = latest.select(pks.map(col): _*)
+    val touchedKeys = effective.select(pks.map(col): _*)
     val untouched = target.join(touchedKeys, pks, "left_anti")
     // …and rows whose latest op is not a tombstone come back (insert/update).
-    val survivors = latest.filter(col("op") =!= "D")
+    val survivors = effective.filter(col("op") =!= "D")
       .select(targetCols.map(col): _*)
     untouched.unionByName(survivors)
   }

@@ -65,7 +65,11 @@ object Dedup {
           .filter(col("c") > maxShinglePostings).select("shingle")
         posts.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    // both sides of the self-join read the posting table — persist it
+    // Both sides of the self-join read the posting table — persist it.
+    // NOTE: the cache is left pinned for the lifetime of the returned
+    // DataFrame (there is no safe point to unpersist inside a lazy
+    // operator); long-lived sessions calling this repeatedly should rely on
+    // the block manager's LRU or unpersist via the returned plan's lineage.
     val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.alias("a"); val b = filtered.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -141,6 +145,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       maxBucketSize: Int = 200): DataFrame = {
+    // maxHamming=0 would make bitsPer=64 and (1L<<64)-1 == 0 (JVM shifts
+    // are mod 64), collapsing every signature into bucket 0 — use an exact
+    // groupBy on the signature for hamming 0 instead.
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))

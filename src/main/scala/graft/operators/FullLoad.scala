@@ -33,8 +33,9 @@ object FullLoad {
     val files = StageListing.listFiles(spark, tableDir)
       .filter(f => f.file.matches(DmsFileClassifier.fullLoadRegex))
     require(files.nonEmpty, s"no full-load files under $tableDir")
-    val df = CsvStageReader.read(spark, files.map(_.file), schema, withOp = false)
-      .drop("_file_name", "_row_in_file")
+    val df = CsvStageReader.read(spark, files.map(_.file), schema,
+        withOp = false, needRowNumbers = false) // full loads don't need per-file row numbers
+      .drop("_file_name")
     store.write(df, meta.targetTableName)
     val loadDate = new Timestamp(files.map(_.last_modified.getTime).max)
     metaStore.resetAfterFullLoad(meta.fullPath, loadDate)

@@ -58,8 +58,10 @@ object Orchestrator {
             case "F" => FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
             case "I" => IncrementalMerge.run(spark, meta, stageDir, store, metaStore)
             case "B" => // full load first, then replay changes on top (sql:190–193)
-              FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
-              IncrementalMerge.run(spark, metaStore.get(item.fullPath).get, stageDir, store, metaStore)
+              val full = FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
+              val inc = IncrementalMerge.run(spark, metaStore.get(item.fullPath).get,
+                stageDir, store, metaStore)
+              full + math.max(0L, inc) // -1 = empty incremental batch, not an error
             case other => throw new IllegalArgumentException(s"unknown load type $other")
           }
           results.add(item -> rows)

@@ -36,21 +36,25 @@ object CsvStageReader {
       spark: SparkSession,
       files: Seq[String],
       target: StructType,
-      withOp: Boolean): DataFrame = {
+      withOp: Boolean,
+      needRowNumbers: Boolean = true): DataFrame = {
     require(files.nonEmpty, "file list must be non-empty (probe first: A3)")
     // _row_in_file is only correct when each CSV file is a single split
     // (Spark orders split partitions by size, not file offset, so a split
-    // file would interleave). DMS files are MB-scale; enforce the
-    // assumption instead of silently mis-numbering.
-    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").trim.toLong
-    val fs = new org.apache.hadoop.fs.Path(files.head)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    files.foreach { f =>
-      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-      require(len <= maxSplit,
-        s"staged file $f is $len bytes > spark.sql.files.maxPartitionBytes=$maxSplit; " +
-          "raise the conf so each DMS file stays a single split (row-number contract)")
+    // file would interleave). DMS change files are MB-scale; enforce the
+    // assumption instead of silently mis-numbering. Callers that don't use
+    // row numbers (full loads) skip the guard — and the window.
+    if (needRowNumbers) {
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+      val fs = new org.apache.hadoop.fs.Path(files.head)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      files.foreach { f =>
+        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        require(len <= maxSplit,
+          s"staged file $f is $len bytes > spark.sql.files.maxPartitionBytes=$maxSplit; " +
+            "raise the conf so each DMS file stays a single split (row-number contract)")
+      }
     }
     val width = target.fields.length + (if (withOp) 1 else 0)
     val raw = spark.read
@@ -64,8 +68,11 @@ object CsvStageReader {
     val dataCols = target.fields.zipWithIndex.map { case (f, i) =>
       col(s"_c${i + offset}").cast(f.dataType).as(f.name)
     }
-    val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
-    raw.select(opCol ++ dataCols :+ col("_file_name"): _*)
-      .withColumn("_row_in_file", row_number().over(w))
+    val projected = raw.select(opCol ++ dataCols :+ col("_file_name"): _*)
+    if (!needRowNumbers) projected
+    else {
+      val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
+      projected.withColumn("_row_in_file", row_number().over(w))
+    }
   }
 }

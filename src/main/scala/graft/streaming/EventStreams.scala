@@ -65,7 +65,10 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                  // a late-but-in-watermark event may precede the current
+                  // session start — widen both ends
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
                 case Some(s) => // gap exceeded within the batch: close + restart
                   closed += Session(userId, new Timestamp(s.startMs),

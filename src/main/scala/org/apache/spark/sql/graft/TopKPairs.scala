@@ -22,6 +22,10 @@ final class TopKBuffer(val k: Int) {
     s > scores(i) || (s == scores(i) && id < ids(i))
 
   def add(s: Double, id: Long): Unit = {
+    // NaN scores (e.g. cosine of a zero vector) are dropped: a NaN at the
+    // tail could never be displaced (all comparisons false), which would
+    // block better finite candidates nondeterministically.
+    if (java.lang.Double.isNaN(s)) return
     if (size == k && !beats(s, id, size - 1)) return
     // find insert position (linear from the tail; k is small)
     var pos = if (size == k) size - 1 else size

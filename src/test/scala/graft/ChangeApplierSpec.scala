@@ -82,6 +82,13 @@ class ChangeApplierSpec extends SparkSpec {
     }
   }
 
+  test("NULL op is a no-op: the target row survives untouched (MERGE semantics)") {
+    val result = runMerge(Map(1 -> "a", 2 -> "b"), Seq(
+      Change(null, 1, "ghost", "f1", 1), // null op latest for existing key → untouched
+      Change("U", 2, "b2", "f1", 2)))
+    assert(result === Map(1 -> "a", 2 -> "b2"))
+  }
+
   test("hot-key skew: one PK with 20k updates reduces to its latest row") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
