@@ -60,6 +60,10 @@ object CsvStageReader {
     val raw = spark.read
       .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
       .option("header", "false")
+      // RFC-4180 quoting (DMS style): quotes escape by doubling, not
+      // backslash (Spark's default escape of '\' mangles "" sequences)
+      .option("quote", "\"")
+      .option("escape", "\"")
       .csv(files: _*)
       .withColumn("_file_name", col("_metadata.file_name"))
     val offset = if (withOp) 1 else 0

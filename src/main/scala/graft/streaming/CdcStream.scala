@@ -29,6 +29,8 @@ object CdcStream {
     val raw = spark.readStream
       .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
       .option("header", "false")
+      .option("quote", "\"")
+      .option("escape", "\"") // RFC-4180 doubled quotes, as in CsvStageReader
       .option("pathGlobFilter", "2*.csv")
       .option("maxFilesPerTrigger", "32")
       .csv(tableDir)

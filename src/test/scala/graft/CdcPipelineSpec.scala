@@ -155,6 +155,28 @@ class CdcPipelineSpec extends SparkSpec {
     assert(m.lastIncrementalFile === "0")
   }
 
+  test("quoted CSV fields with embedded commas and quotes round-trip") {
+    val root = tmpDir("cdcq")
+    val stageDir = s"$root/stage"
+    val tableDir = s"$stageDir/cdc/quoted"
+    val qSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("note", StringType)))
+    writeCsv(tableDir, "LOAD00000001.csv", Seq(
+      """1,"hello, world"""",
+      """2,"she said ""hi""""""))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    val meta = TableMeta(fullPath = tableDir, dbTable = "quoted", dbSchema = "cdc",
+      stage = "s1", primaryKeys = "id")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, qSchema)
+    writeCsv(tableDir, "20260102-000000001.csv", Seq("""U,1,"now, with ""more"", commas""""))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    val snap = store.read(spark, "cdc_quoted").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(snap === Map(1 -> """now, with "more", commas""", 2 -> """she said "hi""""))
+  }
+
   test("composite primary keys with spaces in the metadata string (sql:298)") {
     val root = tmpDir("cdc2")
     val stageDir = s"$root/stage"
