@@ -378,6 +378,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ext: one-pass corpus profile — the statistics a training-data
+    // pipeline reports per source shard (size percentiles, language
+    // spread, duplicate-rate input)
+    "q27_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -637,6 +652,14 @@ object SparkEntry {
         |  FROM documents)
         |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
         |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q27_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  sum(n_chars) AS total_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q22_cosine_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
