@@ -393,6 +393,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ext: duplicate clusters — connected components over the exact
+    // jaccard pair list; the final dedup step (one keeper per cluster)
+    "q28_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.duplicateClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -558,6 +569,31 @@ object SparkEntry {
         |  round(shared / (na + nb - shared), 4) AS jaccard
         |FROM pairs WHERE shared / (na + nb - shared) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q28_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n
+        |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+        |SELECT cluster_id, count(*) AS n_members
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q16_text_stats" ->
       """WITH stats AS (

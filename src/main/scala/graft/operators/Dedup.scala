@@ -135,6 +135,82 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Duplicate clusters: connected components over a near-dup pair list
+    * (the output of [[jaccardPairs]] / [[minhashLshPairs]] / embedding
+    * near-dup), labelling every involved doc with its cluster
+    * representative (the minimum id reachable through pair edges). The
+    * standard final step of corpus dedup — keep one doc per cluster.
+    *
+    * Iterative min-label propagation over DataFrames: each round joins the
+    * current labels across the (bidirectional) edge list and keeps the
+    * smaller label; converges in O(cluster diameter) rounds. Near-dup
+    * clusters are shallow (pairs are mutual near-copies), so the round
+    * count stays small even at corpus scale; each round is one
+    * shuffle-bounded join on ids, and the input is the PAIR list (tiny
+    * relative to the corpus), not the corpus itself.
+    *
+    * @param pairs columns (a_id, b_id); other columns ignored
+    * @return (id, cluster_id) for every doc appearing in at least one pair
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIterations: Int = 20,
+      driverUnionFindThreshold: Long = 1000000L): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    // Hybrid: the pair list is usually tiny relative to the corpus — below
+    // the threshold, collect it and run exact union-find on the driver
+    // (micro-seconds, no iterative jobs); above it, fall through to the
+    // distributed label-propagation loop.
+    val nEdges = edges.count()
+    if (nEdges <= driverUnionFindThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      edges.unpersist(false)
+      return out.toDF("id", "cluster_id")
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate label per node: min of own label and neighbours' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, banded: split the
     * 64-bit signature into `maxHamming + 1` chunks — any pair within the
     * distance budget must agree exactly on ≥1 chunk (pigeonhole), so the

@@ -36,6 +36,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j == 1.0 })
   }
 
+  test("duplicate clusters: transitive pairs collapse to min-id components") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find fast path
+    val viaDriver = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === expected)
+    // distributed label-propagation path (threshold 0 forces it)
+    val viaLoop = Dedup.duplicateClusters(pairs, driverUnionFindThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop === expected)
+  }
+
   test("minhash LSH surfaces high-jaccard pairs without all-pairs comparison") {
     val pairs = Dedup.minhashLshPairs(docs(), "doc_id", "text",
       shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
