@@ -323,8 +323,9 @@ object SparkEntry {
     // deterministic DMS-style stage from the orders table (full-load CSV +
     // three change files with U/D ops), run FullLoad + IncrementalMerge
     // through the real operators, return the final table summarized.
-    // (rows-only: the stage is synthesized at run time, outside the
-    // oracle's view; semantics are covered by CdcPipelineSpec.)
+    // The stage is a pure function of orders, so the merged result is
+    // DuckDB-replayable in SQL (see oracleSql) — the reference's flagship
+    // semantics (sql:215–428) are driver-verified end-to-end.
     "q26_cdc_pipeline" -> ((s, dir) => {
       // Stage in tmpfs when available: the query measures the CDC operators,
       // not the host's /tmp disk latency.
@@ -453,7 +454,7 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  count(*) AS count_order,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -502,7 +503,7 @@ object SparkEntry {
         |  regexp_replace(file, '/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})\..*$', '') AS file_prefix,
         |  regexp_extract(file, '^([a-z0-9]+)://([^/]+)/(.*)/([^/]+)/([^/]+)/([^/]+)$', 5) AS tbl,
         |  count(*) AS n_files,
-        |  sum(CASE WHEN regexp_matches(file, '.*/LOAD[0-9]+\..*$') THEN 1 ELSE 0 END) AS n_full,
+        |  CAST(sum(CASE WHEN regexp_matches(file, '.*/LOAD[0-9]+\..*$') THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
         |  max(string_split(file, '/')[-1]) AS max_file
         |FROM files GROUP BY file_prefix, tbl ORDER BY file_prefix""".stripMargin,
 
@@ -524,10 +525,10 @@ object SparkEntry {
 
     "q10_semi_anti" ->
       """SELECT n_name,
-        |  sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |      THEN 1 ELSE 0 END) AS n_with,
-        |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |      THEN 1 ELSE 0 END) AS n_without
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_without
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
@@ -570,8 +571,8 @@ object SparkEntry {
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |    min(doc_id) AS keep_id, count(*) AS n_dups
         |  FROM documents GROUP BY fingerprint)
-        |SELECT count(*) AS n_groups, sum(n_dups) AS n_docs,
-        |  sum(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        |SELECT count(*) AS n_groups, CAST(sum(n_dups) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
         |FROM groups""".stripMargin,
 
     "q15_jaccard_pairs" ->
@@ -632,7 +633,7 @@ object SparkEntry {
         |      (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
         |          AS DOUBLE) / len(text)) * 5.0, 1.0)) * 0.2, 4) AS quality
         |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(mean_tok_len), 3) AS avg_tok_len,
         |  round(avg(quality), 3) AS avg_quality
         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
@@ -685,8 +686,8 @@ object SparkEntry {
         |               ELSE CAST(ceil(len(x) / 4.0) AS BIGINT) END)), 0) +
         |      len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS est
         |  FROM documents)
-        |SELECT source, count(*) AS n_docs, sum(n_tokens) AS whitespace_tokens,
-        |  sum(est) AS bpe_est_tokens
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS whitespace_tokens,
+        |  CAST(sum(est) AS BIGINT) AS bpe_est_tokens
         |FROM est GROUP BY source ORDER BY source""".stripMargin,
 
     "q20_sessionize" ->
@@ -696,12 +697,12 @@ object SparkEntry {
         |  FROM events),
         |sess AS (
         |  SELECT user_id,
-        |    sum(CASE WHEN prev_ts IS NULL OR
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR
         |      (floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT) > 1800
-        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |    count(*) AS n_events
         |  FROM gaps GROUP BY user_id)
-        |SELECT n_sessions, count(*) AS n_users, sum(n_events) AS total_events
+        |SELECT n_sessions, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM sess GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
 
     "q21_fingerprint" ->
@@ -711,10 +712,27 @@ object SparkEntry {
         |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
         |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Replays the q26 stage synthesis + merge timeline in pure SQL:
+    // full load = keys %5!=0 (original rows); change files then INSERT the
+    // %5==0 keys, DELETE the %10==0 subset, and re-UPDATE the rest with
+    // doubled prices — latest change per key wins, tombstones drop out.
+    "q26_cdc_pipeline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders ORDER BY o_orderkey LIMIT 30000),
+        |final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM o WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM o
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q27_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,
-        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

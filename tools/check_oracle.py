@@ -8,18 +8,35 @@ Usage: python3 tools/check_oracle.py [sfDir] [outDir]
 """
 import json, sys, hashlib
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(v):
-    if v is None:
+    # Mirrors the driver's canonicalization: values arrive through the
+    # arrow/pandas path (so DuckDB HUGEINT becomes float64 and renders
+    # "60000.0", exposing integer-sum typing mismatches), no rounding.
+    if v is None or (isinstance(v, float) and v != v):
         return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays/lists — fall through to str
+    if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+        return "true" if bool(v) else "false"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        return repr(v)
     return str(v)
+
+def fetch_pandas(rel):
+    """Fetch through pandas (the driver's path) so type coercions like
+    HUGEINT->float64 are visible, unlike fetchall()'s Python ints."""
+    df = rel.fetchdf()
+    cols = list(df.columns)
+    rows = [tuple(row) for row in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -40,18 +57,14 @@ def main():
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [d[0] for d in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
+            spark_cols, spark_rows = fetch_pandas(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             fail += 1
             continue
         try:
-            duck_rel = con.execute(sql)
-            duck_cols = [d[0] for d in duck_rel.description]
-            duck_rows = duck_rel.fetchall()
+            duck_cols, duck_rows = fetch_pandas(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             fail += 1
