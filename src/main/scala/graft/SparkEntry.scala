@@ -210,9 +210,13 @@ object SparkEntry {
           sum(when(col("n_dups") > 1, 1).otherwise(0)).as("n_dup_groups"))
     }),
 
-    // ext: exact n-gram Jaccard near-dup pairs (inverted-index join)
+    // ext: n-gram Jaccard near-dup pairs (inverted-index join). The hot-
+    // shingle cap is ACTIVE on the declared path — stopword-like shingles
+    // shared by >100 docs are excluded from the join (Σ|postings|² is what
+    // blows up at corpus scale); the oracle mirrors the cap exactly.
     "q15_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2,
+          maxShinglePostings = 100)
         .select(col("a_id"), col("b_id"), col("shared"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -420,11 +424,45 @@ object SparkEntry {
     // jaccard pair list; the final dedup step (one keeper per cluster)
     "q28_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.2)
+        n = 3, threshold = 0.2, maxShinglePostings = 100)
       Dedup.duplicateClusters(pairs)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // ext: IVF approximate top-k — THE 100 TB ANN path (broadcast
+    // centroids, cell-bounded candidate join, never all-pairs). Centroid
+    // sampling is md5-deterministic, so the entire approximate result is
+    // exactly replayable in SQL — the oracle verifies the scale path, not
+    // just the quadratic baseline.
+    "q29_ivf_topk" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nCells = 16, nProbe = 4)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: hyperplane-LSH approximate top-k (rows-only: the hyperplane RNG
+    // is not SQL-expressible; recall vs the exact baseline is spec-asserted
+    // in SimilaritySpec). Wide buckets + many tables because the synthetic
+    // embeddings are near-uniform — the hard case for LSH.
+    "q30_lsh_topk" -> ((s, dir) => {
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, bits = 5, tables = 12)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: LSH-bucketed embedding near-dup pairs — the scale path behind
+    // q22's exact baseline (rows-only + recall spec, as above).
+    "q31_lsh_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, bits = 4, tables = 8)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
@@ -583,10 +621,13 @@ object SparkEntry {
         |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
         |  FROM docs WHERE len(t) >= 3),
         |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 100),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
         |pairs AS (
         |  SELECT a.id AS a_id, b.id AS b_id, a.n AS na, b.n AS nb,
         |    count(*) AS shared
-        |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY a.id, b.id, a.n, b.n)
         |SELECT a_id, b_id, shared,
         |  round(shared / (na + nb - shared), 4) AS jaccard
@@ -601,9 +642,12 @@ object SparkEntry {
         |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
         |  FROM docs WHERE len(t) >= 3),
         |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 100),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
         |pairs AS (
         |  SELECT a.id AS a_id, b.id AS b_id
-        |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY a.id, b.id, a.n, b.n
         |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
         |edges AS (
@@ -711,6 +755,53 @@ object SparkEntry {
         |  FROM documents)
         |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
         |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Exact replay of the IVF scale path: same md5-sampled centroids, same
+    // nearest-cell assignment, same nProbe probing, same (cosine desc,
+    // neighbor_id asc) ranking. Cosines are computed by the identical
+    // sequential double arithmetic on both sides (established by q18/q22),
+    // so even rank ties resolve identically.
+    "q29_ivf_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS c_id, v AS c_v FROM base
+        |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+        |sims AS (
+        |  SELECT b.id, b.v, c.c_id,
+        |    row_number() OVER (PARTITION BY b.id
+        |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
+        |  FROM base b CROSS JOIN cent c),
+        |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
+        |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
+        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
+        |ranked AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+        |  FROM cand c
+        |  JOIN base qb ON c.vec_id = qb.id
+        |  JOIN base nb ON c.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // The stub decoder's dimensions are md5-derived (Multimodal.StubDecoder),
+    // so DuckDB recomputes them from documents.text — the multimodal
+    // plumbing (binary payloads, partition-local decode) is hash-verified.
+    "q25_multimodal_features" ->
+      """WITH h AS (
+        |  SELECT doc_id AS item_id,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    CAST('0x' || substring(md5(text), 1, 6) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(text), 7, 6) AS BIGINT) AS h2
+        |  FROM documents)
+        |SELECT item_id, n_bytes,
+        |  CAST(64 + h1 % 1024 AS INTEGER) AS width,
+        |  CAST(64 + h2 % 1024 AS INTEGER) AS height
+        |FROM h ORDER BY item_id""".stripMargin,
 
     // Replays the q26 stage synthesis + merge timeline in pure SQL:
     // full load = keys %5!=0 (original rows); change files then INSERT the

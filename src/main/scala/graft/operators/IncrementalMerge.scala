@@ -34,12 +34,9 @@ object IncrementalMerge {
       store: TableStore,
       metaStore: MetaStore): Long = {
     val tableDir = s"$stageDir/${meta.dbSchema}/${meta.dbTable}"
-    // Stricter than the reference's '2.*\.csv' (sql:301): DMS change files
-    // always match the 2<7 digits>-<9 digits> shape (sql:130), and a stray
-    // non-DMS file starting with '2' would otherwise poison the
-    // lexicographic watermark (e.g. '2backup.csv' sorts above every
-    // timestamped name, silently skipping all future change files).
-    val changeRe = ".*/2[0-9]{7}-[0-9]{9}\\.csv$"
+    // Shared with SyncPlanner.summarize (see DmsFileClassifier.changeFileRegex
+    // for why the strict shape matters).
+    val changeRe = graft.sources.DmsFileClassifier.changeFileRegex
     val pending = StageListing.listFiles(spark, tableDir)
       .filter(f => f.file.matches(changeRe))
       .filter(f => fileName(f.file) > meta.lastIncrementalFile) // P5: string >

@@ -48,24 +48,31 @@ object Multimodal {
   }
 
   /** Deterministic fake standing in for the real codecs (no image/audio
-    * libs in this container). Dimensions and features are pure functions of
-    * the payload bytes, so tests are reproducible. */
+    * libs in this container). Dimensions are md5-derived pure functions of
+    * the payload bytes, chosen so an external SQL oracle can recompute them
+    * (`CAST('0x' || substring(md5(payload), …) AS BIGINT)`) — tests AND the
+    * driver's correctness gate can verify the plumbing end-to-end. */
   final class StubDecoder(featureDim: Int = 16) extends Decoder {
     override def decode(item: MediaItem): MediaFeatures = {
       val bytes = item.content
-      val h = java.util.Arrays.hashCode(bytes)
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      // two independent 24-bit words of the digest — non-negative, exact in
+      // any integer SQL dialect
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(6, 12), 16)
       val isVisual = item.kind == "image" || item.kind == "video"
       val isTimed = item.kind == "audio" || item.kind == "video"
       MediaFeatures(
         item_id = item.item_id,
         kind = item.kind,
         n_bytes = bytes.length.toLong,
-        width = if (isVisual) 64 + math.abs(h % 1024) else -1,
-        height = if (isVisual) 64 + math.abs((h / 1024) % 1024) else -1,
-        duration_ms = if (isTimed) 100L + math.abs(h.toLong % 60000L) else -1L,
+        width = if (isVisual) (64 + h1 % 1024).toInt else -1,
+        height = if (isVisual) (64 + h2 % 1024).toInt else -1,
+        duration_ms = if (isTimed) 100L + (h1 * 4096L + h2) % 60000L else -1L,
         feature = Array.tabulate(featureDim) { i =>
-          // seeded, byte-derived pseudo-feature in [-1, 1)
-          val x = (h * 2654435761L + i * 40503L)
+          // seeded, digest-derived pseudo-feature in (-1, 1)
+          val x = (h1 * 2654435761L + h2 * 97L + i * 40503L)
           ((x % 100000L) / 100000.0f)
         })
     }

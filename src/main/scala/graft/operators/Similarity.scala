@@ -91,10 +91,12 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nCells` Voronoi cells around deterministically sampled centroids
-    * (the `nCells` vectors with the smallest xxhash64(id) — a uniform,
-    * reproducible sample; no iterative k-means fit needed for a recall
-    * baseline), assign every vector to its nearest centroid, then search
-    * each query only against its `nProbe` nearest cells.
+    * (the `nCells` vectors with the smallest md5(id) — a uniform,
+    * reproducible sample that any external SQL engine can recompute, so
+    * the whole IVF result is oracle-checkable; no iterative k-means fit
+    * needed for a recall baseline), assign every vector to its nearest
+    * centroid, then search each query only against its `nProbe` nearest
+    * cells.
     *
     * Scale path: centroids are tiny and BROADCAST twice (assignment +
     * probe); the candidate join is an equi-join on cell id — shuffle-
@@ -110,7 +112,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val centroids = base
-      .withColumn("_h", xxhash64(col("id")))
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
       .orderBy(col("_h")).limit(nCells)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     // nearest-centroid assignment (1 broadcast-nested-loop over nCells rows)

@@ -35,8 +35,12 @@ object SyncPlanner {
       .withColumn("file_prefix", DmsFileClassifier.filePrefix(col("file")))
       .groupBy(col("stage"), col("file_prefix"))
       .agg(
-        max(when(DmsFileClassifier.isFullLoad(col("file")), lit("0"))
-          .otherwise(element_at(split(col("file"), "/"), -1)))
+        // Only strict change files count as incremental candidates — the
+        // same regex the merge applies (IncrementalMerge), so the planner
+        // never emits work the merge will refuse; full-load files and any
+        // stray non-DMS names contribute the '0' sentinel (sql:131).
+        max(when(DmsFileClassifier.isChangeFile(col("file")),
+          element_at(split(col("file"), "/"), -1)).otherwise(lit("0")))
           .as("newest_incremental_file"),
         max(when(DmsFileClassifier.isFullLoad(col("file")), col("last_modified")))
           .as("newest_full_load_date"))

@@ -18,6 +18,17 @@ object DmsFileClassifier {
   /** sql:131 — is this a full-load file? */
   val fullLoadRegex = ".*/LOAD[0-9]+\\..*$"
 
+  /** Strict change-file name test: `2<7 digits>-<9 digits>.csv` (sql:130).
+    * Tighter than the reference's `2.*\.csv` scan glob (sql:301) on purpose:
+    * planner and merge must agree on what counts as a change file, or a
+    * stray name sorting above the watermark (`2backup.csv`, `_SUCCESS`)
+    * becomes a permanent phantom work item — the planner keeps emitting 'I'
+    * while the merge finds nothing and the watermark never advances. */
+  val changeFileRegex = ".*/2[0-9]{7}-[0-9]{9}\\.csv$"
+
+  /** Change-file test (the planner/merge shared gate). */
+  def isChangeFile(file: Column): Column = file.rlike(changeFileRegex)
+
   /** sql:235 — full-load scan pattern for one table dir. */
   def fullLoadPattern: String = "LOAD[0-9]*.csv" // glob form for pathGlobFilter
 

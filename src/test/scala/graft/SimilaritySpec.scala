@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall@1 too low: $recall")
   }
 
+  test("declared q31 LSH near-dup config: exact subset, no false positives, recall bar") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4,
+        bits = 4, tables = 8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // candidates are rescored exactly, so LSH can never invent a pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // near-uniform vectors at threshold 0.4 are LSH's worst case (see
+    // lshTopK spec above) — the bar guards the bucketing plumbing
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.5, s"q31 LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val s = spark; import s.implicits._
     val df = Seq(
