@@ -48,7 +48,14 @@ object VectorFunctions {
     * probability: P[bit match] = 1 - θ/π. Used to bucket candidates for
     * near-neighbour search without a crossJoin (the 100 TB path).
     */
-  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column = {
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.NativeFunctions.hyperplane_sig(toDouble(vec), nBits, seed)
+
+  /** The original higher-order-function formulation of
+    * [[hyperplaneSignature]] — kept as the executable specification the
+    * native expression is asserted bit-identical to (VectorFunctionsSpec);
+    * never on a hot path (nBits × dim interpreted lambda evals per row). */
+  private[graft] def hyperplaneSignatureHof(vec: Column, nBits: Int, seed: Long): Column = {
     val v = toDouble(vec)
     val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
       // w(j,i) ~ U[-1,1): xxhash64 of (seed, bit, dim index) scaled.

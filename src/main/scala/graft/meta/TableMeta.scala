@@ -32,6 +32,24 @@ final case class TableMeta(
   def pkColumns: Seq[String] =
     primaryKeys.replaceAll(" ", "").split(",").filter(_.nonEmpty).toSeq
 
+  /** Flat string/number lookup into the `additional_config` VARIANT column
+    * (sql:34) — the reference carries per-table JSON options; we parse the
+    * flat keys with the same stdlib-only discipline as
+    * [[MetaStore]]'s codec (control-plane, one row per table). */
+  def configValue(key: String): Option[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?[0-9.]+)|(true|false))").r
+    re.findFirstMatchIn(additionalConfig)
+      .map(m => Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3)))
+  }
+
+  /** PK-hash bucket count for the target table's layout
+    * (`additional_config: {"buckets": N}`) — enables the copy-on-write
+    * bucketed merge path in [[graft.operators.IncrementalMerge]]. */
+  def bucketCount: Option[Int] =
+    configValue("buckets").flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0)
+
   /** Name of the target table in the warehouse ([[graft.operators.TableStore]]). */
   def targetTableName: String =
     if (targetTable.nonEmpty) targetTable else s"${dbSchema}_$dbTable"

@@ -36,9 +36,24 @@ object FullLoad {
     val df = CsvStageReader.read(spark, files.map(_.file), schema,
         withOp = false, needRowNumbers = false) // full loads don't need per-file row numbers
       .drop("_file_name")
-    store.write(df, meta.targetTableName)
+    // Rows-affected (A5, sql:255) comes from the write pass itself via
+    // Observation metrics — never a second scan of the snapshot, which at
+    // the target scale would double the cost of every full load.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    // additional_config {"buckets": N} (sql:34) opts the target into the
+    // PK-hash bucketed layout: one clustering shuffle here buys every
+    // incremental merge its touched-bucket pruning (see TableStore).
+    meta.bucketCount match {
+      case Some(n) if meta.pkColumns.nonEmpty =>
+        store.writeBucketed(observed, meta.targetTableName, BucketSpec(n, meta.pkColumns))
+      case _ =>
+        store.write(observed, meta.targetTableName)
+    }
     val loadDate = new Timestamp(files.map(_.last_modified.getTime).max)
     metaStore.resetAfterFullLoad(meta.fullPath, loadDate)
-    store.read(spark, meta.targetTableName).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.meta.{MetaStore, TableMeta}
 import graft.sources.{CsvStageReader, StageListing}
 
@@ -46,8 +47,28 @@ object IncrementalMerge {
     val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema, withOp = true)
     val pks = meta.pkColumns
     val batch = ChangeApplier.latestPerKey(changes, pks).cache()
-    val applied = ChangeApplier.applyLatest(target, batch, pks)
-    store.write(applied, meta.targetTableName)
+
+    store.bucketSpec(meta.targetTableName) match {
+      // Copy-on-write bucket merge: rewrite ONLY the buckets the batch
+      // touches; every other bucket rides into the next version as a file
+      // link. Merge cost becomes ∝ touched data, not target size — the one
+      // structural requirement for applying a ~GB change batch to a ~100 TB
+      // table (the reference's warehouse gets this from clustered tables,
+      // sql:369–411).
+      case Some(spec) if spec.pks == pks =>
+        val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
+        // ≤ nBuckets rows — control-plane collect, like the file listing
+        val touched = batchBuckets.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val prunedTarget = store.readRaw(spark, meta.targetTableName)
+          .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
+          .drop("_bucket") // dir-level pruning: untouched buckets never open
+        val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
+          .withColumn("_bucket", spec.bucketColumn)
+        store.commitBucketMerge(merged, meta.targetTableName, touched)
+      case _ =>
+        store.write(ChangeApplier.applyLatest(target, batch, pks), meta.targetTableName)
+    }
     val rows = batch.count()
     batch.unpersist()
     metaStore.advanceIncremental(meta.fullPath, pending.map(f => fileName(f.file)).max)

@@ -24,16 +24,46 @@ import graft.sources.StageListing
   */
 object Orchestrator {
 
-  final case class SyncReport(items: Seq[(WorkItem, Long)])
+  final case class SyncFailure(item: WorkItem, error: Throwable)
 
-  /** One sync cycle: plan → drain with `workers` concurrent drainers. */
+  final case class SyncReport(
+      items: Seq[(WorkItem, Long)],
+      failures: Seq[SyncFailure] = Nil)
+
+  /** The reference's cycle-abort (sql:155): raised after all drainers have
+    * finished when any table failed, carrying the full report — completed
+    * tables keep their advanced watermarks (each table's swap+watermark is
+    * already atomic), failed tables retry next cycle. */
+  final class SyncCycleAbort(val report: SyncReport)
+      extends RuntimeException(
+        s"sync cycle aborted: ${report.failures.size} table(s) failed: " +
+          report.failures
+            .map(f => s"${f.item.fullPath} [${f.item.loadType}]: ${f.error}")
+            .mkString("; "))
+
+  /** One sync cycle: liveness gate → plan → drain with `workers` concurrent
+    * drainers → abort with per-table errors if anything failed.
+    *
+    * Failure semantics vs the reference: SHOW TASKS + abort-if-suspended
+    * (sql:73–91) maps to the pre-plan SparkContext liveness gate (our
+    * workers are Futures submitting to the context — a stopped context is
+    * the analog of a suspended task fleet). The per-worker `throw`
+    * (sql:155) maps to [[SyncCycleAbort]]: every failed table is surfaced
+    * (not just the first, and never silently — a drainer that hits an
+    * error records it and keeps draining, so one broken table can't take
+    * down the other workers' throughput for the cycle). */
   def runCycle(
       spark: SparkSession,
       stages: Map[String, String],
       metaStore: MetaStore,
       store: TableStore,
       schemas: Map[String, StructType],
-      workers: Int = 5): SyncReport = {
+      workers: Int = 5,
+      abortOnFailure: Boolean = true): SyncReport = {
+    if (spark.sparkContext.isStopped)
+      throw new IllegalStateException(
+        "worker backend is down (SparkContext stopped) — aborting the sync " +
+          "cycle before planning (sql:73–91, 155)")
     val metas = metaStore.loadAll()
     val listing = StageListing.listAll(spark, stages)
     val items = SyncPlanner.plan(listing, SyncPlanner.metaDf(spark, metas))
@@ -41,6 +71,7 @@ object Orchestrator {
     val queue = new ConcurrentLinkedQueue[WorkItem]()
     items.foreach(queue.add)
     val results = new ConcurrentLinkedQueue[(WorkItem, Long)]()
+    val failures = new ConcurrentLinkedQueue[SyncFailure]()
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -51,20 +82,24 @@ object Orchestrator {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-worker-$i")
         var item = queue.poll()
         while (item != null) { // LOOP … IF null BREAK (sql:176–189)
-          val meta = metaStore.get(item.fullPath)
-            .getOrElse(throw new IllegalStateException(s"no metadata for ${item.fullPath}"))
-          val stageDir = stages(meta.stage)
-          val rows = item.loadType match {
-            case "F" => FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
-            case "I" => IncrementalMerge.run(spark, meta, stageDir, store, metaStore)
-            case "B" => // full load first, then replay changes on top (sql:190–193)
-              val full = FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
-              val inc = IncrementalMerge.run(spark, metaStore.get(item.fullPath).get,
-                stageDir, store, metaStore)
-              full + math.max(0L, inc) // -1 = empty incremental batch, not an error
-            case other => throw new IllegalArgumentException(s"unknown load type $other")
+          try {
+            val meta = metaStore.get(item.fullPath)
+              .getOrElse(throw new IllegalStateException(s"no metadata for ${item.fullPath}"))
+            val stageDir = stages(meta.stage)
+            val rows = item.loadType match {
+              case "F" => FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
+              case "I" => IncrementalMerge.run(spark, meta, stageDir, store, metaStore)
+              case "B" => // full load first, then replay changes on top (sql:190–193)
+                val full = FullLoad.run(spark, meta, stageDir, store, metaStore, schemas(meta.fullPath))
+                val inc = IncrementalMerge.run(spark, metaStore.get(item.fullPath).get,
+                  stageDir, store, metaStore)
+                full + math.max(0L, inc) // -1 = empty incremental batch, not an error
+              case other => throw new IllegalArgumentException(s"unknown load type $other")
+            }
+            results.add(item -> rows)
+          } catch {
+            case scala.util.control.NonFatal(e) => failures.add(SyncFailure(item, e))
           }
-          results.add(item -> rows)
           item = queue.poll()
         }
       }
@@ -72,6 +107,10 @@ object Orchestrator {
     try Await.result(Future.sequence(drainers), Duration.Inf)
     finally pool.shutdown()
     import scala.jdk.CollectionConverters._
-    SyncReport(results.asScala.toSeq.sortBy(_._1.fullPath))
+    val report = SyncReport(
+      results.asScala.toSeq.sortBy(_._1.fullPath),
+      failures.asScala.toSeq.sortBy(_.item.fullPath))
+    if (abortOnFailure && report.failures.nonEmpty) throw new SyncCycleAbort(report)
+    report
   }
 }

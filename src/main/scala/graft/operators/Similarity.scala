@@ -78,14 +78,14 @@ object Similarity {
     val banded = base.select(col("id"), col("v"), col("nrm"),
       explode(array(bucketCols: _*)).as("bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    val cands = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+    // Score INSIDE the bucket join and only then dedup: a pair colliding in
+    // several tables is re-scored (cheap, map-side, same value) instead of
+    // shuffling both 64-dim vectors through the dedup exchange — the
+    // dominant cost at any scale is moving vectors, not multiplying them.
+    val scored = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .dropDuplicates("vec_id", "neighbor_id")
-    val scored = cands
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .drop("va", "vb", "na", "nb")
     topKFromScored(scored, k)
   }
 
@@ -130,6 +130,9 @@ object Similarity {
       .filter(col("c_rank") <= nProbe)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
         col("c_id").as("cell"))
+    // score before dedup: duplicates (query probing several cells holding
+    // the same vector) re-score identically; the dedup exchange then moves
+    // (id, id, double) rows, never vectors
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"),
@@ -171,13 +174,13 @@ object Similarity {
     val banded = base.select(col("id"), col("v"), col("nrm"),
       explode(array(bucketCols: _*)).as("bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
+    // score + threshold-filter INSIDE the bucket join, then dedup the
+    // surviving narrow rows — the exchange carries (id, id, double), and
+    // the threshold prunes most candidates before they ever shuffle
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("a_id", "b_id", "cosine")
+      .dropDuplicates("a_id", "b_id")
   }
 }

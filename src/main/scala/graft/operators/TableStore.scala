@@ -1,18 +1,31 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+/** PK-hash bucketing recorded in a table's manifest: rows live in
+  * `_bucket=<pmod(hash(pks), n)>` partition dirs, so an incremental merge
+  * only rewrites the buckets its change batch touches and carries every
+  * untouched bucket into the next version as a file-level link — the
+  * copy-on-write discipline Delta/Iceberg clustered tables use, rebuilt on
+  * plain parquet. */
+final case class BucketSpec(nBuckets: Int, pks: Seq[String]) {
+  def bucketColumn: Column = pmod(hash(pks.map(col): _*), lit(nBuckets))
+}
 
 /** Versioned parquet table with atomic swap — the merge/overwrite substrate
   * (no Delta/Iceberg jar in this environment; SURVEY §7.3).
   *
   * Layout: `<root>/<table>/v<N>/` parquet dirs + `<root>/<table>/_current`
-  * manifest holding the live version number. Writers produce `v(N+1)` fully,
-  * then repoint the manifest with temp-write + atomic rename; readers
-  * resolve the manifest first, so they never observe a half-written table.
-  * Old versions are pruned after the swap (best-effort; a reader already
-  * holding v(N)'s file list finishes safely on local/HDFS-like stores).
+  * manifest holding the live version number (and, for bucketed tables, the
+  * [[BucketSpec]]). Writers produce `v(N+1)` fully, then repoint the
+  * manifest with temp-write + atomic rename; readers resolve the manifest
+  * first, so they never observe a half-written table. Old versions are
+  * pruned after the swap (best-effort; a reader already holding v(N)'s file
+  * list finishes safely on local/HDFS-like stores — and hard-linked bucket
+  * files survive the prune of the version that first wrote them).
   *
   * At cluster scale the same pattern works on any store with atomic rename
   * (HDFS) — on S3 the manifest write is still atomic (single PUT).
@@ -23,10 +36,23 @@ final class TableStore(root: String) {
   private def tableDir(name: String) = Paths.get(root, name)
   private def manifest(name: String) = tableDir(name).resolve("_current")
 
-  def currentVersion(name: String): Option[Int] =
+  private def manifestLines(name: String): Seq[String] =
     if (Files.exists(manifest(name)))
-      Some(new String(Files.readAllBytes(manifest(name)), StandardCharsets.UTF_8).trim.toInt)
-    else None
+      new String(Files.readAllBytes(manifest(name)), StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    else Seq.empty
+
+  def currentVersion(name: String): Option[Int] =
+    manifestLines(name).headOption.map(_.toInt)
+
+  /** The bucketing recorded for this table, if any (manifest line 2:
+    * `buckets=<n>;pks=<a,b>`). */
+  def bucketSpec(name: String): Option[BucketSpec] =
+    manifestLines(name).drop(1).headOption.collect {
+      case s if s.startsWith("buckets=") =>
+        val parts = s.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        BucketSpec(parts("buckets").toInt, parts("pks").split(",").toSeq)
+    }
 
   def exists(name: String): Boolean = currentVersion(name).isDefined
 
@@ -36,20 +62,88 @@ final class TableStore(root: String) {
       case None => throw new IllegalStateException(s"table $name does not exist under $root")
     }
 
-  def read(spark: SparkSession, name: String): DataFrame = spark.read.parquet(path(name))
+  /** Read the table with its logical schema (the `_bucket` layout column,
+    * when present, stays internal). */
+  def read(spark: SparkSession, name: String): DataFrame = {
+    val df = spark.read.parquet(path(name))
+    if (bucketSpec(name).isDefined) df.drop("_bucket") else df
+  }
+
+  /** Read a bucketed table INCLUDING the `_bucket` partition column, so
+    * callers can prune to touched buckets (`filter(col("_bucket").isin…)`
+    * prunes at the directory level — unread buckets are never opened). */
+  def readRaw(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(path(name))
 
   /** Write `df` as the next version and atomically swap the manifest. */
   def write(df: DataFrame, name: String): Int = {
     val next = currentVersion(name).getOrElse(0) + 1
     val dest = tableDir(name).resolve(s"v$next")
     df.write.mode("overwrite").parquet(dest.toString)
+    commit(name, next, None)
+    next
+  }
+
+  /** Full write of a bucketed table: one hash shuffle on the bucket column
+    * at load time buys every later merge its bucket pruning. */
+  def writeBucketed(df: DataFrame, name: String, spec: BucketSpec): Int = {
+    val next = currentVersion(name).getOrElse(0) + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    df.withColumn("_bucket", spec.bucketColumn)
+      .repartition(spec.nBuckets, col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
+    commit(name, next, Some(spec))
+    next
+  }
+
+  /** Copy-on-write merge commit for a bucketed table: `rewritten` holds the
+    * new contents of ONLY the touched buckets (with `_bucket` present); all
+    * other buckets are carried into the next version as hard links (copy
+    * fallback) — file metadata ops, no data read or written. At cluster
+    * scale this step is the manifest-level file reuse every table format
+    * does; on a local/HDFS store links give the same O(files) cost. */
+  def commitBucketMerge(rewritten: DataFrame, name: String, touched: Set[Int]): Int = {
+    val spec = bucketSpec(name).getOrElse(
+      throw new IllegalStateException(s"$name is not bucketed"))
+    val cur = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+    val next = cur + 1
+    val curDir = tableDir(name).resolve(s"v$cur")
+    val dest = tableDir(name).resolve(s"v$next")
+    rewritten
+      .repartition(math.max(1, touched.size), col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
+    (0 until spec.nBuckets).filterNot(touched).foreach { b =>
+      val src = curDir.resolve(s"_bucket=$b")
+      if (Files.isDirectory(src)) {
+        val dst = dest.resolve(s"_bucket=$b")
+        Files.createDirectories(dst)
+        val stream = Files.list(src)
+        try stream.iterator().forEachRemaining { f =>
+          if (f.getFileName.toString.startsWith("part-")) linkOrCopy(f, dst.resolve(f.getFileName))
+        } finally stream.close()
+      }
+    }
+    commit(name, next, Some(spec))
+    next
+  }
+
+  private def linkOrCopy(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def commit(name: String, next: Int, spec: Option[BucketSpec]): Unit = {
     val tmp = tableDir(name).resolve("_current.tmp")
     Files.createDirectories(tableDir(name))
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    val body = next.toString +
+      spec.map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}").getOrElse("")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     prune(name, keep = next)
-    next
   }
 
   /** Best-effort removal of superseded versions. */

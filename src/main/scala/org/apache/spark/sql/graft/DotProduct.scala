@@ -68,4 +68,8 @@ object NativeFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplane_sig(v: Column, nBits: Int, seed: Long): Column =
+    ExpressionUtils.column(HyperplaneSignature(
+      ExpressionUtils.expression(v), nBits, seed))
 }

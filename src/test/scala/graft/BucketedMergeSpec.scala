@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.meta.{MetaStore, TableMeta}
+import graft.operators.{BucketSpec, FullLoad, IncrementalMerge, TableStore}
+
+/** Copy-on-write bucketed layout: same results as the plain path, and an
+  * incremental merge rewrites ONLY the buckets its batch touches — every
+  * other bucket's files carry into the next version as links. */
+class BucketedMergeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("payload", StringType)))
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def runPipeline(root: String, config: String): Map[Int, String] = {
+    val stageDir = s"$root/stage"
+    val dir = s"$stageDir/app/t"
+    writeCsv(dir, "LOAD00000001.csv", (1 to 100).map(i => s"$i,orig-$i"))
+    writeCsv(dir, "20260105-000000001.csv", Seq("U,1,one-upd", "D,2,x"))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    metaStore.upsert(TableMeta(fullPath = dir, dbTable = "t", dbSchema = "app",
+      stage = "s1", primaryKeys = "id", additionalConfig = config))
+    assert(FullLoad.run(spark, metaStore.get(dir).get, stageDir, store, metaStore, schema) === 100L)
+    IncrementalMerge.run(spark, metaStore.get(dir).get, stageDir, store, metaStore)
+    store.read(spark, "app_t").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+  }
+
+  test("bucketCount parses from additional_config; absent/malformed is None") {
+    def meta(cfg: String) = TableMeta(fullPath = "p", dbTable = "t", dbSchema = "s",
+      stage = "st", additionalConfig = cfg)
+    assert(meta("""{"buckets": 8}""").bucketCount === Some(8))
+    assert(meta("""{"buckets": "16", "other": true}""").bucketCount === Some(16))
+    assert(meta("{}").bucketCount === None)
+    assert(meta("""{"buckets": "many"}""").bucketCount === None)
+    assert(meta("""{"buckets": 8}""").configValue("other") === None)
+  }
+
+  test("bucketed pipeline equals the plain path; merge rewrites only touched buckets") {
+    val plain = runPipeline(tmpDir("plain"), "{}")
+    assert(plain.size === 99) // 100 − 1 delete
+    assert(plain(1) === "one-upd")
+
+    // bucketed pipeline, instrumented between load and merge
+    val root = tmpDir("bucketed")
+    val stageDir = s"$root/stage"
+    val dir = s"$stageDir/app/t"
+    writeCsv(dir, "LOAD00000001.csv", (1 to 100).map(i => s"$i,orig-$i"))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    metaStore.upsert(TableMeta(fullPath = dir, dbTable = "t", dbSchema = "app",
+      stage = "s1", primaryKeys = "id", additionalConfig = """{"buckets": 8}"""))
+    assert(FullLoad.run(spark, metaStore.get(dir).get, stageDir, store, metaStore, schema) === 100L)
+    assert(store.bucketSpec("app_t") === Some(BucketSpec(8, Seq("id"))))
+
+    def bucketFiles(): Map[String, Set[String]] = {
+      val base = Paths.get(store.path("app_t"))
+      val stream = Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("_bucket="))
+          .map { p =>
+            val s2 = Files.list(p)
+            try p.getFileName.toString ->
+              s2.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.startsWith("part-")).toSet
+            finally s2.close()
+          }.toMap
+      } finally stream.close()
+    }
+    val before = bucketFiles()
+    assert(before.keySet.size === 8) // 100 keys land in all 8 buckets
+
+    // change batch touching exactly two keys
+    writeCsv(dir, "20260105-000000001.csv", Seq("U,1,one-upd", "D,2,x"))
+    IncrementalMerge.run(spark, metaStore.get(dir).get, stageDir, store, metaStore)
+
+    // the touched buckets of keys 1 and 2, via the same hash
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val touched = Seq(1, 2).toDF("id")
+      .select(BucketSpec(8, Seq("id")).bucketColumn.as("b"))
+      .collect().map(_.getInt(0)).toSet
+
+    val after = bucketFiles()
+    before.keySet.foreach { bdir =>
+      val b = bdir.stripPrefix("_bucket=").toInt
+      if (touched(b)) assert(after(bdir) !== before(bdir), s"touched bucket $b not rewritten")
+      else assert(after(bdir) === before(bdir), s"untouched bucket $b was rewritten")
+    }
+
+    // logical result identical to the plain path
+    val bucketed = store.read(spark, "app_t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(bucketed === plain)
+    // the logical schema stays clean (no layout column)
+    assert(store.read(spark, "app_t").columns.toSeq === Seq("id", "payload"))
+
+    // a second merge chains versions correctly
+    writeCsv(dir, "20260106-000000001.csv", Seq("U,3,three-upd"))
+    IncrementalMerge.run(spark, metaStore.get(dir).get, stageDir, store, metaStore)
+    val v3 = store.read(spark, "app_t").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(v3(3) === "three-upd")
+    assert(v3.size === 99)
+  }
+}

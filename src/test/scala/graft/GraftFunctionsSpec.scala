@@ -31,6 +31,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(st === 5L)
   }
 
+  test("native hyperplane signature is bit-identical to the higher-order formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.select(
+      VectorFunctions.hyperplaneSignature(col("embedding"), 12, 0x5eed0000L).as("nat"),
+      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 12, 0x5eed0000L).as("hof"))
+    assert(both.filter(col("nat") =!= col("hof")).count() === 0)
+    // and a second (bits, seed) point to catch packing/seed-chain slips
+    val both2 = emb.select(
+      VectorFunctions.hyperplaneSignature(col("embedding"), 5, 0xd00dL).as("nat"),
+      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 5, 0xd00dL).as("hof"))
+    assert(both2.filter(col("nat") =!= col("hof")).count() === 0)
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

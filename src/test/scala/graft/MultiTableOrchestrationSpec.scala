@@ -63,6 +63,33 @@ class MultiTableOrchestrationSpec extends SparkSpec {
     }
   }
 
+  test("a failing table aborts the cycle with its error surfaced; healthy tables still complete") {
+    val root = tmpDir("abort")
+    val stageDir = s"$root/stage"
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    Seq("good", "bad").foreach { t =>
+      val dir = s"$stageDir/app/$t"
+      writeCsv(dir, "LOAD00000001.csv", (1 to 10).map(i => s"$i,$t-$i"))
+      metaStore.upsert(TableMeta(fullPath = dir, dbTable = t, dbSchema = "app",
+        stage = "s1", primaryKeys = "id"))
+    }
+    // 'bad' has no schema registered -> its full load dies in the drainer
+    val schemas = Map(s"$stageDir/app/good" -> schema)
+    val e = intercept[Orchestrator.SyncCycleAbort] {
+      Orchestrator.runCycle(spark, Map("s1" -> stageDir), metaStore, store, schemas, workers = 2)
+    }
+    // every failure surfaced with its table, not just the first exception
+    assert(e.report.failures.map(_.item.fullPath) === Seq(s"$stageDir/app/bad"))
+    assert(e.getMessage.contains("app/bad"))
+    // the healthy table completed and kept its advanced watermark
+    assert(e.report.items.map(_._1.fullPath) === Seq(s"$stageDir/app/good"))
+    assert(metaStore.get(s"$stageDir/app/good").get.lastIncrementalFile === "0")
+    assert(store.read(spark, "app_good").count() === 10)
+    // the failed table retries next cycle (its watermark never advanced)
+    assert(metaStore.get(s"$stageDir/app/bad").get.lastFullLoadDate.isEmpty)
+  }
+
   test("streaming CDC produces the same table as the batch merge") {
     val root = tmpDir("equiv")
     val changes = Seq(
