@@ -47,33 +47,45 @@ object IncrementalMerge {
     val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema, withOp = true)
     val pks = meta.pkColumns
     val batch = ChangeApplier.latestPerKey(changes, pks).cache()
-
-    store.bucketSpec(meta.targetTableName) match {
-      // Copy-on-write bucket merge: rewrite ONLY the buckets the batch
-      // touches; every other bucket rides into the next version as a file
-      // link. Merge cost becomes ∝ touched data, not target size — the one
-      // structural requirement for applying a ~GB change batch to a ~100 TB
-      // table (the reference's warehouse gets this from clustered tables,
-      // sql:369–411).
-      case Some(spec) if spec.pks == pks =>
-        val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
-        // ≤ nBuckets rows — control-plane collect, like the file listing
-        val touched = batchBuckets.select("_bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
-        val prunedTarget = store.readRaw(spark, meta.targetTableName)
-          .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
-          .drop("_bucket") // dir-level pruning: untouched buckets never open
-        val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
-          .withColumn("_bucket", spec.bucketColumn)
-        store.commitBucketMerge(merged, meta.targetTableName, touched)
-      case _ =>
-        store.write(ChangeApplier.applyLatest(target, batch, pks), meta.targetTableName)
-    }
+    applyBatch(spark, store, meta.targetTableName, batch, pks)
     val rows = batch.count()
     batch.unpersist()
     metaStore.advanceIncremental(meta.fullPath, pending.map(f => fileName(f.file)).max)
     rows
   }
+
+  /** Apply a deduped (latest-per-PK) change batch to the stored table —
+    * shared by the batch merge above and the Structured-Streaming path
+    * ([[graft.streaming.CdcStream]]).
+    *
+    * Bucketed targets take the copy-on-write path: rewrite ONLY the buckets
+    * the batch touches; every other bucket rides into the next version as a
+    * file link. Merge cost becomes ∝ touched data, not target size — the
+    * one structural requirement for applying a ~GB change batch to a
+    * ~100 TB table (the reference's warehouse gets this from clustered
+    * tables, sql:369–411). */
+  def applyBatch(
+      spark: SparkSession,
+      store: TableStore,
+      tableName: String,
+      batch: org.apache.spark.sql.DataFrame,
+      pks: Seq[String]): Unit =
+    store.bucketSpec(tableName) match {
+      case Some(spec) if spec.pks == pks =>
+        val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
+        // ≤ nBuckets rows — control-plane collect, like the file listing
+        val touched = batchBuckets.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val prunedTarget = store.readRaw(spark, tableName)
+          .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
+          .drop("_bucket") // dir-level pruning: untouched buckets never open
+        val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
+          .withColumn("_bucket", spec.bucketColumn)
+        store.commitBucketMerge(merged, tableName, touched)
+      case _ =>
+        store.write(
+          ChangeApplier.applyLatest(store.read(spark, tableName), batch, pks), tableName)
+    }
 
   private def fileName(path: String): String = path.substring(path.lastIndexOf('/') + 1)
 }

@@ -62,8 +62,10 @@ object CdcStream {
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("_file_name"))
               .orderBy(monotonically_increasing_id())))
-          val tgt = store.read(spark, tableName)
-          store.write(ChangeApplier.apply(tgt, withRow, pks), tableName)
+          val latest = ChangeApplier.latestPerKey(withRow, pks)
+          // shared with the batch merge — bucketed targets rewrite only
+          // the buckets this micro-batch touches
+          graft.operators.IncrementalMerge.applyBatch(spark, store, tableName, latest, pks)
         }
         ()
       }

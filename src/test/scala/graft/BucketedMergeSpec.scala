@@ -111,4 +111,29 @@ class BucketedMergeSpec extends SparkSpec {
     assert(v3(3) === "three-upd")
     assert(v3.size === 99)
   }
+
+  test("streaming micro-batches take the copy-on-write path on a bucketed target") {
+    val root = tmpDir("bstream")
+    val store = new TableStore(s"$root/warehouse")
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = (1 to 100).map(i => (i, s"orig-$i")).toDF("id", "payload")
+    store.writeBucketed(seed, "app_t", BucketSpec(8, Seq("id")))
+
+    val streamDir = s"$root/stage"
+    Files.createDirectories(Paths.get(streamDir))
+    writeCsv(streamDir, "20260105-000000001.csv", Seq("U,1,one-upd", "D,2,x"))
+    val q = graft.streaming.CdcStream.start(spark, streamDir, "app_t", schema,
+      Seq("id"), store, s"$root/chk", availableNow = true)
+    q.awaitTermination(60000)
+
+    val after = store.read(spark, "app_t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after.size === 99)
+    assert(after(1) === "one-upd")
+    assert(!after.contains(2))
+    // still bucketed (spec survived the streaming merge commit)
+    assert(store.bucketSpec("app_t") === Some(BucketSpec(8, Seq("id"))))
+    assert(store.read(spark, "app_t").columns.toSeq === Seq("id", "payload"))
+  }
 }

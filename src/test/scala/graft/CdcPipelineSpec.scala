@@ -125,6 +125,28 @@ class CdcPipelineSpec extends SparkSpec {
     assert(snap === Map("1" -> ("alice2", "150.00"), "2" -> ("bob2", "222.00")))
   }
 
+  test("stray non-DMS files in the table dir never become phantom work items") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    val stages = Map("s1" -> stageDir)
+    val schemas = Map(meta.fullPath -> schema)
+    Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 1)
+    // files the strict change regex must ignore: a marker file and a name
+    // starting with '2' that sorts ABOVE every real change-file name — the
+    // classic permanent-phantom poison (planner says 'I', merge finds
+    // nothing, watermark never advances, forever)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "_SUCCESS", Seq(""))
+    writeCsv(tableDir, "2backup.csv", Seq("U,1,evil,0.00,2026-01-02 00:00:00"))
+    val rep = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 1)
+    assert(rep.items.isEmpty, s"stray files produced phantom work: ${rep.items}")
+    // and a REAL change file alongside the strays still syncs normally
+    writeCsv(tableDir, "20260102-000000001.csv", Seq("U,1,alice2,111.00,2026-01-02 00:00:00"))
+    val rep2 = Orchestrator.runCycle(spark, stages, metaStore, store, schemas, workers = 1)
+    assert(rep2.items.map(_._1.loadType) === Seq("I"))
+    assert(snapshot(store)("1") === ("alice2", "111.00"))
+    assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "20260102-000000001.csv")
+  }
+
   test("crash between table write and watermark advance replays idempotently") {
     val (_, stageDir, metaStore, store, meta) = setup()
     FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
