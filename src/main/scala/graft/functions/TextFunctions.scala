@@ -74,26 +74,26 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "no", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
-  /** Count of tokens that are stopwords of language `lang`. */
-  def stopwordHits(toks: Column, lang: String): Column = {
-    val sw = array(stopwords(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t)))
-  }
+  /** Count of tokens that are stopwords of language `lang` (single-set
+    * form of the native multi-set pass used by [[langId]]). */
+  def stopwordHits(toks: Column, lang: String): Column =
+    org.apache.spark.sql.graft.HashSketches
+      .set_hits(toks, Seq(stopwords(lang))).getItem(0)
 
   /** Heuristic language ID: argmax over per-language stopword hit counts,
     * ties broken by fixed language order, "und" (undetermined) when no
     * stopword of any language appears. CJK fallback: any CJK codepoint → zh
     * before the stopword vote (word-salad zh text may lack function words).
+    *
+    * All five languages' hit counts come from ONE native pass over the
+    * tokens ([[org.apache.spark.sql.graft.SetHits]]) — counts identical to
+    * the `filter(toks, array_contains(...))` formulation the oracle uses.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
     val langs = Seq("en", "de", "fr", "es", "zh")
-    val hits = langs.map(l => stopwordHits(toks, l))
-    val best = greatest(hits: _*)
-    val pick = langs.zip(hits).foldRight(lit("und")) { case ((l, h), elseCol) =>
-      when(h === best && best > 0, lit(l)).otherwise(elseCol)
-    }
-    // foldRight gives priority to the FIRST language in `langs` on ties.
+    // first-listed language wins ties — same priority as the oracle's CASE
+    val pick = org.apache.spark.sql.graft.HashSketches
+      .argmax_set_hits(tokens(text), langs, langs.map(stopwords), "und")
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
 

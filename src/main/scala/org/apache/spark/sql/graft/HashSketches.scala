@@ -150,9 +150,119 @@ case class TokenStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native per-set token membership counts: for an `array<string>` of tokens
+  * and `sets` literal word lists, returns `array<int>` where slot `i` is
+  * the number of tokens (occurrences, not distinct) contained in set `i`.
+  *
+  * Replaces N interpreted `size(filter(toks, t ⇒ array_contains(set, t)))`
+  * chains (the language-ID hot path: N languages × |tokens| lambda evals
+  * per row) with ONE compiled pass — hash-set lookups per token. Counts
+  * are identical to the lambda/`list_filter` formulation, so external
+  * oracles are unaffected. */
+case class SetHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val lookup: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](lookup.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var s = 0
+        while (s < lookup.length) {
+          if (lookup(s).contains(t)) counts(s) += 1
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native argmax over [[SetHits]]-style counts: label of the set with the
+  * most token hits (occurrence counts), FIRST label winning ties,
+  * `fallback` when no set scores a hit. The whole vote — one pass over the
+  * tokens, one hash lookup per (token, set) — runs per row in one compiled
+  * call, vs. `labels.length` separate interpreted filter chains plus a
+  * greatest/CASE tree re-evaluating them. */
+case class ArgmaxSetHits(
+    child: Expression,
+    labels: Seq[String],
+    sets: Seq[Seq[String]],
+    fallback: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(labels.length == sets.length, "one label per word set")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  @transient private lazy val lookup: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  @transient private lazy val labelBytes: Array[org.apache.spark.unsafe.types.UTF8String] =
+    labels.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  @transient private lazy val fallbackBytes: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(fallback)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](lookup.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var s = 0
+        while (s < lookup.length) {
+          if (lookup(s).contains(t)) counts(s) += 1
+          s += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestIdx = -1
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) > best) { best = counts(s); bestIdx = s } // first wins ties
+      s += 1
+    }
+    if (bestIdx < 0) fallbackBytes else labelBytes(bestIdx)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashSketches {
   def token_stats(tokens: Column): Column =
     ExpressionUtils.column(TokenStats(ExpressionUtils.expression(tokens)))
+
+  def set_hits(tokens: Column, sets: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(SetHits(ExpressionUtils.expression(tokens), sets))
+
+  def argmax_set_hits(tokens: Column, labels: Seq[String],
+      sets: Seq[Seq[String]], fallback: String): Column =
+    ExpressionUtils.column(ArgmaxSetHits(
+      ExpressionUtils.expression(tokens), labels, sets, fallback))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
