@@ -493,6 +493,18 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: deterministic salted two-phase aggregation — the skew-mitigation
+    // operator for Zipf-hot keys (event_type has a handful of giant
+    // groups). Salting is hash-derived, so the result is bit-equal to the
+    // plain aggregation and the oracle is ordinary GROUP BY SQL.
+    "q32_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+          events(s, dir).select(col("event_type"), col("value")),
+          keys = Seq("event_type"), sums = Seq("value"), saltBuckets = 32)
+        .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -783,6 +795,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT substring(fp, 1, 2) AS bucket, count(*) AS n_docs, min(fp) AS min_fp
         |FROM fps GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q32_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Exact replay of the IVF scale path: same md5-sampled centroids, same
     // nearest-cell assignment, same nProbe probing, same (cosine desc,
