@@ -115,19 +115,20 @@ object Similarity {
       .withColumn("_h", md5(col("id").cast("string").cast("binary")))
       .orderBy(col("_h")).limit(nCells)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
-    // nearest-centroid assignment (1 broadcast-nested-loop over nCells rows)
+    // nearest-centroid ranking (1 broadcast-nested-loop over nCells rows);
+    // assignment (rank 1) and probing (rank ≤ nProbe) both derive from the
+    // SAME ranked subtree, so the window's exchange is computed once and
+    // reused across the two join sides (ReuseExchange)
     val assignW = Window.partitionBy(col("id"))
       .orderBy(col("c_sim").desc, col("c_id").asc)
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-      .withColumn("c_rank", row_number().over(assignW))
-      .filter(col("c_rank") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    // queries probe their nProbe nearest cells
-    val probes = base.crossJoin(broadcast(centroids))
+    val ranked = base.crossJoin(broadcast(centroids))
       .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
       .withColumn("c_rank", row_number().over(assignW))
       .filter(col("c_rank") <= nProbe)
+    val assigned = ranked.filter(col("c_rank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    // queries probe their nProbe nearest cells
+    val probes = ranked
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
         col("c_id").as("cell"))
     // score before dedup: duplicates (query probing several cells holding
