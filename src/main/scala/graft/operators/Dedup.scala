@@ -127,10 +127,11 @@ object Dedup {
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("a_id", "b_id")
     cands
+      // native agreement count: one compiled loop per candidate pair
+      // (interpreted zip_with/aggregate lambdas cost ~µs per position)
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        org.apache.spark.sql.graft.NativeFunctions
+          .long_positions_equal(col("sa"), col("sb")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
   }

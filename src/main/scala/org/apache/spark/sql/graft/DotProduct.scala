@@ -62,6 +62,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: number of positions where two equal-length
+  * `array<long>` columns agree — the MinHash signature-agreement count
+  * behind estimated Jaccard. Same hot-path rationale as [[DotProduct]]:
+  * runs once per LSH candidate pair, and the higher-order
+  * `aggregate(zip_with(...))` formulation pays interpreted lambda dispatch
+  * per signature position. */
+case class LongPositionsEqual(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $eq;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level access to graft's native expressions (bridges the
   * `private[sql]` Column ↔ Expression conversions). */
 object NativeFunctions {
@@ -72,4 +120,8 @@ object NativeFunctions {
   def hyperplane_sig(v: Column, nBits: Int, seed: Long): Column =
     ExpressionUtils.column(HyperplaneSignature(
       ExpressionUtils.expression(v), nBits, seed))
+
+  def long_positions_equal(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongPositionsEqual(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
