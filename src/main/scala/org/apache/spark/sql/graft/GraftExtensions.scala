@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL registration for graft's native expressions, so `spark.sql` users
   * get them too:
@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.IntegerType
   *  - `minhash_signature(sh, k)` — [[MinHashSignature]] (k: int literal)
   *  - `simhash64(toks)`          — [[SimHash64]]
   *  - `token_stats(toks)`        — [[TokenStats]]
+  *  - `hyperplane_sig(v, nBits, seed)` — [[HyperplaneSignature]] (literals)
+  *  - `sig_agreement(a, b)`      — [[LongPositionsEqual]]
   *
   * Two entry points: [[GraftFunctions.register]] on a live session, or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` at
@@ -35,12 +37,22 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle size n"))),
     "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
     "simhash64" -> (es => SimHash64(es(0))),
-    "token_stats" -> (es => TokenStats(es(0))))
+    "token_stats" -> (es => TokenStats(es(0))),
+    "hyperplane_sig" -> (es => HyperplaneSignature(es(0),
+      intLit(es(1), "nBits"), longLit(es(2), "seed"))),
+    "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))))
 
   /** Register all native functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -29,6 +29,16 @@ class GraftFunctionsSpec extends SparkSpec {
     val st = spark.sql("SELECT token_stats(split('ab cde', ' ')).n_chars AS c")
       .collect().head.getLong(0)
     assert(st === 5L)
+
+    val hp = spark.sql(
+      "SELECT hyperplane_sig(array(1d, 2d), 5, 42) AS s")
+      .collect().head.getLong(0)
+    assert(hp >= 0L && hp < 32L) // 5 bits packed
+
+    val agree = spark.sql(
+      "SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS n")
+      .collect().head.getInt(0)
+    assert(agree === 2)
   }
 
   test("native hyperplane signature is bit-identical to the higher-order formulation") {
