@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.meta.{MetaStore, TableMeta}
 import graft.sources.{CsvStageReader, StageListing}
 
@@ -47,8 +47,7 @@ object IncrementalMerge {
     val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema, withOp = true)
     val pks = meta.pkColumns
     val batch = ChangeApplier.latestPerKey(changes, pks).cache()
-    applyBatch(spark, store, meta.targetTableName, batch, pks)
-    val rows = batch.count()
+    val rows = applyBatch(spark, store, meta.targetTableName, batch, pks)
     batch.unpersist()
     metaStore.advanceIncremental(meta.fullPath, pending.map(f => fileName(f.file)).max)
     rows
@@ -63,28 +62,37 @@ object IncrementalMerge {
     * file link. Merge cost becomes ∝ touched data, not target size — the
     * one structural requirement for applying a ~GB change batch to a
     * ~100 TB table (the reference's warehouse gets this from clustered
-    * tables, sql:369–411). */
+    * tables, sql:369–411).
+    *
+    * @return rows in the (deduped) batch — the rows-affected proxy; on the
+    *         bucketed path it rides along with the touched-bucket probe so
+    *         no separate count job runs */
   def applyBatch(
       spark: SparkSession,
       store: TableStore,
       tableName: String,
       batch: org.apache.spark.sql.DataFrame,
-      pks: Seq[String]): Unit =
+      pks: Seq[String]): Long =
     store.bucketSpec(tableName) match {
       case Some(spec) if spec.pks == pks =>
         val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
-        // ≤ nBuckets rows — control-plane collect, like the file listing
-        val touched = batchBuckets.select("_bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
+        // ≤ nBuckets result rows — control-plane collect, like the file
+        // listing; one job yields both the touched set and rows-affected
+        val bucketCounts = batchBuckets.groupBy("_bucket")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val touched = bucketCounts.map(_._1).toSet
         val prunedTarget = store.readRaw(spark, tableName)
           .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
           .drop("_bucket") // dir-level pruning: untouched buckets never open
         val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
           .withColumn("_bucket", spec.bucketColumn)
         store.commitBucketMerge(merged, tableName, touched)
+        bucketCounts.map(_._2).sum
       case _ =>
         store.write(
           ChangeApplier.applyLatest(store.read(spark, tableName), batch, pks), tableName)
+        batch.count() // cached by the caller; cheap second action
     }
 
   private def fileName(path: String): String = path.substring(path.lastIndexOf('/') + 1)
