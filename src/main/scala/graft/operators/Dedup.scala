@@ -157,8 +157,13 @@ object Dedup {
       pairs: DataFrame,
       maxIterations: Int = 20,
       driverUnionFindThreshold: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // one scan of the (possibly expensive) pair plan: each pair explodes
+    // into both directions — a union of two selects would execute the
+    // upstream join twice
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
     // Hybrid: the pair list is usually tiny relative to the corpus — below
