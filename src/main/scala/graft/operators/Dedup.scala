@@ -239,8 +239,11 @@ object Dedup {
     // built with Scala-level chunk indices so the shift amount is a literal.
     val chunkCols = (0 until chunks).map(c =>
       shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    // Read three times (hot-bucket agg + both join sides) — persist, as in
+    // minhashLshPairs, instead of recomputing the signature scan per read.
     val allBanded = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same skew guard as MinHash-LSH: cap candidate-bucket size.
     val hot = allBanded.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)

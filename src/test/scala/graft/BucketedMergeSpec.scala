@@ -112,6 +112,36 @@ class BucketedMergeSpec extends SparkSpec {
     assert(v3.size === 99)
   }
 
+  test("bucketed and plain pipelines agree on random multi-file change logs (seed=42)") {
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      // random change files: ops over a small hot key space so files
+      // genuinely collide on keys (I/U/D orders matter across files)
+      val files = (1 to 3).map { f =>
+        val rows = (1 to 10 + rng.nextInt(20)).map { _ =>
+          val op = Seq("I", "U", "D")(rng.nextInt(3))
+          s"$op,${1 + rng.nextInt(40)},${op.toLowerCase}-${rng.nextInt(1000)}"
+        }
+        f"2026010$f-${trial}%09d.csv" -> rows
+      }
+      val results = Seq("{}", """{"buckets": 4}""").map { cfg =>
+        val root = tmpDir(s"prop$trial")
+        val stageDir = s"$root/stage"
+        val dir = s"$stageDir/app/t"
+        writeCsv(dir, "LOAD00000001.csv", (1 to 30).map(i => s"$i,orig-$i"))
+        files.foreach { case (name, rows) => writeCsv(dir, name, rows) }
+        val metaStore = new MetaStore(s"$root/meta")
+        val store = new TableStore(s"$root/warehouse")
+        metaStore.upsert(TableMeta(fullPath = dir, dbTable = "t", dbSchema = "app",
+          stage = "s1", primaryKeys = "id", additionalConfig = cfg))
+        FullLoad.run(spark, metaStore.get(dir).get, stageDir, store, metaStore, schema)
+        IncrementalMerge.run(spark, metaStore.get(dir).get, stageDir, store, metaStore)
+        store.read(spark, "app_t").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      }
+      assert(results(0) === results(1), s"trial $trial: plain vs bucketed diverged")
+    }
+  }
+
   test("streaming micro-batches take the copy-on-write path on a bucketed target") {
     val root = tmpDir("bstream")
     val store = new TableStore(s"$root/warehouse")
