@@ -493,6 +493,17 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: end-to-end near-duplicate REMOVAL (pairs → clusters → one
+    // keeper per cluster) — the complete dedup operator, oracle-checked
+    // per language over the surviving corpus.
+    "q33_near_dedup" -> ((s, dir) => {
+      Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.2, maxShinglePostings = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ext: deterministic salted two-phase aggregation — the skew-mitigation
     // operator for Zipf-hot keys (event_type has a handful of giant
     // groups). Salting is hash-derived, so the result is bit-equal to the
@@ -799,6 +810,39 @@ object SparkEntry {
     "q32_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same clustering replay as q28, then: survivors = docs that are not a
+    // non-minimum member of any near-dup cluster.
+    "q33_near_dedup" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 100),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n
+        |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |dropped AS (SELECT id FROM lab WHERE id <> cluster_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Exact replay of the IVF scale path: same md5-sampled centroids, same
     // nearest-cell assignment, same nProbe probing, same (cosine desc,

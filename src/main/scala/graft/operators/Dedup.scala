@@ -217,6 +217,26 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate removal — the operator a corpus pipeline
+    * actually calls: exact n-gram Jaccard pairs → connected components →
+    * keep ONE doc per cluster (the minimum id, every cluster's label) and
+    * every unpaired doc. Composes [[jaccardPairs]] + [[duplicateClusters]];
+    * the final filter is an anti-join on the (tiny) drop list, so the
+    * corpus itself flows through exactly one narrow pass. */
+  def nearDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShinglePostings: Int = Int.MaxValue): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxShinglePostings)
+    val drop = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id")) // keep each cluster's min id
+      .select(col("id").as("_drop_id"))
+    df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, banded: split the
     * 64-bit signature into `maxHamming + 1` chunks — any pair within the
     * distance budget must agree exactly on ≥1 chunk (pigeonhole), so the

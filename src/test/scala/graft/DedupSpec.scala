@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
     assert(viaLoop === expected)
   }
 
+  test("near-dedup keeps one doc per cluster (min id) plus all unpaired docs") {
+    // docs 1,2,3 form one near-dup cluster (1~2 at 10/12, 1~3 exact) →
+    // keeper is 1; docs 4,5 are unpaired and survive
+    val kept = Dedup.nearDedup(docs(), "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("minhash LSH surfaces high-jaccard pairs without all-pairs comparison") {
     val pairs = Dedup.minhashLshPairs(docs(), "doc_id", "text",
       shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
