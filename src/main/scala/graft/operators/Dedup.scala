@@ -57,20 +57,25 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-    val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered0 =
-      if (maxShinglePostings == Int.MaxValue) posts
-      else {
-        val hot = posts.groupBy("shingle").agg(count(lit(1)).as("c"))
-          .filter(col("c") > maxShinglePostings).select("shingle")
-        posts.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-    // Both sides of the self-join read the posting table — persist it.
+    // The posting table is read up to three times (hot-shingle aggregation
+    // + both sides of the self-join) — persist it so the corpus is scanned
+    // and shingled exactly ONCE, the property that matters when the input
+    // is the full training corpus.
     // NOTE: the cache is left pinned for the lifetime of the returned
     // DataFrame (there is no safe point to unpersist inside a lazy
     // operator); long-lived sessions calling this repeatedly should rely on
     // the block manager's LRU or unpersist via the returned plan's lineage.
-    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered =
+      if (maxShinglePostings == Int.MaxValue) posts
+      else {
+        val hot = posts.groupBy("shingle").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxShinglePostings).select("shingle")
+        // broadcast anti-join over the cached postings — cheap to evaluate
+        // on each self-join side, no second shingle pass
+        posts.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val a = filtered.alias("a"); val b = filtered.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
