@@ -104,4 +104,79 @@ object Multimodal {
   def metadataOnly(items: Dataset[MediaItem]): DataFrame =
     items.select(col("item_id"), col("kind"), col("mime"), col("source"),
       length(col("content")).as("n_bytes"))
+
+  /** One sampled frame of a video item (frames surface as image items so
+    * downstream decode/feature ops compose unchanged). */
+  final case class Frame(
+      item_id: Long, // parent_id * 1000 + frame_index — stable join key
+      parent_id: Long,
+      frame_index: Int,
+      ts_ms: Long,
+      kind: String, // "image"
+      content: Array[Byte],
+      source: String)
+
+  /** Frame sampling: `n` evenly spaced frames per video item — the
+    * one-row-in → n-rows-out shape, as a narrow partition-local `flatMap`
+    * (no shuffle; frames of one video never leave their task). Frame
+    * payloads are STUBBED (md5 chain over parent bytes + index — no video
+    * codec in this container); timestamps assume the stub decoder's
+    * duration so the sampling arithmetic is real and testable. */
+  def sampleFrames(items: Dataset[MediaItem], n: Int, decoder: Decoder): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    require(n >= 1, "need at least one frame")
+    items.flatMap { item =>
+      if (item.kind != "video") Iterator.empty
+      else {
+        val duration = decoder.decode(item).duration_ms
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until n).iterator.map { i =>
+          md.reset()
+          md.update(item.content)
+          md.update(i.toByte)
+          Frame(
+            item_id = item.item_id * 1000L + i,
+            parent_id = item.item_id,
+            frame_index = i,
+            // midpoint sampling: frame i at (i + 1/2)/n of the duration
+            ts_ms = if (duration <= 0) 0L else (duration * (2 * i + 1)) / (2L * n),
+            kind = "image",
+            content = md.digest(), // deterministic 16-byte stub payload
+            source = item.source)
+        }
+      }
+    }
+  }
+
+  /** Resize: dimension metadata transform + payload rewrite, partition-
+    * local (narrow). The pixel work is STUBBED (md5-derived payload sized
+    * ∝ target area); the Spark plumbing — typed output, per-partition
+    * batching, no shuffle — is real, and a codec-backed resizer drops in
+    * behind the same signature. */
+  final case class ResizedItem(
+      item_id: Long, width: Int, height: Int, content: Array[Byte], source: String)
+
+  def resizeImages(items: Dataset[MediaItem], width: Int, height: Int): Dataset[ResizedItem] = {
+    import items.sparkSession.implicits._
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    items.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(i => i.kind == "image" || i.kind == "video").map { item =>
+        md.reset()
+        val seed = md.digest(item.content)
+        // stub payload: digest chain stretched to ~area/64 bytes
+        val nBytes = math.max(16, width * height / 64)
+        val out = new Array[Byte](nBytes)
+        var off = 0
+        var block = seed
+        while (off < nBytes) {
+          val len = math.min(block.length, nBytes - off)
+          System.arraycopy(block, 0, out, off, len)
+          off += len
+          block = md.digest(block)
+        }
+        ResizedItem(item.item_id, width, height, out, item.source)
+      }
+    }
+  }
 }

@@ -36,6 +36,44 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("video").duration_ms >= 0 && byKind("video").width > 0)
   }
 
+  test("frame sampling: one video row fans out to n image frames, deterministically") {
+    val s = spark; import s.implicits._
+    val items = Seq(
+      MediaItem(7L, "video", Array[Byte](1, 2, 3), "video/mp4", "v"),
+      MediaItem(8L, "image", Array[Byte](4, 5), "image/png", "i")) // ignored
+      .toDS()
+    val frames = Multimodal.sampleFrames(items, n = 4, new StubDecoder(2))
+      .collect().sortBy(_.frame_index)
+    assert(frames.length === 4) // only the video fans out
+    assert(frames.map(_.item_id).toSeq === Seq(7000L, 7001L, 7002L, 7003L))
+    assert(frames.forall(_.parent_id === 7L))
+    assert(frames.forall(_.kind === "image"))
+    // midpoint sampling: timestamps strictly increasing within the duration
+    val duration = Multimodal.extractFeatures(items.filter(_.kind == "video"),
+      new StubDecoder(2)).collect().head.duration_ms
+    assert(frames.map(_.ts_ms).toSeq === frames.map(_.ts_ms).toSeq.sorted)
+    assert(frames.forall(f => f.ts_ms >= 0 && f.ts_ms < duration))
+    // deterministic payloads
+    val again = Multimodal.sampleFrames(items, n = 4, new StubDecoder(2))
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.content.toSeq) === again.map(_.content.toSeq))
+  }
+
+  test("resize: visual items get target dims and area-proportional stub payloads") {
+    val s = spark; import s.implicits._
+    val items = Seq(
+      MediaItem(1L, "image", Array[Byte](1, 2, 3), "image/png", "a"),
+      MediaItem(2L, "audio", Array[Byte](9), "audio/wav", "b")) // skipped
+      .toDS()
+    val resized = Multimodal.resizeImages(items, width = 64, height = 32).collect()
+    assert(resized.length === 1)
+    assert(resized.head.width === 64 && resized.head.height === 32)
+    assert(resized.head.content.length === 64 * 32 / 64)
+    // deterministic
+    val again = Multimodal.resizeImages(items, 64, 32).collect()
+    assert(resized.head.content.toSeq === again.head.content.toSeq)
+  }
+
   test("metadata-only projection prunes the payload column from the scan") {
     val dir = tmpDir("media2")
     Files.write(Paths.get(dir, "c.bin"), Array.fill[Byte](1024)(7))
