@@ -125,20 +125,19 @@ object Dedup {
       .select("band", "bucket")
     val banded = allBanded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
-    val cands = a.join(b,
+    // Estimate INSIDE the bucket join (native agreement count — one
+    // compiled loop per candidate; a pair colliding in several bands
+    // re-scores identically), then threshold + dedup on narrow
+    // (id, id, double) rows: the exchange never carries signature arrays.
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .dropDuplicates("a_id", "b_id")
-    cands
-      // native agreement count: one compiled loop per candidate pair
-      // (interpreted zip_with/aggregate lambdas cost ~µs per position)
-      .withColumn("est_jaccard",
-        org.apache.spark.sql.graft.NativeFunctions
-          .long_positions_equal(col("sa"), col("sb")).cast("double") / numHashes)
+        (org.apache.spark.sql.graft.NativeFunctions
+          .long_positions_equal(col("a.sig"), col("b.sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("a_id", "b_id", "est_jaccard")
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Duplicate clusters: connected components over a near-dup pair list
