@@ -63,20 +63,31 @@ object Similarity {
       .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"),
         col("e.score").as("cosine"), (col("idx") + 1).as("rank"))
 
-  /** LSH-bucketed approximate top-k. Same output schema as brute force. */
+  /** LSH-bucketed approximate top-k. Same output schema as brute force.
+    * `maxBucketSize` drops pathologically dense buckets (a bucket of B
+    * vectors yields B² candidates; dense hyperplane cells are near-parallel
+    * crowds that other tables still cover) — the same skew guard the
+    * MinHash/SimHash paths apply. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       bits: Int = 12,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0x5eed0000L + t).as("b")))
-    val banded = base.select(col("id"), col("v"), col("nrm"),
-      explode(array(bucketCols: _*)).as("bucket"))
+    // read three times (hot agg + both join sides) — persist one signature pass
+    val allBanded = base.select(col("id"), col("v"), col("nrm"),
+        explode(array(bucketCols: _*)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = allBanded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("bucket")
+    val banded = allBanded.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
     // Score INSIDE the bucket join and only then dedup: a pair colliding in
     // several tables is re-scored (cheap, map-side, same value) instead of
@@ -160,20 +171,27 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via the same LSH
-    * bucketing (a_id < b_id canonical orientation). */
+    * bucketing (a_id < b_id canonical orientation). `maxBucketSize` is the
+    * same dense-bucket skew guard as [[lshTopK]]. */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       bits: Int = 10,
-      tables: Int = 6): DataFrame = {
+      tables: Int = 6,
+      maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0xd00dL + t).as("b")))
-    val banded = base.select(col("id"), col("v"), col("nrm"),
-      explode(array(bucketCols: _*)).as("bucket"))
+    val allBanded = base.select(col("id"), col("v"), col("nrm"),
+        explode(array(bucketCols: _*)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = allBanded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("bucket")
+    val banded = allBanded.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = banded.alias("a"); val b = banded.alias("b")
     // score + threshold-filter INSIDE the bucket join, then dedup the
     // surviving narrow rows — the exchange carries (id, id, double), and
