@@ -504,6 +504,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ext: as-of join (event/state alignment) — each click joined to the
+    // user's latest at-or-before purchase, via the union-merge operator
+    // (one key shuffle, no range-join explosion). DuckDB's native ASOF
+    // JOIN is the oracle.
+    "q34_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value")) // unique per (key, ts)
+      graft.operators.AsOfJoin.latestAtOrBefore(clicks, purchases,
+          keys = Seq("user_id"), tsCol = "ts", rightVals = Seq("purchase_value"))
+        .filter(col("asof_purchase_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_purchase_value"), 3).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ext: deterministic salted two-phase aggregation — the skew-mitigation
     // operator for Zipf-hot keys (event_type has a handful of giant
     // groups). Salting is hash-derived, so the result is bit-equal to the
@@ -810,6 +829,16 @@ object SparkEntry {
     "q32_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS pv FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, round(r.pv, 3) AS purchase_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // Same clustering replay as q28, then: survivors = docs that are not a
     // non-minimum member of any near-dup cluster.
