@@ -523,6 +523,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ext: range (interval) join — clicks matched to each user's
+    // 30-minute window after their first purchase, via the chunk-equi-ized
+    // operator (interval replication bounded by chunk width; never a
+    // per-key product). Plain BETWEEN-join SQL is the oracle.
+    "q35_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + expr("INTERVAL 30 MINUTES"))
+      graft.operators.RangeJoin.pointsInIntervals(clicks, windows,
+          keys = Seq("user_id"), tsCol = "ts",
+          startCol = "start_ts", endCol = "end_ts", chunkSeconds = 600L)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ext: deterministic salted two-phase aggregation — the skew-mitigation
     // operator for Zipf-hot keys (event_type has a handful of giant
     // groups). Salting is hash-derived, so the result is bit-equal to the
@@ -829,6 +848,17 @@ object SparkEntry {
     "q32_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q35_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id, min(ts) AS start_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |  AND c.ts BETWEEN w.start_ts AND w.start_ts + INTERVAL 30 MINUTE
+        |ORDER BY c.event_id""".stripMargin,
 
     "q34_asof_join" ->
       """WITH l AS (
