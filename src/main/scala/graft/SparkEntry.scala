@@ -380,16 +380,20 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ext: MinHash-LSH near-dup candidates (hash-based — no SQL oracle;
-    // driver records the weaker rows-only check; semantics covered by
-    // DedupSpec property tests)
+    // ext: MinHash-LSH near-dup candidates. The md5-derived double-hashing
+    // family (h1 + i·h2 over each shingle's digest) makes every signature —
+    // and therefore the band-bucket candidate set and the estimated
+    // Jaccard — exactly replayable in SQL, so the LSH scale path is
+    // hash-verified end to end (same determinism trick as q29's centroids).
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ext: SimHash near-dup pairs within a Hamming budget (rows-only)
+    // ext: SimHash near-dup pairs within a Hamming budget. Bit votes come
+    // from each token's md5 nibbles, so signatures, pigeonhole chunks, and
+    // Hamming distances all replay in SQL.
     "q24_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
         .orderBy(col("a_id"), col("b_id"))
@@ -472,10 +476,12 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
-    // ext: hyperplane-LSH approximate top-k (rows-only: the hyperplane RNG
-    // is not SQL-expressible; recall vs the exact baseline is spec-asserted
-    // in SimilaritySpec). Wide buckets + many tables because the synthetic
-    // embeddings are near-uniform — the hard case for LSH.
+    // ext: hyperplane-LSH approximate top-k. The hyperplane weights are
+    // md5-derived per (seed, bit, dim), so the bucketing — and with it the
+    // whole approximate result — replays exactly in SQL (recall vs the
+    // exact baseline additionally spec-asserted in SimilaritySpec). Wide
+    // buckets + many tables because the synthetic embeddings are
+    // near-uniform — the hard case for LSH.
     "q30_lsh_topk" -> ((s, dir) => {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 3, bits = 5, tables = 12)
@@ -485,7 +491,7 @@ object SparkEntry {
     }),
 
     // ext: LSH-bucketed embedding near-dup pairs — the scale path behind
-    // q22's exact baseline (rows-only + recall spec, as above).
+    // q22's exact baseline, hash-verified via the same md5 weight replay.
     "q31_lsh_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, bits = 4, tables = 8)
@@ -721,6 +727,86 @@ object SparkEntry {
         |SELECT a_id, b_id, shared,
         |  round(shared / (na + nb - shared), 4) AS jaccard
         |FROM pairs WHERE shared / (na + nb - shared) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact replay of the MinHash-LSH path: same shingles as q15, the
+    // md5-derived double-hashing signature family (h1 + i·h2, 40-bit halves
+    // of each shingle's digest — BIGINT-safe), band keys as the 4-value
+    // tuple per band (the engine joins on a 64-bit hash of the same tuple —
+    // identical grouping modulo ~2⁻⁶⁴ collisions), the same >200 hot-bucket
+    // cap, then estimated Jaccard = agreeing positions / 64.
+    "q23_minhash_lsh" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT id,
+        |    CAST('0x' || substring(md5(shingle), 1, 10) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 11, 10) AS BIGINT) AS h2
+        |  FROM (SELECT id, unnest(s) AS shingle FROM sh)),
+        |sig AS (
+        |  SELECT id, i, min(h1 + i * h2) AS v
+        |  FROM hs, range(1, 65) r(i) GROUP BY id, i),
+        |banded AS (
+        |  SELECT id, CAST((i - 1) // 4 AS INTEGER) AS band,
+        |    string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM sig GROUP BY id, band),
+        |hot AS (
+        |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 200),
+        |cold AS (
+        |  SELECT b.* FROM banded b ANTI JOIN hot USING (band, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |est AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.a_id
+        |  JOIN sig sb ON sb.id = c.b_id AND sb.i = sa.i
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact replay of the SimHash path: per distinct token, 64 vote bits
+    // from the md5 hex digits (bit b = bit (b%4) of digit b//4); signature
+    // bit = sign of the vote; pigeonhole chunks of 8 bits; >200 hot-chunk
+    // cap; Hamming distance recomputed from the per-bit signatures.
+    "q24_simhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tok AS (SELECT id, unnest(t) AS tk FROM docs),
+        |bits AS (
+        |  SELECT id, b,
+        |    (CAST('0x' || substring(md5(tk), 1 + b // 4, 1) AS INT) >> (b % 4)) & 1 AS bit
+        |  FROM tok, range(0, 64) r(b)),
+        |votes AS (
+        |  SELECT id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY id, b),
+        |sigbits AS (
+        |  SELECT id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS sbit FROM votes),
+        |chunks AS (
+        |  SELECT id, CAST(b // 8 AS INTEGER) AS chunk,
+        |    CAST(sum(sbit << (b % 8)) AS BIGINT) AS value
+        |  FROM sigbits GROUP BY id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.id = c.a_id
+        |  JOIN sigbits sb ON sb.id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 7
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q28_dup_clusters" ->
@@ -966,6 +1052,75 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Exact replay of the hyperplane-LSH top-k path: the weight matrix is
+    // md5-derived per (seed, bit, dim) — rebuilt here from the same strings
+    // ("lsh:t:j:i") — so buckets, candidates, and ranking all replay.
+    // list_inner_product's sequential fold matches the native DotProduct
+    // loop (same double arithmetic as the q18/q29 cosines). Embeddings are
+    // 64-dim (driver testdata, all SFs).
+    "q30_lsh_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (
+        |  SELECT t, j,
+        |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
+        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+        |  FROM range(0, 12) rt(t), range(0, 5) rj(j), range(0, 64) ri(i)
+        |  GROUP BY t, j),
+        |buckets AS (
+        |  SELECT b.id, w.t,
+        |    CAST(sum(CASE WHEN list_inner_product(b.v, w.wv) >= 0
+        |      THEN 1 << w.j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM base b CROSS JOIN w GROUP BY b.id, w.t),
+        |hot AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > 1000),
+        |cold AS (SELECT b.* FROM buckets b ANTI JOIN hot USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS vec_id, b.id AS neighbor_id
+        |  FROM cold a JOIN cold b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
+        |ranked AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+        |  FROM cand c
+        |  JOIN base qb ON c.vec_id = qb.id
+        |  JOIN base nb ON c.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // Same hyperplane replay for the near-dup pair path (seed family
+    // "ndp:t", 4 bits × 8 tables, a < b orientation, threshold on the raw
+    // cosine before rounding — exactly the engine's order of operations).
+    "q31_lsh_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (
+        |  SELECT t, j,
+        |    list(CAST('0x' || substring(md5('ndp:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
+        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+        |  FROM range(0, 8) rt(t), range(0, 4) rj(j), range(0, 64) ri(i)
+        |  GROUP BY t, j),
+        |buckets AS (
+        |  SELECT b.id, w.t,
+        |    CAST(sum(CASE WHEN list_inner_product(b.v, w.wv) >= 0
+        |      THEN 1 << w.j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM base b CROSS JOIN w GROUP BY b.id, w.t),
+        |hot AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > 1000),
+        |cold AS (SELECT b.* FROM buckets b ANTI JOIN hot USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+        |scored AS (
+        |  SELECT c.a_id, c.b_id,
+        |    list_cosine_similarity(ab.v, bb.v) AS cos_raw
+        |  FROM cand c
+        |  JOIN base ab ON c.a_id = ab.id
+        |  JOIN base bb ON c.b_id = bb.id)
+        |SELECT a_id, b_id, round(cos_raw, 4) AS cosine
+        |FROM scored WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
 
     "q27_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

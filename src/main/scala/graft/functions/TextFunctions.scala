@@ -38,19 +38,24 @@ object TextFunctions {
   def hashedShingleSet(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.HashSketches.shingle_hashes(tokens(text), n)
 
-  /** MinHash signature: `k` independent min-hashes of the hashed-shingle
-    * set (`array<long>`). Hash family = xxh64(shingle, seedᵢ);
-    * deterministic across runs. O(|shingles|·k) per row, no shuffle — the
-    * LSH banding in [[graft.operators.Dedup]] turns signatures into
-    * candidate pairs. Backed by the native
+  /** MinHash signature over word `n`-gram shingles: `k` independent
+    * min-hashes (`array<long>`). Hash family = md5-derived double hashing
+    * (h1 + i·h2 over the shingle string's digest) — deterministic across
+    * runs AND replayable in plain SQL by an external oracle, unlike xxh64.
+    * O(|shingles|·k) per row, no shuffle — the LSH banding in
+    * [[graft.operators.Dedup]] turns signatures into candidate pairs.
+    * Backed by the native fused
     * [[org.apache.spark.sql.graft.MinHashSignature]] expression (compiled
-    * loop instead of interpreted higher-order lambdas). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    org.apache.spark.sql.graft.HashSketches.minhash_signature(shingles, numHashes)
+    * loop, no shingle strings materialized). Empty array when the doc has
+    * fewer than `n` tokens. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.HashSketches.minhash_signature(tokens(text), n, numHashes)
 
   /** 64-bit SimHash over the distinct-token set: for each output bit, tokens
-    * vote +1/−1 by their hash's bit; the sign of the vote sets the bit.
-    * Near-identical docs differ in few bits (small Hamming distance). */
+    * vote +1/−1 by their md5's bit (SQL-replayable, see
+    * [[org.apache.spark.sql.graft.SimHash64]]); the sign of the vote sets
+    * the bit. Near-identical docs differ in few bits (small Hamming
+    * distance). */
   def simhash64(text: Column): Column =
     org.apache.spark.sql.graft.HashSketches.simhash64(array_distinct(tokens(text)))
 

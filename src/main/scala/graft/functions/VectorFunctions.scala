@@ -40,28 +40,33 @@ object VectorFunctions {
       lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic random-hyperplane LSH signature: `nBits` sign bits packed
-    * into a long. Hyperplane weights are a hash-derived pseudo-random value
+    * into a long. Hyperplane weights are an md5-derived pseudo-random value
     * in [-1, 1) per (seed, bit, dim) — fully reproducible across runs and
-    * executors, no fitted model to broadcast.
+    * executors (no fitted model to broadcast) and rebuildable in plain SQL,
+    * so LSH bucketing is oracle-checkable end to end.
     *
     * Rows whose vectors point in similar directions collide with high
     * probability: P[bit match] = 1 - θ/π. Used to bucket candidates for
     * near-neighbour search without a crossJoin (the 100 TB path).
     */
-  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column =
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: String): Column =
     org.apache.spark.sql.graft.NativeFunctions.hyperplane_sig(toDouble(vec), nBits, seed)
 
-  /** The original higher-order-function formulation of
-    * [[hyperplaneSignature]] — kept as the executable specification the
-    * native expression is asserted bit-identical to (VectorFunctionsSpec);
-    * never on a hot path (nBits × dim interpreted lambda evals per row). */
-  private[graft] def hyperplaneSignatureHof(vec: Column, nBits: Int, seed: Long): Column = {
+  /** The higher-order-function formulation of [[hyperplaneSignature]] —
+    * kept as the executable specification the native expression is asserted
+    * bit-identical to (GraftFunctionsSpec); never on a hot path (nBits × dim
+    * interpreted lambda evals per row). Weight derivation mirrors the SQL
+    * oracle: first 40 bits of md5("seed:bit:dim") scaled to [-1, 1). */
+  private[graft] def hyperplaneSignatureHof(vec: Column, nBits: Int, seed: String): Column = {
     val v = toDouble(vec)
     val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
-      // w(j,i) ~ U[-1,1): xxhash64 of (seed, bit, dim index) scaled.
       val proj = aggregate(
-        transform(v, (x, i) =>
-          x * (pmod(xxhash64(lit(seed), j, i), lit(100000)).cast("double") / lit(50000.0) - lit(1.0))),
+        transform(v, (x, i) => {
+          val digest = md5(concat(lit(seed), lit(":"), j.cast("string"), lit(":"),
+            i.cast("string")).cast("binary"))
+          val h40 = conv(substring(digest, 1, 10), 16, 10).cast("long")
+          x * (pmod(h40, lit(100000L)).cast("double") / lit(50000.0) - lit(1.0))
+        }),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     })

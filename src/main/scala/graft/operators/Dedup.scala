@@ -106,9 +106,9 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rows = numHashes / bands
     val sigs = df
-      .select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0) // docs long enough to shingle
-      .select(col("id"), minhashSignature(col("shs"), numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0) // docs long enough to shingle
     val allBanded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))

@@ -79,7 +79,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0x5eed0000L + t).as("b")))
+      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"lsh:$t").as("b")))
     // read three times (hot agg + both join sides) — persist one signature pass
     val allBanded = base.select(col("id"), col("v"), col("nrm"),
         explode(array(bucketCols: _*)).as("bucket"))
@@ -184,7 +184,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = 0xd00dL + t).as("b")))
+      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"ndp:$t").as("b")))
     val allBanded = base.select(col("id"), col("v"), col("nrm"),
         explode(array(bucketCols: _*)).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

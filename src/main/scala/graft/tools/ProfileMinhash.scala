@@ -22,7 +22,9 @@ object ProfileMinhash {
     val shs = df.select(col("doc_id").as("id"), hashedShingleSet(col("text"), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
     time("shingles only")(shs.count())
-    val sigs = shs.select(col("id"), minhashSignature(col("shs"), numHashes).as("sig"))
+    val sigs = df.select(col("doc_id").as("id"),
+        minhashSignature(col("text"), shingleN, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
     time("signatures")(sigs.count())
     val cached = sigs.cache()
     time("signatures cached")(cached.count())

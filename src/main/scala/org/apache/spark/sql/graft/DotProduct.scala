@@ -117,7 +117,7 @@ object NativeFunctions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  def hyperplane_sig(v: Column, nBits: Int, seed: Long): Column =
+  def hyperplane_sig(v: Column, nBits: Int, seed: String): Column =
     ExpressionUtils.column(HyperplaneSignature(
       ExpressionUtils.expression(v), nBits, seed))
 

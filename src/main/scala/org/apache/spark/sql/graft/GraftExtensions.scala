@@ -4,17 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL registration for graft's native expressions, so `spark.sql` users
   * get them too:
   *
   *  - `vec_dot(a, b)`            — [[DotProduct]]
   *  - `shingle_hashes(toks, n)`  — [[ShingleHashes]] (n: int literal)
-  *  - `minhash_signature(sh, k)` — [[MinHashSignature]] (k: int literal)
+  *  - `minhash_signature(toks, n, k)` — [[MinHashSignature]] (int literals)
   *  - `simhash64(toks)`          — [[SimHash64]]
   *  - `token_stats(toks)`        — [[TokenStats]]
-  *  - `hyperplane_sig(v, nBits, seed)` — [[HyperplaneSignature]] (literals)
+  *  - `hyperplane_sig(v, nBits, seed)` — [[HyperplaneSignature]]
+  *    (int literal, string literal)
   *  - `sig_agreement(a, b)`      — [[LongPositionsEqual]]
   *
   * Two entry points: [[GraftFunctions.register]] on a live session, or
@@ -37,21 +38,21 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  private def longLit(e: Expression, what: String): Long = e match {
-    case Literal(v: Long, LongType) => v
-    case Literal(v: Int, IntegerType) => v.toLong
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be a string literal, got $other")
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle size n"))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0),
+      intLit(es(1), "shingle size n"), intLit(es(2), "numHashes"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "token_stats" -> (es => TokenStats(es(0))),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0),
-      intLit(es(1), "nBits"), longLit(es(2), "seed"))),
+      intLit(es(1), "nBits"), stringLit(es(2), "seed"))),
     "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))))
 
   /** Register all native functions on a live session (temp functions). */

@@ -7,39 +7,78 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
-/** Native MinHash signature: for each of `numHashes` hash functions
-  * h_i(s) = xxh64(s, seed=i+1), the minimum over the input `array<long>`
-  * of hashed shingles.
+/** md5-derived hash helpers shared by the sketch expressions below.
   *
-  * The higher-order formulation (`transform(sequence(...), i ⇒
-  * array_min(transform(shingles, s ⇒ xxhash64(s, i))))`) pays interpreted
-  * lambda dispatch + boxing per hash eval — ~6 µs each, 100 s for a 5 k-doc
-  * corpus. This expression runs the same k×|shingles| xxh64 computations in
-  * a compiled primitive loop (milliseconds). Per-row, no shuffle; the LSH
-  * banding downstream is unchanged.
+  * The sketch hash families are deliberately built from md5 — not xxh64 —
+  * so every signature is replayable in plain SQL by an external engine
+  * (DuckDB: `CAST('0x' || substring(md5(s), 1, 10) AS BIGINT)`), making the
+  * whole LSH result oracle-checkable, the same determinism trick as
+  * [[graft.operators.Similarity.ivfTopK]]'s centroid sampling. md5 runs
+  * once per shingle/token; the k-way fan-out on top is integer arithmetic.
+  */
+private[graft] object Md5Hash {
+  val threadMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Big-endian 40-bit unsigned int from digest bytes [off, off+5) — the
+    * value SQL gets from parsing 10 hex chars of the md5 string. */
+  def h40(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 32) | ((d(off + 1) & 0xffL) << 24) |
+      ((d(off + 2) & 0xffL) << 16) | ((d(off + 3) & 0xffL) << 8) | (d(off + 4) & 0xffL)
+}
+
+/** Native MinHash signature over word n-gram shingles, fused: for each
+  * contiguous `n`-token window (joined by a single space — the same shingle
+  * string an external oracle forms with `array_to_string(list_slice(t, i,
+  * i+n-1), ' ')`), one md5; hash family i (1 ≤ i ≤ numHashes) is the
+  * double-hashing chain h1 + i·h2 where h1/h2 are the first/second 40 bits
+  * of the digest (Kirsch–Mitzenmacher construction — pairwise-independent
+  * enough for MinHash, and exactly replayable in SQL). Output slot i−1 is
+  * the minimum over all windows; empty array when the doc has fewer than
+  * `n` tokens.
+  *
+  * Fusing shingling + minhash means no shingle strings are ever
+  * materialized: the md5 is fed token bytes + separator directly.
+  * Values stay < 2⁴⁷ (h1, h2 < 2⁴⁰, i ≤ numHashes), so BIGINT-safe in any
+  * oracle. Duplicate windows are harmless (min over a multiset).
   *
   * Evaluation is `CodegenFallback` deliberately: the cost is inside this
   * compiled loop, so whole-stage codegen would add nothing.
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  private val space = Array(' '.toByte)
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](numHashes)
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val md = Md5Hash.threadMd5.get()
     var i = 0
-    while (i < numHashes) {
-      var best = Long.MaxValue
-      var j = 0
-      while (j < n) {
-        val h = XXH64.hashLong(arr.getLong(j), i + 1L)
-        if (h < best) best = h
+    while (i <= len - n) {
+      md.reset()
+      var j = i
+      while (j < i + n) {
+        if (j > i) md.update(space)
+        if (!arr.isNullAt(j)) md.update(arr.getUTF8String(j).getBytes)
         j += 1
       }
-      out(i) = best
+      val d = md.digest()
+      val h1 = Md5Hash.h40(d, 0)
+      val h2 = Md5Hash.h40(d, 5)
+      var k = 0
+      while (k < numHashes) {
+        val h = h1 + (k + 1) * h2
+        if (h < out(k)) out(k) = h
+        k += 1
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -49,9 +88,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** Native 64-bit SimHash over an `array<string>` token set: each token's
-  * xxh64 (seed 42, matching Spark's `xxhash64`) votes ±1 per bit; the sign
-  * of each vote sets the output bit. Same tight-loop rationale as
-  * [[MinHashSignature]]. */
+  * md5 supplies 64 vote bits (bit b = bit (b mod 4) of hex digit ⌊b/4⌋ —
+  * i.e. `(CAST('0x' || substring(md5(t), 1 + b//4, 1) AS INT) >> (b % 4)) &
+  * 1` in SQL, so signatures are oracle-replayable); tokens vote ±1 per bit
+  * and the sign of each vote sets the output bit. Same tight-loop rationale
+  * as [[MinHashSignature]]. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -61,13 +102,18 @@ case class SimHash64(child: Expression)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)
+    val md = Md5Hash.threadMd5.get()
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        md.reset()
+        val d = md.digest(arr.getUTF8String(j).getBytes)
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          // hex digit ⌊b/4⌋ of the digest string; bit (b%4) of that digit
+          val byteIdx = b >> 3
+          val digit = if ((b & 4) == 0) (d(byteIdx) >> 4) & 0xF else d(byteIdx) & 0xF
+          if (((digit >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
       }
@@ -264,8 +310,8 @@ object HashSketches {
     ExpressionUtils.column(ArgmaxSetHits(
       ExpressionUtils.expression(tokens), labels, sets, fallback))
 
-  def minhash_signature(shingles: Column, numHashes: Int): Column =
-    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
+  def minhash_signature(tokens: Column, n: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), n, numHashes))
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
@@ -8,17 +8,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 /** Native Catalyst expression: random-hyperplane LSH signature — `nBits`
   * sign bits of hash-derived pseudo-random projections, packed into a long.
   *
-  * Bit-identical to the higher-order formulation in
-  * [[graft.functions.VectorFunctions]] history (weights are
-  * `pmod(xxhash64(seed, bit, dim), 100000)/50000 − 1`, i.e. the XXH64 chain
-  * `hashInt(dim, hashInt(bit, hashLong(seed, 42)))` Spark's `xxhash64`
-  * computes over a (long, int, int) argument list), but runs as a tight
-  * primitive loop inside whole-stage codegen instead of nBits × dim
-  * interpreted lambda evaluations (~6 µs/eval) — this sits on the per-row
-  * hot path of every embedding-LSH bucketing
-  * ([[graft.operators.Similarity]]).
+  * Hyperplane weights are md5-derived: w(seed, bit j, dim i) =
+  * `parse40(md5("seed:j:i")) % 100000 / 50000.0 − 1.0`, where `parse40`
+  * takes the first 10 hex chars as an integer. The weights depend only on
+  * (seed, j, i) — NOT on the row — so they are computed once per executor
+  * (lazily, grown to the widest vector seen) and the per-row hot loop is a
+  * pure primitive dot product inside whole-stage codegen. md5 (not xxh64)
+  * so an external SQL oracle can rebuild the identical weight matrix
+  * (`CAST('0x' || substring(md5(seed || ':' || j || ':' || i), 1, 10) AS
+  * BIGINT) % 100000 / 50000.0 - 1.0`) and replay every bucket — the same
+  * determinism trick as [[graft.operators.Similarity.ivfTopK]]'s centroid
+  * sampling, extended to the LSH paths.
   */
-case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
+case class HyperplaneSignature(child: Expression, nBits: Int, seed: String)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
@@ -27,20 +29,39 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  // Executor-local weight matrix [nBits][dims], grown on demand; weight
+  // (j, i) is a pure function of (seed, j, i) so a prefix read of a wider
+  // matrix is identical to a narrower one. Benign race: two threads may
+  // build the same matrix, last-write-wins with equal contents.
+  @transient private var cachedWeights: Array[Array[Double]] = _
+
+  /** Weights for vectors of `dim` dimensions (invoked from interpreted eval
+    * AND generated code — must stay public for codegen). */
+  def weightsFor(dim: Int): Array[Array[Double]] = {
+    var w = cachedWeights
+    if (w == null || w(0).length < dim) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      w = Array.tabulate(nBits, dim) { (j, i) =>
+        val d = md.digest(s"$seed:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (Md5Hash.h40(d, 0) % 100000L) / 50000.0 - 1.0
+      }
+      cachedWeights = w
+    }
+    w
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    val seedH = XXH64.hashLong(seed, 42L)
+    val w = weightsFor(n)
     var sig = 0L
     var j = 0
     while (j < nBits) {
-      val bitH = XXH64.hashInt(j, seedH)
+      val wj = w(j)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashInt(i, bitH)
-        val w = (((h % 100000L) + 100000L) % 100000L) / 50000.0 - 1.0
-        proj += v.getDouble(i) * w
+        proj += v.getDouble(i) * wj(i)
         i += 1
       }
       if (proj >= 0) sig |= (1L << j)
@@ -49,33 +70,32 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
     sig
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSignature].getName)
     nullSafeCodeGen(ctx, ev, v => {
-      val xxh = classOf[XXH64].getName
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
       val proj = ctx.freshName("proj")
-      val bitH = ctx.freshName("bitH")
-      val h = ctx.freshName("h")
-      val seedH = ctx.freshName("seedH")
+      val w = ctx.freshName("w")
+      val wj = ctx.freshName("wj")
       s"""
          |int $n = $v.numElements();
-         |long $seedH = $xxh.hashLong(${seed}L, 42L);
+         |double[][] $w = $self.weightsFor($n);
          |long $sig = 0L;
          |for (int $j = 0; $j < $nBits; $j++) {
-         |  long $bitH = $xxh.hashInt($j, $seedH);
+         |  double[] $wj = $w[$j];
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $xxh.hashInt($i, $bitH);
-         |    $proj += $v.getDouble($i) * (((($h % 100000L) + 100000L) % 100000L) / 50000.0 - 1.0);
+         |    $proj += $v.getDouble($i) * $wj[$i];
          |  }
          |  if ($proj >= 0) $sig |= (1L << $j);
          |}
          |${ev.value} = $sig;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -17,7 +17,7 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sh === 3)
 
     val sig = spark.sql(
-      "SELECT size(minhash_signature(shingle_hashes(split('a b c d', ' '), 2), 16)) AS n")
+      "SELECT size(minhash_signature(split('a b c d', ' '), 2, 16)) AS n")
       .collect().head.getInt(0)
     assert(sig === 16)
 
@@ -31,7 +31,7 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(st === 5L)
 
     val hp = spark.sql(
-      "SELECT hyperplane_sig(array(1d, 2d), 5, 42) AS s")
+      "SELECT hyperplane_sig(array(1d, 2d), 5, 'test:0') AS s")
       .collect().head.getLong(0)
     assert(hp >= 0L && hp < 32L) // 5 bits packed
 
@@ -46,13 +46,13 @@ class GraftFunctionsSpec extends SparkSpec {
     import graft.functions.VectorFunctions
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val both = emb.select(
-      VectorFunctions.hyperplaneSignature(col("embedding"), 12, 0x5eed0000L).as("nat"),
-      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 12, 0x5eed0000L).as("hof"))
+      VectorFunctions.hyperplaneSignature(col("embedding"), 12, "lsh:0").as("nat"),
+      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 12, "lsh:0").as("hof"))
     assert(both.filter(col("nat") =!= col("hof")).count() === 0)
     // and a second (bits, seed) point to catch packing/seed-chain slips
     val both2 = emb.select(
-      VectorFunctions.hyperplaneSignature(col("embedding"), 5, 0xd00dL).as("nat"),
-      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 5, 0xd00dL).as("hof"))
+      VectorFunctions.hyperplaneSignature(col("embedding"), 5, "ndp:3").as("nat"),
+      VectorFunctions.hyperplaneSignatureHof(col("embedding"), 5, "ndp:3").as("hof"))
     assert(both2.filter(col("nat") =!= col("hof")).count() === 0)
   }
 
