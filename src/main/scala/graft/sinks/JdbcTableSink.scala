@@ -38,7 +38,12 @@ object JdbcTableSink {
       table: String,
       props: Map[String, String] = Map.empty): Unit = {
     val stg = s"${table}_STG"
-    df.write.mode("overwrite").options(props).jdbc(url, stg, toProps(props))
+    // Same VARCHAR staging as applyChanges: without it a Derby-like dialect
+    // creates CLOB string columns, and a later applyChanges against this
+    // published table fails on the PK equality predicate.
+    df.write.mode("overwrite").options(props)
+      .options(stringColsAsVarchar(df))
+      .jdbc(url, stg, toProps(props))
     withTxn(url, props) { conn =>
       if (tableExists(conn, table)) exec(conn, s"DROP TABLE $table")
       exec(conn, s"RENAME TABLE $stg TO $table")

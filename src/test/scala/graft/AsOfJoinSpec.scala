@@ -39,4 +39,24 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("n") -> r.getAs[String]("asof_v")).toMap
     assert(out === Map(1 -> null, 2 -> "a", 3 -> "a", 4 -> "b", 5 -> "b", 6 -> "c"))
   }
+
+  test("a NULL in the latest right row is carried as NULL, never a stale value") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, ts(20), "after-null"), (1L, ts(40), "after-mixed"))
+      .toDF("k", "ts", "tag")
+    // latest right at ts=15 has v=null (older row at ts=5 has v=7): the
+    // left row at 20 must see null, not 7; and at ts=35 the right row mixes
+    // a null u with a non-null v — both must come from the SAME row
+    val right = Seq(
+      (1L, ts(5), Option(7), Option("x")),
+      (1L, ts(15), Option.empty[Int], Option("y")),
+      (1L, ts(35), Option(9), Option.empty[String]))
+      .toDF("k", "ts", "v", "u")
+    val out = AsOfJoin.latestAtOrBefore(left, right, Seq("k"), "ts", Seq("v", "u"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        ((Option(r.getAs[java.lang.Integer]("asof_v")), Option(r.getAs[String]("asof_u")))))
+      .toMap
+    assert(out("after-null") === ((None, Some("y"))))
+    assert(out("after-mixed") === ((Some(Integer.valueOf(9)), None)))
+  }
 }

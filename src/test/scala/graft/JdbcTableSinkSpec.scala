@@ -75,4 +75,23 @@ class JdbcTableSinkSpec extends SparkSpec {
     JdbcTableSink.applyChanges(batch, whUrl, "wh_orders", pks = Seq("ID"), opCol = "OP")
     assert(state() === after)
   }
+
+  test("snapshot-then-changes works for STRING-keyed tables (VARCHAR staging)") {
+    val whUrl = derbyUrl("derby_wh_str")
+    val s = spark; import s.implicits._
+    // snapshotOverwrite must stage strings as VARCHAR (not Derby CLOB),
+    // otherwise the applyChanges PK equality predicate below fails
+    val snapshot = Seq(("K1", 1.0), ("K2", 2.0), ("K3", 3.0)).toDF("SKU", "PRICE")
+    JdbcTableSink.snapshotOverwrite(snapshot, whUrl, "wh_prices")
+    val batch = Seq(("U", "K2", 22.0), ("D", "K3", 0.0)).toDF("OP", "SKU", "PRICE")
+    JdbcTableSink.applyChanges(batch, whUrl, "wh_prices", pks = Seq("SKU"), opCol = "OP")
+    val conn = DriverManager.getConnection(whUrl)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT sku, price FROM wh_prices ORDER BY sku")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      while (rs.next()) rows += ((rs.getString(1), rs.getDouble(2)))
+      assert(rows.toSeq === Seq(("K1", 1.0), ("K2", 22.0)))
+    } finally conn.close()
+  }
 }

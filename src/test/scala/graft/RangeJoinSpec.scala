@@ -38,4 +38,44 @@ class RangeJoinSpec extends SparkSpec {
       .collect().map(_.getAs[String]("name")).toSet
     assert(out === Set("x", "y"))
   }
+
+  test("a poison interval spanning too many chunks fails loudly, not OOM") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, ts(100), "p")).toDF("k", "ts", "tag")
+    // end_ts in year ~9999: ~4×10⁸ chunks of 600s — must fail, not explode
+    val intervals = Seq((1L, ts(50), ts(253_370_764_800L), "poison"))
+      .toDF("k", "start_ts", "end_ts", "name")
+    val e = intercept[Exception] {
+      RangeJoin.pointsInIntervals(points, intervals,
+        Seq("k"), "ts", "start_ts", "end_ts", chunkSeconds = 600L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("spans more than"))
+  }
+
+  test("an inverted interval (end before start) fails loudly") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, ts(100), "p")).toDF("k", "ts", "tag")
+    val intervals = Seq((1L, ts(200), ts(100), "inverted"))
+      .toDF("k", "start_ts", "end_ts", "name")
+    val e = intercept[Exception] {
+      RangeJoin.pointsInIntervals(points, intervals,
+        Seq("k"), "ts", "start_ts", "end_ts", chunkSeconds = 60L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("inverted interval"))
+  }
+
+  test("shared non-key column names are rejected up front") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, ts(100), "p")).toDF("k", "ts", "name")
+    val intervals = Seq((1L, ts(50), ts(150), "x")).toDF("k", "start_ts", "end_ts", "name")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointsInIntervals(points, intervals,
+        Seq("k"), "ts", "start_ts", "end_ts")
+    }
+    assert(e.getMessage.contains("name"))
+  }
 }
