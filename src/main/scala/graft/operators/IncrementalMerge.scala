@@ -64,6 +64,13 @@ object IncrementalMerge {
     * ~100 TB table (the reference's warehouse gets this from clustered
     * tables, sql:369–411).
     *
+    * @param mergeFilesPerBucket write-parallelism knob forwarded to
+    *        [[TableStore.commitBucketMerge]] — raise at cluster scale so a
+    *        multi-GB bucket's rewrite splits across tasks
+    * @param compactAboveFiles opportunistic maintenance: after the merge
+    *        commit, any bucket that accumulated more part-files than this
+    *        is rewritten to one file ([[TableStore.compact]]); a no-op
+    *        metadata check on healthy tables
     * @return rows in the (deduped) batch — the rows-affected proxy; on the
     *         bucketed path it rides along with the touched-bucket probe so
     *         no separate count job runs */
@@ -72,7 +79,9 @@ object IncrementalMerge {
       store: TableStore,
       tableName: String,
       batch: org.apache.spark.sql.DataFrame,
-      pks: Seq[String]): Long =
+      pks: Seq[String],
+      mergeFilesPerBucket: Int = 1,
+      compactAboveFiles: Int = 32): Long =
     store.bucketSpec(tableName) match {
       case Some(spec) if spec.pks == pks =>
         val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
@@ -87,7 +96,8 @@ object IncrementalMerge {
           .drop("_bucket") // dir-level pruning: untouched buckets never open
         val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
           .withColumn("_bucket", spec.bucketColumn)
-        store.commitBucketMerge(merged, tableName, touched)
+        store.commitBucketMerge(merged, tableName, touched, mergeFilesPerBucket)
+        store.compact(spark, tableName, compactAboveFiles)
         bucketCounts.map(_._2).sum
       case _ =>
         store.write(

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, xxhash64}
 
 /** PK-hash bucketing recorded in a table's manifest: rows live in
   * `_bucket=<pmod(hash(pks), n)>` partition dirs, so an incremental merge
@@ -101,8 +101,19 @@ final class TableStore(root: String) {
     * other buckets are carried into the next version as hard links (copy
     * fallback) — file metadata ops, no data read or written. At cluster
     * scale this step is the manifest-level file reuse every table format
-    * does; on a local/HDFS store links give the same O(files) cost. */
-  def commitBucketMerge(rewritten: DataFrame, name: String, touched: Set[Int]): Int = {
+    * does; on a local/HDFS store links give the same O(files) cost.
+    *
+    * `filesPerBucket` is the write-parallelism knob: 1 (default) writes one
+    * file per touched bucket — right at test scale; at cluster scale a
+    * touched bucket can be ~10 GB, so callers raise it to split each
+    * bucket's write across that many tasks (sub-splitting by PK hash).
+    * File counts then grow per merge — [[compact]] bounds them. */
+  def commitBucketMerge(
+      rewritten: DataFrame,
+      name: String,
+      touched: Set[Int],
+      filesPerBucket: Int = 1): Int = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     val spec = bucketSpec(name).getOrElse(
       throw new IllegalStateException(s"$name is not bucketed"))
     val cur = currentVersion(name).getOrElse(
@@ -110,8 +121,16 @@ final class TableStore(root: String) {
     val next = cur + 1
     val curDir = tableDir(name).resolve(s"v$cur")
     val dest = tableDir(name).resolve(s"v$next")
-    rewritten
-      .repartition(math.max(1, touched.size), col("_bucket"))
+    val distributed =
+      if (filesPerBucket == 1)
+        rewritten.repartition(math.max(1, touched.size), col("_bucket"))
+      else // sub-split each bucket by PK hash: parallel write, k files/bucket.
+        // xxhash64, NOT hash: `_bucket` is already pmod(hash(pks), nBuckets),
+        // so a Murmur3 sub-key would be correlated with it (degenerately so
+        // when filesPerBucket == nBuckets: one combo per bucket, no split).
+        rewritten.repartition(math.max(1, touched.size) * filesPerBucket,
+          col("_bucket"), pmod(xxhash64(spec.pks.map(col): _*), lit(filesPerBucket.toLong)))
+    distributed
       .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
     (0 until spec.nBuckets).filterNot(touched).foreach { b =>
       val src = curDir.resolve(s"_bucket=$b")
@@ -126,6 +145,53 @@ final class TableStore(root: String) {
     }
     commit(name, next, Some(spec))
     next
+  }
+
+  /** Per-bucket part-file counts of the current version — the health
+    * metric compaction decisions read. Pure file-metadata op, O(files). */
+  def bucketFileCounts(name: String): Map[Int, Int] = {
+    val spec = bucketSpec(name).getOrElse(
+      throw new IllegalStateException(s"$name is not bucketed"))
+    val verDir = Paths.get(path(name))
+    (0 until spec.nBuckets).flatMap { b =>
+      val dir = verDir.resolve(s"_bucket=$b")
+      if (!Files.isDirectory(dir)) None
+      else {
+        val stream = Files.list(dir)
+        try Some(b -> {
+          var n = 0
+          stream.iterator().forEachRemaining(f =>
+            if (f.getFileName.toString.startsWith("part-")) n += 1)
+          n
+        }) finally stream.close()
+      }
+    }.toMap
+  }
+
+  /** Compaction — the maintenance operator every copy-on-write layout needs
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files): rewrite every bucket
+    * whose part-file count exceeds `maxFilesPerBucket` into ONE file, as a
+    * new version through the same copy-on-write commit (healthy buckets
+    * ride along as hard links; readers never observe a half-compacted
+    * table). Without it, parallel merge writes (`filesPerBucket` > 1)
+    * accumulate files in hot buckets until scan planning and open() costs
+    * dominate — the classic small-file problem at CDC polling cadence.
+    *
+    * @return the new version, or None when every bucket is already within
+    *         the threshold (no-op: no data read, no version created)
+    */
+  def compact(
+      spark: SparkSession,
+      name: String,
+      maxFilesPerBucket: Int = 8): Option[Int] = {
+    val oversized = bucketFileCounts(name).filter(_._2 > maxFilesPerBucket).keySet
+    if (oversized.isEmpty) None
+    else {
+      // dir-level pruning: only oversized buckets are opened and rewritten
+      val rows = readRaw(spark, name)
+        .filter(col("_bucket").isin(oversized.toSeq.map(Integer.valueOf): _*))
+      Some(commitBucketMerge(rows, name, oversized))
+    }
   }
 
   private def linkOrCopy(src: Path, dst: Path): Unit =

@@ -142,6 +142,48 @@ class BucketedMergeSpec extends SparkSpec {
     }
   }
 
+  test("parallel merge writes grow file counts; compact bounds them, preserving data") {
+    val root = tmpDir("compact")
+    val store = new TableStore(s"$root/warehouse")
+    val s = spark; import s.implicits._
+    val seed = (1 to 200).map(i => (i, s"orig-$i")).toDF("id", "payload")
+    store.writeBucketed(seed, "app_t", BucketSpec(4, Seq("id")))
+    assert(store.bucketFileCounts("app_t").values.max === 1)
+
+    // merges with cluster-scale write parallelism (4 files/bucket),
+    // auto-compaction disabled: buckets hold multiple part-files
+    (1 to 3).foreach { i =>
+      val batch = (1 to 50).map(k => ("U", k, s"upd$i-$k")).toDF("op", "id", "payload")
+      IncrementalMerge.applyBatch(spark, store, "app_t", batch, Seq("id"),
+        mergeFilesPerBucket = 4, compactAboveFiles = Int.MaxValue)
+    }
+    val grown = store.bucketFileCounts("app_t")
+    assert(grown.values.max > 1, s"expected multi-file buckets, got $grown")
+    val expected = store.read(spark, "app_t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // compaction rewrites oversized buckets to one file, new atomic version
+    val vBefore = store.currentVersion("app_t").get
+    assert(store.compact(spark, "app_t", maxFilesPerBucket = 1).contains(vBefore + 1))
+    assert(store.bucketFileCounts("app_t").values.max === 1)
+    val after = store.read(spark, "app_t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after === expected)
+
+    // healthy table → no-op: no data read, no version created
+    assert(store.compact(spark, "app_t", maxFilesPerBucket = 1) === None)
+    assert(store.currentVersion("app_t").get === vBefore + 1)
+
+    // the merge path's opportunistic compaction bounds counts by itself
+    val batch = (1 to 50).map(k => ("U", k, s"last-$k")).toDF("op", "id", "payload")
+    IncrementalMerge.applyBatch(spark, store, "app_t", batch, Seq("id"),
+      mergeFilesPerBucket = 4, compactAboveFiles = 2)
+    assert(store.bucketFileCounts("app_t").values.max <= 2)
+    val last = store.read(spark, "app_t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(last(1) === "last-1" && last.size === 200)
+  }
+
   test("streaming micro-batches take the copy-on-write path on a bucketed target") {
     val root = tmpDir("bstream")
     val store = new TableStore(s"$root/warehouse")
