@@ -380,11 +380,12 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ext: MinHash-LSH near-dup candidates. The md5-derived double-hashing
-    // family (h1 + i·h2 over each shingle's digest) makes every signature —
-    // and therefore the band-bucket candidate set and the estimated
-    // Jaccard — exactly replayable in SQL, so the LSH scale path is
-    // hash-verified end to end (same determinism trick as q29's centroids).
+    // ext: MinHash-LSH near-dup candidates. The md5-derived affine family
+    // ((aᵢ·v + bᵢ) mod 2⁶¹−1 over each shingle's 60-bit digest value) makes
+    // every signature — and therefore the band-bucket candidate set and the
+    // estimated Jaccard — exactly replayable in SQL, so the LSH scale path
+    // is hash-verified end to end (same determinism trick as q29's
+    // centroids).
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
@@ -505,6 +506,20 @@ object SparkEntry {
     "q33_near_dedup" -> ((s, dir) => {
       Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.2, maxShinglePostings = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ext: end-to-end near-duplicate removal over the MINHASH-LSH pair
+    // source — the 100 TB composition (signature pass + band-bucket join,
+    // never quadratic in a hot posting list). Because the md5-derived
+    // signature family replays in SQL (q23), the complete approximate
+    // pipeline — candidates, estimated Jaccard, clusters, keepers — is
+    // hash-verified, not just rows-counted.
+    "q36_near_dedup_approx" -> ((s, dir) => {
+      Dedup.nearDedupApprox(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5, numHashes = 64, bands = 16)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
@@ -730,11 +745,13 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
 
     // Exact replay of the MinHash-LSH path: same shingles as q15, the
-    // md5-derived double-hashing signature family (h1 + i·h2, 40-bit halves
-    // of each shingle's digest — BIGINT-safe), band keys as the 4-value
-    // tuple per band (the engine joins on a 64-bit hash of the same tuple —
-    // identical grouping modulo ~2⁻⁶⁴ collisions), the same >200 hot-bucket
-    // cap, then estimated Jaccard = agreeing positions / 64.
+    // md5-derived affine signature family ((aᵢ·v + bᵢ) mod 2⁶¹−1 over each
+    // shingle's 60-bit digest value, constants from md5("mh:a:i"/"mh:b:i");
+    // HUGEINT covers the 120-bit product, results BIGINT-safe), band keys
+    // as the 4-value tuple per band (the engine joins on a 64-bit hash of
+    // the same tuple — identical grouping modulo ~2⁻⁶⁴ collisions), the
+    // same >200 hot-bucket cap, then estimated Jaccard = agreeing
+    // positions / 64.
     "q23_minhash_lsh" ->
       """WITH docs AS (
         |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
@@ -743,13 +760,17 @@ object SparkEntry {
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
         |  FROM docs WHERE len(t) >= 3),
         |hs AS (
-        |  SELECT id,
-        |    CAST('0x' || substring(md5(shingle), 1, 10) AS BIGINT) AS h1,
-        |    CAST('0x' || substring(md5(shingle), 11, 10) AS BIGINT) AS h2
+        |  SELECT id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
         |  FROM (SELECT id, unnest(s) AS shingle FROM sh)),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 65) r(i)),
         |sig AS (
-        |  SELECT id, i, min(h1 + i * h2) AS v
-        |  FROM hs, range(1, 65) r(i) GROUP BY id, i),
+        |  SELECT id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY id, i),
         |banded AS (
         |  SELECT id, CAST((i - 1) // 4 AS INTEGER) AS band,
         |    string_agg(v, ',' ORDER BY i) AS bucket
@@ -974,6 +995,63 @@ object SparkEntry {
         |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY a.id, b.id, a.n, b.n
         |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |dropped AS (SELECT id FROM lab WHERE id <> cluster_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q23's MinHash-LSH pair replay composed with q33's recursive
+    // clustering tail: pairs at est_jaccard >= 0.5 → connected components →
+    // drop non-minimum members → survivors summarized per language.
+    "q36_near_dedup_approx" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT id, unnest(s) AS shingle FROM sh)),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 65) r(i)),
+        |sig AS (
+        |  SELECT id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY id, i),
+        |banded AS (
+        |  SELECT id, CAST((i - 1) // 4 AS INTEGER) AS band,
+        |    string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM sig GROUP BY id, band),
+        |hot AS (
+        |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 200),
+        |cold AS (
+        |  SELECT b.* FROM banded b ANTI JOIN hot USING (band, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |est AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.a_id
+        |  JOIN sig sb ON sb.id = c.b_id AND sb.i = sa.i
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
         |edges AS (
         |  SELECT a_id AS s, b_id AS d FROM pairs
         |  UNION SELECT b_id, a_id FROM pairs),

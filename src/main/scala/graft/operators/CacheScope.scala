@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle handle for the DataFrames the lazy pair operators pin.
+  *
+  * [[Dedup.jaccardPairs]], [[Dedup.minhashLshPairs]], [[Dedup.simhashPairs]],
+  * [[Similarity.lshTopK]] and [[Similarity.cosineNearDupPairs]] each persist
+  * one intermediate (the posting / banded-signature table) because it feeds
+  * a hot-bucket aggregation plus both sides of a self-join — without the
+  * pin, the corpus would be scanned and sketched three times. The operators
+  * are lazy, so they can never unpersist safely themselves: the pin must
+  * outlive the returned plan's consumption.
+  *
+  * This class makes that lifetime explicit. Operators register every pin
+  * with the [[CacheScope]] in implicit scope; callers running many corpora
+  * through a long-lived session bring their own and release it once results
+  * are materialized:
+  *
+  * {{{
+  * implicit val scope = new CacheScope
+  * val pairs = Dedup.minhashLshPairs(corpus, "id", "text", 3, 128, 32, 0.7)
+  * pairs.write.parquet(out)   // consume FIRST —
+  * scope.release()            // — release after; the pin dies with the scope
+  * }}}
+  *
+  * When no scope is supplied, pins land in [[CacheScope.appLifetime]] and
+  * stay resident until block-manager LRU eviction (the pre-scope behavior);
+  * `CacheScope.appLifetime.release()` frees them all.
+  */
+final class CacheScope {
+  private val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and track it for [[release]]. */
+  private[graft] def pin(df: DataFrame): DataFrame = synchronized {
+    pinned += df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every tracked DataFrame (non-blocking) and forget them.
+    * Call only after the plans built on top have been fully consumed. */
+  def release(): Unit = synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
+
+  /** Number of currently tracked pins — observability for session hygiene. */
+  def pinnedCount: Int = synchronized(pinned.size)
+}
+
+object CacheScope {
+  /** Fallback scope when the caller doesn't supply one: pins live for the
+    * application lifetime, bounded only by storage-memory LRU. */
+  implicit val appLifetime: CacheScope = new CacheScope
+}

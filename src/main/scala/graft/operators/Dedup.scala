@@ -44,29 +44,29 @@ object Dedup {
     * via inverted-index join — no crossJoin; complexity is bounded by
     * posting-list sizes. `maxShinglePostings` drops shingles shared by more
     * than that many docs (stopword-like shingles that explode the join and
-    * barely affect Jaccard); pass Int.MaxValue for exact semantics. */
+    * barely affect Jaccard). The default is finite ON PURPOSE: an uncapped
+    * posting join is quadratic in the hottest shingle's frequency, which at
+    * corpus scale is an OOM, not a slowdown — callers wanting exact
+    * semantics opt in with Int.MaxValue. */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShinglePostings: Int = Int.MaxValue): DataFrame = {
+      maxShinglePostings: Int = 1000)(implicit caches: CacheScope): DataFrame = {
     // 64-bit hashed shingles: same pair counts as string shingles modulo a
     // ~2⁻⁶⁴ collision chance, with far cheaper shuffle keys.
     val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     // The posting table is read up to three times (hot-shingle aggregation
-    // + both sides of the self-join) — persist it so the corpus is scanned
+    // + both sides of the self-join) — pin it so the corpus is scanned
     // and shingled exactly ONCE, the property that matters when the input
-    // is the full training corpus.
-    // NOTE: the cache is left pinned for the lifetime of the returned
-    // DataFrame (there is no safe point to unpersist inside a lazy
-    // operator); long-lived sessions calling this repeatedly should rely on
-    // the block manager's LRU or unpersist via the returned plan's lineage.
-    val posts = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // is the full training corpus. Lifetime: the [[CacheScope]] in implicit
+    // scope (a lazy operator can never unpersist safely itself).
+    val posts = caches.pin(
+      docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle")))
     val filtered =
       if (maxShinglePostings == Int.MaxValue) posts
       else {
@@ -102,7 +102,7 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rows = numHashes / bands
     val sigs = df
@@ -117,9 +117,10 @@ object Dedup {
     // adding no dedup precision — drop them (bounded recall loss, standard
     // LSH practice at scale).
     // The banded signature table is read three times (hot-bucket agg + both
-    // sides of the self-join); persist it — at cluster scale you would
-    // materialize the signature table anyway before pairing.
-    val allBanded0 = allBanded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides of the self-join); pin it (scoped by the implicit CacheScope) —
+    // at cluster scale you would materialize the signature table anyway
+    // before pairing.
+    val allBanded0 = caches.pin(allBanded)
     val hot = allBanded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("band", "bucket")
@@ -222,19 +223,47 @@ object Dedup {
   }
 
   /** End-to-end near-duplicate removal — the operator a corpus pipeline
-    * actually calls: exact n-gram Jaccard pairs → connected components →
-    * keep ONE doc per cluster (the minimum id, every cluster's label) and
-    * every unpaired doc. Composes [[jaccardPairs]] + [[duplicateClusters]];
-    * the final filter is an anti-join on the (tiny) drop list, so the
-    * corpus itself flows through exactly one narrow pass. */
+    * actually calls: near-dup pairs → connected components → keep ONE doc
+    * per cluster (the minimum id, every cluster's label) and every unpaired
+    * doc. This overload uses EXACT n-gram Jaccard pairs ([[jaccardPairs]]) —
+    * right up to the scale where the inverted-index join dominates; beyond
+    * that, [[nearDedupApprox]] swaps in the MinHash-LSH pair source with the
+    * identical cluster/keeper tail. */
   def nearDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShinglePostings: Int = Int.MaxValue): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxShinglePostings)
+      maxShinglePostings: Int = 1000)(implicit caches: CacheScope): DataFrame =
+    nearDedupFromPairs(df, idCol,
+      jaccardPairs(df, idCol, textCol, n, threshold, maxShinglePostings))
+
+  /** [[nearDedup]] with the 100 TB pair source: MinHash-LSH candidates
+    * ([[minhashLshPairs]]) instead of the exact inverted-index join. Cost is
+    * one signature pass plus a band-bucket join — never quadratic in a hot
+    * shingle's posting list. Approximation is inherited from the pair
+    * source: pairs are judged by signature-estimated Jaccard, so recall
+    * (and, rarely, precision) deviates from [[nearDedup]] by the standard
+    * MinHash error bounds; keepers are otherwise computed identically. */
+  def nearDedupApprox(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame =
+    nearDedupFromPairs(df, idCol,
+      minhashLshPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold, maxBucketSize))
+
+  /** Shared keeper tail for any pair source — (a_id, b_id) pairs from
+    * [[jaccardPairs]], [[minhashLshPairs]], [[simhashPairs]] or
+    * [[Similarity.cosineNearDupPairs]] (aliased to a_id/b_id): cluster,
+    * drop every doc that isn't its cluster's minimum id, anti-join the
+    * (tiny) drop list so the corpus flows through exactly one narrow pass. */
+  def nearDedupFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val drop = duplicateClusters(pairs)
       .filter(col("id") =!= col("cluster_id")) // keep each cluster's min id
       .select(col("id").as("_drop_id"))
@@ -250,7 +279,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     // maxHamming=0 would make bitsPer=64 and (1L<<64)-1 == 0 (JVM shifts
     // are mod 64), collapsing every signature into bucket 0 — use an exact
     // groupBy on the signature for hamming 0 instead.
@@ -263,11 +292,10 @@ object Dedup {
     // built with Scala-level chunk indices so the shift amount is a literal.
     val chunkCols = (0 until chunks).map(c =>
       shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
-    // Read three times (hot-bucket agg + both join sides) — persist, as in
+    // Read three times (hot-bucket agg + both join sides) — pin, as in
     // minhashLshPairs, instead of recomputing the signature scan per read.
-    val allBanded = sigs.select(col("id"), col("sig"),
-        posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allBanded = caches.pin(sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
     // Same skew guard as MinHash-LSH: cap candidate-bucket size.
     val hot = allBanded.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)

@@ -75,15 +75,15 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       tables: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"lsh:$t").as("b")))
-    // read three times (hot agg + both join sides) — persist one signature pass
-    val allBanded = base.select(col("id"), col("v"), col("nrm"),
-        explode(array(bucketCols: _*)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read three times (hot agg + both join sides) — pin one signature pass;
+    // lifetime is the implicit [[CacheScope]] (lazy operators can't unpersist)
+    val allBanded = caches.pin(base.select(col("id"), col("v"), col("nrm"),
+      explode(array(bucketCols: _*)).as("bucket")))
     val hot = allBanded.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("bucket")
@@ -180,14 +180,14 @@ object Similarity {
       threshold: Double,
       bits: Int = 10,
       tables: Int = 6,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"ndp:$t").as("b")))
-    val allBanded = base.select(col("id"), col("v"), col("nrm"),
-        explode(array(bucketCols: _*)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same three-read pin as lshTopK — scoped by the implicit CacheScope
+    val allBanded = caches.pin(base.select(col("id"), col("v"), col("nrm"),
+      explode(array(bucketCols: _*)).as("bucket")))
     val hot = allBanded.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("bucket")

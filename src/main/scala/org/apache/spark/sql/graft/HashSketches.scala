@@ -25,22 +25,66 @@ private[graft] object Md5Hash {
   def h40(d: Array[Byte], off: Int): Long =
     ((d(off) & 0xffL) << 32) | ((d(off + 1) & 0xffL) << 24) |
       ((d(off + 2) & 0xffL) << 16) | ((d(off + 3) & 0xffL) << 8) | (d(off + 4) & 0xffL)
+
+  /** 60-bit unsigned int from the digest's FIRST 15 HEX CHARS — bytes 0–6
+    * whole plus the high nibble of byte 7: exactly
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` in SQL. */
+  def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** The Mersenne prime 2⁶¹−1 — modulus of the MinHash affine family. */
+  val M61: Long = (1L << 61) - 1
+
+  /** (a·v + b) mod 2⁶¹−1 for 0 ≤ a, v, b < 2⁶¹. Exact over the 122-bit
+    * product via 2⁶¹ ≡ 1 (mod M61): fold the high/low 61-bit halves.
+    * SQL replays it with 128-bit arithmetic:
+    * `(CAST(a AS HUGEINT) * v + b) % 2305843009213693951`. */
+  def affineModM61(a: Long, v: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, v)
+    val lo = a * v
+    var t = (lo & M61) + ((hi << 3) | (lo >>> 61))
+    while (t >= M61) t -= M61
+    t += b
+    while (t >= M61) t -= M61
+    t
+  }
+
+  /** 60-bit affine constant for hash family member `i` — the same value
+    * SQL derives with `CAST('0x' || substring(md5('mh:' || kind || ':' ||
+    * i), 1, 15) AS BIGINT)`. */
+  def familyConst(kind: String, i: Int): Long = {
+    val md = threadMd5.get()
+    md.reset()
+    h60(md.digest(s"mh:$kind:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+  }
 }
 
 /** Native MinHash signature over word n-gram shingles, fused: for each
   * contiguous `n`-token window (joined by a single space — the same shingle
   * string an external oracle forms with `array_to_string(list_slice(t, i,
-  * i+n-1), ' ')`), one md5; hash family i (1 ≤ i ≤ numHashes) is the
-  * double-hashing chain h1 + i·h2 where h1/h2 are the first/second 40 bits
-  * of the digest (Kirsch–Mitzenmacher construction — pairwise-independent
-  * enough for MinHash, and exactly replayable in SQL). Output slot i−1 is
-  * the minimum over all windows; empty array when the doc has fewer than
-  * `n` tokens.
+  * i+n-1), ' ')`), one md5 yields the shingle's 60-bit value v (its first
+  * 15 hex chars); hash family i (1 ≤ i ≤ numHashes) is the affine map
+  * (aᵢ·v + bᵢ) mod 2⁶¹−1 with aᵢ/bᵢ themselves md5-derived (60 bits of
+  * md5("mh:a:i") / md5("mh:b:i")). Output slot i−1 is the minimum over all
+  * windows; empty array when the doc has fewer than `n` tokens.
+  *
+  * Per-position INDEPENDENT multipliers matter: the earlier h1 + i·h2
+  * double-hashing chain let one shingle win every position (the orderings
+  * for all i collapse to the h2 ordering), making est-Jaccard bimodal —
+  * a true-0.8 pair could estimate near 0 and be missed. Affine maps with
+  * distinct aᵢ re-shuffle the ordering per position, restoring the
+  * P(agree) = J estimator MinHash is built on, while every value remains
+  * exactly replayable in SQL (60-bit operands, 2⁶¹−1 modulus → 128-bit
+  * SQL arithmetic: `(CAST(a AS HUGEINT) * v + b) % 2305843009213693951`).
   *
   * Fusing shingling + minhash means no shingle strings are ever
-  * materialized: the md5 is fed token bytes + separator directly.
-  * Values stay < 2⁴⁷ (h1, h2 < 2⁴⁰, i ≤ numHashes), so BIGINT-safe in any
-  * oracle. Duplicate windows are harmless (min over a multiset).
+  * materialized: the md5 is fed token bytes + separator directly. Values
+  * stay < 2⁶¹, so BIGINT-safe in any oracle. Duplicate windows are
+  * harmless (min over a multiset).
   *
   * Evaluation is `CodegenFallback` deliberately: the cost is inside this
   * compiled loop, so whole-stage codegen would add nothing.
@@ -54,6 +98,13 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val space = Array(' '.toByte)
+
+  // affine family constants, identical to the oracle's md5 derivation;
+  // computed once per expression instance (row-independent)
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(k => Md5Hash.familyConst("a", k + 1))
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(k => Md5Hash.familyConst("b", k + 1))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -70,12 +121,10 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
         if (!arr.isNullAt(j)) md.update(arr.getUTF8String(j).getBytes)
         j += 1
       }
-      val d = md.digest()
-      val h1 = Md5Hash.h40(d, 0)
-      val h2 = Md5Hash.h40(d, 5)
+      val sv = Md5Hash.h60(md.digest())
       var k = 0
       while (k < numHashes) {
-        val h = h1 + (k + 1) * h2
+        val h = Md5Hash.affineModM61(as(k), sv, bs(k))
         if (h < out(k)) out(k) = h
         k += 1
       }

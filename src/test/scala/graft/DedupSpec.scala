@@ -58,6 +58,29 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("approx near-dedup (minhash pair source) matches the exact keeper set here") {
+    // On this corpus the cluster {1,2,3} sits far above the threshold and
+    // {4,5} far below, so MinHash at 64 hashes recovers the exact pairs and
+    // the keeper sets coincide — the recall property the LSH composition
+    // must preserve; larger corpora deviate only by the MinHash error bound.
+    val exact = Dedup.nearDedup(docs(), "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = Dedup.nearDedupApprox(docs(), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(approx === exact)
+    assert(approx === Set(1L, 4L, 5L))
+  }
+
+  test("any pair source composes through nearDedupFromPairs") {
+    val s = spark; import s.implicits._
+    // hand-built pair list standing in for simhash/cosine sources
+    val pairs = Seq((1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = Dedup.nearDedupFromPairs(docs(), "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
   test("minhash LSH surfaces high-jaccard pairs without all-pairs comparison") {
     val pairs = Dedup.minhashLshPairs(docs(), "doc_id", "text",
       shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
