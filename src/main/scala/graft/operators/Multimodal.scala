@@ -45,6 +45,14 @@ object Multimodal {
     * its heavy init lazily. */
   trait Decoder extends Serializable {
     def decode(item: MediaItem): MediaFeatures
+
+    /** Duration in ms WITHOUT a full decode — real containers carry it in
+      * the header (MP4 mvhd, WAV fmt), so probing is an O(KB) read while
+      * decode is O(payload). [[sampleFrames]] calls this, not [[decode]]:
+      * with a codec-backed decoder the probe-then-sample path would
+      * otherwise decode every video twice. Default falls back to the full
+      * decode for decoders that can't probe. */
+    def probeDuration(item: MediaItem): Long = decode(item).duration_ms
   }
 
   /** Deterministic fake standing in for the real codecs (no image/audio
@@ -53,14 +61,26 @@ object Multimodal {
     * (`CAST('0x' || substring(md5(payload), …) AS BIGINT)`) — tests AND the
     * driver's correctness gate can verify the plumbing end-to-end. */
   final class StubDecoder(featureDim: Int = 16) extends Decoder {
-    override def decode(item: MediaItem): MediaFeatures = {
-      val bytes = item.content
+    // two independent 24-bit words of the payload digest — non-negative,
+    // exact in any integer SQL dialect
+    private def digestWords(bytes: Array[Byte]): (Long, Long) = {
       val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
         .map("%02x".format(_)).mkString
-      // two independent 24-bit words of the digest — non-negative, exact in
-      // any integer SQL dialect
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 6), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(6, 12), 16)
+      (java.lang.Long.parseLong(hex.substring(0, 6), 16),
+        java.lang.Long.parseLong(hex.substring(6, 12), 16))
+    }
+
+    /** Header-probe stand-in: the duration decode() would report, without
+      * building dimensions or the feature vector. */
+    override def probeDuration(item: MediaItem): Long =
+      if (item.kind == "audio" || item.kind == "video") {
+        val (h1, h2) = digestWords(item.content)
+        100L + (h1 * 4096L + h2) % 60000L
+      } else -1L
+
+    override def decode(item: MediaItem): MediaFeatures = {
+      val bytes = item.content
+      val (h1, h2) = digestWords(bytes)
       val isVisual = item.kind == "image" || item.kind == "video"
       val isTimed = item.kind == "audio" || item.kind == "video"
       MediaFeatures(
@@ -128,7 +148,9 @@ object Multimodal {
     items.flatMap { item =>
       if (item.kind != "video") Iterator.empty
       else {
-        val duration = decoder.decode(item).duration_ms
+        // header probe, NOT a full decode: with a real codec, decoding just
+        // to learn the duration would double the per-video cost
+        val duration = decoder.probeDuration(item)
         val md = java.security.MessageDigest.getInstance("MD5")
         (0 until n).iterator.map { i =>
           md.reset()

@@ -57,8 +57,14 @@ object CsvStageReader {
       }
     }
     val width = target.fields.length + (if (withOp) 1 else 0)
+    // one probe column beyond the expected width: a DMS schema change
+    // (column added upstream) makes staged rows WIDER than the target —
+    // without the probe, the extra values are silently dropped and every
+    // later column is positionally mis-bound. The reference re-derives the
+    // stage schema from information_schema each run (sql:307–321); here
+    // drift instead fails loudly inside the same scan (see `dataCols`).
     val raw = spark.read
-      .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
+      .schema(StructType((0 to width).map(i => StructField(s"_c$i", StringType))))
       .option("header", "false")
       // RFC-4180 quoting (DMS style): quotes escape by doubling, not
       // backslash (Spark's default escape of '\' mangles "" sequences)
@@ -69,8 +75,23 @@ object CsvStageReader {
     val offset = if (withOp) 1 else 0
     val opCol: Seq[Column] =
       if (withOp) Seq(substring(col("_c0"), 1, 1).as("op")) else Seq.empty
+    // Drift guard fused into column 0 (a PK in every DMS table — always
+    // consumed): any populated probe cell aborts the scan naming the file,
+    // instead of positionally mis-casting the whole batch. A column REMOVED
+    // upstream is indistinguishable from legitimate trailing NULLs row-wise
+    // and surfaces as such — only widening is detectable here.
+    val driftMsg = concat(
+      lit("schema drift: staged file "), col("_file_name"),
+      lit(s" carries more than ${target.fields.length} data columns " +
+        s"(target schema: ${target.fields.map(_.name).mkString(", ")}); " +
+        "re-baseline with a full load or widen the target first"))
     val dataCols = target.fields.zipWithIndex.map { case (f, i) =>
-      col(s"_c${i + offset}").cast(f.dataType).as(f.name)
+      val c = col(s"_c${i + offset}").cast(f.dataType)
+      val guarded =
+        if (i == 0) when(col(s"_c$width").isNotNull, raise_error(driftMsg).cast(f.dataType))
+          .otherwise(c)
+        else c
+      guarded.as(f.name)
     }
     val projected = raw.select(opCol ++ dataCols :+ col("_file_name"): _*)
     if (!needRowNumbers) projected

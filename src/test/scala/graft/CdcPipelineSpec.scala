@@ -73,6 +73,27 @@ class CdcPipelineSpec extends SparkSpec {
     assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "20260103-000000001.csv")
   }
 
+  test("a change file wider than the target schema fails loudly, naming the file") {
+    val (_, stageDir, metaStore, store, meta) = setup()
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    // upstream added a column mid-stream: rows now carry op + 5 data cells
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00,extra-col"))
+    val err = intercept[Exception] {
+      IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get, stageDir, store, metaStore)
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("schema drift"), s"unexpected error: $err")
+    assert(msg.contains("20260102-000000001.csv"), "error should name the offending file")
+    // the target is untouched — drift never half-applies
+    assert(snapshot(store) === Map(
+      "1" -> ("alice", "100.50"),
+      "2" -> ("bob", "200.00"),
+      "3" -> ("carol", "300.25")))
+  }
+
   test("replayed files at-or-below the watermark are skipped (empty batch early-exits)") {
     val (_, stageDir, metaStore, store, meta) = setup()
     FullLoad.run(spark, meta, stageDir, store, metaStore, schema)

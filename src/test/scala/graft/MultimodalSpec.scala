@@ -59,6 +59,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.content.toSeq) === again.map(_.content.toSeq))
   }
 
+  test("frame sampling probes duration instead of full-decoding every video") {
+    val s = spark; import s.implicits._
+    val decodes = spark.sparkContext.longAccumulator("decodes")
+    val probes = spark.sparkContext.longAccumulator("probes")
+    // a real codec's decode is O(payload) while the header probe is O(KB) —
+    // count invocations to pin that sampleFrames never takes the slow path
+    class CountingDecoder extends Multimodal.Decoder {
+      private val inner = new StubDecoder(2)
+      override def decode(item: MediaItem): Multimodal.MediaFeatures = {
+        decodes.add(1); inner.decode(item)
+      }
+      override def probeDuration(item: MediaItem): Long = {
+        probes.add(1); inner.probeDuration(item)
+      }
+    }
+    val items = Seq(
+      MediaItem(1L, "video", Array[Byte](1, 2), "video/mp4", "a"),
+      MediaItem(2L, "video", Array[Byte](3, 4), "video/mp4", "b")).toDS()
+    val frames = Multimodal.sampleFrames(items, n = 3, new CountingDecoder).collect()
+    assert(frames.length === 6)
+    assert(decodes.value === 0L, "sampleFrames must not full-decode")
+    assert(probes.value === 2L, "one header probe per video")
+  }
+
   test("resize: visual items get target dims and area-proportional stub payloads") {
     val s = spark; import s.implicits._
     val items = Seq(
