@@ -22,6 +22,60 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Hyperplane-LSH operating point derived by [[tuneLsh]].
+    *
+    * @param bits hyperplanes per table (bucket key width)
+    * @param tables independent hash tables
+    * @param expectedBucketSize corpusSize / 2^bits — candidate-join density
+    * @param expectedRecall 1 − (1 − p^bits)^tables at the tuned similarity
+    */
+  final case class LshParams(
+      bits: Int, tables: Int, expectedBucketSize: Double, expectedRecall: Double)
+
+  /** Derive (bits, tables) from the corpus size and the target operating
+    * point, instead of hand-picking worst-case settings.
+    *
+    * Standard random-hyperplane analysis: a pair at cosine s agrees on one
+    * hyperplane with p = 1 − acos(s)/π, collides in a table with p^bits,
+    * and is recalled by ANY of T tables with 1 − (1 − p^bits)^T.
+    *
+    *  - bits: smallest width keeping the expected bucket
+    *    (corpusSize / 2^bits) under `targetBucketSize` — candidate volume
+    *    per table scales with bucket size, so this bounds join cost;
+    *  - tables: fewest tables reaching `targetRecall` for pairs at
+    *    `simThreshold`; if that exceeds `maxTables`, bits are walked back
+    *    (denser buckets, cheaper per-table recall) until the budget fits —
+    *    feasibility beats bucket sparsity.
+    *
+    * Corpus size can be a cheap upper estimate (file counts, metastore
+    * stats); the tuning is logarithmic in it. */
+  def tuneLsh(
+      corpusSize: Long,
+      simThreshold: Double,
+      targetRecall: Double = 0.9,
+      targetBucketSize: Int = 1000,
+      maxTables: Int = 32,
+      maxBits: Int = 24): LshParams = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(simThreshold > -1.0 && simThreshold < 1.0,
+      s"simThreshold must be in (-1, 1), got $simThreshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    def tablesFor(bits: Int): Int = {
+      val pBand = math.pow(p, bits)
+      if (pBand >= 1.0) 1
+      else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    }
+    var bits = math.min(maxBits, math.max(1,
+      math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+    while (bits > 1 && tablesFor(bits) > maxTables) bits -= 1
+    val tables = math.min(maxTables, tablesFor(bits))
+    LshParams(bits, tables,
+      corpusSize.toDouble / (1L << bits),
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables))
+  }
+
   /** Exact cosine top-k neighbours per vector (self-join, excludes self).
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {

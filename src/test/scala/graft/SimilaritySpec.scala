@@ -74,6 +74,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall@1 too low: $recall")
   }
 
+  test("auto-tuned LSH meets the recall bar with less candidate work than the fixed config") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val exactRows = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1).collect()
+    val exact = exactRows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // tune at the similarity level the corpus actually exhibits: the median
+    // top-1 cosine (a production pipeline would use a sampled estimate)
+    val cosines = exactRows.map(_.getAs[Double]("cosine")).sorted
+    val medianTop1 = cosines(cosines.length / 2)
+    val params = Similarity.tuneLsh(n, simThreshold = medianTop1,
+      targetRecall = 0.6, targetBucketSize = math.max(1, (n / 16).toInt))
+    // candidate volume scales with tables × n² / 2^bits — the tuned point
+    // must beat the hand-picked worst-case config the fixed spec uses
+    val fixedWork = 12.0 / (1 << 5)
+    val tunedWork = params.tables.toDouble / (1L << params.bits)
+    assert(tunedWork < fixedWork,
+      s"tuned $params does no less work than fixed (bits=5, tables=12)")
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 1,
+        bits = params.bits, tables = params.tables)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = exact.count { case (id, nn) => approx.get(id).contains(nn) }.toDouble / exact.size
+    assert(recall > 0.4, s"auto-tuned recall@1 too low: $recall with $params")
+  }
+
   test("declared q31 LSH near-dup config: exact subset, no false positives, recall bar") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.4)
