@@ -575,6 +575,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: stratified quota sampling — at most N docs per source, chosen
+    // by salted-md5 draw: reproducible, partitioning-independent, and
+    // SQL-replayable. Selection is a map-side partial top-k aggregate,
+    // never a full window sort per stratum.
+    "q37_quota_sample" -> ((s, dir) => {
+      graft.operators.Sampling.quotaSample(t(s, dir, "documents"),
+          groupCols = Seq("source"), idCol = "doc_id", quota = 3)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ext: deterministic source mixing — per-stratum Bernoulli rates off a
+    // salted hash draw; a narrow filter fused into the scan (no shuffle,
+    // no rand(), stable under retries/AQE).
+    "q38_source_mix" -> ((s, dir) => {
+      graft.operators.Sampling.rateSample(t(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.25)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -955,6 +978,28 @@ object SparkEntry {
     "q32_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Quota replay: rank within each stratum by the same salted 40-bit md5
+    // draw (ties by id), keep rank <= quota.
+    "q37_quota_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substring(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 10)
+        |        AS BIGINT) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mixing replay: identical draw-fraction comparison per stratum.
+    "q38_source_mix" ->
+      """WITH kept AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+        |      / 1099511627776.0
+        |    < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.25 END)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     "q35_range_join" ->
       """WITH w AS (

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data assembly.
+  *
+  * Both operators rank/draw by an md5-derived 40-bit value of the row id,
+  * never by `rand()`: runs are reproducible, results are independent of
+  * partitioning and task retries (a `rand()` sample changes under AQE
+  * re-planning or speculative execution), and any external SQL engine can
+  * replay the exact sample — the property every other hash family in this
+  * repo exploits for oracle checks.
+  */
+object Sampling {
+
+  /** 40-bit draw for `id` under `salt` — `CAST('0x' || substring(
+    * md5('salt:' || CAST(id AS VARCHAR)), 1, 10) AS BIGINT)` in SQL. */
+  private def draw40(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string")).cast("binary")), 1, 10),
+      16, 10).cast("long")
+
+  /** Stratified quota sampling: at most `quota` rows per group (stratum),
+    * the rows with the smallest salted-md5 draw — a uniform, reproducible
+    * choice within each stratum. The per-stratum cap is how corpus mixes
+    * bound any one source/language (e.g. "≤ 1M docs per (source, lang)").
+    *
+    * Scale: selection is a [[org.apache.spark.sql.graft.TopKPairs]]
+    * aggregate, NOT a `row_number()` window — partial top-k buffers
+    * combine map-side, so only `quota` rows per (group, partition) reach
+    * the shuffle instead of the whole corpus sorting inside each stratum.
+    * The keeper list (groups × quota ids) then prunes the corpus with one
+    * semi join (broadcast when small).
+    *
+    * @param idCol BIGINT row id (the TopK buffer carries long ids)
+    */
+  def quotaSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      quota: Int,
+      salt: String = "qs"): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    require(groupCols.nonEmpty, "need at least one stratum column")
+    // negative draw: TopKPairs keeps highest score first → smallest draws,
+    // ties on the 40-bit draw broken by id asc on both engine and oracle
+    val keep = df
+      .select(groupCols.map(col) :+ col(idCol).as("_id"): _*)
+      .withColumn("_score", -draw40(col("_id"), salt).cast("double"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("_score"), col("_id"), quota).as("tk"))
+      .select(explode(col("tk.neighbor_id")).as("_keep_id"))
+    df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
+  }
+
+  /** Deterministic per-stratum Bernoulli sampling — the source-mixing op:
+    * keep a row iff its salted 40-bit draw, as a fraction of 2⁴⁰, falls
+    * under its stratum's rate ("80% of web, 50% of books, 10% of the
+    * rest"). Fully NARROW — a filter fused into the scan, no shuffle, no
+    * driver state — and exact in expectation per stratum.
+    *
+    * @param rates stratum value → keep-rate in [0, 1]; unlisted strata get
+    *              `defaultRate`
+    */
+  def rateSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val frac = draw40(col(idCol), salt).cast("double") / lit(1099511627776.0) // 2^40
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(frac < rate)
+  }
+}

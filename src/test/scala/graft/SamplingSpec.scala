@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs() = {
+    val s = spark; import s.implicits._
+    (1L to 100L).map(i => (i, if (i <= 60) "web" else "books", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("quota sample keeps at most `quota` rows per stratum, deterministically") {
+    val once = Sampling.quotaSample(docs(), Seq("source"), "doc_id", quota = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val perSource = once.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSource === Map("web" -> 5, "books" -> 5))
+    // reruns (and different partitioning) choose the identical sample
+    val again = Sampling.quotaSample(docs().repartition(7), Seq("source"), "doc_id", quota = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(once.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a stratum smaller than the quota survives whole
+    val tiny = Sampling.quotaSample(docs().filter("doc_id > 98"), Seq("source"), "doc_id", 5)
+    assert(tiny.count() === 2)
+  }
+
+  test("quota sample matches the window-rank formulation it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val viaAgg = Sampling.quotaSample(docs(), Seq("source"), "doc_id", quota = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val draw = conv(substring(md5(concat(lit("qs:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(draw.asc, col("doc_id").asc)
+    val viaWindow = docs().withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("rate sample applies per-stratum rates and stays deterministic") {
+    val kept = Sampling.rateSample(docs(), "doc_id", "source",
+      rates = Map("web" -> 0.5), defaultRate = 0.0)
+    val rows = kept.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.forall(_._2 == "web"), "defaultRate=0 must drop unlisted strata")
+    // 60 web docs at rate 0.5: expect roughly half, exactly reproducible
+    assert(rows.length > 15 && rows.length < 45)
+    val again = Sampling.rateSample(docs().repartition(11), "doc_id", "source",
+      rates = Map("web" -> 0.5), defaultRate = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert(Sampling.rateSample(docs(), "doc_id", "source",
+      Map("web" -> 1.0, "books" -> 1.0)).count() === 100)
+    assert(Sampling.rateSample(docs(), "doc_id", "source", Map.empty).count() === 0)
+  }
+
+  test("rate sample is a narrow plan: no exchange before the filter") {
+    val plan = Sampling.rateSample(docs(), "doc_id", "source", Map("web" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling filter must not shuffle:\n$plan")
+  }
+}
