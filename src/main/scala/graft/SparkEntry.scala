@@ -598,6 +598,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ext: benchmark decontamination — corpus docs sharing 5-gram shingles
+    // with a probe (benchmark) set. The probe side is shingled, dedup'd and
+    // BROADCAST; the corpus flows through one narrow pass into the
+    // semi-join, and only hit rows reach the per-doc aggregation. The
+    // probe split (doc_id % 10 == 0) stands in for a held-out benchmark.
+    "q39_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationReport(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          probes = docs.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_hits"),
+          col("contaminated_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1000,6 +1016,26 @@ object SparkEntry {
         |    < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.25 END)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // Decontamination replay: same 5-gram shingles (string form — hashed
+    // 64-bit shingles on the Spark side are count-identical), same probe
+    // split, same hit aggregation.
+    "q39_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 5),
+        |probe AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE id % 10 = 0),
+        |posts AS (
+        |  SELECT id, len(s) AS n_sh, unnest(s) AS shingle FROM sh WHERE id % 10 != 0),
+        |hits AS (
+        |  SELECT id, n_sh, count(*) AS n_hits
+        |  FROM posts JOIN probe USING (shingle) GROUP BY id, n_sh)
+        |SELECT id AS doc_id, CAST(n_sh AS INT) AS n_sh, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_sh, 4) AS contaminated_frac
+        |FROM hits ORDER BY doc_id""".stripMargin,
 
     "q35_range_join" ->
       """WITH w AS (
