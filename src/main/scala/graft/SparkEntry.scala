@@ -614,6 +614,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: PII scrubbing — synthesized contact strings over customer (the
+    // slimmed testdata carries no PII-bearing columns), counted and masked
+    // by the sequential rule chain. Pure narrow map: regexp_count /
+    // regexp_replace are codegen'd built-ins; one pass, no shuffle.
+    "q40_pii_scrub" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val text = concat(
+        lit("reach "), col("c_name"),
+        when(k % 3 === 0, concat(lit(" at +1-"),
+          (lit(100) + (k * 7) % 900).cast("string"), lit("-"),
+          (lit(100) + (k * 13) % 900).cast("string"), lit("-"),
+          lpad((k % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(k % 2 === 0, concat(lit(" or "), lower(col("c_mktsegment")),
+          lit("."), k.cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(k % 5 < 2, concat(lit(" ip 10."), (k % 256).cast("string"),
+          lit(".0."), (k % 100).cast("string"))).otherwise(lit("")),
+        when(k % 7 === 0, concat(lit(" id "),
+          lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((k % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((k % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit(" end"))
+      val synth = t(s, dir, "customer").filter(k < 200)
+        .select(k.as("c_custkey"), text.as("text"))
+      graft.operators.Pii.scrub(graft.operators.Pii.scrubReport(synth, "text"), "text")
+        .select(col("c_custkey"),
+          col("n_email").cast("bigint").as("n_email"),
+          col("n_phone").cast("bigint").as("n_phone"),
+          col("n_ipv4").cast("bigint").as("n_ipv4"),
+          col("n_ssn").cast("bigint").as("n_ssn"),
+          col("text").as("scrubbed"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1036,6 +1069,39 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(n_sh AS INT) AS n_sh, n_hits,
         |  round(CAST(n_hits AS DOUBLE) / n_sh, 4) AS contaminated_frac
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // PII replay: same synthesized text, same Java∩RE2 regex rules, same
+    // sequential masking order (DuckDB regexp_replace needs the 'g' flag).
+    "q40_pii_scrub" ->
+      """WITH synth AS (
+        |  SELECT c_custkey,
+        |    'reach ' || c_name ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN ' at +1-' ||
+        |      CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+        |      CAST(100 + (c_custkey * 13) % 900 AS VARCHAR) || '-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN ' or ' || lower(c_mktsegment) ||
+        |      '.' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN c_custkey % 5 < 2 THEN ' ip 10.' ||
+        |      CAST(c_custkey % 256 AS VARCHAR) || '.0.' ||
+        |      CAST(c_custkey % 100 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN c_custkey % 7 = 0 THEN ' id ' ||
+        |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    ' end' AS text
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\+?\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?\d{1,2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
+        |FROM synth ORDER BY c_custkey""".stripMargin,
 
     "q35_range_join" ->
       """WITH w AS (
