@@ -87,4 +87,39 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming exact dedup on ingest: the first row per `keyCols` wins,
+    * replays and copies arriving within `watermarkDelay` are dropped.
+    *
+    * This is the streaming face of the batch exact-dedup operator: on an
+    * unbounded ingest feed the dedup state cannot be "the whole corpus", so
+    * the watermark bounds it — per-key state is evicted once the watermark
+    * passes, which caps state-store size by the ingest rate × delay window
+    * rather than by corpus size. Duplicates farther apart than the
+    * watermark are the batch operator's job (run it on the compacted
+    * corpus); this one kills the overwhelmingly-common near-in-time
+    * replays (retried uploads, at-least-once sources) before they are ever
+    * written.
+    */
+  def dedupOnIngest(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: join an unbounded stream against a bounded
+    * dimension table. The static side is explicitly broadcast — the stream
+    * side must never shuffle for a dimension lookup (a per-microbatch
+    * shuffle of the stream is the classic streaming-join scale bug; the
+    * dimension is re-read per batch either way, so small dims belong on the
+    * broadcast side). */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
 }

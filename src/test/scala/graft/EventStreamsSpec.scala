@@ -67,4 +67,49 @@ class EventStreamsSpec extends SparkSpec {
       ("2026-01-01 00:00:00.0", "2026-01-01 00:05:00.0", 2),
       ("2026-01-01 00:35:00.0", "2026-01-01 00:35:00.0", 1)))
   }
+
+  test("dedupOnIngest drops in-batch and cross-batch replays within the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupOnIngest(input.toDF(),
+        keyCols = Seq("event_id"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+
+    // batch 1 carries an in-batch duplicate of event 1
+    input.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "click", 1.0),
+      Event(1, ts("2026-01-01 00:00:01"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 00:01:00"), 2, "view", 2.0))
+    query.processAllAvailable()
+    // batch 2 replays both events within the watermark window
+    input.addData(
+      Event(1, ts("2026-01-01 00:02:00"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 00:03:00"), 2, "view", 2.0),
+      Event(3, ts("2026-01-01 00:04:00"), 3, "click", 3.0))
+    query.processAllAvailable()
+    val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id"))
+    query.stop()
+    assert(ids.sorted.toSeq === Seq(1L, 2L, 3L), "each key exactly once")
+  }
+
+  test("enrich joins the stream against a broadcast dimension per microbatch") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrich(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 00:01:00"), 3, "view", 2.0)) // user 3: no dim row
+    query.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("segment")).toMap
+    query.stop()
+    assert(rows === Map(1L -> "alpha", 2L -> null))
+  }
 }
