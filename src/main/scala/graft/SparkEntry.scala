@@ -647,6 +647,19 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ext: sequence packing — documents into 4000-token training packs over
+    // the canonical md5(id) order. Distributed two-phase prefix sum: only
+    // narrow (id, n_tok) rows shuffle (hash-partitioned by md5 bucket, no
+    // single-partition window); text never moves.
+    "q41_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tok"))
+      graft.operators.Packing.assignPacks(docs, "doc_id", "n_tok", budgetTokens = 4000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1102,6 +1115,26 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Packing replay: the two-phase prefix sum collapses to one global
+    // window in SQL (sum OVER the same md5 canonical order).
+    "q41_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok, ord,
+        |    CAST(sum(n_tok) OVER (ORDER BY ord, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, n_tok, ord,
+        |    CAST((cum - n_tok) // 4000 AS BIGINT) AS pack_id FROM c)
+        |SELECT doc_id, n_tok, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY pack_id ORDER BY ord, doc_id) AS INT) AS pack_pos
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q35_range_join" ->
       """WITH w AS (
