@@ -660,6 +660,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: vocabulary heavy hitters — top-100 corpus bigrams. Map-side
+    // partial combine absorbs hot n-grams before the shuffle;
+    // TakeOrderedAndProject ships only per-partition top-k, never the
+    // full vocabulary.
+    "q42_top_ngrams" -> ((s, dir) => {
+      graft.operators.Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1115,6 +1123,19 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Vocab replay: every bigram occurrence (no per-doc distinct), same
+    // (count desc, ngram asc) deterministic top-k.
+    "q42_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT ngram, count(*) AS n_occurrences
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC LIMIT 100""".stripMargin,
 
     // Packing replay: the two-phase prefix sum collapses to one global
     // window in SQL (sum OVER the same md5 canonical order).

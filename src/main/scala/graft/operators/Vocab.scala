@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus vocabulary statistics: n-gram frequencies and heavy hitters.
+  *
+  * Building a tokenizer vocabulary (or auditing corpus composition) needs
+  * "count every n-gram across 100 TB, keep the top k". The whole cost model
+  * is the one aggregation:
+  *
+  *  - the explode emits n-gram occurrences as narrow (string) rows and
+  *    feeds a hash aggregation with MAP-SIDE PARTIAL COMBINE, so hot
+  *    n-grams ("of the") collapse to one partial row per task before the
+  *    shuffle — the classic heavy-hitter skew never reaches a reducer;
+  *  - top-k is `TakeOrderedAndProject`: each partition ships only its local
+  *    top k to the driver (k rows × partitions, never the full vocabulary);
+  *  - ties at the boundary break deterministically (count desc, n-gram asc)
+  *    so the result is stable across layouts and replayable in SQL.
+  *
+  * Reference scope: the reference's summary/profiling queries over synced
+  * tables (control_migration_schema_script.sql:516–540), extended to corpus
+  * vocabulary per SURVEY §2.
+  */
+object Vocab {
+
+  /** Full n-gram frequency table `(ngram, n_occurrences)` — every
+    * occurrence counts (not per-doc distinct). One shuffle, partial-agg
+    * combined. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    df.select(explode(TextFunctions.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** The `k` most frequent n-grams, ties broken by n-gram text ascending. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ngramCounts(df, textCol, n)
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vocab
+
+class VocabSpec extends SparkSpec {
+
+  private def corpus() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat on the mat"),
+      (4L, "one"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bigram counts include every occurrence, not per-doc distinct") {
+    val counts = Vocab.ngramCounts(corpus(), "text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the cat") === 2L)  // docs 1 and 2
+    assert(counts("on the") === 2L)   // docs 1 and 3
+    assert(counts("the mat") === 2L)
+    assert(counts("cat sat") === 1L)
+    assert(!counts.contains("one"))   // sub-n docs contribute nothing
+    // total occurrences = sum over docs of max(tokens - 1, 0)
+    assert(counts.values.sum === (5 + 2 + 5 + 0))
+  }
+
+  test("topNgrams is count-desc with deterministic lexicographic tie-break") {
+    val top = Vocab.topNgrams(corpus(), "text", 2, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(
+      ("on the", 2L), ("sat on", 2L), ("the cat", 2L), ("the mat", 2L)))
+  }
+
+  test("unigram counts equal token frequencies") {
+    val counts = Vocab.ngramCounts(corpus(), "text", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the") === 4L)
+    assert(counts("one") === 1L)
+  }
+
+  test("plan: partial-agg before the shuffle, top-k never sorts globally") {
+    val wide = spark.range(10000).select(
+      concat(lit("tok"), col("id") % 50, lit(" tok"), col("id") % 7).as("text"))
+    val plan = Vocab.topNgrams(wide, "text", 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"heavy hitters must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort the vocabulary:\n$plan")
+  }
+}
