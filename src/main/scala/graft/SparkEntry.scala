@@ -668,6 +668,15 @@ object SparkEntry {
       graft.operators.Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
     }),
 
+    // ext: deterministic training shuffle — stable (shard, shard_pos)
+    // permutation of the corpus; one hash exchange on shard, per-shard
+    // rank (no single-partition window).
+    "q43_shard_shuffle" -> ((s, dir) => {
+      graft.operators.Sampling.shardAssign(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1123,6 +1132,17 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Shuffle replay: same 40-bit salted draw ('shuf:' || id), shard =
+    // draw mod 8, rank within shard by (draw, id).
+    "q43_shard_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST('0x' || substring(
+        |    md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT doc_id, CAST(draw % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY draw % 8 ORDER BY draw, doc_id) AS INT) AS shard_pos
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Vocab replay: every bigram occurrence (no per-doc distinct), same
     // (count desc, ngram asc) deterministic top-k.

@@ -78,4 +78,29 @@ object Sampling {
     }
     df.filter(frac < rate)
   }
+
+  /** Deterministic global training shuffle: every row gets a stable
+    * `(shard, shard_pos)` — shard by the salted draw mod `nShards`,
+    * position by the draw's rank within the shard. Reading shards in order
+    * replays one fixed uniform permutation of the corpus, independent of
+    * input layout; changing `salt` is a fresh epoch permutation.
+    *
+    * Scale: ONE hash exchange on `shard` plus an intra-shard sort — the
+    * data has to move once, because physically shuffling it is the
+    * operation. Rank is per-shard (parallel across `nShards` window
+    * partitions), never a global single-partition window. Writers persist
+    * with `.write.partitionBy("shard")` sorted by `shard_pos`.
+    */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "shuf"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val d = draw40(col(idCol), salt)
+    df.withColumn("shard", pmod(d, lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(d, col(idCol))))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
@@ -58,5 +59,40 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.rateSample(docs(), "doc_id", "source", Map("web" -> 0.5))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling filter must not shuffle:\n$plan")
+  }
+
+  test("shardAssign keeps every row once with contiguous per-shard positions") {
+    val n = 500
+    val df = spark.range(n).select(col("id").as("doc_id"))
+    val rows = Sampling.shardAssign(df, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length === n)
+    assert(rows.map(_._1).toSet.size === n)
+    assert(rows.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length).toSeq,
+        s"shard $shard positions not contiguous")
+      // a uniform draw should not starve or flood any shard badly
+      assert(rs.length > n / 8 / 3 && rs.length < n / 8 * 3, s"shard $shard skew")
+    }
+  }
+
+  test("shardAssign is layout-independent and salt re-keys the permutation") {
+    val df = spark.range(300).select(col("id").as("doc_id"))
+    def m(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shardAssign(d, "doc_id", 8, salt)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(df, "shuf") === m(df.repartition(13), "shuf"))
+    assert(m(df, "shuf") !== m(df, "epoch2"))
+  }
+
+  test("shardAssign plan: one hash exchange on shard, no single partition") {
+    val plan = Sampling.shardAssign(
+        spark.range(100).select(col("id").as("doc_id")), "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"per-shard rank must not serialize:\n$plan")
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"exactly one exchange expected:\n$plan")
   }
 }
