@@ -677,6 +677,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: repetition quality signals (Gopher-style) — exploded units
+    // hash-aggregate with map-side combine; shuffle keys include doc_id so
+    // a hot document spreads across the cluster.
+    "q44_repetition_stats" -> ((s, dir) => {
+      graft.operators.Repetition.stats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1132,6 +1140,41 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Repetition replay: same line/bigram explode-and-count, same
+    // (count desc, bigram asc) top-1, same rounding.
+    "q44_repetition_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, len(text) AS n_chars FROM documents),
+        |l AS (
+        |  SELECT doc_id, n_chars, unnest(string_split(text, chr(10))) AS line
+        |  FROM base),
+        |lc AS (
+        |  SELECT doc_id, n_chars, line, count(*) AS c
+        |  FROM l GROUP BY doc_id, n_chars, line),
+        |ls AS (
+        |  SELECT doc_id, n_chars, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM lc GROUP BY doc_id, n_chars),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM base),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |topg AS (
+        |  SELECT doc_id, g AS top_bigram, c FROM (
+        |    SELECT doc_id, g, c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |    FROM gc) WHERE rn = 1)
+        |SELECT ls.doc_id, n_lines,
+        |  round(CAST(dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+        |  round(CAST(dup_chars AS DOUBLE) / greatest(n_chars, 1), 6) AS dup_line_char_frac,
+        |  top_bigram,
+        |  COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0)
+        |    AS top_bigram_char_frac
+        |FROM ls LEFT JOIN topg USING (doc_id) ORDER BY ls.doc_id""".stripMargin,
 
     // Shuffle replay: same 40-bit salted draw ('shuf:' || id), shard =
     // draw mod 8, rank within shard by (draw, id).
