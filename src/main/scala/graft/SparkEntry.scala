@@ -685,6 +685,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: incremental ingestion dedup — a batch (doc_id % 5 == 0) against
+    // the standing corpus: exact fingerprint anti-join + within-batch
+    // min-id dedup + cross-corpus MinHash-LSH near-kill. Corpus flows
+    // through narrow sketch projections only.
+    "q45_dedup_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.dedupAgainst(
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          idCol = "doc_id", textCol = "text",
+          shingleN = 3, threshold = 0.5, numHashes = 64, bands = 16)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1140,6 +1154,65 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Incremental-dedup replay: q23's signature CTEs with a batch/corpus
+    // split; exact keep = min id per unseen fingerprint; near drop = any
+    // batch→corpus band collision at est_jaccard ≥ 0.5.
+    "q45_dedup_against" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text, doc_id % 5 = 0 AS is_batch FROM documents),
+        |fp AS (
+        |  SELECT id, is_batch,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM docs),
+        |exact_keep AS (
+        |  SELECT min(id) AS id FROM fp
+        |  WHERE is_batch AND f NOT IN (SELECT f FROM fp WHERE NOT is_batch)
+        |  GROUP BY f),
+        |toks AS (SELECT id, string_split(lower(text), ' ') AS t FROM docs),
+        |sh AS (
+        |  SELECT id, list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT id, unnest(s) AS shingle FROM sh)),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 65) r(i)),
+        |sig AS (
+        |  SELECT id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY id, i),
+        |banded AS (
+        |  SELECT s.id, d.is_batch, CAST((i - 1) // 4 AS INTEGER) AS band,
+        |    string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM sig s JOIN docs d ON d.id = s.id
+        |  GROUP BY s.id, d.is_batch, band),
+        |hot AS (
+        |  SELECT band, bucket FROM banded WHERE is_batch
+        |  GROUP BY band, bucket HAVING count(*) > 200
+        |  UNION
+        |  SELECT band, bucket FROM banded WHERE NOT is_batch
+        |  GROUP BY band, bucket HAVING count(*) > 200),
+        |cold AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+        |  FROM cold a JOIN cold b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.is_batch AND NOT b.is_batch),
+        |est AS (
+        |  SELECT c.batch_id, c.corpus_id,
+        |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.batch_id
+        |  JOIN sig sb ON sb.id = c.corpus_id AND sb.i = sa.i
+        |  GROUP BY c.batch_id, c.corpus_id),
+        |near_drop AS (SELECT DISTINCT batch_id AS id FROM est WHERE ej >= 0.5)
+        |SELECT id AS doc_id FROM exact_keep ANTI JOIN near_drop USING (id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Repetition replay: same line/bigram explode-and-count, same
     // (count desc, bigram asc) top-1, same rounding.

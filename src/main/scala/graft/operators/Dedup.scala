@@ -270,6 +270,97 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
   }
 
+  // ------------------------------------------------ incremental ingestion
+
+  /** Banded MinHash signatures `(id, sig, band, bucket)` — the candidate-
+    * generation shape shared by the self-join and cross-corpus paths. */
+  private def bandedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Cross-corpus MinHash-LSH candidates: `(batch_id, corpus_id,
+    * est_jaccard)` for batch docs colliding with a corpus doc in any band.
+    * Same mechanics as [[minhashLshPairs]] but the join is batch × corpus
+    * (no self-pairs): the batch — typically orders of magnitude smaller
+    * than the corpus — only meets corpus rows that share a band bucket.
+    * Buckets hot on EITHER side are dropped (the product |A|·|B| explodes
+    * on whichever side is dense). */
+  def minhashLshPairsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    // both banded tables feed a hot-bucket agg plus the join — pin (scoped)
+    val sb = caches.pin(bandedSignatures(batch, idCol, textCol, shingleN, numHashes, bands))
+    val sc = caches.pin(bandedSignatures(corpus, idCol, textCol, shingleN, numHashes, bands))
+    def hotSide(s: DataFrame) = s.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("band", "bucket")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    coldB.alias("a")
+      .join(coldC.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"),
+        (org.apache.spark.sql.graft.NativeFunctions
+          .long_positions_equal(col("a.sig"), col("b.sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
+  /** Incremental ingestion dedup: the batch minus (a) docs whose normalized
+    * fingerprint already exists in the corpus, (b) later exact copies
+    * within the batch itself (minimum id wins), and (c) docs whose MinHash
+    * signature near-matches any corpus doc at `threshold`.
+    *
+    * This is the operator a continuously-fed corpus actually runs: the
+    * 100 TB corpus flows through narrow projections only (fingerprints and
+    * banded signatures — in production both would be materialized sketch
+    * tables, built once per corpus version), the batch is small, and both
+    * drop lists end in semi/anti joins against it. Near-dups WITHIN the
+    * batch are out of scope by design — run [[nearDedupApprox]] on the
+    * batch first; the two compose. */
+  def dedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    val fpB = batch.select(col(idCol).as("_bid"), fingerprint(col(textCol)).as("_fp"))
+    val fpC = corpus.select(fingerprint(col(textCol)).as("_fp")).distinct()
+    val exactKeep = fpB
+      .join(fpC, Seq("_fp"), "left_anti")
+      .groupBy(col("_fp")).agg(min(col("_bid")).as("_keep_id"))
+      .select(col("_keep_id"))
+    val nearDrop = minhashLshPairsAgainst(batch, corpus, idCol, textCol,
+        shingleN, numHashes, bands, threshold, maxBucketSize)
+      .select(col("batch_id").as("_near_drop_id")).distinct()
+    batch
+      .join(exactKeep, batch(idCol) === col("_keep_id"), "left_semi")
+      .join(nearDrop, batch(idCol) === col("_near_drop_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, banded: split the
     * 64-bit signature into `maxHamming + 1` chunks — any pair within the
     * distance budget must agree exactly on ≥1 chunk (pigeonhole), so the

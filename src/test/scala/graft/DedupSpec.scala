@@ -99,4 +99,45 @@ class DedupSpec extends SparkSpec {
     // unrelated docs differ in far more bits than the budget
     assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(4L, 5L) })
   }
+
+  test("cross-corpus pairs only ever join batch against corpus") {
+    val s = spark; import s.implicits._
+    val batch = docs().filter($"doc_id" <= 2)   // 1 and its near-dup 2
+    val corpus = docs().filter($"doc_id" > 2)   // includes 3 = exact copy of 1
+    val pairs = Dedup.minhashLshPairsAgainst(batch, corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(pairs.forall { case (b, c) => b <= 2 && c > 2 })
+    assert(pairs.contains((1L, 3L)))  // identical after normalization
+    assert(!pairs.exists { case (b, _) => b == 2L && false })
+    // the batch-internal near pair (1,2) must NOT appear
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)))
+  }
+
+  test("dedupAgainst drops corpus dups (exact + near) and batch-internal exact copies") {
+    val s = spark; import s.implicits._
+    val corpus = docs().filter($"doc_id" === 4L || $"doc_id" === 1L)
+    val batch = Seq(
+      (10L, "THE QUICK brown fox jumps over the lazy dog near the river bank"), // exact vs corpus 1
+      (11L, "the quick brown fox jumps over the lazy dog near the river bend"), // near vs corpus 1
+      (12L, "a genuinely new document about streaming watermarks and state stores"),
+      (13L, "a genuinely new document about streaming watermarks and state stores"), // batch-internal copy
+      (14L, "short novel text that resembles nothing else in either input set"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 14L))
+  }
+
+  test("dedupAgainst vs an empty corpus reduces to within-batch exact dedup") {
+    val s = spark; import s.implicits._
+    val empty = docs().filter(org.apache.spark.sql.functions.lit(false))
+    val kept = Dedup.dedupAgainst(docs(), empty, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 3 is an exact copy of 1 (min id wins); near-dup 2 survives (near
+    // checks run only against the corpus)
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
 }
