@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -57,16 +56,19 @@ object Repetition {
         sum(when(col("_c") > 1, col("_c") * length(col("_line")))
           .otherwise(lit(0L))).as("_dup_chars"))
 
-    // --- top bigram: count per (doc, bigram) → rank 1 deterministically
-    val bigrams = base
+    // --- top bigram: count per (doc, bigram) → top-1 as an AGGREGATE, not
+    // a window: min(struct(-count, bigram)) realizes "count desc, bigram
+    // asc" through struct ordering, so the top-1 partial-combines map-side
+    // and the second exchange carries one row per (doc, partition) — a
+    // row_number window would re-sort every doc's full bigram table.
+    val topBigram = base
       .select(col(idCol), explode(TextFunctions.wordShingles(col("_text"), 2)).as("_g"))
       .groupBy(col(idCol), col("_g"))
       .agg(count(lit(1)).as("_c"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_c").desc, col("_g").asc)
-    val topBigram = bigrams
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_g").as("top_bigram"), col("_c").as("_top_c"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_c")).as("_nc"), col("_g"))).as("_top"))
+      .select(col(idCol), col("_top._g").as("top_bigram"),
+        (-col("_top._nc")).as("_top_c"))
 
     lineStats
       .join(topBigram, Seq(idCol), "left_outer")
