@@ -699,6 +699,32 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ext: FLAGSHIP training-set preparation — the LLM operators composed
+    // end-to-end exactly as a pipeline would run them: repetition-quality
+    // filter → benchmark decontamination → exact dedup → token-budget
+    // packing → pack manifest. Every stage is the declared operator, every
+    // stage is SQL-replayed by the oracle.
+    "q46_training_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = graft.operators.Repetition.stats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("top_bigram_char_frac"))
+      val quality = docs
+        .withColumn("n_tok",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .join(stats, Seq("doc_id"))
+        .filter(col("n_tok") >= 20 && col("top_bigram_char_frac") <= 0.15)
+      val clean = graft.operators.Decontaminate.decontaminate(
+        corpus = quality.filter(col("doc_id") % 10 =!= 0),
+        probes = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 5)
+      val deduped = graft.operators.Dedup.exactDedup(clean, "doc_id", "text")
+      val packed = graft.operators.Packing.assignPacks(
+        deduped.select(col("doc_id"), col("n_tok")), "doc_id", "n_tok", 2000L)
+      graft.operators.Packing.packManifest(packed, "n_tok")
+        .select(col("pack_id"), col("n_docs"), col("total_tokens"))
+        .orderBy(col("pack_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1154,6 +1180,58 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Flagship replay: each pipeline stage as a CTE — top-bigram quality
+    // gate, 5-gram probe semi-join, min-id fingerprint dedup, md5-order
+    // window packing, manifest rollup.
+    "q46_training_prep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, len(text) AS n_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+        |  FROM t2 WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |topg AS (
+        |  SELECT doc_id, g AS top_bigram, c FROM (
+        |    SELECT doc_id, g, c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |    FROM gc) WHERE rn = 1),
+        |quality AS (
+        |  SELECT b.doc_id, b.text, b.n_tok
+        |  FROM base b LEFT JOIN topg USING (doc_id)
+        |  WHERE b.n_tok >= 20 AND
+        |    COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0) <= 0.15),
+        |t3 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+        |  FROM t3 WHERE len(t) >= 5),
+        |probe AS (SELECT DISTINCT unnest(s) AS shg FROM sh WHERE doc_id % 10 = 0),
+        |posts AS (
+        |  SELECT s2.doc_id, unnest(s2.s) AS shg
+        |  FROM sh s2 JOIN quality q USING (doc_id) WHERE s2.doc_id % 10 != 0),
+        |contaminated AS (SELECT DISTINCT doc_id FROM posts JOIN probe USING (shg)),
+        |clean AS (
+        |  SELECT doc_id, text, n_tok FROM quality
+        |  WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |fpd AS (
+        |  SELECT doc_id, n_tok,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM clean),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fpd GROUP BY f),
+        |ded AS (SELECT d.doc_id, d.n_tok FROM fpd d JOIN keep k USING (doc_id)),
+        |ordd AS (SELECT doc_id, n_tok, md5(CAST(doc_id AS VARCHAR)) AS ord FROM ded),
+        |cum AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM ordd),
+        |packs AS (SELECT doc_id, n_tok, CAST((cum - n_tok) // 2000 AS BIGINT) AS pack_id FROM cum)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM packs GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     // Incremental-dedup replay: q23's signature CTEs with a batch/corpus
     // split; exact keep = min id per unseen fingerprint; near drop = any
