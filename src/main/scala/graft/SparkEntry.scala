@@ -725,6 +725,27 @@ object SparkEntry {
         .orderBy(col("pack_id"))
     }),
 
+    // ext: embedding cartography — per-label centroids (long form: one
+    // narrow row per (label, dim)) and the L2-norm profile. Vectors never
+    // cross an exchange; only (label, pos, partial-avg) rows shuffle.
+    "q47_embedding_centroids" -> ((s, dir) => {
+      graft.operators.Embeddings.groupCentroids(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"),
+          round(col("centroid"), 6).as("centroid"), col("n_vectors"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    "q48_embedding_norms" -> ((s, dir) => {
+      graft.operators.Embeddings.normStats(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("n_vectors"),
+          round(col("avg_norm"), 6).as("avg_norm"),
+          round(col("min_norm"), 6).as("min_norm"),
+          round(col("max_norm"), 6).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1180,6 +1201,27 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Embedding replay: same 0-based positions (array index - 1), same
+    // double widening before the average / norm, same rounding.
+    "q47_embedding_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, unnest(list_transform(embedding,
+        |    (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+        |  FROM embeddings)
+        |SELECT label, CAST(u.pos AS INT) AS pos,
+        |  round(avg(CAST(u.v AS DOUBLE)), 6) AS centroid, count(*) AS n_vectors
+        |FROM comp GROUP BY label, u.pos ORDER BY label, pos""".stripMargin,
+
+    "q48_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(avg(nm), 6) AS avg_norm, round(min(nm), 6) AS min_norm,
+        |  round(max(nm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     // Flagship replay: each pipeline stage as a CTE — top-bigram quality
     // gate, 5-gram probe semi-join, min-id fingerprint dedup, md5-order
