@@ -746,6 +746,15 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ext: document chunking — overlapping token windows (max 40, overlap
+    // 8), the pre-packing step for oversized docs. Fully narrow: window
+    // arithmetic inside transform+posexplode, no shuffle.
+    "q49_chunk_docs" -> ((s, dir) => {
+      graft.operators.Chunking.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", "text", maxTokens = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1201,6 +1210,25 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Chunking replay: stride 32 = 40 - 8; list_slice is end-inclusive so
+    // [i*32+1, i*32+40] is Spark's slice(start=i*32+1, length=40).
+    "q49_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks,
+        |    greatest(CAST(ceil((len(toks) - 8) / 32.0) AS INT), 1) AS n_chunks
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM d),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |    array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ')
+        |      AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Embedding replay: same 0-based positions (array index - 1), same
     // double widening before the average / norm, same rounding.
