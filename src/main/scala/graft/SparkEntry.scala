@@ -755,6 +755,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ext: spherical k-means (2 Lloyd iterations) — trains the IVF cells.
+    // Broadcast centroids, narrow assignment, long-form partial-avg
+    // reduce; driver holds only nCells × dim doubles between iterations.
+    "q50_kmeans_fit" -> ((s, dir) => {
+      graft.operators.KMeans.fit(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 8, iterations = 2)
+        .select(col("cell"), col("pos"),
+          round(col("centroid"), 6).as("centroid"), col("n_assigned"))
+        .orderBy(col("cell"), col("pos"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1210,6 +1222,42 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // K-means replay: two Lloyd iterations unrolled as CTEs — md5-ranked
+    // seeds, cosine assignment (cell asc tie-break), long-form means.
+    "q50_kmeans_fit" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM base b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |a2 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM base b CROSS JOIN c1 c) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT cell, CAST(u.pos AS INT) AS pos, avg(u.x) AS m, count(*) AS n
+        |  FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a2) GROUP BY cell, u.pos)
+        |SELECT cell, pos, round(m, 6) AS centroid, n AS n_assigned
+        |FROM m2 ORDER BY cell, pos""".stripMargin,
 
     // Chunking replay: stride 32 = 40 - 8; list_slice is end-inclusive so
     // [i*32+1, i*32+40] is Spark's slice(start=i*32+1, length=40).
