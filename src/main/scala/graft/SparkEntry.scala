@@ -767,6 +767,17 @@ object SparkEntry {
         .orderBy(col("cell"), col("pos"))
     }),
 
+    // ext: per-doc distinctive terms — smoothed TF-IDF top-3. Corpus
+    // tokenized once into (doc, term) counts; doc-frequency joins on term;
+    // the top-k window is per-doc (bounded by doc length).
+    "q51_tfidf_terms" -> ((s, dir) => {
+      graft.operators.Vocab.topTfIdfTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1222,6 +1233,26 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // TF-IDF replay: same tokenization, same smoothing
+    // (ln((N+1)/(df+1)) + 1), same (score desc, term asc) top-3.
+    "q51_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |dfreq AS (
+        |  SELECT term, ln((SELECT n_docs + 1 FROM n) / (count(*) + 1.0)) + 1 AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * d.idf AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * d.idf DESC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfreq d USING (term))
+        |SELECT doc_id, term, tf, round(score, 6) AS score, CAST(rank AS INT) AS rank
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // K-means replay: two Lloyd iterations unrolled as CTEs — md5-ranked
     // seeds, cosine assignment (cell asc tie-break), long-form means.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -41,5 +42,34 @@ object Vocab {
     ngramCounts(df, textCol, n)
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
+  }
+
+  /** Per-document distinctive terms: top `k` unigrams by smoothed TF-IDF
+    * (`tf × (ln((N+1)/(df+1)) + 1)`), ties broken by term ascending.
+    *
+    * Three aggregations, all partial-combined: term frequency per (doc,
+    * term); document frequency per term (over the same counted rows — the
+    * corpus is tokenized ONCE); a shuffle join on term attaches idf. The
+    * final top-k is a window over per-doc partitions — bounded by document
+    * length, never a global sort. Output: `(idCol, term, tf, score, rank)`.
+    */
+  def topTfIdfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(col(idCol)).distinct().count()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs + 1d)) / (col("df") + lit(1d))) + lit(1d))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 }

@@ -41,6 +41,25 @@ class VocabSpec extends SparkSpec {
     assert(counts("one") === 1L)
   }
 
+  test("tf-idf surfaces distinctive terms over ubiquitous ones") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words everywhere today"),
+      (3L, "common words again here"))
+      .toDF("doc_id", "text")
+    val top = graft.operators.Vocab.topTfIdfTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Int]("rank"))).toMap
+    // "common" is in every doc (idf = ln(4/4)+1 = 1); "zebra" df=1 →
+    // idf = ln(2)+1 ≈ 1.69 beats tf=3 × 1.0? 3.0 vs 1.69 — tf wins here,
+    // so doc 1's top term is "common" (tf=3); doc 2/3 pick their rarer words
+    assert(top(1L)._1 === "common" && top(1L)._2 === 3L)
+    assert(top(2L)._1 !== "common") // tf all 1 → highest idf (unique) wins
+    assert(top(3L)._1 !== "common")
+    assert(top.values.forall(_._3 === 1))
+  }
+
   test("plan: partial-agg before the shuffle, top-k never sorts globally") {
     val wide = spark.range(10000).select(
       concat(lit("tok"), col("id") % 50, lit(" tok"), col("id") % 7).as("text"))
