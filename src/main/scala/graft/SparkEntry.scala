@@ -778,6 +778,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ext: corpus snapshot diff — two synthesized crawl versions (membership
+    // from mod splits, content edits on %11) classified added / removed /
+    // modified / unchanged. Only (id, md5) columns cross the join.
+    "q52_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1233,6 +1248,24 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Diff replay: same splits, same content edit, same normalized
+    // fingerprints, same status rules.
+    "q52_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ofp
+        |  FROM documents WHERE doc_id % 7 != 0),
+        |n AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+        |  )), '\s+', ' ', 'g')) AS nfp
+        |  FROM documents WHERE doc_id % 5 != 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN ofp != nfp THEN 'modified' ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // TF-IDF replay: same tokenization, same smoothing
     // (ln((N+1)/(df+1)) + 1), same (score desc, term asc) top-3.
