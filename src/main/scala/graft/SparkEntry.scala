@@ -708,11 +708,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val stats = graft.operators.Repetition.stats(docs, "doc_id", "text")
         .select(col("doc_id"), col("top_bigram_char_frac"))
-      val quality = docs
+      // the filtered corpus feeds decontamination (2 reads) and, via
+      // `clean`, the dedup + packing tail — pin it (app-lifetime scope,
+      // same discipline as the pair operators' posting tables)
+      val quality = graft.operators.CacheScope.appLifetime.pin(docs
         .withColumn("n_tok",
           graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
         .join(stats, Seq("doc_id"))
-        .filter(col("n_tok") >= 20 && col("top_bigram_char_frac") <= 0.15)
+        .filter(col("n_tok") >= 20 && col("top_bigram_char_frac") <= 0.15))
       val clean = graft.operators.Decontaminate.decontaminate(
         corpus = quality.filter(col("doc_id") % 10 =!= 0),
         probes = docs.filter(col("doc_id") % 10 === 0),
