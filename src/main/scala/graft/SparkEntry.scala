@@ -796,6 +796,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: winnowing (MOSS) span-level near-dup pairs — fingerprints =
+    // per-window minima over md5-hashed token 3-grams, inverted-index join
+    // with a hot-fingerprint cap.
+    "q53_winnowing_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.winnowingPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4, minShared = 3, maxPostings = 100)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -1251,6 +1260,31 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // Winnowing replay: same 60-bit md5 k-gram hashes, same window minima
+    // (list_min over each length-4 slice), same cap and pair count.
+    "q53_winnowing_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+        |    s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)) AS hs
+        |  FROM t WHERE len(toks) >= 3),
+        |fp AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2),
+        |    i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+        |  FROM h WHERE len(hs) >= 4),
+        |posts AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |hot AS (SELECT f FROM posts GROUP BY f HAVING count(*) > 100),
+        |cold AS (SELECT p.* FROM posts p ANTI JOIN hot USING (f)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |  FROM cold a JOIN cold b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Diff replay: same splits, same content edit, same normalized
     // fingerprints, same status rules.

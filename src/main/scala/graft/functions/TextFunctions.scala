@@ -29,6 +29,24 @@ object TextFunctions {
   /** Distinct shingle set (the unit of Jaccard similarity). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    * every token `k`-gram (md5-derived 60-bit value — SQL-replayable like
+    * every hash family here), then keep the MINIMUM hash of each length-`w`
+    * window of consecutive hashes, deduplicated. Guarantee: two documents
+    * sharing a copied run of ≥ `w + k - 1` tokens share ≥ 1 fingerprint —
+    * the span-level near-dup signal (bag-level Jaccard can miss a short
+    * verbatim quote inside otherwise-different docs). Docs with fewer than
+    * `w` k-grams yield an empty set. Narrow: O(|doc|·w) per row, no
+    * shuffle. */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hs = transform(wordShingles(text, k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    when(size(hs) < w, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hs) - lit(w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
+  }
+
   /** Distinct shingles as 64-bit hashes: a running xxh64 over each n-token
     * window — no per-shingle string building, 8-byte join keys instead of
     * strings. Collision probability across a corpus is ~|shingles|²/2⁶⁴

@@ -270,6 +270,37 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Span-level near-dup pairs via winnowing fingerprints
+    * ([[graft.functions.TextFunctions.winnowedFingerprints]]): documents
+    * sharing ≥ `minShared` selected k-gram-window minima. Catches verbatim
+    * copied RUNS (quotes, boilerplate blocks, license headers) that
+    * bag-level Jaccard dilutes away in long documents. Same inverted-index
+    * shape as [[jaccardPairs]]: postings on the fingerprint hash, hot
+    * fingerprints capped, pair counts aggregated — never all-pairs. */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxPostings: Int = 100)(implicit caches: CacheScope): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // postings feed the hot-fingerprint agg plus both join sides — pin
+    val posts = caches.pin(df.select(col(idCol).as("id"),
+      explode(winnowedFingerprints(col(textCol), k, w)).as("f")))
+    val hot = posts.groupBy(col("f")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxPostings).select("f")
+    val cold = posts.join(broadcast(hot), Seq("f"), "left_anti")
+    cold.alias("a")
+      .join(cold.alias("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------ incremental ingestion
 
   /** Banded MinHash signatures `(id, sig, band, bucket)` — the candidate-

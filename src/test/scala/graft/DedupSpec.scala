@@ -130,6 +130,38 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(12L, 14L))
   }
 
+  test("winnowing pairs catch a copied span that Jaccard-level overlap would dilute") {
+    val s = spark; import s.implicits._
+    val span = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"completely unrelated opening about databases and shuffles $span and an unrelated ending about compilers and garbage collection today"),
+      (2L, s"a different frame storing rivers mountains and weather where $span appears quoted inside a much longer passage of filler text"),
+      (3L, "no shared content here at all just plain text about gardening tools"),
+      (4L, "another disjoint document describing sailing boats and harbor winds"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // the 10-token copied span ≥ w + k - 1 = 6 tokens → guaranteed shared
+    // fingerprint between docs 1 and 2
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(4L) })
+  }
+
+  test("winnowing guarantee: any run of w+k-1 tokens yields a fingerprint hit") {
+    val s = spark; import s.implicits._
+    // shared run of exactly w + k - 1 = 6 tokens, everything else disjoint
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight nine $run ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("dedupAgainst vs an empty corpus reduces to within-batch exact dedup") {
     val s = spark; import s.implicits._
     val empty = docs().filter(org.apache.spark.sql.functions.lit(false))
