@@ -53,13 +53,16 @@ object Vocab {
     * final top-k is a window over per-doc partitions — bounded by document
     * length, never a global sort. Output: `(idCol, term, tf, score, rank)`.
     */
-  def topTfIdfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def topTfIdfTerms(df: DataFrame, idCol: String, textCol: String, k: Int)(
+      implicit caches: CacheScope): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val tf = df
+    // the (doc, term) counts feed the corpus-size count, the doc-frequency
+    // aggregation AND the scoring join — pin so the corpus tokenizes once
+    val tf = caches.pin(df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val nDocs = tf.select(col(idCol)).distinct().count()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
