@@ -525,6 +525,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ext: SEMANTIC near-dedup end-to-end — embedding-space analogue of
+    // q33/q36: hyperplane-LSH cosine pairs → connected components → one
+    // keeper per cluster, survivors summarized per label. Because the
+    // hyperplane family is md5-derived (q31), the whole pipeline replays.
+    "q54_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bits = 4, tables = 8)
+        .select(col("a_id"), col("b_id"))
+      Dedup.nearDedupFromPairs(emb, "vec_id", pairs)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"))
+    }),
+
     // ext: as-of join (event/state alignment) — each click joined to the
     // user's latest at-or-before purchase, via the union-merge operator
     // (one key shuffle, no range-join explosion). DuckDB's native ASOF
@@ -1833,6 +1848,48 @@ object SparkEntry {
         |  JOIN base bb ON c.b_id = bb.id)
         |SELECT a_id, b_id, round(cos_raw, 4) AS cosine
         |FROM scored WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    // q31's hyperplane-LSH pair replay composed with q33's recursive
+    // clustering tail, summarized per label.
+    "q54_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (
+        |  SELECT t, j,
+        |    list(CAST('0x' || substring(md5('ndp:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
+        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+        |  FROM range(0, 8) rt(t), range(0, 4) rj(j), range(0, 64) ri(i)
+        |  GROUP BY t, j),
+        |buckets AS (
+        |  SELECT b.id, w.t,
+        |    CAST(sum(CASE WHEN list_inner_product(b.v, w.wv) >= 0
+        |      THEN 1 << w.j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM base b CROSS JOIN w GROUP BY b.id, w.t),
+        |hot AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > 1000),
+        |cold AS (SELECT b.* FROM buckets b ANTI JOIN hot USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN base ab ON c.a_id = ab.id
+        |  JOIN base bb ON c.b_id = bb.id
+        |  WHERE list_cosine_similarity(ab.v, bb.v) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |dropped AS (SELECT id FROM lab WHERE id <> cluster_id)
+        |SELECT label, count(*) AS n_vecs
+        |FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "q27_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -29,11 +29,12 @@ object Embeddings {
       .agg(avg(col("_v").cast("double")).as("centroid"),
         count(lit(1)).as("n_vectors"))
 
-  /** The L2 norm of a vector column, as a double. Per-row, array order —
-    * deterministic and SQL-replayable. */
+  /** The L2 norm of a vector column, as a double — the native codegen'd
+    * dot product ([[graft.functions.VectorFunctions]]), bit-identical to
+    * the ordered higher-order fold and to a SQL engine's loop. */
   def l2Norm(vec: Column): Column =
-    sqrt(aggregate(vec, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    graft.functions.VectorFunctions.l2Norm(
+      graft.functions.VectorFunctions.toDouble(vec))
 
   /** Per-group norm profile: `(groupCol, n_vectors, avg_norm, min_norm,
     * max_norm)` — the quick health check for an embedding table (a
