@@ -162,6 +162,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("randomized winnowing guarantee over planted shared runs") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7) // deterministic cases
+    val vocab = ('a' to 'z').map(_.toString)
+    def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(26)) + rnd.nextInt(1000))
+    for (_ <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3)            // 2..4
+      val w = 2 + rnd.nextInt(4)            // 2..5
+      val run = words(w + k - 1 + rnd.nextInt(5)).mkString(" ")
+      val docs = Seq(
+        (1L, (words(rnd.nextInt(10)) :+ run) ++ words(rnd.nextInt(10))),
+        (2L, (words(rnd.nextInt(10)) :+ run) ++ words(rnd.nextInt(10))),
+        (3L, words(30))) // disjoint random filler (fresh draws ≈ no overlap)
+        .map { case (id, parts) => (id, parts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+          k = k, w = w, minShared = 1)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(pairs.contains((1L, 2L)),
+        s"planted run of length >= ${w + k - 1} missed (k=$k, w=$w)")
+    }
+  }
+
   test("dedupAgainst vs an empty corpus reduces to within-batch exact dedup") {
     val s = spark; import s.implicits._
     val empty = docs().filter(org.apache.spark.sql.functions.lit(false))

@@ -69,6 +69,30 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("randomized invariants: whole docs, contiguous packs, window-reference equality") {
+    val rnd = new scala.util.Random(42) // deterministic cases
+    for (_ <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      val budget = 50L + rnd.nextInt(200)
+      val maxTok = 5 + rnd.nextInt(40)
+      val s = spark; import s.implicits._
+      val toks = (0L until n).map(i => (i, 1L + rnd.nextInt(maxTok)))
+      val df = toks.toDF("doc_id", "n_tok")
+      val got = Packing.assignPacks(df, "doc_id", "n_tok", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(got.length === n && got.map(_._1).distinct.length === n)
+      got.groupBy(_._3).foreach { case (_, rs) =>
+        assert(rs.map(_._4).sorted.toSeq === (1 to rs.length)) }
+      val packIds = got.map(_._3).distinct.sorted
+      assert(packIds.toSeq === (0L until packIds.length).toSeq, s"non-contiguous: $packIds")
+      // overflow bound: total per pack minus its max doc < budget
+      got.groupBy(_._3).foreach { case (p, rs) =>
+        val total = rs.map(_._2).sum
+        assert(total - rs.map(_._2).max < budget, s"pack $p over budget: $total")
+      }
+    }
+  }
+
   test("no global single-partition window in the plan") {
     val plan = Packing.assignPacks(corpus(), "doc_id", "n_tok", budget)
       .queryExecution.executedPlan.toString
