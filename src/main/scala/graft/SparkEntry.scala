@@ -525,6 +525,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ext: SimHash-sourced near-dedup end-to-end — with q33 (exact
+    // Jaccard), q36 (MinHash-LSH) and q54 (embedding LSH), every pair
+    // family now composes through the identical cluster/keeper tail, all
+    // hash-verified.
+    "q55_simhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+        .select(col("a_id"), col("b_id"))
+      Dedup.nearDedupFromPairs(docs, "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ext: SEMANTIC near-dedup end-to-end — embedding-space analogue of
     // q33/q36: hyperplane-LSH cosine pairs → connected components → one
     // keeper per cluster, survivors summarized per label. Because the
@@ -1848,6 +1862,54 @@ object SparkEntry {
         |  JOIN base bb ON c.b_id = bb.id)
         |SELECT a_id, b_id, round(cos_raw, 4) AS cosine
         |FROM scored WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    // q24's SimHash pair replay composed with q33's recursive clustering
+    // tail, summarized per language.
+    "q55_simhash_dedup" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tok AS (SELECT id, unnest(t) AS tk FROM docs),
+        |bits AS (
+        |  SELECT id, b,
+        |    (CAST('0x' || substring(md5(tk), 1 + b // 4, 1) AS INT) >> (b % 4)) & 1 AS bit
+        |  FROM tok, range(0, 64) r(b)),
+        |votes AS (
+        |  SELECT id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY id, b),
+        |sigbits AS (
+        |  SELECT id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS sbit FROM votes),
+        |chunks AS (
+        |  SELECT id, CAST(b // 8 AS INTEGER) AS chunk,
+        |    CAST(sum(sbit << (b % 8)) AS BIGINT) AS value
+        |  FROM sigbits GROUP BY id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.id < b.id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.id = c.a_id
+        |  JOIN sigbits sb ON sb.id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id FROM ham WHERE hamming <= 7),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |dropped AS (SELECT id FROM lab WHERE id <> cluster_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q31's hyperplane-LSH pair replay composed with q33's recursive
     // clustering tail, summarized per label.
