@@ -32,10 +32,17 @@ import org.apache.spark.storage.StorageLevel
 final class CacheScope {
   private val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
 
-  /** Persist `df` (MEMORY_AND_DISK) and track it for [[release]]. */
+  /** Persist `df` (MEMORY_AND_DISK) and track it for [[release]].
+    * Idempotent per logical plan: re-pinning an already-cached plan (the
+    * bench re-constructing the same query, a second pass) neither
+    * re-persists nor appends another tracked reference — without this the
+    * shared [[CacheScope.appLifetime]] buffer would grow by one plan
+    * reference per operator invocation, forever. */
   private[graft] def pin(df: DataFrame): DataFrame = synchronized {
-    pinned += df
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (df.storageLevel == StorageLevel.NONE) { // CacheManager plan lookup
+      pinned += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    } else df
   }
 
   /** Unpersist every tracked DataFrame (non-blocking) and forget them.

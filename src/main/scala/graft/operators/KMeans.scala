@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -60,17 +59,27 @@ object KMeans {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0), 0L) }.toSeq
 
     for (_ <- 1 to iterations) {
+      // zero-norm guard: a cell whose members averaged to the zero vector
+      // (exactly opposite embeddings) would make sim = 0/0 = NaN, which
+      // Spark sorts ABOVE every real cosine — the degenerate cell would
+      // capture the whole corpus. Drop such cells instead (they carry no
+      // direction); never triggered when inputs are real embeddings.
+      val live = centroids.filter { case (_, v, _) => v.exists(_ != 0.0) }
       val cDf = spark.createDataFrame(
-          centroids.map { case (cell, v, _) => (cell, v) })
+          live.map { case (cell, v, _) => (cell, v) })
         .toDF("cell", "c_v")
         .withColumn("c_nrm", l2Norm(col("c_v")))
-      val assignW = Window.partitionBy(col("id"))
-        .orderBy(col("sim").desc, col("cell").asc)
+      // argmax as a partial-combining AGGREGATE, not a per-id window: the
+      // crossJoin emits each row's nCells candidates consecutively in its
+      // own partition, so max_by collapses them map-side and the exchange
+      // ships ONE row per vector — never corpus × nCells. Tie-break:
+      // max of struct(sim, -cell) = highest sim, then lowest cell.
       val assigned = base.crossJoin(broadcast(cDf))
         .withColumn("sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-        .withColumn("rnk", row_number().over(assignW))
-        .filter(col("rnk") === 1)
-        .select(col("cell"), col("v"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cell"), col("v")),
+          struct(col("sim"), -col("cell"))).as("_best"))
+        .select(col("_best.cell").as("cell"), col("_best.v").as("v"))
       // long-form mean: map-side partial avg over (cell, pos); collect is
       // control-plane (≤ nCells × dim rows)
       val rows: Array[Row] = assigned

@@ -42,14 +42,16 @@ object Packing {
       df: DataFrame,
       idCol: String,
       tokenCol: String,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long)(implicit caches: CacheScope): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     val spark = df.sparkSession
     val ord = md5(col(idCol).cast("string"))
-    val narrow = df
+    // read twice (bucket-totals collect + the final window/join) — pin so
+    // the upstream (often a full tokenize of the corpus) runs once
+    val narrow = caches.pin(df
       .select(col(idCol), col(tokenCol).cast("long").as(tokenCol))
       .withColumn("_ord", ord)
-      .withColumn("_bucket", conv(substring(col("_ord"), 1, 2), 16, 10).cast("int"))
+      .withColumn("_bucket", conv(substring(col("_ord"), 1, 2), 16, 10).cast("int")))
 
     val intraW = Window.partitionBy(col("_bucket"))
       .orderBy(col("_ord"), col(idCol))

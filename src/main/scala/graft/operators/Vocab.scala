@@ -63,10 +63,13 @@ object Vocab {
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf")))
-    val nDocs = tf.select(col(idCol)).distinct().count()
+    // corpus size as a broadcast 1-row aggregate, NOT a driver count():
+    // building the plan stays lazy (no Spark job at construction time)
+    val nDocs = tf.agg(count_distinct(col(idCol)).as("_n"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("idf",
-        log((lit(nDocs + 1d)) / (col("df") + lit(1d))) + lit(1d))
+        log((col("_n") + lit(1d)) / (col("df") + lit(1d))) + lit(1d))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))

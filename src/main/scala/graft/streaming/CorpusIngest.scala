@@ -31,9 +31,13 @@ object CorpusIngest {
       watermarkDelay: String = "10 minutes",
       piiRules: Seq[Pii.Rule] = Pii.defaultRules): DataFrame =
     Pii.scrub(
-        stream.filter(TextFunctions.tokenCount(col(textCol)) >= minTokens),
+        stream.filter(TextFunctions.tokenCount(col(textCol)) >= minTokens)
+          // fingerprint the RAW text, before masking: two distinct docs that
+          // differ only inside PII spans must NOT collapse into one after
+          // scrubbing ('contact alice@… for offer X' vs 'contact bob@… for
+          // offer X' are different documents)
+          .withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
         textCol, piiRules)
-      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
