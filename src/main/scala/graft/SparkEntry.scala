@@ -477,6 +477,20 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: TRAINED IVF — the k-means cells (one Lloyd iteration) feed the
+    // IVF index instead of sampled centroids: trainer → index composed,
+    // still fully SQL-replayable.
+    "q56_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fitted = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
+        nCells = 8, iterations = 1)
+      Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+          graft.operators.KMeans.centroidVectors(fitted), k = 3, nProbe = 2)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: hyperplane-LSH approximate top-k. The hyperplane weights are
     // md5-derived per (seed, bit, dim), so the bucketing — and with it the
     // whole approximate result — replays exactly in SQL (recall vs the
@@ -1862,6 +1876,47 @@ object SparkEntry {
         |  JOIN base bb ON c.b_id = bb.id)
         |SELECT a_id, b_id, round(cos_raw, 4) AS cosine
         |FROM scored WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    // q50's one-iteration k-means CTEs feeding q29's IVF replay.
+    "q56_ivf_trained" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM base b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |sims AS (
+        |  SELECT b.id, b.v, c.cell,
+        |    row_number() OVER (PARTITION BY b.id
+        |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |  FROM base b CROSS JOIN c1 c),
+        |assigned AS (SELECT id, cell FROM sims WHERE c_rank = 1),
+        |probes AS (SELECT id AS q_id, cell FROM sims WHERE c_rank <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
+        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
+        |ranked AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+        |  FROM cand c
+        |  JOIN base qb ON c.vec_id = qb.id
+        |  JOIN base nb ON c.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // q24's SimHash pair replay composed with q33's recursive clustering
     // tail, summarized per language.

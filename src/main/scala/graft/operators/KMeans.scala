@@ -100,4 +100,13 @@ object KMeans {
       v.zipWithIndex.map { case (x, pos) => (cell, pos, x, n) }
     }).toDF("cell", "pos", "centroid", "n_assigned")
   }
+
+  /** Fitted centroids re-assembled as vectors `(cell, c_v: array<double>)`
+    * — the shape [[Similarity.ivfTopKWithCentroids]] consumes. Components
+    * sort by `pos` (unique per cell), so assembly is deterministic. */
+  def centroidVectors(fitted: DataFrame): DataFrame =
+    fitted.groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("c_v"))
 }

@@ -180,6 +180,35 @@ object Similarity {
       .withColumn("_h", md5(col("id").cast("string").cast("binary")))
       .orderBy(col("_h")).limit(nCells)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    ivfFromCentroids(base, centroids, k, nProbe)
+  }
+
+  /** [[ivfTopK]] over EXTERNAL centroids — e.g. the fitted cells of
+    * [[KMeans.fit]] (via [[KMeans.centroidVectors]]) instead of the
+    * md5-sampled ones: the trained index. `centroids` must carry
+    * `(cell, c_v: array<double>)`; zero-norm centroids are dropped (their
+    * cosine is undefined — same guard as the trainer). */
+  def ivfTopKWithCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cents = centroids
+      .select(col("cell").as("c_id"), col("c_v"))
+      .withColumn("c_nrm", l2Norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+    ivfFromCentroids(base, cents, k, nProbe)
+  }
+
+  private def ivfFromCentroids(
+      base: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
     // nearest-centroid ranking (1 broadcast-nested-loop over nCells rows);
     // assignment (rank 1) and probing (rank ≤ nProbe) both derive from the
     // SAME ranked subtree, so the window's exchange is computed once and

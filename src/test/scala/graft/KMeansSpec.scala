@@ -49,4 +49,19 @@ class KMeansSpec extends SparkSpec {
       centroidMap(KMeans.fit(df, "vec_id", "embedding", 2, 2))
     assert(run(twoClusters()) === run(twoClusters().repartition(5)))
   }
+
+  test("centroidVectors reassembles components in pos order; trained IVF runs") {
+    val fitted = KMeans.fit(twoClusters(), "vec_id", "embedding", 2, 3)
+    val vecs = graft.operators.KMeans.centroidVectors(fitted)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(0).length === 3 && vecs(1).length === 3)
+    assert(math.abs(vecs(0)(1) - 0.95) < 1e-6) // cluster-Y mean, dim 1
+    // trained-index ANN end-to-end: every vector finds its cluster-mate
+    val nn = graft.operators.Similarity.ivfTopKWithCentroids(
+        twoClusters(), "vec_id", "embedding",
+        graft.operators.KMeans.centroidVectors(fitted), k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nn(1L) === 2L && nn(2L) === 1L) // cluster X mates
+    assert(nn(3L) === 4L && nn(4L) === 3L) // cluster Y mates
+  }
 }
