@@ -1755,11 +1755,13 @@ object SparkEntry {
         |cent AS (
         |  SELECT id AS c_id, v AS c_v FROM base
         |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+        |centlive AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM cent WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
         |sims AS (
         |  SELECT b.id, b.v, c.c_id,
         |    row_number() OVER (PARTITION BY b.id
         |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
-        |  FROM base b CROSS JOIN cent c),
+        |  FROM base b CROSS JOIN centlive c),
         |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
         |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= 4),
         |cand AS (
@@ -1896,12 +1898,15 @@ object SparkEntry {
         |    SELECT cell, unnest(list_transform(v,
         |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
         |    FROM a1) GROUP BY cell, u.pos),
-        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
         |sims AS (
         |  SELECT b.id, b.v, c.cell,
         |    row_number() OVER (PARTITION BY b.id
         |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
-        |  FROM base b CROSS JOIN c1 c),
+        |  FROM base b CROSS JOIN c1live c),
         |assigned AS (SELECT id, cell FROM sims WHERE c_rank = 1),
         |probes AS (SELECT id AS q_id, cell FROM sims WHERE c_rank <= 2),
         |cand AS (

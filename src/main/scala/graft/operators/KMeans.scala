@@ -42,13 +42,16 @@ object KMeans {
       idCol: String,
       vecCol: String,
       nCells: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int)(implicit caches: CacheScope): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = df.sparkSession
-    val base = df
+    // read once per iteration plus the seed scan — pin; the idempotent
+    // scope also shares this entry with a composed ivfTopKWithCentroids
+    // (identical normalized-base plan)
+    val base = caches.pin(df
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("nrm", l2Norm(col("v"))))
       .filter(col("nrm") > 0)
 
     // seeds: md5-smallest ids, cell = 0-based rank in md5 order

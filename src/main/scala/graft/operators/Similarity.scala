@@ -173,9 +173,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      nProbe: Int = 4)(implicit caches: graft.operators.CacheScope): DataFrame = {
+    // base feeds the centroid sample AND the ranked subtree — pin (the
+    // idempotent scope also lets a composed trainer share the same entry)
+    val base = caches.pin(df
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))))
     val centroids = base
       .withColumn("_h", md5(col("id").cast("string").cast("binary")))
       .orderBy(col("_h")).limit(nCells)
@@ -186,21 +189,22 @@ object Similarity {
   /** [[ivfTopK]] over EXTERNAL centroids — e.g. the fitted cells of
     * [[KMeans.fit]] (via [[KMeans.centroidVectors]]) instead of the
     * md5-sampled ones: the trained index. `centroids` must carry
-    * `(cell, c_v: array<double>)`; zero-norm centroids are dropped (their
-    * cosine is undefined — same guard as the trainer). */
+    * `(cell, c_v: array<double>)`. */
   def ivfTopKWithCentroids(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      nProbe: Int)(implicit caches: graft.operators.CacheScope): DataFrame = {
+    // identical plan to the trainer's base → the idempotent pin resolves
+    // to the SAME cache entry when composed after KMeans.fit
+    val base = caches.pin(df
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))))
     val cents = centroids
       .select(col("cell").as("c_id"), col("c_v"))
       .withColumn("c_nrm", l2Norm(col("c_v")))
-      .filter(col("c_nrm") > 0)
     ivfFromCentroids(base, cents, k, nProbe)
   }
 
@@ -209,13 +213,19 @@ object Similarity {
       centroids: DataFrame,
       k: Int,
       nProbe: Int): DataFrame = {
+    // zero-norm guard for BOTH entry points: a dead centroid (sampled
+    // zero-norm embedding, or a fitted cell that averaged to zero) makes
+    // every c_sim NaN; Spark sorts NaN above all finite doubles, so the
+    // dead cell would win rank 1 for the entire corpus and the cell join
+    // degenerates to corpus². Drop it before ranking.
+    val live = centroids.filter(col("c_nrm") > 0)
     // nearest-centroid ranking (1 broadcast-nested-loop over nCells rows);
     // assignment (rank 1) and probing (rank ≤ nProbe) both derive from the
     // SAME ranked subtree, so the window's exchange is computed once and
     // reused across the two join sides (ReuseExchange)
     val assignW = Window.partitionBy(col("id"))
       .orderBy(col("c_sim").desc, col("c_id").asc)
-    val ranked = base.crossJoin(broadcast(centroids))
+    val ranked = base.crossJoin(broadcast(live))
       .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
       .withColumn("c_rank", row_number().over(assignW))
       .filter(col("c_rank") <= nProbe)
