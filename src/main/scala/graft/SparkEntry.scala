@@ -711,6 +711,16 @@ object SparkEntry {
       graft.operators.Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
     }),
 
+    // ext: deterministic train/val/test split — salted-draw interval
+    // assignment, disjoint + exhaustive by construction, narrow plan.
+    "q57_dataset_split" -> ((s, dir) => {
+      graft.operators.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
     // ext: deterministic training shuffle — stable (shard, shard_pos)
     // permutation of the corpus; one hash exchange on shard, per-shard
     // rank (no single-partition window).
@@ -1588,6 +1598,21 @@ object SparkEntry {
         |  COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0)
         |    AS top_bigram_char_frac
         |FROM ls LEFT JOIN topg USING (doc_id) ORDER BY ls.doc_id""".stripMargin,
+
+    // Split replay: same 40-bit draw ('split:' || id), same cumulative
+    // interval bounds.
+    "q57_dataset_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+        |      / 1099511627776.0 AS frac
+        |  FROM documents)
+        |SELECT CASE WHEN frac < 0.8 THEN 'train'
+        |            -- 0.8 + 0.1, NOT the literal 0.9: the engine folds
+        |            -- cumulative bounds in IEEE doubles (= 0.90000000000000013…)
+        |            WHEN frac < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM d GROUP BY split ORDER BY split""".stripMargin,
 
     // Shuffle replay: same 40-bit salted draw ('shuf:' || id), shard =
     // draw mod 8, rank within shard by (draw, id).

@@ -79,6 +79,33 @@ object Sampling {
     df.filter(frac < rate)
   }
 
+  /** Deterministic named dataset split ("train"/"val"/"test"…): each row's
+    * salted 40-bit draw, as a fraction of 2⁴⁰, lands in the cumulative
+    * interval of exactly one split. Fully narrow (a projection fused into
+    * the scan), reproducible across runs/layouts, disjoint and exhaustive
+    * by construction, and replayable in SQL — the properties `rand()`
+    * splits famously lack (a retried task re-draws and a doc lands in
+    * both train and test).
+    *
+    * @param splits ordered (name, fraction); fractions must sum to 1 */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "need non-empty splits with positive fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val frac = draw40(col(idCol), salt).cast("double") / lit(1099511627776.0) // 2^40
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), bound)) =>
+        when(frac < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Deterministic global training shuffle: every row gets a stable
     * `(shard, shard_pos)` — shard by the salted draw mod `nShards`,
     * position by the draw's rank within the shard. Reading shards in order

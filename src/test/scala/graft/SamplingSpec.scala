@@ -86,6 +86,35 @@ class SamplingSpec extends SparkSpec {
     assert(m(df, "shuf") !== m(df, "epoch2"))
   }
 
+  test("assignSplit is disjoint, exhaustive, deterministic, and ratio-faithful") {
+    val df = spark.range(2000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplit(df, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length === 2000) // every row exactly once
+    val byName = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > 1500 && byName("train") < 1700) // ~1600 ± noise
+    assert(byName("val") > 120 && byName("val") < 280)
+    // stable under repartition; salt re-keys
+    val again = Sampling.assignSplit(df.repartition(9), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === got.toMap)
+    val rekeyed = Sampling.assignSplit(df, "doc_id", splits, salt = "epoch2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rekeyed !== got.toMap)
+  }
+
+  test("assignSplit rejects bad fractions; plan stays narrow") {
+    val df = spark.range(10).select(col("id").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    val plan = Sampling.assignSplit(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+
   test("shardAssign plan: one hash exchange on shard, no single partition") {
     val plan = Sampling.shardAssign(
         spark.range(100).select(col("id").as("doc_id")), "doc_id", 8)
