@@ -36,4 +36,24 @@ class CorpusIngestSpec extends SparkSpec {
     assert(rows.keySet === Set(1L, 3L, 4L)) // 2 gated, 9 deduped by fingerprint
     assert(rows(3L) === "contact me at [EMAIL] please")
   }
+
+  test("docs differing only inside PII spans are NOT conflated by the scrub") {
+    // regression: fingerprints must hash the RAW text — after scrubbing,
+    // these two distinct form letters become byte-identical
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = CorpusIngest.prepare(input.toDF(), "text", "ts", minTokens = 4)
+      .writeStream.format("memory").queryName("pii_distinct")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Doc(1L, ts("2026-01-01 00:00:00"), "contact alice@a.com for offer x"),
+      Doc(2L, ts("2026-01-01 00:00:05"), "contact bob@b.com for offer x"))
+    query.processAllAvailable()
+    val rows = spark.table("pii_distinct").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    query.stop()
+    assert(rows.keySet === Set(1L, 2L), "PII-differing docs must both survive")
+    assert(rows.values.toSet === Set("contact [EMAIL] for offer x"))
+  }
 }

@@ -50,6 +50,33 @@ class KMeansSpec extends SparkSpec {
     assert(run(twoClusters()) === run(twoClusters().repartition(5)))
   }
 
+  test("a cell that averages to the zero vector is dropped, never NaN-captures") {
+    val s = spark; import s.implicits._
+    // one cell, two exactly opposite vectors: iteration-1 mean is the zero
+    // vector; the guard drops the dead cell instead of letting NaN
+    // similarity swallow the corpus on iteration 2
+    val opposite = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.fit(opposite, "vec_id", "embedding", nCells = 1, iterations = 2)
+    assert(out.count() === 0L, "dead cell must vanish, not dominate")
+  }
+
+  test("ivfTopKWithCentroids drops zero-norm centroids instead of NaN-ranking them") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(1.0, 0.15)))
+      .toDF("cell", "c_v")
+    val nn = graft.operators.Similarity.ivfTopKWithCentroids(
+        vecs, "vec_id", "embedding", cents, k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both vectors must land in the LIVE cell (1) and find each other;
+    // the dead cell would have NaN-won every ranking if unguarded
+    assert(nn === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("centroidVectors reassembles components in pos order; trained IVF runs") {
     val fitted = KMeans.fit(twoClusters(), "vec_id", "embedding", 2, 3)
     val vecs = graft.operators.KMeans.centroidVectors(fitted)
