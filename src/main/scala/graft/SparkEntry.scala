@@ -711,6 +711,14 @@ object SparkEntry {
       graft.operators.Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
     }),
 
+    // ext: length-distribution histogram per source — bin id is a pure
+    // projection, one partial-combined aggregation.
+    "q58_length_histogram" -> ((s, dir) => {
+      graft.operators.Profile.histogram(t(s, dir, "documents"), "n_chars",
+          nBins = 10, lo = 0.0, hi = 2000.0, groupCols = Seq("source"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // ext: deterministic train/val/test split — salted-draw interval
     // assignment, disjoint + exhaustive by construction, narrow plan.
     "q57_dataset_split" -> ((s, dir) => {
@@ -1598,6 +1606,19 @@ object SparkEntry {
         |  COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0)
         |    AS top_bigram_char_frac
         |FROM ls LEFT JOIN topg USING (doc_id) ORDER BY ls.doc_id""".stripMargin,
+
+    // Histogram replay: same right-open-except-last binning, same
+    // double-precision edge arithmetic.
+    "q58_length_histogram" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(n_chars AS DOUBLE) = 2000.0 THEN 9
+        |         ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 200.0) AS INT) END AS bin
+        |  FROM documents
+        |  WHERE CAST(n_chars AS DOUBLE) >= 0.0 AND CAST(n_chars AS DOUBLE) <= 2000.0)
+        |SELECT source, bin, 0.0 + bin * 200.0 AS lo_edge,
+        |  0.0 + (bin + 1) * 200.0 AS hi_edge, count(*) AS n_rows
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     // Split replay: same 40-bit draw ('split:' || id), same cumulative
     // interval bounds.

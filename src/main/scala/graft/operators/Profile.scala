@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric profiling: fixed-width histograms over a column, optionally per
+  * group — the corpus-health visual every curation pass starts from
+  * (length distributions, score distributions, norm distributions).
+  *
+  * One hash aggregation with map-side partial combine: the bin id is a
+  * pure projection (`floor((v − lo) / w)`), so the shuffle carries one row
+  * per (group, bin, partition) no matter how large the input. Bin edges
+  * travel in the output for direct plotting. Values outside `[lo, hi]` are
+  * excluded (count them separately if they matter); `v = hi` lands in the
+  * last bin, matching the usual right-open-except-last convention.
+  *
+  * Reference scope: the reference's profiling/summary queries
+  * (control_migration_schema_script.sql:516–540) extended to distribution
+  * shape, per SURVEY §2.
+  */
+object Profile {
+
+  /** `(groupCols…, bin, lo_edge, hi_edge, n_rows)`, one row per non-empty
+    * bin. `bin` is 0-based; empty bins are absent (left join a
+    * `spark.range(nBins)` scaffold if a dense axis is needed). */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      lo: Double,
+      hi: Double,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val w = (hi - lo) / nBins
+    val v = col(valueCol).cast("double")
+    val bin = when(v === hi, lit(nBins - 1))
+      .otherwise(floor((v - lit(lo)) / lit(w)).cast("int"))
+    val keys = groupCols.map(col) :+ bin.as("bin")
+    df.filter(v >= lo && v <= hi)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(groupCols.map(col) ++ Seq(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("hi_edge"),
+        col("n_rows")): _*)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+
+  test("histogram bins values with right-open-except-last edges") {
+    val s = spark; import s.implicits._
+    val df = Seq(0.0, 0.5, 1.0, 1.5, 9.99, 10.0, -0.1, 10.1).toDF("v")
+    val h = Profile.histogram(df, "v", nBins = 5, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Double]("lo_edge"), r.getAs[Double]("hi_edge"), r.getAs[Long]("n_rows")))
+      .toMap
+    assert(h(0) === ((0.0, 2.0, 4L)))  // 0.0, 0.5, 1.0, 1.5
+    assert(h(4)._3 === 2L)             // 9.99 and the exact-hi 10.0
+    assert(h.values.map(_._3).sum === 6L) // -0.1 and 10.1 excluded
+  }
+
+  test("per-group histograms keep groups independent") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 1.2), ("b", 9.0)).toDF("g", "v")
+    val h = Profile.histogram(df, "v", 10, 0.0, 10.0, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(h(("a", 1)) === 2L && h(("b", 9)) === 1L && h.size === 2)
+  }
+
+  test("plan: one partial-combined aggregation, bin as a projection") {
+    val plan = Profile.histogram(
+        spark.range(1000).select((col("id") % 17).cast("double").as("v")),
+        "v", 8, 0.0, 17.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"must combine map-side:\n$plan")
+    assert(plan.split("Exchange").length - 1 === 1, s"one exchange only:\n$plan")
+  }
+}
