@@ -711,6 +711,18 @@ object SparkEntry {
       graft.operators.Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
     }),
 
+    // ext: trailing-window event features — per-user aggregates over the
+    // preceding 30 minutes (RANGE frame over epoch seconds: simultaneous
+    // events are symmetric, results layout-independent).
+    "q59_trailing_features" -> ((s, dir) => {
+      graft.operators.EventFeatures.trailingWindow(events(s, dir),
+          keyCols = Seq("user_id"), tsCol = "ts", valueCol = "value",
+          windowSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("n_events_w"),
+          round(col("sum_value_w"), 3).as("sum_value_w"))
+        .orderBy(col("event_id"))
+    }),
+
     // ext: length-distribution histogram per source — bin id is a pure
     // projection, one partial-combined aggregation.
     "q58_length_histogram" -> ((s, dir) => {
@@ -1606,6 +1618,20 @@ object SparkEntry {
         |  COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0)
         |    AS top_bigram_char_frac
         |FROM ls LEFT JOIN topg USING (doc_id) ORDER BY ls.doc_id""".stripMargin,
+
+    // Trailing-feature replay: same floor-to-second epoch (DuckDB epoch()
+    // is fractional — floor it to match unix_timestamp), same RANGE frame.
+    "q59_trailing_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_events_w,
+        |  round(sum(value) OVER w, 3) AS sum_value_w
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Histogram replay: same right-open-except-last binning, same
     // double-precision edge arithmetic.
