@@ -8,8 +8,9 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q01_pricing_summary", "q02_join_residual", "q04_topk_orders",
-      "q13_cdc_merge", "q15_jaccard_pairs", "q18_topk_cosine")
+      "q01_pricing_summary", "q02_join_residual", "q13_cdc_merge",
+      "q15_jaccard_pairs", "q29_ivf_topk", "q39_decontaminate",
+      "q41_pack_sequences", "q46_training_prep", "q56_ivf_trained")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
