@@ -44,7 +44,11 @@ object IncrementalMerge {
     if (pending.isEmpty) return -1L // "No files to process." (sql:422)
 
     val target = store.read(spark, meta.targetTableName)
-    val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema, withOp = true)
+    // order-only row ids: latest-per-PK compares (file, row) lexicographically
+    // and never reads the row number itself — skipping the exact-numbering
+    // window removes a full shuffle+sort of every change batch
+    val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema,
+      withOp = true, exactRowNumbers = false)
     val pks = meta.pkColumns
     val batch = ChangeApplier.latestPerKey(changes, pks).cache()
     val rows = applyBatch(spark, store, meta.targetTableName, batch, pks)

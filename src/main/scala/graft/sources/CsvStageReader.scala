@@ -31,19 +31,29 @@ object CsvStageReader {
     *
     * @param withOp if true, column 0 is the DMS op code (`$1::varchar(1) as
     *               op`, sql:291) and the data columns follow.
+    * @param exactRowNumbers when true, `_row_in_file` is the exact 1-based
+    *               per-file row number (W4 contract) — costs one window
+    *               shuffle. When false, `_row_in_file` is only a MONOTONE
+    *               ORDER within each file (`monotonically_increasing_id`,
+    *               no shuffle) — sufficient for latest-per-key merges,
+    *               which compare (file, row) lexicographically and never
+    *               read the number itself. At change-batch scale this
+    *               removes a full shuffle+sort of every batch.
     */
   def read(
       spark: SparkSession,
       files: Seq[String],
       target: StructType,
       withOp: Boolean,
-      needRowNumbers: Boolean = true): DataFrame = {
+      needRowNumbers: Boolean = true,
+      exactRowNumbers: Boolean = true): DataFrame = {
     require(files.nonEmpty, "file list must be non-empty (probe first: A3)")
-    // _row_in_file is only correct when each CSV file is a single split
-    // (Spark orders split partitions by size, not file offset, so a split
-    // file would interleave). DMS change files are MB-scale; enforce the
-    // assumption instead of silently mis-numbering. Callers that don't use
-    // row numbers (full loads) skip the guard — and the window.
+    // _row_in_file (exact OR order-only) is only correct when each CSV file
+    // is a single split (Spark orders split partitions by size, not file
+    // offset, so a split file would interleave). DMS change files are
+    // MB-scale; enforce the assumption instead of silently mis-numbering.
+    // Callers that don't use row numbers (full loads) skip the guard — and
+    // the window.
     if (needRowNumbers) {
       val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
@@ -75,26 +85,29 @@ object CsvStageReader {
     val offset = if (withOp) 1 else 0
     val opCol: Seq[Column] =
       if (withOp) Seq(substring(col("_c0"), 1, 1).as("op")) else Seq.empty
-    // Drift guard fused into column 0 (a PK in every DMS table — always
-    // consumed): any populated probe cell aborts the scan naming the file,
-    // instead of positionally mis-casting the whole batch. A column REMOVED
-    // upstream is indistinguishable from legitimate trailing NULLs row-wise
-    // and surfaces as such — only widening is detectable here.
+    // Drift guard as a standalone FILTER on the probe column: any populated
+    // probe cell aborts the scan naming the file, instead of positionally
+    // mis-casting the whole batch. A Filter referencing `_c$width` keeps the
+    // probe column alive through Catalyst column pruning no matter which
+    // data columns a downstream projection consumes (a guard fused into one
+    // data column's expression would vanish with that column). A column
+    // REMOVED upstream is indistinguishable from legitimate trailing NULLs
+    // row-wise and surfaces as such — only widening is detectable here.
     val driftMsg = concat(
       lit("schema drift: staged file "), col("_file_name"),
       lit(s" carries more than ${target.fields.length} data columns " +
         s"(target schema: ${target.fields.map(_.name).mkString(", ")}); " +
         "re-baseline with a full load or widen the target first"))
+    val guarded = raw.filter(
+      when(col(s"_c$width").isNotNull, raise_error(driftMsg).cast("boolean"))
+        .otherwise(lit(true)))
     val dataCols = target.fields.zipWithIndex.map { case (f, i) =>
-      val c = col(s"_c${i + offset}").cast(f.dataType)
-      val guarded =
-        if (i == 0) when(col(s"_c$width").isNotNull, raise_error(driftMsg).cast(f.dataType))
-          .otherwise(c)
-        else c
-      guarded.as(f.name)
+      col(s"_c${i + offset}").cast(f.dataType).as(f.name)
     }
-    val projected = raw.select(opCol ++ dataCols :+ col("_file_name"): _*)
+    val projected = guarded.select(opCol ++ dataCols :+ col("_file_name"): _*)
     if (!needRowNumbers) projected
+    else if (!exactRowNumbers)
+      projected.withColumn("_row_in_file", monotonically_increasing_id())
     else {
       val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
       projected.withColumn("_row_in_file", row_number().over(w))
