@@ -669,6 +669,17 @@ object SparkEntry {
           (lit(100) + (k * 7) % 900).cast("string"), lit("-"),
           (lit(100) + (k * 13) % 900).cast("string"), lit("-"),
           lpad((k % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        // bare US formats (no country code): parenthesized area code and
+        // dotted separators — the shapes the optional-country phone rule
+        // exists to catch
+        when(k % 4 === 0, concat(lit(" call ("),
+          (lit(200) + (k * 3) % 700).cast("string"), lit(") "),
+          (lit(100) + (k * 17) % 900).cast("string"), lit("-"),
+          lpad(((k * 19) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(k % 11 === 0, concat(lit(" alt "),
+          (lit(300) + (k * 5) % 600).cast("string"), lit("."),
+          (lit(100) + (k * 23) % 900).cast("string"), lit("."),
+          lpad(((k * 29) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
         when(k % 2 === 0, concat(lit(" or "), lower(col("c_mktsegment")),
           lit("."), k.cast("string"), lit("@example.com"))).otherwise(lit("")),
         when(k % 5 < 2, concat(lit(" ip 10."), (k % 256).cast("string"),
@@ -1311,6 +1322,14 @@ object SparkEntry {
         |      CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
         |      CAST(100 + (c_custkey * 13) % 900 AS VARCHAR) || '-' ||
         |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN c_custkey % 4 = 0 THEN ' call (' ||
+        |      CAST(200 + (c_custkey * 3) % 700 AS VARCHAR) || ') ' ||
+        |      CAST(100 + (c_custkey * 17) % 900 AS VARCHAR) || '-' ||
+        |      lpad(CAST((c_custkey * 19) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN c_custkey % 11 = 0 THEN ' alt ' ||
+        |      CAST(300 + (c_custkey * 5) % 600 AS VARCHAR) || '.' ||
+        |      CAST(100 + (c_custkey * 23) % 900 AS VARCHAR) || '.' ||
+        |      lpad(CAST((c_custkey * 29) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
         |    CASE WHEN c_custkey % 2 = 0 THEN ' or ' || lower(c_mktsegment) ||
         |      '.' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END ||
         |    CASE WHEN c_custkey % 5 < 2 THEN ' ip 10.' ||
@@ -1324,12 +1343,12 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey < 200)
         |SELECT c_custkey,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(text, '\+?\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\+?\d{1,2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,
@@ -1596,9 +1615,12 @@ object SparkEntry {
         |  SELECT doc_id, n_chars, line, count(*) AS c
         |  FROM l GROUP BY doc_id, n_chars, line),
         |ls AS (
-        |  SELECT doc_id, n_chars, CAST(sum(c) AS BIGINT) AS n_lines,
-        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
-        |    CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT) AS dup_chars
+        |  -- blank lines excluded from the counts (Gopher parity), inside the
+        |  -- roll-up so all-blank docs keep their row
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(CASE WHEN len(line) > 0 THEN c ELSE 0 END) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN len(line) > 0 AND c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+        |    CAST(sum(CASE WHEN len(line) > 0 AND c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT) AS dup_chars
         |  FROM lc GROUP BY doc_id, n_chars),
         |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM base),
         |g AS (
@@ -1612,7 +1634,9 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
         |    FROM gc) WHERE rn = 1)
         |SELECT ls.doc_id, n_lines,
-        |  round(CAST(dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+        |  CASE WHEN n_lines > 0
+        |    THEN round(CAST(dup_lines AS DOUBLE) / n_lines, 6)
+        |    ELSE 0.0 END AS dup_line_frac,
         |  round(CAST(dup_chars AS DOUBLE) / greatest(n_chars, 1), 6) AS dup_line_char_frac,
         |  top_bigram,
         |  COALESCE(round(c * len(top_bigram) / CAST(greatest(n_chars, 1) AS DOUBLE), 6), 0.0)
@@ -1638,8 +1662,8 @@ object SparkEntry {
     "q58_length_histogram" ->
       """WITH b AS (
         |  SELECT source,
-        |    CASE WHEN CAST(n_chars AS DOUBLE) = 2000.0 THEN 9
-        |         ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 200.0) AS INT) END AS bin
+        |    -- least-clamp mirrors Profile.histogram (FP division can hit nBins)
+        |    CAST(least(floor((CAST(n_chars AS DOUBLE) - 0.0) / 200.0), 9) AS INT) AS bin
         |  FROM documents
         |  WHERE CAST(n_chars AS DOUBLE) >= 0.0 AND CAST(n_chars AS DOUBLE) <= 2000.0)
         |SELECT source, bin, 0.0 + bin * 200.0 AS lo_edge,

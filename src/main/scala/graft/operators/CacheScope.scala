@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Lifecycle handle for the DataFrames the lazy pair operators pin.
@@ -28,35 +29,64 @@ import org.apache.spark.storage.StorageLevel
   * When no scope is supplied, pins land in [[CacheScope.appLifetime]] and
   * stay resident until block-manager LRU eviction (the pre-scope behavior);
   * `CacheScope.appLifetime.release()` frees them all.
+  *
+  * Pins are REFCOUNTED across scopes (keyed by the canonicalized logical
+  * plan): if scopes A and B both pin the same plan, A's release only drops
+  * A's reference — the block survives until the last referencing scope
+  * releases, so B's consumers never silently recompute. A plan cached by
+  * the caller directly (`.cache()` outside any scope) is never tracked and
+  * never unpersisted here.
   */
 final class CacheScope {
-  private val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
+  import CacheScope.{lock, refs}
+
+  private val pinned = scala.collection.mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) and track it for [[release]].
-    * Idempotent per logical plan: re-pinning an already-cached plan (the
-    * bench re-constructing the same query, a second pass) neither
-    * re-persists nor appends another tracked reference — without this the
-    * shared [[CacheScope.appLifetime]] buffer would grow by one plan
-    * reference per operator invocation, forever. */
-  private[graft] def pin(df: DataFrame): DataFrame = synchronized {
-    if (df.storageLevel == StorageLevel.NONE) { // CacheManager plan lookup
-      pinned += df
+    * Idempotent per (scope, logical plan): re-pinning an already-pinned plan
+    * (the bench re-constructing the same query, a second pass) neither
+    * re-persists nor inflates the refcount — without this the shared
+    * [[CacheScope.appLifetime]] buffer would grow by one reference per
+    * operator invocation, forever. */
+  private[graft] def pin(df: DataFrame): DataFrame = lock.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    if (pinned.contains(key)) df // this scope already holds a reference
+    else if (refs.contains(key)) { // another scope pinned it — share, refcount
+      refs(key) += 1
+      pinned(key) = df
+      df
+    } else if (df.storageLevel == StorageLevel.NONE) { // CacheManager plan lookup
+      refs(key) = 1
+      pinned(key) = df
       df.persist(StorageLevel.MEMORY_AND_DISK)
-    } else df
+    } else df // cached by the caller outside any scope: not ours to manage
   }
 
-  /** Unpersist every tracked DataFrame (non-blocking) and forget them.
-    * Call only after the plans built on top have been fully consumed. */
-  def release(): Unit = synchronized {
-    pinned.foreach(_.unpersist(blocking = false))
+  /** Drop this scope's references; unpersist (non-blocking) each plan whose
+    * LAST reference this was. Call only after the plans built on top have
+    * been fully consumed. */
+  def release(): Unit = lock.synchronized {
+    pinned.foreach { case (key, df) =>
+      val remaining = refs.getOrElse(key, 1) - 1
+      if (remaining <= 0) {
+        refs.remove(key)
+        df.unpersist(blocking = false)
+      } else refs(key) = remaining
+    }
     pinned.clear()
   }
 
   /** Number of currently tracked pins — observability for session hygiene. */
-  def pinnedCount: Int = synchronized(pinned.size)
+  def pinnedCount: Int = lock.synchronized(pinned.size)
 }
 
 object CacheScope {
+  private val lock = new Object
+  /** Global refcounts for scope-managed cached plans, keyed by canonicalized
+    * logical plan — the cross-scope ledger [[CacheScope.release]] consults
+    * before unpersisting. */
+  private val refs = scala.collection.mutable.Map.empty[LogicalPlan, Int]
+
   /** Fallback scope when the caller doesn't supply one: pins live for the
     * application lifetime, bounded only by storage-memory LRU. */
   implicit val appLifetime: CacheScope = new CacheScope

@@ -36,10 +36,17 @@ object Pii {
     * pattern must run before the phone pattern so the digits of a phone
     * embedded in a local-part are not half-masked, and the phone pattern
     * before the SSN pattern so `xxx-xx-xxxx` inside a longer number is not
-    * claimed twice. */
+    * claimed twice.
+    *
+    * The phone rule's country code is OPTIONAL, so the common bare US
+    * formats (`555-123-4567`, `(555) 123-4567`, `555.123.4567`) are caught;
+    * an IPv4 string can never satisfy it (the final run must be 4 digits,
+    * IPv4 segments are at most 3), and the 3-2-4 SSN shape never matches
+    * the 3-3-4 body. */
   val defaultRules: Seq[Rule] = Seq(
     Rule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-    Rule("phone", "\\+?\\d{1,2}-\\d{3}-\\d{3}-\\d{4}", "[PHONE]"),
+    Rule("phone",
+      "(?:\\+?\\d{1,2}[-. ])?(?:\\(\\d{3}\\)|\\d{3})[-. ]\\d{3}[-. ]\\d{4}", "[PHONE]"),
     Rule("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     Rule("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"))
 

@@ -34,8 +34,10 @@ object Profile {
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     val w = (hi - lo) / nBins
     val v = col(valueCol).cast("double")
-    val bin = when(v === hi, lit(nBins - 1))
-      .otherwise(floor((v - lit(lo)) / lit(w)).cast("int"))
+    // least-clamp, not a v === hi special case: FP division can round
+    // (v - lo) / w up to exactly nBins for a v strictly below hi, which
+    // would emit an out-of-range bin with hi_edge > hi
+    val bin = least(floor((v - lit(lo)) / lit(w)), lit(nBins - 1)).cast("int")
     val keys = groupCols.map(col) :+ bin.as("bin")
     df.filter(v >= lo && v <= hi)
       .groupBy(keys: _*)

@@ -42,18 +42,25 @@ object Repetition {
     val base = df.select(col(idCol), col(textCol).as("_text"))
       .withColumn("_n_chars", length(col("_text")))
 
-    // --- line repetition: explode → count per (doc, line) → roll up
+    // --- line repetition: explode → count per (doc, line) → roll up.
+    // Blank lines (paragraph spacing) are EXCLUDED from the counts — Gopher/
+    // MassiveText dup-line stats are computed over non-empty lines, and
+    // repeated blank separators would otherwise inflate dup_line_frac. The
+    // exclusion is a conditional inside the roll-up (not a filter before it)
+    // so a document that is all blank lines still yields its output row.
     val lines = base
       .select(col(idCol), col("_n_chars"),
         explode(split(col("_text"), "\n")).as("_line"))
+    val nonBlank = length(col("_line")) > 0
     val lineStats = lines
       .groupBy(col(idCol), col("_n_chars"), col("_line"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol), col("_n_chars")) // _n_chars is per-doc constant
       .agg(
-        sum(col("_c")).as("_n_lines"),
-        sum(when(col("_c") > 1, col("_c")).otherwise(lit(0L))).as("_dup_lines"),
-        sum(when(col("_c") > 1, col("_c") * length(col("_line")))
+        sum(when(nonBlank, col("_c")).otherwise(lit(0L))).as("_n_lines"),
+        sum(when(nonBlank && col("_c") > 1, col("_c")).otherwise(lit(0L)))
+          .as("_dup_lines"),
+        sum(when(nonBlank && col("_c") > 1, col("_c") * length(col("_line")))
           .otherwise(lit(0L))).as("_dup_chars"))
 
     // --- top bigram: count per (doc, bigram) → top-1 as an AGGREGATE, not
@@ -75,8 +82,9 @@ object Repetition {
       .select(
         col(idCol),
         col("_n_lines").cast("bigint").as("n_lines"),
-        round(col("_dup_lines").cast("double") / col("_n_lines"), 6)
-          .as("dup_line_frac"),
+        when(col("_n_lines") > 0,
+          round(col("_dup_lines").cast("double") / col("_n_lines"), 6))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
         round(col("_dup_chars").cast("double") /
           greatest(col("_n_chars"), lit(1)).cast("double"), 6)
           .as("dup_line_char_frac"),

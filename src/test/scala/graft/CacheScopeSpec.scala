@@ -45,4 +45,39 @@ class CacheScopeSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.size === baseline,
       "per-corpus scopes must not accumulate pinned blocks across runs")
   }
+
+  test("two scopes pinning the same plan refcount it — first release keeps the block") {
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    val s = spark; import s.implicits._
+    val df = (1L to 10L).map(i => (i, s"shared $i")).toDF("id", "t")
+
+    val a = new CacheScope
+    val b = new CacheScope
+    val pinnedA = a.pin(df)
+    pinnedA.count()
+    // b pins the IDENTICAL logical plan (fresh DataFrame, same source)
+    val pinnedB = b.pin((1L to 10L).map(i => (i, s"shared $i")).toDF("id", "t"))
+    assert(a.pinnedCount === 1 && b.pinnedCount === 1)
+
+    a.release() // b still holds a reference — the block must survive
+    assert(sc.getPersistentRDDs.size > baseline,
+      "first release must not unpersist a plan another scope still references")
+    assert(pinnedB.storageLevel.useMemory, "b's pin should still be cached")
+
+    b.release() // last reference gone — now it frees
+    assert(sc.getPersistentRDDs.size === baseline)
+  }
+
+  test("a plan the caller cached directly is never unpersisted by a scope") {
+    val s = spark; import s.implicits._
+    val df = (1L to 5L).map(i => (i, i * 2)).toDF("k", "v")
+    df.cache(); df.count()
+    val scope = new CacheScope
+    scope.pin(df) // externally cached: not ours to manage
+    assert(scope.pinnedCount === 0)
+    scope.release()
+    assert(df.storageLevel.useMemory, "caller-owned cache must survive release()")
+    df.unpersist()
+  }
 }

@@ -13,7 +13,8 @@ class PiiSpec extends SparkSpec {
       (3L, "server 10.0.0.1 peered with 192.168.100.250"),
       (4L, "ssn 123-45-6789 on file"),
       (5L, "mixed: eve@x.io at +1-650-555-0123 from 172.16.0.9 id 987-65-4321"),
-      (6L, "no pii here at all"))
+      (6L, "no pii here at all"),
+      (7L, "dial 555-123-4567 or (650) 555-0199 or 555.867.5309 ok"))
       .toDF("doc_id", "text")
   }
 
@@ -28,6 +29,8 @@ class PiiSpec extends SparkSpec {
     assert(rep(4L) === ((0, 0, 0, 1)))
     assert(rep(5L) === ((1, 1, 1, 1)))
     assert(rep(6L) === ((0, 0, 0, 0)))
+    // bare US formats — no country code: dashed, parenthesized, dotted
+    assert(rep(7L) === ((0, 3, 0, 0)))
   }
 
   test("scrub masks sequentially and tokens are never re-matched") {
@@ -39,6 +42,7 @@ class PiiSpec extends SparkSpec {
     assert(out(4L) === "ssn [SSN] on file")
     assert(out(5L) === "mixed: [EMAIL] at [PHONE] from [IP] id [SSN]")
     assert(out(6L) === "no pii here at all")
+    assert(out(7L) === "dial [PHONE] or [PHONE] or [PHONE] ok")
     // a second scrub is a no-op (idempotent on masked text)
     val twice = Pii.scrub(Pii.scrub(corpus(), "text"), "text")
       .collect().map(r => r.getAs[String]("text")).toSet

@@ -17,6 +17,17 @@ class ProfileSpec extends SparkSpec {
     assert(h.values.map(_._3).sum === 6L) // -0.1 and 10.1 excluded
   }
 
+  test("FP edge: a value strictly below hi whose division rounds to nBins stays in the last bin") {
+    val s = spark; import s.implicits._
+    // floor((0.8999999999999999 - 0) / ((0.9 - 0) / 5)) == 5 in IEEE doubles —
+    // without the least-clamp this emits bin 5 with hi_edge > hi
+    val df = Seq(0.8999999999999999).toDF("v")
+    val h = Profile.histogram(df, "v", nBins = 5, lo = 0.0, hi = 0.9).collect()
+    assert(h.length === 1)
+    assert(h.head.getAs[Int]("bin") === 4)
+    assert(h.head.getAs[Double]("hi_edge") <= 0.9 + 1e-12)
+  }
+
   test("per-group histograms keep groups independent") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 1.2), ("b", 9.0)).toDF("g", "v")

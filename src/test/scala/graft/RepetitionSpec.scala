@@ -14,7 +14,9 @@ class RepetitionSpec extends SparkSpec {
       // clean prose, one line, all bigrams distinct
       (3L, "the quick brown fox jumps over the lazy dog"),
       // single token: no bigram at all
-      (4L, "hello"))
+      (4L, "hello"),
+      // paragraph spacing: repeated BLANK lines must not count as dup lines
+      (5L, "alpha beta\n\ngamma delta\n\nepsilon zeta"))
       .toDF("doc_id", "text")
   }
 
@@ -28,6 +30,10 @@ class RepetitionSpec extends SparkSpec {
     // 2 × len("menu home") = 18 chars of 51 total
     assert(math.abs(m(1L)._3 - 18.0 / 51) < 1e-6)
     assert(m(3L)._2 === 0.0 && m(3L)._3 === 0.0)
+    // doc 5: the two blank separator lines are excluded everywhere — 3
+    // non-empty lines, all distinct, no dup fraction from the blanks
+    assert(m(5L)._1 === 3L)
+    assert(m(5L)._2 === 0.0 && m(5L)._3 === 0.0)
   }
 
   test("top bigram is the most frequent with deterministic tie-break") {
