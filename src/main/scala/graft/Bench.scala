@@ -30,17 +30,28 @@ object Bench {
     // output ("passes") so cross-round comparisons know the methodology.
     val passes = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, !failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val total = results.map(_._2).sum
+    val nOk = results.count(_._3)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
+        s""""n_ok":$nOk,"cpus":$cpus}"""
+    // stdout line (driver log-tail contract) AND a structured file, so the
+    // driver's BENCH_r{N}.json "parsed" field never depends on regexing sbt
+    // output from the log.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }
