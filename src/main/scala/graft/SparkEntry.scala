@@ -41,19 +41,24 @@ object SparkEntry {
   // -------------------------------------------------------------------
   private val q26StageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Temp dir in tmpfs when available (the q26 fixture measures operators,
-    * not the host's /tmp disk), sweeping stale dirs with the same prefix
-    * left by earlier JVMs (skipping anything this JVM still owns). */
+  /** Dirs this JVM allocated via [[newTmpDir]] — the ownership ledger the
+    * stale-dir sweep consults so it only ever deletes leftovers of DEAD
+    * JVMs (q26 stage roots additionally live in [[q26StageCache]]). */
+  private val liveTmpDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Temp dir in tmpfs when available (the fixture queries measure
+    * operators, not the host's /tmp disk), sweeping stale `graft_`-prefixed
+    * dirs left by earlier JVMs (skipping anything this JVM owns). */
   private def newTmpDir(prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val shm = java.nio.file.Paths.get("/dev/shm")
     val useShm = java.nio.file.Files.isWritable(shm)
-    if (useShm) {
-      val live = q26StageCache.values.asScala.toSet
+    val dir = if (useShm) {
+      val live = q26StageCache.values.asScala.toSet ++ liveTmpDirs.asScala
       val stream = java.nio.file.Files.list(shm)
       try stream.iterator().forEachRemaining { p =>
         val owned = live.exists(_.startsWith(p.toString))
-        if (p.getFileName.toString.startsWith("graft_q26") && !owned) {
+        if (p.getFileName.toString.startsWith("graft_") && !owned) {
           try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
           catch { case _: java.io.IOException => () }
@@ -61,6 +66,8 @@ object SparkEntry {
       } finally stream.close()
       java.nio.file.Files.createTempDirectory(shm, prefix)
     } else java.nio.file.Files.createTempDirectory(prefix)
+    liveTmpDirs.add(dir.toString)
+    dir
   }
 
   /** Synthesize (once per input dir) the deterministic DMS stage q26
@@ -732,6 +739,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("n_events_w"),
           round(col("sum_value_w"), 3).as("sum_value_w"))
         .orderBy(col("event_id"))
+    }),
+
+    // ext: PERSISTED IVF index + incremental serving — fit on the corpus
+    // split, persist centroids AND cell assignments via TableStore, then
+    // serve the held-out batch against the STORED index (fresh store
+    // reads, no refit) — the embedding analogue of the reference's
+    // incremental state maintenance (sql:244, 412–416), batch-vs-corpus
+    // like Dedup.dedupAgainst.
+    "q60_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val store = new graft.operators.TableStore(newTmpDir("graft_q60idx").toString)
+      graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
+        nCells = 8, iterations = 1, store, "emb_idx")
+      graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe = 2)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
     }),
 
     // ext: length-distribution histogram per source — bin id is a pure
@@ -1656,6 +1683,57 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Persisted-IVF replay: the stored index is a pure function of the
+    // corpus split (1-iteration md5-seeded k-means + nearest-cell
+    // assignment — same CTEs as q50/q56), so the persistence round-trip
+    // drops out and the batch probe replays directly.
+    "q60_ivf_persisted" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the stored (id, v, cell) vectors table
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |probes AS ( -- batch ranks the stored centroids, probes top 2 cells
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN assigned a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // Histogram replay: same right-open-except-last binning, same
     // double-precision edge arithmetic.

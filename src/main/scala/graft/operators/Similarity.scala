@@ -108,7 +108,7 @@ object Similarity {
     * (group, partition) reach the shuffle — vs a window sort moving every
     * scored candidate. Same deterministic order as
     * `row_number() over (order by cosine desc, neighbor_id asc)`. */
-  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKFromScored(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("vec_id"))
       .agg(org.apache.spark.sql.graft.TopKPairs

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.{CacheScope, IvfIndex, KMeans, TableStore}
+
+/** Persisted IVF index: build/load round-trip, refit-free incremental
+  * append, and full-probe equivalence with exact batch-vs-corpus search. */
+class IvfIndexSpec extends SparkSpec {
+
+  // Two well-separated direction clusters plus a held-out batch near each.
+  private def corpus() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.1f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.95f, 0.05f, 0.05f)),
+      (6L, Array(0.05f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def batch() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (101L, Array(1.0f, 0.05f, 0.0f)),
+      (102L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("build persists both halves; loaded centroids equal the fitted ones") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("ivfidx"))
+    val fitted = IvfIndex.build(corpus(), "vec_id", "embedding",
+      nCells = 2, iterations = 2, store, "emb")
+    val loaded = IvfIndex.centroids(spark, store, "emb")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val direct = KMeans.centroidVectors(fitted)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(loaded === direct)
+    // the stored vectors table covers the corpus, one cell per vector
+    val vecs = IvfIndex.vectors(spark, store, "emb")
+    assert(vecs.count() === 6)
+    assert(vecs.select("id").distinct().count() === 6)
+    scope.release()
+  }
+
+  test("append assigns new vectors against the stored model without refit") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("ivfidx"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", 2, 2, store, "emb")
+    val centroidVersion = store.currentVersion("emb_centroids")
+    IvfIndex.append(spark, batch(), "vec_id", "embedding", store, "emb")
+    // model untouched, vectors advanced
+    assert(store.currentVersion("emb_centroids") === centroidVersion)
+    val vecs = IvfIndex.vectors(spark, store, "emb")
+    assert(vecs.count() === 8)
+    // appended rows landed in the cluster-consistent cells: 101 with the
+    // x-direction corpus ids, 102 with the y-direction ones
+    val cellOf = vecs.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cellOf(101L) === cellOf(1L))
+    assert(cellOf(102L) === cellOf(3L))
+    scope.release()
+  }
+
+  test("topK with full probe equals exact batch-vs-corpus search") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("ivfidx"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", 2, 2, store, "emb")
+    val got = IvfIndex.topK(spark, batch(), "vec_id", "embedding",
+        store, "emb", k = 3, nProbe = 2) // nProbe = nCells → every cell probed
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = exactTopK(batch(), corpus(), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    scope.release()
+  }
+
+  test("topK under partial probe returns only probed-cell neighbours, ranked") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("ivfidx"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", 2, 2, store, "emb")
+    val rows = IvfIndex.topK(spark, batch(), "vec_id", "embedding",
+        store, "emb", k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // query 101 probes only the x-cluster cell → neighbours ⊆ {1,2,5}
+    assert(rows.filter(_._1 == 101L).map(_._2).toSet.subsetOf(Set(1L, 2L, 5L)))
+    assert(rows.filter(_._1 == 102L).map(_._2).toSet.subsetOf(Set(3L, 4L, 6L)))
+    scope.release()
+  }
+
+  /** Exact cosine top-k of each batch vector against the whole corpus —
+    * the oracle the full-probe path must match. */
+  private def exactTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qq = q.select(col("vec_id").as("q_id"),
+      VectorFunctions.toDouble(col("embedding")).as("q_v"))
+    val cc = c.select(col("vec_id").as("c_id"),
+      VectorFunctions.toDouble(col("embedding")).as("c_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    qq.crossJoin(cc)
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_v"), col("c_v")) /
+          (VectorFunctions.l2Norm(col("q_v")) * VectorFunctions.l2Norm(col("c_v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("c_id").as("neighbor_id"),
+        round(col("cosine"), 9).as("c"), col("rank"))
+  }
+}
