@@ -199,6 +199,14 @@ object Dedup {
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      // lineage truncation is load-bearing for EVERY iterative DataFrame
+      // loop: each round's plan embeds the previous round's, so without a
+      // cut the analyzed tree doubles per iteration and Catalyst analysis
+      // alone goes exponential long before any data moves. localCheckpoint
+      // materializes the rows as executor blocks and restarts the plan
+      // there (an HDFS checkpoint dir, when configured, is the
+      // failure-tolerant variant at cluster scale — same call shape).
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -208,12 +216,11 @@ object Dedup {
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
-      labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1
