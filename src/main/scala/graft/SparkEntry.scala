@@ -926,7 +926,11 @@ object SparkEntry {
         encode(col("text"), "UTF-8").as("content"),
         lit("application/octet-stream").as("mime"), col("source").as("source"))
         .as[graft.operators.Multimodal.MediaItem]
-      graft.operators.Multimodal.extractFeatures(items, new graft.operators.Multimodal.StubDecoder(8))
+      // HeaderDecoder sniffs real container headers first; these text
+      // payloads match none, so it falls back to the md5 stub the oracle
+      // replays — the production decoder, exercised on the fallback path
+      graft.operators.Multimodal.extractFeatures(items,
+        new graft.operators.Multimodal.HeaderDecoder(new graft.operators.Multimodal.StubDecoder(8)))
         .toDF()
         .select(col("item_id"), col("n_bytes"), col("width"), col("height"))
         .orderBy(col("item_id"))

@@ -98,6 +98,39 @@ object Multimodal {
     }
   }
 
+  /** Real container-header decode (pure JVM, no codec jars — see
+    * [[MediaHeaders]]): PNG/JPEG/GIF dimensions and WAV duration are parsed
+    * from the payload's actual header bytes; items whose bytes are none of
+    * those formats (or whose modality has no parser — video containers,
+    * pixel features) fall back to `fallback`, the [[StubDecoder]] by
+    * default. Width/height/duration are thus REAL for the most common
+    * formats while feature extraction stays stubbed — a codec-backed
+    * decoder replaces only the fallback. */
+  final class HeaderDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
+    override def probeDuration(item: MediaItem): Long =
+      if (item.kind == "audio" || item.kind == "video")
+        MediaHeaders.wavDurationMs(item.content)
+          .getOrElse(fallback.probeDuration(item))
+      else -1L
+
+    override def decode(item: MediaItem): MediaFeatures = {
+      val base = fallback.decode(item)
+      val dims =
+        if (item.kind == "image" || item.kind == "video")
+          MediaHeaders.imageDims(item.content)
+        else None
+      val dur =
+        if (item.kind == "audio" || item.kind == "video")
+          MediaHeaders.wavDurationMs(item.content)
+        else None
+      if (dims.isEmpty && dur.isEmpty) base
+      else base.copy(
+        width = dims.map(_._1).getOrElse(base.width),
+        height = dims.map(_._2).getOrElse(base.height),
+        duration_ms = dur.getOrElse(base.duration_ms))
+    }
+  }
+
   /** Load a directory of media files as MediaItems (binaryFile source:
     * splits by file, carries path/length/mtime metadata natively). */
   def readMediaDir(spark: SparkSession, dir: String, kind: String): Dataset[MediaItem] = {
