@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, greatest, lit, max, when}
 import graft.meta.{MetaStore, TableMeta}
 import graft.sources.{CsvStageReader, StageListing}
 
@@ -42,6 +42,13 @@ object IncrementalMerge {
       .filter(f => f.file.matches(changeRe))
       .filter(f => fileName(f.file) > meta.lastIncrementalFile) // P5: string >
     if (pending.isEmpty) return -1L // "No files to process." (sql:422)
+
+    // additional_config {"widen_on_drift": true} opts the table into
+    // schema evolution: a change batch carrying exactly k new TRAILING
+    // columns widens the target (metadata-only, TableStore.widenSchema)
+    // and merges; every other mismatch keeps the loud drift failure.
+    if (meta.configValue("widen_on_drift").contains("true"))
+      widenIfBatchIsWider(spark, store, meta.targetTableName, pending.map(_.file))
 
     val target = store.read(spark, meta.targetTableName)
     // order-only row ids: latest-per-PK compares (file, row) lexicographically
@@ -108,6 +115,48 @@ object IncrementalMerge {
           ChangeApplier.applyLatest(store.read(spark, tableName), batch, pks), tableName)
         batch.count() // cached by the caller; cheap second action
     }
+
+  /** How many probe columns beyond (op + target) the width scan watches —
+    * also the per-batch widening limit; wider drift stays a loud failure. */
+  private val widenWindow = 8
+
+  /** Probe the pending change files' real column count (one narrow scan —
+    * the same per-run schema rediscovery the reference pays via
+    * information_schema, sql:307–321) and widen the target when the batch
+    * carries k ≤ [[widenWindow]] new trailing columns. New columns are
+    * nullable strings named `c<ordinal>` (headerless DMS CSVs carry no
+    * names; the ordinal mirrors the reference's positional `$n` binding) —
+    * callers cast/rename downstream. A REMOVED upstream column is
+    * indistinguishable from trailing nulls row-wise and never widens. */
+  private def widenIfBatchIsWider(
+      spark: SparkSession,
+      store: TableStore,
+      tableName: String,
+      files: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val targetSchema = store.read(spark, tableName).schema
+    val width = 1 + targetSchema.length // op + data columns
+    val total = width + widenWindow
+    val probeSchema = StructType((0 until total).map(i => StructField(s"_c$i", StringType)))
+    val raw = spark.read.schema(probeSchema)
+      .option("header", "false").option("quote", "\"").option("escape", "\"")
+      .csv(files: _*)
+    val lastIdx = greatest((0 until total).map(i =>
+      when(col(s"_c$i").isNotNull, lit(i)).otherwise(lit(-1))): _*)
+    val maxIdx = raw.agg(max(lastIdx).as("m")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .getOrElse(-1)
+    if (maxIdx >= width) {
+      require(maxIdx < total - 1,
+        s"change files for $tableName carry ${maxIdx + 1}+ columns — more than " +
+          s"$widenWindow beyond the target's ${targetSchema.length}; " +
+          "re-baseline with a full load")
+      val k = maxIdx - width + 1
+      val extra = (1 to k).map(j =>
+        StructField(s"c${targetSchema.length + j}", StringType, nullable = true))
+      store.widenSchema(spark, tableName, extra)
+    }
+  }
 
   private def fileName(path: String): String = path.substring(path.lastIndexOf('/') + 1)
 }

@@ -62,10 +62,23 @@ final class TableStore(root: String) {
       case None => throw new IllegalStateException(s"table $name does not exist under $root")
     }
 
+  /** The version's declared schema, when one was committed by
+    * [[widenSchema]] — applied at read time so data files written BEFORE a
+    * widening (absent the new columns) surface them as nulls. None for
+    * tables whose files are the schema authority (the normal case). */
+  def declaredSchema(name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = Paths.get(path(name)).resolve("_schema.json")
+    if (Files.exists(f))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+  }
+
   /** Read the table with its logical schema (the `_bucket` layout column,
     * when present, stays internal). */
   def read(spark: SparkSession, name: String): DataFrame = {
-    val df = spark.read.parquet(path(name))
+    val df = readRaw(spark, name)
     if (bucketSpec(name).isDefined) df.drop("_bucket") else df
   }
 
@@ -73,7 +86,55 @@ final class TableStore(root: String) {
     * callers can prune to touched buckets (`filter(col("_bucket").isin…)`
     * prunes at the directory level — unread buckets are never opened). */
   def readRaw(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(path(name))
+    declaredSchema(name) match {
+      case Some(s) => spark.read.schema(s).parquet(path(name))
+      case None => spark.read.parquet(path(name))
+    }
+
+  /** Metadata-only schema evolution — the `ALTER TABLE ADD COLUMN` of this
+    * store: commit a next version whose data files are hard links of the
+    * current ones plus a declared schema widened by `extra` (forced
+    * nullable; inserted before the `_bucket` partition column when
+    * present). No data is read or written — O(files) link ops, exactly
+    * what a 100 TB widen must cost — and readers resolve the new columns
+    * to null for pre-widen files. A later full rewrite
+    * ([[write]]/[[writeBucketed]]) makes the files authoritative again. */
+  def widenSchema(
+      spark: SparkSession,
+      name: String,
+      extra: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(extra.nonEmpty, "widenSchema needs at least one new column")
+    val cur = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+    val curDir = tableDir(name).resolve(s"v$cur")
+    val current = declaredSchema(name)
+      .getOrElse(spark.read.parquet(curDir.toString).schema)
+    val clash = extra.map(_.name).intersect(current.fieldNames.toSeq)
+    require(clash.isEmpty, s"widenSchema collision on ${clash.mkString(", ")}")
+    val (dataCols, partCols) = current.fields.toSeq.partition(_.name != "_bucket")
+    val widened = org.apache.spark.sql.types.StructType(
+      dataCols ++ extra.map(_.copy(nullable = true)) ++ partCols)
+    val next = cur + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    linkTree(curDir, dest)
+    Files.write(dest.resolve("_schema.json"),
+      widened.json.getBytes(StandardCharsets.UTF_8))
+    commit(name, next, bucketSpec(name))
+    next
+  }
+
+  /** Mirror `src`'s version layout into `dst` as hard links (copy
+    * fallback): top-level and `_bucket=N` part-files. */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val stream = Files.list(src)
+    try stream.iterator().forEachRemaining { f =>
+      val n = f.getFileName.toString
+      if (Files.isDirectory(f)) {
+        if (n.startsWith("_bucket=")) linkTree(f, dst.resolve(n))
+      } else if (n.startsWith("part-")) linkOrCopy(f, dst.resolve(n))
+    } finally stream.close()
+  }
 
   /** Write `df` as the next version and atomically swap the manifest. */
   def write(df: DataFrame, name: String): Int = {
@@ -143,6 +204,11 @@ final class TableStore(root: String) {
         } finally stream.close()
       }
     }
+    // carry a declared schema forward: linked pre-widen buckets still lack
+    // the widened columns, so the read-time null fill must stay in force
+    val sf = curDir.resolve("_schema.json")
+    if (Files.exists(sf))
+      Files.copy(sf, dest.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
     commit(name, next, Some(spec))
     next
   }

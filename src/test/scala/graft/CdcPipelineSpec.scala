@@ -2,6 +2,7 @@ package graft
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.meta.{MetaStore, TableMeta}
 import graft.operators.{FullLoad, IncrementalMerge, Orchestrator, TableStore}
@@ -88,6 +89,93 @@ class CdcPipelineSpec extends SparkSpec {
     assert(msg.contains("schema drift"), s"unexpected error: $err")
     assert(msg.contains("20260102-000000001.csv"), "error should name the offending file")
     // the target is untouched — drift never half-applies
+    assert(snapshot(store) === Map(
+      "1" -> ("alice", "100.50"),
+      "2" -> ("bob", "200.00"),
+      "3" -> ("carol", "300.25")))
+  }
+
+  test("widen_on_drift: a column-add merges with a metadata-only widen (bucketed)") {
+    val root = tmpDir("cdcwiden")
+    val stageDir = s"$root/stage"
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    writeCsv(tableDir, "LOAD00000001.csv", Seq(
+      "1,alice,100.50,2026-01-01 00:00:00",
+      "2,bob,200.00,2026-01-01 00:00:00",
+      "3,carol,300.25,2026-01-01 00:00:00"))
+    val metaStore = new MetaStore(s"$root/meta")
+    val store = new TableStore(s"$root/warehouse")
+    val meta = TableMeta(
+      fullPath = tableDir, dbTable = "customer_sync", dbSchema = "cdc",
+      stage = "s1", primaryKeys = "id",
+      additionalConfig = """{"buckets": 4, "widen_on_drift": true}""")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+
+    // upstream added a "tier" column: change rows now carry op + 5 cells
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00,gold",
+      "I,4,dave,400.00,2026-01-02 00:00:00,silver"))
+    val rows = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    assert(rows === 2)
+
+    val out = store.read(spark, "cdc_customer_sync")
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("id", "name", "balance", "updated_at", "c5"))
+    val byId = out.collect()
+      .map(r => r.getDecimal(0).toPlainString -> Option(r.getString(4))).toMap
+    // merged rows carry the new column; pre-widen rows (incl. rows living
+    // in untouched, hard-linked buckets) read as null
+    assert(byId === Map("1" -> Some("gold"), "2" -> None, "3" -> None,
+      "4" -> Some("silver")))
+    // the widen itself was metadata-only: one extra version, then the merge
+    assert(store.declaredSchema("cdc_customer_sync").isDefined)
+
+    // a SECOND batch at the widened width merges with no further widening
+    writeCsv(tableDir, "20260103-000000001.csv", Seq(
+      "U,2,bob2,201.00,2026-01-03 00:00:00,bronze"))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    val byId2 = store.read(spark, "cdc_customer_sync").collect()
+      .map(r => r.getDecimal(0).toPlainString -> Option(r.getString(4))).toMap
+    assert(byId2("2") === Some("bronze") && byId2("1") === Some("gold"))
+  }
+
+  test("widen_on_drift: an unbucketed target widens and merges the same way") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    val meta = meta0.copy(additionalConfig = """{"widen_on_drift": true}""")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    // two new trailing columns at once
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00,gold,eu"))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    val out = store.read(spark, "cdc_customer_sync")
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("id", "name", "balance", "updated_at", "c5", "c6"))
+    val row1 = out.filter(col("id") === 1).collect().head
+    assert((row1.getString(4), row1.getString(5)) === (("gold", "eu")))
+    assert(out.filter(col("id") === 3).collect().head.isNullAt(4))
+  }
+
+  test("widen_on_drift: drift beyond the widen window still fails loudly") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    val meta = meta0.copy(additionalConfig = """{"widen_on_drift": true}""")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    // 9 extra columns — one past the 8-column widen window
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00," + (1 to 9).map("x" + _).mkString(",")))
+    val err = intercept[Exception] {
+      IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+        stageDir, store, metaStore)
+    }
+    assert(Option(err.getMessage).getOrElse("").contains("re-baseline"))
+    // target untouched
     assert(snapshot(store) === Map(
       "1" -> ("alice", "100.50"),
       "2" -> ("bob", "200.00"),
