@@ -741,6 +741,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ext: SemDeDup-style cell-bounded semantic dedup — k-means cells
+    // (one Lloyd iteration) bound the cosine pair search instead of
+    // random hyperplanes: pairs are scored within trained cells only,
+    // then clustered to (id, cluster_id). Trained cells beat random
+    // hyperplanes on clustered embedding distributions at 100 TB.
+    "q61_semdedup_cells" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fitted = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
+        nCells = 8, iterations = 1)
+      val pairs = Similarity.cosineNearDupPairsInCells(emb, "vec_id", "embedding",
+        graft.operators.KMeans.centroidVectors(fitted), threshold = 0.4)
+      Dedup.duplicateClusters(pairs)
+        .orderBy(col("id"))
+    }),
+
     // ext: PERSISTED IVF index + incremental serving — fit on the corpus
     // split, persist centroids AND cell assignments via TableStore, then
     // serve the held-out batch against the STORED index (fresh store
@@ -1687,6 +1702,51 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // SemDeDup replay: 1-iteration fit (q56's CTEs), nearest-cell
+    // assignment, within-cell cosine pairs, recursive-CTE components
+    // (q28's pattern).
+    "q61_semdedup_cells" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM base b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM base b CROSS JOIN c1live c) WHERE rnk = 1),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+        |SELECT id, cluster_id FROM lab ORDER BY id""".stripMargin,
 
     // Persisted-IVF replay: the stored index is a pure function of the
     // corpus split (1-iteration md5-seeded k-means + nearest-cell

@@ -263,6 +263,36 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style cell-bounded semantic near-dup pairs: every vector is
+    * assigned to its nearest TRAINED cell ([[IvfIndex.assign]] — broadcast
+    * centroids, map-side argmax, one narrow pass) and cosine pairs are
+    * scored WITHIN cells only — all (a < b) same-cell pairs with cosine ≥
+    * threshold. The complement of [[cosineNearDupPairs]]'s random
+    * hyperplanes: on CLUSTERED embedding distributions (real corpora),
+    * k-means cells track the density structure, so near-dup pairs land in
+    * the same cell far more reliably than in a random half-space product,
+    * at the cost of missing pairs that straddle a cell boundary (the
+    * SemDeDup trade: arxiv.org/abs/2303.09540). Candidate volume is
+    * Σ cellᵢ² — bounded by sizing nCells with the corpus (cells ≈ n/nCells
+    * vectors); the join is an equi-join on `cell`, shuffle-bounded, and
+    * skewed cells split under AQE. */
+  def cosineNearDupPairsInCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidVectors: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = IvfIndex.assign(df, idCol, vecCol, centroidVectors)
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    // score + filter inside the cell join: the output exchange (if any
+    // downstream) carries (id, id, double) rows, never vectors
+    a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via the same LSH
     * bucketing (a_id < b_id canonical orientation). `maxBucketSize` is the
     * same dense-bucket skew guard as [[lshTopK]]. */

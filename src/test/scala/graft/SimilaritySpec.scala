@@ -113,6 +113,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"q31 LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("cell-bounded SemDeDup pairs: exact subset; complete with one cell") {
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    def cellPairs(nCells: Int): Set[(Long, Long)] = {
+      val cents = graft.operators.KMeans.centroidVectors(
+        graft.operators.KMeans.fit(emb, "vec_id", "embedding", nCells, iterations = 1))
+      Similarity.cosineNearDupPairsInCells(emb, "vec_id", "embedding", cents, 0.4)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    }
+    // pairs are exact-scored, so cells can only MISS, never invent
+    val p8 = cellPairs(8)
+    assert(p8.subsetOf(exact), s"false positives: ${p8 -- exact}")
+    // one cell = no bounding at all → exactly the quadratic baseline
+    assert(cellPairs(1) === exact)
+    scope.release()
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val s = spark; import s.implicits._
     val df = Seq(
