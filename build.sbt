@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole engine in one JVM: executor heap, storage
+  // pool (operator pins), and driver all share -Xmx. 8g starves 32 cores
+  // once the pair operators pin sf0.1-scale posting tables — storage
+  // evictions + GC then dominate unrelated queries' times.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
