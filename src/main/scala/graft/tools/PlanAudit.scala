@@ -10,7 +10,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_pricing_summary", "q02_join_residual", "q13_cdc_merge",
       "q15_jaccard_pairs", "q29_ivf_topk", "q39_decontaminate",
-      "q41_pack_sequences", "q46_training_prep", "q56_ivf_trained")
+      "q41_pack_sequences", "q46_training_prep", "q56_ivf_trained",
+      "q60_ivf_persisted", "q61_semdedup_cells")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
