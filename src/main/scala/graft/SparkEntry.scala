@@ -741,6 +741,29 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ext: per-doc mean unigram surprisal — the cheap LM-perplexity
+    // quality proxy (corpus tokenized once; add-1 smoothed unigram model;
+    // scoring join shuffles on term with partial aggregation).
+    "q62_unigram_surprisal" -> ((s, dir) => {
+      graft.operators.Vocab.unigramSurprisal(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("surprisal"), 6).as("surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ext: temperature-flattened source mixing (share ∝ n^α) — per-stratum
+    // rates from one tiny count aggregate, applied via the deterministic
+    // salted draw; corpus stays one narrow filtered pass.
+    "q63_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMix(
+          t(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5, targetRows = 300)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ext: SemDeDup-style cell-bounded semantic dedup — k-means cells
     // (one Lloyd iteration) bound the cosine pair search instead of
     // random hyperplanes: pairs are scored within trained cells only,
@@ -1702,6 +1725,44 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Surprisal replay: q51's tokenization, corpus counts, add-1 unigram
+    // model, tf-weighted mean of -ln p per doc.
+    "q62_unigram_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+        |tot AS (SELECT sum(cf) AS t, count(*) AS v FROM cf),
+        |nll AS (
+        |  SELECT term, -ln((cf + 1.0) / (t + v)) AS nll FROM cf, tot),
+        |doc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    sum(tf.tf * n.nll) / sum(tf.tf) AS s
+        |  FROM tf JOIN nll n USING (term) GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens, round(s, 6) AS surprisal
+        |FROM doc ORDER BY doc_id""".stripMargin,
+
+    // Temperature-mix replay: per-source counts → n^0.5 shares → keep
+    // rates (capped at 1) → the same 40-bit md5 draw as q38/q57.
+    "q63_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM counts),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, 300.0 * pow(n, 0.5) / (SELECT z FROM z) / n) AS rate
+        |  FROM counts),
+        |kept AS (
+        |  SELECT d.source, d.n_chars
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE CAST('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+        |        / 1099511627776.0 < r.rate)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     // SemDeDup replay: 1-iteration fit (q56's CTEs), nearest-cell
     // assignment, within-cell cosine pairs, recursive-CTE components

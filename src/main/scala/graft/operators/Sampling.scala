@@ -130,4 +130,40 @@ object Sampling {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard")).orderBy(d, col(idCol))))
   }
+
+  /** Temperature-flattened source mixing — the multilingual-LM sampling
+    * rule (stratum share ∝ n_s^α, α ∈ (0, 1]; α = 1 is proportional,
+    * smaller α up-weights small strata): derives per-stratum keep rates
+    * hitting `targetRows` in expectation,
+    * `rate_s = min(1, targetRows · n_s^α / Σ_s n_s^α / n_s)`, and applies
+    * them with the same deterministic salted draw as [[rateSample]] — no
+    * `rand()`, replayable in SQL, stable under retries/AQE.
+    *
+    * Scale: one partial-combined count per stratum (strata are few), a
+    * 1-row normalizer, and a broadcast join of the tiny rate table back
+    * onto the corpus — the corpus itself stays in one narrow filtered
+    * pass. Oversubscribed strata cap at rate 1 (the expectation then
+    * undershoots `targetRows`; re-run with a larger target if exact totals
+    * matter). */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double,
+      targetRows: Long,
+      salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val z = counts.agg(sum(pow(col("_n"), alpha)).as("_z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("_rate", least(lit(1d),
+        lit(targetRows.toDouble) * pow(col("_n"), alpha) / col("_z") / col("_n")))
+      .select(col(strataCol), col("_rate"))
+    val frac = draw40(col(idCol), salt).cast("double") / lit(1099511627776.0) // 2^40
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(frac < col("_rate"))
+      .drop("_rate")
+      .select(df.columns.map(col): _*) // original column order
+  }
 }

@@ -44,6 +44,37 @@ object Vocab {
       .limit(k)
   }
 
+  /** Per-document mean unigram surprisal — the cheap LM-perplexity quality
+    * proxy corpus pipelines filter on (CCNet-style: score docs under a
+    * corpus LM, drop the tails): the corpus's add-1-smoothed unigram model
+    * `p(t) = (c(t)+1) / (T+V)` scores each document as
+    * `Σ tf_d(t)·(−ln p(t)) / Σ tf_d(t)`. High = OOV/gibberish-heavy; very
+    * low = boilerplate of the corpus's most common tokens. Docs with no
+    * tokens drop out (no distribution to score under).
+    *
+    * Scale: the corpus tokenizes ONCE into pinned (doc, term, tf) rows
+    * feeding both the corpus counts and the scoring join; totals are a
+    * broadcast 1-row aggregate (plan stays lazy — no driver count); the
+    * scoring join shuffles on `term` with partial aggregation on both
+    * sides. Output: `(idCol, n_tokens, surprisal)`. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)(
+      implicit caches: CacheScope): DataFrame = {
+    val tf = caches.pin(df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("_t"), count(lit(1)).as("_v"))
+    val nll = cf.crossJoin(broadcast(totals))
+      .withColumn("nll", -log((col("cf") + lit(1d)) / (col("_t") + col("_v"))))
+      .select(col("term"), col("nll"))
+    tf.join(nll, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * col("nll")) / sum(col("tf"))).as("surprisal"))
+  }
+
   /** Per-document distinctive terms: top `k` unigrams by smoothed TF-IDF
     * (`tf × (ln((N+1)/(df+1)) + 1)`), ties broken by term ascending.
     *

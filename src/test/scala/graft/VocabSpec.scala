@@ -60,6 +60,21 @@ class VocabSpec extends SparkSpec {
     assert(top.values.forall(_._3 === 1))
   }
 
+  test("unigram surprisal matches the hand-computed add-1 model") {
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val s = spark; import s.implicits._
+    // corpus: c(a)=2, c(b)=2, c(c)=1 → T=5, V=3, p = (c+1)/8
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Vocab.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = 3.0 / 8.0; val pC = 2.0 / 8.0
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - -math.log(pAB)) < 1e-12) // all tokens at p=3/8
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 - (-math.log(pAB) - math.log(pC)) / 2.0) < 1e-12)
+    scope.release()
+  }
+
   test("plan: partial-agg before the shuffle, top-k never sorts globally") {
     val wide = spark.range(10000).select(
       concat(lit("tok"), col("id") % 50, lit(" tok"), col("id") % 7).as("text"))
