@@ -741,6 +741,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ext: cross-document paragraph dedup (boilerplate removal) — docs
+    // synthesized with shared header/footer lines (the q52 pattern: pure
+    // function of the table, so the oracle replays it); repeated
+    // paragraphs survive only at their first (doc, position) occurrence.
+    "q64_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            lit("COOKIE NOTICE: this site uses cookies"))
+            .otherwise(concat(lit("Section: "), col("source"))),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("(c) example.org - all rights reserved"))
+            .otherwise(col("lang"))).as("text"))
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras_kept"),
+          md5(col("text").cast("binary")).as("content_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: per-doc mean unigram surprisal — the cheap LM-perplexity
     // quality proxy (corpus tokenized once; add-1 smoothed unigram model;
     // scoring join shuffles on term with partial aggregation).
@@ -1725,6 +1745,40 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Paragraph-dedup replay: same boilerplate synthesis, first-occurrence
+    // keeper as a row_number over (doc, position), ordered reassembly.
+    "q64_paragraph_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: this site uses cookies'
+        |           ELSE 'Section: ' || source END,
+        |      text,
+        |      CASE WHEN doc_id % 2 = 0 THEN '(c) example.org - all rights reserved'
+        |           ELSE lang END) AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, CAST(u.pos AS INT) AS idx, u.p AS para FROM (
+        |    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |      (p, i) -> struct_pack(pos := i - 1, p := p))) AS u
+        |    FROM docs)),
+        |kept AS (
+        |  SELECT doc_id, idx, para FROM (
+        |    SELECT doc_id, idx, para,
+        |      CASE WHEN len(trim(para)) >= 1
+        |           THEN row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+        |           ELSE 1 END AS rn
+        |    FROM paras) WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_paras_kept,
+        |    string_agg(para, chr(10) ORDER BY idx) AS new_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.n_paras_kept, 0) AS n_paras_kept,
+        |  md5(coalesce(r.new_text, '')) AS content_fp
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Surprisal replay: q51's tokenization, corpus counts, add-1 unigram
     // model, tf-weighted mean of -ln p per doc.

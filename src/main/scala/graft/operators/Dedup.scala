@@ -277,6 +277,53 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Cross-document paragraph dedup — RefinedWeb/FineWeb-style boilerplate
+    * removal: a paragraph repeated anywhere in the corpus (cookie banners,
+    * nav text, license blocks) survives ONLY at its first occurrence in
+    * (doc, position) order; every document reassembles from its remaining
+    * paragraphs in order. Paragraphs whose trimmed length is below
+    * `minParaChars` are exempt (blank lines and separators are formatting,
+    * not boilerplate) — eligibility is a function of the content, so a
+    * content group is exempt or deduped as a whole.
+    *
+    * Scale: one explode (narrow), one aggregation on paragraph content for
+    * the first-occurrence keeper (min-struct, partial-combined map-side —
+    * a boilerplate paragraph repeated a billion times collapses per task),
+    * one join back on content, one per-doc reassembly aggregation. The
+    * paragraph text crosses the shuffle once — unavoidable, dedup is
+    * global and the survivor must be reassembled.
+    *
+    * @return (idCol, n_paras_kept, textCol) — docs that lose every
+    *         paragraph keep their row with an empty string */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minParaChars: Int = 1): DataFrame = {
+    require(minParaChars >= 1, s"minParaChars must be >= 1, got $minParaChars")
+    val paras = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_para")))
+    val eligible = length(trim(col("_para"))) >= minParaChars
+    val keepers = paras.filter(eligible)
+      .groupBy(col("_para"))
+      .agg(min(struct(col("_id"), col("_idx"))).as("_first"))
+      .select(col("_para"),
+        col("_first._id").as("_kid"), col("_first._idx").as("_kidx"))
+    val kept = paras.join(keepers, Seq("_para"), "left")
+      .filter(!eligible || (col("_kid") === col("_id") && col("_kidx") === col("_idx")))
+    val rebuilt = kept
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("_idx"), col("_para")))),
+          s => s.getField("_para"))).as("_text"))
+    df.select(col(idCol)).distinct()
+      .join(rebuilt, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+        coalesce(col("_text"), lit("")).as(textCol))
+  }
+
   /** Span-level near-dup pairs via winnowing fingerprints
     * ([[graft.functions.TextFunctions.winnowedFingerprints]]): documents
     * sharing ≥ `minShared` selected k-gram-window minima. Catches verbatim

@@ -4,6 +4,37 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("paragraph dedup: repeats survive only at first (doc, position); blanks exempt") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "SHARED HEADER\nunique one\n\nSHARED FOOTER"),
+      (2L, "SHARED HEADER\nunique two\n\nSHARED FOOTER"),
+      (3L, "SHARED FOOTER\nunique three"),
+      (4L, "SHARED HEADER")) // loses its only paragraph
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1 is the first occurrence of both boilerplate lines
+    assert(got(1L) === ((4L, "SHARED HEADER\nunique one\n\nSHARED FOOTER")))
+    // doc 2 keeps its unique line and the (exempt) blank
+    assert(got(2L) === ((2L, "unique two\n")))
+    // SHARED FOOTER's first occurrence was doc 1 pos 3 — doc 3 loses it
+    assert(got(3L) === ((1L, "unique three")))
+    // a doc whose every paragraph was deduped away keeps its row, empty
+    assert(got(4L) === ((0L, "")))
+  }
+
+  test("paragraph dedup is layout-independent") {
+    val s = spark; import s.implicits._
+    val df = (1L to 40L).map(i =>
+        (i, s"COMMON\nbody $i\nCOMMON TAIL ${i % 4}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.paragraphDedup(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(run(df) === run(df.repartition(7)))
+  }
+
   private def docs() = {
     val s = spark; import s.implicits._
     Seq(
