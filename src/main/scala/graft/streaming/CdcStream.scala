@@ -20,25 +20,42 @@ import graft.operators.{ChangeApplier, TableStore}
 object CdcStream {
 
   /** Stream of raw change rows from a table's stage dir (change files only,
-    * `2*.csv` per sql:301). */
+    * `2*.csv` per sql:301). Carries the same schema-drift guard as the
+    * batch reader ([[graft.sources.CsvStageReader]]): a staged row WIDER
+    * than (op + target) aborts the stream naming the file instead of
+    * silently mis-binding trailing columns. A streaming source's schema is
+    * fixed at start, so `widen_on_drift` is a batch-path feature — on a
+    * drift failure here, widen via the batch merge (or
+    * [[TableStore.widenSchema]] directly) and restart the stream with the
+    * widened target schema. */
   def changeStream(
       spark: SparkSession,
       tableDir: String,
       target: StructType): DataFrame = {
     val width = target.fields.length + 1
+    // one probe column past the expected width, same as the batch reader
     val raw = spark.readStream
-      .schema(StructType((0 until width).map(i => StructField(s"_c$i", StringType))))
+      .schema(StructType((0 to width).map(i => StructField(s"_c$i", StringType))))
       .option("header", "false")
       .option("quote", "\"")
       .option("escape", "\"") // RFC-4180 doubled quotes, as in CsvStageReader
       .option("pathGlobFilter", "2*.csv")
       .option("maxFilesPerTrigger", "32")
       .csv(tableDir)
+      .withColumn("_file_name", col("_metadata.file_name"))
+    val driftMsg = concat(
+      lit("schema drift: staged file "), col("_file_name"),
+      lit(s" carries more than ${target.fields.length} data columns " +
+        s"(target schema: ${target.fields.map(_.name).mkString(", ")}); " +
+        "widen the target and restart the stream"))
+    val guarded = raw.filter(
+      when(col(s"_c$width").isNotNull, raise_error(driftMsg).cast("boolean"))
+        .otherwise(lit(true)))
     val cols = substring(col("_c0"), 1, 1).as("op") +:
       target.fields.zipWithIndex.map { case (f, i) =>
         col(s"_c${i + 1}").cast(f.dataType).as(f.name)
       }.toSeq
-    raw.select(cols :+ col("_metadata.file_name").as("_file_name"): _*)
+    guarded.select(cols :+ col("_file_name"): _*)
   }
 
   /** Run the stream, merging each micro-batch into the versioned table.

@@ -50,4 +50,24 @@ class CdcStreamSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(result2 === Map(1 -> "alice3", 3 -> "carol2"))
   }
+
+  test("a change file wider than the target fails the stream, naming the file") {
+    val root = tmpDir("streamdrift")
+    val tableDir = s"$root/stage/cdc/t"
+    val store = new TableStore(s"$root/warehouse")
+    store.write(spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, "alice")), schema), "t")
+    writeCsv(tableDir, "20260101-000000001.csv", Seq("U,1,alice2,extra-col"))
+    val q = CdcStream.start(spark, tableDir, "t", schema, Seq("id"),
+      store, s"$root/chk", availableNow = true)
+    val err = intercept[Exception] { q.awaitTermination(60000) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    val msg = messages(err)
+    assert(msg.contains("schema drift"), s"unexpected error: $msg")
+    assert(msg.contains("20260101-000000001.csv"))
+    // drift never half-applies on the streaming path either
+    assert(store.read(spark, "t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "alice"))
+  }
 }
