@@ -41,6 +41,10 @@ object SparkEntry {
   // -------------------------------------------------------------------
   private val q26StageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q60's persisted-index roots, one per input dir (same fixture-caching
+    * discipline as [[q26StageCache]]). */
+  private val q60IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Dirs this JVM allocated via [[newTmpDir]] — the ownership ledger the
     * stale-dir sweep consults so it only ever deletes leftovers of DEAD
     * JVMs (q26 stage roots additionally live in [[q26StageCache]]). */
@@ -48,17 +52,26 @@ object SparkEntry {
 
   /** Temp dir in tmpfs when available (the fixture queries measure
     * operators, not the host's /tmp disk), sweeping stale `graft_`-prefixed
-    * dirs left by earlier JVMs (skipping anything this JVM owns). */
+    * dirs left by earlier JVMs. Ownership (this JVM's ledger) AND an age
+    * gate protect live dirs: another JVM running concurrently has fixture
+    * dirs younger than the threshold, while a dead JVM's leftovers only
+    * age — so only those are ever deleted. */
+  private val tmpSweepAgeMs = 30 * 60 * 1000L
+
   private def newTmpDir(prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val shm = java.nio.file.Paths.get("/dev/shm")
     val useShm = java.nio.file.Files.isWritable(shm)
     val dir = if (useShm) {
       val live = q26StageCache.values.asScala.toSet ++ liveTmpDirs.asScala
+      val cutoff = System.currentTimeMillis() - tmpSweepAgeMs
       val stream = java.nio.file.Files.list(shm)
       try stream.iterator().forEachRemaining { p =>
         val owned = live.exists(_.startsWith(p.toString))
-        if (p.getFileName.toString.startsWith("graft_") && !owned) {
+        val stale = !owned &&
+          (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+        if (p.getFileName.toString.startsWith("graft_") && stale) {
           try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
           catch { case _: java.io.IOException => () }
@@ -806,14 +819,22 @@ object SparkEntry {
     // incremental state maintenance (sql:244, 412–416), batch-vs-corpus
     // like Dedup.dedupAgainst.
     "q60_ivf_persisted" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
-      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
-      val store = new graft.operators.TableStore(newTmpDir("graft_q60idx").toString)
-      graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
-        nCells = 8, iterations = 1, store, "emb_idx")
+      // the index is built + persisted ONCE per input dir (fixture, like
+      // prepareCdcStage): re-running the query measures SERVING a batch
+      // against previously persisted state — the daily operation — and a
+      // long session doesn't accumulate one tmpfs index copy per run
+      val storeRoot = q60IndexCache.computeIfAbsent(dir, _ => {
+        val root = newTmpDir("graft_q60idx").toString
+        val store = new graft.operators.TableStore(root)
+        val corpus = t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
+          nCells = 8, iterations = 1, store, "emb_idx")
+        root
+      })
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
       graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
-          store, "emb_idx", k = 3, nProbe = 2)
+          new graft.operators.TableStore(storeRoot), "emb_idx", k = 3, nProbe = 2)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -1432,12 +1453,12 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey < 200)
         |SELECT c_custkey,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(text, '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '(?:\+\d{1,2}[-. ]|\b\d{1,2}[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g'),
+        |    '(?:\+\d{1,2}[-. ]|\b\d{1,2}[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
         |FROM synth ORDER BY c_custkey""".stripMargin,

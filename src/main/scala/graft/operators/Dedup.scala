@@ -197,16 +197,22 @@ object Dedup {
       edges.unpersist(false)
       return out.toDF("id", "cluster_id")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      // lineage truncation is load-bearing for EVERY iterative DataFrame
-      // loop: each round's plan embeds the previous round's, so without a
-      // cut the analyzed tree doubles per iteration and Catalyst analysis
-      // alone goes exponential long before any data moves. localCheckpoint
-      // materializes the rows as executor blocks and restarts the plan
-      // there (an HDFS checkpoint dir, when configured, is the
-      // failure-tolerant variant at cluster scale — same call shape).
-      .localCheckpoint()
+    // Lineage truncation is load-bearing for EVERY iterative DataFrame
+    // loop: each round's plan embeds the previous round's, so without a
+    // cut the analyzed tree doubles per iteration and Catalyst analysis
+    // alone goes exponential long before any data moves. The Pregel idiom:
+    // persist each generation's RDD, wrap it in a fresh DataFrame (the
+    // plan restarts at a LogicalRDD), and EAGERLY unpersist the superseded
+    // generation once the next one is materialized — no waiting on GC +
+    // context-cleaner for ~maxIterations generations of storage blocks.
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -214,18 +220,22 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val (next, nextRdd) = materialize(
+        labels.unionByName(viaNeighbors)
+          .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
+        .limit(1).count() // materializes `next`; `labels` is now superseded
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(false)
+    // the returned frame's backing RDD stays persisted (one generation) —
+    // dropped by LRU/GC after the caller consumes it
     labels
   }
 
@@ -286,12 +296,12 @@ object Dedup {
     * not boilerplate) — eligibility is a function of the content, so a
     * content group is exempt or deduped as a whole.
     *
-    * Scale: one explode (narrow), one aggregation on paragraph content for
+    * Scale: one explode (narrow, PINNED — it feeds both the keeper
+    * aggregate and the join side, so without the pin the corpus would
+    * split and explode twice), one aggregation on paragraph content for
     * the first-occurrence keeper (min-struct, partial-combined map-side —
     * a boilerplate paragraph repeated a billion times collapses per task),
-    * one join back on content, one per-doc reassembly aggregation. The
-    * paragraph text crosses the shuffle once — unavoidable, dedup is
-    * global and the survivor must be reassembled.
+    * one join back on content, one per-doc reassembly aggregation.
     *
     * @return (idCol, n_paras_kept, textCol) — docs that lose every
     *         paragraph keep their row with an empty string */
@@ -299,10 +309,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minParaChars: Int = 1): DataFrame = {
+      minParaChars: Int = 1)(implicit caches: CacheScope): DataFrame = {
     require(minParaChars >= 1, s"minParaChars must be >= 1, got $minParaChars")
-    val paras = df.select(col(idCol).as("_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_para")))
+    val paras = caches.pin(df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_para"))))
     val eligible = length(trim(col("_para"))) >= minParaChars
     val keepers = paras.filter(eligible)
       .groupBy(col("_para"))

@@ -136,7 +136,10 @@ object IncrementalMerge {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val targetSchema = store.read(spark, tableName).schema
     val width = 1 + targetSchema.length // op + data columns
-    val total = width + widenWindow
+    // one LOOKAHEAD column past the window: with it, a batch carrying
+    // exactly widenWindow new columns is distinguishable from one carrying
+    // more (whose overflow populates the lookahead slot)
+    val total = width + widenWindow + 1
     val probeSchema = StructType((0 until total).map(i => StructField(s"_c$i", StringType)))
     val raw = spark.read.schema(probeSchema)
       .option("header", "false").option("quote", "\"").option("escape", "\"")
@@ -148,7 +151,7 @@ object IncrementalMerge {
       .getOrElse(-1)
     if (maxIdx >= width) {
       require(maxIdx < total - 1,
-        s"change files for $tableName carry ${maxIdx + 1}+ columns — more than " +
+        s"change files for $tableName carry ${maxIdx + 1}+ columns — over " +
           s"$widenWindow beyond the target's ${targetSchema.length}; " +
           "re-baseline with a full load")
       val k = maxIdx - width + 1

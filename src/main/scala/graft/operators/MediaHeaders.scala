@@ -101,15 +101,18 @@ object MediaHeaders {
     var dataSize = -1L
     while (pos + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
       val size = le32(b, pos + 4)
-      if (size < 0) return None
       if (tagAt(b, pos, "fmt ")) {
         if (pos + 8 + 12 > b.length) return None
         byteRate = le32(b, pos + 8 + 8)
       } else if (tagAt(b, pos, "data")) {
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
-      if (pos <= 0) return None // overflow guard on a hostile size field
+      // strict forward progress: a hostile size field whose Int cast goes
+      // negative could otherwise cycle pos between positive offsets forever
+      // (totality contract — a dirty corpus must never hang a task)
+      val next = pos + 8 + size + (size & 1L) // chunks pad to even length
+      if (next <= pos || next > Int.MaxValue) return None
+      pos = next.toInt
     }
     if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate) else None
   }

@@ -39,14 +39,19 @@ object Pii {
     * claimed twice.
     *
     * The phone rule's country code is OPTIONAL, so the common bare US
-    * formats (`555-123-4567`, `(555) 123-4567`, `555.123.4567`) are caught;
-    * an IPv4 string can never satisfy it (the final run must be 4 digits,
-    * IPv4 segments are at most 3), and the 3-2-4 SSN shape never matches
-    * the 3-3-4 body. */
+    * formats (`555-123-4567`, `(555) 123-4567`, `555.123.4567`) are caught.
+    * Every digit-led edge is `\b`-anchored (RE2-compatible — no
+    * lookbehind), so the rule can never start mid-digit-run: space-
+    * separated number sequences like `1234 567 8901` stay unmasked, and
+    * the final 4-digit run must end at a boundary. `+`/`(`-led forms
+    * anchor on the symbol itself. An IPv4 string can never satisfy it
+    * (the final run must be 4 digits, IPv4 segments are at most 3), and
+    * the 3-2-4 SSN shape never matches the 3-3-4 body. */
   val defaultRules: Seq[Rule] = Seq(
     Rule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     Rule("phone",
-      "(?:\\+?\\d{1,2}[-. ])?(?:\\(\\d{3}\\)|\\d{3})[-. ]\\d{3}[-. ]\\d{4}", "[PHONE]"),
+      "(?:\\+\\d{1,2}[-. ]|\\b\\d{1,2}[-. ])?(?:\\(\\d{3}\\)|\\b\\d{3})[-. ]\\d{3}[-. ]\\d{4}\\b",
+      "[PHONE]"),
     Rule("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     Rule("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"))
 

@@ -144,7 +144,10 @@ object Sampling {
     * onto the corpus — the corpus itself stays in one narrow filtered
     * pass. Oversubscribed strata cap at rate 1 (the expectation then
     * undershoots `targetRows`; re-run with a larger target if exact totals
-    * matter). */
+    * matter). Rows with a NULL stratum are excluded from both the rate
+    * computation and the output — they belong to no mix component (the
+    * equi-join could never reach them, and counting them would silently
+    * deflate every real stratum's rate). */
   def temperatureMix(
       df: DataFrame,
       idCol: String,
@@ -154,7 +157,8 @@ object Sampling {
       salt: String = "temp"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
     val z = counts.agg(sum(pow(col("_n"), alpha)).as("_z"))
     val rates = counts.crossJoin(broadcast(z))
       .withColumn("_rate", least(lit(1d),

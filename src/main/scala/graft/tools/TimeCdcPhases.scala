@@ -57,7 +57,8 @@ object TimeCdcPhases {
         }
         val target = store.read(spark, m.targetTableName)
         val changes = graft.sources.CsvStageReader.read(
-          spark, pending.map(_.file), target.schema, withOp = true)
+          spark, pending.map(_.file), target.schema, withOp = true,
+          exactRowNumbers = false) // mirror IncrementalMerge.run exactly
         val batch = timed("  latestPerKey+cache") {
           val b = graft.operators.ChangeApplier.latestPerKey(changes, m.pkColumns).cache()
           b.count(); b

@@ -161,6 +161,25 @@ class CdcPipelineSpec extends SparkSpec {
     assert(out.filter(col("id") === 3).collect().head.isNullAt(4))
   }
 
+  test("widen_on_drift: exactly widenWindow (8) new columns still widens") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    val meta = meta0.copy(additionalConfig = """{"widen_on_drift": true}""")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    val tableDir = s"$stageDir/cdc/customer_sync"
+    // the documented per-batch limit is k <= 8 — the boundary must widen,
+    // not trip the over-window failure (lookahead column distinguishes)
+    writeCsv(tableDir, "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00," + (1 to 8).map("x" + _).mkString(",")))
+    IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    val out = store.read(spark, "cdc_customer_sync")
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("id", "name", "balance", "updated_at") ++ (5 to 12).map("c" + _))
+    val row1 = out.filter(col("id") === 1).collect().head
+    assert(row1.getString(4) === "x1" && row1.getString(11) === "x8")
+  }
+
   test("widen_on_drift: drift beyond the widen window still fails loudly") {
     val (_, stageDir, metaStore, store, meta0) = setup()
     val meta = meta0.copy(additionalConfig = """{"widen_on_drift": true}""")

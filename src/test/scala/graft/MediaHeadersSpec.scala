@@ -60,6 +60,18 @@ class MediaHeadersSpec extends SparkSpec {
     val hostile = "RIFFÿÿÿÿWAVE".getBytes("ISO-8859-1") ++
       "fmt ".getBytes("UTF-8") ++ Array[Byte](-1, -1, -1, 127)
     assert(MediaHeaders.wavDurationMs(hostile) === None)
+    // chunk sizes crafted so a 32-bit-truncating walk would CYCLE between
+    // positive offsets (12 -> 252 -> 12 -> …) instead of terminating: the
+    // parser must return None in finite time, never hang the task
+    val cyclic = new Array[Byte](300)
+    def put(off: Int, s: String): Unit =
+      s.getBytes("ISO-8859-1").zipWithIndex.foreach { case (b, i) => cyclic(off + i) = b }
+    def putLe32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => cyclic(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    put(0, "RIFF"); putLe32(4, 292); put(8, "WAVE")
+    put(12, "JUNK"); putLe32(16, 232) // -> next chunk at 252
+    put(252, "JUNK"); putLe32(256, 0xFFFFFF08L) // Int-truncated: back to 12
+    assert(MediaHeaders.wavDurationMs(cyclic) === None)
   }
 
   test("HeaderDecoder reports real metadata in the Spark pipeline, stub otherwise") {

@@ -49,6 +49,22 @@ class PiiSpec extends SparkSpec {
     assert(twice === out.values.toSet)
   }
 
+  test("phone rule never starts or ends mid-digit-run (boundary anchors)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "order 1234 567 8901 shipped"), // quad-led run: not a phone
+      (2L, "totals 2020 100 2000 plus tax"), // number sequence: not a phone
+      (3L, "serial 555-123-45678 suffix"), // 5-digit tail: not a phone
+      (4L, "call (555) 123-4567 or +1-415-555-0100 or 555.867.5309"))
+      .toDF("doc_id", "text")
+    val out = Pii.scrub(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "order 1234 567 8901 shipped")
+    assert(out(2L) === "totals 2020 100 2000 plus tax")
+    assert(out(3L) === "serial 555-123-45678 suffix")
+    assert(out(4L) === "call [PHONE] or [PHONE] or [PHONE]")
+  }
+
   test("custom rules replace the defaults and report under their own names") {
     val rules = Seq(Pii.Rule("hexid", "\\b0x[0-9a-f]{8}\\b", "[HEX]"))
     val s = spark; import s.implicits._

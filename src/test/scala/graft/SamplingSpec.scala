@@ -145,6 +145,24 @@ class SamplingSpec extends SparkSpec {
       mixed.collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMix excludes NULL strata from rates AND output") {
+    val s = spark; import s.implicits._
+    val withNulls = (1L to 100L)
+      .map(i => (i, if (i <= 30) null else if (i <= 70) "web" else "books", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.temperatureMix(withNulls, "doc_id", "source",
+      alpha = 1.0, targetRows = 35, salt = "temp")
+    // no null-stratum rows in the output…
+    assert(kept.filter(col("source").isNull).count() === 0)
+    // …and the rates were computed over the 70 NON-null rows: alpha=1 →
+    // flat rate 35/70 = 0.5, identical to the same corpus without nulls
+    val noNulls = withNulls.filter(col("source").isNotNull)
+    val expected = Sampling.rateSample(noNulls, "doc_id", "source",
+        Map("web" -> 0.5, "books" -> 0.5), salt = "temp")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet === expected)
+  }
+
   test("temperatureMix caps oversubscribed strata at keep-everything") {
     val all = Sampling.temperatureMix(docs(), "doc_id", "source",
       alpha = 0.5, targetRows = 10000)
