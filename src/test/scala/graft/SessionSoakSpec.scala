@@ -8,9 +8,10 @@ import graft.operators.CacheScope
   * — the leak mode this guards against is a long-lived service session
   * whose block manager fills with operator pins that nothing releases.
   *
-  * localCheckpoint blocks (the connected-components lineage cuts) are
-  * excluded from the drain assertion: they are freed asynchronously by the
-  * context cleaner once the RDD is unreachable, not by any scope. */
+  * Checkpoint-style blocks (lineage cuts materialized outside any scope,
+  * e.g. a connected-components generation loop) are excluded from the
+  * drain assertion: their lifecycle is eager unpersist inside the
+  * operator plus GC for the final generation, not scope release. */
 class SessionSoakSpec extends SparkSpec {
 
   private def scopedPersistentRdds =
