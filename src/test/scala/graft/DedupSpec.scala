@@ -24,6 +24,17 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((0L, "")))
   }
 
+  test("paragraph dedup is the identity when nothing repeats") {
+    val s = spark; import s.implicits._
+    val df = (1L to 25L).map(i => (i, s"alpha $i\nbeta $i\n\ngamma $i"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (1L to 25L).foreach { i =>
+      assert(got(i) === ((4L, s"alpha $i\nbeta $i\n\ngamma $i")))
+    }
+  }
+
   test("paragraph dedup is layout-independent") {
     val s = spark; import s.implicits._
     val df = (1L to 40L).map(i =>
