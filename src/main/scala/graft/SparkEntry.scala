@@ -754,6 +754,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ext: nearest-centroid (Rocchio) classification — the deterministic
+    // form of the classifier-based domain/quality filter: per-class mean
+    // centroids fit on the train split, held-out vectors assigned by
+    // cosine argmax; output is the confusion matrix.
+    "q65_centroid_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val train = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val test = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.Embeddings
+        .centroidClassifier(train, test, "vec_id", "embedding", "label")
+        .join(test.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted"))
+    }),
+
     // ext: cross-document paragraph dedup (boilerplate removal) — docs
     // synthesized with shared header/footer lines (the q52 pattern: pure
     // function of the table, so the oracle replays it); repeated
@@ -1766,6 +1782,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Rocchio replay: per-class long-form means on the train split,
+    // cosine argmax on the held-out split, confusion counts.
+    "q65_centroid_classify" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |train AS (SELECT * FROM base WHERE id % 10 <> 0),
+        |test AS (
+        |  SELECT * FROM base WHERE id % 10 = 0
+        |  AND list_sum(list_transform(v, x -> x * x)) > 0),
+        |m AS (
+        |  SELECT label AS class, u.pos AS pos, avg(u.x) AS c FROM (
+        |    SELECT label, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM train) GROUP BY label, u.pos),
+        |cents AS (SELECT class, list(c ORDER BY pos) AS c_v FROM m GROUP BY class),
+        |live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM cents WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |pred AS (
+        |  SELECT id, class AS predicted FROM (
+        |    SELECT t.id, c.class,
+        |      row_number() OVER (PARTITION BY t.id
+        |        ORDER BY list_cosine_similarity(t.v, c.c_v) DESC, c.class ASC) AS rnk
+        |    FROM test t CROSS JOIN live c) WHERE rnk = 1)
+        |SELECT t.label, p.predicted, count(*) AS n
+        |FROM pred p JOIN test t USING (id)
+        |GROUP BY t.label, p.predicted ORDER BY t.label, p.predicted""".stripMargin,
 
     // Paragraph-dedup replay: same boilerplate synthesis, first-occurrence
     // keeper as a row_number over (doc, position), ordered reassembly.

@@ -45,4 +45,47 @@ object Embeddings {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_vectors"), avg(col("_n")).as("avg_norm"),
         min(col("_n")).as("min_norm"), max(col("_n")).as("max_norm"))
+
+  /** Nearest-centroid (Rocchio) classification — the deterministic,
+    * SQL-replayable form of the classifier-based domain/quality filter
+    * (the role a fastText scorer plays in production corpus pipelines):
+    * fit is one pass of per-class mean vectors over the labelled train
+    * split ([[groupCentroids]]); predict assigns each test vector to the
+    * class centroid with the highest cosine (ties → lowest class).
+    *
+    * Scale: the model is nClasses × dim doubles — broadcast, like every
+    * centroid table here; scoring is one narrow pass over the test set
+    * with a per-id rank bounded by nClasses (WindowGroupLimit keeps it
+    * partial). Zero-norm test vectors are dropped (no direction to
+    * classify); zero-norm class centroids are dropped like every other
+    * centroid consumer. Output: `(idCol, predicted, score)`. */
+  def centroidClassifier(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val cents = groupCentroids(train, labelCol, vecCol)
+      .withColumnRenamed(labelCol, "_class")
+      .groupBy(col("_class"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("c_v"))
+      .withColumn("c_nrm", VectorFunctions.l2Norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+    val base = test
+      .select(col(idCol).as("_id"), VectorFunctions.toDouble(col(vecCol)).as("_v"))
+      .withColumn("_nrm", VectorFunctions.l2Norm(col("_v")))
+      .filter(col("_nrm") > 0)
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("_class").asc)
+    base.crossJoin(broadcast(cents))
+      .withColumn("score",
+        VectorFunctions.dot(col("_v"), col("c_v")) / (col("_nrm") * col("c_nrm")))
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") === 1)
+      .select(col("_id").as(idCol), col("_class").as("predicted"), col("score"))
+  }
 }

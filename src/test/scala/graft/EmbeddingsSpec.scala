@@ -37,6 +37,34 @@ class EmbeddingsSpec extends SparkSpec {
     assert(m("b") === ((1L, 0.0, 0.0, 0.0)))
   }
 
+  test("centroid classifier assigns held-out vectors to the nearest class mean") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.1f)), (2L, 0, Array(0.9f, 0.1f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f, 0.1f)), (4L, 1, Array(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val test_ = Seq(
+      (101L, Array(1.0f, 0.05f, 0.0f)), // x-direction → class 0
+      (102L, Array(0.0f, 1.0f, 0.0f)), // y-direction → class 1
+      (103L, Array(0.0f, 0.0f, 0.0f))) // zero-norm → dropped
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.centroidClassifier(train, test_, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(101L -> 0, 102L -> 1))
+  }
+
+  test("centroid classifier breaks score ties by lowest class") {
+    val s = spark; import s.implicits._
+    // both classes have the SAME centroid direction → identical cosine
+    val train = Seq(
+      (1L, 5, Array(1.0f, 0.0f)), (2L, 3, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val test_ = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.centroidClassifier(train, test_, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(9L -> 3))
+  }
+
   test("centroid aggregation partial-combines; no vector survives the exchange") {
     val plan = Embeddings.groupCentroids(
         spark.range(1000).select(col("id"), lit("g").as("label"),
