@@ -52,11 +52,21 @@ object SparkEntry {
 
   /** Temp dir in tmpfs when available (the fixture queries measure
     * operators, not the host's /tmp disk), sweeping stale `graft_`-prefixed
-    * dirs left by earlier JVMs. Ownership (this JVM's ledger) AND an age
-    * gate protect live dirs: another JVM running concurrently has fixture
-    * dirs younger than the threshold, while a dead JVM's leftovers only
-    * age — so only those are ever deleted. */
-  private val tmpSweepAgeMs = 30 * 60 * 1000L
+    * dirs left by DEAD JVMs. Liveness is decided by an `_owner.pid` marker
+    * each dir carries: the sweep only deletes a dir whose recorded owner
+    * process no longer exists AND which has aged past a grace period (the
+    * age gate covers the write race and pid reuse) — a long-running
+    * concurrent JVM's fixture dirs are never touched, however old. */
+  private val tmpSweepAgeMs = 5 * 60 * 1000L
+
+  private def ownerAlive(p: java.nio.file.Path): Boolean = {
+    val marker = p.resolve("_owner.pid")
+    try {
+      val pid = new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      ProcessHandle.of(pid).isPresent
+    } catch { case _: Exception => false } // no/garbled marker → not provably alive
+  }
 
   private def newTmpDir(prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
@@ -68,7 +78,7 @@ object SparkEntry {
       val stream = java.nio.file.Files.list(shm)
       try stream.iterator().forEachRemaining { p =>
         val owned = live.exists(_.startsWith(p.toString))
-        val stale = !owned &&
+        val stale = !owned && !ownerAlive(p) &&
           (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
            catch { case _: java.io.IOException => false })
         if (p.getFileName.toString.startsWith("graft_") && stale) {
@@ -79,6 +89,9 @@ object SparkEntry {
       } finally stream.close()
       java.nio.file.Files.createTempDirectory(shm, prefix)
     } else java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.write(dir.resolve("_owner.pid"),
+      ProcessHandle.current().pid().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     liveTmpDirs.add(dir.toString)
     dir
   }
@@ -262,7 +275,10 @@ object SparkEntry {
         .withColumn("k_bucket", pmod(col("k"), lit(10)))
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 3).as("avg_value"))
-        .orderBy(col("k_bucket"))
+        // nulls LAST: a props row without an integer 'k' buckets to NULL,
+        // and DuckDB's ASC puts NULLs last while Spark defaults them first
+        // — pin the shared order so the row-ordered compare can't diverge
+        .orderBy(col("k_bucket").asc_nulls_last)
     }),
 
     // W1 as CDC semantics: latest state per key from an event log

@@ -94,7 +94,10 @@ object IncrementalMerge {
       mergeFilesPerBucket: Int = 1,
       compactAboveFiles: Int = 32): Long =
     store.bucketSpec(tableName) match {
-      case Some(spec) if spec.pks == pks =>
+      // set-compare: the layout's OWN pk order drives the bucket hash
+      // (spec.bucketColumn), so a metadata row listing the same keys in a
+      // different order still rides the copy-on-write path
+      case Some(spec) if spec.pks.toSet == pks.toSet =>
         val batchBuckets = batch.withColumn("_bucket", spec.bucketColumn)
         // ≤ nBuckets result rows — control-plane collect, like the file
         // listing; one job yields both the touched set and rows-affected
@@ -110,7 +113,16 @@ object IncrementalMerge {
         store.commitBucketMerge(merged, tableName, touched, mergeFilesPerBucket)
         store.compact(spark, tableName, compactAboveFiles)
         bucketCounts.map(_._2).sum
-      case _ =>
+      case Some(spec) =>
+        // falling through to store.write would commit the next version
+        // WITHOUT the spec — silently un-bucketing the table and turning
+        // every later merge into a full rewrite. Config drift fails loudly
+        // here, like every other drift path in this codebase.
+        throw new IllegalStateException(
+          s"$tableName is bucketed on (${spec.pks.mkString(", ")}) but the merge " +
+            s"was asked to key on (${pks.mkString(", ")}); fix the table metadata " +
+            "or re-baseline with a full load under the new keys")
+      case None =>
         store.write(
           ChangeApplier.applyLatest(store.read(spark, tableName), batch, pks), tableName)
         batch.count() // cached by the caller; cheap second action

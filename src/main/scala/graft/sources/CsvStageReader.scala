@@ -72,27 +72,54 @@ object CsvStageReader {
     // without the probe, the extra values are silently dropped and every
     // later column is positionally mis-bound. The reference re-derives the
     // stage schema from information_schema each run (sql:307–321); here
-    // drift instead fails loudly inside the same scan (see `dataCols`).
+    // drift instead fails loudly inside the same scan (see [[parseStaged]]).
     val raw = spark.read
-      .schema(StructType((0 to width).map(i => StructField(s"_c$i", StringType))))
-      .option("header", "false")
-      // RFC-4180 quoting (DMS style): quotes escape by doubling, not
-      // backslash (Spark's default escape of '\' mangles "" sequences)
-      .option("quote", "\"")
-      .option("escape", "\"")
+      .schema(probeSchema(width))
+      .options(csvOptions)
       .csv(files: _*)
       .withColumn("_file_name", col("_metadata.file_name"))
+    val projected = parseStaged(raw, target, withOp)
+    if (!needRowNumbers) projected
+    else if (!exactRowNumbers)
+      projected.withColumn("_row_in_file", monotonically_increasing_id())
+    else {
+      val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
+      projected.withColumn("_row_in_file", row_number().over(w))
+    }
+  }
+
+  /** All-string positional schema `_c0.._c<width>` INCLUDING the drift
+    * probe column at index `width`. */
+  private[graft] def probeSchema(width: Int): StructType =
+    StructType((0 to width).map(i => StructField(s"_c$i", StringType)))
+
+  /** RFC-4180 quoting (DMS style): quotes escape by doubling, not
+    * backslash (Spark's default escape of '\' mangles "" sequences). */
+  private[graft] val csvOptions: Map[String, String] =
+    Map("header" -> "false", "quote" -> "\"", "escape" -> "\"")
+
+  /** The ONE staged-CSV parsing contract, shared by the batch reader and
+    * [[graft.streaming.CdcStream]]: drift-guard filter + op extraction +
+    * positional casts over a raw probe-widened `_c*` frame carrying
+    * `_file_name`.
+    *
+    * The drift guard is a standalone FILTER on the probe column: any
+    * populated probe cell aborts the scan naming the file, instead of
+    * positionally mis-casting the whole batch. A Filter referencing
+    * `_c$width` keeps the probe column alive through Catalyst column
+    * pruning no matter which data columns a downstream projection consumes
+    * (a guard fused into one data column's expression would vanish with
+    * that column). A column REMOVED upstream is indistinguishable from
+    * legitimate trailing NULLs row-wise and surfaces as such — only
+    * widening is detectable here. */
+  private[graft] def parseStaged(
+      raw: DataFrame,
+      target: StructType,
+      withOp: Boolean): DataFrame = {
     val offset = if (withOp) 1 else 0
+    val width = target.fields.length + offset
     val opCol: Seq[Column] =
       if (withOp) Seq(substring(col("_c0"), 1, 1).as("op")) else Seq.empty
-    // Drift guard as a standalone FILTER on the probe column: any populated
-    // probe cell aborts the scan naming the file, instead of positionally
-    // mis-casting the whole batch. A Filter referencing `_c$width` keeps the
-    // probe column alive through Catalyst column pruning no matter which
-    // data columns a downstream projection consumes (a guard fused into one
-    // data column's expression would vanish with that column). A column
-    // REMOVED upstream is indistinguishable from legitimate trailing NULLs
-    // row-wise and surfaces as such — only widening is detectable here.
     val driftMsg = concat(
       lit("schema drift: staged file "), col("_file_name"),
       lit(s" carries more than ${target.fields.length} data columns " +
@@ -104,13 +131,6 @@ object CsvStageReader {
     val dataCols = target.fields.zipWithIndex.map { case (f, i) =>
       col(s"_c${i + offset}").cast(f.dataType).as(f.name)
     }
-    val projected = guarded.select(opCol ++ dataCols :+ col("_file_name"): _*)
-    if (!needRowNumbers) projected
-    else if (!exactRowNumbers)
-      projected.withColumn("_row_in_file", monotonically_increasing_id())
-    else {
-      val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
-      projected.withColumn("_row_in_file", row_number().over(w))
-    }
+    guarded.select(opCol ++ dataCols :+ col("_file_name"): _*)
   }
 }

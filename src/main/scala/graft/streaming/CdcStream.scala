@@ -32,30 +32,32 @@ object CdcStream {
       spark: SparkSession,
       tableDir: String,
       target: StructType): DataFrame = {
+    import graft.sources.CsvStageReader
     val width = target.fields.length + 1
-    // one probe column past the expected width, same as the batch reader
     val raw = spark.readStream
-      .schema(StructType((0 to width).map(i => StructField(s"_c$i", StringType))))
-      .option("header", "false")
-      .option("quote", "\"")
-      .option("escape", "\"") // RFC-4180 doubled quotes, as in CsvStageReader
+      .schema(CsvStageReader.probeSchema(width))
+      .options(CsvStageReader.csvOptions)
       .option("pathGlobFilter", "2*.csv")
       .option("maxFilesPerTrigger", "32")
       .csv(tableDir)
       .withColumn("_file_name", col("_metadata.file_name"))
-    val driftMsg = concat(
-      lit("schema drift: staged file "), col("_file_name"),
-      lit(s" carries more than ${target.fields.length} data columns " +
-        s"(target schema: ${target.fields.map(_.name).mkString(", ")}); " +
-        "widen the target and restart the stream"))
-    val guarded = raw.filter(
-      when(col(s"_c$width").isNotNull, raise_error(driftMsg).cast("boolean"))
-        .otherwise(lit(true)))
-    val cols = substring(col("_c0"), 1, 1).as("op") +:
-      target.fields.zipWithIndex.map { case (f, i) =>
-        col(s"_c${i + 1}").cast(f.dataType).as(f.name)
-      }.toSeq
-    guarded.select(cols :+ col("_file_name"): _*)
+    // single-split contract, streaming form: the per-micro-batch row
+    // numbers below assume each file is ONE split (the batch reader
+    // enforces this with a driver-side require; files here are discovered
+    // continuously, so the guard rides the scan instead). A multi-split
+    // file would interleave partitions and could silently let an older
+    // update win latest-per-PK.
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    val sizeMsg = concat(
+      lit("staged file "), col("_file_name"),
+      lit(s" exceeds spark.sql.files.maxPartitionBytes=$maxSplit; raise the " +
+        "conf so each DMS file stays a single split (row-number contract)"))
+    val sized = raw.filter(
+      when(col("_metadata.file_size") > maxSplit,
+        raise_error(sizeMsg).cast("boolean")).otherwise(lit(true)))
+    // shared parsing contract: drift guard + op + positional casts
+    CsvStageReader.parseStaged(sized, target, withOp = true)
   }
 
   /** Run the stream, merging each micro-batch into the versioned table.

@@ -112,6 +112,24 @@ class BucketedMergeSpec extends SparkSpec {
     assert(v3.size === 99)
   }
 
+  test("merge keyed on different pks than the bucket layout fails loudly, never un-buckets") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("bucketdrift")
+    val store = new TableStore(s"$root/warehouse")
+    store.writeBucketed(
+      Seq((1, "a"), (2, "b")).toDF("id", "payload"), "t", BucketSpec(4, Seq("id")))
+    val batch = Seq(("U", 1, "a2")).toDF("op", "id", "payload")
+      .withColumn("_file_name", org.apache.spark.sql.functions.lit("f"))
+      .withColumn("_row_in_file", org.apache.spark.sql.functions.lit(1L))
+    val err = intercept[IllegalStateException] {
+      IncrementalMerge.applyBatch(spark, store, "t", batch, pks = Seq("payload"))
+    }
+    assert(err.getMessage.contains("bucketed on (id)"))
+    // the layout survives: the table is still bucketed, data untouched
+    assert(store.bucketSpec("t").isDefined)
+    assert(store.read(spark, "t").count() === 2)
+  }
+
   test("bucketed and plain pipelines agree on random multi-file change logs (seed=42)") {
     val rng = new scala.util.Random(42)
     (1 to 3).foreach { trial =>
