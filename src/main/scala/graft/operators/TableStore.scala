@@ -15,20 +15,39 @@ final case class BucketSpec(nBuckets: Int, pks: Seq[String]) {
   def bucketColumn: Column = pmod(hash(pks.map(col): _*), lit(nBuckets))
 }
 
+/** Two writers raced the same table version: the loser's commit is refused
+  * instead of silently overwriting the winner's (last-writer-wins is the
+  * one failure mode a versioned store must not have). The table is intact —
+  * the thrower's data never reached a live version; re-read and retry. */
+final class VersionConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Versioned parquet table with atomic swap — the merge/overwrite substrate
   * (no Delta/Iceberg jar in this environment; SURVEY §7.3).
   *
   * Layout: `<root>/<table>/v<N>/` parquet dirs + `<root>/<table>/_current`
   * manifest holding the live version number (and, for bucketed tables, the
-  * [[BucketSpec]]). Writers produce `v(N+1)` fully, then repoint the
-  * manifest with temp-write + atomic rename; readers resolve the manifest
-  * first, so they never observe a half-written table. Old versions are
-  * pruned after the swap (best-effort; a reader already holding v(N)'s file
-  * list finishes safely on local/HDFS-like stores — and hard-linked bucket
+  * [[BucketSpec]]). Writers produce the next version's files fully in a
+  * private `.staging-*` dir, then commit under a per-table lock: the
+  * staging dir is renamed to `v(N+1)` and the manifest repointed with
+  * temp-write + atomic rename — readers resolve the manifest first, so
+  * they never observe a half-written table. Old versions are pruned after
+  * the swap (best-effort; a reader already holding v(N)'s file list
+  * finishes safely on local/HDFS-like stores — and hard-linked bucket
   * files survive the prune of the version that first wrote them).
   *
+  * Concurrent writers: every commit carries the version the writer
+  * RESOLVED when it started (its read snapshot) and is compare-and-swapped
+  * against `_current` under the lock — if another writer moved the table
+  * first, the commit throws [[VersionConflictException]] instead of
+  * last-writer-wins (the reference gets the same safety by serializing
+  * through dequeue-delete, sql:185). The losing writer's staging dir is
+  * removed; the winner's version and the manifest are never touched. This
+  * is optimistic concurrency control as Delta/Iceberg do it, on plain
+  * files.
+  *
   * At cluster scale the same pattern works on any store with atomic rename
-  * (HDFS) — on S3 the manifest write is still atomic (single PUT).
+  * (HDFS); on S3 the manifest swap maps to a conditional PUT and staging
+  * to a key prefix.
   */
 final class TableStore(root: String) {
   Files.createDirectories(Paths.get(root))
@@ -114,13 +133,11 @@ final class TableStore(root: String) {
     val (dataCols, partCols) = current.fields.toSeq.partition(_.name != "_bucket")
     val widened = org.apache.spark.sql.types.StructType(
       dataCols ++ extra.map(_.copy(nullable = true)) ++ partCols)
-    val next = cur + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = newStaging(name)
     linkTree(curDir, dest)
     Files.write(dest.resolve("_schema.json"),
       widened.json.getBytes(StandardCharsets.UTF_8))
-    commit(name, next, bucketSpec(name))
-    next
+    commitStaged(name, Some(cur), dest, bucketSpec(name))
   }
 
   /** Mirror `src`'s version layout into `dst` as hard links (copy
@@ -138,23 +155,21 @@ final class TableStore(root: String) {
 
   /** Write `df` as the next version and atomically swap the manifest. */
   def write(df: DataFrame, name: String): Int = {
-    val next = currentVersion(name).getOrElse(0) + 1
-    val dest = tableDir(name).resolve(s"v$next")
-    df.write.mode("overwrite").parquet(dest.toString)
-    commit(name, next, None)
-    next
+    val expected = currentVersion(name)
+    val staging = newStaging(name)
+    df.write.mode("overwrite").parquet(staging.toString)
+    commitStaged(name, expected, staging, None)
   }
 
   /** Full write of a bucketed table: one hash shuffle on the bucket column
     * at load time buys every later merge its bucket pruning. */
   def writeBucketed(df: DataFrame, name: String, spec: BucketSpec): Int = {
-    val next = currentVersion(name).getOrElse(0) + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val expected = currentVersion(name)
+    val staging = newStaging(name)
     df.withColumn("_bucket", spec.bucketColumn)
       .repartition(spec.nBuckets, col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
-    commit(name, next, Some(spec))
-    next
+      .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    commitStaged(name, expected, staging, Some(spec))
   }
 
   /** Copy-on-write merge commit for a bucketed table: `rewritten` holds the
@@ -179,9 +194,8 @@ final class TableStore(root: String) {
       throw new IllegalStateException(s"$name is not bucketed"))
     val cur = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"table $name does not exist"))
-    val next = cur + 1
     val curDir = tableDir(name).resolve(s"v$cur")
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = newStaging(name)
     val distributed =
       if (filesPerBucket == 1)
         rewritten.repartition(math.max(1, touched.size), col("_bucket"))
@@ -209,8 +223,7 @@ final class TableStore(root: String) {
     val sf = curDir.resolve("_schema.json")
     if (Files.exists(sf))
       Files.copy(sf, dest.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
-    commit(name, next, Some(spec))
-    next
+    commitStaged(name, Some(cur), dest, Some(spec))
   }
 
   /** Per-bucket part-file counts of the current version — the health
@@ -267,15 +280,90 @@ final class TableStore(root: String) {
         Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
 
-  private def commit(name: String, next: Int, spec: Option[BucketSpec]): Unit = {
-    val tmp = tableDir(name).resolve("_current.tmp")
+  /** A fresh private staging dir for one writer's next-version files.
+    * Dot-prefixed so [[prune]]'s `v<N>` scan never matches it, and unique
+    * per writer so two concurrent writers of the same table can never
+    * clobber each other's files mid-write (both writing literally to
+    * `v(N+1)`, the pre-CAS layout's quiet hazard). */
+  private[graft] def newStaging(name: String): Path = {
     Files.createDirectories(tableDir(name))
-    val body = next.toString +
-      spec.map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}").getOrElse("")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    prune(name, keep = next)
+    tableDir(name).resolve(s".staging-${java.util.UUID.randomUUID()}")
+  }
+
+  /** Commit `staging` as the table's next version — the compare-and-swap.
+    *
+    * `expected` is the version the writer resolved when it STARTED (None
+    * for a create). Under the per-table lock: if `_current` still equals
+    * `expected`, the staging dir is renamed to `v(expected+1)` and the
+    * manifest swapped; if another writer moved the table first, the commit
+    * throws [[VersionConflictException]] and the staging files are
+    * deleted — the winner's version is never touched and readers are
+    * unaffected throughout. */
+  private[graft] def commitStaged(
+      name: String,
+      expected: Option[Int],
+      staging: Path,
+      spec: Option[BucketSpec]): Int =
+    try withTableLock(name) {
+      val cur = currentVersion(name)
+      if (cur != expected)
+        throw new VersionConflictException(
+          s"table $name moved to v${cur.getOrElse(0)} while this writer " +
+            s"prepared v${expected.getOrElse(0) + 1} from v${expected.getOrElse(0)} — " +
+            "concurrent writer won; re-read and retry")
+      val next = expected.getOrElse(0) + 1
+      val dest = tableDir(name).resolve(s"v$next")
+      // a crashed pre-CAS writer can have left a dead v(next) dir; it was
+      // never committed (manifest still points at `expected`), so clear it
+      if (Files.exists(dest)) deleteRecursively(dest)
+      Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+      val tmp = tableDir(name).resolve("_current.tmp")
+      val body = next.toString +
+        spec.map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}").getOrElse("")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      prune(name, keep = next)
+      next
+    } finally {
+      // loser (or any failure past the write): drop the orphaned staging
+      if (Files.exists(staging))
+        try deleteRecursively(staging) catch { case _: java.io.IOException => () }
+    }
+
+  /** Tiny critical section around the manifest CAS: an exclusive-create
+    * lock file carrying the owner pid. Held only for the rename + manifest
+    * swap (file metadata ops), never during data writes. A lock whose
+    * recorded owner process is gone is broken after a short grace (crash
+    * recovery); acquisition times out loudly rather than deadlocking. */
+  private def withTableLock[A](name: String)(body: => A): A = {
+    val lock = tableDir(name).resolve("_commit.lock")
+    val deadline = System.currentTimeMillis() + 30000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock, ProcessHandle.current().pid().toString
+          .getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val ownerDead =
+            try {
+              val pid = new String(Files.readAllBytes(lock),
+                StandardCharsets.UTF_8).trim.toLong
+              !ProcessHandle.of(pid).isPresent
+            } catch { case _: Exception => false } // racing deletion → just retry
+          if (ownerDead) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire commit lock for table $name within 30s " +
+                s"(held by a live process per $lock)")
+          else Thread.sleep(10)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** Best-effort removal of superseded versions. */
