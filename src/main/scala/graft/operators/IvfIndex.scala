@@ -103,6 +103,62 @@ object IvfIndex {
     store.write(vectors(spark, store, name).unionByName(assigned), vectorsTable(name))
   }
 
+  /** Per-cell occupancy of the stored corpus — the index's health metric,
+    * one partial-combined aggregate over the narrow `(id, v, cell)` table
+    * (the `v` column is pruned at the scan). Cells the model declares but
+    * no vector occupies are absent here; [[balance]] accounts for them. */
+  def cellStats(spark: SparkSession, store: TableStore, name: String): DataFrame =
+    vectors(spark, store, name).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Occupancy balance summary. `skewRatio` = max/mean occupancy where the
+    * mean is taken over the MODEL's cells, not just the live ones — a cell
+    * drained to zero is precisely the drift evidence the ratio must see.
+    * A freshly trained index sits near 1; probe recall decays as the ratio
+    * grows (hot cells make nProbe cells cover less of the corpus). */
+  final case class CellBalance(
+      nCellsModel: Int, nCellsLive: Int, maxOccupancy: Long, meanOccupancy: Double) {
+    def skewRatio: Double =
+      if (meanOccupancy == 0.0) 0.0 else maxOccupancy / meanOccupancy
+  }
+
+  /** Compute [[CellBalance]] — two tiny aggregates (≤ nCells rows ever
+    * reach the driver). Cheap enough to run after every [[append]]. */
+  def balance(spark: SparkSession, store: TableStore, name: String): CellBalance = {
+    val nModel = store.read(spark, centroidsTable(name))
+      .select(col("cell")).distinct().count().toInt
+    val occ = cellStats(spark, store, name).collect().map(_.getLong(1))
+    CellBalance(
+      nCellsModel = nModel,
+      nCellsLive = occ.length,
+      maxOccupancy = if (occ.isEmpty) 0L else occ.max,
+      meanOccupancy = if (nModel == 0) 0.0 else occ.sum.toDouble / nModel)
+  }
+
+  /** The refit trigger [[append]]-forever needs: when occupancy skew
+    * exceeds `bound`, refit the model ON THE STORED CORPUS via [[build]]
+    * (same cell count) and commit both halves as next versions — readers
+    * swap atomically, and a concurrent appender loses its CAS instead of
+    * splicing stale cell ids into the rebuilt index. Below the bound this
+    * is a metadata-cost no-op returning None.
+    *
+    * Policy, not mechanism: a production pipeline calls this after its
+    * append cadence (e.g. daily) with a bound around 2–4; the refit costs
+    * one k-means fit over the corpus — the same cost profile as the
+    * original build, amortized over every probe that stops paying the
+    * drift tax. */
+  def rebalance(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      bound: Double,
+      iterations: Int = 2)(implicit caches: CacheScope): Option[DataFrame] = {
+    require(bound >= 1.0, s"bound is a max/mean ratio, must be >= 1, got $bound")
+    val b = balance(spark, store, name)
+    if (b.skewRatio <= bound) None
+    else Some(build(vectors(spark, store, name).select(col("id"), col("v")),
+      "id", "v", b.nCellsModel, iterations, store, name))
+  }
+
   /** Top-k stored neighbours for each batch vector, probing the `nProbe`
     * nearest stored cells. Self-matches are excluded by id equality —
     * callers indexing and querying overlapping id spaces from different

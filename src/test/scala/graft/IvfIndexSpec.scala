@@ -92,6 +92,58 @@ class IvfIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("drift: appends skew occupancy, cellStats flags it, rebalance restores balance and recall") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("ivfidx-drift"))
+    // initial corpus: 10 vectors tightly around the x direction — both
+    // fitted cells land inside this cluster
+    val xCorpus = (1 to 10).map(i => (i.toLong, Array(1.0f, 0.002f * i, 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(xCorpus, "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+
+    // distribution drift: 10 new vectors around the y direction — assigned
+    // refit-free, they all pile into whichever stale cell is nearest
+    val yBatch = (101 to 110).map(i => (i.toLong, Array(0.002f * (i - 100), 1.0f, 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(spark, yBatch, "vec_id", "embedding", store, "emb")
+
+    val drifted = IvfIndex.balance(spark, store, "emb")
+    assert(drifted.nCellsModel === 2)
+    assert(drifted.meanOccupancy === 10.0)
+    // all 10 y-vectors share one cell with whatever x-split it had → the
+    // hot cell holds ≥ 15 of 20, ratio ≥ 1.5
+    assert(drifted.skewRatio >= 1.5)
+
+    // below the bound → no-op; above it → refit on the stored corpus
+    assert(IvfIndex.rebalance(spark, store, "emb", bound = drifted.skewRatio + 1).isEmpty)
+    val centroidVersionBefore = store.currentVersion("emb_centroids")
+    assert(IvfIndex.rebalance(spark, store, "emb", bound = 1.4).isDefined)
+    assert(store.currentVersion("emb_centroids") !== centroidVersionBefore)
+
+    // rebuilt cells split x-corpus vs y-drift → balance restored…
+    val rebalanced = IvfIndex.balance(spark, store, "emb")
+    assert(rebalanced.skewRatio <= 1.4)
+    assert(rebalanced.nCellsLive === 2)
+    // …and the refit is a real index over the FULL stored corpus: probing
+    // one cell per query finds the drifted neighbours (pre-rebalance the
+    // y-mass shared a cell with x-vectors, diluting every probe), and a
+    // full probe is exact
+    val allStored = xCorpus.unionByName(yBatch)
+    // query ids disjoint from stored ids (topK excludes self-matches by id)
+    val queries = Seq(
+      (201L, Array(1.0f, 0.05f, 0.0f)),
+      (202L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = IvfIndex.topK(spark, queries, "vec_id", "embedding",
+        store, "emb", k = 3, nProbe = 2)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = exactTopK(queries, allStored, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    scope.release()
+  }
+
   /** Exact cosine top-k of each batch vector against the whole corpus —
     * the oracle the full-probe path must match. */
   private def exactTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
