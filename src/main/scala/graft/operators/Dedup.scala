@@ -223,10 +223,16 @@ object Dedup {
       val (next, nextRdd) = materialize(
         labels.unionByName(viaNeighbors)
           .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
+      // FULL count, not limit(1): CollectLimit stops after the first
+      // partition with a changed row, which would leave parts of `next`
+      // unmaterialized — unpersisting `labels` then forces those partitions
+      // to recompute through lineage next iteration. The full aggregate
+      // evaluates (and caches) every partition of `next` before the old
+      // generation is dropped.
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count() // materializes `next`; `labels` is now superseded
+        .count()
       labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd

@@ -43,25 +43,55 @@ object IncrementalMerge {
       .filter(f => fileName(f.file) > meta.lastIncrementalFile) // P5: string >
     if (pending.isEmpty) return -1L // "No files to process." (sql:422)
 
-    // additional_config {"widen_on_drift": true} opts the table into
-    // schema evolution: a change batch carrying exactly k new TRAILING
-    // columns widens the target (metadata-only, TableStore.widenSchema)
-    // and merges; every other mismatch keeps the loud drift failure.
-    if (meta.configValue("widen_on_drift").contains("true"))
-      widenIfBatchIsWider(spark, store, meta.targetTableName, pending.map(_.file))
+    def mergeOnce(): Long = {
+      val target = store.read(spark, meta.targetTableName)
+      // order-only row ids: latest-per-PK compares (file, row) lexicographically
+      // and never reads the row number itself — skipping the exact-numbering
+      // window removes a full shuffle+sort of every change batch
+      val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema,
+        withOp = true, exactRowNumbers = false)
+      val pks = meta.pkColumns
+      val batch = ChangeApplier.latestPerKey(changes, pks).cache()
+      try applyBatch(spark, store, meta.targetTableName, batch, pks)
+      finally batch.unpersist()
+    }
 
-    val target = store.read(spark, meta.targetTableName)
-    // order-only row ids: latest-per-PK compares (file, row) lexicographically
-    // and never reads the row number itself — skipping the exact-numbering
-    // window removes a full shuffle+sort of every change batch
-    val changes = CsvStageReader.read(spark, pending.map(_.file), target.schema,
-      withOp = true, exactRowNumbers = false)
-    val pks = meta.pkColumns
-    val batch = ChangeApplier.latestPerKey(changes, pks).cache()
-    val rows = applyBatch(spark, store, meta.targetTableName, batch, pks)
-    batch.unpersist()
+    // additional_config {"widen_on_drift": true} opts the table into
+    // schema evolution: a change batch carrying k new TRAILING columns
+    // widens the target (metadata-only, TableStore.widenSchema) and
+    // merges; every other mismatch keeps the loud drift failure.
+    //
+    // OPTIMISTIC: merge first and let the scan's own drift guard trip —
+    // only then pay the full-width probe + widen + one retry. The previous
+    // shape probed every pending file up front on EVERY merge, roughly
+    // doubling steady-state ingest reads for widen_on_drift tables to
+    // defend against the rare batch. Retry safety: nothing commits before
+    // the drift error (writes land in TableStore staging dirs; the
+    // watermark advances after), so the re-run is the same idempotent
+    // replay a crash would get.
+    val rows =
+      if (!meta.configValue("widen_on_drift").contains("true")) mergeOnce()
+      else
+        try mergeOnce()
+        catch {
+          case e: Throwable if isDriftError(e) =>
+            widenIfBatchIsWider(spark, store, meta.targetTableName, pending.map(_.file))
+            mergeOnce()
+        }
     metaStore.advanceIncremental(meta.fullPath, pending.map(f => fileName(f.file)).max)
     rows
+  }
+
+  /** The scan-level drift guard's signature anywhere in the failure chain
+    * ([[CsvStageReader.parseStaged]] raises it naming the file). */
+  private def isDriftError(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains("schema drift: staged file"))
+        return true
+      t = t.getCause
+    }
+    false
   }
 
   /** Apply a deduped (latest-per-PK) change batch to the stored table —

@@ -20,10 +20,11 @@ import org.apache.spark.sql.types._
   *  - `_row_in_file` uses a window over `monotonically_increasing_id()`
   *    partitioned by file. DMS change files are small (MB-scale), so each is
   *    a single split and intra-file order is preserved within its partition;
-  *    for robustness we force single-split reads of CSV stages via
-  *    `spark.sql.files.maxPartitionBytes` left at default (128 MB ≫ DMS file
-  *    size). The window shuffle is by file name — the same key the merge
-  *    dedup needs anyway, and AQE coalesces the tiny partitions.
+  *    the reader VERIFIES this against Spark's effective split size (see
+  *    [[effectiveMaxSplitBytes]] — not raw `maxPartitionBytes`, which
+  *    overstates the bound on small batches over many cores). The window
+  *    shuffle is by file name — the same key the merge dedup needs anyway,
+  *    and AQE coalesces the tiny partitions.
   */
 object CsvStageReader {
 
@@ -55,15 +56,25 @@ object CsvStageReader {
     // Callers that don't use row numbers (full loads) skip the guard — and
     // the window.
     if (needRowNumbers) {
-      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
       val fs = new org.apache.hadoop.fs.Path(files.head)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      files.foreach { f =>
-        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-        require(len <= maxSplit,
-          s"staged file $f is $len bytes > spark.sql.files.maxPartitionBytes=$maxSplit; " +
-            "raise the conf so each DMS file stays a single split (row-number contract)")
+      val lens = files.map(f =>
+        f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      // Spark's EFFECTIVE split size is not maxPartitionBytes — it is
+      // min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+      // (FilePartition.maxSplitBytes), which on a small batch over many
+      // cores collapses to openCostInBytes: a file well under 128 MB can
+      // still be read as several splits. Recompute the same formula over
+      // THIS file list so the guard checks the invariant the plan actually
+      // runs under.
+      val effSplit = effectiveMaxSplitBytes(spark, lens.map(_._2))
+      lens.foreach { case (f, len) =>
+        require(len <= effSplit,
+          s"staged file $f is $len bytes > the effective Spark split size " +
+            s"$effSplit (min(spark.sql.files.maxPartitionBytes, " +
+            "max(spark.sql.files.openCostInBytes, totalBytes/parallelism))); " +
+            "raise those confs so each DMS file stays a single split " +
+            "(row-number contract)")
       }
     }
     val width = target.fields.length + (if (withOp) 1 else 0)
@@ -86,6 +97,29 @@ object CsvStageReader {
       val w = Window.partitionBy(col("_file_name")).orderBy(monotonically_increasing_id())
       projected.withColumn("_row_in_file", row_number().over(w))
     }
+  }
+
+  /** The split size Spark will ACTUALLY use for a scan over files of these
+    * lengths — mirrors `FilePartition.maxSplitBytes` (Spark 4.x):
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartNum))`.
+    * A file is a single split iff its length ≤ this value; comparing
+    * against raw maxPartitionBytes alone overstates the bound whenever the
+    * batch is small relative to the core count. */
+  private[graft] def effectiveMaxSplitBytes(
+      spark: SparkSession,
+      fileLengths: Seq[Long]): Long = {
+    def bytesConf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "134217728b")
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4194304b")
+    val minPartNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
+      .map(_.toInt)
+      .orElse(spark.conf.getOption("spark.sql.leafNodeDefaultParallelism").map(_.toInt))
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = fileLengths.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartNum)
+    math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
   }
 
   /** All-string positional schema `_c0.._c<width>` INCLUDING the drift

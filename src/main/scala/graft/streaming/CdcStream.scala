@@ -46,12 +46,19 @@ object CdcStream {
     // enforces this with a driver-side require; files here are discovered
     // continuously, so the guard rides the scan instead). A multi-split
     // file would interleave partitions and could silently let an older
-    // update win latest-per-PK.
+    // update win latest-per-PK. The bound is openCostInBytes, NOT
+    // maxPartitionBytes: Spark's effective split size is
+    // min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+    // and the micro-batch's totalBytes isn't known when this plan is
+    // built, so only the openCost floor is guaranteed. Conservative by
+    // design — DMS change files are MB-scale; a stage that legitimately
+    // ships bigger files raises spark.sql.files.openCostInBytes.
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"))
     val sizeMsg = concat(
       lit("staged file "), col("_file_name"),
-      lit(s" exceeds spark.sql.files.maxPartitionBytes=$maxSplit; raise the " +
+      lit(s" exceeds spark.sql.files.openCostInBytes=$maxSplit — the " +
+        "guaranteed single-split floor for a streaming scan; raise that " +
         "conf so each DMS file stays a single split (row-number contract)"))
     val sized = raw.filter(
       when(col("_metadata.file_size") > maxSplit,
