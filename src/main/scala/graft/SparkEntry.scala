@@ -59,19 +59,24 @@ object SparkEntry {
   /** Temp dir in tmpfs when available (the fixture queries measure
     * operators, not the host's /tmp disk), sweeping stale `graft_`-prefixed
     * dirs left by DEAD JVMs. Liveness is decided by an `_owner.pid` marker
-    * each dir carries: the sweep only deletes a dir whose recorded owner
-    * process no longer exists AND which has aged past a grace period (the
-    * age gate covers the write race and pid reuse) — a long-running
-    * concurrent JVM's fixture dirs are never touched, however old. */
+    * each dir carries: a dir whose recorded owner process no longer exists
+    * is deleted after a short grace (covers the write race and pid reuse);
+    * a dir with NO readable marker is UNKNOWN, not dead — it may belong to
+    * a live JVM built from a pre-marker revision or to another tool — so it
+    * only falls to the sweep after a full day. A long-running concurrent
+    * JVM's marked fixture dirs are never touched, however old. */
   private val tmpSweepAgeMs = 5 * 60 * 1000L
+  private val tmpSweepUnknownAgeMs = 24 * 60 * 60 * 1000L
 
-  private def ownerAlive(p: java.nio.file.Path): Boolean = {
+  /** Some(true/false) = marker read, owner alive/dead; None = no readable
+    * marker (unknown ownership — not evidence of death). */
+  private def ownerAlive(p: java.nio.file.Path): Option[Boolean] = {
     val marker = p.resolve("_owner.pid")
     try {
       val pid = new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      ProcessHandle.of(pid).isPresent
-    } catch { case _: Exception => false } // no/garbled marker → not provably alive
+      Some(ProcessHandle.of(pid).isPresent)
+    } catch { case _: Exception => None }
   }
 
   private def newTmpDir(prefix: String): java.nio.file.Path = {
@@ -80,11 +85,17 @@ object SparkEntry {
     val useShm = java.nio.file.Files.isWritable(shm)
     val dir = if (useShm) {
       val live = q26StageCache.values.asScala.toSet ++ liveTmpDirs.asScala
-      val cutoff = System.currentTimeMillis() - tmpSweepAgeMs
+      val now = System.currentTimeMillis()
       val stream = java.nio.file.Files.list(shm)
       try stream.iterator().forEachRemaining { p =>
         val owned = live.exists(_.startsWith(p.toString))
-        val stale = !owned && !ownerAlive(p) &&
+        // provably-dead owner → short grace; unknown owner → a full day
+        val cutoff = ownerAlive(p) match {
+          case Some(true) => Long.MinValue // live owner: never stale
+          case Some(false) => now - tmpSweepAgeMs
+          case None => now - tmpSweepUnknownAgeMs
+        }
+        val stale = !owned &&
           (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
            catch { case _: java.io.IOException => false })
         if (p.getFileName.toString.startsWith("graft_") && stale) {
@@ -1056,14 +1067,58 @@ object SparkEntry {
         encode(col("text"), "UTF-8").as("content"),
         lit("application/octet-stream").as("mime"), col("source").as("source"))
         .as[graft.operators.Multimodal.MediaItem]
-      // HeaderDecoder sniffs real container headers first; these text
-      // payloads match none, so it falls back to the md5 stub the oracle
-      // replays — the production decoder, exercised on the fallback path
+      // the full production decode chain: ImageIO raster decode → header
+      // parse → md5 stub. These text payloads are no image format, so the
+      // chain falls through to the stub the oracle replays — every tier's
+      // rejection path is exercised on every row.
       graft.operators.Multimodal.extractFeatures(items,
-        new graft.operators.Multimodal.HeaderDecoder(new graft.operators.Multimodal.StubDecoder(8)))
+        new graft.operators.Multimodal.PixelDecoder(
+          new graft.operators.Multimodal.HeaderDecoder(new graft.operators.Multimodal.StubDecoder(8))))
         .toDF()
         .select(col("item_id"), col("n_bytes"), col("width"), col("height"))
         .orderBy(col("item_id"))
+    }),
+
+    // ext: REAL pixel decode end-to-end — executors synthesize solid-color
+    // PNGs from doc_id arithmetic, PixelDecoder (JDK ImageIO) decodes the
+    // actual rasters, and the oracle recomputes every feature from the
+    // same arithmetic: a hash-exact proof that the decoded channel means
+    // and luminance histogram are the true pixel statistics. All narrow —
+    // generate/encode/decode never leave the partition.
+    "q66_pixel_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(120).as[Long]
+      val items = ids.mapPartitions(_.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val r = (id * 37 % 256).toInt
+        val g = (id * 59 % 256).toInt
+        val b = (id * 83 % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.operators.Multimodal.MediaItem(
+          id, "image", bos.toByteArray, "image/png", s"synth://$id")
+      })
+      val feats = graft.operators.Multimodal.extractFeatures(items,
+        new graft.operators.Multimodal.PixelDecoder()).toDF()
+      val hBins = (0 until graft.operators.Multimodal.LumBins).map(j =>
+        element_at(col("feature"), 4 + j).cast("double").as(s"lum_h$j"))
+      feats.select(Seq(
+          col("item_id").as("doc_id"), col("width"), col("height"),
+          element_at(col("feature"), 1).cast("double").as("r_mean"),
+          element_at(col("feature"), 2).cast("double").as("g_mean"),
+          element_at(col("feature"), 3).cast("double").as("b_mean")) ++ hBins: _*)
+        .orderBy(col("doc_id"))
     }))
 
   // =====================================================================
@@ -2244,6 +2299,42 @@ object SparkEntry {
         |  CAST(64 + h1 % 1024 AS INTEGER) AS width,
         |  CAST(64 + h2 % 1024 AS INTEGER) AS height
         |FROM h ORDER BY item_id""".stripMargin,
+
+    // Replays q66's image synthesis arithmetic: solid-color images mean to
+    // exactly their color, and the whole luminance mass lands in one bin.
+    // The luma expression mirrors the Scala decoder's double arithmetic
+    // term-for-term (coefficients cast to DOUBLE — DuckDB would otherwise
+    // parse them as DECIMAL and round differently at bin boundaries).
+    "q66_pixel_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |    CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS height,
+        |    doc_id * 37 % 256 AS r,
+        |    doc_id * 59 % 256 AS g,
+        |    doc_id * 83 % 256 AS b
+        |  FROM ids),
+        |binned AS (
+        |  SELECT *,
+        |    LEAST(7, CAST(FLOOR(
+        |      ((CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g)
+        |        + CAST(0.114 AS DOUBLE) * b) / CAST(32.0 AS DOUBLE))
+        |      AS INTEGER)) AS bin
+        |  FROM px)
+        |SELECT doc_id, width, height,
+        |  CAST(r AS DOUBLE) AS r_mean,
+        |  CAST(g AS DOUBLE) AS g_mean,
+        |  CAST(b AS DOUBLE) AS b_mean,
+        |  CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END AS lum_h0,
+        |  CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END AS lum_h1,
+        |  CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END AS lum_h2,
+        |  CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END AS lum_h3,
+        |  CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END AS lum_h4,
+        |  CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END AS lum_h5,
+        |  CASE WHEN bin = 6 THEN 1.0 ELSE 0.0 END AS lum_h6,
+        |  CASE WHEN bin = 7 THEN 1.0 ELSE 0.0 END AS lum_h7
+        |FROM binned ORDER BY doc_id""".stripMargin,
 
     // Replays the q26 stage synthesis + merge timeline in pure SQL:
     // full load = keys %5!=0 (original rows); change files then INSERT the

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batching: one decoder instantiation per partition, rows
   * streamed through it).
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] produces a deterministic fake — byte-derived
-  * pseudo-dimensions and a seeded feature vector — so every piece of Spark
-  * plumbing (schema, encoders, partitioning, batch shape) is real and
-  * testable, and a real decoder drops in behind the same trait.
+  * Decode depth is tiered, all pure JVM (no codec jars in this container):
+  * [[PixelDecoder]] does REAL raster decode for PNG/JPEG/GIF/BMP via JDK
+  * ImageIO (channel means + luminance histogram); [[HeaderDecoder]] parses
+  * real container headers (PNG/JPEG/GIF dims, WAV duration) without
+  * decoding; [[StubDecoder]] is the deterministic last-resort fake —
+  * byte-derived pseudo-dimensions and a seeded feature vector — so video/
+  * audio sample work (no JDK codec) still exercises real Spark plumbing
+  * (schema, encoders, partitioning, batch shape), and a codec-backed
+  * decoder drops in behind the same trait.
   *
   * Scale: decode is embarrassingly parallel — a narrow `mapPartitions`
   * directly over the file scan, no shuffle. Payload bytes never hit the
@@ -128,6 +132,76 @@ object Multimodal {
         width = dims.map(_._1).getOrElse(base.width),
         height = dims.map(_._2).getOrElse(base.height),
         duration_ms = dur.getOrElse(base.duration_ms))
+    }
+  }
+
+  /** Number of luminance histogram bins [[PixelDecoder]] emits after the
+    * three channel means — feature layout `[rMean, gMean, bMean, h0..h7]`. */
+  val LumBins = 8
+
+  /** REAL pixel-level decode for the formats the JDK ships codecs for
+    * (ImageIO: PNG/JPEG/GIF/BMP — no external jars, same public-knowledge
+    * footing as the header parsers). Content features are computed from
+    * the actual decoded raster:
+    *
+    *  - `width`/`height` from the decoded image (stronger than the header
+    *    probe — it survives formats whose header lies),
+    *  - `feature(0..2)` = mean R, G, B channel values (0–255),
+    *  - `feature(3..10)` = [[LumBins]]-bin histogram of Rec.601 luma
+    *    (`0.299R + 0.587G + 0.114B`, bin width 32), as fractions summing
+    *    to 1.
+    *
+    * Items ImageIO can't decode — video containers, audio, truncated or
+    * foreign bytes (the normal case in a dirty corpus) — fall back to
+    * `fallback` per item, never fail the task. Decode is partition-local
+    * like every other decoder; payload bytes never leave the executor. */
+  final class PixelDecoder(fallback: Decoder = new HeaderDecoder()) extends Decoder {
+    override def probeDuration(item: MediaItem): Long = fallback.probeDuration(item)
+
+    override def decode(item: MediaItem): MediaFeatures = {
+      val img =
+        if (item.kind != "image") None
+        else
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(item.content)))
+          catch { case _: Exception => None } // malformed → per-item fallback
+      img match {
+        case None => fallback.decode(item)
+        case Some(im) =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var rSum = 0.0
+          var gSum = 0.0
+          var bSum = 0.0
+          val hist = new Array[Long](LumBins)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            im.getRGB(0, y, w, 1, row, 0, w) // bulk row read beats per-pixel getRGB
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              rSum += r; gSum += g; bSum += b
+              val lum = 0.299 * r + 0.587 * g + 0.114 * b
+              hist(math.min(LumBins - 1, (lum / 32.0).toInt)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          MediaFeatures(
+            item_id = item.item_id,
+            kind = item.kind,
+            n_bytes = item.content.length.toLong,
+            width = w,
+            height = h,
+            duration_ms = -1L,
+            feature = Array((rSum / n).toFloat, (gSum / n).toFloat, (bSum / n).toFloat) ++
+              hist.map(c => (c.toDouble / n).toFloat))
+      }
     }
   }
 
