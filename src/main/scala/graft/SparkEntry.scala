@@ -491,6 +491,41 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.9 end-to-end on the REAL file source: the same staged CDC fixture
+    // as q26, but the change files are consumed by a Structured Streaming
+    // Trigger.AvailableNow cycle (CdcStream: file discovery → drift-guarded
+    // parse → per-micro-batch latest-per-PK → copy-on-write merge) instead
+    // of the batch merge. Same oracle as q26 — the streaming path is held
+    // to the identical hash-exact bar, proving batch/stream convergence on
+    // the same inputs.
+    "q67_cdc_stream" -> ((s, dir) => {
+      val stageDir = prepareCdcStage(s, dir)
+      val root = newTmpDir("graft_q67run").toString
+      val metaStore = new graft.meta.MetaStore(s"$root/meta")
+      val store = new graft.operators.TableStore(s"$root/warehouse")
+      val meta = graft.meta.TableMeta(fullPath = s"$stageDir/sales/orders_sync",
+        dbTable = "orders_sync", dbSchema = "sales", stage = "s1",
+        primaryKeys = "o_orderkey", additionalConfig = """{"buckets": 16}""")
+      metaStore.upsert(meta)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      // snapshot baseline via the batch full load (the stream's glob only
+      // matches change files — DMS semantics), then drain every staged
+      // change file through one AvailableNow streaming cycle
+      graft.operators.FullLoad.run(s, meta, stageDir, store, metaStore, schema)
+      graft.streaming.CdcStream.start(s, s"$stageDir/sales/orders_sync",
+          "sales_orders_sync", schema, pks = Seq("o_orderkey"), store,
+          checkpointDir = s"$root/chk", availableNow = true)
+        .awaitTermination()
+      store.read(s, "sales_orders_sync")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ext: one-pass corpus profile — the statistics a training-data
     // pipeline reports per source shard (size percentiles, language
     // spread, duplicate-rate input)
@@ -2341,6 +2376,21 @@ object SparkEntry {
     // %5==0 keys, DELETE the %10==0 subset, and re-UPDATE the rest with
     // doubled prices — latest change per key wins, tombstones drop out.
     "q26_cdc_pipeline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders ORDER BY o_orderkey LIMIT 30000),
+        |final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM o WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM o
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Identical to q26's oracle: the streaming cycle must converge to the
+    // same table the batch merge builds from the same staged files.
+    "q67_cdc_stream" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders ORDER BY o_orderkey LIMIT 30000),
