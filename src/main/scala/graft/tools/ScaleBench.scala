@@ -1,0 +1,185 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build a ×N replica of an sf dir's `documents`/`embeddings` tables for
+  * scale-slope measurement (`runMain graft.tools.ScaleUp <src> <dest> <N>`).
+  *
+  * Replicas are DECORRELATED, not duplicated — both transforms are
+  * bijections applied uniformly to one replica, so WITHIN-replica
+  * duplicate/near-dup structure is preserved exactly while CROSS-replica
+  * similarity collapses:
+  *
+  *  - text: every token of replica k gets the suffix `~k` — token n-gram
+  *    sets map 1:1 (within-replica Jaccard unchanged) but share nothing
+  *    across replicas. (A word ROTATION does not work: the n-gram multiset
+  *    survives rotation modulo the seam, so every replica stays a
+  *    near-dup of its source and pair counts grow ×N² by construction —
+  *    measured, not hypothetical.)
+  *  - embeddings: replica k is multiplied by a deterministic ±1 diagonal
+  *    D_k (sign from xxhash64(i, k)) — orthogonal, so all within-replica
+  *    inner products and norms are EXACTLY preserved, while cross-replica
+  *    cosines shrink to ~1/√dim noise.
+  *
+  * Ids remap to `id + k·(max+1)` — disjoint ranges per replica. Replica 0
+  * is the original data byte-for-byte. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcSfDir> <destDir> <factor>")
+    val Array(src, dest, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ks = broadcast(spark.range(factor).select(col("id").cast("int").as("k")))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val words = split(col("text"), " ")
+    val suffixed = array_join(
+      transform(words, w => concat(w, lit("~"), col("k").cast("string"))), " ")
+    docs.crossJoin(ks)
+      .select(
+        (col("doc_id") + col("k").cast("long") * maxDoc).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(suffixed).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // D_k: per-(dimension, replica) deterministic sign — orthogonal within
+    // a replica, decorrelating across replicas
+    val flipped = zip_with(
+      col("embedding"),
+      transform(col("embedding"), (_, i) =>
+        (pmod(xxhash64(i, col("k")), lit(2)) * 2 - 1).cast("float")),
+      (x, s) => x * s)
+    emb.crossJoin(ks)
+      .select(
+        (col("vec_id") + col("k").cast("long") * maxVec).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(flipped).as("embedding"),
+        col("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings from $src to $dest")
+    spark.stop()
+  }
+}
+
+/** Scale-slope measurement over the heavy query family: one decade of
+  * ACTUAL scaling data for the operators whose 100 TB arguments are
+  * otherwise plan-shape reasoning. Runs each query at the base dir and at
+  * the scaled dir (built by [[ScaleUp]]), reports
+  * `slope = t_scaled / (t_base · factor)` — 1.0 is perfectly linear; the
+  * flag threshold leaves room for shuffle growth (n·log n and fixed
+  * overheads amortizing differently across a decade).
+  *
+  * `runMain graft.tools.ScaleBench <baseDir> <scaledDir> <factor>` →
+  * BENCH_sf1.json. */
+object ScaleBench {
+  private val heavy = Seq(
+    "q23_minhash_lsh", "q24_simhash_pairs", "q28_dup_clusters",
+    "q29_ivf_topk", "q30_lsh_topk", "q33_near_dedup",
+    "q36_near_dedup_approx", "q42_top_ngrams", "q61_semdedup_cells")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
+    val Array(base, scaled, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): (Double, Long) = {
+      var rows = 0L
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = graft.SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, rows)
+    }
+
+    // JVM warmup outside the measured region
+    graft.SparkEntry.queries(heavy.head)(spark, base).count()
+
+    val rows = heavy.map { name =>
+      val (tBase, rBase) = time(name, base)
+      val (tScaled, rScaled) = time(name, scaled)
+      val slope = tScaled / (tBase * factor)
+      println(f"[scalebench] $name%-24s base=$tBase%7.2fs scaled=$tScaled%7.2fs " +
+        f"slope=$slope%5.2f rows: $rBase -> $rScaled")
+      (name, tBase, tScaled, slope, rBase, rScaled)
+    }
+
+    // Remedy check for the two declared queries whose index parameters are
+    // PINNED for oracle replayability (q29 nCells=16, q30 bits=12/tables=4):
+    // with fixed params, per-cell/bucket occupancy grows with the corpus
+    // and the candidate join does O(n²/cells) work — the expected
+    // super-linear slope. Production sizes the index to the corpus
+    // (nCells ∝ n; tuneLsh for LSH): measure the SAME operators with
+    // corpus-sized params at both scales and report that slope alongside.
+    import graft.operators.{CacheScope, Similarity}
+    def timeOp(label: String, f: () => Long): (Double, Long) = {
+      var rows = 0L
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = f()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, rows)
+    }
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def ivfSized(dir: String, n: Long): Long = {
+      implicit val scope: CacheScope = new CacheScope
+      val cells = math.max(16, (n / 125).toInt) // same occupancy per cell at every scale
+      try Similarity.ivfTopK(emb(dir), "vec_id", "embedding",
+        k = 3, nCells = cells, nProbe = 4).count()
+      finally scope.release()
+    }
+    def lshSized(dir: String, n: Long): Long = {
+      implicit val scope: CacheScope = new CacheScope
+      val p = Similarity.tuneLsh(n, simThreshold = 0.6)
+      try Similarity.lshTopK(emb(dir), "vec_id", "embedding",
+        k = 3, bits = p.bits, tables = p.tables).count()
+      finally scope.release()
+    }
+    val nBase = emb(base).count()
+    val nScaled = emb(scaled).count()
+    val sized = Seq(
+      ("q29_sized_params", () => ivfSized(base, nBase), () => ivfSized(scaled, nScaled)),
+      ("q30_sized_params", () => lshSized(base, nBase), () => lshSized(scaled, nScaled)))
+      .map { case (name, fb, fs) =>
+        val (tBase, rBase) = timeOp(name, fb)
+        val (tScaled, rScaled) = timeOp(name, fs)
+        val slope = tScaled / (tBase * factor)
+        println(f"[scalebench] $name%-24s base=$tBase%7.2fs scaled=$tScaled%7.2fs " +
+          f"slope=$slope%5.2f rows: $rBase -> $rScaled")
+        (name, tBase, tScaled, slope, rBase, rScaled)
+      }
+
+    val qs = (rows ++ sized).map { case (n, tb, ts, sl, rb, rs) =>
+      s""""$n":{"base_sec":${f"$tb%.4f"},"scaled_sec":${f"$ts%.4f"},""" +
+        s""""slope":${f"$sl%.4f"},"base_rows":$rb,"scaled_rows":$rs}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_slope","factor":$factor,"base":"$base",""" +
+      s""""scaled":"$scaled","cpus":$cpus,"flag_above":1.5,"queries":$qs}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"), json + "\n")
+    spark.stop()
+  }
+}
