@@ -51,6 +51,23 @@ object SparkEntry {
   private val q61CentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
 
+  /** The q60/q68 persisted-index fixture: built + persisted ONCE per input
+    * dir (like [[prepareCdcStage]]) — re-running those queries measures
+    * SERVING a batch against previously persisted state, the daily
+    * operation, and a long session doesn't accumulate one tmpfs index
+    * copy per run. Index: nCells=8, 1 Lloyd iteration over the
+    * `vec_id % 10 != 0` corpus split. */
+  private def q60IndexRoot(s: SparkSession, dir: String): String =
+    q60IndexCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q60idx").toString
+      val store = new graft.operators.TableStore(root)
+      val corpus = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
+        nCells = 8, iterations = 1, store, "emb_idx")
+      root
+    })
+
   /** Dirs this JVM allocated via [[newTmpDir]] — the ownership ledger the
     * stale-dir sweep consults so it only ever deletes leftovers of DEAD
     * JVMs (q26 stage roots additionally live in [[q26StageCache]]). */
@@ -916,25 +933,26 @@ object SparkEntry {
     // incremental state maintenance (sql:244, 412–416), batch-vs-corpus
     // like Dedup.dedupAgainst.
     "q60_ivf_persisted" -> ((s, dir) => {
-      // the index is built + persisted ONCE per input dir (fixture, like
-      // prepareCdcStage): re-running the query measures SERVING a batch
-      // against previously persisted state — the daily operation — and a
-      // long session doesn't accumulate one tmpfs index copy per run
-      val storeRoot = q60IndexCache.computeIfAbsent(dir, _ => {
-        val root = newTmpDir("graft_q60idx").toString
-        val store = new graft.operators.TableStore(root)
-        val corpus = t(s, dir, "embeddings")
-          .filter(pmod(col("vec_id"), lit(10)) =!= 0)
-        graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
-          nCells = 8, iterations = 1, store, "emb_idx")
-        root
-      })
       val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
       graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
-          new graft.operators.TableStore(storeRoot), "emb_idx", k = 3, nProbe = 2)
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx", k = 3, nProbe = 2)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: incremental semantic screening against the SAME persisted index
+    // q60 serves — the embedding-side dedupAgainst: arriving vectors whose
+    // best stored neighbour (probed cells) reaches the cosine threshold
+    // are dropped, survivors pass through. One cell-bounded join against
+    // stored state; the corpus is never re-paired.
+    "q68_semantic_screen" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.dedupAgainstIndex(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
+          threshold = 0.35, nProbe = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }),
 
     // ext: length-distribution histogram per source — bin id is a pure
@@ -2102,6 +2120,58 @@ object SparkEntry {
         |  WHERE p.q_id <> a.id)
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // q60's replay chain, ending in a threshold screen instead of top-k:
+    // a batch id is dropped iff its best probed-cell cosine reaches the
+    // threshold; survivors (INCLUDING zero-norm vectors, which match
+    // nothing) pass through with their original columns.
+    "q68_semantic_screen" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |dropped AS (
+        |  SELECT p.q_id AS vec_id
+        |  FROM probes p
+        |  JOIN assigned a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id
+        |  GROUP BY p.q_id
+        |  HAVING max(list_cosine_similarity(qb.v, a.v)) >= 0.35)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id % 10 = 0
+        |  AND e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e.vec_id""".stripMargin,
 
     // Histogram replay: same right-open-except-last binning, same
     // double-precision edge arithmetic.

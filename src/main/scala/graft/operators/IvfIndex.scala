@@ -134,6 +134,31 @@ object IvfIndex {
       meanOccupancy = if (nModel == 0) 0.0 else occ.sum.toDouble / nModel)
   }
 
+  /** Incremental SEMANTIC screening against the persisted index — the
+    * embedding-side [[Dedup.dedupAgainst]]: drop every batch row whose
+    * best stored neighbour (within the probed cells) reaches `threshold`
+    * cosine, keep the rest. The daily SemDeDup admission check for
+    * arriving data: the corpus is NEVER re-paired — screening is one
+    * cell-bounded equi-join of the batch against stored state
+    * ([[topK]] with k=1), and the drop list that comes back is ≤ batch
+    * rows, broadcast into a narrow anti-join. Zero-norm batch rows have
+    * no direction, match nothing, and are kept. Batch columns pass
+    * through untouched. */
+  def dedupAgainstIndex(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      threshold: Double,
+      nProbe: Int): DataFrame = {
+    val dups = topK(spark, batch, idCol, vecCol, store, name, k = 1, nProbe)
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("_dup_id"))
+    batch.join(broadcast(dups), batch(idCol) === col("_dup_id"), "left_anti")
+  }
+
   /** The refit trigger [[append]]-forever needs: when occupancy skew
     * exceeds `bound`, refit the model ON THE STORED CORPUS via [[build]]
     * (same cell count) and commit both halves as next versions — readers

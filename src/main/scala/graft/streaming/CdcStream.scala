@@ -90,11 +90,34 @@ object CdcStream {
               .orderBy(monotonically_increasing_id())))
           val latest = ChangeApplier.latestPerKey(withRow, pks)
           // shared with the batch merge — bucketed targets rewrite only
-          // the buckets this micro-batch touches
-          graft.operators.IncrementalMerge.applyBatch(spark, store, tableName, latest, pks)
+          // the buckets this micro-batch touches. A concurrent writer
+          // (e.g. a batch Orchestrator on the same table) makes the
+          // commit's CAS throw; applyBatch re-reads the table's current
+          // state on entry, so the retry merges against the winner's
+          // version — the micro-batch is latest-per-PK, hence idempotent.
+          withConflictRetry(maxAttempts = 3) {
+            graft.operators.IncrementalMerge.applyBatch(spark, store, tableName, latest, pks)
+          }
         }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Re-run `body` on [[graft.operators.VersionConflictException]] up to
+    * `maxAttempts` times (total), rethrowing the last conflict — losing a
+    * CAS race is transient by construction (somebody else committed), but
+    * a table that NEVER stops moving deserves the loud failure. */
+  private[graft] def withConflictRetry[A](maxAttempts: Int)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: graft.operators.VersionConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -70,4 +70,33 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read(spark, "t").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "alice"))
   }
+
+  test("conflict retry: transient CAS losses re-run the merge, persistent ones rethrow") {
+    var calls = 0
+    val result = CdcStream.withConflictRetry(maxAttempts = 3) {
+      calls += 1
+      if (calls < 3) throw new graft.operators.VersionConflictException("moved")
+      "merged"
+    }
+    assert(result === "merged" && calls === 3)
+
+    var always = 0
+    intercept[graft.operators.VersionConflictException] {
+      CdcStream.withConflictRetry(maxAttempts = 3) {
+        always += 1
+        throw new graft.operators.VersionConflictException("still moving")
+      }
+    }
+    assert(always === 3) // bounded — a never-settling table fails loudly
+
+    // non-conflict failures are NOT retried
+    var other = 0
+    intercept[IllegalStateException] {
+      CdcStream.withConflictRetry(maxAttempts = 3) {
+        other += 1
+        throw new IllegalStateException("schema drift")
+      }
+    }
+    assert(other === 1)
+  }
 }

@@ -144,6 +144,29 @@ class IvfIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("dedupAgainstIndex drops near-stored batch rows, keeps novel and zero-norm ones") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("ivfidx-screen"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    val arriving = Seq(
+      (201L, Array(1.0f, 0.02f, 0.05f)), // ~duplicate of the x cluster → drop
+      (202L, Array(0.05f, 0.98f, 0.02f)), // ~duplicate of the y cluster → drop
+      (203L, Array(0.0f, 0.0f, 1.0f)), // orthogonal to everything stored → keep
+      (204L, Array(0.0f, 0.0f, 0.0f))) // zero-norm: matches nothing → keep
+      .toDF("vec_id", "embedding")
+    val kept = IvfIndex.dedupAgainstIndex(spark, arriving, "vec_id", "embedding",
+        store, "emb", threshold = 0.9, nProbe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(203L, 204L))
+    // a threshold above every achievable cosine screens nothing out
+    val keptAll = IvfIndex.dedupAgainstIndex(spark, arriving, "vec_id", "embedding",
+        store, "emb", threshold = 1.1, nProbe = 2)
+      .count()
+    assert(keptAll === 4L)
+    scope.release()
+  }
+
   /** Exact cosine top-k of each batch vector against the whole corpus —
     * the oracle the full-probe path must match. */
   private def exactTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
