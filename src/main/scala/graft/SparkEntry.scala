@@ -68,6 +68,22 @@ object SparkEntry {
       root
     })
 
+  /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
+    * corpus split — same fixture discipline as [[q60IndexRoot]]; the
+    * query measures SCREENING a batch against stored signatures. */
+  private val q69SigIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q69SigIndexRoot(s: SparkSession, dir: String): String =
+    q69SigIndexCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q69idx").toString
+      val store = new graft.operators.TableStore(root)
+      graft.operators.SignatureIndex.build(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text",
+        graft.operators.SignatureIndex.Params(shingleN = 3, numHashes = 64, bands = 16),
+        store, "doc_idx")
+      root
+    })
+
   /** Dirs this JVM allocated via [[newTmpDir]] — the ownership ledger the
     * stale-dir sweep consults so it only ever deletes leftovers of DEAD
     * JVMs (q26 stage roots additionally live in [[q26StageCache]]). */
@@ -1004,6 +1020,21 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ext: incremental admission screening against the PERSISTED MinHash
+    // signature index — dedupAgainst without ever re-reading the corpus
+    // text: signatures were hashed once at build time (q69 fixture), the
+    // batch is banded against stored state, near-dups of any indexed doc
+    // are dropped, survivors pass through with their columns.
+    "q69_signature_screen" -> ((s, dir) => {
+      graft.operators.SignatureIndex.screen(s,
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text",
+          new graft.operators.TableStore(q69SigIndexRoot(s, dir)), "doc_idx",
+          threshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: FLAGSHIP training-set preparation — the LLM operators composed
     // end-to-end exactly as a pipeline would run them: repetition-quality
     // filter → benchmark decontamination → exact dedup → token-budget
@@ -1871,6 +1902,60 @@ object SparkEntry {
         |near_drop AS (SELECT DISTINCT batch_id AS id FROM est WHERE ej >= 0.5)
         |SELECT id AS doc_id FROM exact_keep ANTI JOIN near_drop USING (id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q45's minhash chain without the exact-fingerprint stage: the screen
+    // is signature-only (exact dups carry identical signatures and drop at
+    // est=1.0; docs too short to shingle match nothing and are kept).
+    // Survivors are the batch rows themselves.
+    "q69_signature_screen" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text, doc_id % 5 = 0 AS is_batch FROM documents),
+        |toks AS (SELECT id, string_split(lower(text), ' ') AS t FROM docs),
+        |sh AS (
+        |  SELECT id, list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT id, unnest(s) AS shingle FROM sh)),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 65) r(i)),
+        |sig AS (
+        |  SELECT id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY id, i),
+        |banded AS (
+        |  SELECT s.id, d.is_batch, CAST((i - 1) // 4 AS INTEGER) AS band,
+        |    string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM sig s JOIN docs d ON d.id = s.id
+        |  GROUP BY s.id, d.is_batch, band),
+        |hot AS (
+        |  SELECT band, bucket FROM banded WHERE is_batch
+        |  GROUP BY band, bucket HAVING count(*) > 200
+        |  UNION
+        |  SELECT band, bucket FROM banded WHERE NOT is_batch
+        |  GROUP BY band, bucket HAVING count(*) > 200),
+        |cold AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+        |  FROM cold a JOIN cold b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.is_batch AND NOT b.is_batch),
+        |est AS (
+        |  SELECT c.batch_id, c.corpus_id,
+        |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.id = c.batch_id
+        |  JOIN sig sb ON sb.id = c.corpus_id AND sb.i = sa.i
+        |  GROUP BY c.batch_id, c.corpus_id),
+        |near_drop AS (SELECT DISTINCT batch_id AS id FROM est WHERE ej >= 0.5)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 5 = 0
+        |  AND d.doc_id NOT IN (SELECT id FROM near_drop)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Repetition replay: same line/bigram explode-and-count, same
     // (count desc, bigram asc) top-1, same rounding.
