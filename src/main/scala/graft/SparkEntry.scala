@@ -902,6 +902,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: bigram-surprisal quality proxy — one Markov order above q62:
+    // the corpus's add-1 bigram model scores each doc's tf-weighted mean
+    // -ln p(w|v); scrambled token order (invisible to a unigram model)
+    // now scores high. Same one-explode/pinned shape, model stays
+    // distributed.
+    "q70_bigram_surprisal" -> ((s, dir) => {
+      graft.operators.Vocab.bigramSurprisal(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("surprisal"), 6).as("surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: temperature-flattened source mixing (share ∝ n^α) — per-stratum
     // rates from one tiny count aggregate, applied via the deterministic
     // salted draw; corpus stays one narrow filtered pass.
@@ -2089,6 +2102,36 @@ object SparkEntry {
         |    sum(tf.tf * n.nll) / sum(tf.tf) AS s
         |  FROM tf JOIN nll n USING (term) GROUP BY tf.doc_id)
         |SELECT doc_id, n_tokens, round(s, 6) AS surprisal
+        |FROM doc ORDER BY doc_id""".stripMargin,
+
+    // Bigram model replay: same 2-gram explode (engine wordShingles n=2,
+    // no empty-token filter inside a shingle), same add-1-over-history
+    // smoothing, same vocabulary (distinct nonempty unigrams), same
+    // tf-weighted mean and rounding.
+    "q70_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |bf AS (SELECT doc_id, bg, count(*) AS bf FROM bg0 GROUP BY doc_id, bg),
+        |cbg AS (
+        |  SELECT bg, string_split(bg, ' ')[1] AS v, sum(bf) AS cbg
+        |  FROM bf GROUP BY bg),
+        |hist AS (SELECT v, sum(cbg) AS cv FROM cbg GROUP BY v),
+        |vocab AS (
+        |  SELECT count(DISTINCT term) AS vs FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |  WHERE len(term) > 0),
+        |nll AS (
+        |  SELECT c.bg, -ln((c.cbg + 1.0) / (h.cv + vocab.vs)) AS nll
+        |  FROM cbg c JOIN hist h USING (v), vocab),
+        |doc AS (
+        |  SELECT bf.doc_id, CAST(sum(bf.bf) AS BIGINT) AS n_bigrams,
+        |    sum(bf.bf * n.nll) / sum(bf.bf) AS s
+        |  FROM bf JOIN nll n USING (bg) GROUP BY bf.doc_id)
+        |SELECT doc_id, n_bigrams, round(s, 6) AS surprisal
         |FROM doc ORDER BY doc_id""".stripMargin,
 
     // Temperature-mix replay: per-source counts → n^0.5 shares → keep

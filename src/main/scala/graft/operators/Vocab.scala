@@ -75,6 +75,48 @@ object Vocab {
         (sum(col("tf") * col("nll")) / sum(col("tf"))).as("surprisal"))
   }
 
+  /** Per-document mean BIGRAM surprisal — the context-aware upgrade of
+    * [[unigramSurprisal]] (one more Markov order of the same CCNet-style
+    * proxy): the corpus's add-1-smoothed bigram model
+    * `p(w|v) = (c(v,w)+1) / (c(v·)+V)` scores each document as the
+    * tf-weighted mean `−ln p(w|v)` over its bigram positions. Scrambled
+    * token ORDER — which a unigram model cannot see — now scores high;
+    * boilerplate word sequences score low. Docs with fewer than two
+    * tokens have no bigram to score and drop out.
+    *
+    * Scale: same shape as the unigram model, one order up — the corpus
+    * explodes ONCE into pinned (doc, bigram, bf) rows feeding the corpus
+    * counts and the scoring join; history totals `c(v·)` reduce from the
+    * bigram counts (never a second text scan); the vocabulary size is a
+    * broadcast 1-row aggregate. The model table is one row per DISTINCT
+    * corpus bigram — big, but it stays distributed (shuffle join on the
+    * bigram), never on the driver. Output: `(idCol, n_bigrams,
+    * surprisal)`. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)(
+      implicit caches: CacheScope): DataFrame = {
+    val bf = caches.pin(df
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("bf")))
+    val cbg = bf.groupBy(col("bg")).agg(sum(col("bf")).as("cbg"))
+      .withColumn("v", split(col("bg"), " ").getItem(0))
+    val hist = cbg.groupBy(col("v")).agg(sum(col("cbg")).as("cv"))
+    // vocabulary size (distinct unigrams, same filter as the unigram
+    // model) as a broadcast 1-row aggregate — the plan stays lazy
+    val vocab = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .agg(count_distinct(col("term")).as("_vs"))
+    val nll = cbg.join(hist, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("cbg") + lit(1d)) / (col("cv") + col("_vs"))))
+      .select(col("bg"), col("nll"))
+    bf.join(nll, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        (sum(col("bf") * col("nll")) / sum(col("bf"))).as("surprisal"))
+  }
+
   /** Per-document distinctive terms: top `k` unigrams by smoothed TF-IDF
     * (`tf × (ln((N+1)/(df+1)) + 1)`), ties broken by term ascending.
     *

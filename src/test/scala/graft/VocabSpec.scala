@@ -75,6 +75,42 @@ class VocabSpec extends SparkSpec {
     scope.release()
   }
 
+  test("bigram surprisal matches the hand-computed add-1-over-history model") {
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val s = spark; import s.implicits._
+    // doc1 bigrams: "a b"×2, "b a"×1; doc2: "a c"×1; doc3 has none but
+    // its token still counts into the vocabulary.
+    // corpus: c(a b)=2, c(b a)=1, c(a c)=1 → c(a·)=3, c(b·)=1;
+    // V = {a, b, c, solo} = 4
+    // p(b|a) = (2+1)/(3+4) = 3/7;  p(a|b) = (1+1)/(1+4) = 2/5
+    // p(c|a) = (1+1)/(3+4) = 2/7
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Vocab.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 3L)
+    val want1 = (2.0 * -math.log(3.0 / 7.0) + -math.log(2.0 / 5.0)) / 3.0
+    assert(math.abs(got(1L)._2 - want1) < 1e-12)
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._2 - -math.log(2.0 / 7.0)) < 1e-12)
+    assert(!got.contains(3L)) // one token → no bigram to score
+    scope.release()
+  }
+
+  test("bigram surprisal sees scrambled order that the unigram model cannot") {
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val s = spark; import s.implicits._
+    // identical unigram bags; doc 2 scrambles the dominant word order
+    val base = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps"))
+    val df = (base :+ (99L, "fox the jumps brown quick")).toDF("doc_id", "text")
+    val uni = Vocab.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = Vocab.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-12) // unigram: indistinguishable
+    assert(bi(99L) > bi(1L) + 0.5) // bigram: the scramble stands out
+    scope.release()
+  }
+
   test("plan: partial-agg before the shuffle, top-k never sorts globally") {
     val wide = spark.range(10000).select(
       concat(lit("tok"), col("id") % 50, lit(" tok"), col("id") % 7).as("text"))
