@@ -67,7 +67,9 @@ object SignatureIndex {
 
   /** Hash an admitted batch with the STORED parameters and commit
     * corpus ∪ batch signatures as the next version — the model (params)
-    * is untouched, mirroring [[IvfIndex.append]]. */
+    * is untouched, mirroring [[IvfIndex.append]]. IDEMPOTENT by id: ids
+    * already indexed are skipped, so a replayed micro-batch (the
+    * foreachBatch at-least-once contract) never double-inserts. */
   def append(
       spark: SparkSession,
       batch: DataFrame,
@@ -76,9 +78,11 @@ object SignatureIndex {
       store: TableStore,
       name: String): Unit = {
     val p = params(spark, store, name)
+    val existing = signatures(spark, store, name)
     store.write(
-      signatures(spark, store, name)
-        .unionByName(signaturesOf(batch, idCol, textCol, p)),
+      existing.unionByName(
+        signaturesOf(batch, idCol, textCol, p)
+          .join(existing.select(col("id")), Seq("id"), "left_anti")),
       sigsTable(name))
   }
 
