@@ -626,6 +626,20 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: MULTIPROBE LSH top-k — q30's recall from ONE THIRD of its
+    // stored state: 4 tables × 3 probes (exact bucket + 2 smallest-margin
+    // bit flips per query) instead of 12 single-probe tables. The
+    // corpus-side banded table is what 100 TB stores and shuffles
+    // (BENCH_sf1's q30 finding); probe rows are transient. Margins and
+    // flips replay exactly in SQL via the same md5 weight family.
+    "q71_lsh_multiprobe" -> ((s, dir) => {
+      Similarity.lshTopKMultiprobe(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, bits = 5, tables = 4, nFlips = 2)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: LSH-bucketed embedding near-dup pairs — the scale path behind
     // q22's exact baseline, hash-verified via the same md5 weight replay.
     "q31_lsh_neardup" -> ((s, dir) => {
@@ -2627,6 +2641,53 @@ object SparkEntry {
         |  SELECT DISTINCT a.id AS vec_id, b.id AS neighbor_id
         |  FROM cold a JOIN cold b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
+        |ranked AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+        |  FROM cand c
+        |  JOIN base qb ON c.vec_id = qb.id
+        |  JOIN base nb ON c.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // Multiprobe replay: q30's weight chain (4 tables), plus per-(id, t)
+    // projections ranked by (|proj|, bit) — the 2 smallest-margin bits xor
+    // into the exact bucket. Corpus side is the exact-signature table
+    // (hot-capped); probes only ever join INTO it.
+    "q71_lsh_multiprobe" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (
+        |  SELECT t, j,
+        |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
+        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+        |  FROM range(0, 4) rt(t), range(0, 5) rj(j), range(0, 64) ri(i)
+        |  GROUP BY t, j),
+        |projs AS (
+        |  SELECT b.id, w.t, w.j, list_inner_product(b.v, w.wv) AS pj
+        |  FROM base b CROSS JOIN w),
+        |sigs AS (
+        |  SELECT id, t,
+        |    CAST(sum(CASE WHEN pj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY id, t),
+        |flips AS (
+        |  SELECT id, t, j,
+        |    row_number() OVER (PARTITION BY id, t ORDER BY abs(pj) ASC, j ASC) AS fr
+        |  FROM projs),
+        |probes AS (
+        |  SELECT id, t, bucket FROM sigs
+        |  UNION ALL
+        |  SELECT f.id, f.t, xor(s.bucket, CAST(1 << f.j AS BIGINT)) AS bucket
+        |  FROM flips f JOIN sigs s ON f.id = s.id AND f.t = s.t
+        |  WHERE f.fr <= 2),
+        |hot AS (SELECT t, bucket FROM sigs GROUP BY t, bucket HAVING count(*) > 1000),
+        |cold AS (SELECT s.* FROM sigs s ANTI JOIN hot USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT p.id AS vec_id, c.id AS neighbor_id
+        |  FROM probes p JOIN cold c
+        |    ON p.t = c.t AND p.bucket = c.bucket AND p.id <> c.id),
         |ranked AS (
         |  SELECT c.vec_id, c.neighbor_id,
         |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,

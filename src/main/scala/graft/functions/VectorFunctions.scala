@@ -52,6 +52,13 @@ object VectorFunctions {
   def hyperplaneSignature(vec: Column, nBits: Int, seed: String): Column =
     org.apache.spark.sql.graft.NativeFunctions.hyperplane_sig(toDouble(vec), nBits, seed)
 
+  /** Margin-aware multiprobe buckets: the exact [[hyperplaneSignature]]
+    * bucket plus the `nFlips` single-bit flips of the smallest-|projection|
+    * bits — `array<long>`, exact bucket first. Same md5 weight family, so
+    * every probe replays in plain SQL. */
+  def hyperplaneProbes(vec: Column, nBits: Int, seed: String, nFlips: Int): Column =
+    org.apache.spark.sql.graft.NativeFunctions.hyperplane_probes(toDouble(vec), nBits, seed, nFlips)
+
   /** The higher-order-function formulation of [[hyperplaneSignature]] —
     * kept as the executable specification the native expression is asserted
     * bit-identical to (GraftFunctionsSpec); never on a hot path (nBits × dim

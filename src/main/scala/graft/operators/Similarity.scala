@@ -154,6 +154,54 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** MULTIPROBE LSH top-k (Lv et al., VLDB 2007): the corpus is bucketed
+    * ONCE per table at its exact signatures, and each QUERY probes its own
+    * bucket plus the `nFlips` buckets across its smallest-margin bits —
+    * roughly the recall of `(nFlips+1) × tables` single-probe tables for
+    * the stored/banded footprint of `tables`. At scale that's the right
+    * trade everywhere: the corpus-side banded table is what gets stored,
+    * shuffled and joined (the scale cost — see BENCH_sf1's q30 slope);
+    * query-side probe rows are transient and narrow. Same md5 weight
+    * family as [[lshTopK]], so every probe replays in SQL. */
+  def lshTopKMultiprobe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 2,
+      nFlips: Int = 3,
+      maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
+    val base = caches.pin(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))))
+    // corpus side: ONE exact bucket per table — the stored footprint
+    val corpusCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"lsh:$t").as("b")))
+    val corpus = caches.pin(base.select(col("id"), col("v"), col("nrm"),
+      explode(array(corpusCols: _*)).as("bucket")))
+    val hot = corpus.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("bucket")
+    val cold = corpus.join(broadcast(hot), Seq("bucket"), "left_anti")
+    // query side: nFlips+1 probe buckets per table, transient rows
+    val probeCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        hyperplaneProbes(col("v"), bits, seed = s"lsh:$t", nFlips).as("ps")))
+    val probes = base.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        explode(array(probeCols: _*)).as("tp"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("tp.t").as("t"),
+        explode(col("tp.ps")).as("b"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        struct(col("t"), col("b")).as("bucket"))
+    val scored = probes.alias("q")
+      .join(cold.alias("c"),
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.id"))
+      .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"),
+        (dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    topKFromScored(scored, k)
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nCells` Voronoi cells around deterministically sampled centroids
     * (the `nCells` vectors with the smallest md5(id) — a uniform,

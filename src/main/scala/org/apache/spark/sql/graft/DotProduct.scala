@@ -121,6 +121,10 @@ object NativeFunctions {
     ExpressionUtils.column(HyperplaneSignature(
       ExpressionUtils.expression(v), nBits, seed))
 
+  def hyperplane_probes(v: Column, nBits: Int, seed: String, nFlips: Int): Column =
+    ExpressionUtils.column(HyperplaneProbes(
+      ExpressionUtils.expression(v), nBits, seed, nFlips))
+
   def long_positions_equal(a: Column, b: Column): Column =
     ExpressionUtils.column(LongPositionsEqual(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -53,6 +53,8 @@ object GraftFunctions {
     "token_stats" -> (es => TokenStats(es(0))),
     "hyperplane_sig" -> (es => HyperplaneSignature(es(0),
       intLit(es(1), "nBits"), stringLit(es(2), "seed"))),
+    "hyperplane_probes" -> (es => HyperplaneProbes(es(0),
+      intLit(es(1), "nBits"), stringLit(es(2), "seed"), intLit(es(3), "nFlips"))),
     "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))))
 
   /** Register all native functions on a live session (temp functions). */

@@ -56,6 +56,38 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(both2.filter(col("nat") =!= col("hof")).count() === 0)
   }
 
+  test("multiprobe buckets: exact bucket first, one-bit flips at the smallest margins") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nBits = 7
+    val rows = emb.limit(50).select(
+        col("embedding"),
+        VectorFunctions.hyperplaneSignature(col("embedding"), nBits, "mp:0").as("sig"),
+        VectorFunctions.hyperplaneProbes(col("embedding"), nBits, "mp:0", 3).as("ps"))
+      .collect()
+    // reference weight matrix — the same md5 derivation the oracle uses
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(j: Int, i: Int): Double = {
+      val d = md.digest(s"mp:0:$j:$i".getBytes("UTF-8"))
+      val h40 = java.lang.Long.parseLong(d.take(5).map("%02x".format(_)).mkString, 16)
+      (h40 % 100000L) / 50000.0 - 1.0
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val sig = r.getLong(1)
+      val ps = r.getSeq[Long](2)
+      assert(ps.length === 4)
+      assert(ps.head === sig) // exact bucket first
+      val proj = (0 until nBits).map(j =>
+        v.indices.map(i => v(i) * weight(j, i)).sum)
+      val wantFlips = (0 until nBits).sortBy(j => (math.abs(proj(j)), j)).take(3)
+      ps.tail.zip(wantFlips).foreach { case (p, j) =>
+        assert(p === (sig ^ (1L << j)), s"flip order mismatch at bit $j")
+      }
+    }
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
