@@ -103,6 +103,26 @@ object IvfIndex {
     store.write(vectors(spark, store, name).unionByName(assigned), vectorsTable(name))
   }
 
+  /** Takedown: commit a next version of the vectors table WITHOUT the
+    * given ids — the removal path an index must have at scale (a handful
+    * of right-to-be-forgotten ids cannot cost a corpus re-fit; the model
+    * is untouched and probe behaviour for every other vector is
+    * unchanged). `ids` is broadcast into an anti-join — callers pass the
+    * takedown list, which is small by nature. Returns how many vectors
+    * were actually removed. */
+  def remove(
+      spark: SparkSession,
+      ids: DataFrame,
+      store: TableStore,
+      name: String): Long = {
+    val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+    val stored = vectors(spark, store, name)
+    val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
+    val before = stored.count()
+    store.write(kept, vectorsTable(name))
+    before - vectors(spark, store, name).count()
+  }
+
   /** Per-cell occupancy of the stored corpus — the index's health metric,
     * one partial-combined aggregate over the narrow `(id, v, cell)` table
     * (the `v` column is pruned at the scan). Cells the model declares but

@@ -86,6 +86,23 @@ object SignatureIndex {
       sigsTable(name))
   }
 
+  /** Takedown: commit a next version of the signatures table WITHOUT the
+    * given ids (params untouched). After removal, a future arrival
+    * resembling only the removed docs is admitted again — the screen's
+    * memory genuinely forgets. Returns how many signatures were removed. */
+  def remove(
+      spark: SparkSession,
+      ids: DataFrame,
+      store: TableStore,
+      name: String): Long = {
+    val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+    val stored = signatures(spark, store, name)
+    val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
+    val before = stored.count()
+    store.write(kept, sigsTable(name))
+    before - signatures(spark, store, name).count()
+  }
+
   /** Band `(id, sig)` rows into `(id, sig, band, bucket)` — the same
     * bucketing [[Dedup.minhashLshPairs]] applies, derived here from STORED
     * signatures as a narrow projection (no text ever re-read). */

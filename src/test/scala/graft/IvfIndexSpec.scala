@@ -144,6 +144,27 @@ class IvfIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("remove takes ids out of the stored corpus without touching the model") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("ivfidx-rm"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    val modelVersion = store.currentVersion("emb_centroids")
+    val removed = IvfIndex.remove(spark, Seq(1L, 5L).toDF("vec_id"), store, "emb")
+    assert(removed === 2L)
+    assert(store.currentVersion("emb_centroids") === modelVersion) // model untouched
+    assert(IvfIndex.vectors(spark, store, "emb").count() === 4)
+    // removed ids never surface as neighbours again; the rest still do
+    val neighbors = IvfIndex.topK(spark, batch(), "vec_id", "embedding",
+        store, "emb", k = 10, nProbe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!neighbors.contains(1L) && !neighbors.contains(5L))
+    assert(neighbors.contains(2L))
+    // removing an absent id is a no-op
+    assert(IvfIndex.remove(spark, Seq(999L).toDF("vec_id"), store, "emb") === 0L)
+    scope.release()
+  }
+
   test("dedupAgainstIndex drops near-stored batch rows, keeps novel and zero-norm ones") {
     implicit val scope: CacheScope = new CacheScope
     val s = spark; import s.implicits._

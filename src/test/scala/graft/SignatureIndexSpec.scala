@@ -65,6 +65,22 @@ class SignatureIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("remove forgets: a near-dup of a removed doc is admitted again") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigidx-rm"))
+    SignatureIndex.build(corpus(), "doc_id", "text", p, store, "c")
+    val probe = Seq((401L, "pack my box with five dozen liquor jugs for the long trek"))
+      .toDF("doc_id", "text") // near-dup of stored doc 2
+    assert(SignatureIndex.screen(spark, probe, "doc_id", "text",
+      store, "c", threshold = 0.5).count() === 0L) // blocked while 2 is indexed
+    assert(SignatureIndex.remove(spark, Seq(2L).toDF("doc_id"), store, "c") === 1L)
+    assert(SignatureIndex.signatures(spark, store, "c").count() === 2)
+    assert(SignatureIndex.params(spark, store, "c") === p) // params untouched
+    assert(SignatureIndex.screen(spark, probe, "doc_id", "text",
+      store, "c", threshold = 0.5).count() === 1L) // admitted after takedown
+    scope.release()
+  }
+
   test("re-screening an already-indexed id is a no-op (id-inequality guard)") {
     implicit val scope: CacheScope = new CacheScope
     val store = new TableStore(tmpDir("sigidx"))
