@@ -1006,6 +1006,23 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // ext: mixture drift between two corpus snapshots — per-source shares
+    // and total-variation contributions (robust where KL is undefined:
+    // categories appearing/vanishing). Each snapshot collapses to
+    // |categories| rows before anything joins.
+    "q72_source_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.shareDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "source")
+        .select(col("category"), col("n_cur"), col("n_ref"),
+          round(col("share_cur"), 6).as("share_cur"),
+          round(col("share_ref"), 6).as("share_ref"),
+          round(col("tv_contrib"), 6).as("tv_contrib"))
+        .orderBy(col("category"))
+    }),
+
     // ext: deterministic train/val/test split — salted-draw interval
     // assignment, disjoint + exhaustive by construction, narrow plan.
     "q57_dataset_split" -> ((s, dir) => {
@@ -2327,6 +2344,36 @@ object SparkEntry {
         |SELECT source, bin, 0.0 + bin * 200.0 AS lo_edge,
         |  0.0 + (bin + 1) * 200.0 AS hi_edge, count(*) AS n_rows
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // Share-drift replay: per-snapshot counts → shares (double division in
+    // the same order), full outer on category with zero fill, TVD
+    // contribution |Δ|/2, same rounding.
+    "q72_source_drift" ->
+      """WITH cur AS (
+        |  SELECT source AS category, count(*) AS n_cur FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY source),
+        |curs AS (
+        |  SELECT category, n_cur,
+        |    CAST(n_cur AS DOUBLE) / (SELECT sum(n_cur) FROM cur) AS share_cur
+        |  FROM cur),
+        |ref AS (
+        |  SELECT source AS category, count(*) AS n_ref FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY source),
+        |refs AS (
+        |  SELECT category, n_ref,
+        |    CAST(n_ref AS DOUBLE) / (SELECT sum(n_ref) FROM ref) AS share_ref
+        |  FROM ref),
+        |j AS (
+        |  SELECT COALESCE(c.category, r.category) AS category,
+        |    COALESCE(c.n_cur, 0) AS n_cur, COALESCE(r.n_ref, 0) AS n_ref,
+        |    COALESCE(c.share_cur, 0.0) AS share_cur,
+        |    COALESCE(r.share_ref, 0.0) AS share_ref
+        |  FROM curs c FULL OUTER JOIN refs r ON c.category = r.category)
+        |SELECT category, n_cur, n_ref,
+        |  round(share_cur, 6) AS share_cur,
+        |  round(share_ref, 6) AS share_ref,
+        |  round(abs(share_cur - share_ref) / 2, 6) AS tv_contrib
+        |FROM j ORDER BY category""".stripMargin,
 
     // Split replay: same 40-bit draw ('split:' || id), same cumulative
     // interval bounds.

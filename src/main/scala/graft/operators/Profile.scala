@@ -47,4 +47,34 @@ object Profile {
         (lit(lo) + (col("bin") + 1) * lit(w)).as("hi_edge"),
         col("n_rows")): _*)
   }
+
+  /** Mixture drift between two corpus snapshots — the check a pipeline
+    * runs before retraining on a refreshed corpus ("did the source/
+    * language/domain mix move?"): per category, the share of each
+    * snapshot plus the total-variation contribution
+    * `|share_cur − share_ref| / 2` (TVD is Σ of these — robust where KL
+    * is undefined, i.e. exactly the interesting case of a category
+    * appearing or vanishing). Categories absent from one side surface
+    * with share 0 — appearance/disappearance IS drift, never dropped.
+    *
+    * Scale: each snapshot collapses to ≤ |categories| count rows before
+    * anything joins (two partial-combined aggregations); totals are
+    * broadcast 1-row aggregates; the category join is over tiny share
+    * tables. Output: `(category, n_cur, n_ref, share_cur, share_ref,
+    * tv_contrib)`. */
+  def shareDrift(cur: DataFrame, ref: DataFrame, catCol: String): DataFrame = {
+    def shares(df: DataFrame, side: String): DataFrame = {
+      val counts = df.groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(s"n_$side"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col(s"n_$side")).as(s"_t_$side"))))
+        .withColumn(s"share_$side",
+          col(s"n_$side").cast("double") / col(s"_t_$side"))
+        .drop(s"_t_$side")
+    }
+    shares(cur, "cur").join(shares(ref, "ref"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_cur", "n_ref"))
+      .na.fill(0.0, Seq("share_cur", "share_ref"))
+      .withColumn("tv_contrib", abs(col("share_cur") - col("share_ref")) / 2)
+  }
 }

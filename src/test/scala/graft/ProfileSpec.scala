@@ -36,6 +36,25 @@ class ProfileSpec extends SparkSpec {
     assert(h(("a", 1)) === 2L && h(("b", 9)) === 1L && h.size === 2)
   }
 
+  test("shareDrift: shares, zero-filled vanished/appeared categories, TVD sums to the hand value") {
+    val s = spark; import s.implicits._
+    val cur = Seq("a", "a", "a", "b").toDF("source")
+    val ref = Seq("a", "b", "b", "c").toDF("source")
+    val rows = graft.operators.Profile.shareDrift(cur, ref, "source")
+      .collect()
+      .map(r => r.getAs[String]("category") -> ((
+        r.getAs[Long]("n_cur"), r.getAs[Long]("n_ref"),
+        r.getAs[Double]("share_cur"), r.getAs[Double]("share_ref"),
+        r.getAs[Double]("tv_contrib"))))
+      .toMap
+    assert(rows.keySet === Set("a", "b", "c"))
+    assert(rows("a") === ((3L, 1L, 0.75, 0.25, 0.25)))
+    assert(rows("b") === ((1L, 2L, 0.25, 0.5, 0.125)))
+    assert(rows("c") === ((0L, 1L, 0.0, 0.25, 0.125))) // appeared → share 0 on cur side
+    // total variation distance = Σ contributions
+    assert(math.abs(rows.values.map(_._5).sum - 0.5) < 1e-12)
+  }
+
   test("plan: one partial-combined aggregation, bin as a projection") {
     val plan = Profile.histogram(
         spark.range(1000).select((col("id") % 17).cast("double").as("v")),
