@@ -1006,6 +1006,39 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // ext: deterministic SALTED equi-join under the oracle gate — the
+    // skewed-probe/mid-size-build pattern (too big to broadcast, small
+    // next to the probe): probe rows scatter by row-hash salt, the build
+    // side replicates per salt, the join keys on (key, salt). Result is
+    // row-identical to the plain join — which is exactly what the oracle
+    // replays.
+    "q73_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val build = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(probe, build, Seq("l_partkey"), salt = 4)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // O/A ext: ROLLUP subtotal hierarchy — the multi-level summary report
+    // a warehouse surface owes its users; subtotal rows' NULLs are
+    // sentinel-coalesced so they compare apples-to-apples (the grouping
+    // columns are never NULL in the data).
+    "q74_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // ext: mixture drift between two corpus snapshots — per-source shares
     // and total-variation contributions (robust where KL is undefined:
     // categories appearing/vanishing). Each snapshot collapses to
@@ -2344,6 +2377,22 @@ object SparkEntry {
         |SELECT source, bin, 0.0 + bin * 200.0 AS lo_edge,
         |  0.0 + (bin + 1) * 200.0 AS hi_edge, count(*) AS n_rows
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // The salted join is row-identical to the plain join by construction —
+    // the oracle replays the PLAIN join, which is the whole point.
+    "q73_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // ROLLUP replay: identical subtotal lattice, identical sentinel.
+    "q74_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // Share-drift replay: per-snapshot counts → shares (double division in
     // the same order), full outer on category with zero fill, TVD
