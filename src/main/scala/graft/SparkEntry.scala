@@ -1024,6 +1024,19 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // ext: PIVOT to a wide per-category layout — explicit value list (the
+    // scale-safe form: no extra distinct-values job, stable schema),
+    // absent combinations zero-filled like the CASE-sum formulation the
+    // oracle replays.
+    "q75_lang_pivot" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("source"))
+    }),
+
     // O/A ext: ROLLUP subtotal hierarchy — the multi-level summary report
     // a warehouse surface owes its users; subtotal rows' NULLs are
     // sentinel-coalesced so they compare apples-to-apples (the grouping
@@ -2377,6 +2390,17 @@ object SparkEntry {
         |SELECT source, bin, 0.0 + bin * 200.0 AS lo_edge,
         |  0.0 + (bin + 1) * 200.0 AS hi_edge, count(*) AS n_rows
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // Pivot replay: the CASE-sum formulation with the same explicit value
+    // list and zero fill.
+    "q75_lang_pivot" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // The salted join is row-identical to the plain join by construction —
     // the oracle replays the PLAIN join, which is the whole point.
