@@ -135,12 +135,15 @@ object IncrementalMerge {
           .agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1))
         val touched = bucketCounts.map(_._1).toSet
-        val prunedTarget = store.readRaw(spark, tableName)
+        // snapshot: pin version at read so the commit CASes against the
+        // version this merge actually derived from, not commit-time head
+        val (rawTarget, readVersion) = store.snapshotRaw(spark, tableName)
+        val prunedTarget = rawTarget
           .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
           .drop("_bucket") // dir-level pruning: untouched buckets never open
         val merged = ChangeApplier.applyLatest(prunedTarget, batch, pks)
           .withColumn("_bucket", spec.bucketColumn)
-        store.commitBucketMerge(merged, tableName, touched, mergeFilesPerBucket)
+        store.commitBucketMerge(merged, tableName, touched, mergeFilesPerBucket, readVersion)
         store.compact(spark, tableName, compactAboveFiles)
         bucketCounts.map(_._2).sum
       case Some(spec) =>
@@ -153,8 +156,9 @@ object IncrementalMerge {
             s"was asked to key on (${pks.mkString(", ")}); fix the table metadata " +
             "or re-baseline with a full load under the new keys")
       case None =>
+        val (target, readVersion) = store.snapshot(spark, tableName)
         store.write(
-          ChangeApplier.applyLatest(store.read(spark, tableName), batch, pks), tableName)
+          ChangeApplier.applyLatest(target, batch, pks), tableName, Some(readVersion))
         batch.count() // cached by the caller; cheap second action
     }
 

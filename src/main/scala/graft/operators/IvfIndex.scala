@@ -100,7 +100,9 @@ object IvfIndex {
       store: TableStore,
       name: String): Unit = {
     val assigned = assign(batch, idCol, vecCol, centroids(spark, store, name))
-    store.write(vectors(spark, store, name).unionByName(assigned), vectorsTable(name))
+    // snapshot: the write CASes against the version this union derived from
+    val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
+    store.write(stored.unionByName(assigned), vectorsTable(name), Some(readVersion))
   }
 
   /** Takedown: commit a next version of the vectors table WITHOUT the
@@ -116,10 +118,10 @@ object IvfIndex {
       store: TableStore,
       name: String): Long = {
     val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-    val stored = vectors(spark, store, name)
+    val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
     val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
     val before = stored.count()
-    store.write(kept, vectorsTable(name))
+    store.write(kept, vectorsTable(name), Some(readVersion))
     before - vectors(spark, store, name).count()
   }
 

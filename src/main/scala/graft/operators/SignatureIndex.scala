@@ -78,12 +78,13 @@ object SignatureIndex {
       store: TableStore,
       name: String): Unit = {
     val p = params(spark, store, name)
-    val existing = signatures(spark, store, name)
+    // snapshot: the write CASes against the version this union derived from
+    val (existing, readVersion) = store.snapshot(spark, sigsTable(name))
     store.write(
       existing.unionByName(
         signaturesOf(batch, idCol, textCol, p)
           .join(existing.select(col("id")), Seq("id"), "left_anti")),
-      sigsTable(name))
+      sigsTable(name), Some(readVersion))
   }
 
   /** Takedown: commit a next version of the signatures table WITHOUT the
@@ -96,10 +97,10 @@ object SignatureIndex {
       store: TableStore,
       name: String): Long = {
     val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-    val stored = signatures(spark, store, name)
+    val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
     val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
     val before = stored.count()
-    store.write(kept, sigsTable(name))
+    store.write(kept, sigsTable(name), Some(readVersion))
     before - signatures(spark, store, name).count()
   }
 

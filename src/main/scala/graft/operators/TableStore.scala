@@ -49,6 +49,19 @@ final class VersionConflictException(msg: String) extends IllegalStateException(
   * (HDFS); on S3 the manifest swap maps to a conditional PUT and staging
   * to a key prefix.
   */
+object TableStore {
+  /** A dead-owner commit lock is only broken once it is at least this old —
+    * the documented grace period: guards a waiter reading the pid while the
+    * owner is mid-create, and pid-reuse just after a crash. Commit holds the
+    * lock for file-metadata ops only, so a healthy hold is milliseconds. */
+  val LockBreakGraceMs: Long = 2000L
+
+  /** `.staging-*` dirs untouched this long are crash debris (their writer
+    * either committed — the dir would be renamed away — or died) and are
+    * swept on the next prune. Generous vs any plausible parquet write. */
+  val StaleStagingMs: Long = 30L * 60 * 1000
+}
+
 final class TableStore(root: String) {
   Files.createDirectories(Paths.get(root))
 
@@ -81,12 +94,22 @@ final class TableStore(root: String) {
       case None => throw new IllegalStateException(s"table $name does not exist under $root")
     }
 
+  private def versionPath(name: String, v: Int): Path = tableDir(name).resolve(s"v$v")
+
+  private def requireVersion(name: String): Int =
+    currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"table $name does not exist under $root"))
+
   /** The version's declared schema, when one was committed by
     * [[widenSchema]] — applied at read time so data files written BEFORE a
     * widening (absent the new columns) surface them as nulls. None for
     * tables whose files are the schema authority (the normal case). */
-  def declaredSchema(name: String): Option[org.apache.spark.sql.types.StructType] = {
-    val f = Paths.get(path(name)).resolve("_schema.json")
+  def declaredSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
+    declaredSchemaAt(name, requireVersion(name))
+
+  private def declaredSchemaAt(
+      name: String, v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val f = versionPath(name, v).resolve("_schema.json")
     if (Files.exists(f))
       Some(org.apache.spark.sql.types.DataType
         .fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
@@ -101,14 +124,42 @@ final class TableStore(root: String) {
     if (bucketSpec(name).isDefined) df.drop("_bucket") else df
   }
 
+  /** Snapshot read for read-modify-write: resolve the manifest ONCE and
+    * return both the DataFrame pinned to that version's files and the
+    * version number — the `expected` a later [[write]] must CAS against.
+    * Resolving again at write time (the old default) opens a window where
+    * a commit landing between read and write passes the version check and
+    * the concurrent winner's rows are silently lost. */
+  def snapshot(spark: SparkSession, name: String): (DataFrame, Int) = {
+    val v = requireVersion(name)
+    val df = declaredSchemaAt(name, v) match {
+      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
+      case None => spark.read.parquet(versionPath(name, v).toString)
+    }
+    (if (bucketSpec(name).isDefined) df.drop("_bucket") else df, v)
+  }
+
+  /** [[snapshot]] keeping the `_bucket` layout column — the
+    * read-modify-write sibling of [[readRaw]]. */
+  def snapshotRaw(spark: SparkSession, name: String): (DataFrame, Int) = {
+    val v = requireVersion(name)
+    val df = declaredSchemaAt(name, v) match {
+      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
+      case None => spark.read.parquet(versionPath(name, v).toString)
+    }
+    (df, v)
+  }
+
   /** Read a bucketed table INCLUDING the `_bucket` partition column, so
     * callers can prune to touched buckets (`filter(col("_bucket").isin…)`
     * prunes at the directory level — unread buckets are never opened). */
-  def readRaw(spark: SparkSession, name: String): DataFrame =
-    declaredSchema(name) match {
-      case Some(s) => spark.read.schema(s).parquet(path(name))
-      case None => spark.read.parquet(path(name))
+  def readRaw(spark: SparkSession, name: String): DataFrame = {
+    val v = requireVersion(name)
+    declaredSchemaAt(name, v) match {
+      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
+      case None => spark.read.parquet(versionPath(name, v).toString)
     }
+  }
 
   /** Metadata-only schema evolution — the `ALTER TABLE ADD COLUMN` of this
     * store: commit a next version whose data files are hard links of the
@@ -134,9 +185,11 @@ final class TableStore(root: String) {
     val widened = org.apache.spark.sql.types.StructType(
       dataCols ++ extra.map(_.copy(nullable = true)) ++ partCols)
     val dest = newStaging(name)
-    linkTree(curDir, dest)
-    Files.write(dest.resolve("_schema.json"),
-      widened.json.getBytes(StandardCharsets.UTF_8))
+    stagingWrite(dest) {
+      linkTree(curDir, dest)
+      Files.write(dest.resolve("_schema.json"),
+        widened.json.getBytes(StandardCharsets.UTF_8))
+    }
     commitStaged(name, Some(cur), dest, bucketSpec(name))
   }
 
@@ -153,24 +206,52 @@ final class TableStore(root: String) {
     } finally stream.close()
   }
 
-  /** Write `df` as the next version and atomically swap the manifest. */
-  def write(df: DataFrame, name: String): Int = {
-    val expected = currentVersion(name)
+  /** Write `df` as the next version and atomically swap the manifest.
+    *
+    * `expected` is the CAS anchor — the version this writer's inputs were
+    * read from. The default (resolve at write time) is only safe for blind
+    * writes that derive nothing from the table's current contents;
+    * read-modify-write callers MUST pass the version [[snapshot]] gave
+    * them, or a commit landing between their read and this write is
+    * silently overwritten (ADVICE r5: last-writer-wins on the race). */
+  def write(df: DataFrame, name: String): Int =
+    write(df, name, currentVersion(name))
+
+  def write(df: DataFrame, name: String, expected: Option[Int]): Int = {
     val staging = newStaging(name)
-    df.write.mode("overwrite").parquet(staging.toString)
+    stagingWrite(staging) {
+      df.write.mode("overwrite").parquet(staging.toString)
+    }
     commitStaged(name, expected, staging, None)
   }
 
   /** Full write of a bucketed table: one hash shuffle on the bucket column
     * at load time buys every later merge its bucket pruning. */
-  def writeBucketed(df: DataFrame, name: String, spec: BucketSpec): Int = {
-    val expected = currentVersion(name)
+  def writeBucketed(df: DataFrame, name: String, spec: BucketSpec): Int =
+    writeBucketed(df, name, spec, currentVersion(name))
+
+  def writeBucketed(
+      df: DataFrame, name: String, spec: BucketSpec, expected: Option[Int]): Int = {
     val staging = newStaging(name)
-    df.withColumn("_bucket", spec.bucketColumn)
-      .repartition(spec.nBuckets, col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    stagingWrite(staging) {
+      df.withColumn("_bucket", spec.bucketColumn)
+        .repartition(spec.nBuckets, col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    }
     commitStaged(name, expected, staging, Some(spec))
   }
+
+  /** Run a staging-dir producing `body`; on ANY failure the half-written
+    * staging dir is deleted before rethrowing, so an aborted write (e.g.
+    * IncrementalMerge's optimistic narrow pass hitting drift) never
+    * orphans a `.staging-*` dir (ADVICE r5). [[prune]] additionally
+    * sweeps age-stale staging dirs as a crash backstop. */
+  private def stagingWrite(staging: Path)(body: => Unit): Unit =
+    try body catch {
+      case e: Throwable =>
+        try deleteRecursively(staging) catch { case _: java.io.IOException => () }
+        throw e
+    }
 
   /** Copy-on-write merge commit for a bucketed table: `rewritten` holds the
     * new contents of ONLY the touched buckets (with `_bucket` present); all
@@ -188,12 +269,24 @@ final class TableStore(root: String) {
       rewritten: DataFrame,
       name: String,
       touched: Set[Int],
-      filesPerBucket: Int = 1): Int = {
+      filesPerBucket: Int = 1): Int =
+    commitBucketMerge(rewritten, name, touched, filesPerBucket, requireVersion(name))
+
+  /** As above with an explicit CAS anchor: `expected` is the version the
+    * caller's `rewritten` rows were derived from ([[snapshot]]) — both the
+    * carried-bucket link source and the commit's compare-and-swap use it,
+    * so a concurrent commit between the caller's read and this write
+    * conflicts instead of being silently merged over. */
+  def commitBucketMerge(
+      rewritten: DataFrame,
+      name: String,
+      touched: Set[Int],
+      filesPerBucket: Int,
+      expected: Int): Int = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     val spec = bucketSpec(name).getOrElse(
       throw new IllegalStateException(s"$name is not bucketed"))
-    val cur = currentVersion(name).getOrElse(
-      throw new IllegalStateException(s"table $name does not exist"))
+    val cur = expected
     val curDir = tableDir(name).resolve(s"v$cur")
     val dest = newStaging(name)
     val distributed =
@@ -205,24 +298,26 @@ final class TableStore(root: String) {
         // when filesPerBucket == nBuckets: one combo per bucket, no split).
         rewritten.repartition(math.max(1, touched.size) * filesPerBucket,
           col("_bucket"), pmod(xxhash64(spec.pks.map(col): _*), lit(filesPerBucket.toLong)))
-    distributed
-      .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
-    (0 until spec.nBuckets).filterNot(touched).foreach { b =>
-      val src = curDir.resolve(s"_bucket=$b")
-      if (Files.isDirectory(src)) {
-        val dst = dest.resolve(s"_bucket=$b")
-        Files.createDirectories(dst)
-        val stream = Files.list(src)
-        try stream.iterator().forEachRemaining { f =>
-          if (f.getFileName.toString.startsWith("part-")) linkOrCopy(f, dst.resolve(f.getFileName))
-        } finally stream.close()
+    stagingWrite(dest) {
+      distributed
+        .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
+      (0 until spec.nBuckets).filterNot(touched).foreach { b =>
+        val src = curDir.resolve(s"_bucket=$b")
+        if (Files.isDirectory(src)) {
+          val dst = dest.resolve(s"_bucket=$b")
+          Files.createDirectories(dst)
+          val stream = Files.list(src)
+          try stream.iterator().forEachRemaining { f =>
+            if (f.getFileName.toString.startsWith("part-")) linkOrCopy(f, dst.resolve(f.getFileName))
+          } finally stream.close()
+        }
       }
+      // carry a declared schema forward: linked pre-widen buckets still lack
+      // the widened columns, so the read-time null fill must stay in force
+      val sf = curDir.resolve("_schema.json")
+      if (Files.exists(sf))
+        Files.copy(sf, dest.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
     }
-    // carry a declared schema forward: linked pre-widen buckets still lack
-    // the widened columns, so the read-time null fill must stay in force
-    val sf = curDir.resolve("_schema.json")
-    if (Files.exists(sf))
-      Files.copy(sf, dest.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
     commitStaged(name, Some(cur), dest, Some(spec))
   }
 
@@ -266,10 +361,13 @@ final class TableStore(root: String) {
     val oversized = bucketFileCounts(name).filter(_._2 > maxFilesPerBucket).keySet
     if (oversized.isEmpty) None
     else {
-      // dir-level pruning: only oversized buckets are opened and rewritten
-      val rows = readRaw(spark, name)
+      // dir-level pruning: only oversized buckets are opened and rewritten;
+      // snapshot so the commit CASes against the version the counts and
+      // rows came from (compact racing a merge must lose, not clobber)
+      val (raw, readVersion) = snapshotRaw(spark, name)
+      val rows = raw
         .filter(col("_bucket").isin(oversized.toSeq.map(Integer.valueOf): _*))
-      Some(commitBucketMerge(rows, name, oversized))
+      Some(commitBucketMerge(rows, name, oversized, 1, readVersion))
     }
   }
 
@@ -334,8 +432,18 @@ final class TableStore(root: String) {
   /** Tiny critical section around the manifest CAS: an exclusive-create
     * lock file carrying the owner pid. Held only for the rename + manifest
     * swap (file metadata ops), never during data writes. A lock whose
-    * recorded owner process is gone is broken after a short grace (crash
-    * recovery); acquisition times out loudly rather than deadlocking. */
+    * recorded owner process is gone is broken after
+    * [[TableStore.LockBreakGraceMs]] (crash recovery); acquisition times
+    * out loudly rather than deadlocking.
+    *
+    * Breaking is ATOMIC (ADVICE r5): the stale lock is renamed aside to a
+    * unique name first — two waiters racing the break can't both succeed,
+    * because only one rename wins — and the owner pid is re-verified from
+    * the renamed file before it is discarded. Without the rename, waiter A
+    * could deleteIfExists the NEW lock waiter B just created after B broke
+    * the same stale lock, letting two writers into the critical section at
+    * once. The grace period guards against breaking a lock whose pid was
+    * read mid-create and against pid-reuse immediately after a crash. */
   private def withTableLock[A](name: String)(body: => A): A = {
     val lock = tableDir(name).resolve("_commit.lock")
     val deadline = System.currentTimeMillis() + 30000L
@@ -349,13 +457,15 @@ final class TableStore(root: String) {
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val ownerDead =
+          val staleAndDead =
             try {
               val pid = new String(Files.readAllBytes(lock),
                 StandardCharsets.UTF_8).trim.toLong
-              !ProcessHandle.of(pid).isPresent
+              val age = System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis
+              age > TableStore.LockBreakGraceMs && !ProcessHandle.of(pid).isPresent
             } catch { case _: Exception => false } // racing deletion → just retry
-          if (ownerDead) Files.deleteIfExists(lock)
+          if (staleAndDead) breakStaleLock(name, lock)
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire commit lock for table $name within 30s " +
@@ -366,16 +476,61 @@ final class TableStore(root: String) {
     try body finally Files.deleteIfExists(lock)
   }
 
-  /** Best-effort removal of superseded versions. */
+  /** Break `lock` atomically: rename it aside (losers of the rename race
+    * see NoSuchFile and simply re-loop), re-verify the owner from the
+    * renamed file, and only then discard it. If the re-read says the owner
+    * is alive after all (pid misread under a partial write, or reuse), the
+    * lock is restored — unless a new holder already took its place, in
+    * which case the aside copy is simply dropped. */
+  private def breakStaleLock(name: String, lock: Path): Unit = {
+    val aside = tableDir(name).resolve(s".lockbreak-${java.util.UUID.randomUUID()}")
+    try {
+      Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
+      val stillDead =
+        try {
+          val pid = new String(Files.readAllBytes(aside),
+            StandardCharsets.UTF_8).trim.toLong
+          !ProcessHandle.of(pid).isPresent
+        } catch { case _: Exception => true } // unreadable lock = junk; break it
+      if (stillDead) Files.deleteIfExists(aside)
+      else
+        try Files.move(aside, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.deleteIfExists(aside); () }
+    } catch {
+      case _: java.io.IOException => () // another breaker won the rename; re-loop
+    }
+  }
+
+  /** Best-effort removal of superseded versions, RETAINING the most recent
+    * superseded one (`keep - 1`): a concurrent writer that snapshotted the
+    * previous version may still be scanning its files for a staging write —
+    * pruning it mid-scan fails that job with FileNotFoundException instead
+    * of the [[VersionConflictException]] its retry loop understands
+    * (ADVICE r5). One retained version bounds the storage overhead at ≤2×
+    * the live table while closing the window for any writer that started
+    * within one commit of the head; older stragglers are handled by
+    * [[graft.streaming.CdcStream.withConflictRetry]] treating a missing
+    * input file during a staged write as a retryable conflict.
+    *
+    * Also sweeps `.staging-*` dirs untouched for [[StaleStagingMs]] — the
+    * crash backstop for writers that died between staging and commit (the
+    * in-process failure path already cleans up via `stagingWrite`). */
   private def prune(name: String, keep: Int): Unit = {
     val dir = tableDir(name)
     if (Files.exists(dir)) {
+      val now = System.currentTimeMillis()
       val stream = Files.list(dir)
       try {
         stream.iterator().forEachRemaining { p =>
           val n = p.getFileName.toString
-          if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toInt != keep) {
+          if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
+              && n.drop(1).toInt != keep && n.drop(1).toInt != keep - 1) {
             try deleteRecursively(p) catch { case _: java.io.IOException => () }
+          } else if (n.startsWith(".staging-")) {
+            try {
+              if (now - Files.getLastModifiedTime(p).toMillis > TableStore.StaleStagingMs)
+                deleteRecursively(p)
+            } catch { case _: java.io.IOException => () }
           }
         }
       } finally stream.close()

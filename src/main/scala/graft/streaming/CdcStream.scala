@@ -107,13 +107,35 @@ object CdcStream {
   /** Re-run `body` on [[graft.operators.VersionConflictException]] up to
     * `maxAttempts` times (total), rethrowing the last conflict — losing a
     * CAS race is transient by construction (somebody else committed), but
-    * a table that NEVER stops moving deserves the loud failure. */
+    * a table that NEVER stops moving deserves the loud failure.
+    *
+    * A FileNotFoundException anywhere in the failure's cause chain is the
+    * SAME conflict wearing a different face (ADVICE r5): the staged scan
+    * was reading a version a concurrent winner's commit pruned out from
+    * under it. TableStore retains one superseded version to narrow that
+    * window, but a writer more than one commit behind can still hit it —
+    * re-reading and retrying is exactly the right recovery, so treat it
+    * as retryable rather than failing the micro-batch. */
   private[graft] def withConflictRetry[A](maxAttempts: Int)(body: => A): A = {
+    def prunedUnderneath(t: Throwable): Boolean = {
+      var cur = t
+      var depth = 0
+      while (cur != null && depth < 16) {
+        if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+            cur.getClass.getSimpleName.contains("FileNotFound")) return true
+        cur = cur.getCause
+        depth += 1
+      }
+      false
+    }
     var attempt = 1
     while (true) {
       try return body
       catch {
         case e: graft.operators.VersionConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+        case e: Throwable if prunedUnderneath(e) =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import graft.operators.{TableStore, VersionConflictException}
+import graft.streaming.CdcStream
+
+/** Round-6 concurrency hardening (ADVICE r5): CAS anchored at READ time,
+  * prune retaining one superseded version, staging-dir cleanup on write
+  * failure plus age-gated sweep, and conflict-retry treating a pruned-file
+  * read as the version conflict it really is. */
+class TableStoreSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def oneRow(tag: String) = Seq((1, tag)).toDF("id", "payload")
+
+  private def versionDirs(root: String, table: String): Seq[String] = {
+    val dir = Paths.get(root, table)
+    val s = Files.list(dir)
+    try {
+      val b = Seq.newBuilder[String]
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) b += n
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  private def stagingDirs(root: String, table: String): Seq[String] = {
+    val dir = Paths.get(root, table)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        val b = Seq.newBuilder[String]
+        s.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(".staging-")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  test("commit landing between snapshot and write conflicts instead of last-writer-wins") {
+    val root = tmpDir("snap-cas")
+    val store = new TableStore(root)
+    store.write(oneRow("base"), "t")
+
+    // reader takes its snapshot…
+    val (snap, readVersion) = store.snapshot(spark, "t")
+    val derived = snap.withColumn("payload", org.apache.spark.sql.functions.lit("derived"))
+
+    // …a concurrent writer commits in the read→write window…
+    store.write(oneRow("interloper"), "t")
+
+    // …so the read-modify-writer's commit MUST refuse (the old write()
+    // resolved `expected` at write time and silently dropped "interloper")
+    intercept[VersionConflictException] {
+      store.write(derived, "t", Some(readVersion))
+    }
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "interloper")))
+  }
+
+  test("prune retains exactly one superseded version behind the head") {
+    val root = tmpDir("prune-grace")
+    val store = new TableStore(root)
+    store.write(oneRow("a"), "t")
+    assert(versionDirs(root, "t") === Seq("v1"))
+    store.write(oneRow("b"), "t")
+    assert(versionDirs(root, "t") === Seq("v1", "v2")) // v1 survives one commit
+    store.write(oneRow("c"), "t")
+    assert(versionDirs(root, "t") === Seq("v2", "v3")) // …and only one
+    // the retained version is a real readable snapshot, not debris
+    val prev = spark.read.parquet(Paths.get(root, "t", "v2").toString)
+    assert(prev.collect().toSeq === Seq(Row(1, "b")))
+  }
+
+  test("a failing staging write leaves no orphaned .staging-* dir") {
+    val root = tmpDir("staging-clean")
+    val store = new TableStore(root)
+    store.write(oneRow("ok"), "t")
+    val boom = spark.range(4).as[Long]
+      .map(i => if (i >= 0) throw new RuntimeException("boom") else i)
+      .toDF("id")
+    intercept[Exception] { store.write(boom, "t") }
+    assert(stagingDirs(root, "t").isEmpty,
+      "failed write must clean its staging dir")
+    // table untouched by the failure
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "ok")))
+  }
+
+  test("prune sweeps age-stale staging dirs from crashed writers") {
+    val root = tmpDir("staging-sweep")
+    val store = new TableStore(root)
+    store.write(oneRow("a"), "t")
+    // simulate a crashed writer's leftover: an old staging dir
+    val stale = Paths.get(root, "t", ".staging-deadbeef")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-00000"), Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TableStore.StaleStagingMs - 60000)
+    Files.setLastModifiedTime(stale, old)
+    // a fresh one must NOT be swept (could be a live concurrent writer)
+    val fresh = Paths.get(root, "t", ".staging-cafebabe")
+    Files.createDirectories(fresh)
+    store.write(oneRow("b"), "t") // commit triggers prune
+    assert(!Files.exists(stale), "stale staging dir should be swept at commit")
+    assert(Files.exists(fresh), "fresh staging dir must survive the sweep")
+  }
+
+  test("dead-owner lock is broken only after the grace period, atomically") {
+    val root = tmpDir("lock-break")
+    val store = new TableStore(root)
+    store.write(oneRow("a"), "t")
+    // plant a lock owned by a pid that cannot exist, aged past the grace
+    val lock = Paths.get(root, "t", "_commit.lock")
+    Files.write(lock, "99999999".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TableStore.LockBreakGraceMs - 5000))
+    // the next commit must break the stale lock and proceed
+    store.write(oneRow("b"), "t")
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "b")))
+    assert(!Files.exists(lock), "lock released after commit")
+  }
+
+  test("withConflictRetry treats a pruned-file FileNotFound as retryable") {
+    var calls = 0
+    val out = CdcStream.withConflictRetry(maxAttempts = 3) {
+      calls += 1
+      if (calls == 1)
+        throw new RuntimeException("job aborted",
+          new java.io.FileNotFoundException("v1/part-00000 no longer exists"))
+      "recovered"
+    }
+    assert(out === "recovered")
+    assert(calls === 2)
+    // but an unrelated failure still propagates untouched
+    intercept[IllegalArgumentException] {
+      CdcStream.withConflictRetry(maxAttempts = 3) {
+        throw new IllegalArgumentException("not a conflict")
+      }
+    }
+  }
+
+  test("snapshot pins the version: reads keep working after a concurrent commit") {
+    val root = tmpDir("snap-pin")
+    val store = new TableStore(root)
+    store.write(oneRow("first"), "t")
+    val (snap, v) = store.snapshot(spark, "t")
+    assert(v === 1)
+    store.write(oneRow("second"), "t") // v1 retained by prune grace
+    // the snapshot still reads ITS version's rows, not the new head
+    assert(snap.collect().toSeq === Seq(Row(1, "first")))
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "second")))
+  }
+}
