@@ -63,8 +63,14 @@ object SparkEntry {
       val store = new graft.operators.TableStore(root)
       val corpus = t(s, dir, "embeddings")
         .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      // cells sized to the corpus (~56 vectors/cell — 8 cells at the
+      // sf0.01 fixture, so the q60/q68 oracle arithmetic is unchanged
+      // there): frozen nCells would make the screens' cell join densify
+      // linearly with the corpus, the same r5 finding as q29. The oracles
+      // recompute greatest(8, count // 56) from the same raw-corpus count.
+      val nCells = math.max(8, (corpus.count() / 56L).toInt)
       graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
-        nCells = 8, iterations = 1, store, "emb_idx")
+        nCells = nCells, iterations = 1, store, "emb_idx")
       root
     })
 
@@ -589,10 +595,18 @@ object SparkEntry {
     // centroids, cell-bounded candidate join, never all-pairs). Centroid
     // sampling is md5-deterministic, so the entire approximate result is
     // exactly replayable in SQL — the oracle verifies the scale path, not
-    // just the quadratic baseline.
+    // just the quadratic baseline. nCells is derived FROM THE CORPUS SIZE
+    // (constant ~125-vector cell occupancy — the r5 BENCH_sf1 remedy:
+    // frozen nCells made per-cell occupancy, and with it the candidate
+    // join, grow linearly; sized cells measured slope 0.05). The count is
+    // a control-plane sizing probe — at cluster scale, metastore stats.
+    // The oracle recomputes the same nCells from count(*), so the
+    // hash-verified plan IS the scale-safe one.
     "q29_ivf_topk" -> ((s, dir) => {
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, nCells = 16, nProbe = 4)
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 3, nCells = nCells, nProbe = 4)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -615,12 +629,28 @@ object SparkEntry {
     // ext: hyperplane-LSH approximate top-k. The hyperplane weights are
     // md5-derived per (seed, bit, dim), so the bucketing — and with it the
     // whole approximate result — replays exactly in SQL (recall vs the
-    // exact baseline additionally spec-asserted in SimilaritySpec). Wide
-    // buckets + many tables because the synthetic embeddings are
-    // near-uniform — the hard case for LSH.
+    // exact baseline additionally spec-asserted in SimilaritySpec).
+    // (bits, tables) come from tuneLsh AT THE CORPUS SIZE (the r5
+    // BENCH_sf1 remedy: frozen bits/tables made bucket occupancy grow
+    // with the corpus, slope 3.12; tuned params measured 0.05).
+    // targetBucketSize=250 keeps tuned buckets 4× under lshTopK's
+    // maxBucketSize=1000 skew cap — tuning TO the cap would let ordinary
+    // buckets trip the pathological-bucket guard. The oracle replays the
+    // sf0.01 operating point (tuneLsh(500, 0.6, 250) = 1 bit, 2 tables —
+    // pinned by AnnSizingSpec); a drifted derivation changes the
+    // bucketing and fails the hash gate, so the correspondence is itself
+    // oracle-checked.
     "q30_lsh_topk" -> ((s, dir) => {
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, bits = 5, tables = 12)
+      val emb = t(s, dir, "embeddings")
+      val p = Similarity.tuneLsh(emb.count(), simThreshold = 0.6,
+        targetBucketSize = 250)
+      // skew cap scales WITH the tuned bucket size (4x headroom): when the
+      // maxTables budget forces denser buckets at large n, a fixed cap
+      // would start dropping ORDINARY buckets — silent recall loss. At the
+      // sf0.01 oracle point 4x250 = 1000 = the SQL's literal (AnnSizingSpec).
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          k = 3, bits = p.bits, tables = p.tables,
+          maxBucketSize = math.max(1000, (4 * p.expectedBucketSize).toInt))
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -2287,7 +2317,9 @@ object SparkEntry {
         |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
         |seeds AS (
         |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
-        |  FROM corpus ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
         |a1 AS (
         |  SELECT id, v, cell FROM (
         |    SELECT b.id, b.v, s.cell,
@@ -2338,7 +2370,9 @@ object SparkEntry {
         |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
         |seeds AS (
         |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
-        |  FROM corpus ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
         |a1 AS (
         |  SELECT id, v, cell FROM (
         |    SELECT b.id, b.v, s.cell,
@@ -2622,13 +2656,16 @@ object SparkEntry {
     // nearest-cell assignment, same nProbe probing, same (cosine desc,
     // neighbor_id asc) ranking. Cosines are computed by the identical
     // sequential double arithmetic on both sides (established by q18/q22),
-    // so even rank ties resolve identically.
+    // so even rank ties resolve identically. nCells is DERIVED from
+    // count(*) on both sides (greatest(16, n // 125) — constant cell
+    // occupancy), so the verified operating point scales with the corpus.
     "q29_ivf_topk" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (
         |  SELECT id AS c_id, v AS c_v FROM base
-        |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(16, (SELECT count(*) FROM base) // 125)),
         |centlive AS ( -- mirror of the engine's zero-norm centroid guard
         |  SELECT * FROM cent WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
         |sims AS (
@@ -2740,7 +2777,10 @@ object SparkEntry {
     // ("lsh:t:j:i") — so buckets, candidates, and ranking all replay.
     // list_inner_product's sequential fold matches the native DotProduct
     // loop (same double arithmetic as the q18/q29 cosines). Embeddings are
-    // 64-dim (driver testdata, all SFs).
+    // 64-dim (driver testdata, all SFs). range(0, 2)/range(0, 1) IS the
+    // tuned sf0.01 operating point — tuneLsh(500, 0.6, 250) = 1 bit,
+    // 2 tables, pinned by AnnSizingSpec; a drifted Scala-side derivation
+    // changes the bucketing and fails this hash gate.
     "q30_lsh_topk" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2748,7 +2788,7 @@ object SparkEntry {
         |  SELECT t, j,
         |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
         |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
-        |  FROM range(0, 12) rt(t), range(0, 5) rj(j), range(0, 64) ri(i)
+        |  FROM range(0, 2) rt(t), range(0, 1) rj(j), range(0, 64) ri(i)
         |  GROUP BY t, j),
         |buckets AS (
         |  SELECT b.id, w.t,

@@ -89,7 +89,10 @@ object ScaleBench {
   private val heavy = Seq(
     "q23_minhash_lsh", "q24_simhash_pairs", "q28_dup_clusters",
     "q29_ivf_topk", "q30_lsh_topk", "q33_near_dedup",
-    "q36_near_dedup_approx", "q42_top_ngrams", "q61_semdedup_cells")
+    "q36_near_dedup_approx", "q42_top_ngrams", "q61_semdedup_cells",
+    // r6 additions: the multiprobe remedy shipped in r5 without a decade
+    // measurement, and the two persisted-index screens (build+probe cost)
+    "q71_lsh_multiprobe", "q68_semantic_screen", "q69_signature_screen")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
@@ -126,53 +129,11 @@ object ScaleBench {
       (name, tBase, tScaled, slope, rBase, rScaled)
     }
 
-    // Remedy check for the two declared queries whose index parameters are
-    // PINNED for oracle replayability (q29 nCells=16, q30 bits=12/tables=4):
-    // with fixed params, per-cell/bucket occupancy grows with the corpus
-    // and the candidate join does O(n²/cells) work — the expected
-    // super-linear slope. Production sizes the index to the corpus
-    // (nCells ∝ n; tuneLsh for LSH): measure the SAME operators with
-    // corpus-sized params at both scales and report that slope alongside.
-    import graft.operators.{CacheScope, Similarity}
-    def timeOp(label: String, f: () => Long): (Double, Long) = {
-      var rows = 0L
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        rows = f()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (times.min, rows)
-    }
-    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
-    def ivfSized(dir: String, n: Long): Long = {
-      implicit val scope: CacheScope = new CacheScope
-      val cells = math.max(16, (n / 125).toInt) // same occupancy per cell at every scale
-      try Similarity.ivfTopK(emb(dir), "vec_id", "embedding",
-        k = 3, nCells = cells, nProbe = 4).count()
-      finally scope.release()
-    }
-    def lshSized(dir: String, n: Long): Long = {
-      implicit val scope: CacheScope = new CacheScope
-      val p = Similarity.tuneLsh(n, simThreshold = 0.6)
-      try Similarity.lshTopK(emb(dir), "vec_id", "embedding",
-        k = 3, bits = p.bits, tables = p.tables).count()
-      finally scope.release()
-    }
-    val nBase = emb(base).count()
-    val nScaled = emb(scaled).count()
-    val sized = Seq(
-      ("q29_sized_params", () => ivfSized(base, nBase), () => ivfSized(scaled, nScaled)),
-      ("q30_sized_params", () => lshSized(base, nBase), () => lshSized(scaled, nScaled)))
-      .map { case (name, fb, fs) =>
-        val (tBase, rBase) = timeOp(name, fb)
-        val (tScaled, rScaled) = timeOp(name, fs)
-        val slope = tScaled / (tBase * factor)
-        println(f"[scalebench] $name%-24s base=$tBase%7.2fs scaled=$tScaled%7.2fs " +
-          f"slope=$slope%5.2f rows: $rBase -> $rScaled")
-        (name, tBase, tScaled, slope, rBase, rScaled)
-      }
-
-    val qs = (rows ++ sized).map { case (n, tb, ts, sl, rb, rs) =>
+    // Since r6 the DECLARED q29/q30 derive their index parameters from the
+    // corpus size (the former "sized_params" remedy is the shipped form),
+    // so the heavy list above measures the scale-safe operating points
+    // directly — no separate remedy section.
+    val qs = rows.map { case (n, tb, ts, sl, rb, rs) =>
       s""""$n":{"base_sec":${f"$tb%.4f"},"scaled_sec":${f"$ts%.4f"},""" +
         s""""slope":${f"$sl%.4f"},"base_rows":$rb,"scaled_rows":$rs}"""
     }.mkString("{", ",", "}")
