@@ -1287,6 +1287,112 @@ object SparkEntry {
     // PNGs from doc_id arithmetic, PixelDecoder (JDK ImageIO) decodes the
     // actual rasters, and the oracle recomputes every feature from the
     // same arithmetic: a hash-exact proof that the decoded channel means
+    // ext: BPE vocabulary TRAINING (Sennrich 2016, arXiv 1508.07909) under
+    // the oracle gate — the corpus collapses to its word-frequency table in
+    // one aggregation; each merge iteration is then a pair-count
+    // aggregation over that capped table plus a one-row argmax (bounded
+    // regardless of corpus size). The oracle unrolls the same six
+    // iterations as CTEs on the shared (a)(b) symbol-string representation,
+    // so the learned vocabulary is hash-verified merge by merge.
+    "q76_bpe_train" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(t(s, dir, "documents"), "text"),
+        nMerges = 6, topWords = 256)
+      graft.operators.Bpe.mergesDf(s, merges)
+        .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+          col("right").as("rhs"))
+        .orderBy(col("merge_rank"))
+    }),
+
+    // ext: BPE ENCODING with the trained vocabulary riding inside a native
+    // expression — one compiled pass per document; the corpus never joins
+    // or shuffles to be tokenized. This is the real token count behind
+    // packing/mixing budgets (q19's chars-per-token heuristic is the cheap
+    // screen; this is the exact count under the learned vocabulary).
+    "q77_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.mergePairs(graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs, "text"), nMerges = 6, topWords = 256))
+      docs.select(col("doc_id"),
+          org.apache.spark.sql.graft.BpeTokenCount
+            .bpe_token_count(lower(col("text")), merges).as("n_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ext: EVENT-TIME sessionization on the real streaming path, under the
+    // hash gate (the q67 pattern applied to the analytics surface): the
+    // events fixture is staged as four time-ordered files + one flush file,
+    // drained through flatMapGroupsWithState with maxFilesPerTrigger=1 —
+    // five micro-batches, so per-user session state genuinely crosses
+    // batch/watermark boundaries — and the emitted sessions must aggregate
+    // to the SAME histogram a batch window-function formulation computes
+    // (oracle below; ms-granularity gap, the state operator's arithmetic).
+    // watermarkDelay == gap makes cross-batch timeouts provably safe for
+    // time-partitioned input: a session can only time out once no in-gap
+    // continuation can still arrive (see margin argument in the scaladoc of
+    // EventStreams.sessionize usage here), so nothing is dropped late and
+    // nothing closes early — exactly the batch semantics, reached through
+    // checkpointed state.
+    "q78_event_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val gapSec = 1800L
+      val ev = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+      val sentinelTs = new java.sql.Timestamp(hiMs + (gapSec + 3600) * 1000L)
+      val root = newTmpDir("graft_q78run").toString
+      val stage = s"$root/stage"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      // one coalesced file per time quartile (+ the per-user flush file),
+      // mtimes explicitly spaced so the file source's (mtime, path) order
+      // IS event-time order — the precondition of the safety argument above
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        import scala.jdk.CollectionConverters._
+        val tmpOut = s"$root/w_$name"
+        df.coalesce(1).write.parquet(tmpOut)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+          .iterator.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(stage, s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val step = math.max(1L, (hiMs - loMs) / 4 + 1)
+      val base = System.currentTimeMillis() - 120000L
+      (0 until 4).foreach { i =>
+        val from = loMs + i * step
+        val until = loMs + (i + 1) * step
+        writeOne(ev.filter(unix_millis(col("ts")) >= from &&
+          unix_millis(col("ts")) < until), f"e$i%02d", base + i * 5000L)
+      }
+      writeOne(ev.select(col("user_id")).distinct()
+          .select((-col("user_id") - 1).as("event_id"), lit(sentinelTs).as("ts"),
+            col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value")),
+        "e99_flush", base + 40000L)
+      val sessions = graft.streaming.EventStreams.sessionize(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(stage).as[graft.streaming.EventStreams.Event],
+        gapSeconds = gapSec, watermarkDelay = "30 minutes")
+      sessions.writeStream.format("parquet")
+        .option("path", s"$root/sessions")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$root/sessions")
+        .filter(col("session_start") < lit(sentinelTs)) // flush sessions out
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .groupBy(col("n_sessions"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+        .orderBy(col("n_sessions"))
+    }),
+
     // and luminance histogram are the true pixel statistics. All narrow —
     // generate/encode/decode never leave the partition.
     "q66_pixel_decode" -> ((s, dir) => {
@@ -1329,7 +1435,75 @@ object SparkEntry {
   // DuckDB oracles — identical semantics, identical aliases, identical
   // rounding, stable ORDER BY.
   // =====================================================================
+
+  /** The BPE training unroll shared by the q76/q77 oracles: corpus →
+    * word-frequency table → deterministically-capped working set → `n`
+    * (pair-count, argmax, merge-replace) iterations as CTEs over the
+    * delimited `(a)(b)` symbol representation — the SQL-replay contract of
+    * [[graft.operators.Bpe.train]] (non-overlapping left-to-right replace
+    * IS the reference greedy scan on this representation). */
+  private def bpeTrainCtes(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT parts[gs] AS a, parts[gs + 1] AS b, sum(cnt) AS c FROM (
+         |    SELECT string_split(substring(syms, 2, length(syms) - 2), ')(') AS parts, cnt,
+         |      unnest(generate_series(1, length(string_split(substring(syms, 2, length(syms) - 2), ')('))::BIGINT - 1)) AS gs
+         |    FROM it${i - 1})
+         |  GROUP BY a, b),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |it$i AS (
+         |  SELECT replace(syms, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS syms, cnt
+         |  FROM it${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (
+       |  SELECT w AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w),
+       |top AS (SELECT word, cnt FROM wf ORDER BY cnt DESC, word ASC LIMIT 256),
+       |it0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS syms, cnt FROM top),
+       |$iters""".stripMargin
+  }
+
+  /** Encoding replay for q77: each single-row merge CTE `m1..mn` applied to
+    * the distinct-word symbol strings in rank order — identical to the
+    * native [[org.apache.spark.sql.graft.BpeTokens]] greedy scan. */
+  private def bpeEncodeCtes(n: Int): String = {
+    val chain = (1 to n).map { i =>
+      s"""e$i AS (
+         |  SELECT w, replace(syms, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS syms
+         |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""occ AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |e0 AS (SELECT DISTINCT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS syms FROM occ),
+       |$chain""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q76_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(6)}
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_rank, a AS lhs, b AS rhs FROM m1
+         |  UNION ALL SELECT 2, a, b FROM m2
+         |  UNION ALL SELECT 3, a, b FROM m3
+         |  UNION ALL SELECT 4, a, b FROM m4
+         |  UNION ALL SELECT 5, a, b FROM m5
+         |  UNION ALL SELECT 6, a, b FROM m6)
+         |ORDER BY merge_rank""".stripMargin,
+
+    "q77_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(6)},
+         |${bpeEncodeCtes(6)},
+         |wtok AS (
+         |  SELECT w, CAST(length(string_split(substring(syms, 2, length(syms) - 2), ')(')) AS INT) AS n
+         |  FROM e6),
+         |per_doc AS (
+         |  SELECT occ.doc_id, sum(wtok.n) AS n FROM occ JOIN wtok USING (w) GROUP BY occ.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(per_doc.n, 0) AS INT) AS n_tokens,
+         |  CAST(length(regexp_extract_all(lower(d.text), '[a-z]+')) AS INT) AS n_words
+         |FROM documents d LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -1673,6 +1847,26 @@ object SparkEntry {
         |  SELECT user_id,
         |    CAST(sum(CASE WHEN prev_ts IS NULL OR
         |      (floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT) > 1800
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |    count(*) AS n_events
+        |  FROM gaps GROUP BY user_id)
+        |SELECT n_sessions, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events
+        |FROM sess GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
+
+    // q78 replay: the batch formulation of the streaming sessionizer —
+    // same per-user (ts, event_id) order, but the gap test runs at
+    // MILLISECOND granularity (epoch_ms), because that is the state
+    // operator's arithmetic (java.sql.Timestamp.getTime); q20 keeps the
+    // second-granularity analytic variant.
+    "q78_event_sessions" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |      (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |    count(*) AS n_events
         |  FROM gaps GROUP BY user_id)
