@@ -71,6 +71,8 @@ object SparkEntry {
       val nCells = math.max(8, (corpus.count() / 56L).toInt)
       graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
         nCells = nCells, iterations = 1, store, "emb_idx")
+      // int8 sibling table for q79 — same model, one narrow quantize pass
+      graft.operators.IvfIndex.quantizeStored(s, store, "emb_idx")
       root
     })
 
@@ -1008,6 +1010,22 @@ object SparkEntry {
     "q60_ivf_persisted" -> ((s, dir) => {
       val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
       graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx", k = 3, nProbe = 2)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: q60 served from the INT8 STORAGE of the same persisted index —
+    // per-vector symmetric scalar quantization (scale = max|x|/127,
+    // floor(x/scale + 0.5), both replayed exactly by the oracle), scored on
+    // the dequantized products. The probe plan is identical to q60's; the
+    // corpus scan reads ~1/8 the bytes. Same k/nProbe operating point, so
+    // the q60-vs-q79 neighbour overlap IS the measured quantization recall
+    // (QuantizedIvfSpec pins it).
+    "q79_ivf_quantized" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topKQuantized(s, batch, "vec_id", "embedding",
           new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx", k = 3, nProbe = 2)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
@@ -2547,6 +2565,68 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
         |  FROM probes p
         |  JOIN assigned a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // q79 replay: q60's chain with the int8 quantize/dequantize spliced in
+    // before scoring — scale = max|x|/127, floor(x/scale + 0.5) clamped,
+    // dequantized product x*scale; floor(+0.5) because the dialects
+    // disagree on round-half of negatives while floor is identical.
+    "q79_ivf_quantized" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |qstore AS ( -- int8 storage: per-vector scale + quantized components
+        |  SELECT id, cell, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+        |  FROM assigned),
+        |deq AS ( -- dequantized scoring rows, exactly qv * scale
+        |  SELECT id, cell,
+        |    list_transform(
+        |      list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))),
+        |      q -> q * scale) AS v
+        |  FROM qstore),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN deq a USING (cell)
         |  JOIN batch qb ON p.q_id = qb.id
         |  WHERE p.q_id <> a.id)
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank

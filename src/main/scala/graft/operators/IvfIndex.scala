@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -34,6 +34,7 @@ object IvfIndex {
 
   private def centroidsTable(name: String) = s"${name}_centroids"
   private def vectorsTable(name: String) = s"${name}_vectors"
+  private def qVectorsTable(name: String) = s"${name}_qvectors"
 
   /** Fit spherical k-means on `df` and persist BOTH halves of the index.
     * Returns the fitted centroids (long form, as stored). */
@@ -206,6 +207,53 @@ object IvfIndex {
       "id", "v", b.nCellsModel, iterations, store, name))
   }
 
+  // -------------------------------------------------------------------
+  // int8 scalar quantization — the storage diet for the 100 TB index.
+  // Per-vector symmetric scheme (public knowledge; cf. faiss SQ8):
+  // scale = max|component| / 127, component → floor(x/scale + 0.5)
+  // clamped to [-127, 127]. floor(+0.5) instead of round() because the
+  // two SQL dialects disagree on round-half of negatives while floor is
+  // identical everywhere — the quantized value, and therefore the
+  // dequantized score, replays bit-for-bit in the oracle.
+  // -------------------------------------------------------------------
+
+  /** `(scale, qv)` columns for a double-array vector column. The max
+    * component maps to exactly ±127 (scale is derived from it), so the
+    * clamp only ever guards float jitter — no clipping error; per-component
+    * dequantization error is ≤ scale/2. */
+  private def quantizeCols(v: Column): (Column, Column) = {
+    val scale = array_max(transform(v, abs(_))) / lit(127.0)
+    val qv = transform(v, x =>
+      greatest(lit(-127L), least(lit(127L), floor(x / scale + lit(0.5)))).cast("byte"))
+    (scale, qv)
+  }
+
+  /** Quantize an existing index's stored vectors into the int8 sibling
+    * table `<name>_qvectors` `(id, cell, scale double, qv array<byte>)` —
+    * ~1 byte per component versus 8 for the float table, which is what
+    * dominates index storage at corpus scale. One narrow pass over the
+    * stored table; the model is untouched, and probes that can tolerate
+    * the ≤ scale/2 per-component error serve entirely from the quantized
+    * rows ([[topKQuantized]]). */
+  def quantizeStored(spark: SparkSession, store: TableStore, name: String): Unit = {
+    val stored = vectors(spark, store, name)
+    val (scale, qv) = quantizeCols(col("v"))
+    store.write(
+      stored.select(col("id"), col("cell"), scale.as("scale"), qv.as("qv")),
+      qVectorsTable(name))
+  }
+
+  /** The quantized corpus as stored: `(id, cell, scale, qv)`. */
+  def quantizedVectors(spark: SparkSession, store: TableStore, name: String): DataFrame =
+    store.read(spark, qVectorsTable(name))
+
+  /** Dequantized view `(id, cell, v)` of [[quantizedVectors]] — the scoring
+    * input. A nonzero vector's max component quantizes to ±127, so the
+    * dequantized norm is never zero and the cosine stays defined. */
+  private def dequantized(qvec: DataFrame): DataFrame =
+    qvec.select(col("id"), col("cell"),
+      transform(col("qv"), x => x.cast("double") * col("scale")).as("v"))
+
   /** Top-k stored neighbours for each batch vector, probing the `nProbe`
     * nearest stored cells. Self-matches are excluded by id equality —
     * callers indexing and querying overlapping id spaces from different
@@ -225,7 +273,36 @@ object IvfIndex {
       store: TableStore,
       name: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    topKAgainst(spark, batch, idCol, vecCol, store, name, k, nProbe,
+      vectors(spark, store, name))
+
+  /** [[topK]] served from the int8 table — same probe ranking (the model
+    * is full-precision either way), same candidate-join shape; only the
+    * scored corpus rows are dequantized `qv × scale` products. The scan
+    * reads ~1/8 the bytes of the float path. */
+  def topKQuantized(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      k: Int,
+      nProbe: Int): DataFrame =
+    topKAgainst(spark, batch, idCol, vecCol, store, name, k, nProbe,
+      dequantized(quantizedVectors(spark, store, name)))
+
+  private def topKAgainst(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      k: Int,
+      nProbe: Int,
+      corpusVectors: DataFrame): DataFrame = {
     val q = batch
       .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", l2Norm(col("q_v")))
@@ -241,7 +318,7 @@ object IvfIndex {
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
-    val corpus = vectors(spark, store, name)
+    val corpus = corpusVectors
       .withColumn("nrm", l2Norm(col("v")))
     // a stored vector lives in exactly one cell → each (q_id, id) pair
     // scores at most once; no dropDuplicates exchange needed
