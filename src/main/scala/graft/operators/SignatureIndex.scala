@@ -87,6 +87,19 @@ object SignatureIndex {
       sigsTable(name), Some(readVersion))
   }
 
+  /** Bound the signature table's file count — the maintenance call a
+    * per-micro-batch append cadence needs ([[TableStore.compactPlain]] on
+    * the sigs table; the one-row params table never accumulates). The
+    * no-op case is a directory listing, so callers run it after every
+    * append. Returns the compacted version, if one was committed. */
+  def compact(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      maxFiles: Int = 64,
+      targetFiles: Int = 8): Option[Int] =
+    store.compactPlain(spark, sigsTable(name), maxFiles, targetFiles)
+
   /** Takedown: commit a next version of the signatures table WITHOUT the
     * given ids (params untouched). After removal, a future arrival
     * resembling only the removed docs is admitted again — the screen's

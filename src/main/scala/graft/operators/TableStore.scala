@@ -321,6 +321,47 @@ final class TableStore(root: String) {
     commitStaged(name, Some(cur), dest, Some(spec))
   }
 
+  /** Part-file count of the current version of a PLAIN (unbucketed)
+    * table — the health metric [[compactPlain]] reads. Pure file-metadata
+    * op, O(files). */
+  def fileCount(name: String): Int = {
+    val verDir = Paths.get(path(name))
+    val stream = Files.list(verDir)
+    try {
+      var n = 0
+      stream.iterator().forEachRemaining(f =>
+        if (f.getFileName.toString.startsWith("part-")) n += 1)
+      n
+    } finally stream.close()
+  }
+
+  /** Compaction for PLAIN tables — the sibling of [[compact]] for tables
+    * maintained by whole-version rewrites (e.g. a signature index under a
+    * per-micro-batch append cadence, where each union write inherits the
+    * previous version's scan partitions and file counts creep upward):
+    * when the current version holds more than `maxFiles` part files,
+    * rewrite the same rows into `targetFiles` files as a CAS-protected
+    * next version. The check is a directory listing — cheap enough to run
+    * after every append — and a concurrent writer beats the compaction at
+    * the CAS rather than losing rows to it.
+    *
+    * @return the new version, or None when already within the bound */
+  def compactPlain(
+      spark: SparkSession,
+      name: String,
+      maxFiles: Int = 64,
+      targetFiles: Int = 8): Option[Int] = {
+    require(bucketSpec(name).isEmpty,
+      s"$name is bucketed — use compact(), which preserves the layout")
+    require(targetFiles >= 1 && maxFiles >= targetFiles,
+      s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
+    if (fileCount(name) <= maxFiles) None
+    else {
+      val (df, readVersion) = snapshot(spark, name)
+      Some(write(df.repartition(targetFiles), name, Some(readVersion)))
+    }
+  }
+
   /** Per-bucket part-file counts of the current version — the health
     * metric compaction decisions read. Pure file-metadata op, O(files). */
   def bucketFileCounts(name: String): Map[Int, Int] = {

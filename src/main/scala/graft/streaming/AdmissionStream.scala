@@ -28,6 +28,13 @@ import graft.operators.{CacheScope, Dedup, SignatureIndex, TableStore}
   */
 object AdmissionStream {
 
+  /** `compactMaxFiles`/`compactTargetFiles` bound the index's small-file
+    * accumulation: every micro-batch append commits a version whose file
+    * count inherits the previous version's scan partitioning, so a
+    * continuous stream creeps upward forever without a bound. After each
+    * append the (cheap, listing-only) check runs and, past the bound,
+    * rewrites the signatures into `compactTargetFiles` files under the
+    * same conflict-retry discipline as the append itself. */
   def start(
       stream: DataFrame,
       idCol: String,
@@ -37,7 +44,9 @@ object AdmissionStream {
       threshold: Double,
       checkpointDir: String,
       sink: DataFrame => Unit,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      compactMaxFiles: Int = 64,
+      compactTargetFiles: Int = 8): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -56,6 +65,10 @@ object AdmissionStream {
               idCol, textCol, store, indexName, threshold))
             CdcStream.withConflictRetry(maxAttempts = 3) {
               SignatureIndex.append(spark, admitted, idCol, textCol, store, indexName)
+            }
+            CdcStream.withConflictRetry(maxAttempts = 3) {
+              SignatureIndex.compact(spark, store, indexName,
+                compactMaxFiles, compactTargetFiles)
             }
             sink(admitted)
           } finally scope.release()
