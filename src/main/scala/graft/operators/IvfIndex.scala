@@ -104,6 +104,17 @@ object IvfIndex {
     // snapshot: the write CASes against the version this union derived from
     val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
     store.write(stored.unionByName(assigned), vectorsTable(name), Some(readVersion))
+    // a quantized sibling is SERVING state — it must see the same append,
+    // or quantized probes silently miss everything admitted since the
+    // last quantizeStored
+    if (store.exists(qVectorsTable(name))) {
+      val (scale, qv) = quantizeCols(col("v"))
+      val (qStored, qVersion) = store.snapshot(spark, qVectorsTable(name))
+      store.write(
+        qStored.unionByName(
+          assigned.select(col("id"), col("cell"), scale.as("scale"), qv.as("qv"))),
+        qVectorsTable(name), Some(qVersion))
+    }
   }
 
   /** Takedown: commit a next version of the vectors table WITHOUT the
@@ -123,6 +134,13 @@ object IvfIndex {
     val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
     val before = stored.count()
     store.write(kept, vectorsTable(name), Some(readVersion))
+    // takedown must reach the quantized sibling too — a removed vector
+    // that still matches quantized probes isn't removed at all
+    if (store.exists(qVectorsTable(name))) {
+      val (qStored, qVersion) = store.snapshot(spark, qVectorsTable(name))
+      store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
+        qVectorsTable(name), Some(qVersion))
+    }
     before - vectors(spark, store, name).count()
   }
 

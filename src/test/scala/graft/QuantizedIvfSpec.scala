@@ -99,6 +99,28 @@ class QuantizedIvfSpec extends SparkSpec {
       s"quantized table $qBytes B not materially smaller than float $fBytes B")
   }
 
+  test("append and remove keep the quantized sibling in sync (serving state)") {
+    val store = new TableStore(tmpDir("qivf"))
+    buildQuantized(store)
+    // append a distinctive new vector; quantized probes must see it
+    val s = spark; import s.implicits._
+    val fresh = corpus(1, offset = 50000L)
+    IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
+    assert(IvfIndex.quantizedVectors(spark, store, "emb")
+      .filter(col("id") === 50000L).count() === 1,
+      "appended vector missing from the quantized sibling")
+    val probe = IvfIndex.topKQuantized(spark, fresh.withColumn("vec_id", lit(99999L)),
+      "vec_id", "embedding", store, "emb", k = 1, nProbe = 2)
+    assert(probe.head().getAs[Long]("neighbor_id") === 50000L,
+      "an identical query must find the appended vector through the quantized path")
+    // takedown must reach the quantized sibling too
+    val removed = IvfIndex.remove(spark, Seq(50000L).toDF("id"), store, "emb")
+    assert(removed === 1)
+    assert(IvfIndex.quantizedVectors(spark, store, "emb")
+      .filter(col("id") === 50000L).count() === 0,
+      "removed vector still present in the quantized sibling")
+  }
+
   test("dequantized norms are never zero for nonzero vectors (cosine stays defined)") {
     val store = new TableStore(tmpDir("qivf"))
     buildQuantized(store)
