@@ -76,6 +76,58 @@ object SparkEntry {
       root
     })
 
+  /** The staged event-stream fixture q78/q80 drain: the events table split
+    * into four time-quartile parquet files plus one per-user flush file,
+    * mtimes explicitly spaced so the file source's (mtime, path) order IS
+    * event-time order — the precondition for the cross-batch watermark
+    * safety argument at both queries. Built ONCE per input dir (same
+    * fixture discipline as [[prepareCdcStage]]); checkpoints and sinks
+    * stay per-run. */
+  final case class EventStage(stageDir: String, schema: org.apache.spark.sql.types.StructType,
+      maxTs: java.sql.Timestamp, sentinelTs: java.sql.Timestamp)
+  private val eventStageCache = new java.util.concurrent.ConcurrentHashMap[String, EventStage]()
+  private def prepareEventStage(s: SparkSession, dir: String): EventStage =
+    eventStageCache.computeIfAbsent(dir, _ => {
+      val gapSec = 1800L
+      val ev = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+      val maxTs = bounds.getTimestamp(1)
+      // 2h past the session gap: the flush must push the final watermark
+      // beyond every real window end (q80) and session deadline (q78)
+      val sentinelTs = new java.sql.Timestamp(hiMs + (gapSec + 7200) * 1000L)
+      val root = newTmpDir("graft_evstage").toString
+      val stage = s"$root/stage"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        import scala.jdk.CollectionConverters._
+        val tmpOut = s"$root/w_$name"
+        df.coalesce(1).write.parquet(tmpOut)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+          .iterator.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(stage, s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val step = math.max(1L, (hiMs - loMs) / 4 + 1)
+      val base = System.currentTimeMillis() - 120000L
+      (0 until 4).foreach { i =>
+        val from = loMs + i * step
+        val until = loMs + (i + 1) * step
+        writeOne(ev.filter(unix_millis(col("ts")) >= from &&
+          unix_millis(col("ts")) < until), f"e$i%02d", base + i * 5000L)
+      }
+      writeOne(ev.select(col("user_id")).distinct()
+          .select((-col("user_id") - 1).as("event_id"), lit(sentinelTs).as("ts"),
+            col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value")),
+        "e99_flush", base + 40000L)
+      EventStage(stage, ev.schema, maxTs, sentinelTs)
+    })
+
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
     * corpus split — same fixture discipline as [[q60IndexRoot]]; the
     * query measures SCREENING a batch against stored signatures. */
@@ -1355,47 +1407,12 @@ object SparkEntry {
     // checkpointed state.
     "q78_event_sessions" -> ((s, dir) => {
       import s.implicits._
-      val gapSec = 1800L
-      val ev = events(s, dir).select(
-        col("event_id").cast("long").as("event_id"), col("ts"),
-        col("user_id").cast("long").as("user_id"), col("event_type"),
-        col("value").cast("double").as("value"))
-      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
-      val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
-      val sentinelTs = new java.sql.Timestamp(hiMs + (gapSec + 3600) * 1000L)
+      val st = prepareEventStage(s, dir)
       val root = newTmpDir("graft_q78run").toString
-      val stage = s"$root/stage"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
-      // one coalesced file per time quartile (+ the per-user flush file),
-      // mtimes explicitly spaced so the file source's (mtime, path) order
-      // IS event-time order — the precondition of the safety argument above
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        import scala.jdk.CollectionConverters._
-        val tmpOut = s"$root/w_$name"
-        df.coalesce(1).write.parquet(tmpOut)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
-          .iterator.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(stage, s"$name.parquet")
-        java.nio.file.Files.move(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
-      val step = math.max(1L, (hiMs - loMs) / 4 + 1)
-      val base = System.currentTimeMillis() - 120000L
-      (0 until 4).foreach { i =>
-        val from = loMs + i * step
-        val until = loMs + (i + 1) * step
-        writeOne(ev.filter(unix_millis(col("ts")) >= from &&
-          unix_millis(col("ts")) < until), f"e$i%02d", base + i * 5000L)
-      }
-      writeOne(ev.select(col("user_id")).distinct()
-          .select((-col("user_id") - 1).as("event_id"), lit(sentinelTs).as("ts"),
-            col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value")),
-        "e99_flush", base + 40000L)
       val sessions = graft.streaming.EventStreams.sessionize(
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-          .parquet(stage).as[graft.streaming.EventStreams.Event],
-        gapSeconds = gapSec, watermarkDelay = "30 minutes")
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+          .parquet(st.stageDir).as[graft.streaming.EventStreams.Event],
+        gapSeconds = 1800L, watermarkDelay = "30 minutes")
       sessions.writeStream.format("parquet")
         .option("path", s"$root/sessions")
         .option("checkpointLocation", s"$root/chk")
@@ -1403,12 +1420,39 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
       s.read.parquet(s"$root/sessions")
-        .filter(col("session_start") < lit(sentinelTs)) // flush sessions out
+        .filter(col("session_start") < lit(st.sentinelTs)) // flush sessions out
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .groupBy(col("n_sessions"))
         .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
         .orderBy(col("n_sessions"))
+    }),
+
+    // ext: WATERMARKED tumbling-window aggregation on the real streaming
+    // path, under the hash gate — the append-mode window family beside
+    // q78's custom state: windows finalize only when the watermark passes
+    // their end (the flush file pushes it beyond every real window), and
+    // the emitted rows must hash-match a plain batch GROUP BY over hour
+    // buckets. Same staged five-batch drain, so window state genuinely
+    // survives micro-batch boundaries before finalizing.
+    "q80_event_windows" -> ((s, dir) => {
+      val st = prepareEventStage(s, dir)
+      val root = newTmpDir("graft_q80run").toString
+      val windows = graft.streaming.EventStreams.windowedEventCounts(
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+          .parquet(st.stageDir),
+        windowLength = "1 hour", watermarkDelay = "30 minutes")
+      windows.writeStream.format("parquet")
+        .option("path", s"$root/windows")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$root/windows")
+        .filter(col("window_start") <= lit(st.maxTs)) // the flush window out
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
     }),
 
     // and luminance histogram are the true pixel statistics. All narrow —
@@ -1890,6 +1934,18 @@ object SparkEntry {
         |  FROM gaps GROUP BY user_id)
         |SELECT n_sessions, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM sess GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
+
+    // q80 replay: epoch-aligned 1h tumbling windows are exactly
+    // date_trunc('hour') buckets; the streaming run must emit every real
+    // window once (append mode, watermark pushed past all of them by the
+    // flush file) with the same counts/sums as the batch GROUP BY.
+    "q80_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q21_fingerprint" ->
       """WITH fps AS (
