@@ -128,6 +128,58 @@ object SparkEntry {
       EventStage(stage, ev.schema, maxTs, sentinelTs)
     })
 
+  /** q81's duplicate-injected stage: the same four time-quartile files,
+    * but each file also carries EXACT COPIES of some of its own rows
+    * (in-batch replays: `event_id % 5 == 0`) and, from file 1 on, exact
+    * copies of the previous quartile's last-15-minute tail (CROSS-BATCH
+    * replays — the at-least-once-source case that actually needs state).
+    * Injection arithmetic is fixture-side only: copies are bit-identical
+    * rows, so the deduped stream must equal the ORIGINAL events table and
+    * the oracle replays no injection at all. The 15-minute tail is half
+    * the 30-minute watermark delay, so a copy always arrives while the
+    * original's state is still guaranteed live (watermark after quartile
+    * i = maxTs(i) − 30 min < tail ts) — the drop is deterministic, never
+    * a race with state eviction. */
+  private val dupStageCache = new java.util.concurrent.ConcurrentHashMap[String, EventStage]()
+  private def prepareDupEventStage(s: SparkSession, dir: String): EventStage =
+    dupStageCache.computeIfAbsent(dir, _ => {
+      val ev = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+      val root = newTmpDir("graft_dupstage").toString
+      val stage = s"$root/stage"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        import scala.jdk.CollectionConverters._
+        val tmpOut = s"$root/w_$name"
+        df.coalesce(1).write.parquet(tmpOut)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+          .iterator.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(stage, s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val step = math.max(1L, (hiMs - loMs) / 4 + 1)
+      val tailMs = 15L * 60 * 1000
+      val base = System.currentTimeMillis() - 120000L
+      (0 until 4).foreach { i =>
+        val from = loMs + i * step
+        val until = loMs + (i + 1) * step
+        val quart = ev.filter(unix_millis(col("ts")) >= from &&
+          unix_millis(col("ts")) < until)
+        val inBatchDups = quart.filter(col("event_id") % 5 === 0)
+        val crossBatchDups = ev.filter(unix_millis(col("ts")) >= from - tailMs &&
+          unix_millis(col("ts")) < from) // empty at i=0 (nothing before loMs)
+        writeOne(quart.unionByName(inBatchDups).unionByName(crossBatchDups),
+          f"e$i%02d", base + i * 5000L)
+      }
+      EventStage(stage, ev.schema, bounds.getTimestamp(1), bounds.getTimestamp(1))
+    })
+
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
     * corpus split — same fixture discipline as [[q60IndexRoot]]; the
     * query measures SCREENING a batch against stored signatures. */
@@ -1455,6 +1507,36 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ext: STREAMING dedup-on-ingest under the hash gate — the
+    // `dropDuplicatesWithinWatermark` face of exact dedup, on the real
+    // file-source path (its MemoryStream spec only exercises semantics).
+    // The stage injects exact-copy replays both within a micro-batch and
+    // ACROSS micro-batches (previous quartile's tail re-sent in the next
+    // file), so passing requires genuine cross-batch dedup state. Copies
+    // are bit-identical rows, so the deduped output must equal the
+    // original events table exactly: the oracle is a plain batch GROUP BY
+    // over `events`, and any surviving (or over-dropped) replay shifts
+    // the counts and fails the hash.
+    "q81_stream_dedup" -> ((s, dir) => {
+      val st = prepareDupEventStage(s, dir)
+      val root = newTmpDir("graft_q81run").toString
+      val deduped = graft.streaming.EventStreams.dedupOnIngest(
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+          .parquet(st.stageDir),
+        keyCols = Seq("event_id"), tsCol = "ts", watermarkDelay = "30 minutes")
+      deduped.writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$root/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // and luminance histogram are the true pixel statistics. All narrow —
     // generate/encode/decode never leave the partition.
     "q66_pixel_decode" -> ((s, dir) => {
@@ -1946,6 +2028,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY window_start, window_end, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // q81 replay: the injected replays are exact copies, so the deduped
+    // stream must collapse to the ORIGINAL events table — the oracle
+    // aggregates the raw table and replays no injection arithmetic.
+    "q81_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q21_fingerprint" ->
       """WITH fps AS (
