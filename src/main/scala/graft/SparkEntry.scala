@@ -1383,6 +1383,21 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: EXACT duplicate-span removal (Lee et al. 2021, arXiv
+    // 2107.06499) — every 8-token run appearing more than once in the
+    // corpus is cut from ALL its occurrences and documents reassemble
+    // from the surviving tokens; the substring-level dedup the training
+    // literature applies before LM training (q64 needs paragraph layout,
+    // q53 only reports). The full chain — gram marking, gaps-and-islands
+    // span merge, coverage drop, reassembly — replays in SQL.
+    "q82_span_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.removeDuplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .select(col("doc_id"), col("n_tok"), col("n_removed"),
+          md5(col("text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -2036,6 +2051,38 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
+    // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of
+    // prior ends → break flags → running sum), coverage drop via the
+    // disjoint-span left join, ordered string_agg reassembly.
+    "q82_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS p FROM toks),
+        |grams AS (
+        |  SELECT doc_id, p, md5(array_to_string(t[p+1:p+8], ' ')) AS g FROM starts),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS b
+        |  FROM hits),
+        |grp AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM brk),
+        |spans AS (SELECT doc_id, gid, min(p) AS a, max(p) + 8 AS z FROM grp GROUP BY doc_id, gid),
+        |positions AS (
+        |  SELECT doc_id, q, t[q + 1] AS w
+        |  FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS q)),
+        |marked AS (
+        |  SELECT positions.doc_id, positions.q, positions.w, spans.a
+        |  FROM positions LEFT JOIN spans
+        |    ON positions.doc_id = spans.doc_id
+        |   AND positions.q >= spans.a AND positions.q < spans.z)
+        |SELECT doc_id, count(*) AS n_tok, count(a) AS n_removed,
+        |  md5(coalesce(string_agg(w, ' ' ORDER BY q) FILTER (WHERE a IS NULL), '')) AS clean_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q21_fingerprint" ->
       """WITH fps AS (

@@ -501,4 +501,79 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any
+    * run of `spanTokens` whitespace-delimited tokens that appears more than
+    * once ANYWHERE in the corpus (other documents or elsewhere in the same
+    * one) is cut from every occurrence, and each document reassembles from
+    * its surviving tokens in order. This is the substring-level member of
+    * the dedup family: q64's paragraph dedup needs layout (newlines),
+    * winnowing (q53) only REPORTS span sharing — this one edits the text,
+    * the form the training-data literature actually applies before LM
+    * training.
+    *
+    * The reference implementation builds a corpus-wide suffix array — a
+    * single-machine structure. The distributed formulation: every token
+    * position contributes its length-L gram hash; a gram seen twice marks
+    * both occurrences; per document, overlapping marked spans merge into
+    * islands (classic gaps-and-islands over a per-doc window) and covered
+    * tokens are dropped. L-gram marking is EQUIVALENT to the suffix-array
+    * rule for runs ≥ L: every length-≥L duplicated run is a chain of
+    * duplicated L-grams and is fully covered; no shorter run matches.
+    *
+    * Scale shape: two pinned corpus-token-sized projections (grams,
+    * positions); dup detection is one partial-combined count on the gram
+    * hash (a billion-fold boilerplate gram collapses map-side) + an equi
+    * join back; islands and reassembly are per-doc windows — one exchange
+    * on the doc id, parallel across docs. Nothing is ever all-pairs, and
+    * the only state bigger than the corpus is the gram table (×1 row per
+    * token).
+    *
+    * Returns `(idCol, textCol cleaned, n_tok, n_removed)` — one row per
+    * input document, empty text when everything was covered. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 50)(implicit caches: CacheScope): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val L = spanTokens
+    val toks = caches.pin(df.select(col(idCol).as("_id"),
+      split(col(textCol), "\\s+").as("_t")))
+    // one row per token position that starts a full L-gram; md5 of the
+    // space-joined slice is the gram key (and replays verbatim in SQL)
+    val grams = caches.pin(toks
+      .select(col("_id"), col("_t"), explode(when(size(col("_t")) >= L,
+        sequence(lit(0), size(col("_t")) - L)).otherwise(array())).as("_p"))
+      .select(col("_id"), col("_p"),
+        md5(concat_ws(" ", slice(col("_t"), col("_p") + 1, lit(L)))).as("_g")))
+    val dup = grams.groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_g"))
+    val hits = grams.join(dup, Seq("_g")).select(col("_id"), col("_p"))
+    // gaps-and-islands: a hit starts a new island iff it clears every
+    // previous span's end; island id = running count of starts
+    val wPrev = Window.partitionBy(col("_id")).orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val spans = hits
+      .withColumn("_brk", when(col("_p") > max(col("_p") + L).over(wPrev), 1)
+        .otherwise(0))
+      .withColumn("_gid", sum(col("_brk")).over(wRun))
+      .groupBy(col("_id"), col("_gid"))
+      .agg(min(col("_p")).as("_a"), (max(col("_p")) + L).as("_z"))
+    val positions = toks.select(col("_id"),
+      posexplode(col("_t")).as(Seq("_q", "_w")))
+    // spans are disjoint per doc, so the left join never duplicates a row
+    val marked = positions.join(spans,
+      positions("_id") === spans("_id") &&
+        col("_q") >= col("_a") && col("_q") < col("_z"), "left")
+      .select(positions("_id").as("_id"), col("_q"), col("_w"), col("_a"))
+    marked.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tok"), count(col("_a")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_a").isNull,
+            struct(col("_q").as("_q"), col("_w").as("_w"))))),
+          s => s.getField("_w"))).as(textCol))
+      .select(col("_id").as(idCol), col(textCol), col("n_tok"), col("n_removed"))
+  }
 }

@@ -237,4 +237,45 @@ class DedupSpec extends SparkSpec {
     // checks run only against the corpus)
     assert(kept === Set(1L, 2L, 4L, 5L))
   }
+
+  test("span removal cuts a cross-doc duplicated run from every occurrence") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b c d X"),
+      (2L, "z a b c d"),
+      (3L, "untouched words here")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("X", 5L, 4L)))
+    assert(got(2L) === (("z", 5L, 4L)))
+    assert(got(3L) === (("untouched words here", 3L, 0L)))
+  }
+
+  test("span removal merges overlapping marks: within-doc repetition erases the doc") {
+    val s = spark; import s.implicits._
+    // the 4-gram "m1 m2 m3 m4" occurs at p=0 and p=4: spans [0,4) and
+    // [4,8) are adjacent → one island covering every token
+    val df = Seq(
+      (1L, "m1 m2 m3 m4 m1 m2 m3 m4"),
+      (2L, "no duplicated runs at all")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("", 8L, 8L)))
+    assert(got(2L) === (("no duplicated runs at all", 5L, 0L)))
+  }
+
+  test("span removal: separate islands in one doc each get cut, the gap survives") {
+    val s = spark; import s.implicits._
+    // doc 1 shares run A with doc 2 and run B with doc 3, separated by a
+    // unique middle — two disjoint islands, middle tokens survive
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 keep me b1 b2 b3 b4"),
+      (2L, "x a1 a2 a3 a4"),
+      (3L, "b1 b2 b3 b4 y")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("keep me", 10L, 8L)))
+    assert(got(2L) === (("x", 5L, 4L)))
+    assert(got(3L) === (("y", 5L, 4L)))
+  }
 }
