@@ -1398,6 +1398,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: canonical text normalization — Unicode NFC (native
+    // NfcNormalize; DuckDB nfc_normalize is the same Unicode algorithm,
+    // so the chain replays), controls to spaces, whitespace collapse,
+    // trim. The step that runs BEFORE every fingerprint-keyed operator:
+    // composed vs decomposed accents must dedup as one document.
+    "q83_normalize_text" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).as("raw_chars"),
+          graft.functions.TextFunctions.normalizeText(col("text")).as("_n"))
+        .select(col("doc_id"), col("raw_chars"),
+          length(col("_n")).as("norm_chars"), md5(col("_n")).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: multimodal plumbing — documents' bytes as opaque binary payloads
     // through the partition-local stub decoder (rows-only; the decode stub
     // is deterministic but not SQL-expressible)
@@ -2083,6 +2097,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tok, count(a) AS n_removed,
         |  md5(coalesce(string_agg(w, ' ' ORDER BY q) FILTER (WHERE a IS NULL), '')) AS clean_fp
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q83 replay: both sides implement the Unicode NFC algorithm
+    // (java.text.Normalizer / DuckDB nfc_normalize), then the identical
+    // regex chain.
+    "q83_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, length(text) AS raw_chars,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, raw_chars, length(norm) AS norm_chars,
+        |  md5(norm) AS norm_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q21_fingerprint" ->
       """WITH fps AS (

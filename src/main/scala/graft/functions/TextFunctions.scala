@@ -17,6 +17,20 @@ object TextFunctions {
     * with external SQL oracles (`string_split(text, ' ')`). */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Canonical ingest cleaning: Unicode NFC composition
+    * ([[org.apache.spark.sql.graft.NfcNormalize]] — composed and
+    * decomposed accents fingerprint identically afterwards), control
+    * characters to spaces, whitespace runs collapsed, ends trimmed.
+    * Controls become spaces BEFORE the collapse so `a \x01 b` ends as
+    * `a b`, never double-spaced, and `a\x01b` keeps its boundary. Run
+    * this ahead of any fingerprint-keyed operator (exact/paragraph/span
+    * dedup, decontamination): every step is narrow and the NFC pass is
+    * zero-allocation for already-composed text. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      org.apache.spark.sql.graft.Normalize.nfc_normalize(text),
+      "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
   /** Word-level n-gram shingles: contiguous `n` tokens joined by a space.
     * Empty array when the doc has fewer than `n` tokens. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -55,7 +55,8 @@ object GraftFunctions {
       intLit(es(1), "nBits"), stringLit(es(2), "seed"))),
     "hyperplane_probes" -> (es => HyperplaneProbes(es(0),
       intLit(es(1), "nBits"), stringLit(es(2), "seed"), intLit(es(3), "nFlips"))),
-    "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))))
+    "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))))
 
   /** Register all native functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

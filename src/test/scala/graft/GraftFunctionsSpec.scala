@@ -96,4 +96,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("integer literal") ||
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
+
+  test("nfc_normalize composes decomposed accents; composed text is untouched") {
+    GraftFunctions.register(spark)
+    val s = spark; import s.implicits._
+    val decomposed = "Cafe\u0301" // e + combining acute, 5 codepoints
+    val composed = "Caf\u00e9"    // single composed codepoint, 4
+    val got = Seq((decomposed, composed)).toDF("d", "c")
+      .selectExpr("nfc_normalize(d) AS nd", "nfc_normalize(c) AS nc",
+        "length(nfc_normalize(d)) AS ld",
+        "nfc_normalize(CAST(NULL AS STRING)) AS nnull")
+      .head()
+    assert(got.getString(0) === composed)
+    assert(got.getString(1) === composed)
+    assert(got.getInt(2) === 4)
+    assert(got.isNullAt(3))
+  }
+
+  test("normalizeText: NFC + controls-to-space + collapse + trim, boundary-safe") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      ("  Cafe\u0301  du\t\tmonde \n", "Caf\u00e9 du monde"),
+      ("a\u0001b", "a b"),   // control IS a boundary, never a join
+      ("a \u0001 b", "a b"), // never double-spaced either
+      ("already clean", "already clean"))
+      .toDF("raw", "want")
+      .select(graft.functions.TextFunctions.normalizeText($"raw").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
 }
