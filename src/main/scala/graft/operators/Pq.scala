@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization for approximate nearest-neighbour search (Jégou,
+  * Douze, Schmid, TPAMI 2011) — the codebook compression stage of the
+  * IVF-PQ index family: [[IvfIndex]]'s int8 sibling stores dim bytes per
+  * vector; PQ stores `m` bytes (one code per subspace) plus a constant
+  * codebook, an order of magnitude smaller again at 100 TB.
+  *
+  * Formulation, all SQL-replayable:
+  *
+  *  - vectors unit-normalize, then split into `m` contiguous subvectors;
+  *  - each subspace trains its own `nCodes`-entry codebook by plain Lloyd
+  *    L2 k-means — run as ONE grouped job across all subspaces (`sub` is
+  *    just another grouping key), not `m` separate fits: assignment ranks
+  *    `cnorm² − 2·dot(sv, c)` (monotone in L2 distance, division-free, so
+  *    no zero-norm NaN guard is needed), means reduce long-form per
+  *    `(sub, code, pos)` exactly like [[KMeans.fit]];
+  *  - seeds are the `nCodes` vectors with the smallest `md5(id)` — the
+  *    same reproducible-sample trick as [[KMeans.fit]] and
+  *    [[Similarity.ivfTopK]], sliced per subspace; codes that end an
+  *    iteration empty are dropped, matching the SQL replay;
+  *  - encoding assigns every subvector to its nearest code: `m` small
+  *    integers per vector;
+  *  - ADC scoring reconstructs `cosine(q, x) ≈ Σ_sub dot(q_sub, c_{sub,
+  *    code_sub(x)})` — the query side stays exact, only the corpus side is
+  *    quantized. Partial scores fold in ascending-`sub` order on both
+  *    sides, so the sum is deterministic and replays bit-for-bit.
+  *
+  * Scale shape of [[topKInCells]] (the IVF-PQ composition): candidates are
+  * bounded by the same md5-derived Voronoi cells as
+  * [[Similarity.ivfTopK]] (equi-join on cell, never all-pairs); the
+  * codebook is `m × nCodes × subDim` doubles — kilobytes, broadcast; the
+  * scoring join moves `(pair, sub, code)` rows and subvector slices, never
+  * whole vectors; the per-pair fold is `m` additions. The classic
+  * per-query lookup-table trick is an arithmetic reordering of exactly
+  * this join — same cost model, expressed relationally.
+  */
+object Pq {
+
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+
+  /** One row per (vector, subspace): `(id, sub, sv)` over unit-normalized
+    * vectors. */
+  private def subvectors(unit: DataFrame, m: Int, subDim: Int): DataFrame =
+    unit.select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("u"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Codebook rows `(sub, code, c_v)` after `iterations` Lloyd steps. */
+  private def iterate(
+      spark: org.apache.spark.sql.SparkSession,
+      subs: DataFrame,
+      seeds: Seq[(Int, Int, Seq[Double])],
+      iterations: Int): Seq[(Int, Int, Seq[Double])] = {
+    var centroids = seeds
+    for (_ <- 1 to iterations) {
+      val cbDf = spark.createDataFrame(centroids).toDF("sub", "code", "c_v")
+        .withColumn("cn2", sumSq(col("c_v")))
+      val assigned = subs.join(broadcast(cbDf), Seq("sub"))
+        .withColumn("d", col("cn2") - lit(2.0) * dot(col("sv"), col("c_v")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("d"), col("code"))).as("_best"))
+        .select(col("sub"), col("_best.code").as("code"), col("_best.sv").as("sv"))
+      // long-form means; the collect is control-plane (≤ m×nCodes×subDim)
+      val rows = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("c"))
+        .collect()
+      centroids = rows
+        .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+        .map { case ((sub, code), comps) =>
+          (sub, code, comps.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }
+        .sortBy(c => (c._1, c._2))
+    }
+    centroids
+  }
+
+  private def assignCodes(subs: DataFrame, cbDf: DataFrame): DataFrame =
+    subs.join(broadcast(cbDf), Seq("sub"))
+      .withColumn("d", col("cn2") - lit(2.0) * dot(col("sv"), col("c_v")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** IVF-PQ top-k self-search: candidates from `nProbe` of `nCells`
+    * md5-derived Voronoi cells (the [[Similarity.ivfTopK]] bound), scored
+    * by PQ asymmetric distance instead of exact cosine. Returns
+    * `(vec_id, neighbor_id, score, rank)`, `score` the reconstructed
+    * cosine rounded to 6 places. */
+  def topKInCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      nCodes: Int,
+      iterations: Int)(implicit caches: CacheScope): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && iterations >= 1 && k >= 1,
+      s"m/nCodes/iterations/k must be >= 1")
+    val spark = df.sparkSession
+    val base = caches.pin(df
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .filter(col("nrm") > 0))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+
+    // ---- cell bound (identical formulation to Similarity.ivfTopK) ----
+    val cents = base
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("_h")).limit(nCells)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+      .filter(col("c_nrm") > 0)
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("c_sim").desc, col("c_id").asc)
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") <= nProbe)
+    val assigned = ranked.filter(col("c_rank") === 1)
+      .select(col("id"), col("c_id").as("cell"))
+    val probes = ranked.select(col("id").as("q_id"), col("c_id").as("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+
+    // ---- PQ codebooks + codes ----
+    val unit = base.withColumn("u", transform(col("v"), x => x / col("nrm")))
+    val subs = caches.pin(subvectors(unit, m, subDim))
+    val seedVecs = unit
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("_h")).limit(nCodes)
+      .select(col("u")).collect().map(_.getSeq[Double](0))
+    val seeds = for {
+      sub <- 0 until m; (u, code) <- seedVecs.zipWithIndex
+    } yield (sub, code, u.slice(sub * subDim, (sub + 1) * subDim): Seq[Double])
+    val cb = iterate(spark, subs, seeds.toSeq, iterations)
+    val cbDf = broadcast(spark.createDataFrame(cb).toDF("sub", "code", "c_v")
+      .withColumn("cn2", sumSq(col("c_v"))))
+    val codes = assignCodes(subs, cbDf)
+
+    // ---- ADC scoring over the cell-bounded candidates ----
+    val parts = cand
+      .join(codes.select(col("id").as("neighbor_id"), col("sub"), col("code")),
+        Seq("neighbor_id"))
+      .join(subs.select(col("id").as("vec_id"), col("sub"), col("sv").as("q_sv")),
+        Seq("vec_id", "sub"))
+      .join(cbDf.select(col("sub"), col("code"), col("c_v")), Seq("sub", "code"))
+      .select(col("vec_id"), col("neighbor_id"), col("sub"),
+        dot(col("q_sv"), col("c_v")).as("part"))
+    // ascending-sub fold → deterministic sum, replayable in SQL
+    val scored = parts.groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          s => s.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    scored
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("score"), col("neighbor_id"), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("idx", "e")))
+      .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"),
+        round(col("e.score"), 6).as("score"), (col("idx") + 1).as("rank"))
+  }
+}

@@ -62,6 +62,7 @@ object Recall {
         "q30_lsh_topk" -> selfExact,
         "q56_ivf_trained" -> selfExact,
         "q71_lsh_multiprobe" -> selfExact,
+        "q84_pq_topk" -> selfExact,
         "q60_ivf_persisted" -> splitExact,
         "q79_ivf_quantized" -> splitExact)
       tracked.map { case (name, exact) =>

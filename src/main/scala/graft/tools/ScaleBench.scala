@@ -92,7 +92,12 @@ object ScaleBench {
     "q36_near_dedup_approx", "q42_top_ngrams", "q61_semdedup_cells",
     // r6 additions: the multiprobe remedy shipped in r5 without a decade
     // measurement, and the two persisted-index screens (build+probe cost)
-    "q71_lsh_multiprobe", "q68_semantic_screen", "q69_signature_screen")
+    "q71_lsh_multiprobe", "q68_semantic_screen", "q69_signature_screen",
+    // span removal: two corpus-token-sized explodes + a gram-hash agg —
+    // the newest heavy-family member measures from day one
+    "q82_span_dedup",
+    // IVF-PQ: grouped-Lloyd training + cell-bounded ADC, cells sized ∝ n
+    "q84_pq_topk")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
