@@ -16,18 +16,14 @@ import graft.operators.{ChangeApplier, Dedup, Similarity}
   */
 object SparkEntry {
 
+  /** All fixture reads dispatch on the schema actually present on disk
+    * (the driver has re-exported timestamp encodings once already); see
+    * [[graft.sources.FixtureLoader]]. */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.FixtureLoader.load(spark, dir, name)
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects natively; read nanos as long and truncate to microseconds —
-    * the same truncation DuckDB applies reading ns into its µs timestamps,
-    * so oracle comparisons stay exact. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
