@@ -729,6 +729,24 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: two-stage IVF-PQ (shortlist + exact refine, Jégou et al. 2011
+    // §V) — the QUALITY operating point beside q84's compression-only
+    // one: a wider probe (10 cells) bounds the candidates, PQ ADC cuts
+    // them to a 64-deep shortlist, and exact cosine re-ranks only the
+    // shortlist, so quantization error can no longer evict a true
+    // neighbour from the top-3 — measured recall@3 0.838 vs q84's 0.305
+    // (RECALL_SNAPSHOT.tsv), at the candidate-bound ceiling for
+    // nProbe=10. At scale the refine stage joins shortlist-many rows per
+    // query against the vector table — an equi-join on id, no all-pairs.
+    "q85_pq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      graft.operators.Pq.topKRefined(emb, "vec_id", "embedding",
+          k = 3, nCells = nCells, nProbe = 10, m = 16, nCodes = 32,
+          iterations = 2, shortlist = 64)
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: TRAINED IVF — the k-means cells (one Lloyd iteration) feed the
     // IVF index instead of sampled centroids: trainer → index composed,
     // still fully SQL-replayable.
@@ -1662,6 +1680,87 @@ object SparkEntry {
        |e0 AS (SELECT DISTINCT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS syms FROM occ),
        |$chain""".stripMargin
   }
+
+  /** The shared IVF-PQ replay chain (q84/q85): cell bound at `nProbe`
+    * probes, grouped-Lloyd codebooks (seeds → a1/cb1 → a2/cb2), encoding,
+    * and the ascending-sub ADC partial-dot fold, ending at the `sc`
+    * (vec_id, neighbor_id, score) CTE — callers append their ranking
+    * tail. Byte-for-byte the former q84 SQL with the probe width
+    * parameterized. */
+  private def pqAdcChain(nProbe: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+       |ub AS (SELECT id, v, nrm, list_transform(v, x -> x / nrm) AS u FROM base),
+       |cent AS (
+       |  SELECT id AS c_id, v AS c_v, nrm AS c_nrm FROM ub
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+       |    <= greatest(16, (SELECT count(*) FROM embeddings) // 125)),
+       |sims AS (
+       |  SELECT b.id, c.c_id,
+       |    row_number() OVER (PARTITION BY b.id
+       |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
+       |  FROM ub b CROSS JOIN cent c),
+       |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
+       |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
+       |ms AS (SELECT unnest(range(0, 16)) AS sub),
+       |subs AS (
+       |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
+       |  FROM ub, ms),
+       |seedv AS (
+       |  SELECT u, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS code
+       |  FROM ub ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 32),
+       |cb0 AS (
+       |  SELECT ms.sub AS sub, sv.code, sv.u[ms.sub*4+1:(ms.sub+1)*4] AS c_v
+       |  FROM ms CROSS JOIN seedv sv),
+       |a1 AS (
+       |  SELECT id, sub, sv, code FROM (
+       |    SELECT sb.id, sb.sub, sb.sv, c.code,
+       |      row_number() OVER (PARTITION BY sb.id, sb.sub
+       |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+       |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+       |    FROM subs sb JOIN cb0 c ON sb.sub = c.sub) WHERE rnk = 1),
+       |m1 AS (
+       |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
+       |    SELECT sub, code, unnest(list_transform(sv,
+       |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
+       |    FROM a1) GROUP BY sub, code, t.pos),
+       |cb1 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM m1 GROUP BY sub, code),
+       |a2 AS (
+       |  SELECT id, sub, sv, code FROM (
+       |    SELECT sb.id, sb.sub, sb.sv, c.code,
+       |      row_number() OVER (PARTITION BY sb.id, sb.sub
+       |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+       |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+       |    FROM subs sb JOIN cb1 c ON sb.sub = c.sub) WHERE rnk = 1),
+       |m2 AS (
+       |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
+       |    SELECT sub, code, unnest(list_transform(sv,
+       |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
+       |    FROM a2) GROUP BY sub, code, t.pos),
+       |cb2 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM m2 GROUP BY sub, code),
+       |codes AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT sb.id, sb.sub, c.code,
+       |      row_number() OVER (PARTITION BY sb.id, sb.sub
+       |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+       |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+       |    FROM subs sb JOIN cb2 c ON sb.sub = c.sub) WHERE rnk = 1),
+       |parts AS (
+       |  SELECT c.vec_id, c.neighbor_id, k.sub,
+       |    list_dot_product(qs.sv, cb.c_v) AS part
+       |  FROM cand c
+       |  JOIN codes k ON c.neighbor_id = k.id
+       |  JOIN subs qs ON c.vec_id = qs.id AND k.sub = qs.sub
+       |  JOIN cb2 cb ON k.sub = cb.sub AND k.code = cb.code),
+       |sc AS (
+       |  SELECT vec_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS score
+       |  FROM parts GROUP BY vec_id, neighbor_id),""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
@@ -3197,88 +3296,41 @@ object SparkEntry {
     // q84 replay: q29's cell chain bounds the candidates; the PQ side
     // unrolls grouped Lloyd (seeds -> a1/cb1 -> a2/cb2), encodes against
     // cb2, and folds per-subspace partial dots in ascending-sub order --
-    // bit-for-bit the engine's arithmetic.
-    "q84_pq_topk" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-        |  FROM embeddings
-        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
-        |ub AS (SELECT id, v, nrm, list_transform(v, x -> x / nrm) AS u FROM base),
-        |cent AS (
-        |  SELECT id AS c_id, v AS c_v, nrm AS c_nrm FROM ub
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
-        |    <= greatest(16, (SELECT count(*) FROM embeddings) // 125)),
-        |sims AS (
-        |  SELECT b.id, c.c_id,
-        |    row_number() OVER (PARTITION BY b.id
-        |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
-        |  FROM ub b CROSS JOIN cent c),
-        |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
-        |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
-        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
-        |ms AS (SELECT unnest(range(0, 16)) AS sub),
-        |subs AS (
-        |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
-        |  FROM ub, ms),
-        |seedv AS (
-        |  SELECT u, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS code
-        |  FROM ub ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 32),
-        |cb0 AS (
-        |  SELECT ms.sub AS sub, sv.code, sv.u[ms.sub*4+1:(ms.sub+1)*4] AS c_v
-        |  FROM ms CROSS JOIN seedv sv),
-        |a1 AS (
-        |  SELECT id, sub, sv, code FROM (
-        |    SELECT sb.id, sb.sub, sb.sv, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM subs sb JOIN cb0 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
-        |    SELECT sub, code, unnest(list_transform(sv,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
-        |    FROM a1) GROUP BY sub, code, t.pos),
-        |cb1 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM m1 GROUP BY sub, code),
-        |a2 AS (
-        |  SELECT id, sub, sv, code FROM (
-        |    SELECT sb.id, sb.sub, sb.sv, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM subs sb JOIN cb1 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
-        |    SELECT sub, code, unnest(list_transform(sv,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
-        |    FROM a2) GROUP BY sub, code, t.pos),
-        |cb2 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM m2 GROUP BY sub, code),
-        |codes AS (
-        |  SELECT id, sub, code FROM (
-        |    SELECT sb.id, sb.sub, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM subs sb JOIN cb2 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |parts AS (
-        |  SELECT c.vec_id, c.neighbor_id, k.sub,
-        |    list_dot_product(qs.sv, cb.c_v) AS part
-        |  FROM cand c
-        |  JOIN codes k ON c.neighbor_id = k.id
-        |  JOIN subs qs ON c.vec_id = qs.id AND k.sub = qs.sub
-        |  JOIN cb2 cb ON k.sub = cb.sub AND k.code = cb.code),
-        |sc AS (
-        |  SELECT vec_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS score
-        |  FROM parts GROUP BY vec_id, neighbor_id),
+    // bit-for-bit the engine's arithmetic. The chain through the ADC
+    // score (sc) is shared with q85 via pqAdcChain(nProbe).
+    "q84_pq_topk" -> (pqAdcChain(4) +
+      """
         |rk AS (
         |  SELECT vec_id, neighbor_id, score,
         |    row_number() OVER (PARTITION BY vec_id
         |      ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM sc)
         |SELECT vec_id, neighbor_id, round(score, 6) AS score, rank
-        |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+        |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    // q85 replay: the same PQ chain at nProbe=10, then the two-stage cut —
+    // ADC ranks the candidates to a 64-deep shortlist, exact cosine
+    // (list_cosine_similarity, the q29-established equivalence with the
+    // engine's dot/(nrm*nrm)) re-ranks the shortlist to top-3.
+    "q85_pq_refined" -> (pqAdcChain(10) +
+      """
+        |short AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY score DESC, neighbor_id ASC) AS s_rank
+        |    FROM sc) WHERE s_rank <= 64),
+        |rr AS (
+        |  SELECT sh.vec_id, sh.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY sh.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
+        |        sh.neighbor_id ASC) AS rank
+        |  FROM short sh
+        |  JOIN ub qb ON sh.vec_id = qb.id
+        |  JOIN ub nb ON sh.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
 
     // The stub decoder's dimensions are md5-derived (Multimodal.StubDecoder),
     // so DuckDB recomputes them from documents.text — the multimodal

@@ -90,23 +90,25 @@ object Pq {
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
 
-  /** IVF-PQ top-k self-search: candidates from `nProbe` of `nCells`
-    * md5-derived Voronoi cells (the [[Similarity.ivfTopK]] bound), scored
-    * by PQ asymmetric distance instead of exact cosine. Returns
-    * `(vec_id, neighbor_id, score, rank)`, `score` the reconstructed
-    * cosine rounded to 6 places. */
-  def topKInCells(
+  /** Everything the two search entry points share: normalized vectors,
+    * the IVF candidate bound, and the trained-and-encoded PQ model —
+    * `cb` is the driver-side codebook (it is collected during training
+    * anyway; m × nCodes × subDim doubles, kilobytes). */
+  private[graft] case class Model(base: DataFrame, cand: DataFrame, unit: DataFrame,
+      subs: DataFrame, codes: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+      nCodes: Int, subDim: Int)
+
+  private[graft] def buildModel(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       nCells: Int,
       nProbe: Int,
       m: Int,
       nCodes: Int,
-      iterations: Int)(implicit caches: CacheScope): DataFrame = {
-    require(m >= 1 && nCodes >= 1 && iterations >= 1 && k >= 1,
-      s"m/nCodes/iterations/k must be >= 1")
+      iterations: Int)(implicit caches: CacheScope): Model = {
+    require(m >= 1 && nCodes >= 1 && iterations >= 1,
+      s"m/nCodes/iterations must be >= 1")
     val spark = df.sparkSession
     val base = caches.pin(df
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
@@ -149,29 +151,117 @@ object Pq {
     val cb = iterate(spark, subs, seeds.toSeq, iterations)
     val cbDf = broadcast(spark.createDataFrame(cb).toDF("sub", "code", "c_v")
       .withColumn("cn2", sumSq(col("c_v"))))
-    val codes = assignCodes(subs, cbDf)
+    Model(base, cand, unit, subs, assignCodes(subs, cbDf), cb, nCodes, subDim)
+  }
 
-    // ---- ADC scoring over the cell-bounded candidates ----
-    val parts = cand
-      .join(codes.select(col("id").as("neighbor_id"), col("sub"), col("code")),
-        Seq("neighbor_id"))
-      .join(subs.select(col("id").as("vec_id"), col("sub"), col("sv").as("q_sv")),
-        Seq("vec_id", "sub"))
-      .join(cbDf.select(col("sub"), col("code"), col("c_v")), Seq("sub", "code"))
-      .select(col("vec_id"), col("neighbor_id"), col("sub"),
-        dot(col("q_sv"), col("c_v")).as("part"))
-    // ascending-sub fold → deterministic sum, replayable in SQL
-    val scored = parts.groupBy(col("vec_id"), col("neighbor_id"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
-          s => s.getField("part")),
-        lit(0.0), (acc, x) => acc + x).as("score"))
-    scored
+  /** IVF-PQ top-k self-search: candidates from `nProbe` of `nCells`
+    * md5-derived Voronoi cells (the [[Similarity.ivfTopK]] bound), scored
+    * by PQ asymmetric distance instead of exact cosine. Returns
+    * `(vec_id, neighbor_id, score, rank)`, `score` the reconstructed
+    * cosine rounded to 6 places. */
+  def topKInCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      nCodes: Int,
+      iterations: Int)(implicit caches: CacheScope): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val mod = buildModel(df, idCol, vecCol, nCells, nProbe, m, nCodes, iterations)
+    adcScores(mod, m)
       .groupBy(col("vec_id"))
       .agg(org.apache.spark.sql.graft.TopKPairs
         .top_k_pairs(col("score"), col("neighbor_id"), k).as("tk"))
       .select(col("vec_id"), posexplode(col("tk")).as(Seq("idx", "e")))
       .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"),
         round(col("e.score"), 6).as("score"), (col("idx") + 1).as("rank"))
+  }
+
+  /** `(vec_id, neighbor_id, score)` ADC scores for every candidate pair,
+    * computed ROW-LOCALLY by the native [[org.apache.spark.sql.graft
+    * .PqAdcScore]] expression: the trained codebook rides along as a
+    * flattened constant (kilobytes — the expression-level analogue of a
+    * broadcast dimension), the corpus side joins one m-byte code array per
+    * neighbor, the query side its unit vector, and the whole ascending-sub
+    * partial-dot fold runs as two primitive loops inside whole-stage
+    * codegen. Bit-identical to the long-form (pair × sub) join + grouped
+    * fold the oracle replays — same subvector slices, same per-sub dot
+    * order, same 0.0-seeded ascending-sub fold — but the scoring join
+    * moves one row per pair instead of `m`, carries no per-pair
+    * aggregation state, and pays no interpreted lambda dispatch. */
+  private[graft] def adcScores(mod: Model, m: Int): DataFrame = {
+    val flat = new Array[Double](m * mod.nCodes * mod.subDim)
+    mod.cb.foreach { case (sub, code, v) =>
+      var i = 0
+      v.foreach { x => flat((sub * mod.nCodes + code) * mod.subDim + i) = x; i += 1 }
+    }
+    val codesArr = mod.codes
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("n_codes"))
+    mod.cand
+      .join(codesArr.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+      .join(mod.unit.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        org.apache.spark.sql.graft.PqAdcScore.pq_adc_score(
+          col("u"), col("n_codes"), flat.toIndexedSeq, mod.nCodes, mod.subDim)
+          .as("score"))
+  }
+
+  /** Two-stage IVF-PQ search (the standard shortlist-and-refine trick,
+    * Jégou et al. 2011 §V): PQ ADC ranks the cell-bounded candidates, the
+    * top `shortlist` per query are re-scored by EXACT cosine on the
+    * original vectors, and the final top-k comes from the exact scores.
+    * The quantization error that caps [[topKInCells]]'s recall@k is thus
+    * confined to shortlist membership; with `shortlist >> k`, recall is
+    * limited only by the IVF probe width.
+    *
+    * Scale shape: identical to [[topKInCells]] up to the shortlist cut
+    * (row_number inside the candidate bound), after which the exact
+    * re-rank joins move only `shortlist` rows per query against the
+    * vector table — an equi-join on id, bucketable, never all-pairs.
+    * Returns `(vec_id, neighbor_id, cosine, rank)` with exact cosine
+    * rounded to 4 places (the same contract as [[Similarity.ivfTopK]]). */
+  def topKRefined(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      nCodes: Int,
+      iterations: Int,
+      shortlist: Int)(implicit caches: CacheScope): DataFrame = {
+    require(shortlist >= k && k >= 1, s"need shortlist $shortlist >= k $k >= 1")
+    val mod = buildModel(df, idCol, vecCol, nCells, nProbe, m, nCodes, iterations)
+
+    // ---- stage 1: ADC shortlist (TopKPairs ≡ row_number's
+    // (score desc, id asc) cut, but partial buffers combine map-side) ----
+    val short = adcScores(mod, m)
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("score"), col("neighbor_id"), shortlist).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("e"))
+      .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"))
+
+    // ---- stage 2: exact cosine re-rank of the shortlist only ----
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(mod.base.select(col("id").as("vec_id"),
+        col("v").as("q_v"), col("nrm").as("q_nrm")), Seq("vec_id"))
+      .join(mod.base.select(col("id").as("neighbor_id"),
+        col("v").as("n_v"), col("nrm").as("n_nrm")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 }

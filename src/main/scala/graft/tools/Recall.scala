@@ -63,6 +63,7 @@ object Recall {
         "q56_ivf_trained" -> selfExact,
         "q71_lsh_multiprobe" -> selfExact,
         "q84_pq_topk" -> selfExact,
+        "q85_pq_refined" -> selfExact,
         "q60_ivf_persisted" -> splitExact,
         "q79_ivf_quantized" -> splitExact)
       tracked.map { case (name, exact) =>

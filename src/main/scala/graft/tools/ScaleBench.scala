@@ -97,7 +97,10 @@ object ScaleBench {
     // the newest heavy-family member measures from day one
     "q82_span_dedup",
     // IVF-PQ: grouped-Lloyd training + cell-bounded ADC, cells sized ∝ n
-    "q84_pq_topk")
+    "q84_pq_topk",
+    // two-stage refine: q84's chain at nProbe=10 + exact re-rank of the
+    // 64-deep shortlist — the quality operating point
+    "q85_pq_refined")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
