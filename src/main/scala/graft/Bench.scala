@@ -59,6 +59,13 @@ object Bench {
       val base = (1 to basePasses).map(_ => onePass())
       val times =
         if (!failed && base.max > 2 * base.min) base :+ onePass() else base
+      // Release this query's app-lifetime cache pins before the next query
+      // starts: with 85 queries in one JVM the pins otherwise accumulate
+      // (MEMORY_AND_DISK) until late queries measure GC and spill pressure
+      // from EARLIER queries' caches, not their own plans — the r6 bench's
+      // >10x pass spreads on q23/q42. Within-query passes still share the
+      // warm cache (the serving-shaped measurement).
+      graft.operators.CacheScope.appLifetime.release()
       (name, times, !failed)
     }
     val (loadAfter, _) = hostLoad()

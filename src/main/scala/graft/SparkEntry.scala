@@ -761,45 +761,50 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
-    // ext: hyperplane-LSH approximate top-k. The hyperplane weights are
-    // md5-derived per (seed, bit, dim), so the bucketing — and with it the
-    // whole approximate result — replays exactly in SQL (recall vs the
-    // exact baseline additionally spec-asserted in SimilaritySpec).
-    // (bits, tables) come from tuneLsh AT THE CORPUS SIZE (the r5
-    // BENCH_sf1 remedy: frozen bits/tables made bucket occupancy grow
-    // with the corpus, slope 3.12; tuned params measured 0.05).
-    // targetBucketSize=250 keeps tuned buckets 4× under lshTopK's
-    // maxBucketSize=1000 skew cap — tuning TO the cap would let ordinary
-    // buckets trip the pathological-bucket guard. The oracle replays the
-    // sf0.01 operating point (tuneLsh(500, 0.6, 250) = 1 bit, 2 tables —
-    // pinned by AnnSizingSpec); a drifted derivation changes the
-    // bucketing and fails the hash gate, so the correspondence is itself
-    // oracle-checked.
+    // ext: hyperplane-LSH approximate top-k, at the CONSTANT-COST sized
+    // multiprobe point (sizedMultiprobe: bits track the corpus so the
+    // expected bucket stays ~125, tables=4 and ≤2 flips are fixed). The
+    // r5/r6 constant-RECALL point (tuneLsh) was the last super-linear
+    // declared form — holding recall forces the table count to grow with
+    // bits, slope 1.26 at ×10; holding the probe budget instead makes the
+    // total candidate volume linear in n, recall floating with scale —
+    // the same fixed-budget posture as q29's nProbe (Lv et al., VLDB
+    // 2007); measured ×10 slope 0.09 (BENCH_sf1). maxBucketSize=1000 =
+    // 8× the pinned expected bucket, a cap that no longer needs to move
+    // with n. Hyperplane weights are md5-derived per (seed, bit, dim), so
+    // the whole probe chain replays exactly in SQL; the oracle pins the
+    // sf0.01 operating point (sizedMultiprobe(500) = 2 bits, 4 tables,
+    // 1 flip — AnnSizingSpec), which exercises the FLIP arm of the
+    // replay, and a drifted derivation changes the bucketing and fails
+    // the hash gate.
     "q30_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val p = Similarity.tuneLsh(emb.count(), simThreshold = 0.6,
-        targetBucketSize = 250)
-      // skew cap scales WITH the tuned bucket size (4x headroom): when the
-      // maxTables budget forces denser buckets at large n, a fixed cap
-      // would start dropping ORDINARY buckets — silent recall loss. At the
-      // sf0.01 oracle point 4x250 = 1000 = the SQL's literal (AnnSizingSpec).
-      Similarity.lshTopK(emb, "vec_id", "embedding",
-          k = 3, bits = p.bits, tables = p.tables,
-          maxBucketSize = math.max(1000, (4 * p.expectedBucketSize).toInt))
+      val p = Similarity.sizedMultiprobe(emb.count())
+      Similarity.lshTopKMultiprobe(emb, "vec_id", "embedding",
+          k = 3, bits = p.bits, tables = p.tables, nFlips = p.nFlips,
+          maxBucketSize = 1000)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
     }),
 
-    // ext: MULTIPROBE LSH top-k — q30's recall from ONE THIRD of its
-    // stored state: 4 tables × 3 probes (exact bucket + 2 smallest-margin
-    // bit flips per query) instead of 12 single-probe tables. The
-    // corpus-side banded table is what 100 TB stores and shuffles
-    // (BENCH_sf1's q30 finding); probe rows are transient. Margins and
-    // flips replay exactly in SQL via the same md5 weight family.
+    // ext: MULTIPROBE LSH top-k at the WIDE-PROBE sized tier — q30's
+    // constant-cost recipe with a 4× finer bucket target (62) and up to 3
+    // flips: the higher-recall/higher-budget operating point of the same
+    // family (q30 : q71 :: q84 : q85). At the sf0.01 oracle corpus this
+    // derives bits=4, flips=3 — margin ranking over four projections, so
+    // the deep flip-ordering chain is hash-verified here (q30's fixture
+    // point only exercises one flip). Earlier rounds declared frozen
+    // bits=5/tables=4 here; the frozen form densifies buckets as the
+    // corpus grows (measured ×10 slope 2.68 on a quiet host before this
+    // change — the number that motivated sizing every LSH surface).
     "q71_lsh_multiprobe" -> ((s, dir) => {
-      Similarity.lshTopKMultiprobe(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, bits = 5, tables = 4, nFlips = 2)
+      val emb = t(s, dir, "embeddings")
+      val p = Similarity.sizedMultiprobe(emb.count(),
+        targetBucketSize = 62, maxFlips = 3)
+      Similarity.lshTopKMultiprobe(emb, "vec_id", "embedding",
+          k = 3, bits = p.bits, tables = p.tables, nFlips = p.nFlips,
+          maxBucketSize = 1000)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -1761,6 +1766,55 @@ object SparkEntry {
        |sc AS (
        |  SELECT vec_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS score
        |  FROM parts GROUP BY vec_id, neighbor_id),""".stripMargin
+
+  /** The shared multiprobe-LSH replay (q30/q71): md5-derived hyperplane
+    * weights (seed family `lsh:t:j:i`), exact per-table signatures, the
+    * `nFlips` smallest-|projection| bits xor'd into the exact bucket as
+    * probe buckets, hot-bucket cap, probe→corpus join, exact-cosine
+    * ranking. `nFlips = 0` degenerates to single-probe (the flips arm
+    * selects nothing). */
+  private def lshMultiprobeSql(tables: Int, bits: Int, nFlips: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |w AS (
+       |  SELECT t, j,
+       |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
+       |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+       |  FROM range(0, $tables) rt(t), range(0, $bits) rj(j), range(0, 64) ri(i)
+       |  GROUP BY t, j),
+       |projs AS (
+       |  SELECT b.id, w.t, w.j, list_inner_product(b.v, w.wv) AS pj
+       |  FROM base b CROSS JOIN w),
+       |sigs AS (
+       |  SELECT id, t,
+       |    CAST(sum(CASE WHEN pj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM projs GROUP BY id, t),
+       |flips AS (
+       |  SELECT id, t, j,
+       |    row_number() OVER (PARTITION BY id, t ORDER BY abs(pj) ASC, j ASC) AS fr
+       |  FROM projs),
+       |probes AS (
+       |  SELECT id, t, bucket FROM sigs
+       |  UNION ALL
+       |  SELECT f.id, f.t, xor(s.bucket, CAST(1 << f.j AS BIGINT)) AS bucket
+       |  FROM flips f JOIN sigs s ON f.id = s.id AND f.t = s.t
+       |  WHERE f.fr <= $nFlips),
+       |hot AS (SELECT t, bucket FROM sigs GROUP BY t, bucket HAVING count(*) > 1000),
+       |cold AS (SELECT s.* FROM sigs s ANTI JOIN hot USING (t, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT p.id AS vec_id, c.id AS neighbor_id
+       |  FROM probes p JOIN cold c
+       |    ON p.t = c.t AND p.bucket = c.bucket AND p.id <> c.id),
+       |ranked AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN base qb ON c.vec_id = qb.id
+       |  JOIN base nb ON c.neighbor_id = nb.id)
+       |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
@@ -3424,83 +3478,19 @@ object SparkEntry {
     // tuned sf0.01 operating point — tuneLsh(500, 0.6, 250) = 1 bit,
     // 2 tables, pinned by AnnSizingSpec; a drifted Scala-side derivation
     // changes the bucketing and fails this hash gate.
-    "q30_lsh_topk" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |w AS (
-        |  SELECT t, j,
-        |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
-        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
-        |  FROM range(0, 2) rt(t), range(0, 1) rj(j), range(0, 64) ri(i)
-        |  GROUP BY t, j),
-        |buckets AS (
-        |  SELECT b.id, w.t,
-        |    CAST(sum(CASE WHEN list_inner_product(b.v, w.wv) >= 0
-        |      THEN 1 << w.j ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM base b CROSS JOIN w GROUP BY b.id, w.t),
-        |hot AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > 1000),
-        |cold AS (SELECT b.* FROM buckets b ANTI JOIN hot USING (t, bucket)),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS vec_id, b.id AS neighbor_id
-        |  FROM cold a JOIN cold b
-        |    ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
-        |ranked AS (
-        |  SELECT c.vec_id, c.neighbor_id,
-        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY c.vec_id
-        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
-        |  FROM cand c
-        |  JOIN base qb ON c.vec_id = qb.id
-        |  JOIN base nb ON c.neighbor_id = nb.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // q30 replay: the sized multiprobe point at the sf0.01 corpus —
+    // sizedMultiprobe(500) = 2 bits, 4 tables, 1 flip (AnnSizingSpec pins
+    // the correspondence), so the smallest-margin flip chain is
+    // hash-verified by q30 itself.
+    "q30_lsh_topk" -> lshMultiprobeSql(tables = 4, bits = 2, nFlips = 1),
 
-    // Multiprobe replay: q30's weight chain (4 tables), plus per-(id, t)
-    // projections ranked by (|proj|, bit) — the 2 smallest-margin bits xor
-    // into the exact bucket. Corpus side is the exact-signature table
-    // (hot-capped); probes only ever join INTO it.
-    "q71_lsh_multiprobe" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |w AS (
-        |  SELECT t, j,
-        |    list(CAST('0x' || substring(md5('lsh:' || t || ':' || j || ':' || i), 1, 10) AS BIGINT)
-        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
-        |  FROM range(0, 4) rt(t), range(0, 5) rj(j), range(0, 64) ri(i)
-        |  GROUP BY t, j),
-        |projs AS (
-        |  SELECT b.id, w.t, w.j, list_inner_product(b.v, w.wv) AS pj
-        |  FROM base b CROSS JOIN w),
-        |sigs AS (
-        |  SELECT id, t,
-        |    CAST(sum(CASE WHEN pj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM projs GROUP BY id, t),
-        |flips AS (
-        |  SELECT id, t, j,
-        |    row_number() OVER (PARTITION BY id, t ORDER BY abs(pj) ASC, j ASC) AS fr
-        |  FROM projs),
-        |probes AS (
-        |  SELECT id, t, bucket FROM sigs
-        |  UNION ALL
-        |  SELECT f.id, f.t, xor(s.bucket, CAST(1 << f.j AS BIGINT)) AS bucket
-        |  FROM flips f JOIN sigs s ON f.id = s.id AND f.t = s.t
-        |  WHERE f.fr <= 2),
-        |hot AS (SELECT t, bucket FROM sigs GROUP BY t, bucket HAVING count(*) > 1000),
-        |cold AS (SELECT s.* FROM sigs s ANTI JOIN hot USING (t, bucket)),
-        |cand AS (
-        |  SELECT DISTINCT p.id AS vec_id, c.id AS neighbor_id
-        |  FROM probes p JOIN cold c
-        |    ON p.t = c.t AND p.bucket = c.bucket AND p.id <> c.id),
-        |ranked AS (
-        |  SELECT c.vec_id, c.neighbor_id,
-        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY c.vec_id
-        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
-        |  FROM cand c
-        |  JOIN base qb ON c.vec_id = qb.id
-        |  JOIN base nb ON c.neighbor_id = nb.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // Multiprobe replay at the wide-probe sized tier's sf0.01 point —
+    // sizedMultiprobe(500, 62, 4, 3) = 4 bits, 4 tables, 3 flips
+    // (AnnSizingSpec): per-(id, t) projections ranked by (|proj|, bit),
+    // the 3 smallest-margin bits xor into the exact bucket. Corpus side
+    // is the exact-signature table (hot-capped); probes only ever join
+    // INTO it.
+    "q71_lsh_multiprobe" -> lshMultiprobeSql(tables = 4, bits = 4, nFlips = 3),
 
     // Same hyperplane replay for the near-dup pair path (seed family
     // "ndp:t", 4 bits × 8 tables, a < b orientation, threshold on the raw

@@ -76,6 +76,43 @@ object Similarity {
       1.0 - math.pow(1.0 - math.pow(p, bits), tables))
   }
 
+  /** Multiprobe-LSH operating point derived by [[sizedMultiprobe]]. */
+  final case class MultiprobeParams(
+      bits: Int, tables: Int, nFlips: Int, expectedBucketSize: Double)
+
+  /** Derive a CONSTANT-COST multiprobe operating point from the corpus
+    * size alone — the complementary posture to [[tuneLsh]]:
+    *
+    *  - [[tuneLsh]] holds RECALL at a similarity threshold and lets the
+    *    table count grow with `bits` — total candidate volume then grows
+    *    super-linearly in n (measured: q30's ×10 slope 1.26 under the
+    *    tuned constant-recall point), the unavoidable LSH price of a
+    *    fixed-recall guarantee;
+    *  - this recipe holds the per-query probe budget constant — `bits`
+    *    track the corpus (`expectedBucketSize` pinned near
+    *    `targetBucketSize`), tables and flips are fixed, so candidates
+    *    per query stay ~`targetBucketSize · tables · (1 + nFlips)` and
+    *    TOTAL cost is linear in n, while recall floats downward as the
+    *    corpus outgrows the probe budget. That is the posture every
+    *    fixed-budget ANN serving path takes ([[ivfTopK]]'s fixed
+    *    `nProbe`, multi-probe LSH per Lv et al., VLDB 2007) and the one
+    *    that survives 100 TB.
+    *
+    * Stored state is `tables` signatures per vector; probing widens
+    * per-QUERY fan-out only (`nFlips` capped at `bits − 1`, the
+    * [[org.apache.spark.sql.graft.HyperplaneProbes]] domain). */
+  def sizedMultiprobe(
+      corpusSize: Long,
+      targetBucketSize: Int = 125,
+      tables: Int = 4,
+      maxFlips: Int = 2): MultiprobeParams = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    val bits = math.min(63, math.max(1,
+      math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+    MultiprobeParams(bits, tables, math.min(maxFlips, bits - 1),
+      corpusSize.toDouble / (1L << bits))
+  }
+
   /** Exact cosine top-k neighbours per vector (self-join, excludes self).
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {

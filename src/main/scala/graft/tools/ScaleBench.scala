@@ -70,7 +70,23 @@ object ScaleUp {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
-    println(s"[scaleup] wrote ${factor}x documents+embeddings from $src to $dest")
+    // events: ids and users remap to disjoint ranges per replica — every
+    // replica keeps its sessions/as-of/range structure exactly (same
+    // timestamps), and nothing joins across replicas because user_id never
+    // collides. Written as read; readers normalize via FixtureLoader.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val maxEvent = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    ev.crossJoin(ks)
+      .select(
+        (col("event_id") + col("k").cast("long") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k").cast("long") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings+events from $src to $dest")
     spark.stop()
   }
 }
@@ -100,7 +116,10 @@ object ScaleBench {
     "q84_pq_topk",
     // two-stage refine: q84's chain at nProbe=10 + exact re-rank of the
     // 64-deep shortlist — the quality operating point
-    "q85_pq_refined")
+    "q85_pq_refined",
+    // event-time joins (r6 verdict item 8): the as-of union-merge and the
+    // chunk-equi-ized range join, measured at their real decade shapes
+    "q34_asof_join", "q35_range_join")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

@@ -28,29 +28,36 @@ class AnnSizingSpec extends SparkSpec {
     assert(math.max(16, (1000000L / 125L).toInt) === 8000)
   }
 
-  test("q30's tuneLsh operating point at the oracle corpus size is (bits=1, tables=2)") {
-    val p = Similarity.tuneLsh(500L, simThreshold = 0.6, targetBucketSize = 250)
-    assert(p.bits === 1, s"q30 oracle SQL replays bits=1 (range(0, 1)); tuneLsh now derives $p")
-    assert(p.tables === 2, s"q30 oracle SQL replays tables=2 (range(0, 2)); tuneLsh now derives $p")
+  test("q30's sizedMultiprobe operating point at the oracle corpus is (bits=2, tables=4, flips=1)") {
+    val p = Similarity.sizedMultiprobe(500L)
+    assert(p.bits === 2, s"q30 oracle SQL replays bits=2 (range(0, 2)); sizedMultiprobe now derives $p")
+    assert(p.tables === 4, s"q30 oracle SQL replays tables=4 (range(0, 4)); sizedMultiprobe now derives $p")
+    assert(p.nFlips === 1, s"q30 oracle SQL replays nFlips=1 (fr <= 1); sizedMultiprobe now derives $p")
   }
 
-  test("the skew cap always clears the tuned bucket size by 4x") {
-    // tuning TO (or past) a fixed cap would let ORDINARY buckets trip the
-    // pathological-bucket guard and silently drop recall. q30 therefore
-    // derives the cap as max(1000, 4 * expectedBucketSize): at large n the
-    // maxTables budget walks bits back and buckets densify past any fixed
-    // threshold (n=1M tunes to ~7.8k-row buckets), and the cap must move
-    // with them. At the sf0.01 oracle point the derived cap is exactly the
-    // SQL's 1000 literal.
-    for (n <- Seq(500L, 2000L, 5000L, 20000L, 1000000L)) {
-      val p = Similarity.tuneLsh(n, simThreshold = 0.6, targetBucketSize = 250)
-      val cap = math.max(1000, (4 * p.expectedBucketSize).toInt)
-      assert(cap >= 4 * p.expectedBucketSize,
-        s"n=$n: cap $cap must clear expected bucket ${p.expectedBucketSize} 4x over")
+  test("q71's wide-probe tier at the oracle corpus is (bits=4, tables=4, flips=3)") {
+    val p = Similarity.sizedMultiprobe(500L, targetBucketSize = 62, maxFlips = 3)
+    assert(p.bits === 4, s"q71 oracle SQL replays bits=4 (range(0, 4)); sizedMultiprobe now derives $p")
+    assert(p.tables === 4, s"q71 oracle SQL replays tables=4 (range(0, 4)); sizedMultiprobe now derives $p")
+    assert(p.nFlips === 3, s"q71 oracle SQL replays nFlips=3 (fr <= 3); sizedMultiprobe now derives $p")
+  }
+
+  test("sizedMultiprobe holds the probe budget constant as n grows") {
+    // the scale argument in one assertion: expected bucket size (candidate
+    // rows per probed bucket) and the probe count per query are both
+    // bounded as n grows 2000x — total candidate volume stays LINEAR in n,
+    // unlike the constant-recall tuneLsh point whose table count grows
+    // with bits (measured ×10 slope 1.26). The fixed 1000 skew cap stays
+    // 4x over the pinned expected bucket at every n.
+    for (n <- Seq(500L, 2000L, 5000L, 20000L, 1000000L, 1000000000L)) {
+      val p = Similarity.sizedMultiprobe(n)
+      assert(p.expectedBucketSize <= 250.0,
+        s"n=$n: expected bucket ${p.expectedBucketSize} must stay <= target 250")
+      assert(p.tables * (1 + p.nFlips) <= 12,
+        s"n=$n: probe budget ${p.tables * (1 + p.nFlips)} buckets/query must stay fixed")
+      assert(p.nFlips < p.bits,
+        s"n=$n: nFlips ${p.nFlips} must stay in HyperplaneProbes' domain [0, bits)")
     }
-    val p001 = Similarity.tuneLsh(500L, simThreshold = 0.6, targetBucketSize = 250)
-    assert(math.max(1000, (4 * p001.expectedBucketSize).toInt) === 1000,
-      "sf0.01 derived cap must equal the oracle SQL's HAVING count(*) > 1000")
   }
 
   test("derived parameters hold the candidate-join density roughly constant with n") {
