@@ -114,7 +114,7 @@ object Pq {
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .filter(col("nrm") > 0))
-    val dim = base.select(size(col("v"))).head.getInt(0)
+    val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
 

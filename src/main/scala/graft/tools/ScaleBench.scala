@@ -40,7 +40,7 @@ object ScaleUp {
     val ks = broadcast(spark.range(factor).select(col("id").cast("int").as("k")))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val words = split(col("text"), " ")
     val suffixed = array_join(
       transform(words, w => concat(w, lit("~"), col("k").cast("string"))), " ")
@@ -54,7 +54,7 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     // D_k: per-(dimension, replica) deterministic sign — orthogonal within
     // a replica, decorrelating across replicas
     val flipped = zip_with(
@@ -75,8 +75,8 @@ object ScaleUp {
     // timestamps), and nothing joins across replicas because user_id never
     // collides. Written as read; readers normalize via FixtureLoader.
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val maxEvent = ev.agg(max(col("event_id"))).head.getLong(0) + 1
-    val maxUser = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     ev.crossJoin(ks)
       .select(
         (col("event_id") + col("k").cast("long") * maxEvent).as("event_id"),
