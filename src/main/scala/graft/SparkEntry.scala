@@ -700,7 +700,7 @@ object SparkEntry {
     // just the quadratic baseline. nCells is derived FROM THE CORPUS SIZE
     // (constant ~125-vector cell occupancy — the r5 BENCH_sf1 remedy:
     // frozen nCells made per-cell occupancy, and with it the candidate
-    // join, grow linearly; sized cells measured slope 0.05). The count is
+    // join, grow linearly; sized cells measured slope 0.12). The count is
     // a control-plane sizing probe — at cluster scale, metastore stats.
     // The oracle recomputes the same nCells from count(*), so the
     // hash-verified plan IS the scale-safe one.
@@ -769,7 +769,7 @@ object SparkEntry {
     // bits, slope 1.26 at ×10; holding the probe budget instead makes the
     // total candidate volume linear in n, recall floating with scale —
     // the same fixed-budget posture as q29's nProbe (Lv et al., VLDB
-    // 2007); measured ×10 slope 0.09 (BENCH_sf1). maxBucketSize=1000 =
+    // 2007); measured ×10 slope 0.13 (BENCH_sf1). maxBucketSize=1000 =
     // 8× the pinned expected bucket, a cap that no longer needs to move
     // with n. Hyperplane weights are md5-derived per (seed, bit, dim), so
     // the whole probe chain replays exactly in SQL; the oracle pins the
@@ -3474,10 +3474,7 @@ object SparkEntry {
     // ("lsh:t:j:i") — so buckets, candidates, and ranking all replay.
     // list_inner_product's sequential fold matches the native DotProduct
     // loop (same double arithmetic as the q18/q29 cosines). Embeddings are
-    // 64-dim (driver testdata, all SFs). range(0, 2)/range(0, 1) IS the
-    // tuned sf0.01 operating point — tuneLsh(500, 0.6, 250) = 1 bit,
-    // 2 tables, pinned by AnnSizingSpec; a drifted Scala-side derivation
-    // changes the bucketing and fails this hash gate.
+    // 64-dim (driver testdata, all SFs).
     // q30 replay: the sized multiprobe point at the sf0.01 corpus —
     // sizedMultiprobe(500) = 2 bits, 4 tables, 1 flip (AnnSizingSpec pins
     // the correspondence), so the smallest-margin flip chain is

@@ -67,8 +67,7 @@ object Similarity {
       if (pBand >= 1.0) 1
       else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
     }
-    var bits = math.min(maxBits, math.max(1,
-      math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+    var bits = math.min(maxBits, bitsFor(corpusSize, targetBucketSize))
     while (bits > 1 && tablesFor(bits) > maxTables) bits -= 1
     val tables = math.min(maxTables, tablesFor(bits))
     LshParams(bits, tables,
@@ -107,10 +106,21 @@ object Similarity {
       tables: Int = 4,
       maxFlips: Int = 2): MultiprobeParams = {
     require(corpusSize > 0, "corpusSize must be positive")
-    val bits = math.min(63, math.max(1,
-      math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+    val bits = math.min(63, bitsFor(corpusSize, targetBucketSize))
     MultiprobeParams(bits, tables, math.min(maxFlips, bits - 1),
       corpusSize.toDouble / (1L << bits))
+  }
+
+  /** `max(1, ceil(log2(corpusSize / targetBucketSize)))` computed on
+    * integers: for real x > 1, `ceil(log2 x) = ceil(log2 ceil(x))`, and the
+    * latter is a leading-zero count — the double-log form could land an ulp
+    * above an exact power-of-two ratio and bump bits by one, a
+    * platform/libm-sensitive boundary in a value the oracle SQL pins by
+    * literal. */
+  private def bitsFor(corpusSize: Long, targetBucketSize: Int): Int = {
+    val buckets = (corpusSize + targetBucketSize - 1) / targetBucketSize
+    if (buckets <= 2) 1
+    else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
   }
 
   /** Exact cosine top-k neighbours per vector (self-join, excludes self).

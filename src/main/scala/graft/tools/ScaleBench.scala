@@ -73,16 +73,19 @@ object ScaleUp {
     // events: ids and users remap to disjoint ranges per replica — every
     // replica keeps its sessions/as-of/range structure exactly (same
     // timestamps), and nothing joins across replicas because user_id never
-    // collides. Written as read; readers normalize via FixtureLoader.
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // collides. Read through FixtureLoader (encoding-drift tolerance) and
+    // remap only the two id columns — everything else passes through, so a
+    // driver re-export that adds a column survives unchanged.
+    val ev = graft.sources.FixtureLoader.load(spark, src, "events")
     val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val evCols = ev.columns.map {
+      case "event_id" => (col("event_id") + col("k").cast("long") * maxEvent).as("event_id")
+      case "user_id" => (col("user_id") + col("k").cast("long") * maxUser).as("user_id")
+      case other => col(other)
+    }
     ev.crossJoin(ks)
-      .select(
-        (col("event_id") + col("k").cast("long") * maxEvent).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("k").cast("long") * maxUser).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+      .select(evCols.toIndexedSeq: _*)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 

@@ -34,6 +34,15 @@ case class PqAdcScore(
     subDim: Int)
     extends BinaryExpression with ImplicitCastInputTypes {
 
+  require(nCodes >= 1 && subDim >= 1, s"nCodes/subDim must be >= 1, got $nCodes/$subDim")
+  require(codebook.nonEmpty && codebook.length % (nCodes * subDim) == 0,
+    s"codebook length ${codebook.length} is not a multiple of nCodes*subDim (${nCodes * subDim})")
+
+  /** Subspace count implied by the codebook — every code array and unit
+    * vector must agree with it; a drifted encoding fails loudly here
+    * instead of silently reading the wrong codebook slot. */
+  private val mCb: Int = codebook.length / (nCodes * subDim)
+
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
@@ -41,10 +50,17 @@ case class PqAdcScore(
 
   @transient private lazy val cbArr: Array[Double] = codebook.toArray
 
+  /** Row-shape guard shared by both eval paths (static so generated code
+    * can call it). One branch per row + one per code — noise next to the
+    * m×subDim multiply loop. */
+  @inline private def checkShape(uLen: Int, m: Int, cs: ArrayData): Unit =
+    PqAdcScore.validateShape(uLen, m, cs, mCb, nCodes, subDim)
+
   override def nullSafeEval(u: Any, codes: Any): Any = {
     val uv = u.asInstanceOf[ArrayData]
     val cs = codes.asInstanceOf[ArrayData]
     val m = cs.numElements()
+    checkShape(uv.numElements(), m, cs)
     var score = 0.0
     var s = 0
     while (s < m) {
@@ -63,6 +79,7 @@ case class PqAdcScore(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    val cls = PqAdcScore.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, (u, codes) => {
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
@@ -72,6 +89,7 @@ case class PqAdcScore(
       val score = ctx.freshName("score")
       s"""
          |int $m = $codes.numElements();
+         |$cls.validateShape($u.numElements(), $m, $codes, $mCb, $nCodes, $subDim);
          |double $score = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
          |  int $off = ($s * $nCodes + $codes.getInt($s)) * $subDim;
@@ -97,4 +115,25 @@ object PqAdcScore {
     ExpressionUtils.column(PqAdcScore(
       ExpressionUtils.expression(u), ExpressionUtils.expression(codes),
       codebook, nCodes, subDim))
+
+  /** Row-shape guard for both the interpreted and generated eval paths: the
+    * code array must have exactly the codebook's subspace count, the unit
+    * vector m·subDim components, and every code must address a real
+    * codebook row. Fails with the offending values instead of an
+    * out-of-bounds read deep inside the fold. */
+  def validateShape(uLen: Int, m: Int, codes: ArrayData,
+      mCb: Int, nCodes: Int, subDim: Int): Unit = {
+    if (m != mCb || uLen != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_adc_score shape mismatch: got $m codes and a $uLen-component " +
+          s"unit vector, codebook expects $mCb codes over ${mCb * subDim} components")
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= nCodes)
+        throw new IllegalArgumentException(
+          s"pq_adc_score code out of range: code $c at subspace $s, codebook has $nCodes rows")
+      s += 1
+    }
+  }
 }
