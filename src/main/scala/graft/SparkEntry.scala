@@ -1170,6 +1170,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the QUALITY serving tier of the same persisted index — the
+    // q85 shortlist-and-refine trick applied to STORED state: the int8
+    // table ranks a 32-deep shortlist at nProbe=4 (2× the base tier's
+    // probe budget, but over ~1/8-byte rows, so scan bytes stay near
+    // q60's), then exact cosine on the stored float table re-ranks only
+    // the shortlist. Measured recall@3 0.820 vs q60/q79's 0.587
+    // (RECALL_SNAPSHOT.tsv) — the float path's recall at nProbe=4, since
+    // quantization error is confined to shortlist membership. The refine
+    // joins move 32 narrow rows per query — equi-join on id, no
+    // all-pairs anywhere.
+    "q86_ivf_refined" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topKRefined(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
+          k = 3, nProbe = 4, shortlist = 32)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: incremental semantic screening against the SAME persisted index
     // q60 serves — the embedding-side dedupAgainst: arriving vectors whose
     // best stored neighbour (probed cells) reaches the cosine threshold
@@ -3015,6 +3035,77 @@ object SparkEntry {
         |  WHERE p.q_id <> a.id)
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // q86 replay: q79's quantized chain at nProbe=4 cut to a 32-deep
+    // shortlist (row_number over the dequantized score, the TopKPairs
+    // equivalence established by q84/q85), then exact cosine on the
+    // stored FLOAT vectors re-ranks the shortlist to top-3.
+    "q86_ivf_refined" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the stored (id, v, cell) float vectors table
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |qstore AS ( -- int8 sibling: per-vector scale + quantized components
+        |  SELECT id, cell, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+        |  FROM assigned),
+        |deq AS (
+        |  SELECT id, cell,
+        |    list_transform(
+        |      list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))),
+        |      q -> q * scale) AS v
+        |  FROM qstore),
+        |probes AS ( -- the QUALITY tier probes 4 cells (2x the base tier)
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 4),
+        |short AS ( -- 32-deep shortlist ranked on the DEQUANTIZED score
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.q_id
+        |        ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS s_rank
+        |    FROM probes p
+        |    JOIN deq a USING (cell)
+        |    JOIN batch qb ON p.q_id = qb.id
+        |    WHERE p.q_id <> a.id) WHERE s_rank <= 32),
+        |rr AS ( -- exact re-rank of the shortlist on the stored floats
+        |  SELECT sh.vec_id, sh.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY sh.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
+        |        sh.neighbor_id ASC) AS rank
+        |  FROM short sh
+        |  JOIN batch qb ON sh.vec_id = qb.id
+        |  JOIN assigned nb ON sh.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // q60's replay chain, ending in a threshold screen instead of top-k:
     // a batch id is dropped iff its best probed-cell cosine reaches the

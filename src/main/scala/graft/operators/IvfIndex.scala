@@ -311,6 +311,50 @@ object IvfIndex {
     topKAgainst(spark, batch, idCol, vecCol, store, name, k, nProbe,
       dequantized(quantizedVectors(spark, store, name)))
 
+  /** Two-stage QUALITY serving from the persisted index (the
+    * [[Pq.topKRefined]] shortlist-and-refine trick applied to stored
+    * state): the int8 table ranks a `shortlist` per query at a wider
+    * probe, and exact cosine on the float table re-ranks ONLY the
+    * shortlist. Recall is then the float path's at the same `nProbe` —
+    * quantization error is confined to shortlist membership (with
+    * `shortlist >> k` it almost never evicts a true top-k neighbour) —
+    * while the probe scan still reads the ~1/8-byte quantized rows:
+    * serving at nProbe=4 over int8 costs about the same scan bytes as the
+    * base tier's nProbe=2 over floats, and the refine joins move only
+    * `shortlist` narrow rows per query (equi-join on id, never
+    * all-pairs). Output schema matches [[topK]]. */
+  def topKRefined(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k && k >= 1, s"need shortlist $shortlist >= k $k >= 1")
+    val short = topKAgainst(spark, batch, idCol, vecCol, store, name,
+        shortlist, nProbe, dequantized(quantizedVectors(spark, store, name)))
+      .select(col("vec_id"), col("neighbor_id"))
+    val q = batch
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", l2Norm(col("q_v")))
+    val corpus = vectors(spark, store, name)
+      .select(col("id").as("neighbor_id"), col("v").as("n_v"))
+      .withColumn("n_nrm", l2Norm(col("n_v")))
+    val exactW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(q, Seq("vec_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   private def topKAgainst(
       spark: SparkSession,
       batch: DataFrame,

@@ -30,6 +30,47 @@ object ProbeSweep {
         println(f"[sweep] nCells=$nCells nProbe=$nProbe recall@3=${hit.toDouble / n}%.4f")
       } finally cs.release()
     }
+
+    // ---- persisted-index serving family (q60/q79/q86): batch-vs-corpus
+    // split recall as the probe widens, float tier vs int8-shortlist+
+    // exact-refine tier ----
+    import graft.operators.{IvfIndex, TableStore}
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions._
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val qn = batch.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("q_v"))
+      .withColumn("q_nrm", l2Norm(col("q_v"))).filter(col("q_nrm") > 0)
+    val cn = corpus.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))).filter(col("nrm") > 0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id").asc)
+    val splitExact = qn.crossJoin(cn)
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id").as("vec_id"), col("id").as("neighbor_id")).cache()
+    val nSplit = splitExact.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep_idx").toString
+    val store = new TableStore(root)
+    val idxCells = math.max(8, (corpus.count() / 56L).toInt)
+    locally {
+      implicit val cs: CacheScope = new CacheScope
+      try IvfIndex.build(corpus, "vec_id", "embedding", idxCells, 1, store, "emb_idx")
+      finally cs.release()
+    }
+    IvfIndex.quantizeStored(spark, store, "emb_idx")
+    for (nProbe <- Seq(2, 3, 4, 5, 6)) {
+      val fl = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe)
+        .select(col("vec_id"), col("neighbor_id"))
+      val rf = IvfIndex.topKRefined(spark, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe, shortlist = 32)
+        .select(col("vec_id"), col("neighbor_id"))
+      val hitF = fl.intersect(splitExact).count()
+      val hitR = rf.intersect(splitExact).count()
+      println(f"[sweep-idx] nCells=$idxCells nProbe=$nProbe " +
+        f"float=${hitF.toDouble / nSplit}%.4f refined=${hitR.toDouble / nSplit}%.4f")
+    }
     spark.stop()
   }
 }

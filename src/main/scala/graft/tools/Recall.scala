@@ -65,7 +65,8 @@ object Recall {
         "q84_pq_topk" -> selfExact,
         "q85_pq_refined" -> selfExact,
         "q60_ivf_persisted" -> splitExact,
-        "q79_ivf_quantized" -> splitExact)
+        "q79_ivf_quantized" -> splitExact,
+        "q86_ivf_refined" -> splitExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()

@@ -121,6 +121,45 @@ class QuantizedIvfSpec extends SparkSpec {
       "removed vector still present in the quantized sibling")
   }
 
+  test("topKRefined with an exhaustive shortlist equals the float path exactly") {
+    val store = new TableStore(tmpDir("qivf"))
+    buildQuantized(store)
+    val batch = corpus(60, offset = 10000L)
+    // shortlist >= corpus: every probed candidate reaches the exact
+    // re-rank, so the two-stage answer must equal the float path
+    // row-for-row (same scores, same ranks) — the refine stage's
+    // correctness contract, independent of quantization quality
+    val refined = IvfIndex.topKRefined(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 2, shortlist = 400)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+    val float = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 2)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+    assert(refined.exceptAll(float).count() === 0)
+    assert(float.exceptAll(refined).count() === 0)
+  }
+
+  test("topKRefined recall is never below the all-quantized path at the same probe width") {
+    val store = new TableStore(tmpDir("qivf"))
+    buildQuantized(store)
+    val batch = corpus(60, offset = 10000L)
+    val exact = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 3).select(col("vec_id"), col("neighbor_id"))
+    val quant = IvfIndex.topKQuantized(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 3).select(col("vec_id"), col("neighbor_id"))
+    val refined = IvfIndex.topKRefined(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 3, shortlist = 32)
+      .select(col("vec_id"), col("neighbor_id"))
+    val n = exact.count()
+    val qHit = quant.intersect(exact).count()
+    val rHit = refined.intersect(exact).count()
+    info(f"vs float path: quantized ${qHit.toDouble / n}%.4f refined ${rHit.toDouble / n}%.4f")
+    assert(rHit >= qHit,
+      s"refine must absorb quantization error, got refined $rHit < quantized $qHit of $n")
+    // and the shortlist-32 refine should essentially pin the float answer
+    assert(rHit.toDouble / n >= 0.95)
+  }
+
   test("dequantized norms are never zero for nonzero vectors (cosine stays defined)") {
     val store = new TableStore(tmpDir("qivf"))
     buildQuantized(store)
