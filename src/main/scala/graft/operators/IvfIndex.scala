@@ -115,6 +115,10 @@ object IvfIndex {
           assigned.select(col("id"), col("cell"), scale.as("scale"), qv.as("qv"))),
         qVectorsTable(name), Some(qVersion))
     }
+    // the PQ tier is serving state too — encode the batch against the
+    // COMMITTED codebook (refit-free, like the int8 re-quantization)
+    if (PqIndex.exists(store, name))
+      PqIndex.appendEncoded(spark, assigned, store, name)
   }
 
   /** Takedown: commit a next version of the vectors table WITHOUT the
@@ -141,6 +145,8 @@ object IvfIndex {
       store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
         qVectorsTable(name), Some(qVersion))
     }
+    if (PqIndex.exists(store, name))
+      PqIndex.removeIds(spark, drop, store, name)
     before - vectors(spark, store, name).count()
   }
 
@@ -221,8 +227,21 @@ object IvfIndex {
     require(bound >= 1.0, s"bound is a max/mean ratio, must be >= 1, got $bound")
     val b = balance(spark, store, name)
     if (b.skewRatio <= bound) None
-    else Some(build(vectors(spark, store, name).select(col("id"), col("v")),
-      "id", "v", b.nCellsModel, iterations, store, name))
+    else {
+      val fitted = build(vectors(spark, store, name).select(col("id"), col("v")),
+        "id", "v", b.nCellsModel, iterations, store, name)
+      // sibling tiers carry the OLD cell ids after a refit — a quantized
+      // or PQ probe against them would equi-join two unrelated cell
+      // spaces. Re-derive both from the refitted float table: the int8
+      // rows re-quantize (one narrow pass), the PQ codes are
+      // cell-independent (codebook untouched) and only re-join their
+      // cell column.
+      if (store.exists(qVectorsTable(name))) quantizeStored(spark, store, name)
+      if (PqIndex.exists(store, name))
+        PqIndex.refreshCells(spark,
+          vectors(spark, store, name).select(col("id"), col("cell")), store, name)
+      Some(fitted)
+    }
   }
 
   // -------------------------------------------------------------------

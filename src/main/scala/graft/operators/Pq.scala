@@ -46,7 +46,7 @@ object Pq {
 
   /** One row per (vector, subspace): `(id, sub, sv)` over unit-normalized
     * vectors. */
-  private def subvectors(unit: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[graft] def subvectors(unit: DataFrame, m: Int, subDim: Int): DataFrame =
     unit.select(col("id"), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"),
           slice(col("u"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
@@ -84,7 +84,46 @@ object Pq {
     centroids
   }
 
-  private def assignCodes(subs: DataFrame, cbDf: DataFrame): DataFrame =
+  /** The stored/trained codebook as a broadcastable scoring frame
+    * `(sub, code, c_v, cn2)` — the shape [[assignCodes]] consumes. */
+  private[graft] def codebookFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    spark.createDataFrame(cb).toDF("sub", "code", "c_v")
+      .withColumn("cn2", sumSq(col("c_v")))
+
+  /** Grouped-Lloyd codebook training over unit vectors `(id, u)` — the
+    * model half of [[buildModel]], reusable against any corpus (ad-hoc
+    * self-search or a persisted index's stored vectors): md5-smallest
+    * seeds, `iterations` assignment/mean rounds, empty codes dropped.
+    * Returns the (pinned) subvector frame alongside the codebook so
+    * callers encode without re-exploding. */
+  private[graft] def trainCodebooks(
+      unit: DataFrame,
+      m: Int,
+      subDim: Int,
+      nCodes: Int,
+      iterations: Int)(implicit caches: CacheScope): (DataFrame, Seq[(Int, Int, Seq[Double])]) = {
+    val spark = unit.sparkSession
+    val subs = caches.pin(subvectors(unit, m, subDim))
+    val seedVecs = unit
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("_h")).limit(nCodes)
+      .select(col("u")).collect().map(_.getSeq[Double](0))
+    val seeds = for {
+      sub <- 0 until m; (u, code) <- seedVecs.zipWithIndex
+    } yield (sub, code, u.slice(sub * subDim, (sub + 1) * subDim): Seq[Double])
+    (subs, iterate(spark, subs, seeds.toSeq, iterations))
+  }
+
+  /** Long-form codes `(id, sub, code)` collapsed to the ascending-sub
+    * array shape [[org.apache.spark.sql.graft.PqAdcScore]] consumes. */
+  private[graft] def codesToArray(codes: DataFrame): DataFrame =
+    codes.groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("n_codes"))
+
+  private[graft] def assignCodes(subs: DataFrame, cbDf: DataFrame): DataFrame =
     subs.join(broadcast(cbDf), Seq("sub"))
       .withColumn("d", col("cn2") - lit(2.0) * dot(col("sv"), col("c_v")))
       .groupBy(col("id"), col("sub"))
@@ -140,17 +179,8 @@ object Pq {
 
     // ---- PQ codebooks + codes ----
     val unit = base.withColumn("u", transform(col("v"), x => x / col("nrm")))
-    val subs = caches.pin(subvectors(unit, m, subDim))
-    val seedVecs = unit
-      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
-      .orderBy(col("_h")).limit(nCodes)
-      .select(col("u")).collect().map(_.getSeq[Double](0))
-    val seeds = for {
-      sub <- 0 until m; (u, code) <- seedVecs.zipWithIndex
-    } yield (sub, code, u.slice(sub * subDim, (sub + 1) * subDim): Seq[Double])
-    val cb = iterate(spark, subs, seeds.toSeq, iterations)
-    val cbDf = broadcast(spark.createDataFrame(cb).toDF("sub", "code", "c_v")
-      .withColumn("cn2", sumSq(col("c_v"))))
+    val (subs, cb) = trainCodebooks(unit, m, subDim, nCodes, iterations)
+    val cbDf = broadcast(codebookFrame(spark, cb))
     Model(base, cand, unit, subs, assignCodes(subs, cbDf), cb, nCodes, subDim)
   }
 
@@ -192,16 +222,22 @@ object Pq {
     * order, same 0.0-seeded ascending-sub fold — but the scoring join
     * moves one row per pair instead of `m`, carries no per-pair
     * aggregation state, and pays no interpreted lambda dispatch. */
-  private[graft] def adcScores(mod: Model, m: Int): DataFrame = {
-    val flat = new Array[Double](m * mod.nCodes * mod.subDim)
-    mod.cb.foreach { case (sub, code, v) =>
+  /** The codebook flattened to [[org.apache.spark.sql.graft.PqAdcScore]]'s
+    * `double[m · stride · subDim]` constant layout; dropped (empty) codes
+    * leave zero slots that no stored code ever indexes. */
+  private[graft] def flatCodebook(
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, stride: Int, subDim: Int): Array[Double] = {
+    val flat = new Array[Double](m * stride * subDim)
+    cb.foreach { case (sub, code, v) =>
       var i = 0
-      v.foreach { x => flat((sub * mod.nCodes + code) * mod.subDim + i) = x; i += 1 }
+      v.foreach { x => flat((sub * stride + code) * subDim + i) = x; i += 1 }
     }
-    val codesArr = mod.codes
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("n_codes"))
+    flat
+  }
+
+  private[graft] def adcScores(mod: Model, m: Int): DataFrame = {
+    val flat = flatCodebook(mod.cb, m, mod.nCodes, mod.subDim)
+    val codesArr = codesToArray(mod.codes)
     mod.cand
       .join(codesArr.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
       .join(mod.unit.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))

@@ -66,7 +66,8 @@ object Recall {
         "q85_pq_refined" -> selfExact,
         "q60_ivf_persisted" -> splitExact,
         "q79_ivf_quantized" -> splitExact,
-        "q86_ivf_refined" -> splitExact)
+        "q86_ivf_refined" -> splitExact,
+        "q87_pq_persisted" -> splitExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CacheScope, IvfIndex, PqIndex, TableStore}
+
+/** Persisted PQ tier of the IVF index: the committed codebook + codes
+  * serve without retraining, the refine contract pins the float path,
+  * and append/remove/rebalance keep the tier in lockstep with its
+  * siblings (serving state, not a cache). */
+class PqIndexSpec extends SparkSpec {
+
+  /** Deterministic 16-dim corpus (same family as QuantizedIvfSpec):
+    * m=4 subspaces of 4 dims. */
+  private def corpus(n: Int, offset: Long = 0L) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      val id = offset + i
+      val v = Array.tabulate(16) { d =>
+        (math.sin(id * 31 + d * 7) * (1.0 + (id % 5)) +
+          math.cos(id * 13 + d * 3) * 0.25).toFloat
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def buildPq(store: TableStore): Unit = {
+    implicit val scope: CacheScope = new CacheScope
+    IvfIndex.build(corpus(400), "vec_id", "embedding",
+      nCells = 8, iterations = 1, store, "emb")
+    PqIndex.buildStored(spark, store, "emb", m = 4, nCodes = 16, iterations = 2)
+    scope.release()
+  }
+
+  test("build commits model + codes in the serving shape (m ascending-sub codes per vector)") {
+    val store = new TableStore(tmpDir("pqidx"))
+    buildPq(store)
+    val cb = PqIndex.codebook(spark, store, "emb")
+    // every subspace keeps at least one live code; slices are subDim wide
+    assert(cb.select(col("sub")).distinct().count() === 4)
+    assert(cb.filter(size(col("c_v")) =!= 4).count() === 0)
+    assert(cb.filter(col("code") < 0 || col("code") >= 16).count() === 0)
+    val codes = PqIndex.codes(spark, store, "emb")
+    assert(codes.count() === 400)
+    assert(codes.filter(size(col("n_codes")) =!= 4).count() === 0)
+    // cells mirror the float tier's assignment row-for-row
+    val mismatched = codes.select(col("id"), col("cell").as("pq_cell"))
+      .join(IvfIndex.vectors(spark, store, "emb"), Seq("id"))
+      .filter(col("pq_cell") =!= col("cell")).count()
+    assert(mismatched === 0)
+  }
+
+  test("topKRefined with an exhaustive shortlist equals the float path exactly") {
+    val store = new TableStore(tmpDir("pqidx"))
+    buildPq(store)
+    val batch = corpus(60, offset = 10000L)
+    // shortlist >= corpus: every probed candidate reaches the exact
+    // re-rank, so quantization error cannot change the answer — the
+    // serving path's correctness contract independent of PQ quality
+    val refined = PqIndex.topKRefined(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 2, shortlist = 400)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+    val float = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 2)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"), col("rank"))
+    assert(refined.exceptAll(float).count() === 0)
+    assert(float.exceptAll(refined).count() === 0)
+  }
+
+  test("a working shortlist holds high recall against the float path") {
+    val store = new TableStore(tmpDir("pqidx"))
+    buildPq(store)
+    val batch = corpus(60, offset = 10000L)
+    val exact = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 3).select(col("vec_id"), col("neighbor_id"))
+    val pq = PqIndex.topKRefined(spark, batch, "vec_id", "embedding",
+      store, "emb", k = 3, nProbe = 3, shortlist = 32)
+      .select(col("vec_id"), col("neighbor_id"))
+    val n = exact.count()
+    val hit = pq.intersect(exact).count()
+    info(f"refined-vs-float recall ${hit.toDouble / n}%.4f")
+    assert(hit.toDouble / n >= 0.95,
+      s"shortlist-32 PQ refine dropped to $hit of $n vs the float path")
+  }
+
+  test("append encodes against the committed codebook; remove reaches the codes tier") {
+    val store = new TableStore(tmpDir("pqidx"))
+    buildPq(store)
+    val s = spark; import s.implicits._
+    val cbBefore = store.currentVersion("emb_pq_codebook")
+    val fresh = corpus(1, offset = 50000L)
+    IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
+    // the model is untouched (refit-free), the codes tier grew
+    assert(store.currentVersion("emb_pq_codebook") === cbBefore)
+    assert(PqIndex.codes(spark, store, "emb").filter(col("id") === 50000L).count() === 1,
+      "appended vector missing from the PQ codes tier")
+    // an identical query must find the appended vector through PQ serving
+    val probe = PqIndex.topKRefined(spark, fresh.withColumn("vec_id", lit(99999L)),
+      "vec_id", "embedding", store, "emb", k = 1, nProbe = 2, shortlist = 8)
+    assert(probe.head().getAs[Long]("neighbor_id") === 50000L)
+    // takedown must reach the codes tier — a removed vector that still
+    // matches PQ probes isn't removed at all
+    val removed = IvfIndex.remove(spark, Seq(50000L).toDF("id"), store, "emb")
+    assert(removed === 1)
+    assert(PqIndex.codes(spark, store, "emb").filter(col("id") === 50000L).count() === 0,
+      "removed vector still present in the PQ codes tier")
+  }
+
+  test("rebalance re-derives every sibling tier's cells (no stale cell ids after a refit)") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("pqidx-drift"))
+    // x-cluster corpus, then a y-direction drift batch — the
+    // IvfIndexSpec drift shape, with ALL THREE tiers present
+    val xCorpus = (1 to 10).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d < 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(xCorpus, "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    IvfIndex.quantizeStored(spark, store, "emb")
+    PqIndex.buildStored(spark, store, "emb", m = 4, nCodes = 8, iterations = 1)
+    val yBatch = (101 to 110).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d >= 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(spark, yBatch, "vec_id", "embedding", store, "emb")
+    assert(IvfIndex.rebalance(spark, store, "emb", bound = 1.4).isDefined)
+    // after the refit every tier must agree with the float tier's cells —
+    // a stale cell id would equi-join two unrelated cell spaces
+    val floatCells = IvfIndex.vectors(spark, store, "emb").select(col("id"), col("cell"))
+    val qStale = IvfIndex.quantizedVectors(spark, store, "emb")
+      .select(col("id"), col("cell").as("t_cell"))
+      .join(floatCells, Seq("id")).filter(col("t_cell") =!= col("cell")).count()
+    assert(qStale === 0, "int8 tier carries stale cells after rebalance")
+    val pqStale = PqIndex.codes(spark, store, "emb")
+      .select(col("id"), col("cell").as("t_cell"))
+      .join(floatCells, Seq("id")).filter(col("t_cell") =!= col("cell")).count()
+    assert(pqStale === 0, "PQ tier carries stale cells after rebalance")
+    // and PQ serving still answers through the rebuilt cells
+    val queries = corpus(2, offset = 90000L)
+    assert(PqIndex.topKRefined(spark, queries, "vec_id", "embedding",
+      store, "emb", k = 1, nProbe = 2, shortlist = 20).count() === 2)
+    scope.release()
+  }
+}
