@@ -51,15 +51,15 @@ object TextFunctions {
     * the span-level near-dup signal (bag-level Jaccard can miss a short
     * verbatim quote inside otherwise-different docs). Docs with fewer than
     * `w` k-grams yield an empty set. Narrow: O(|doc|·w) per row, no
-    * shuffle. */
-  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
-    val hs = transform(wordShingles(text, k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-    when(size(hs) < w, array().cast("array<long>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(hs) - lit(w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
-  }
+    * shuffle. Backed by the native
+    * [[org.apache.spark.sql.graft.WinnowedFingerprints]] expression (one
+    * compiled pass: each shingle md5-hashed once, window minima over a
+    * reused buffer) — value-identical to the interpreted
+    * `array_distinct(transform(sequence(...), i → array_min(slice(hs, i,
+    * w))))` chain it replaced, which paid a lambda dispatch plus an array
+    * COPY per window and dominated the winnowing query's cost. */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.HashSketches.winnowed_fingerprints(tokens(text), k, w)
 
   /** Distinct shingles as 64-bit hashes: a running xxh64 over each n-token
     * window — no per-shingle string building, 8-byte join keys instead of

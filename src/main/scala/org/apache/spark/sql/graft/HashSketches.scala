@@ -347,6 +347,72 @@ case class ArgmaxSetHits(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+  * over an `array<string>` of tokens: hash every `k`-token shingle to its
+  * md5-derived 60-bit value (the [[Md5Hash.h60]] family — bit-identical to
+  * `CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)`, so the whole
+  * chain stays SQL-replayable), then keep the MINIMUM hash of each
+  * length-`w` shingle window, distinct in first-occurrence order (exactly
+  * `array_distinct(transform(sequence(...), i → array_min(slice(hs, i,
+  * w))))`).
+  *
+  * Replaces that interpreted chain — per-shingle md5 through a lambda plus
+  * a per-window `slice` COPY + `array_min` lambda, the dominant first-pass
+  * cost of the winnowing query — with one compiled pass per row: each
+  * shingle is hashed once, and the window minimum is a primitive scan over
+  * a reused longs buffer. Fewer-than-`w` shingles → empty (no window
+  * exists), matching the declarative guard.
+  *
+  * `CodegenFallback` deliberately, like every sketch here: the cost lives
+  * inside this compiled loop.
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = Array(' '.toByte)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nShingles = len - k + 1
+    if (nShingles < w) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](nShingles)
+    val md = Md5Hash.threadMd5.get()
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) md.update(space)
+        if (!arr.isNullAt(j)) md.update(arr.getUTF8String(j).getBytes)
+        j += 1
+      }
+      hs(i) = Md5Hash.h60(md.digest())
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= nShingles - w) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashSketches {
   def token_stats(tokens: Column): Column =
     ExpressionUtils.column(TokenStats(ExpressionUtils.expression(tokens)))
@@ -367,4 +433,7 @@ object HashSketches {
 
   def shingle_hashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
+
+  def winnowed_fingerprints(tokens: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowedFingerprints(ExpressionUtils.expression(tokens), k, w))
 }
