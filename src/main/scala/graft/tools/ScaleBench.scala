@@ -120,9 +120,20 @@ object ScaleBench {
     // two-stage refine: q84's chain at nProbe=10 + exact re-rank of the
     // 64-deep shortlist — the quality operating point
     "q85_pq_refined",
+    // persisted-PQ serving: probe + ADC + refine over COMMITTED codes —
+    // the index build itself is staged once per dir, outside the timing
+    "q87_pq_persisted",
     // event-time joins (r6 verdict item 8): the as-of union-merge and the
     // chunk-equi-ized range join, measured at their real decade shapes
-    "q34_asof_join", "q35_range_join")
+    "q34_asof_join", "q35_range_join",
+    // streaming drains (r7 verdict item 4): the file-source fixtures keep
+    // 5 staged files at any SF, so these measure whether the ~4.5 s
+    // per-drain cost is micro-batch constant overhead (slope ≪ 1) or
+    // data-proportional state/shuffle growth. q26/q67 are NOT here: their
+    // CDC stage caps input at 30k rows by construction
+    // (SparkEntry.prepareCdcStage), so their cost is a documented
+    // constant term, not a measurable slope — see COVERAGE.md.
+    "q78_event_sessions", "q80_event_windows", "q81_stream_dedup")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
