@@ -155,6 +155,13 @@ object ScaleBench {
         rows = graft.SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // release app-lifetime pins between measurements — same hygiene
+      // rationale as the Bench loop: 21 queries × 2 dirs of accumulated
+      // MEMORY_AND_DISK pins make late queries (q84/q85) measure earlier
+      // queries' GC/spill pressure, which corrupts the slope RATIO both
+      // ways (base and scaled inflate differently). Within-query passes
+      // still share the warm cache.
+      graft.operators.CacheScope.appLifetime.release()
       (times.min, rows)
     }
 

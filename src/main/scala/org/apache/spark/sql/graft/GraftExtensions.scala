@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *  - `hyperplane_sig(v, nBits, seed)` — [[HyperplaneSignature]]
   *    (int literal, string literal)
   *  - `sig_agreement(a, b)`      — [[LongPositionsEqual]]
+  *  - `nfc_normalize(s)`         — [[NfcNormalize]]
+  *  - `winnowed_fingerprints(toks, k, w)` — [[WinnowedFingerprints]]
+  *    (int literals)
   *
   * Two entry points: [[GraftFunctions.register]] on a live session, or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` at
@@ -56,7 +59,9 @@ object GraftFunctions {
     "hyperplane_probes" -> (es => HyperplaneProbes(es(0),
       intLit(es(1), "nBits"), stringLit(es(2), "seed"), intLit(es(3), "nFlips"))),
     "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))),
-    "nfc_normalize" -> (es => NfcNormalize(es(0))))
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "winnowed_fingerprints" -> (es => WinnowedFingerprints(es(0),
+      intLit(es(1), "shingle size k"), intLit(es(2), "window w"))))
 
   /** Register all native functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -39,6 +39,46 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS n")
       .collect().head.getInt(0)
     assert(agree === 2)
+
+    // 5 tokens, k=2 -> 4 shingles, w=2 -> 3 windows, minima dedup to <= 3
+    val wf = spark.sql(
+      "SELECT size(winnowed_fingerprints(split('a b c d e', ' '), 2, 2)) AS n")
+      .collect().head.getInt(0)
+    assert(wf >= 1 && wf <= 3)
+  }
+
+  test("native winnowing fingerprints are value-identical to the declarative formulation") {
+    import org.apache.spark.sql.functions._
+    // the interpreted chain the native expression replaced — kept here as
+    // the equivalence oracle (q53's DuckDB replay is the external pin)
+    def hof(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val t = split(lower(text), " ")
+      val shingles = when(size(t) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - lit(k - 1)),
+          i => array_join(slice(t, i, lit(k)), " ")))
+      val hs = transform(shingles,
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+      when(size(hs) < w, array().cast("array<long>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - lit(w - 1)),
+          i => array_min(slice(hs, i, lit(w))))))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((k, w) <- Seq((3, 4), (2, 2), (5, 3))) {
+      val both = docs.select(
+        graft.functions.TextFunctions.winnowedFingerprints(col("text"), k, w).as("nat"),
+        hof(col("text"), k, w).as("old"))
+      assert(both.filter(col("nat") =!= col("old")).count() === 0,
+        s"native/declarative winnowing diverged at k=$k w=$w")
+    }
+    // short-doc guards: fewer tokens than k, and fewer shingles than w
+    val edge = spark.createDataFrame(Seq((1L, "a b"), (2L, "a"), (3L, "a b c d")))
+      .toDF("id", "text")
+    val eb = edge.select(
+      graft.functions.TextFunctions.winnowedFingerprints(col("text"), 3, 4).as("nat"),
+      hof(col("text"), 3, 4).as("old"))
+    assert(eb.filter(col("nat") =!= col("old")).count() === 0)
+    assert(eb.filter(size(col("nat")) =!= 0).count() === 0)
   }
 
   test("native hyperplane signature is bit-identical to the higher-order formulation") {
