@@ -191,11 +191,20 @@ object SparkEntry {
     * build, not the plan. Queries never require this (each stages its own
     * fixture on first touch). */
   def prepareSharedFixtures(s: SparkSession, dir: String): Unit = {
-    prepareCdcStage(s, dir)
-    q60IndexRoot(s, dir)
-    q69SigIndexRoot(s, dir)
-    prepareEventStage(s, dir)
-    prepareDupEventStage(s, dir)
+    // each fixture is guarded individually: one failing build (tmpfs
+    // full, transient OOM) must not silently skip the REST — the skipped
+    // fixtures would land back inside their first query's timed pass,
+    // the exact pathology this hook exists to prevent, with no log line
+    def guarded(name: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          System.err.println(s"[fixtures] $name failed for $dir: ${e.getMessage}")
+      }
+    guarded("cdcStage")(prepareCdcStage(s, dir))
+    guarded("embIndex")(q60IndexRoot(s, dir))
+    guarded("sigIndex")(q69SigIndexRoot(s, dir))
+    guarded("eventStage")(prepareEventStage(s, dir))
+    guarded("dupEventStage")(prepareDupEventStage(s, dir))
   }
 
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
@@ -722,7 +731,7 @@ object SparkEntry {
     // just the quadratic baseline. nCells is derived FROM THE CORPUS SIZE
     // (constant ~125-vector cell occupancy — the r5 BENCH_sf1 remedy:
     // frozen nCells made per-cell occupancy, and with it the candidate
-    // join, grow linearly; sized cells measured slope 0.12). The count is
+    // join, grow linearly; sized cells measured slope 0.16). The count is
     // a control-plane sizing probe — at cluster scale, metastore stats.
     // The oracle recomputes the same nCells from count(*), so the
     // hash-verified plan IS the scale-safe one.
@@ -791,7 +800,7 @@ object SparkEntry {
     // bits, slope 1.26 at ×10; holding the probe budget instead makes the
     // total candidate volume linear in n, recall floating with scale —
     // the same fixed-budget posture as q29's nProbe (Lv et al., VLDB
-    // 2007); measured ×10 slope 0.13 (BENCH_sf1). maxBucketSize=1000 =
+    // 2007); measured ×10 slope 0.16 (BENCH_sf1). maxBucketSize=1000 =
     // 8× the pinned expected bucket, a cap that no longer needs to move
     // with n. Hyperplane weights are md5-derived per (seed, bit, dim), so
     // the whole probe chain replays exactly in SQL; the oracle pins the
@@ -1230,6 +1239,29 @@ object SparkEntry {
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: DIVERSIFIED top-k retrieval (Carbonell & Goldstein, SIGIR 1998
+    // MMR) over the persisted index's candidates — the serving-side
+    // counterpart of the dedup family: q60's top-8 pool per query is
+    // greedily re-ranked by λ·rel − (1−λ)·max-cosine-to-selected
+    // (λ=0.7, k=3), so a near-dup cluster can't fill the whole answer.
+    // Every post-candidate stage is bounded by the pool size N=8: the
+    // pairwise-sim join is ≤N² narrow rows per query, each greedy round
+    // one max_by per query, round count the constant k. The oracle
+    // unrolls the greedy rounds as CTEs (the BPE-merge replay trick).
+    "q88_mmr_diverse" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      val cand = graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
+          k = 8, nProbe = 2)
+        .select(col("vec_id"), col("neighbor_id"), col("cosine").as("rel"))
+      val vectors = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      graft.operators.Diversify.mmr(cand, vectors, k = 3, lambda = 0.7)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("mmr_score"), 6).as("mmr_score"), col("mmr_rank"))
+        .orderBy(col("vec_id"), col("mmr_rank"))
     }),
 
     // ext: incremental semantic screening against the SAME persisted index
@@ -3279,6 +3311,110 @@ object SparkEntry {
         |  JOIN assigned nb ON sh.neighbor_id = nb.id)
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // q88 replay: q60's stored-index chain widened to a top-8 candidate
+    // pool, then the MMR greedy unrolled as CTEs (the BPE-merge trick):
+    // s1 = argmax rel; each later round anti-joins the selected set,
+    // scores remaining candidates by 0.7·rel − (1.0−0.7)·max(sim to
+    // selected) — the (1.0 − 0.7) form keeps the float bit-identical to
+    // the engine's lit(1.0 − lambda) — and picks the max (ties:
+    // neighbor asc). Pairwise sims come from one candidate self-join.
+    "q88_mmr_diverse" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN assigned a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id),
+        |cnd AS ( -- the top-8 candidate pool with raw relevance
+        |  SELECT vec_id, neighbor_id, cos_raw AS rel FROM ranked WHERE rank <= 8),
+        |psim AS ( -- pairwise candidate cosine, <= N^2 rows per query
+        |  SELECT a.vec_id AS vec_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+        |    list_cosine_similarity(av.v, bv.v) AS sim
+        |  FROM cnd a
+        |  JOIN cnd b ON a.vec_id = b.vec_id AND a.neighbor_id <> b.neighbor_id
+        |  JOIN ecast av ON a.neighbor_id = av.id
+        |  JOIN ecast bv ON b.neighbor_id = bv.id),
+        |s1 AS ( -- round 1: pure relevance
+        |  SELECT vec_id, neighbor_id, rel AS mmr_score, 1 AS mmr_rank FROM (
+        |    SELECT vec_id, neighbor_id, rel,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY rel DESC, neighbor_id ASC) AS rn
+        |    FROM cnd) WHERE rn = 1),
+        |rem2 AS (SELECT c.* FROM cnd c ANTI JOIN s1 USING (vec_id, neighbor_id)),
+        |sc2 AS (
+        |  SELECT r.vec_id, r.neighbor_id,
+        |    0.7 * r.rel - (1.0 - 0.7) * coalesce(max(p.sim), 0.0) AS mmr
+        |  FROM rem2 r
+        |  JOIN s1 s USING (vec_id)
+        |  LEFT JOIN psim p ON p.vec_id = r.vec_id AND p.a_id = r.neighbor_id
+        |    AND p.b_id = s.neighbor_id
+        |  GROUP BY r.vec_id, r.neighbor_id, r.rel),
+        |s2 AS (
+        |  SELECT vec_id, neighbor_id, mmr AS mmr_score, 2 AS mmr_rank FROM (
+        |    SELECT vec_id, neighbor_id, mmr,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY mmr DESC, neighbor_id ASC) AS rn
+        |    FROM sc2) WHERE rn = 1),
+        |sel2 AS (SELECT vec_id, neighbor_id FROM s1
+        |  UNION ALL SELECT vec_id, neighbor_id FROM s2),
+        |rem3 AS (SELECT c.* FROM cnd c ANTI JOIN sel2 USING (vec_id, neighbor_id)),
+        |sc3 AS (
+        |  SELECT r.vec_id, r.neighbor_id,
+        |    0.7 * r.rel - (1.0 - 0.7) * coalesce(max(p.sim), 0.0) AS mmr
+        |  FROM rem3 r
+        |  JOIN sel2 s USING (vec_id)
+        |  LEFT JOIN psim p ON p.vec_id = r.vec_id AND p.a_id = r.neighbor_id
+        |    AND p.b_id = s.neighbor_id
+        |  GROUP BY r.vec_id, r.neighbor_id, r.rel),
+        |s3 AS (
+        |  SELECT vec_id, neighbor_id, mmr AS mmr_score, 3 AS mmr_rank FROM (
+        |    SELECT vec_id, neighbor_id, mmr,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY mmr DESC, neighbor_id ASC) AS rn
+        |    FROM sc3) WHERE rn = 1)
+        |SELECT vec_id, neighbor_id, round(mmr_score, 6) AS mmr_score, mmr_rank
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY vec_id, mmr_rank""".stripMargin,
 
     // q60's replay chain, ending in a threshold screen instead of top-k:
     // a batch id is dropped iff its best probed-cell cosine reaches the

@@ -362,16 +362,41 @@ object IvfIndex {
     val corpus = vectors(spark, store, name)
       .select(col("id").as("neighbor_id"), col("v").as("n_v"))
       .withColumn("n_nrm", l2Norm(col("n_v")))
-    val exactW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short
-      .join(q, Seq("vec_id"))
-      .join(corpus, Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(exactW))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    Similarity.exactRerank(short, q, corpus, k)
+  }
+
+  /** Queries in probe shape: `(q_id, q_v, q_nrm)` with zero-norm
+    * (directionless) rows dropped. */
+  private[operators] def probeQueries(
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+    batch
+      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", l2Norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+
+  /** The stored model in probe shape: `(cell, c_v, c_nrm)`, zero-norm
+    * cells dropped. */
+  private[operators] def probeCentroids(
+      spark: SparkSession, store: TableStore, name: String): DataFrame =
+    centroids(spark, store, name)
+      .select(col("cell"), col("c_v"))
+      .withColumn("c_nrm", l2Norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+
+  /** Rank each query's `nProbe` nearest cells against the BROADCAST
+    * centroids — the probe stage every persisted-index searcher shares
+    * (one definition, so the (cosine desc, cell asc) tie-break can never
+    * diverge between tiers). `q` carries `q_id`/`q_v`/`q_nrm` plus any
+    * extra columns, which pass through; returns `q`'s columns + `cell`. */
+  private[operators] def probeCells(
+      q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select(q.columns.map(col).toIndexedSeq :+ col("cell"): _*)
   }
 
   private def topKAgainst(
@@ -384,20 +409,8 @@ object IvfIndex {
       k: Int,
       nProbe: Int,
       corpusVectors: DataFrame): DataFrame = {
-    val q = batch
-      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_v"))
-      .withColumn("q_nrm", l2Norm(col("q_v")))
-      .filter(col("q_nrm") > 0) // directionless queries have no cosine order
-    val cents = centroids(spark, store, name)
-      .select(col("cell"), col("c_v"))
-      .withColumn("c_nrm", l2Norm(col("c_v")))
-      .filter(col("c_nrm") > 0)
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("c_sim", dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= nProbe)
+    val q = probeQueries(batch, idCol, vecCol)
+    val probes = probeCells(q, probeCentroids(spark, store, name), nProbe)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
     val corpus = corpusVectors
       .withColumn("nrm", l2Norm(col("v")))

@@ -210,18 +210,6 @@ object Pq {
         round(col("e.score"), 6).as("score"), (col("idx") + 1).as("rank"))
   }
 
-  /** `(vec_id, neighbor_id, score)` ADC scores for every candidate pair,
-    * computed ROW-LOCALLY by the native [[org.apache.spark.sql.graft
-    * .PqAdcScore]] expression: the trained codebook rides along as a
-    * flattened constant (kilobytes — the expression-level analogue of a
-    * broadcast dimension), the corpus side joins one m-byte code array per
-    * neighbor, the query side its unit vector, and the whole ascending-sub
-    * partial-dot fold runs as two primitive loops inside whole-stage
-    * codegen. Bit-identical to the long-form (pair × sub) join + grouped
-    * fold the oracle replays — same subvector slices, same per-sub dot
-    * order, same 0.0-seeded ascending-sub fold — but the scoring join
-    * moves one row per pair instead of `m`, carries no per-pair
-    * aggregation state, and pays no interpreted lambda dispatch. */
   /** The codebook flattened to [[org.apache.spark.sql.graft.PqAdcScore]]'s
     * `double[m · stride · subDim]` constant layout; dropped (empty) codes
     * leave zero slots that no stored code ever indexes. */
@@ -235,6 +223,18 @@ object Pq {
     flat
   }
 
+  /** `(vec_id, neighbor_id, score)` ADC scores for every candidate pair,
+    * computed ROW-LOCALLY by the native [[org.apache.spark.sql.graft
+    * .PqAdcScore]] expression: the trained codebook rides along as a
+    * flattened constant (kilobytes — the expression-level analogue of a
+    * broadcast dimension), the corpus side joins one m-byte code array per
+    * neighbor, the query side its unit vector, and the whole ascending-sub
+    * partial-dot fold runs as two primitive loops inside whole-stage
+    * codegen. Bit-identical to the long-form (pair × sub) join + grouped
+    * fold the oracle replays — same subvector slices, same per-sub dot
+    * order, same 0.0-seeded ascending-sub fold — but the scoring join
+    * moves one row per pair instead of `m`, carries no per-pair
+    * aggregation state, and pays no interpreted lambda dispatch. */
   private[graft] def adcScores(mod: Model, m: Int): DataFrame = {
     val flat = flatCodebook(mod.cb, m, mod.nCodes, mod.subDim)
     val codesArr = codesToArray(mod.codes)
@@ -285,18 +285,11 @@ object Pq {
       .select(col("vec_id"), col("e.neighbor_id").as("neighbor_id"))
 
     // ---- stage 2: exact cosine re-rank of the shortlist only ----
-    val exactW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short
-      .join(mod.base.select(col("id").as("vec_id"),
-        col("v").as("q_v"), col("nrm").as("q_nrm")), Seq("vec_id"))
-      .join(mod.base.select(col("id").as("neighbor_id"),
-        col("v").as("n_v"), col("nrm").as("n_nrm")), Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(exactW))
-      .filter(col("rank") <= k)
+    Similarity.exactRerank(short,
+        mod.base.select(col("id").as("vec_id"),
+          col("v").as("q_v"), col("nrm").as("q_nrm")),
+        mod.base.select(col("id").as("neighbor_id"),
+          col("v").as("n_v"), col("nrm").as("n_nrm")), k)
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }

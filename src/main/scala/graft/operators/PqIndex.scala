@@ -176,21 +176,10 @@ object PqIndex {
     val (cb, m, stride, subDim) = loadCodebook(spark, store, name)
     val flat = Pq.flatCodebook(cb, m, stride, subDim)
 
-    val q = batch
-      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_v"))
-      .withColumn("q_nrm", l2Norm(col("q_v")))
-      .filter(col("q_nrm") > 0)
+    val q = IvfIndex.probeQueries(batch, idCol, vecCol)
       .withColumn("q_u", transform(col("q_v"), x => x / col("q_nrm")))
-    val cents = IvfIndex.centroids(spark, store, name)
-      .select(col("cell"), col("c_v"))
-      .withColumn("c_nrm", l2Norm(col("c_v")))
-      .filter(col("c_nrm") > 0)
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("c_sim", dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= nProbe)
+    val probes = IvfIndex.probeCells(
+        q, IvfIndex.probeCentroids(spark, store, name), nProbe)
       .select(col("q_id"), col("q_u"), col("cell"))
 
     // candidates: one row per (query, stored code row) in the probed
@@ -212,15 +201,7 @@ object PqIndex {
     val corpus = IvfIndex.vectors(spark, store, name)
       .select(col("id").as("neighbor_id"), col("v").as("n_v"))
       .withColumn("n_nrm", l2Norm(col("n_v")))
-    val exactW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short
-      .join(q.select(col("q_id").as("vec_id"), col("q_v"), col("q_nrm")), Seq("vec_id"))
-      .join(corpus, Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(exactW))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    Similarity.exactRerank(short,
+      q.select(col("q_id").as("vec_id"), col("q_v"), col("q_nrm")), corpus, k)
   }
 }

@@ -155,6 +155,29 @@ object Similarity {
     * (group, partition) reach the shuffle — vs a window sort moving every
     * scored candidate. Same deterministic order as
     * `row_number() over (order by cosine desc, neighbor_id asc)`. */
+  /** Exact-cosine re-rank of a `(vec_id, neighbor_id)` shortlist — the
+    * refine stage every two-stage (shortlist-and-refine) searcher shares:
+    * `q` carries `(vec_id, q_v, q_nrm)`, `corpus` carries `(neighbor_id,
+    * n_v, n_nrm)`; both joins are narrow id-equi-joins moving `shortlist`
+    * rows per query, never all-pairs. One definition so a tie-break or
+    * norm-guard fix can never diverge one serving path from its
+    * hash-gated oracle. Returns `(vec_id, neighbor_id, cosine, rank)`,
+    * rank ≤ k by (cosine desc, neighbor_id asc). */
+  private[operators] def exactRerank(
+      short: DataFrame, q: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(q, Seq("vec_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_v"), col("n_v")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   private[operators] def topKFromScored(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("vec_id"))

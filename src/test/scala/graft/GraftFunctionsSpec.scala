@@ -49,6 +49,9 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("native winnowing fingerprints are value-identical to the declarative formulation") {
     import org.apache.spark.sql.functions._
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")),
+      "driver fixtures not present")
     // the interpreted chain the native expression replaced — kept here as
     // the equivalence oracle (q53's DuckDB replay is the external pin)
     def hof(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
