@@ -41,6 +41,7 @@ final class CacheScope {
   import CacheScope.{lock, refs}
 
   private val pinned = scala.collection.mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
+  private val pinnedRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** Persist `df` (MEMORY_AND_DISK) and track it for [[release]].
     * Idempotent per (scope, logical plan): re-pinning an already-pinned plan
@@ -62,6 +63,19 @@ final class CacheScope {
     } else df // cached by the caller outside any scope: not ours to manage
   }
 
+  /** Persist an RDD-backed lineage cut (MEMORY_AND_DISK) and track it for
+    * [[release]] — the lifecycle half of the LogicalRDD truncation idiom
+    * ([[Diversify.mmr]]'s loop-invariant frames): each cut is a fresh RDD
+    * object, so there is no cross-scope sharing to refcount; release
+    * unpersists it outright. Without tracking, every invocation leaks one
+    * persisted RDD into the block manager for the session's lifetime —
+    * the exact drift [[graft.SessionSoakSpec]] guards. */
+  private[graft] def pinRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    lock.synchronized {
+      pinnedRdds += rdd
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Drop this scope's references; unpersist (non-blocking) each plan whose
     * LAST reference this was. Call only after the plans built on top have
     * been fully consumed. */
@@ -74,7 +88,13 @@ final class CacheScope {
       } else refs(key) = remaining
     }
     pinned.clear()
+    pinnedRdds.foreach(_.unpersist(blocking = false))
+    pinnedRdds.clear()
   }
+
+  /** Number of currently tracked RDD cuts — observability beside
+    * [[pinnedCount]]. */
+  def pinnedRddCount: Int = lock.synchronized(pinnedRdds.size)
 
   /** Number of currently tracked pins — observability for session hygiene. */
   def pinnedCount: Int = lock.synchronized(pinned.size)

@@ -58,17 +58,17 @@ object Diversify {
     * and 21 replicated centroid crossjoins — one per round per
     * reference. The frames are bounded by contract (≤ N and ≤ N² rows
     * per query, N the candidate-pool size), so the persisted blocks are
-    * kilobytes and live until block-manager LRU. */
-  private def materialized(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+    * kilobytes; the cut registers with the [[CacheScope]] in implicit
+    * scope so a long-lived session's release drains it (the
+    * SessionSoakSpec contract). */
+  private def materialized(df: DataFrame)(implicit caches: CacheScope): DataFrame =
+    df.sparkSession.createDataFrame(caches.pinRdd(df.rdd), df.schema)
 
   def mmr(
       candidates: DataFrame,
       vectors: DataFrame,
       k: Int,
-      lambda: Double): DataFrame = {
+      lambda: Double)(implicit caches: CacheScope): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
 
