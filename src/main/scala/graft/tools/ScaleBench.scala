@@ -140,13 +140,23 @@ object ScaleBench {
     val Array(base, scaled, factorS) = args
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // dev knob: let AQE start shuffles wider than the steady-state
+    // partition count and coalesce down (spill probe for the scaled dir)
+    sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: comma-separated query subset for targeted slope probes
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+      .map(only => heavy.filter(only.contains))
+      .getOrElse(heavy)
 
     def time(name: String, dir: String): (Double, Long) = {
       var rows = 0L
@@ -171,10 +181,10 @@ object ScaleBench {
     // the build, not the plan
     graft.SparkEntry.prepareSharedFixtures(spark, base)
     graft.SparkEntry.prepareSharedFixtures(spark, scaled)
-    graft.SparkEntry.queries(heavy.head)(spark, base).count()
+    graft.SparkEntry.queries(selected.head)(spark, base).count()
     graft.operators.CacheScope.appLifetime.release()
 
-    val rows = heavy.map { name =>
+    val rows = selected.map { name =>
       val (tBase, rBase) = time(name, base)
       val (tScaled, rScaled) = time(name, scaled)
       val slope = tScaled / (tBase * factor)
@@ -194,7 +204,13 @@ object ScaleBench {
     val json = s"""{"metric":"scale_slope","factor":$factor,"base":"$base",""" +
       s""""scaled":"$scaled","cpus":$cpus,"flag_above":1.5,"queries":$qs}"""
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"), json + "\n")
+    // a filtered or re-configured probe run must not clobber the committed
+    // full-surface artifact
+    if (sys.env.contains("SPARK_GRAFT_ONLY") ||
+        sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS"))
+      println("[scalebench] probe run (filtered/reconfigured): BENCH_sf1.json NOT written")
+    else
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"), json + "\n")
     spark.stop()
   }
 }
