@@ -1264,6 +1264,67 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("mmr_rank"))
     }),
 
+    // ext: BM25 ranked retrieval (Robertson & Zaragoza, FnTIR 2009) — the
+    // lexical top-k sibling of the embedding ANN family. Per-doc term
+    // counters are narrow size(filter(tokens)) passes (no (doc, term)
+    // explode-shuffle — that is q51's full-matrix job; a literal query
+    // term set never needs it), corpus stats (N, Σdl, per-term df) reduce
+    // to ONE broadcast row, the answer is a TakeOrdered top-k. No wide
+    // shuffle at any corpus size. Scoring sums terms in sorted order and
+    // rounds BEFORE ranking, so the oracle replays the exact FP chain.
+    "q89_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", queryTerms = Seq("spark", "hash", "merge"), k = 20)
+    }),
+
+    // ext: token-budget-capped corpus selection — the budgeted form of
+    // q37's quota: within each source, the highest-quality docs fill a
+    // 600-token budget (greedy prefix by quality desc, doc_id asc; the
+    // data-mixing step that answers "best N tokens per source"). One hash
+    // exchange on source + per-stratum sort — parallel across strata,
+    // inherently sequential within one (the budget is a running total);
+    // quota/rate sampling stay the cheaper caps when row counts suffice.
+    "q90_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.operators.Sampling.budgetSample(docs, "source", "doc_id",
+          "quality", "n_tokens", budget = 600L)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_tokens"), col("cum_weight").as("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    }),
+
+    // ext: C4-style page/line cleaning (Raffel et al., JMLR 2020 §2.2) —
+    // the line-shape filter beside q64's cross-doc paragraph dedup. The
+    // fixture corpus is single-line word soup, so the query stages each
+    // doc as a deterministic multi-line "page" first (the q64 synthesis
+    // trick, replayed identically in the oracle): 8-token lines, 2/3
+    // period-terminated, a lorem-ipsum line every 13th doc, a code line
+    // (`{`) every 17th. Clean.c4Clean then applies the real rules —
+    // terminal punctuation + ≥3 words per line, page dropped on code/
+    // lorem markers or <2 surviving lines. Fully narrow: one codegen'd
+    // pass, fingerprint-not-payload output.
+    "q91_c4_clean" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lastLine = floor((size(toks) - lit(1)) / lit(8.0)).cast("int")
+      val body = transform(sequence(lit(0), lastLine), i =>
+        concat(array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " "),
+          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val page = concat(
+        when(col("doc_id") % 13 === 0,
+          array(lit("lorem ipsum dolor sit amet.")))
+          .otherwise(array().cast("array<string>")),
+        body,
+        when(col("doc_id") % 17 === 0, array(lit("if (x) { return x; }")))
+          .otherwise(array().cast("array<string>")))
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(page, "\n").as("text"))
+      graft.operators.Clean.c4Clean(staged, "doc_id", "text",
+          minWordsPerLine = 3, minKeptLines = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: incremental semantic screening against the SAME persisted index
     // q60 serves — the embedding-side dedupAgainst: arriving vectors whose
     // best stored neighbour (probed cells) reaches the cosine threshold
@@ -3415,6 +3476,120 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, round(mmr_score, 6) AS mmr_score, mmr_rank
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY vec_id, mmr_rank""".stripMargin,
+
+    // BM25 replay: q51's tokenizer, per-term tf via list_filter (same
+    // narrow shape as the engine), 1-row corpus stats, the Robertson–
+    // Zaragoza scoring chain with every operand widened to DOUBLE before
+    // the arithmetic (DuckDB literals are DECIMAL; the engine computes in
+    // doubles) and terms summed in the same sorted order (hash, merge,
+    // spark) — FP addition is order-sensitive. Rounded score ranks, so
+    // the tie-break matches the engine exactly.
+    "q89_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'hash')) AS BIGINT) AS tf_hash,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'merge')) AS BIGINT) AS tf_merge,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'spark')) AS BIGINT) AS tf_spark
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash,
+        |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END AS INT) AS n_match_terms,
+        |    ln(1.0 + (n - df_hash + 0.5) / (df_hash + 0.5))
+        |      * (CAST(tf_hash AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_hash AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sum_dl / n)))
+        |    + ln(1.0 + (n - df_merge + 0.5) / (df_merge + 0.5))
+        |      * (CAST(tf_merge AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_merge AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sum_dl / n)))
+        |    + ln(1.0 + (n - df_spark + 0.5) / (df_spark + 0.5))
+        |      * (CAST(tf_spark AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_spark AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sum_dl / n)))
+        |    AS score
+        |  FROM d, st)
+        |SELECT doc_id, n_match_terms, round(score, 6) AS bm25
+        |FROM sc WHERE n_match_terms > 0
+        |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Token-budget replay: q16's quality expression per doc, q16's
+    // len(string_split) token count, a per-source running sum over
+    // (quality DESC, doc_id ASC) — exact long arithmetic, so the prefix
+    // cut replays bit-for-bit.
+    "q90_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |    round(
+        |      least(len(text) / 200.0, 1.0) * 0.4 +
+        |      (CASE WHEN (CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |          x -> len(x))) AS DOUBLE) / len(string_split(lower(text), ' ')))
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+        |          AS DOUBLE) / len(text)) * 5.0, 1.0)) * 0.2, 4) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, quality, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, source, quality, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 600
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    // C4-clean replay: the identical page synthesis (8-token lines via
+    // range + list_slice, 2/3 period-terminated, lorem/code injections on
+    // the same doc_id residues), then the identical rule chain — RE2's
+    // unanchored `[.!?"]$` matches Java regex here (no newlines inside a
+    // line), word count over nonempty splits, page markers via strpos.
+    "q91_c4_clean" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |page AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_concat(list_concat(
+        |      CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor sit amet.']
+        |           ELSE [] END,
+        |      list_transform(range(0, CAST(floor((len(toks) - 1) / 8.0) AS INT) + 1),
+        |        i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+        |             || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)),
+        |      CASE WHEN doc_id % 17 = 0 THEN ['if (x) { return x; }']
+        |           ELSE [] END), chr(10)) AS text
+        |  FROM docs),
+        |cl AS (
+        |  SELECT doc_id,
+        |    (strpos(lower(text), 'lorem ipsum') = 0 AND strpos(text, '{') = 0)
+        |      AS page_ok,
+        |    CASE WHEN strpos(lower(text), 'lorem ipsum') > 0
+        |           OR strpos(text, '{') > 0 THEN []
+        |         ELSE list_filter(string_split(text, chr(10)), l ->
+        |           regexp_matches(l, '[.!?"]$') AND
+        |           len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3)
+        |    END AS kept_lines
+        |  FROM page)
+        |SELECT doc_id,
+        |  page_ok AND len(kept_lines) >= 2 AS kept,
+        |  CAST(CASE WHEN page_ok AND len(kept_lines) >= 2
+        |       THEN len(kept_lines) ELSE 0 END AS INT) AS n_lines_kept,
+        |  md5(CASE WHEN page_ok AND len(kept_lines) >= 2
+        |       THEN array_to_string(kept_lines, chr(10)) ELSE '' END) AS content_fp
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // q60's replay chain, ending in a threshold screen instead of top-k:
     // a batch id is dropped iff its best probed-cell cosine reaches the

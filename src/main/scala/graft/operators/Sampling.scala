@@ -170,4 +170,37 @@ object Sampling {
       .drop("_rate")
       .select(df.columns.map(col): _*) // original column order
   }
+
+  /** Token-budget-capped corpus selection: within each stratum, rank rows
+    * by `scoreCol` (desc, id asc on ties) and keep the greedy prefix whose
+    * cumulative `weightCol` stays within `budget` — "the best documents
+    * from each source, up to N tokens each". This is the budgeted form of
+    * [[quotaSample]]: the cap is a weight (token) total instead of a row
+    * count, the quality signal decides who fills it.
+    *
+    * Output adds `cum_weight` (the running total INCLUDING the row) so
+    * the consumer can see how full each stratum's budget ran.
+    *
+    * Scale: a greedy prefix is inherently sequential within a stratum, so
+    * this is one hash exchange on the stratum plus a per-stratum sort —
+    * the same shape as any windowed rank, parallel across strata, skew
+    * bounded by the largest stratum. There is no cheaper formulation that
+    * preserves the "best first until the budget closes" semantics; when a
+    * row-count cap suffices, [[quotaSample]] avoids the sort entirely.
+    */
+  def budgetSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      scoreCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_weight", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clean
+
+class CleanSpec extends SparkSpec {
+
+  private def pages() = {
+    val s = spark; import s.implicits._
+    Seq(
+      // 3 good lines → kept
+      (1L, "the first real sentence here.\nanother useful line of text.\nand one more to close it out."),
+      // only 1 surviving line (others unpunctuated / too short) → dropped
+      (2L, "a good line with enough words.\nno terminal punctuation here\nshort one."),
+      // lorem ipsum marker → whole page dropped despite good lines
+      (3L, "a good line with enough words.\nlorem ipsum dolor sit amet.\nanother fine line right here."),
+      // code marker → whole page dropped
+      (4L, "a good line with enough words.\nif (x) { return x; }\nanother fine line right here."),
+      // unpunctuated soup → zero kept lines
+      (5L, "word soup with no punctuation at all just words")
+    ).toDF("doc_id", "text")
+  }
+
+  test("c4Clean applies line rules and page markers") {
+    val out = Clean.c4Clean(pages(), "doc_id", "text",
+      minWordsPerLine = 3, minKeptLines = 2)
+      .orderBy(col("doc_id")).collect()
+    val kept = out.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(2) === 3)
+    assert(byId(2L).getInt(2) === 0, "dropped pages report zero kept lines")
+    // dropped pages share the empty-content fingerprint
+    val emptyFp = byId(5L).getString(3)
+    assert(Seq(2L, 3L, 4L).forall(id => byId(id).getString(3) == emptyFp))
+    assert(byId(1L).getString(3) != emptyFp)
+  }
+
+  test("line rules: terminal punctuation and word-count thresholds bind exactly") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "one two three.\none two.\nends with bang!\nends with question?\nends with quote\"")
+    ).toDF("doc_id", "text")
+    val out = Clean.c4Clean(docs, "doc_id", "text",
+      minWordsPerLine = 3, minKeptLines = 1).collect().head
+    // "one two." has 2 words → dropped; the other four survive
+    assert(out.getInt(2) === 4)
+  }
+
+  test("c4Clean is a narrow plan: no exchange of any kind") {
+    val plan = Clean.c4Clean(pages(), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cleaning must stay narrow:\n$plan")
+  }
+}

@@ -178,4 +178,47 @@ class SamplingSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 === 1,
       s"exactly one exchange expected:\n$plan")
   }
+
+  private def scoredDocs() = {
+    val s = spark; import s.implicits._
+    // (id, source, score, tokens): web scores descend with id, so the
+    // greedy prefix is ids 1,2,3,… until the budget closes
+    (1L to 10L).map(i => (i, "web", 10.0 - i, 30L))
+      .++(Seq((11L, "books", 1.0, 25L), (12L, "books", 2.0, 80L)))
+      .toDF("doc_id", "source", "score", "n_tokens")
+  }
+
+  test("budgetSample keeps the best-first prefix within each stratum's budget") {
+    val kept = Sampling.budgetSample(scoredDocs(), "source", "doc_id",
+        "score", "n_tokens", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+      .sortBy(_._1)
+    // web: 30+30+30 = 90 ≤ 100, a fourth doc would hit 120 → ids 1..3
+    assert(kept.filter(_._2 == "web").map(_._1) === Seq(1L, 2L, 3L))
+    // books: best-scored doc 12 costs 80 ≤ 100; doc 11 would push to 105
+    assert(kept.filter(_._2 == "books").map(_._1) === Seq(12L))
+    // running totals include the row itself
+    assert(kept.map(_._3) === Seq(30L, 60L, 90L, 80L))
+  }
+
+  test("budgetSample: a row larger than the whole budget blocks its stratum") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a", 5.0, 500L), (2L, "a", 4.0, 10L))
+      .toDF("doc_id", "source", "score", "n_tokens")
+    // greedy prefix semantics: the over-budget best row occupies the head
+    // of the prefix, so nothing is kept (the cap is a prefix, not a knapsack)
+    assert(Sampling.budgetSample(docs, "source", "doc_id",
+      "score", "n_tokens", budget = 100L).count() === 0)
+  }
+
+  test("budgetSample is deterministic on score ties and under repartitioning") {
+    val s = spark; import s.implicits._
+    val ties = (1L to 6L).map(i => (i, "a", 1.0, 40L)).toDF("doc_id", "source", "score", "n_tokens")
+    val a = Sampling.budgetSample(ties, "source", "doc_id", "score", "n_tokens", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.budgetSample(ties.repartition(5), "source", "doc_id",
+      "score", "n_tokens", 100L).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === Seq(1L, 2L)) // id asc breaks the tie: 40+40 ≤ 100 < 120
+    assert(a === b)
+  }
 }
