@@ -745,6 +745,23 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the QUALITY tier of the ad-hoc IVF family — q29's exact chain
+    // at nProbe=10 (q29 : q92 :: q84 : q85 :: q60 : q86). ivfTopK scores
+    // candidates with exact cosine, so its recall is purely candidate-
+    // bound; widening the probe from 4 to 10 cells lifts recall@3 from
+    // 0.494 to the nProbe=10 candidate ceiling (~0.84 on this fixture,
+    // RECALL_SNAPSHOT) at 2.5× the candidate volume — still ~10/nCells
+    // of the corpus per query, constant per-query work as n grows.
+    "q92_ivf_wide" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 3, nCells = nCells, nProbe = 10)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: IVF-PQ — product-quantized ADC scoring (Jégou et al., TPAMI
     // 2011) inside the q29 cell bound: 16 subspace codebooks trained by
     // grouped L2 Lloyd (division-free ranking: cnorm² − 2·dot), corpus
@@ -1847,6 +1864,45 @@ object SparkEntry {
     * (vec_id, neighbor_id, score) CTE — callers append their ranking
     * tail. Byte-for-byte the former q84 SQL with the probe width
     * parameterized. */
+  /** Exact replay of the ad-hoc IVF scale path (q29 family): same
+    * md5-sampled centroids, same nearest-cell assignment, same nProbe
+    * probing, same (cosine desc, neighbor_id asc) ranking. Cosines are
+    * computed by the identical sequential double arithmetic on both sides
+    * (established by q18/q22), so even rank ties resolve identically.
+    * nCells is DERIVED from count(*) on both sides (greatest(16, n //
+    * 125) — constant cell occupancy), so the verified operating point
+    * scales with the corpus. Shared by q29 (budget tier, nProbe 4) and
+    * q92 (quality tier, nProbe 10) — only the probe bound differs. */
+  private def ivfTopKOracle(nProbe: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT id AS c_id, v AS c_v FROM base
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+       |    <= greatest(16, (SELECT count(*) FROM base) // 125)),
+       |centlive AS ( -- mirror of the engine's zero-norm centroid guard
+       |  SELECT * FROM cent WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+       |sims AS (
+       |  SELECT b.id, b.v, c.c_id,
+       |    row_number() OVER (PARTITION BY b.id
+       |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
+       |  FROM base b CROSS JOIN centlive c),
+       |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
+       |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
+       |ranked AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN base qb ON c.vec_id = qb.id
+       |  JOIN base nb ON c.neighbor_id = nb.id)
+       |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   private def pqAdcChain(nProbe: Int): String =
     s"""WITH base AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
@@ -3885,42 +3941,13 @@ object SparkEntry {
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // Exact replay of the IVF scale path: same md5-sampled centroids, same
-    // nearest-cell assignment, same nProbe probing, same (cosine desc,
-    // neighbor_id asc) ranking. Cosines are computed by the identical
-    // sequential double arithmetic on both sides (established by q18/q22),
-    // so even rank ties resolve identically. nCells is DERIVED from
-    // count(*) on both sides (greatest(16, n // 125) — constant cell
-    // occupancy), so the verified operating point scales with the corpus.
-    "q29_ivf_topk" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (
-        |  SELECT id AS c_id, v AS c_v FROM base
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
-        |    <= greatest(16, (SELECT count(*) FROM base) // 125)),
-        |centlive AS ( -- mirror of the engine's zero-norm centroid guard
-        |  SELECT * FROM cent WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
-        |sims AS (
-        |  SELECT b.id, b.v, c.c_id,
-        |    row_number() OVER (PARTITION BY b.id
-        |      ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.c_id ASC) AS c_rank
-        |  FROM base b CROSS JOIN centlive c),
-        |assigned AS (SELECT id, c_id AS cell FROM sims WHERE c_rank = 1),
-        |probes AS (SELECT id AS q_id, c_id AS cell FROM sims WHERE c_rank <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id AS vec_id, a.id AS neighbor_id
-        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
-        |ranked AS (
-        |  SELECT c.vec_id, c.neighbor_id,
-        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY c.vec_id
-        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
-        |  FROM cand c
-        |  JOIN base qb ON c.vec_id = qb.id
-        |  JOIN base nb ON c.neighbor_id = nb.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // Both tiers of the ad-hoc IVF family replay through ivfTopKOracle
+    // (see its scaladoc); only the probe bound differs.
+    "q29_ivf_topk" -> ivfTopKOracle(nProbe = 4),
+
+    // q92 replay: the IDENTICAL chain at the wide probe — only the
+    // `c_rank <=` bound differs (shared via ivfTopKOracle).
+    "q92_ivf_wide" -> ivfTopKOracle(nProbe = 10),
 
     // q84 replay: q29's cell chain bounds the candidates; the PQ side
     // unrolls grouped Lloyd (seeds -> a1/cb1 -> a2/cb2), encodes against

@@ -59,6 +59,7 @@ object Recall {
     try {
       val tracked: Seq[(String, DataFrame)] = Seq(
         "q29_ivf_topk" -> selfExact,
+        "q92_ivf_wide" -> selfExact,
         "q30_lsh_topk" -> selfExact,
         "q56_ivf_trained" -> selfExact,
         "q71_lsh_multiprobe" -> selfExact,
