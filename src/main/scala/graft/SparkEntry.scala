@@ -762,6 +762,25 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: KMV distinct-count sketch (Bar-Yossef et al., RANDOM 2002) —
+    // the mergeable approximate-distinct every 100 TB profiler needs
+    // ("distinct users per segment" without a full distinct shuffle of
+    // values): k smallest salted-md5 draws per group, estimate (k−1)/R.
+    // Built on the deterministic draw instead of a seeded hash, so unlike
+    // approx_count_distinct's HLL++ (merge-order/layout dependent) the
+    // whole sketch — and therefore the estimate — hash-replays in SQL.
+    // The counted value is the active user-day (~1.6k true distinct per
+    // group, all differing), so the k=64 estimator arm is live and each
+    // group's estimate is its own.
+    "q93_kmv_distinct" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("user_day",
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")))
+      graft.operators.Sketches.kmvDistinct(ev,
+          Seq("event_type"), "user_day", k = 64)
+        .orderBy(col("event_type"))
+    }),
+
     // ext: IVF-PQ — product-quantized ADC scoring (Jégou et al., TPAMI
     // 2011) inside the q29 cell bound: 16 subspace codebooks trained by
     // grouped L2 Lloyd (division-free ranking: cnorm² − 2·dot), corpus
@@ -3948,6 +3967,29 @@ object SparkEntry {
     // q92 replay: the IDENTICAL chain at the wide probe — only the
     // `c_rank <=` bound differs (shared via ivfTopKOracle).
     "q92_ivf_wide" -> ivfTopKOracle(nProbe = 10),
+
+    // KMV replay: the engine's salted 40-bit draw (q37/q38's established
+    // SQL form), DISTINCT (group, hash), the k-th-smallest by window
+    // rank, and the (k−1)/R estimator with the same greatest(hv, 1)
+    // guard and double widening — both arms (exact-under-k and
+    // estimator) replay bit-for-bit.
+    "q93_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)
+        |      || ':' || strftime(ts, '%Y-%m-%d')), 1, 10) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM h)
+        |SELECT event_type, CAST(least(nh, 64) AS INT) AS n_sketch,
+        |  round(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |        ELSE 63.0 * 1099511627776.0 / CAST(greatest(hv, 1) AS DOUBLE)
+        |        END, 4) AS est_distinct
+        |FROM r WHERE rk = least(nh, 64)
+        |ORDER BY event_type""".stripMargin,
 
     // q84 replay: q29's cell chain bounds the candidates; the PQ side
     // unrolls grouped Lloyd (seeds -> a1/cb1 -> a2/cb2), encodes against
