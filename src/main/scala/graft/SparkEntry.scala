@@ -781,6 +781,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // A-ES, IPL 2006) — the ∝-weight member of the sampling family
+    // (quota = count cap, rate = Bernoulli, temperature = stratum
+    // flattening): 10 docs per source drawn proportional to character
+    // mass, ranked by the deterministic ln(u)/w key, so the exact sample
+    // set replays in SQL. Same TopKPairs-partial-top-k + semi-join shape
+    // as q37 — no window, no global sort, ≤ k rows per (stratum,
+    // partition) reach the shuffle.
+    "q94_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSample(t(s, dir, "documents"),
+          "source", "doc_id", "n_chars", k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // ext: IVF-PQ — product-quantized ADC scoring (Jégou et al., TPAMI
     // 2011) inside the q29 cell bound: 16 subspace codebooks trained by
     // grouped L2 Lloyd (division-free ranking: cnorm² − 2·dot), corpus
@@ -3990,6 +4005,29 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // A-ES replay: the engine's salted draw as u ∈ (0,1], the ln(u)/w
+    // key, per-source rank (key DESC, doc_id ASC — TopKPairs' tie
+    // order). Key values are order statistics ~1/n apart, far beyond
+    // any cross-engine ln() ulp, so the selected set is stable.
+    "q94_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 10)
+        |      AS BIGINT) AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((CAST(hv AS DOUBLE) + 1.0) / 1099511627776.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id ASC) AS rk
+        |  FROM keyed)
+        |SELECT doc_id, source, n_chars FROM r WHERE rk <= 10
+        |ORDER BY source, doc_id""".stripMargin,
 
     // q84 replay: q29's cell chain bounds the candidates; the PQ side
     // unrolls grouped Lloyd (seeds -> a1/cb1 -> a2/cb2), encodes against

@@ -171,6 +171,44 @@ object Sampling {
       .select(df.columns.map(col): _*) // original column order
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis, "Weighted
+    * random sampling with a reservoir", IPL 2006, algorithm A-ES): each row
+    * draws u ∈ (0, 1] from the salted-md5 hash and is ranked by
+    * ln(u)/weight — the monotone form of the paper's u^(1/w) key — so a
+    * row's selection probability is proportional to its weight ("sample
+    * documents ∝ token mass"), yet the draw is deterministic, layout-
+    * independent, and replayable in SQL like every sampler here.
+    *
+    * Rows with weight ≤ 0 are excluded (they have no sampling mass and
+    * u^(1/w) is undefined there).
+    *
+    * Scale: identical shape to [[quotaSample]] — the per-stratum top-k is
+    * a `TopKPairs` partial aggregate (map-side combined, ≤ k rows per
+    * (stratum, partition) reach the shuffle), and the keeper list prunes
+    * the corpus with one semi join. Never a window, never a global sort.
+    */
+  def weightedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (draw40(col("_id"), salt).cast("double") + lit(1.0)) /
+      lit(1099511627776.0) // (hv+1)/2^40 ∈ (0, 1]
+    val key = log(u) / col("_w").cast("double")
+    val keep = df
+      .select(col(strataCol), col(idCol).as("_id"), col(weightCol).as("_w"))
+      .filter(col("_w") > 0)
+      .withColumn("_key", key)
+      .groupBy(col(strataCol))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("_key"), col("_id"), k).as("tk"))
+      .select(explode(col("tk.neighbor_id")).as("_keep_id"))
+    df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
+  }
+
   /** Token-budget-capped corpus selection: within each stratum, rank rows
     * by `scoreCol` (desc, id asc on ties) and keep the greedy prefix whose
     * cumulative `weightCol` stays within `budget` — "the best documents

@@ -179,6 +179,45 @@ class SamplingSpec extends SparkSpec {
       s"exactly one exchange expected:\n$plan")
   }
 
+  test("weightedSample: k per stratum, deterministic, zero-weight rows excluded") {
+    val s = spark; import s.implicits._
+    val docs = ((1L to 30L).map(i => (i, "web", 10L)) ++
+      (31L to 40L).map(i => (i, "books", 5L)) ++
+      Seq((41L, "web", 0L), (42L, "web", -3L))) // no sampling mass
+      .toDF("doc_id", "source", "n_chars")
+    val once = Sampling.weightedSample(docs, "source", "doc_id", "n_chars", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("web" -> 5, "books" -> 5))
+    assert(!once.map(_._1).exists(id => id == 41L || id == 42L))
+    val again = Sampling.weightedSample(docs.repartition(7), "source",
+      "doc_id", "n_chars", k = 5).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("weightedSample draws proportional to weight across salts") {
+    val s = spark; import s.implicits._
+    // one item with 100x the weight of each of 19 others; P(heavy wins
+    // the k=1 draw) = 100/119 ≈ 0.84 — across 40 independent salts the
+    // heavy item must dominate (binomial tail: P(<20 of 40) < 1e-5)
+    val docs = ((1L to 19L).map(i => (i, "g", 1L)) :+ (20L, "g", 100L))
+      .toDF("doc_id", "source", "w")
+    val wins = (1 to 40).count { i =>
+      Sampling.weightedSample(docs, "source", "doc_id", "w", k = 1, salt = s"t$i")
+        .collect().head.getLong(0) == 20L
+    }
+    assert(wins >= 20, s"weight-100 item won only $wins/40 k=1 draws")
+  }
+
+  test("weightedSample plan: TopKPairs aggregate, never a window") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 50L).map(i => (i, "g", i)).toDF("doc_id", "source", "w")
+    val plan = Sampling.weightedSample(docs, "source", "doc_id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"selection must be a partial top-k:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"no global funnel:\n$plan")
+  }
+
   private def scoredDocs() = {
     val s = spark; import s.implicits._
     // (id, source, score, tokens): web scores descend with id, so the
