@@ -133,7 +133,11 @@ object ScaleBench {
     // CDC stage caps input at 30k rows by construction
     // (SparkEntry.prepareCdcStage), so their cost is a documented
     // constant term, not a measurable slope — see COVERAGE.md.
-    "q78_event_sessions", "q80_event_windows", "q81_stream_dedup")
+    "q78_event_sessions", "q80_event_windows", "q81_stream_dedup",
+    // r8 additions: the wide-probe IVF quality tier (q29's chain at
+    // 2.5× candidates), BM25's narrow-pass + 1-row-barrier shape, the
+    // per-stratum budget sort, and the KMV sketch's distinct + top-k
+    "q92_ivf_wide", "q89_bm25", "q90_token_budget", "q93_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
