@@ -796,6 +796,40 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ext: Johnson–Lindenstrauss RANDOM PROJECTION 64 → 16 dims (native
+    // expression, md5-derived directions — the q30 weight-replay scheme,
+    // √(3/k) norm-preserving scale) with its own distortion audit: per
+    // label, the mean ‖p‖/‖v‖ ratio (JL says ≈1) and the mean cosine
+    // error over consecutive-id pairs. Dimensionality reduction is the
+    // storage/serving diet between float embeddings and q79's int8 —
+    // 4× fewer components BEFORE quantization. The projection is fully
+    // narrow (k·d flops/row inside codegen); the audit pays one id-equi
+    // pair join and two partial aggregations.
+    "q95_random_projection" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"),
+          col("label"))
+        .withColumn("nv", l2Norm(col("v")))
+        .filter(col("nv") > 0)
+        .withColumn("p", randomProject(col("v"), 16, "rp"))
+        .withColumn("np", l2Norm(col("p")))
+      val ratios = base.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("np") / col("nv")), 4).as("mean_norm_ratio"))
+      val x = base.select(col("id"), col("label"), col("v"), col("nv"),
+        col("p"), col("np"))
+      val pairs = x.alias("a").join(x.alias("b"),
+          col("a.id") + 1 === col("b.id"))
+        .select(col("a.label").as("label"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))).as("cos_o"),
+          (dot(col("a.p"), col("b.p")) / (col("a.np") * col("b.np"))).as("cos_p"))
+      val dist = pairs.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("cos_o") - col("cos_p"))), 4).as("mean_cos_err"))
+      ratios.join(dist, Seq("label")).orderBy(col("label"))
+    }),
+
     // ext: IVF-PQ — product-quantized ADC scoring (Jégou et al., TPAMI
     // 2011) inside the q29 cell bound: 16 subspace codebooks trained by
     // grouped L2 Lloyd (division-free ranking: cnorm² − 2·dot), corpus
@@ -4028,6 +4062,49 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT doc_id, source, n_chars FROM r WHERE rk <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    // JL replay: the q30 weight derivation at seed 'rp' (16 directions ×
+    // 64 dims), list_inner_product per direction scaled by sqrt(3/16),
+    // then the same two audits — norm ratios per vector, cosine error
+    // over (id, id+1) pairs — averaged per label. Rounding at 4 keeps the
+    // engine/oracle summation-order noise (~1e-13) invisible.
+    "q95_random_projection" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |nb AS (
+        |  SELECT id, v, label, sqrt(list_inner_product(v, v)) AS nv FROM base
+        |  WHERE sqrt(list_inner_product(v, v)) > 0),
+        |w AS (
+        |  SELECT j,
+        |    list(CAST('0x' || substring(md5('rp:' || j || ':' || i), 1, 10) AS BIGINT)
+        |      % 100000 / 50000.0 - 1.0 ORDER BY i) AS wv
+        |  FROM range(0, 16) rj(j), range(0, 64) ri(i)
+        |  GROUP BY j),
+        |proj AS (
+        |  SELECT b.id,
+        |    list(list_inner_product(b.v, w.wv) * sqrt(3.0 / 16.0) ORDER BY w.j) AS p
+        |  FROM nb b CROSS JOIN w GROUP BY b.id),
+        |fl AS (
+        |  SELECT nb.id, nb.label, nb.v, nb.nv, proj.p,
+        |    sqrt(list_inner_product(proj.p, proj.p)) AS np
+        |  FROM nb JOIN proj USING (id)),
+        |ratios AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    round(avg(np / nv), 4) AS mean_norm_ratio
+        |  FROM fl GROUP BY label),
+        |pairs AS (
+        |  SELECT a.label,
+        |    list_inner_product(a.v, b.v) / (a.nv * b.nv) AS cos_o,
+        |    list_inner_product(a.p, b.p) / (a.np * b.np) AS cos_p
+        |  FROM fl a JOIN fl b ON a.id + 1 = b.id),
+        |dist AS (
+        |  SELECT label, count(*) AS n_pairs,
+        |    round(avg(abs(cos_o - cos_p)), 4) AS mean_cos_err
+        |  FROM pairs GROUP BY label)
+        |SELECT label, n_vecs, mean_norm_ratio, n_pairs, mean_cos_err
+        |FROM ratios JOIN dist USING (label)
+        |ORDER BY label""".stripMargin,
 
     // q84 replay: q29's cell chain bounds the candidates; the PQ side
     // unrolls grouped Lloyd (seeds -> a1/cb1 -> a2/cb2), encodes against

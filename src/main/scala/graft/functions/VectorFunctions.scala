@@ -28,6 +28,13 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Johnson–Lindenstrauss random projection to `k` components (native
+    * [[org.apache.spark.sql.graft.RandomProjection]]): md5-derived
+    * directions (the LSH weight scheme, SQL-replayable), √(3/k) scaling
+    * so norms are preserved in expectation. Narrow, O(k·dim) per row. */
+  def randomProject(v: Column, k: Int, seed: String = "rp"): Column =
+    org.apache.spark.sql.graft.RandomProjection.random_project(v, k, seed)
+
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *  - `nfc_normalize(s)`         — [[NfcNormalize]]
   *  - `winnowed_fingerprints(toks, k, w)` — [[WinnowedFingerprints]]
   *    (int literals)
+  *  - `random_project(v, k, seed)` — [[RandomProjection]]
+  *    (int literal, string literal)
   *
   * Two entry points: [[GraftFunctions.register]] on a live session, or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` at
@@ -61,7 +63,9 @@ object GraftFunctions {
     "sig_agreement" -> (es => LongPositionsEqual(es(0), es(1))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "winnowed_fingerprints" -> (es => WinnowedFingerprints(es(0),
-      intLit(es(1), "shingle size k"), intLit(es(2), "window w"))))
+      intLit(es(1), "shingle size k"), intLit(es(2), "window w"))),
+    "random_project" -> (es => RandomProjection(es(0),
+      intLit(es(1), "k"), stringLit(es(2), "seed"))))
 
   /** Register all native functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit =
