@@ -1810,6 +1810,38 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ext: STREAM-STATIC dimension enrichment under the hash gate — the
+    // fourth streaming face beside q78 (custom state), q80 (windows) and
+    // q81 (dedup state): each micro-batch broadcast-joins the arriving
+    // events against the customer dimension (the stream side never
+    // shuffles for a lookup — EventStreams.enrich), and the drained,
+    // enriched output must aggregate to the SAME per-(type, segment)
+    // totals a plain batch join computes. Stateless, so the five-batch
+    // drain proves the per-batch join plumbing, not state handling.
+    "q96_stream_enrich" -> ((s, dir) => {
+      val st = prepareEventStage(s, dir)
+      val root = newTmpDir("graft_q96run").toString
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment"))
+      val enriched = graft.streaming.EventStreams.enrich(
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+          .parquet(st.stageDir),
+        dim, Seq("user_id"))
+      enriched.writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$root/out")
+        .filter(col("event_type") =!= "flush")
+        .groupBy(col("event_type"), col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
     // ext: STREAMING dedup-on-ingest under the hash gate — the
     // `dropDuplicatesWithinWatermark` face of exact dedup, on the real
     // file-source path (its MemoryStream spec only exercises semantics).
@@ -2508,6 +2540,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q96 replay: stream-static enrichment is stateless, so the drained
+    // output must equal the plain batch LEFT JOIN against the customer
+    // dimension (flush rows excluded engine-side before aggregating).
+    "q96_stream_enrich" ->
+      """SELECT e.event_type, c.c_mktsegment AS segment,
+        |  count(*) AS n_events, round(sum(e.value), 4) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY e.event_type, c.c_mktsegment
+        |ORDER BY e.event_type, segment""".stripMargin,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of
