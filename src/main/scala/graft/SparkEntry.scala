@@ -865,7 +865,11 @@ object SparkEntry {
 
     // ext: TRAINED IVF — the k-means cells (one Lloyd iteration) feed the
     // IVF index instead of sampled centroids: trainer → index composed,
-    // still fully SQL-replayable.
+    // still fully SQL-replayable. Its subject is the COMPOSITION (and the
+    // tiny-cell geometry it pins), not the operating point — recall sits
+    // mid (~0.5, RECALL_SNAPSHOT) like q29's budget tier; q92 is the
+    // family's declared quality tier (same exact-scoring core, wide
+    // probe, 0.838).
     "q56_ivf_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val fitted = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
