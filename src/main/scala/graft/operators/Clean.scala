@@ -41,7 +41,9 @@ object Clean {
       minKeptLines: Int = 2): DataFrame = {
     require(minWordsPerLine >= 1, "minWordsPerLine must be >= 1")
     require(minKeptLines >= 1, "minKeptLines must be >= 1")
-    val text = col(textCol)
+    // NULL text = an empty page: zero lines survive, the page is dropped
+    // with the empty-content fingerprint (not a NULL row)
+    val text = coalesce(col(textCol), lit(""))
     val keptLines = filter(split(text, "\n"), l =>
       l.rlike("[.!?\"]$") &&
         size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine)

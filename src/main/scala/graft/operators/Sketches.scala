@@ -48,8 +48,10 @@ object Sketches {
     val hv = conv(substring(md5(concat(lit(s"$salt:"),
       col(valueCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
     // stage 1: the distinct every exact-or-approximate counter must pay —
-    // partial-combined, keyed on (group, hash)
+    // partial-combined, keyed on (group, hash). NULL values carry no
+    // identity and are excluded, matching count(DISTINCT x) semantics.
     val distinctHashes = df
+      .filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ hv.as("_hv"): _*)
       .distinct()
     // stage 2: k smallest hashes per group as a mergeable partial top-k

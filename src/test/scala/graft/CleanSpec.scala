@@ -48,6 +48,17 @@ class CleanSpec extends SparkSpec {
     assert(out.getInt(2) === 4)
   }
 
+  test("NULL text is an empty page: dropped, empty fingerprint, never a NULL row") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, Some("a good line with enough words.\nanother good line of text here.")),
+      (2L, None)).toDF("doc_id", "text")
+    val out = Clean.c4Clean(docs, "doc_id", "text", minKeptLines = 2)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getBoolean(1))
+    assert(!out(1).getBoolean(1) && out(1).getInt(2) === 0)
+    assert(out(1).getString(3) != null, "dropped page still fingerprints deterministically")
+  }
+
   test("c4Clean is a narrow plan: no exchange of any kind") {
     val plan = Clean.c4Clean(pages(), "doc_id", "text")
       .queryExecution.executedPlan.toString

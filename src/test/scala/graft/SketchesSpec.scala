@@ -51,6 +51,15 @@ class SketchesSpec extends SparkSpec {
     assert(est === whole, "union sketch must be reconstructible from part sketches")
   }
 
+  test("kmv excludes NULL values, matching count(DISTINCT x)") {
+    val s = spark; import s.implicits._
+    val df = (Seq(("g", Some(1L)), ("g", Some(2L)), ("g", None), ("g", None)))
+      .toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, Seq("g"), "v", 16).collect().head
+    assert(out.getInt(1) === 2 && out.getDouble(2) === 2.0,
+      "NULLs carry no identity and must not count")
+  }
+
   test("kmv plan: two partial-combined aggregations, no window, no sort") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
