@@ -1846,6 +1846,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("segment"))
     }),
 
+    // ext: BATCH BM25 against a probe TABLE — q89's decontamination audit
+    // run the way 100 TB runs it: many benchmark probes scored in one
+    // pass over an inverted index (the one justified (doc, term) shuffle,
+    // amortized over every probe), per-term df broadcast onto the tiny
+    // exploded probe-term set, probe terms broadcast onto their postings
+    // (scored volume = Σ df(term), never probes × corpus), contributions
+    // folded in sorted-term order (oracle replays the FP chain via an
+    // ordered SQL sum), TopKPairs partial top-k per probe. Probes are
+    // DERIVED from the fixture (every 97th doc, its first 3 tokens), so
+    // the probe count scales with SF.
+    "q97_bm25_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          slice(filter(graft.functions.TextFunctions.tokens(col("text")),
+            x => length(x) > 0), 1, 3).as("pterms"))
+      graft.operators.Retrieval.bm25Against(docs, "doc_id", "text",
+        probes, "probe_id", "pterms", k = 5)
+    }),
+
     // ext: STREAMING dedup-on-ingest under the hash gate — the
     // `dropDuplicatesWithinWatermark` face of exact dedup, on the real
     // file-source path (its MemoryStream spec only exercises semantics).
@@ -2554,6 +2574,53 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY e.event_type, c.c_mktsegment
         |ORDER BY e.event_type, segment""".stripMargin,
+
+    // q97 replay: the full batch-retrieval chain in SQL — inverted
+    // postings via unnest + GROUP BY, 1-row corpus stats, per-term df,
+    // probes derived from every 97th doc's first 3 tokens, the
+    // Robertson–Zaragoza contribution per (probe, doc, term) summed with
+    // an ORDERED aggregate (ORDER BY term — the engine folds a
+    // term-sorted array, so the FP chain is bit-identical), rounded score
+    // ranked per probe with the same (score desc, doc_id asc) tie-break.
+    "q97_bm25_batch" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, term),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+        |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |pt AS (
+        |  SELECT DISTINCT probe_id, term FROM (
+        |    SELECT doc_id AS probe_id, unnest(list_slice(toks, 1, 3)) AS term
+        |    FROM d WHERE doc_id % 97 = 0)
+        |  WHERE len(term) > 0),
+        |sc AS (
+        |  SELECT pt.probe_id, post.doc_id,
+        |    CAST(count(*) AS INT) AS n_match_terms,
+        |    sum(
+        |      ln(1.0 + (st.n - CAST(tdf.df AS DOUBLE) + 0.5)
+        |                / (CAST(tdf.df AS DOUBLE) + 0.5))
+        |      * (CAST(post.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(post.tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+        |                  / (st.sum_dl / st.n)))
+        |      ORDER BY pt.term) AS score
+        |  FROM pt
+        |    JOIN tdf ON pt.term = tdf.term
+        |    JOIN post ON pt.term = post.term
+        |    JOIN dl ON post.doc_id = dl.doc_id, st
+        |  GROUP BY pt.probe_id, post.doc_id)
+        |SELECT probe_id, doc_id, n_match_terms, round(score, 6) AS bm25
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of

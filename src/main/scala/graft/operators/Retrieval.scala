@@ -48,7 +48,12 @@ object Retrieval {
     require(queryTerms.nonEmpty, "need at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
     val terms = queryTerms.map(_.toLowerCase).distinct.sorted
-    def tfCol(t: String) = s"_tf_$t"
+    // per-term work columns are keyed by the term's index in the sorted
+    // list, never by the raw term: a term like "v1.0" would otherwise
+    // produce a column name that `col(...)` parses as nested-field access
+    val termIdx = terms.zipWithIndex.toMap
+    def tfCol(t: String) = s"_tf_${termIdx(t)}"
+    def dfCol(t: String) = s"_df_${termIdx(t)}"
 
     // pass 1 (narrow): doc length + one tf counter per query term
     val toks = filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0)
@@ -63,7 +68,7 @@ object Retrieval {
     // avgdl is derived as exact-long Σdl / N in both engines, never avg(),
     // whose accumulation order is engine-specific.
     val aggs = sum(col("_dl").cast("long")).as("_sum_dl") +:
-      terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"_df_$t"))
+      terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
     val stats = perDoc.agg(count(lit(1)).as("_n"), aggs: _*)
 
     val joined = perDoc.crossJoin(broadcast(stats))
@@ -73,7 +78,7 @@ object Retrieval {
     // so the oracle must add in the same order — it does, by construction
     val score = terms.map { t =>
       val tf = col(tfCol(t)).cast("double")
-      val dfq = col(s"_df_$t").cast("double")
+      val dfq = col(dfCol(t)).cast("double")
       val idf = log(lit(1.0) + (n - dfq + lit(0.5)) / (dfq + lit(0.5)))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl") / avgdl))
@@ -87,5 +92,113 @@ object Retrieval {
       .filter(col("n_match_terms") > 0)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Batch BM25: top-`k` corpus documents for EVERY probe in a probe
+    * TABLE — the decontamination-audit shape ([[bm25TopK]]'s stated
+    * purpose) run the way a 100 TB audit actually runs it: thousands of
+    * benchmark probes scored at once, not one literal term list per
+    * invocation. The batch-vs-corpus sibling of
+    * [[Dedup.minhashLshPairsAgainst]].
+    *
+    * Scale shape — an inverted index, built once per call:
+    *   1. postings: explode tokens → one `groupBy(doc, term)` shuffle
+    *      (the index build — the cost every batch retrieval must pay
+    *      once, amortized over all probes; a literal term list never
+    *      needs it, which is why [[bm25TopK]] stays narrow).
+    *   2. per-term document frequency: a groupBy over postings keyed on
+    *      term — vocabulary-sized, broadcast onto the probe terms.
+    *   3. probe terms (exploded, deduplicated — tiny) broadcast-join the
+    *      postings on term: only postings of probed terms survive, so
+    *      the scored volume is Σ_t df(t) over probe terms, never
+    *      probes × corpus.
+    *   4. per-(probe, doc) score: contributions folded in sorted-term
+    *      order over a ≤|probe-terms| collected array (FP addition is
+    *      order-sensitive; the oracle replays the same order), then a
+    *      [[org.apache.spark.sql.graft.TopKPairs]] partial top-k per
+    *      probe — k rows per (probe, partition) reach the final shuffle.
+    *
+    * `maxDfFrac` is the hot-postings guard (stopword pruning, standard in
+    * IR): probe terms appearing in more than that fraction of the corpus
+    * are dropped from scoring — their postings lists are the |corpus|-
+    * sized skew buckets, and their idf ≈ 0 contributes nothing but cost.
+    * Default 1.0 keeps every term.
+    *
+    * Output: (probe_id, doc_id, n_match_terms, bm25) — per probe, the
+    * top-k docs by rounded score desc, doc_id asc (rounding BEFORE
+    * ranking, as in [[bm25TopK]]).
+    *
+    * @param probes one row per probe; `probeTermsCol` is an
+    *               `array<string>` of query terms (lower-cased and
+    *               deduplicated internally)
+    */
+  def bm25Against(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTermsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+
+    // corpus pass: tokens + doc length, then the one (doc, term) shuffle
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0)
+    val tokenized = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    val postings = tokenized
+      .select(col("doc_id"), col("_dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("_dl"), col("term")) // _dl functional on doc_id
+      .agg(count(lit(1)).as("_tf"))
+    // corpus stats: ONE row (N, Σdl); df per term: vocabulary-sized
+    val stats = tokenized.agg(count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sum_dl"))
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df")) // postings are unique per (doc, term)
+
+    // probe terms: exploded + deduplicated, idf stats attached — tiny
+    val probeTerms = probes
+      .select(col(probeIdCol).as("probe_id"),
+        explode(col(probeTermsCol)).as("term"))
+      .select(col("probe_id"), lower(col("term")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .join(termDf, Seq("term")) // unseen terms score 0 everywhere — drop
+      .crossJoin(broadcast(stats))
+      .filter(col("_df").cast("double") <= lit(maxDfFrac) * col("_n").cast("double"))
+
+    // score contributions: probe terms (broadcast) × their postings
+    val n = col("_n").cast("double")
+    val avgdl = col("_sum_dl").cast("double") / n
+    val tf = col("_tf").cast("double")
+    val dfq = col("_df").cast("double")
+    val idf = log(lit(1.0) + (n - dfq + lit(0.5)) / (dfq + lit(0.5)))
+    val contrib = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl))
+    val scored = postings.join(broadcast(probeTerms), Seq("term"))
+      .select(col("probe_id"), col("doc_id"), col("term"), contrib.as("_c"))
+      // fold contributions in sorted-term order (≤ |probe terms| per pair)
+      // so the FP sum replays exactly in any engine that can order its sum
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_match_terms"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("_c")))),
+          lit(0.0), (acc, x) => acc + x.getField("_c")).as("_score"))
+      .withColumn("bm25", round(col("_score"), 6))
+
+    // per-probe top-k: partial buffers combine map-side; only k rows per
+    // (probe, partition) reach the last shuffle
+    val topk = scored.groupBy(col("probe_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("bm25"), col("doc_id"), k).as("_tk"))
+      .select(col("probe_id"), explode(col("_tk")).as("_e"))
+      .select(col("probe_id"), col("_e.neighbor_id").as("doc_id"))
+    // rejoin for n_match_terms: topk is ≤ k·probes rows — broadcast it
+    scored.join(broadcast(topk), Seq("probe_id", "doc_id"))
+      .select(col("probe_id"), col("doc_id"), col("n_match_terms"), col("bm25"))
   }
 }

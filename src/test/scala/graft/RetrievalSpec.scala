@@ -64,4 +64,69 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"per-doc scoring must not shuffle the corpus:\n$plan")
   }
+
+  test("bm25TopK accepts terms with column-name-special characters") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "v1.0 release notes"), (2L, "plain text")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("v1.0"), k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("bm25Against matches per-probe bm25TopK for every probe") {
+    val s = spark; import s.implicits._
+    val probes = Seq(
+      (10L, Seq("spark", "hash")),
+      (20L, Seq("spark")),
+      (30L, Seq("joins", "common", "data"))
+    ).toDF("probe_id", "pterms")
+    val batch = Retrieval.bm25Against(corpus(), "doc_id", "text",
+      probes, "probe_id", "pterms", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for ((pid, terms) <- Seq(10L -> Seq("spark", "hash"),
+        20L -> Seq("spark"), 30L -> Seq("joins", "common", "data"))) {
+      val single = Retrieval.bm25TopK(corpus(), "doc_id", "text", terms, k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val got = batch(pid).map(t => (t._2, t._3, t._4))
+        .sortBy(t => (-t._3, t._1)).toSeq
+      assert(got === single, s"probe $pid diverged from bm25TopK")
+    }
+  }
+
+  test("bm25Against dedups probe terms and ignores unseen/empty terms") {
+    val s = spark; import s.implicits._
+    val probes = Seq((1L, Seq("spark", "SPARK", "", "neverseen"))).toDF("probe_id", "pterms")
+    val batch = Retrieval.bm25Against(corpus(), "doc_id", "text",
+      probes, "probe_id", "pterms", k = 10).collect()
+    val single = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+      Seq("spark"), k = 10).collect()
+    assert(batch.length === single.length)
+    assert(batch.map(_.getDouble(3)).sorted.toSeq ===
+      single.map(_.getDouble(2)).sorted.toSeq)
+  }
+
+  test("bm25Against maxDfFrac prunes stopword-dense terms from scoring") {
+    val s = spark; import s.implicits._
+    // "the" appears in every doc; "rare" in one
+    val docs = Seq(
+      (1L, "the rare signal"), (2L, "the noise"), (3L, "the other noise")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, Seq("the", "rare"))).toDF("probe_id", "pterms")
+    val pruned = Retrieval.bm25Against(docs, "doc_id", "text",
+      probes, "probe_id", "pterms", k = 10, maxDfFrac = 0.5).collect()
+    // only "rare" survives the df cap → only doc 1 matches
+    assert(pruned.map(_.getLong(1)).toSeq === Seq(1L))
+    assert(pruned.head.getInt(2) === 1)
+  }
+
+  test("bm25Against is deterministic under repartitioning of both sides") {
+    val s = spark; import s.implicits._
+    val probes = Seq((10L, Seq("spark", "hash")), (20L, Seq("data"))).toDF("probe_id", "pterms")
+    def run(d: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25Against(d, "doc_id", "text", p, "probe_id", "pterms", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(corpus(), probes) === run(corpus().repartition(7), probes.repartition(3)))
+  }
 }
