@@ -4134,13 +4134,16 @@ object SparkEntry {
     // SQL form), DISTINCT (group, hash), the k-th-smallest by window
     // rank, and the (k−1)/R estimator with the same greatest(hv, 1)
     // guard and double widening — both arms (exact-under-k and
-    // estimator) replay bit-for-bit.
+    // estimator) replay bit-for-bit. The NULL filter mirrors the
+    // engine's count(DISTINCT)-style exclusion (a NULL user_id/ts would
+    // otherwise hash to a NULL hv that count(*) OVER still counts).
     "q93_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
         |    CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)
         |      || ':' || strftime(ts, '%Y-%m-%d')), 1, 10) AS BIGINT) AS hv
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |r AS (
         |  SELECT event_type, hv,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rk,

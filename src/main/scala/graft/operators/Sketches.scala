@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * deterministic and SQL-replayable, unlike `approx_count_distinct`'s
   * HLL++, whose merge order is layout-dependent.
   *
-  * Scale shape: one partial-combined DISTINCT on (group, hash) — the
-  * dedup every distinct-count must pay — then a [[org.apache.spark.sql.graft.TopKPairs]]
-  * partial top-k per group, so only k hashes per (group, partition) reach
-  * the second shuffle. No windows, no sort, no driver state; groups are
-  * few, rows-after-stage-one ≤ distinct values, rows-after-stage-two ≤
-  * k·groups.
+  * Scale shape: ONE aggregate exchange, and a genuinely sub-distinct
+  * one — raw rows feed a [[org.apache.spark.sql.graft.TopKPairs]]
+  * deduplicating partial top-k directly (duplicate hashes are skipped
+  * inside the size-k buffer), so at most k hashes per (group, partition)
+  * ever reach the shuffle: O(groups · partitions · k) rows, independent
+  * of both row count AND distinct count. No distinct pre-pass, no
+  * windows, no sort, no driver state.
   */
 object Sketches {
 
@@ -47,19 +48,18 @@ object Sketches {
     require(groupCols.nonEmpty, "need at least one group column")
     val hv = conv(substring(md5(concat(lit(s"$salt:"),
       col(valueCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
-    // stage 1: the distinct every exact-or-approximate counter must pay —
-    // partial-combined, keyed on (group, hash). NULL values carry no
-    // identity and are excluded, matching count(DISTINCT x) semantics.
-    val distinctHashes = df
+    // one pass: raw rows straight into a DEDUPLICATING partial top-k —
+    // repeated hashes are skipped inside the size-k buffer, so only the
+    // k smallest distinct hashes per (group, partition) reach the single
+    // aggregate exchange (score = −hash ⇒ highest-score-first keeps
+    // ascending hashes). NULL values carry no identity and are excluded,
+    // matching count(DISTINCT x) semantics.
+    val sk = df
       .filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ hv.as("_hv"): _*)
-      .distinct()
-    // stage 2: k smallest hashes per group as a mergeable partial top-k
-    // (score = −hash ⇒ highest-score-first keeps ascending hashes)
-    val sk = distinctHashes
       .groupBy(groupCols.map(col): _*)
       .agg(org.apache.spark.sql.graft.TopKPairs
-        .top_k_pairs(-col("_hv").cast("double"), col("_hv"), k).as("tk"))
+        .top_k_pairs_distinct(-col("_hv").cast("double"), col("_hv"), k).as("tk"))
     val n = size(col("tk.neighbor_id"))
     val kth = element_at(col("tk.neighbor_id"), n) // largest retained = k-th smallest
     sk.select(groupCols.map(col) :+ n.as("n_sketch") :+

@@ -12,8 +12,14 @@ import org.apache.spark.sql.types._
 
 /** Size-bounded top-k buffer of (score, id) pairs, kept sorted
   * best-to-worst. Order: higher score wins; ties broken by smaller id —
-  * matching `row_number() over (order by score desc, id asc)`. */
-final class TopKBuffer(val k: Int) {
+  * matching `row_number() over (order by score desc, id asc)`.
+  *
+  * With `dedup = true` an incoming pair already held in the buffer is
+  * skipped — the buffer then holds the top-k DISTINCT pairs, which lets
+  * a caller like the KMV sketch feed raw (possibly massively duplicated)
+  * hashes straight into the partial aggregate instead of paying a
+  * separate distinct shuffle first. */
+final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
@@ -27,6 +33,13 @@ final class TopKBuffer(val k: Int) {
     // block better finite candidates nondeterministically.
     if (java.lang.Double.isNaN(s)) return
     if (size == k && !beats(s, id, size - 1)) return
+    if (dedup) {
+      // locate the slot (s, id) would occupy; an exact match sits just
+      // above it — `beats` is false on equality, so the scan stops there
+      var j = if (size == k) size - 1 else size
+      while (j > 0 && beats(s, id, j - 1)) j -= 1
+      if (j > 0 && scores(j - 1) == s && ids(j - 1) == id) return
+    }
     // find insert position (linear from the tail; k is small)
     var pos = if (size == k) size - 1 else size
     if (size < k) size += 1
@@ -55,6 +68,7 @@ case class TopKPairs(
     score: Expression,
     id: Expression,
     k: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -67,7 +81,7 @@ case class TopKPairs(
     StructField("neighbor_id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, dedup)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -102,7 +116,9 @@ case class TopKPairs(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(bb.getInt())
+    // merge() only ever meets already-deduplicated buffers, but the flag
+    // is still carried so a merge target keeps skipping duplicates
+    val buf = new TopKBuffer(bb.getInt(), dedup)
     val n = bb.getInt()
     var i = 0
     while (i < n) {
@@ -126,4 +142,13 @@ object TopKPairs {
     ExpressionUtils.column(TopKPairs(
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(id), k).toAggregateExpression())
+
+  /** Aggregate column: top-k DISTINCT (score, id) pairs, best first —
+    * duplicates are dropped inside the partial buffers, so callers never
+    * need a separate distinct pass (and its shuffle) ahead of the
+    * aggregate. */
+  def top_k_pairs_distinct(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(TopKPairs(
+      ExpressionUtils.expression(score),
+      ExpressionUtils.expression(id), k, dedup = true).toAggregateExpression())
 }

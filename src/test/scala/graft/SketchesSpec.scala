@@ -60,13 +60,34 @@ class SketchesSpec extends SparkSpec {
       "NULLs carry no identity and must not count")
   }
 
-  test("kmv plan: two partial-combined aggregations, no window, no sort") {
+  test("kmv plan: ONE aggregate exchange — sub-distinct, no window, no sort") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
     val plan = Sketches.kmvDistinct(df, Seq("g"), "v", 16)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"sketch must not rank per group:\n$plan")
-    assert(plan.split("Exchange").length - 1 === 2,
-      s"distinct + sketch agg = exactly two exchanges:\n$plan")
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"dedup happens inside the partial top-k buffer — exactly one exchange:\n$plan")
+  }
+
+  test("top_k_pairs_distinct buffer skips duplicates at every position") {
+    import org.apache.spark.sql.graft.TopKBuffer
+    val buf = new TopKBuffer(4, dedup = true)
+    // fill, then replay every element (head, middle, tail) — size stable
+    Seq((5.0, 1L), (4.0, 2L), (3.0, 3L), (2.0, 4L)).foreach { case (sc, id) => buf.add(sc, id) }
+    assert(buf.size === 4)
+    Seq((5.0, 1L), (3.0, 3L), (2.0, 4L)).foreach { case (sc, id) => buf.add(sc, id) }
+    assert(buf.size === 4)
+    assert(buf.ids.toSeq === Seq(1L, 2L, 3L, 4L))
+    // a better non-duplicate still displaces the tail
+    buf.add(6.0, 9L)
+    assert(buf.ids.take(4).toSeq === Seq(9L, 1L, 2L, 3L))
+    // same score, different id: NOT a duplicate — id-asc tie order
+    buf.add(6.0, 8L)
+    assert(buf.ids.take(4).toSeq === Seq(8L, 9L, 1L, 2L))
+    // re-adding the current tail's exact pair is still a no-op
+    val before = buf.ids.take(4).toSeq
+    buf.add(4.0, 2L)
+    assert(buf.ids.take(4).toSeq === before)
   }
 }
