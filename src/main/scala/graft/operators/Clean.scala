@@ -48,14 +48,16 @@ object Clean {
       l.rlike("[.!?\"]$") &&
         size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine)
     val pageBad = (instr(lower(text), "lorem ipsum") > 0) || (instr(text, "{") > 0)
-    docs
-      .withColumn("_kept", when(pageBad, array().cast("array<string>"))
-        .otherwise(keptLines))
-      .withColumn("kept", !pageBad && (size(col("_kept")) >= minKeptLines))
-      .select(col(idCol),
-        col("kept"),
-        when(col("kept"), size(col("_kept"))).otherwise(lit(0)).as("n_lines_kept"),
-        md5(when(col("kept"), array_join(col("_kept"), "\n")).otherwise(lit(""))
-          .cast("binary")).as("content_fp"))
+    // no withColumn on the caller's frame: an input that already carries
+    // a `kept` (or `_kept`) column — plausible on a re-cleaning run —
+    // must not be silently overwritten. Everything stays expression-level
+    // and only the four output columns are projected.
+    val keptArr = when(pageBad, array().cast("array<string>")).otherwise(keptLines)
+    val keptFlag = !pageBad && (size(keptArr) >= minKeptLines)
+    docs.select(col(idCol),
+      keptFlag.as("kept"),
+      when(keptFlag, size(keptArr)).otherwise(lit(0)).as("n_lines_kept"),
+      md5(when(keptFlag, array_join(keptArr, "\n")).otherwise(lit(""))
+        .cast("binary")).as("content_fp"))
   }
 }

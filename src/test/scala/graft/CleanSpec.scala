@@ -64,4 +64,15 @@ class CleanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"cleaning must stay narrow:\n$plan")
   }
+
+  test("an input that already has a kept/_kept column is not clobbered") {
+    val s = spark; import s.implicits._
+    // a re-cleaning run: the frame carries columns from a previous pass
+    val docs = Seq((1L, "a good line with enough words.\nanother good line of text here.",
+      false, "stale")).toDF("doc_id", "text", "kept", "_kept")
+    val out = Clean.c4Clean(docs, "doc_id", "text", minKeptLines = 2).collect().head
+    assert(out.getBoolean(1), "fresh verdict must come from THIS pass's rules, " +
+      "not the input's stale kept column")
+    assert(out.getInt(2) === 2)
+  }
 }
