@@ -781,6 +781,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: deterministic mergeable QUANTILE sketch — KLL's geometric-
+    // level space discipline (Karnin/Lang/Liberty, FOCS 2016) with the
+    // salted-md5 draw as the compaction coin (Gibbons–Matias distinct
+    // sampling): an event survives to level L iff its 40-bit draw ≡ 0
+    // mod 2^L, the buffer escalates on overflow, and the final state is
+    // a canonical function of the input SET — so unlike percentile_approx
+    // (order-dependent) the whole sketch hash-replays in SQL. KMV's
+    // quantile sibling: corpus profiling at 100 TB gets percentiles from
+    // ONE aggregate exchange of ≤ b rows per (group, partition) — no
+    // per-group sort, no window over the corpus. Groups hold ~2k events
+    // (sf0.01), so the b=256 estimator arm is live at level ≥ 3.
+    "q98_quantile_sketch" -> ((s, dir) => {
+      graft.operators.Sketches.quantileSketch(events(s, dir),
+          Seq("event_type"), "event_id", "value",
+          qs = Seq(0.5, 0.9, 0.99), b = 256)
+        .orderBy(col("event_type"))
+    }),
+
     // ext: WEIGHTED sampling without replacement (Efraimidis–Spirakis
     // A-ES, IPL 2006) — the ∝-weight member of the sampling family
     // (quota = count cap, rate = Bernoulli, temperature = stratum
@@ -4155,6 +4173,48 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Quantile-sketch replay: the engine's salted 40-bit draw per
+    // event_id, the canonical level per group (min L in 0..24 whose
+    // survivor count fits the b=256 buffer — exactly what the buffer's
+    // overflow-escalation converges to), the survivor sample at that
+    // level, and values[ceil(q*m)] by window rank. Levels are probed by
+    // a small cross join against range(0,25) — oracle-side cost only;
+    // the engine never materializes levels.
+    "q98_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    CAST('0x' || substring(md5('kll:' || CAST(event_id AS VARCHAR)),
+        |      1, 10) AS BIGINT) AS hv
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |lvc AS (
+        |  SELECT event_type, gs.l,
+        |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
+        |  FROM h, (SELECT unnest(range(0, 25)) AS l) gs
+        |  GROUP BY event_type, gs.l),
+        |minl AS (
+        |  SELECT event_type, CAST(min(l) AS INT) AS level
+        |  FROM lvc WHERE c <= 256 GROUP BY event_type),
+        |samp AS (
+        |  SELECT h.event_type, minl.level, h.v
+        |  FROM h JOIN minl ON h.event_type = minl.event_type
+        |  WHERE hv % CAST(pow(2, minl.level) AS BIGINT) = 0),
+        |rk AS (
+        |  SELECT event_type, level, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM samp)
+        |SELECT event_type, CAST(max(level) AS INT) AS level,
+        |  CAST(max(m) AS INT) AS n_retained,
+        |  round(max(CASE WHEN r = greatest((5000 * m + 9999) // 10000, 1)
+        |    THEN v END), 6) AS p50,
+        |  round(max(CASE WHEN r = greatest((9000 * m + 9999) // 10000, 1)
+        |    THEN v END), 6) AS p90,
+        |  round(max(CASE WHEN r = greatest((9900 * m + 9999) // 10000, 1)
+        |    THEN v END), 6) AS p99
+        |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // A-ES replay: the engine's salted draw as u ∈ (0,1], the ln(u)/w
     // key, per-source rank (key DESC, doc_id ASC — TopKPairs' tie

@@ -69,4 +69,69 @@ object Sketches {
             greatest(kth, lit(1L)).cast("double")),
         4).as("est_distinct"): _*)
   }
+
+  /** Approximate quantiles of `valueCol` per group via the deterministic
+    * level sample ([[org.apache.spark.sql.graft.LevelSample]] — KLL's
+    * geometric-level space discipline with the salted-md5 draw as the
+    * compaction coin, so the whole sketch replays in SQL; see its
+    * scaladoc for why the final state is canonical under any
+    * partitioning).
+    *
+    * Output per group: `level` (each survivor stands for 2^level rows —
+    * 0 means the quantiles are EXACT), `n_retained`, and one `p<q>`
+    * column per requested quantile holding `values[ceil(q*m)]` of the
+    * ascending-sorted survivor sample (1-indexed; the same index
+    * arithmetic an oracle applies with a window rank).
+    *
+    * Scale shape: ONE aggregate exchange carrying at most `b` (hash,
+    * value) pairs per (group, partition) — no per-group sort of the
+    * corpus, no window, no distinct pre-pass; the sort inside eval is
+    * over ≤ `b` doubles. `idCol` provides row identity: duplicated
+    * values with distinct ids are sampled independently, preserving
+    * multiplicity, and NULL id/value rows are excluded.
+    *
+    * @param qs quantiles in (0, 1), e.g. Seq(0.5, 0.9, 0.99)
+    * @param b  sketch buffer (256 ⇒ sample within a 2x band of 128–256,
+    *           quantile error ~O(1/sqrt(b)))
+    */
+  def quantileSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      b: Int = 256,
+      salt: String = "kll"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must lie in (0, 1), got $qs")
+    val hv = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
+    val sk = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ hv.as("_hv") :+
+        col(valueCol).cast("double").as("_v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(org.apache.spark.sql.graft.LevelSample
+        .level_sample(col("_hv"), col("_v"), b).as("ls"))
+    val m = size(col("ls.values"))
+    def qName(q: Double): String =
+      "p" + BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_")
+    val qCols = qs.map { q =>
+      // ceil(q*m) computed in INTEGER arithmetic (q at basis-point
+      // resolution): ceil(p*m/10000) = (p*m + 9999) div 10000. A double
+      // ceil(0.9 * m) can land one off from a DECIMAL engine's (0.9*220
+      // is 198.00000000000003 as doubles), which would silently pick the
+      // neighboring order statistic.
+      val p = math.round(q * 10000).toInt
+      require(math.abs(q * 10000 - p) < 1e-6,
+        s"quantile $q finer than basis-point resolution")
+      val idx = floor((lit(p.toLong) * m.cast("long") + lit(9999L)) / lit(10000.0))
+        .cast("int")
+      round(element_at(col("ls.values"), greatest(idx, lit(1))), 6).as(qName(q))
+    }
+    sk.select((groupCols.map(col) :+ col("ls.level").as("level") :+
+      m.as("n_retained")) ++ qCols: _*)
+  }
 }

@@ -70,6 +70,77 @@ class SketchesSpec extends SparkSpec {
       s"dedup happens inside the partial top-k buffer — exactly one exchange:\n$plan")
   }
 
+  test("quantile sketch is exact below b: level 0 and true order statistics") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => ("g", i, i.toDouble)).toDF("g", "id", "v")
+    val out = Sketches.quantileSketch(df, Seq("g"), "id", "v",
+      qs = Seq(0.5, 0.9, 0.99), b = 256).collect().head
+    assert(out.getInt(1) === 0, "under-b group must stay at level 0")
+    assert(out.getInt(2) === 100)
+    // ceil(q*m) of 1..100: p50=50, p90=90, p99=99
+    assert(out.getDouble(3) === 50.0)
+    assert(out.getDouble(4) === 90.0)
+    assert(out.getDouble(5) === 99.0)
+  }
+
+  test("quantile sketch is canonical: partitioning and row order are invisible") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 5000L).map(i => ("g", i, (i % 997).toDouble))
+    val a = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", Seq(0.5, 0.9), b = 128).collect().head
+    val b = Sketches.quantileSketch(
+      scala.util.Random.shuffle(rows).toDF("g", "id", "v").repartition(17),
+      Seq("g"), "id", "v", Seq(0.5, 0.9), b = 128).collect().head
+    assert(a.toSeq === b.toSeq,
+      "the sketch state is a pure function of the input set")
+  }
+
+  test("quantile sketch level matches the canonical minimal-L formula") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 3000L).map(i => ("g", i, i.toDouble))
+    val out = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", Seq(0.5), b = 128).collect().head
+    // recompute: minimal L such that |{i: hv(i) mod 2^L == 0}| <= 128
+    val hv = conv(substring(md5(concat(lit("kll:"),
+      col("id").cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
+    val hvs = rows.toDF("g", "id", "v").select(hv).collect().map(_.getLong(0))
+    val lev = Iterator.from(0)
+      .find(l => hvs.count(h => (h & ((1L << l) - 1)) == 0L) <= 128).get
+    assert(out.getInt(1) === lev, "buffer escalation must converge to minimal L")
+    assert(out.getInt(2) === hvs.count(h => (h & ((1L << lev) - 1)) == 0L),
+      "retained sample must be exactly the survivors at that level")
+  }
+
+  test("quantile sketch estimates within the sampling band and preserves multiplicity") {
+    val s = spark; import s.implicits._
+    // heavily skewed multiset: value 1.0 for 90% of rows, 100.0 for 10%
+    val rows = (1L to 10000L).map(i => ("g", i, if (i % 10 == 0) 100.0 else 1.0))
+    val out = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", Seq(0.5, 0.99), b = 256).collect().head
+    assert(out.getDouble(3) === 1.0, "median of the 90/10 multiset is the heavy value")
+    assert(out.getDouble(4) === 100.0, "p99 must surface the tail value")
+  }
+
+  test("quantile sketch excludes NULL ids and values") {
+    val s = spark; import s.implicits._
+    val df = Seq(("g", Some(1L), Some(10.0)), ("g", Some(2L), Some(20.0)),
+      ("g", None, Some(99.0)), ("g", Some(4L), None)).toDF("g", "id", "v")
+    val out = Sketches.quantileSketch(df, Seq("g"), "id", "v", Seq(0.5), 16)
+      .collect().head
+    assert(out.getInt(2) === 2)
+    assert(out.getDouble(3) === 10.0) // ceil(0.5*2)=1 -> first of (10,20)
+  }
+
+  test("quantile sketch plan: one aggregate exchange, no window, no global sort") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => ("g", i, i.toDouble)).toDF("g", "id", "v")
+    val plan = Sketches.quantileSketch(df, Seq("g"), "id", "v", Seq(0.5), 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no per-group ranking of the corpus:\n$plan")
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"sketch = exactly one exchange:\n$plan")
+  }
+
   test("top_k_pairs_distinct buffer skips duplicates at every position") {
     import org.apache.spark.sql.graft.TopKBuffer
     val buf = new TopKBuffer(4, dedup = true)
