@@ -43,6 +43,7 @@ object Bench {
     // would read as a 10-100x pass spread (the r7 q53/q60/q69 pattern).
     try SparkEntry.prepareSharedFixtures(spark, sfDir) catch { case _: Throwable => () }
     val (loadBefore, cpusBefore) = hostLoad()
+    val cpusBeforeGate = cpusBefore
     // Two timed passes per query, min reported — plus a THIRD pass whenever
     // the first two disagree by more than 2x: on a shared host a single
     // noisy neighbor can double one pass, and min-of-2 cannot distinguish
@@ -51,6 +52,15 @@ object Bench {
     // or the judge — can audit the spread per query instead of trusting
     // one scalar. Methodology note: README.md "Reading BENCH.json".
     val basePasses = 2
+    // The spread-triggered third pass only buys signal on a QUIET host: a
+    // 2x pass spread under heavy neighbor load is the load, and the retry
+    // just measures it again at extra cost (the r8 driver run re-ran
+    // q42 under loadavg ~7 and got a pass WORSE than its first). Gate it:
+    // retry only when the 1-minute loadavg at bench start was below half
+    // the online cores. Skipped retries are visible in passes_raw (2
+    // entries + the spread) and the gate state is in the JSON.
+    val retryLoadCap = 0.5 * cpusBeforeGate
+    val retryEnabled = loadBefore >= 0 && loadBefore < retryLoadCap
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       def onePass(): Double = {
@@ -61,7 +71,8 @@ object Bench {
       }
       val base = (1 to basePasses).map(_ => onePass())
       val times =
-        if (!failed && base.max > 2 * base.min) base :+ onePass() else base
+        if (!failed && retryEnabled && base.max > 2 * base.min) base :+ onePass()
+        else base
       // Release this query's app-lifetime cache pins before the next query
       // starts: with 85 queries in one JVM the pins otherwise accumulate
       // (MEMORY_AND_DISK) until late queries measure GC and spill pressure
@@ -93,7 +104,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_detail":$detail,"sf":"$sfDir","passes":$basePasses,""" +
-        s""""third_pass_when_spread_gt":2.0,"n_queries":${results.size},""" +
+        s""""third_pass_when_spread_gt":2.0,"retry_enabled":$retryEnabled,""" +
+        s""""retry_loadavg_cap":$retryLoadCap,"n_queries":${results.size},""" +
         s""""n_ok":$nOk,"failed":$failedNames,"cpus":$cpus,""" +
         s""""host_cpus":$cpusBefore,"loadavg_before":$loadBefore,""" +
         s""""loadavg_after":$loadAfter}"""
