@@ -59,17 +59,25 @@ object ProbeSweep {
       finally cs.release()
     }
     IvfIndex.quantizeStored(spark, store, "emb_idx")
-    for (nProbe <- Seq(2, 3, 4, 5, 6)) {
+    for (nProbe <- Seq(2, 3, 4, 5, 6, 8, 10, 12)) {
       val fl = IvfIndex.topK(spark, batch, "vec_id", "embedding",
           store, "emb_idx", k = 3, nProbe)
         .select(col("vec_id"), col("neighbor_id"))
       val rf = IvfIndex.topKRefined(spark, batch, "vec_id", "embedding",
           store, "emb_idx", k = 3, nProbe, shortlist = 32)
         .select(col("vec_id"), col("neighbor_id"))
+      // candidate CEILING at this probe width: exact re-rank of EVERY
+      // candidate (shortlist far beyond the cell population) — the recall
+      // any shortlist/compression tier at this nProbe can at most reach
+      val ceil = IvfIndex.topKRefined(spark, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe, shortlist = 1 << 20)
+        .select(col("vec_id"), col("neighbor_id"))
       val hitF = fl.intersect(splitExact).count()
       val hitR = rf.intersect(splitExact).count()
+      val hitC = ceil.intersect(splitExact).count()
       println(f"[sweep-idx] nCells=$idxCells nProbe=$nProbe " +
-        f"float=${hitF.toDouble / nSplit}%.4f refined=${hitR.toDouble / nSplit}%.4f")
+        f"float=${hitF.toDouble / nSplit}%.4f refined32=${hitR.toDouble / nSplit}%.4f " +
+        f"ceiling=${hitC.toDouble / nSplit}%.4f")
     }
     spark.stop()
   }

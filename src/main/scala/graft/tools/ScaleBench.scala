@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -89,7 +91,32 @@ object ScaleUp {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
-    println(s"[scaleup] wrote ${factor}x documents+embeddings+events from $src to $dest")
+    // Dimension and control-plane tables (customer, nation, orders, ...)
+    // pass through UNSCALED, byte-for-byte: the decade measurement scales
+    // the FACT side ×N while dimensions stay fixed — exactly the 100 TB
+    // posture (a stream-static enrich broadcasts the same dimension no
+    // matter how large the stream grows), and queries that stage CDC/event
+    // fixtures from them keep working against the scaled dir.
+    val scaledNames = Set("documents.parquet", "embeddings.parquet", "events.parquet")
+    val srcPath = java.nio.file.Paths.get(src)
+    val destPath = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.list(srcPath).iterator().asScala
+      .filterNot(p => scaledNames.contains(p.getFileName.toString))
+      .foreach { p =>
+        val target = destPath.resolve(srcPath.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.foreach { q =>
+            val t = destPath.resolve(srcPath.relativize(q))
+            if (java.nio.file.Files.isDirectory(q)) java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(q, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } else java.nio.file.Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings+events " +
+      s"(+ unscaled dimension passthrough) from $src to $dest")
     spark.stop()
   }
 }
@@ -137,7 +164,13 @@ object ScaleBench {
     // r8 additions: the wide-probe IVF quality tier (q29's chain at
     // 2.5× candidates), BM25's narrow-pass + 1-row-barrier shape, the
     // per-stratum budget sort, and the KMV sketch's distinct + top-k
-    "q92_ivf_wide", "q89_bm25", "q90_token_budget", "q93_kmv_distinct")
+    "q92_ivf_wide", "q89_bm25", "q90_token_budget", "q93_kmv_distinct",
+    // r9 additions: the stream-static enrich drain (r8 verdict item 4 —
+    // broadcast-join claim at ×10, previously argued not measured), the
+    // batch-BM25 inverted index (postings shuffle ∝ corpus tokens AND
+    // probe count ∝ SF — the honest compound-growth measurement), and
+    // the level-sample quantile sketch (one sub-b aggregate exchange)
+    "q96_stream_enrich", "q97_bm25_batch", "q98_quantile_sketch")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
