@@ -1328,6 +1328,24 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the ≥0.9-RECALL serving point of the persisted index — q86's
+    // exact chain one probe wider. ProbeSweep's measured curve on this
+    // fixture: nProbe 4 → 0.820, 5 → 0.913, 6 → 0.967 (candidate-
+    // limited: int8 shortlist ranking loses nothing here, so the float,
+    // refined, and candidate-ceiling recalls coincide at every width).
+    // nProbe=5 is the CHEAPEST ≥0.9 config — ~5/4 the candidate bytes of
+    // q86 for +0.09 recall; the serving-cost sweep a production deploy
+    // runs before picking its tier, committed as a declared query.
+    "q99_ivf_quality" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topKRefined(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
+          k = 3, nProbe = 5, shortlist = 32)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: the PQ STORAGE tier of the same persisted index — IVF-PQ that
     // never retrains: the codebook committed at build time ships as the
     // native ADC scorer's constant, candidates join the stored 16-byte
@@ -2015,6 +2033,77 @@ object SparkEntry {
     * 125) — constant cell occupancy), so the verified operating point
     * scales with the corpus. Shared by q29 (budget tier, nProbe 4) and
     * q92 (quality tier, nProbe 10) — only the probe bound differs. */
+  /** DuckDB replay of the persisted-index refined serving chain
+    * (int8 shortlist + exact float re-rank) at a given probe width —
+    * shared by q86 (nProbe=4, the budget tier) and q99 (nProbe=5, the
+    * measured >=0.9-recall tier). */
+  private def ivfRefinedOracle(nProbe: Int): String =
+      s"""WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the stored (id, v, cell) float vectors table
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |qstore AS ( -- int8 sibling: per-vector scale + quantized components
+        |  SELECT id, cell, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+        |  FROM assigned),
+        |deq AS (
+        |  SELECT id, cell,
+        |    list_transform(
+        |      list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))),
+        |      q -> q * scale) AS v
+        |  FROM qstore),
+        |probes AS ( -- probe width: the only parameter the tiers differ in
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= $nProbe),
+        |short AS ( -- 32-deep shortlist ranked on the DEQUANTIZED score
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.q_id
+        |        ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS s_rank
+        |    FROM probes p
+        |    JOIN deq a USING (cell)
+        |    JOIN batch qb ON p.q_id = qb.id
+        |    WHERE p.q_id <> a.id) WHERE s_rank <= 32),
+        |rr AS ( -- exact re-rank of the shortlist on the stored floats
+        |  SELECT sh.vec_id, sh.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY sh.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
+        |        sh.neighbor_id ASC) AS rank
+        |  FROM short sh
+        |  JOIN batch qb ON sh.vec_id = qb.id
+        |  JOIN assigned nb ON sh.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   private def ivfTopKOracle(nProbe: Int): String =
     s"""WITH base AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3429,73 +3518,16 @@ object SparkEntry {
     // q86 replay: q79's quantized chain at nProbe=4 cut to a 32-deep
     // shortlist (row_number over the dequantized score, the TopKPairs
     // equivalence established by q84/q85), then exact cosine on the
-    // stored FLOAT vectors re-ranks the shortlist to top-3.
-    "q86_ivf_refined" ->
-      """WITH ecast AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
-        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
-        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
-        |seeds AS (
-        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
-        |  FROM corpus
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
-        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
-        |a1 AS (
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, s.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
-        |    SELECT cell, unnest(list_transform(v,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
-        |    FROM a1) GROUP BY cell, u.pos),
-        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
-        |c1live AS (
-        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
-        |assigned AS ( -- the stored (id, v, cell) float vectors table
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
-        |qstore AS ( -- int8 sibling: per-vector scale + quantized components
-        |  SELECT id, cell, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
-        |  FROM assigned),
-        |deq AS (
-        |  SELECT id, cell,
-        |    list_transform(
-        |      list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))),
-        |      q -> q * scale) AS v
-        |  FROM qstore),
-        |probes AS ( -- the QUALITY tier probes 4 cells (2x the base tier)
-        |  SELECT q_id, cell FROM (
-        |    SELECT b.id AS q_id, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
-        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 4),
-        |short AS ( -- 32-deep shortlist ranked on the DEQUANTIZED score
-        |  SELECT vec_id, neighbor_id FROM (
-        |    SELECT p.q_id AS vec_id, a.id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY p.q_id
-        |        ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS s_rank
-        |    FROM probes p
-        |    JOIN deq a USING (cell)
-        |    JOIN batch qb ON p.q_id = qb.id
-        |    WHERE p.q_id <> a.id) WHERE s_rank <= 32),
-        |rr AS ( -- exact re-rank of the shortlist on the stored floats
-        |  SELECT sh.vec_id, sh.neighbor_id,
-        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY sh.vec_id
-        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
-        |        sh.neighbor_id ASC) AS rank
-        |  FROM short sh
-        |  JOIN batch qb ON sh.vec_id = qb.id
-        |  JOIN assigned nb ON sh.neighbor_id = nb.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // stored FLOAT vectors re-ranks the shortlist to top-3. Shared with
+    // q99 (the ≥0.9-recall tier at nProbe=5) via ivfRefinedOracle.
+    "q86_ivf_refined" -> ivfRefinedOracle(nProbe = 4),
+
+    // q99 replay: the IDENTICAL chain one probe wider — the measured
+    // ≥0.9-recall serving point (ProbeSweep: nProbe=5 → recall 0.9133
+    // on this fixture; 4 → 0.820). Only the c_rank bound differs.
+    "q99_ivf_quality" -> ivfRefinedOracle(nProbe = 5),
+
+    // q87 replay moved below; helper for the two refined tiers above.
 
     // q87 replay: q86's stored-index chain (seeds → c1live → assigned, the
     // committed float tier) extended by the PQ tier's BUILD-TIME training

@@ -68,6 +68,7 @@ object Recall {
         "q60_ivf_persisted" -> splitExact,
         "q79_ivf_quantized" -> splitExact,
         "q86_ivf_refined" -> splitExact,
+        "q99_ivf_quality" -> splitExact,
         "q87_pq_persisted" -> splitExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
