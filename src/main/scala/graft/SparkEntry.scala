@@ -781,6 +781,37 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: FUNNEL analysis — earliest-completion step matching per user
+    // (view → click → purchase, each strictly after the previous match).
+    // Greedy-earliest ≡ stepwise min(ts WHERE ts > prev) by an exchange
+    // argument, which is how the oracle replays it; the engine pays ONE
+    // user-key exchange + a linear higher-order fold over each user's
+    // ts-sorted step-typed events (filtered to the funnel alphabet
+    // first), where the K-pass stepwise form would pay K co-partitioned
+    // join cascades. Global counts are a 1-row conditional aggregate.
+    "q101_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(events(s, dir), "user_id", "ts",
+          "event_type", steps = Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // ext: COUNT–MIN frequency sketch (Cormode–Muthukrishnan 2005) — the
+    // frequency member of the sketch family (KMV distinct / level-sample
+    // quantiles): per-language estimates for an audit term list from
+    // groups×depth×width cells instead of q42's full per-token aggregate
+    // (whose shuffle is the vocabulary — at 100 TB the sketch's is 4×1024
+    // cells). Salted-md5 rows ⇒ cells and estimates hash-replay in SQL;
+    // cells are sums ⇒ merge = cell-wise add, computed map-side.
+    "q100_cms_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(filter(graft.functions.TextFunctions.tokens(col("text")),
+          x => length(x) > 0)).as("token"))
+      graft.operators.Sketches.cmsCounts(toks, Seq("lang"), "token",
+          queries = Seq("data", "spark", "table", "the", "slow"),
+          depth = 4, width = 1024)
+        .orderBy(col("lang"), col("term"))
+    }),
+
     // ext: deterministic mergeable QUANTILE sketch — KLL's geometric-
     // level space discipline (Karnin/Lang/Liberty, FOCS 2016) with the
     // salted-md5 draw as the compaction coin (Gibbons–Matias distinct
@@ -4205,6 +4236,69 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Funnel replay: the stepwise-min formulation (min ts of step i
+    // strictly after the user's step i−1 match) — provably equal to the
+    // engine's greedy fold; per-step counts stacked with the same
+    // round-6 conversion arithmetic.
+    "q101_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |             (SELECT count(*) FROM s2) AS c2,
+        |             (SELECT count(*) FROM s3) AS c3)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_type, c1 AS n_users,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS conversion FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', c2,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', c3,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) FROM c
+        |ORDER BY step""".stripMargin,
+
+    // CMS replay: cells (lang × 4 rows × 1024 buckets) from the salted
+    // per-row draw, probes hashed identically, min over rows with the
+    // missing-cell-zero guard (count(*)=depth — an inner join drops empty
+    // cells on both sides the same way).
+    "q100_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS v
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, gs.r,
+        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
+        |      || ':' || v), 1, 10) AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r) gs
+        |  GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT t.term, gs.r,
+        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
+        |      || ':' || t.term), 1, 10) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT unnest(['data', 'spark', 'table', 'the', 'slow']) AS term) t,
+        |       (SELECT unnest(range(0, 4)) AS r) gs)
+        |SELECT c.lang, p.term,
+        |  CAST(min(c.c) * CASE WHEN count(*) = 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS est_count
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+        |GROUP BY c.lang, p.term
+        |ORDER BY lang, term""".stripMargin,
 
     // Quantile-sketch replay: the engine's salted 40-bit draw per
     // event_id, the canonical level per group (min L in 0..24 whose

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for corpus profiling.
@@ -68,6 +68,72 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(1099511627776.0) / // 2^40
             greatest(kth, lit(1L)).cast("double")),
         4).as("est_distinct"): _*)
+  }
+
+  /** Count–min frequency estimates (Cormode & Muthukrishnan, J. Algorithms
+    * 2005) for an audit term list, per group — the FREQUENCY member of the
+    * sketch family (KMV = distinct, level sample = quantiles): "how often
+    * does each of these terms appear per language" without a full
+    * per-token aggregate (that is q42's exact job, and at 100 TB its
+    * shuffle is the vocabulary; the sketch's is `depth × width` cells).
+    *
+    * Deterministic by the same discipline as the rest of the family: row
+    * hashes are the salted md5 draw (`cms<r>:` per depth row), so the
+    * cells — and therefore every estimate — replay bit-for-bit in SQL.
+    * Mergeable: cells are sums, union = cell-wise add (exactly what the
+    * partial aggregate computes map-side). Guarantees: estimate ≥ true
+    * count always (collisions only ADD); estimate ≤ true + εN with
+    * ε = e/width at the usual confidence given depth rows.
+    *
+    * Scale shape: one narrow ×depth projection of the value stream, then
+    * ONE partial-combined aggregate whose distinct key space is
+    * `groups × depth × width` (≤ a few thousand rows) — independent of
+    * both corpus size and vocabulary; the query side joins the tiny
+    * probe×depth frame against the broadcast cells.
+    *
+    * @param queries plan-time term list to estimate (the audit shape —
+    *                a decontamination or tracking list); deduplicated
+    * @param depth   hash rows (4 ⇒ wrong-by-more-than-εN prob ~e⁻⁴)
+    * @param width   buckets per row (ε = e/width)
+    */
+  def cmsCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      queries: Seq[String],
+      depth: Int = 4,
+      width: Int = 1024,
+      salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    require(queries.nonEmpty, "need at least one query term")
+    val qTerms = queries.distinct
+    def bucket(v: Column, r: Column): Column =
+      pmod(conv(substring(md5(concat(lit(salt), r.cast("string"), lit(":"),
+        v.cast("string")).cast("binary")), 1, 10), 16, 10).cast("long"),
+        lit(width.toLong))
+    val rows = lit((0 until depth).toArray)
+    // cells: groups × depth × width sums — the one aggregate exchange
+    val cells = df
+      .filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).as("_v"): _*)
+      .withColumn("_r", explode(rows))
+      .withColumn("_b", bucket(col("_v"), col("_r")))
+      .groupBy(groupCols.map(col) :+ col("_r") :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    // probe side: |queries| × depth rows, its buckets computed the same way
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = qTerms.toDF("term")
+      .withColumn("_r", explode(rows))
+      .withColumn("_b", bucket(col("term"), col("_r")))
+    // estimate = min over depth rows of the matching cell (missing cell =
+    // 0 ⇒ the term never hashed there ⇒ estimate 0, correctly)
+    probes
+      .join(cells, Seq("_r", "_b"), "inner")
+      .groupBy(groupCols.map(col) :+ col("term"): _*)
+      .agg((min(col("_c")) * when(count(lit(1)) === depth, lit(1L))
+        .otherwise(lit(0L))).as("est_count"))
   }
 
   /** Approximate quantiles of `valueCol` per group via the deterministic

@@ -70,6 +70,45 @@ class SketchesSpec extends SparkSpec {
       s"dedup happens inside the partial top-k buffer — exactly one exchange:\n$plan")
   }
 
+  test("cms never underestimates and stays within the epsilon-N band") {
+    val s = spark; import s.implicits._
+    // 2000 values over a 50-term vocabulary, zipf-ish
+    val vals = (1 to 2000).map(i => ("g", s"term${i % 50 / (1 + i % 3)}"))
+    val df = vals.toDF("g", "v")
+    val truth = vals.groupBy(_._2).view.mapValues(_.size).toMap
+    val qs = truth.keys.take(10).toSeq
+    val out = Sketches.cmsCounts(df, Seq("g"), "v", qs, depth = 4, width = 256)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val n = vals.size
+    for (q <- qs) {
+      assert(out(q) >= truth(q), s"$q: CMS must never underestimate")
+      assert(out(q) <= truth(q) + 5L * n / 256,
+        s"$q: estimate ${out(q)} too far above ${truth(q)}")
+    }
+  }
+
+  test("cms is deterministic under repartitioning (mergeable cells)") {
+    val s = spark; import s.implicits._
+    val vals = (1 to 1000).map(i => (s"g${i % 2}", s"w${i % 37}"))
+    val a = Sketches.cmsCounts(vals.toDF("g", "v"), Seq("g"), "v",
+      Seq("w1", "w2", "w36"), 4, 128).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val b = Sketches.cmsCounts(
+      scala.util.Random.shuffle(vals).toDF("g", "v").repartition(13),
+      Seq("g"), "v", Seq("w1", "w2", "w36"), 4, 128).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq === b.toSeq, "cells are sums — layout must be invisible")
+  }
+
+  test("cms plan: one cells aggregate exchange; corpus never joins the vocabulary") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i => ("g", s"w${i % 20}")).toDF("g", "v")
+    val plan = Sketches.cmsCounts(df, Seq("g"), "v", Seq("w1"), 4, 128)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no windows:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), s"no cross product:\n$plan")
+  }
+
   test("quantile sketch is exact below b: level 0 and true order statistics") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => ("g", i, i.toDouble)).toDF("g", "id", "v")
