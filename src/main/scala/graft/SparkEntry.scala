@@ -781,6 +781,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: COHORT RETENTION — users bucketed by first-activity week,
+    // counted per later activity-week offset (the growth-dashboard
+    // matrix). Two aggregates on the SAME user key + a co-partitioned
+    // join + a (cohort × offset)-bounded count; weeks via date_trunc
+    // (Monday-start in both engines). Funnel's sibling: cross-week
+    // persistence instead of within-journey ordering.
+    "q102_cohort_retention" -> ((s, dir) => {
+      graft.operators.Retention.cohortRetention(events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // ext: FUNNEL analysis — earliest-completion step matching per user
     // (view → click → purchase, each strictly after the previous match).
     // Greedy-earliest ≡ stepwise min(ts WHERE ts > prev) by an exchange
@@ -4236,6 +4247,31 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Cohort-retention replay: first-activity week per user, distinct
+    // (user, week) activity, week offsets by exact day arithmetic / 7,
+    // cohort size = the offset-0 count, same round-6 ratio.
+    "q102_cohort_retention" ->
+      """WITH clean AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohorts AS (SELECT u, min(wk) AS cohort_week FROM clean GROUP BY u),
+        |activity AS (SELECT DISTINCT u, wk FROM clean),
+        |marked AS (
+        |  SELECT c.cohort_week,
+        |    CAST((a.wk - c.cohort_week) / 7 AS INT) AS week_offset
+        |  FROM activity a JOIN cohorts c ON a.u = c.u),
+        |counts AS (
+        |  SELECT cohort_week, week_offset, count(*) AS n_active
+        |  FROM marked GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_week, n_active AS cohort_size
+        |  FROM counts WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.n_active,
+        |  round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
 
     // Funnel replay: the stepwise-min formulation (min ts of step i
     // strictly after the user's step i−1 match) — provably equal to the
