@@ -781,6 +781,46 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: STREAMING FUNNEL under the hash gate — the fifth streaming
+    // face (q78 session state, q80 windows, q81 dedup state, q96
+    // stream-static join): per-user funnel state (step index + last
+    // match time) carried across the five micro-batch drains in the
+    // checkpointed store. `reached` is monotone, so max(reached) per
+    // user over the appended progress rows reduces the drain to the
+    // batch answer — the oracle IS q101's batch SQL, so passing requires
+    // the greedy state to survive batch boundaries byte-exactly.
+    "q103_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val st = prepareEventStage(s, dir)
+      val root = newTmpDir("graft_q103run").toString
+      val steps = Seq("view", "click", "purchase")
+      val progress = graft.streaming.EventStreams.funnelOnStream(
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+          .parquet(st.stageDir).as[graft.streaming.EventStreams.Event],
+        steps)
+      progress.writeStream.format("parquet")
+        .option("path", s"$root/progress")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      val reached = s.read.parquet(s"$root/progress")
+        .groupBy(col("user_id")).agg(max(col("reached")).as("_reached"))
+      val k = steps.size
+      val countCols = (1 to k).map(i =>
+        sum(when(col("_reached") >= i, 1L).otherwise(0L)).as(s"_c$i"))
+      reached.agg(countCols.head, countCols.tail: _*)
+        .select(col("_c1"),
+          posexplode(array((1 to k).map(i => col(s"_c$i")): _*)))
+        .select((col("pos") + 1).cast("int").as("step"),
+          element_at(lit(steps.toArray), col("pos") + 1).as("step_type"),
+          col("col").as("n_users"),
+          round(when(col("_c1") > 0,
+            col("col").cast("double") / col("_c1").cast("double"))
+            .otherwise(lit(0.0)), 6).as("conversion"))
+        .orderBy(col("step"))
+    }),
+
     // ext: COHORT RETENTION — users bucketed by first-activity week,
     // counted per later activity-week offset (the growth-dashboard
     // matrix). Two aggregates on the SAME user key + a co-partitioned
@@ -2079,6 +2119,37 @@ object SparkEntry {
     * (int8 shortlist + exact float re-rank) at a given probe width —
     * shared by q86 (nProbe=4, the budget tier) and q99 (nProbe=5, the
     * measured >=0.9-recall tier). */
+  /** Batch-funnel DuckDB replay (stepwise-min formulation) — the oracle
+    * for BOTH q101 (batch fold) and q103 (streaming state drain). */
+  private val funnelOracleSql: String =
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |             (SELECT count(*) FROM s2) AS c2,
+        |             (SELECT count(*) FROM s3) AS c3)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_type, c1 AS n_users,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS conversion FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', c2,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', c3,
+        |  round(CASE WHEN c1 > 0 THEN CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) FROM c
+        |ORDER BY step""".stripMargin
+
   private def ivfRefinedOracle(nProbe: Int): String =
       s"""WITH ecast AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4276,35 +4347,10 @@ object SparkEntry {
     // Funnel replay: the stepwise-min formulation (min ts of step i
     // strictly after the user's step i−1 match) — provably equal to the
     // engine's greedy fold; per-step counts stacked with the same
-    // round-6 conversion arithmetic.
-    "q101_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (SELECT user_id, min(ts) AS t FROM e
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
-        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
-        |             (SELECT count(*) FROM s2) AS c2,
-        |             (SELECT count(*) FROM s3) AS c3)
-        |SELECT CAST(1 AS INT) AS step, 'view' AS step_type, c1 AS n_users,
-        |  round(CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |    ELSE 0.0 END, 6) AS conversion FROM c
-        |UNION ALL
-        |SELECT CAST(2 AS INT), 'click', c2,
-        |  round(CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |    ELSE 0.0 END, 6) FROM c
-        |UNION ALL
-        |SELECT CAST(3 AS INT), 'purchase', c3,
-        |  round(CASE WHEN c1 > 0 THEN CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |    ELSE 0.0 END, 6) FROM c
-        |ORDER BY step""".stripMargin,
+    // round-6 conversion arithmetic. Shared verbatim with q103: the
+    // streaming drain must reduce to the SAME batch answer.
+    "q101_funnel" -> funnelOracleSql,
+    "q103_stream_funnel" -> funnelOracleSql,
 
     // CMS replay: cells (lang × 4 rows × 1024 buckets) from the salted
     // per-row draw, probes hashed identically, min over rows with the

@@ -88,6 +88,53 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(idx: Int, lastMs: Long)
+  final case class FunnelProgress(user_id: Long, reached: Int)
+
+  /** Streaming funnel progress: the stateful face of
+    * [[graft.operators.Funnel.funnel]] — per-user greedy earliest-
+    * completion matching carried ACROSS micro-batches in checkpointed
+    * state (step index + last-match event time, a dozen bytes per user).
+    *
+    * Each batch folds the user's arriving events in (ts, event_id) order
+    * through the same strict-ordering rule as the batch operator and
+    * emits the user's current `reached` step when it is > 0. `reached`
+    * is MONOTONE, so the drained output reduces to the batch answer with
+    * `max(reached) per user` — which is exactly how the declared query's
+    * hash gate replays it against the batch-funnel oracle. The
+    * equivalence holds when per-user event order is non-decreasing
+    * across batches (a time-partitioned ingest); out-of-order delivery
+    * WITHIN a batch is handled by the sort, and production deployments
+    * bound state with a timeout eviction in the usual way (the state
+    * here is per-user-constant, not per-event, so it grows with users,
+    * not volume). */
+  def funnelOnStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      watermarkDelay: String = "30 minutes"): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be nonempty and distinct")
+    import events.sparkSession.implicits._
+    val stepList = steps.toList
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          sorted.foreach { e =>
+            if (st.idx < stepList.size && e.event_type == stepList(st.idx) &&
+                (st.idx == 0 || e.ts.getTime > st.lastMs))
+              st = FunnelState(st.idx + 1, e.ts.getTime)
+          }
+          state.update(st)
+          if (st.idx > 0) Iterator.single(FunnelProgress(userId, st.idx))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup on ingest: the first row per `keyCols` wins,
     * replays and copies arriving within `watermarkDelay` are dropped.
     *

@@ -112,4 +112,33 @@ class EventStreamsSpec extends SparkSpec {
     query.stop()
     assert(rows === Map(1L -> "alpha", 2L -> null))
   }
+
+  test("streaming funnel state survives micro-batch boundaries") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelOnStream(input.toDS(),
+        steps = Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnelprog")
+      .outputMode(OutputMode.Append).start()
+
+    // batch 1: user 1 views; user 2 clicks first (never enters)
+    input.addData(
+      Event(1, ts("2026-01-01 00:01:00"), 1, "view", 0.0),
+      Event(2, ts("2026-01-01 00:02:00"), 2, "click", 0.0))
+    query.processAllAvailable()
+    // batch 2: user 1 clicks then purchases — state carried from batch 1;
+    // user 2 views (enters at step 1 only: its click was BEFORE the view)
+    input.addData(
+      Event(3, ts("2026-01-01 00:10:00"), 1, "click", 0.0),
+      Event(4, ts("2026-01-01 00:20:00"), 1, "purchase", 0.0),
+      Event(5, ts("2026-01-01 00:15:00"), 2, "view", 0.0))
+    query.processAllAvailable()
+    val finalReached = spark.table("funnelprog").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("reached")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    query.stop()
+    assert(finalReached === Map(1L -> 3, 2L -> 1),
+      "user 1 must complete across batches; user 2's pre-view click is dead")
+  }
 }
