@@ -16,8 +16,9 @@ class DriverContractSpec extends AnyFunSuite {
 
   test("query names follow the qNN_ naming scheme, uniquely numbered") {
     val names = SparkEntry.queries.keySet
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
-    val nums = names.toSeq.map(_.substring(1, 3))
+    val scheme = "q\\d{2,3}_[a-z0-9_]+"
+    assert(names.forall(_.matches(scheme)), names.filterNot(_.matches(scheme)))
+    val nums = names.toSeq.map(_.drop(1).takeWhile(_.isDigit))
     assert(nums.distinct.size === nums.size, "duplicate query numbers")
   }
 
