@@ -781,6 +781,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: QUANTILE-BUCKET assignment (NTILE without the global sort) —
+    // `NTILE(10) OVER (ORDER BY n_chars)` funnels 100 TB through ONE
+    // partition; this estimates decile boundaries from the q98 level
+    // sample (1-row aggregate), broadcasts 9 doubles, and assigns
+    // buckets in a narrow pass. b=4096 > corpus here, so the split is
+    // EXACT ntile-by-value (level 0) and still deterministic at any SF.
+    "q104_quality_deciles" -> ((s, dir) => {
+      graft.operators.Sketches.quantileBuckets(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", nBuckets = 10, b = 4096)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: STREAMING FUNNEL under the hash gate — the fifth streaming
     // face (q78 session state, q80 windows, q81 dedup state, q96
     // stream-static join): per-user funnel state (step index + last
@@ -4318,6 +4332,39 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Quantile-bucket replay: q98's global level-sample chain (canonical
+    // minimal level, survivor sample), decile boundaries at the same
+    // integer rank arithmetic, strict-> assignment via a 9-row cross
+    // join. b=4096 keeps the sample exact here; the replay would hold at
+    // any level.
+    "q104_quality_deciles" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST('0x' || substring(md5('kll:' || CAST(doc_id AS VARCHAR)),
+        |      1, 10) AS BIGINT) AS hv
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+        |lvc AS (
+        |  SELECT gs.l,
+        |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
+        |  FROM h, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY gs.l),
+        |minl AS (SELECT CAST(min(l) AS INT) AS lev FROM lvc WHERE c <= 4096),
+        |samp AS (
+        |  SELECT v FROM h, minl
+        |  WHERE hv % CAST(pow(2, minl.lev) AS BIGINT) = 0),
+        |rk AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS r,
+        |    count(*) OVER () AS m FROM samp),
+        |bounds AS (
+        |  SELECT i.i,
+        |    max(CASE WHEN r = greatest((i.i * m + 9) // 10, 1) THEN v END) AS bv
+        |  FROM rk, (SELECT unnest(range(1, 10)) AS i) i GROUP BY i.i)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(1 + sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > b.bv
+        |    THEN 1 ELSE 0 END) AS INT) AS bucket
+        |FROM documents d CROSS JOIN bounds b
+        |GROUP BY d.doc_id, d.n_chars
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Cohort-retention replay: first-activity week per user, distinct
     // (user, week) activity, week offsets by exact day arithmetic / 7,

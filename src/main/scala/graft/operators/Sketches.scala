@@ -70,6 +70,49 @@ object Sketches {
         4).as("est_distinct"): _*)
   }
 
+  /** Quantile-bucket assignment WITHOUT a global sort — NTILE's job at
+    * 100 TB: `NTILE(n) OVER (ORDER BY value)` funnels the corpus through
+    * ONE partition; this instead estimates the n−1 bucket boundaries from
+    * the deterministic level sample (one 1-row aggregate), broadcasts
+    * them, and assigns buckets in a narrow second pass. Boundaries are
+    * order statistics of the survivor sample (`values[ceil(i·m/n)]`,
+    * integer arithmetic), so with ≤ b rows the split IS exact NTILE-by-
+    * value; above b it is approximate within the sketch's sampling error
+    * — but always DETERMINISTIC and SQL-replayable, never a function of
+    * partitioning. Ties: a value equal to a boundary falls in the lower
+    * bucket (strict `>` on both engines).
+    *
+    * Output: the input plus `bucket` (1-based, ≤ nBuckets).
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      nBuckets: Int,
+      b: Int = 4096,
+      salt: String = "kll"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val hv = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("long")
+    val sk = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(hv.as("_hv"), col(valueCol).cast("double").as("_v"))
+      .agg(org.apache.spark.sql.graft.LevelSample
+        .level_sample(col("_hv"), col("_v"), b).as("ls"))
+    val m = size(col("ls.values")).cast("long")
+    // boundary i (1..n-1) at sorted-sample index ceil(i*m/n), all integer
+    val bounds = sk.select(
+      transform(sequence(lit(1), lit(nBuckets - 1)),
+        i => element_at(col("ls.values"),
+          greatest(floor((i.cast("long") * m + lit(nBuckets - 1).cast("long"))
+            / lit(nBuckets.toDouble)).cast("int"), lit(1)))).as("_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("_bounds"),
+          x => col(valueCol).cast("double") > x))).cast("int"))
+      .drop("_bounds")
+  }
+
   /** Count–min frequency estimates (Cormode & Muthukrishnan, J. Algorithms
     * 2005) for an audit term list, per group — the FREQUENCY member of the
     * sketch family (KMV = distinct, level sample = quantiles): "how often

@@ -70,6 +70,41 @@ class SketchesSpec extends SparkSpec {
       s"dedup happens inside the partial top-k buffer — exactly one exchange:\n$plan")
   }
 
+  test("quantile buckets: exact NTILE-by-value under b, deterministic always") {
+    val s = spark; import s.implicits._
+    val df = (1L to 1000L).map(i => (i, (i * 37 % 1000).toDouble)).toDF("id", "v")
+    val out = Sketches.quantileBuckets(df, "id", "v", nBuckets = 10, b = 4096)
+      .collect().map(r => (r.getDouble(1), r.getInt(2)))
+    // values are a permutation of multiples of gcd(37,1000)=1 mod 1000 →
+    // 1000 distinct values; an exact sample splits them into 10 bands of
+    // exactly 100, and every value's bucket tracks its sorted position
+    val sortedVals = out.map(_._1).sorted
+    for ((v, bkt) <- out) {
+      val pos = sortedVals.indexWhere(_ == v) // first index of this value
+      assert(bkt === pos / 100 + 1,
+        s"value $v at sorted position $pos must land in bucket ${pos / 100 + 1}")
+    }
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert((1 to 10).forall(b => sizes(b) == 100),
+      s"exact sample must split 1000 distinct values into 10x100, got $sizes")
+    // ties at a boundary fall into the LOWER bucket
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0)).toDF("id", "v")
+    val tb = Sketches.quantileBuckets(tied, "id", "v", 2, b = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tb(1L) === 1 && tb(2L) === 1 && tb(3L) === 2 && tb(4L) === 2)
+  }
+
+  test("quantile buckets avoid the global sort: no single-partition window") {
+    val s = spark; import s.implicits._
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val plan = Sketches.quantileBuckets(df, "id", "v", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"NTILE's window must not appear:\n$plan")
+    val assignSide = plan.split("BroadcastExchange").head
+    assert(!assignSide.contains("Exchange"),
+      s"assignment pass must be narrow (boundaries broadcast):\n$plan")
+  }
+
   test("cms never underestimates and stays within the epsilon-N band") {
     val s = spark; import s.implicits._
     // 2000 values over a 50-term vocabulary, zipf-ish
