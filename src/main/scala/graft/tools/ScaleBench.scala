@@ -170,7 +170,12 @@ object ScaleBench {
     // batch-BM25 inverted index (postings shuffle ∝ corpus tokens AND
     // probe count ∝ SF — the honest compound-growth measurement), and
     // the level-sample quantile sketch (one sub-b aggregate exchange)
-    "q96_stream_enrich", "q97_bm25_batch", "q98_quantile_sketch")
+    "q96_stream_enrich", "q97_bm25_batch", "q98_quantile_sketch",
+    // r9 second wave: the CMS cells aggregate, both funnel faces (batch
+    // fold + streaming state drain), the cohort matrix's co-partitioned
+    // join, and the sketch-boundary bucket assignment
+    "q100_cms_counts", "q101_funnel", "q102_cohort_retention",
+    "q103_stream_funnel", "q104_quality_deciles")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
