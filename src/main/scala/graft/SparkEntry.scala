@@ -53,6 +53,24 @@ object SparkEntry {
     * operation, and a long session doesn't accumulate one tmpfs index
     * copy per run. Index: nCells=8, 1 Lloyd iteration over the
     * `vec_id % 10 != 0` corpus split. */
+  /** Per-dir persisted corpus-profile fixture (q105): sketches BUILT on
+    * the 90% split, then the 10% split APPENDED — so the serving query
+    * proves append ≡ from-scratch against a full-corpus oracle. */
+  private val q105ProfileCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q105ProfileRoot(s: SparkSession, dir: String): String =
+    q105ProfileCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q105prof").toString
+      val store = new graft.operators.TableStore(root)
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusProfile.build(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "source", "text", "doc_id", "n_chars", k = 64, b = 128, store, "docs")
+      graft.operators.CorpusProfile.append(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "source", "text", "doc_id", "n_chars", k = 64, b = 128, store, "docs")
+      root
+    })
+
   private def q60IndexRoot(s: SparkSession, dir: String): String =
     q60IndexCache.computeIfAbsent(dir, _ => {
       val root = newTmpDir("graft_q60idx").toString
@@ -205,6 +223,7 @@ object SparkEntry {
     guarded("sigIndex")(q69SigIndexRoot(s, dir))
     guarded("eventStage")(prepareEventStage(s, dir))
     guarded("dupEventStage")(prepareDupEventStage(s, dir))
+    guarded("corpusProfile")(q105ProfileRoot(s, dir))
   }
 
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
@@ -779,6 +798,23 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(ev,
           Seq("event_type"), "user_day", k = 64)
         .orderBy(col("event_type"))
+    }),
+
+    // ext: PERSISTED CORPUS PROFILE served from state — the sketch
+    // family under the TableStore CAS discipline (the q60/q87 pattern
+    // applied to statistics): KMV distinct + level-sample quantile
+    // sketches BUILT on the 90% split, the 10% split APPENDED into the
+    // committed state with no rescan of history, and this query serves
+    // per-source stats from state alone. The oracle is the FULL-corpus
+    // from-scratch SQL — the hash only matches because both sketches are
+    // canonical (append ≡ rebuild bit-for-bit; argument in
+    // CorpusProfile's scaladoc).
+    "q105_profile_serve" -> ((s, dir) => {
+      graft.operators.CorpusProfile.profile(s,
+          new graft.operators.TableStore(q105ProfileRoot(s, dir)), "docs",
+          k = 64, qs = Seq(0.5, 0.9))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
     }),
 
     // ext: QUANTILE-BUCKET assignment (NTILE without the global sort) —
@@ -4332,6 +4368,58 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Profile replay: the FULL corpus from scratch — q93's KMV chain
+    // (value = text, k = 64) joined to q98's level chain (value =
+    // n_chars, b = 128), both per source. The engine serves from
+    // built-then-appended state; equality IS the mergeability proof.
+    "q105_profile_serve" ->
+      """WITH hk AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CAST('0x' || substring(md5('kmv:' || text), 1, 10) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |rk AS (
+        |  SELECT grp, hv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv ASC) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS nh
+        |  FROM hk),
+        |kmv AS (
+        |  SELECT grp, CAST(least(nh, 64) AS INT) AS n_sketch,
+        |    round(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |      ELSE 63.0 * 1099511627776.0 / CAST(greatest(hv, 1) AS DOUBLE)
+        |      END, 4) AS est_distinct
+        |  FROM rk WHERE r = least(nh, 64)),
+        |hl AS (
+        |  SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST('0x' || substring(md5('kll:' || CAST(doc_id AS VARCHAR)),
+        |      1, 10) AS BIGINT) AS hv
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+        |lvc AS (
+        |  SELECT grp, gs.l,
+        |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
+        |  FROM hl, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY grp, gs.l),
+        |minl AS (
+        |  SELECT grp, CAST(min(l) AS INT) AS lev
+        |  FROM lvc WHERE c <= 128 GROUP BY grp),
+        |samp AS (
+        |  SELECT hl.grp, minl.lev, v FROM hl JOIN minl ON hl.grp = minl.grp
+        |  WHERE hv % CAST(pow(2, minl.lev) AS BIGINT) = 0),
+        |srk AS (
+        |  SELECT grp, lev, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS m FROM samp),
+        |lvl AS (
+        |  SELECT grp, CAST(max(lev) AS INT) AS level,
+        |    CAST(max(m) AS INT) AS n_retained,
+        |    round(max(CASE WHEN r = greatest((5000 * m + 9999) // 10000, 1)
+        |      THEN v END), 6) AS p50,
+        |    round(max(CASE WHEN r = greatest((9000 * m + 9999) // 10000, 1)
+        |      THEN v END), 6) AS p90
+        |  FROM srk GROUP BY grp)
+        |SELECT k.grp AS source, k.n_sketch, k.est_distinct,
+        |  l.level, l.n_retained, l.p50, l.p90
+        |FROM kmv k JOIN lvl l ON k.grp = l.grp
+        |ORDER BY k.grp""".stripMargin,
 
     // Quantile-bucket replay: q98's global level-sample chain (canonical
     // minimal level, survivor sample), decile boundaries at the same

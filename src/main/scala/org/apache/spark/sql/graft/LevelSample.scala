@@ -96,11 +96,14 @@ final class LevelSampleBuffer(val b: Int) {
 
 /** Deterministic mergeable quantile sketch as a `TypedImperativeAggregate`.
   *
-  * Output: `struct<level:int, values:array<double>>` where `values` is
-  * the survivor sample SORTED ascending — the q-quantile estimate is
-  * `values[ceil(q*m)]` (1-indexed, m = sample size), each survivor
-  * standing for 2^level input rows. When the group holds at most `b`
-  * rows the level is 0 and the quantiles are EXACT.
+  * Output: `struct<level:int, values:array<double>, hashes:array<long>>`
+  * where `values` is the survivor sample SORTED ascending — the
+  * q-quantile estimate is `values[ceil(q*m)]` (1-indexed, m = sample
+  * size), each survivor standing for 2^level input rows — and `hashes`
+  * carries each survivor's draw in the same (value, hash) sort order, so
+  * a PERSISTED sketch can be re-merged with later batches (the append
+  * path needs the hashes to re-apply coarser masks). When the group
+  * holds at most `b` rows the level is 0 and the quantiles are EXACT.
   *
   * Inputs: `hash` — a 40-bit deterministic draw over the ROW identity
   * (duplicated values with distinct ids are sampled independently, so
@@ -122,6 +125,8 @@ case class LevelSample(
   override def dataType: DataType = StructType(Seq(
     StructField("level", IntegerType, nullable = false),
     StructField("values", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("hashes", ArrayType(LongType, containsNull = false),
       nullable = false)))
 
   override def createAggregationBuffer(): LevelSampleBuffer =
@@ -142,10 +147,13 @@ case class LevelSample(
   }
 
   override def eval(buf: LevelSampleBuffer): Any = {
-    val vs = java.util.Arrays.copyOf(buf.values, buf.size)
-    java.util.Arrays.sort(vs)
+    // sort (value, hash) pairs by value (hash tie-break for determinism);
+    // parallel arrays keep element_at(values, rank) semantics unchanged
+    val pairs = Array.tabulate(buf.size)(i => (buf.values(i), buf.hashes(i)))
+      .sortBy(identity)
     new GenericInternalRow(Array[Any](buf.level,
-      new GenericArrayData(vs.map(v => v: Any))))
+      new GenericArrayData(pairs.map(_._1: Any)),
+      new GenericArrayData(pairs.map(_._2: Any))))
   }
 
   override def serialize(buf: LevelSampleBuffer): Array[Byte] = {

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusProfile, TableStore}
+
+class CorpusProfileSpec extends SparkSpec {
+
+  private def docs(ids: Range) = {
+    val s = spark; import s.implicits._
+    ids.map { i =>
+      (i.toLong, s"g${i % 3}", s"text-${i % 211}", (i * 13 % 997).toDouble)
+    }.toDF("id", "grp", "txt", "num")
+  }
+
+  private def servedProfile(store: TableStore) =
+    CorpusProfile.profile(spark, store, "p", k = 32, qs = Seq(0.5, 0.9))
+      .orderBy(col("group")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6))).toSeq
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_profspec").toString
+
+  test("append equals from-scratch build, bit for bit") {
+    val all = docs(1 to 900)
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.build(all, "grp", "txt", "id", "num", 32, 64, fullStore, "p")
+
+    val incStore = new TableStore(freshRoot())
+    CorpusProfile.build(all.filter(col("id") % 10 =!= 0),
+      "grp", "txt", "id", "num", 32, 64, incStore, "p")
+    CorpusProfile.append(spark, all.filter(col("id") % 10 === 0),
+      "grp", "txt", "id", "num", 32, 64, incStore, "p")
+
+    assert(servedProfile(incStore) === servedProfile(fullStore),
+      "built-then-appended state must serve the full-corpus statistics")
+  }
+
+  test("a chain of appends converges to the same state as one build") {
+    val all = docs(1 to 1200)
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.build(all, "grp", "txt", "id", "num", 32, 64, fullStore, "p")
+
+    val incStore = new TableStore(freshRoot())
+    CorpusProfile.build(all.filter(col("id") <= 300),
+      "grp", "txt", "id", "num", 32, 64, incStore, "p")
+    for (lo <- Seq(301, 601, 901)) {
+      CorpusProfile.append(spark,
+        all.filter(col("id") >= lo && col("id") <= lo + 299),
+        "grp", "txt", "id", "num", 32, 64, incStore, "p")
+    }
+    assert(servedProfile(incStore) === servedProfile(fullStore))
+  }
+
+  test("append that forces a level escalation still matches from-scratch") {
+    // b=16: 400 rows per group force several escalations; the appended
+    // batch quadruples the corpus so the stored level must move
+    val all = docs(1 to 1600)
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.build(all, "grp", "txt", "id", "num", 32, 16, fullStore, "p")
+
+    val incStore = new TableStore(freshRoot())
+    CorpusProfile.build(all.filter(col("id") <= 400),
+      "grp", "txt", "id", "num", 32, 16, incStore, "p")
+    CorpusProfile.append(spark, all.filter(col("id") > 400),
+      "grp", "txt", "id", "num", 32, 16, incStore, "p")
+    assert(servedProfile(incStore) === servedProfile(fullStore))
+  }
+
+  test("append commits new versions of both sketch tables (CAS path)") {
+    val store = new TableStore(freshRoot())
+    CorpusProfile.build(docs(1 to 100), "grp", "txt", "id", "num", 32, 64, store, "p")
+    val (_, kmvV0) = store.snapshot(spark, "p_kmv")
+    val (_, lvlV0) = store.snapshot(spark, "p_lvl")
+    CorpusProfile.append(spark, docs(101 to 200),
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    val (_, kmvV1) = store.snapshot(spark, "p_kmv")
+    val (_, lvlV1) = store.snapshot(spark, "p_lvl")
+    assert(kmvV1 > kmvV0 && lvlV1 > lvlV0,
+      "append must commit successor versions, never overwrite in place")
+  }
+}
