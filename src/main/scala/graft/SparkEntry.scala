@@ -68,6 +68,17 @@ object SparkEntry {
       graft.operators.CorpusProfile.append(s,
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         "source", "text", "doc_id", "n_chars", k = 64, b = 128, store, "docs")
+      // frequency tier (q106): CMS cells over the token stream per lang,
+      // same 90/10 build-then-append split
+      def toks(d: DataFrame) = d.select(col("lang"),
+        explode(filter(graft.functions.TextFunctions.tokens(col("text")),
+          x => length(x) > 0)).as("token"))
+      graft.operators.CorpusProfile.buildFreq(
+        toks(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)),
+        "lang", "token", depth = 4, width = 1024, store, "docs")
+      graft.operators.CorpusProfile.appendFreq(s,
+        toks(docs.filter(pmod(col("doc_id"), lit(10)) === 0)),
+        "lang", "token", depth = 4, width = 1024, store, "docs")
       root
     })
 
@@ -798,6 +809,20 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(ev,
           Seq("event_type"), "user_day", k = 64)
         .orderBy(col("event_type"))
+    }),
+
+    // ext: the profile's FREQUENCY tier served from state — CMS cells
+    // built on the 90% split, the 10% split's cells ADDED (the one
+    // sketch whose merge is plain cell-wise sum), estimates served with
+    // no corpus scan. Oracle = q100's full-corpus SQL verbatim: the
+    // served estimates must equal the from-scratch sketch.
+    "q106_profile_freq" -> ((s, dir) => {
+      graft.operators.CorpusProfile.freq(s,
+          new graft.operators.TableStore(q105ProfileRoot(s, dir)), "docs",
+          queries = Seq("data", "spark", "table", "the", "slow"),
+          depth = 4, width = 1024)
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"), col("term"))
     }),
 
     // ext: PERSISTED CORPUS PROFILE served from state — the sketch
@@ -2171,6 +2196,35 @@ object SparkEntry {
     * measured >=0.9-recall tier). */
   /** Batch-funnel DuckDB replay (stepwise-min formulation) — the oracle
     * for BOTH q101 (batch fold) and q103 (streaming state drain). */
+  /** Full-corpus CMS replay (per-lang token frequency estimates) — the
+    * oracle for BOTH q100 (ad-hoc sketch) and q106 (the persisted
+    * profile's appended frequency tier). */
+  private val cmsLangOracleSql: String =
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS v
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, gs.r,
+        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
+        |      || ':' || v), 1, 10) AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r) gs
+        |  GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT t.term, gs.r,
+        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
+        |      || ':' || t.term), 1, 10) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT unnest(['data', 'spark', 'table', 'the', 'slow']) AS term) t,
+        |       (SELECT unnest(range(0, 4)) AS r) gs)
+        |SELECT c.lang, p.term,
+        |  CAST(min(c.c) * CASE WHEN count(*) = 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS est_count
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+        |GROUP BY c.lang, p.term
+        |ORDER BY lang, term""".stripMargin
+
   private val funnelOracleSql: String =
       """WITH e AS (
         |  SELECT user_id, ts, event_type FROM events
@@ -4490,32 +4544,11 @@ object SparkEntry {
     // CMS replay: cells (lang × 4 rows × 1024 buckets) from the salted
     // per-row draw, probes hashed identically, min over rows with the
     // missing-cell-zero guard (count(*)=depth — an inner join drops empty
-    // cells on both sides the same way).
-    "q100_cms_counts" ->
-      """WITH toks AS (
-        |  SELECT lang,
-        |    unnest(list_filter(string_split(lower(text), ' '),
-        |      x -> len(x) > 0)) AS v
-        |  FROM documents),
-        |cells AS (
-        |  SELECT lang, gs.r,
-        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
-        |      || ':' || v), 1, 10) AS BIGINT) % 1024 AS b,
-        |    count(*) AS c
-        |  FROM toks, (SELECT unnest(range(0, 4)) AS r) gs
-        |  GROUP BY 1, 2, 3),
-        |probes AS (
-        |  SELECT t.term, gs.r,
-        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
-        |      || ':' || t.term), 1, 10) AS BIGINT) % 1024 AS b
-        |  FROM (SELECT unnest(['data', 'spark', 'table', 'the', 'slow']) AS term) t,
-        |       (SELECT unnest(range(0, 4)) AS r) gs)
-        |SELECT c.lang, p.term,
-        |  CAST(min(c.c) * CASE WHEN count(*) = 4 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS est_count
-        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
-        |GROUP BY c.lang, p.term
-        |ORDER BY lang, term""".stripMargin,
+    // cells on both sides the same way). Shared verbatim with q106: the
+    // profile's appended frequency tier must serve the SAME estimates.
+    "q100_cms_counts" -> cmsLangOracleSql,
+    "q106_profile_freq" -> cmsLangOracleSql,
+
 
     // Quantile-sketch replay: the engine's salted 40-bit draw per
     // event_id, the canonical level per group (min L in 0..24 whose

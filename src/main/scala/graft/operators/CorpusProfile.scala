@@ -145,6 +145,56 @@ object CorpusProfile {
     store.write(lvlMerged, lvlTable(name), Some(lvlVersion))
   }
 
+  private def cmsTable(name: String) = s"${name}_cms"
+
+  /** Build the FREQUENCY tier: CMS cells over `valueCol` (typically an
+    * exploded token stream), committed beside the other sketches. Cells
+    * are per-(group, row, bucket) SUMS, so the append below is cell-wise
+    * addition — the one sketch in the family whose merge needs no
+    * argument at all. */
+  def buildFreq(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      depth: Int,
+      width: Int,
+      store: TableStore,
+      name: String): Unit =
+    store.write(
+      Sketches.cmsCells(df.select(col(groupCol).as("group"),
+        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"),
+      cmsTable(name))
+
+  /** Fold a batch's cells into the committed frequency tier. */
+  def appendFreq(
+      spark: SparkSession,
+      batch: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      depth: Int,
+      width: Int,
+      store: TableStore,
+      name: String): Unit = {
+    val (stored, version) = store.snapshot(spark, cmsTable(name))
+    val merged = stored
+      .unionByName(Sketches.cmsCells(batch.select(col(groupCol).as("group"),
+        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"))
+      .groupBy(col("group"), col("_r"), col("_b"))
+      .agg(sum(col("_c")).as("_c"))
+    store.write(merged, cmsTable(name), Some(version))
+  }
+
+  /** Serve frequency estimates for `queries` from the committed cells. */
+  def freq(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      queries: Seq[String],
+      depth: Int,
+      width: Int): DataFrame =
+    Sketches.cmsEstimates(store.read(spark, cmsTable(name)),
+      Seq("group"), queries, depth, width, "cms")
+
   /** Serve the per-group profile from state alone: (group, n_sketch,
     * est_distinct, level, n_retained, p<q>...) — the same estimator
     * arithmetic as the ad-hoc q93/q98 queries, so a full-corpus oracle

@@ -146,32 +146,53 @@ object Sketches {
       queries: Seq[String],
       depth: Int = 4,
       width: Int = 1024,
-      salt: String = "cms"): DataFrame = {
+      salt: String = "cms"): DataFrame =
+    cmsEstimates(cmsCells(df, groupCols, valueCol, depth, width, salt),
+      groupCols, queries, depth, width, salt)
+
+  private[operators] def cmsBucket(
+      v: Column, r: Column, width: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), r.cast("string"), lit(":"),
+      v.cast("string")).cast("binary")), 1, 10), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** The CMS cell table (groups..., _r, _b, _c) — groups × depth × width
+    * sums, the one aggregate exchange. Cells are mergeable by cell-wise
+    * addition, which is what makes the PERSISTED profile's frequency
+    * append trivial. */
+  private[operators] def cmsCells(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int,
+      salt: String): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 16, s"width must be >= 16, got $width")
-    require(queries.nonEmpty, "need at least one query term")
-    val qTerms = queries.distinct
-    def bucket(v: Column, r: Column): Column =
-      pmod(conv(substring(md5(concat(lit(salt), r.cast("string"), lit(":"),
-        v.cast("string")).cast("binary")), 1, 10), 16, 10).cast("long"),
-        lit(width.toLong))
-    val rows = lit((0 until depth).toArray)
-    // cells: groups × depth × width sums — the one aggregate exchange
-    val cells = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ col(valueCol).as("_v"): _*)
-      .withColumn("_r", explode(rows))
-      .withColumn("_b", bucket(col("_v"), col("_r")))
+      .withColumn("_r", explode(lit((0 until depth).toArray)))
+      .withColumn("_b", cmsBucket(col("_v"), col("_r"), width, salt))
       .groupBy(groupCols.map(col) :+ col("_r") :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
-    // probe side: |queries| × depth rows, its buckets computed the same way
-    val spark = df.sparkSession
+  }
+
+  /** Estimates for `queries` from a cell table: min over depth rows of
+    * the matching cell (missing cell = 0 ⇒ the term never hashed there ⇒
+    * estimate 0, correctly). */
+  private[operators] def cmsEstimates(
+      cells: DataFrame,
+      groupCols: Seq[String],
+      queries: Seq[String],
+      depth: Int,
+      width: Int,
+      salt: String): DataFrame = {
+    require(queries.nonEmpty, "need at least one query term")
+    val spark = cells.sparkSession
     import spark.implicits._
-    val probes = qTerms.toDF("term")
-      .withColumn("_r", explode(rows))
-      .withColumn("_b", bucket(col("term"), col("_r")))
-    // estimate = min over depth rows of the matching cell (missing cell =
-    // 0 ⇒ the term never hashed there ⇒ estimate 0, correctly)
+    val probes = queries.distinct.toDF("term")
+      .withColumn("_r", explode(lit((0 until depth).toArray)))
+      .withColumn("_b", cmsBucket(col("term"), col("_r"), width, salt))
     probes
       .join(cells, Seq("_r", "_b"), "inner")
       .groupBy(groupCols.map(col) :+ col("term"): _*)

@@ -67,6 +67,26 @@ class CorpusProfileSpec extends SparkSpec {
     assert(servedProfile(incStore) === servedProfile(fullStore))
   }
 
+  test("frequency tier: appended cells serve the full-corpus estimates") {
+    val s = spark; import s.implicits._
+    val vals = (1 to 2000).map(i => (s"g${i % 2}", s"w${i % 61}"))
+    val full = vals.toDF("grp", "v")
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.buildFreq(full, "grp", "v", 4, 128, fullStore, "p")
+
+    val incStore = new TableStore(freshRoot())
+    val (a, b) = vals.splitAt(1500)
+    CorpusProfile.buildFreq(a.toDF("grp", "v"), "grp", "v", 4, 128, incStore, "p")
+    CorpusProfile.appendFreq(spark, b.toDF("grp", "v"), "grp", "v", 4, 128, incStore, "p")
+
+    def serve(st: TableStore) =
+      CorpusProfile.freq(spark, st, "p", Seq("w1", "w2", "w60"), 4, 128)
+        .orderBy(col("group"), col("term")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(serve(incStore) === serve(fullStore),
+      "cell-wise-summed state must serve the from-scratch estimates")
+  }
+
   test("append commits new versions of both sketch tables (CAS path)") {
     val store = new TableStore(freshRoot())
     CorpusProfile.build(docs(1 to 100), "grp", "txt", "id", "num", 32, 64, store, "p")
