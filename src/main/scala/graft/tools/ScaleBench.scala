@@ -175,7 +175,11 @@ object ScaleBench {
     // fold + streaming state drain), the cohort matrix's co-partitioned
     // join, and the sketch-boundary bucket assignment
     "q100_cms_counts", "q101_funnel", "q102_cohort_retention",
-    "q103_stream_funnel", "q104_quality_deciles")
+    "q103_stream_funnel", "q104_quality_deciles",
+    // profile serving (build+append staged per dir, untimed): these
+    // measure that serving statistics from committed sketch state is
+    // corpus-size-independent — the q87 argument for the profile family
+    "q105_profile_serve", "q106_profile_freq")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
