@@ -811,6 +811,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: STREAMING ADMISSION into the persisted profile — the sixth
+    // streaming face: every micro-batch of the event stage is folded
+    // into the committed sketch state through the exactly-once batchId
+    // gate (foreachBatch redelivers after failures; append is
+    // deliberately not replay-idempotent, so the gate is load-bearing).
+    // Because the sketches are canonical, the five-drain profile must
+    // equal the from-scratch FULL-corpus oracle no matter how the stage
+    // split the rows — set-canonicity is exactly what makes a sketch
+    // safe to maintain from a stream.
+    "q107_stream_profile" -> ((s, dir) => {
+      val st = prepareEventStage(s, dir)
+      val root = newTmpDir("graft_q107run").toString
+      val store = new graft.operators.TableStore(s"$root/prof")
+      val stream = s.readStream.schema(st.schema)
+        .option("maxFilesPerTrigger", "1").parquet(st.stageDir)
+        .filter(col("event_type") =!= "flush")
+        .withColumn("user_day", concat(col("user_id").cast("string"),
+          lit(":"), date_format(col("ts"), "yyyy-MM-dd")))
+      graft.operators.CorpusProfile.admitStream(stream,
+          "event_type", "user_day", "event_id", "value",
+          k = 64, b = 128, store, "ev", s"$root/chk")
+        .awaitTermination()
+      graft.operators.CorpusProfile.profile(s, store, "ev",
+          k = 64, qs = Seq(0.5, 0.9))
+        .withColumnRenamed("group", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // ext: the profile's FREQUENCY tier served from state — CMS cells
     // built on the 90% split, the 10% split's cells ADDED (the one
     // sketch whose merge is plain cell-wise sum), estimates served with
@@ -4422,6 +4450,62 @@ object SparkEntry {
         |        END, 4) AS est_distinct
         |FROM r WHERE rk = least(nh, 64)
         |ORDER BY event_type""".stripMargin,
+
+    // Streamed-profile replay: the FULL events corpus from scratch —
+    // q93's KMV chain (user_day, k=64) joined to q98's level chain
+    // (value by event_id, b=128), per event_type. The engine built this
+    // state from five micro-batch admissions; equality proves the
+    // sketches' set-canonicity under ANY batch split.
+    "q107_stream_profile" ->
+      """WITH hk AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)
+        |      || ':' || strftime(ts, '%Y-%m-%d')), 1, 10) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |rk AS (
+        |  SELECT grp, hv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv ASC) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS nh
+        |  FROM hk),
+        |kmv AS (
+        |  SELECT grp, CAST(least(nh, 64) AS INT) AS n_sketch,
+        |    round(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |      ELSE 63.0 * 1099511627776.0 / CAST(greatest(hv, 1) AS DOUBLE)
+        |      END, 4) AS est_distinct
+        |  FROM rk WHERE r = least(nh, 64)),
+        |hl AS (
+        |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+        |    CAST('0x' || substring(md5('kll:' || CAST(event_id AS VARCHAR)),
+        |      1, 10) AS BIGINT) AS hv
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |lvc AS (
+        |  SELECT grp, gs.l,
+        |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
+        |  FROM hl, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY grp, gs.l),
+        |minl AS (
+        |  SELECT grp, CAST(min(l) AS INT) AS lev
+        |  FROM lvc WHERE c <= 128 GROUP BY grp),
+        |samp AS (
+        |  SELECT hl.grp, minl.lev, v FROM hl JOIN minl ON hl.grp = minl.grp
+        |  WHERE hv % CAST(pow(2, minl.lev) AS BIGINT) = 0),
+        |srk AS (
+        |  SELECT grp, lev, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS m FROM samp),
+        |lvl AS (
+        |  SELECT grp, CAST(max(lev) AS INT) AS level,
+        |    CAST(max(m) AS INT) AS n_retained,
+        |    round(max(CASE WHEN r = greatest((5000 * m + 9999) // 10000, 1)
+        |      THEN v END), 6) AS p50,
+        |    round(max(CASE WHEN r = greatest((9000 * m + 9999) // 10000, 1)
+        |      THEN v END), 6) AS p90
+        |  FROM srk GROUP BY grp)
+        |SELECT k.grp AS event_type, k.n_sketch, k.est_distinct,
+        |  l.level, l.n_retained, l.p50, l.p90
+        |FROM kmv k JOIN lvl l ON k.grp = l.grp
+        |ORDER BY k.grp""".stripMargin,
 
     // Profile replay: the FULL corpus from scratch — q93's KMV chain
     // (value = text, k = 64) joined to q98's level chain (value =

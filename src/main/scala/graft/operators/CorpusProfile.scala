@@ -146,6 +146,74 @@ object CorpusProfile {
   }
 
   private def cmsTable(name: String) = s"${name}_cms"
+  private def admittedTable(name: String) = s"${name}_admitted"
+
+  /** Exactly-once micro-batch admission: fold `batch` into the profile
+    * unless this `batchId` was already admitted — the standard
+    * batchId-gate a `foreachBatch` sink needs, because Structured
+    * Streaming redelivers the in-flight batch after a failure and
+    * [[append]] is (deliberately) not replay-idempotent: a duplicated
+    * row would enter the level sample twice, exactly as it would in a
+    * from-scratch build over a doubled corpus. The gate's version table
+    * rides the same CAS store, so the admitted-id commit and the sketch
+    * commits can never silently diverge under a concurrent writer.
+    *
+    * First admitted batch BUILDS the profile (tables absent); later ones
+    * APPEND. Returns true when the batch was folded, false when skipped
+    * as a replay. */
+  def admitBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      distinctCol: String,
+      idCol: String,
+      numCol: String,
+      k: Int,
+      b: Int,
+      store: TableStore,
+      name: String): Boolean = {
+    import spark.implicits._
+    val gate = admittedTable(name)
+    val last =
+      if (store.exists(gate))
+        store.read(spark, gate).agg(max(col("batch_id"))).head().getLong(0)
+      else -1L
+    if (batchId <= last) false
+    else {
+      if (store.exists(kmvTable(name)))
+        append(spark, batch, groupCol, distinctCol, idCol, numCol, k, b, store, name)
+      else
+        build(batch, groupCol, distinctCol, idCol, numCol, k, b, store, name)
+      store.write(Seq(batchId).toDF("batch_id"), gate)
+      true
+    }
+  }
+
+  /** Streaming admission: every micro-batch of `stream` is folded into
+    * the committed profile through the [[admitBatch]] gate — the profile
+    * as a live sink. Drain with `Trigger.AvailableNow` for a bounded
+    * stage, or leave running against a feed. */
+  def admitStream(
+      stream: DataFrame,
+      groupCol: String,
+      distinctCol: String,
+      idCol: String,
+      numCol: String,
+      k: Int,
+      b: Int,
+      store: TableStore,
+      name: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, batchId,
+          groupCol, distinctCol, idCol, numCol, k, b, store, name)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** Build the FREQUENCY tier: CMS cells over `valueCol` (typically an
     * exploded token stream), committed beside the other sketches. Cells

@@ -87,6 +87,33 @@ class CorpusProfileSpec extends SparkSpec {
       "cell-wise-summed state must serve the from-scratch estimates")
   }
 
+  test("admitBatch gate: a redelivered batchId is skipped, state unchanged") {
+    val store = new TableStore(freshRoot())
+    def admit(ids: Range, bid: Long) =
+      CorpusProfile.admitBatch(spark, docs(ids), bid,
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    assert(admit(1 to 100, 0L), "first batch builds")
+    assert(admit(101 to 200, 1L), "second batch appends")
+    val before = servedProfile(store)
+    // failure redelivery: same batchId, same (or corrupted) content
+    assert(!admit(101 to 200, 1L), "replayed batchId must be refused")
+    assert(!admit(201 to 300, 0L), "an older batchId must be refused too")
+    assert(servedProfile(store) === before, "refused batches leave state untouched")
+    assert(admit(201 to 300, 2L), "the next real batch still lands")
+  }
+
+  test("a batch-split admission chain equals one from-scratch build") {
+    val all = docs(1 to 900)
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.build(all, "grp", "txt", "id", "num", 32, 64, fullStore, "p")
+    val admStore = new TableStore(freshRoot())
+    for ((lo, bid) <- Seq(1 -> 0L, 301 -> 1L, 601 -> 2L))
+      CorpusProfile.admitBatch(spark, docs(lo to lo + 299), bid,
+        "grp", "txt", "id", "num", 32, 64, admStore, "p")
+    assert(servedProfile(admStore) === servedProfile(fullStore),
+      "set-canonicity: any batch split of the corpus converges to the same state")
+  }
+
   test("append commits new versions of both sketch tables (CAS path)") {
     val store = new TableStore(freshRoot())
     CorpusProfile.build(docs(1 to 100), "grp", "txt", "id", "num", 32, 64, store, "p")
