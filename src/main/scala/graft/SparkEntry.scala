@@ -2235,15 +2235,15 @@ object SparkEntry {
         |  FROM documents),
         |cells AS (
         |  SELECT lang, gs.r,
-        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
-        |      || ':' || v), 1, 10) AS BIGINT) % 1024 AS b,
+        |    CAST('0x' || substring(md5('cms:' || v), 1 + 8 * gs.r, 8)
+        |      AS BIGINT) % 1024 AS b,
         |    count(*) AS c
         |  FROM toks, (SELECT unnest(range(0, 4)) AS r) gs
         |  GROUP BY 1, 2, 3),
         |probes AS (
         |  SELECT t.term, gs.r,
-        |    CAST('0x' || substring(md5('cms' || CAST(gs.r AS VARCHAR)
-        |      || ':' || t.term), 1, 10) AS BIGINT) % 1024 AS b
+        |    CAST('0x' || substring(md5('cms:' || t.term), 1 + 8 * gs.r, 8)
+        |      AS BIGINT) % 1024 AS b
         |  FROM (SELECT unnest(['data', 'spark', 'table', 'the', 'slow']) AS term) t,
         |       (SELECT unnest(range(0, 4)) AS r) gs)
         |SELECT c.lang, p.term,
@@ -4625,8 +4625,9 @@ object SparkEntry {
     "q101_funnel" -> funnelOracleSql,
     "q103_stream_funnel" -> funnelOracleSql,
 
-    // CMS replay: cells (lang × 4 rows × 1024 buckets) from the salted
-    // per-row draw, probes hashed identically, min over rows with the
+    // CMS replay: cells (lang × 4 rows × 1024 buckets) — row r's bucket
+    // is the r-th 32-bit word of ONE md5 per token (the engine's
+    // single-digest draw), probes hashed identically, min over rows with the
     // missing-cell-zero guard (count(*)=depth — an inner join drops empty
     // cells on both sides the same way). Shared verbatim with q106: the
     // profile's appended frequency tier must serve the SAME estimates.

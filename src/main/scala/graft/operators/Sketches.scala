@@ -121,7 +121,8 @@ object Sketches {
     * shuffle is the vocabulary; the sketch's is `depth × width` cells).
     *
     * Deterministic by the same discipline as the rest of the family: row
-    * hashes are the salted md5 draw (`cms<r>:` per depth row), so the
+    * hashes are the salted md5 draw — ONE digest per value, its four
+    * 32-bit words the per-row draws (see [[cmsBucketArray]]) — so the
     * cells — and therefore every estimate — replay bit-for-bit in SQL.
     * Mergeable: cells are sums, union = cell-wise add (exactly what the
     * partial aggregate computes map-side). Guarantees: estimate ≥ true
@@ -150,11 +151,18 @@ object Sketches {
     cmsEstimates(cmsCells(df, groupCols, valueCol, depth, width, salt),
       groupCols, queries, depth, width, salt)
 
-  private[operators] def cmsBucket(
-      v: Column, r: Column, width: Int, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(salt), r.cast("string"), lit(":"),
-      v.cast("string")).cast("binary")), 1, 10), 16, 10).cast("long"),
-      lit(width.toLong))
+  /** All `depth` bucket draws from ONE md5: the 128-bit digest is four
+    * independent 32-bit words, so row r's bucket is hex chars
+    * [1+8r, 8] mod width — one hash per value instead of one per (value,
+    * row), which was the measured cost of the cells pass (the md5 is the
+    * only non-trivial per-token work). */
+  private[operators] def cmsBucketArray(
+      v: Column, depth: Int, width: Int, salt: String): Column = {
+    val h = md5(concat(lit(s"$salt:"), v.cast("string")).cast("binary"))
+    array((0 until depth).map(r =>
+      pmod(conv(substring(h, 1 + 8 * r, 8), 16, 10).cast("long"),
+        lit(width.toLong))): _*)
+  }
 
   /** The CMS cell table (groups..., _r, _b, _c) — groups × depth × width
     * sums, the one aggregate exchange. Cells are mergeable by cell-wise
@@ -167,12 +175,14 @@ object Sketches {
       depth: Int,
       width: Int,
       salt: String): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-    require(width >= 16, s"width must be >= 16, got $width")
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4], got $depth")
+    require(width >= 16 && width <= (1 << 30),
+      s"width must be in [16, 2^30], got $width")
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ col(valueCol).as("_v"): _*)
-      .withColumn("_r", explode(lit((0 until depth).toArray)))
-      .withColumn("_b", cmsBucket(col("_v"), col("_r"), width, salt))
+      .select(groupCols.map(col) :+
+        posexplode(cmsBucketArray(col("_v"), depth, width, salt)): _*)
+      .withColumnRenamed("pos", "_r").withColumnRenamed("col", "_b")
       .groupBy(groupCols.map(col) :+ col("_r") :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
   }
@@ -191,8 +201,9 @@ object Sketches {
     val spark = cells.sparkSession
     import spark.implicits._
     val probes = queries.distinct.toDF("term")
-      .withColumn("_r", explode(lit((0 until depth).toArray)))
-      .withColumn("_b", cmsBucket(col("term"), col("_r"), width, salt))
+      .select(col("term"),
+        posexplode(cmsBucketArray(col("term"), depth, width, salt)))
+      .withColumnRenamed("pos", "_r").withColumnRenamed("col", "_b")
     probes
       .join(cells, Seq("_r", "_b"), "inner")
       .groupBy(groupCols.map(col) :+ col("term"): _*)

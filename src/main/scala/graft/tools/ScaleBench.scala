@@ -179,7 +179,10 @@ object ScaleBench {
     // profile serving (build+append staged per dir, untimed): these
     // measure that serving statistics from committed sketch state is
     // corpus-size-independent — the q87 argument for the profile family
-    "q105_profile_serve", "q106_profile_freq")
+    "q105_profile_serve", "q106_profile_freq",
+    // streamed admission into the profile: per-drain cost = the sketch
+    // aggregates over each micro-batch + the batchId-gate commits
+    "q107_stream_profile")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
