@@ -142,19 +142,22 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0)(implicit caches: CacheScope): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
 
-    // corpus pass: tokens + doc length, then the one (doc, term) shuffle
+    // corpus pass: tokens + doc length, then the one (doc, term) shuffle.
+    // The postings feed BOTH the per-term df aggregate and the scoring
+    // join — pinned (scoped), or the tokenize+explode+aggregate chain
+    // runs twice end-to-end.
     val toks = filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0)
     val tokenized = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
-    val postings = tokenized
+    val postings = caches.pin(tokenized
       .select(col("doc_id"), col("_dl"), explode(col("_toks")).as("term"))
       .groupBy(col("doc_id"), col("_dl"), col("term")) // _dl functional on doc_id
-      .agg(count(lit(1)).as("_tf"))
+      .agg(count(lit(1)).as("_tf")))
     // corpus stats: ONE row (N, Σdl); df per term: vocabulary-sized
     val stats = tokenized.agg(count(lit(1)).as("_n"),
       sum(col("_dl")).as("_sum_dl"))
@@ -180,7 +183,8 @@ object Retrieval {
     val idf = log(lit(1.0) + (n - dfq + lit(0.5)) / (dfq + lit(0.5)))
     val contrib = idf * (tf * lit(k1 + 1.0)) /
       (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl))
-    val scored = postings.join(broadcast(probeTerms), Seq("term"))
+    // pinned: consumed by the per-probe top-k AND the n_match rejoin
+    val scored = caches.pin(postings.join(broadcast(probeTerms), Seq("term"))
       .select(col("probe_id"), col("doc_id"), col("term"), contrib.as("_c"))
       // fold contributions in sorted-term order (≤ |probe terms| per pair)
       // so the FP sum replays exactly in any engine that can order its sum
@@ -188,7 +192,7 @@ object Retrieval {
       .agg(count(lit(1)).cast("int").as("n_match_terms"),
         aggregate(sort_array(collect_list(struct(col("term"), col("_c")))),
           lit(0.0), (acc, x) => acc + x.getField("_c")).as("_score"))
-      .withColumn("bm25", round(col("_score"), 6))
+      .withColumn("bm25", round(col("_score"), 6)))
 
     // per-probe top-k: partial buffers combine map-side; only k rows per
     // (probe, partition) reach the last shuffle
