@@ -252,6 +252,37 @@ object CorpusProfile {
     store.write(merged, cmsTable(name), Some(version))
   }
 
+  /** Takedown for the FREQUENCY tier: subtract a removed batch's cells
+    * from the committed state — CMS counts are sums, so removal is exact
+    * (cell-wise subtraction) PROVIDED the removed rows were genuinely in
+    * the admitted corpus; counts are clamped at zero so a bad takedown
+    * list degrades to an under-estimate rather than corrupting the
+    * sketch. This is the one sketch in the profile that supports
+    * removal: the KMV and level-sample tiers are NOT subtractive (a
+    * dropped hash below the retained k / a pruned survivor cannot be
+    * recovered), so id takedowns there mean a rebuild over the retained
+    * corpus — the same honesty [[IvfIndex.remove]] states for its model:
+    * cheap where the math allows it, a rebuild where it doesn't. */
+  def removeFreq(
+      spark: SparkSession,
+      removed: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      depth: Int,
+      width: Int,
+      store: TableStore,
+      name: String): Unit = {
+    val (stored, version) = store.snapshot(spark, cmsTable(name))
+    val negated = Sketches.cmsCells(removed.select(col(groupCol).as("group"),
+        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms")
+      .withColumn("_c", -col("_c"))
+    val merged = stored.unionByName(negated)
+      .groupBy(col("group"), col("_r"), col("_b"))
+      .agg(greatest(sum(col("_c")), lit(0L)).as("_c"))
+      .filter(col("_c") > 0)
+    store.write(merged, cmsTable(name), Some(version))
+  }
+
   /** Serve frequency estimates for `queries` from the committed cells. */
   def freq(
       spark: SparkSession,

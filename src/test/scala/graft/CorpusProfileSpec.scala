@@ -87,6 +87,21 @@ class CorpusProfileSpec extends SparkSpec {
       "cell-wise-summed state must serve the from-scratch estimates")
   }
 
+  test("frequency takedown: append then remove restores the original cells") {
+    val s = spark; import s.implicits._
+    val base = (1 to 800).map(i => (s"g${i % 2}", s"w${i % 41}")).toDF("grp", "v")
+    val extra = (1 to 200).map(i => (s"g${i % 2}", s"x${i % 17}")).toDF("grp", "v")
+    val store = new TableStore(freshRoot())
+    CorpusProfile.buildFreq(base, "grp", "v", 4, 128, store, "p")
+    val before = CorpusProfile.freq(spark, store, "p", Seq("w1", "w40", "x3"), 4, 128)
+      .orderBy(col("group"), col("term")).collect().map(_.toSeq).toSeq
+    CorpusProfile.appendFreq(spark, extra, "grp", "v", 4, 128, store, "p")
+    CorpusProfile.removeFreq(spark, extra, "grp", "v", 4, 128, store, "p")
+    val after = CorpusProfile.freq(spark, store, "p", Seq("w1", "w40", "x3"), 4, 128)
+      .orderBy(col("group"), col("term")).collect().map(_.toSeq).toSeq
+    assert(after === before, "CMS counts are sums: exact subtraction must round-trip")
+  }
+
   test("admitBatch gate: a redelivered batchId is skipped, state unchanged") {
     val store = new TableStore(freshRoot())
     def admit(ids: Range, bid: Long) =
