@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Round-end artifact hygiene (VERDICT r10 task 5 — automate so the
+# canonical-BENCH clobber stops recurring).
+#
+# Usage: tools/round_end.sh <round-number>
+#
+# 1. If the working-tree BENCH.json is a LOADED-host run
+#    (loadavg_before >= half the online cores, the README §"Which
+#    number is canonical" rule), restore the committed quiet-host
+#    canonical — the loaded run survives only in BENCH_r<NN>.json.
+# 2. git-add every round artifact (BENCH_r*.json, CORRECTNESS_r*.json,
+#    LEAKCHECK.json, BENCH.json) and commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+round="${1:?usage: tools/round_end.sh <round-number>}"
+
+if [ -f BENCH.json ]; then
+  keep=$(python3 - <<'PY'
+import json, os
+try:
+    b = json.load(open("BENCH.json"))
+    load = float(b.get("loadavg_before", 0))
+    cpus = int(b.get("host_cpus", os.cpu_count() or 1))
+    print("keep" if load < cpus / 2 else "restore")
+except Exception:
+    print("keep")
+PY
+)
+  if [ "$keep" = "restore" ] && ! git diff --quiet -- BENCH.json; then
+    echo "BENCH.json is a loaded-host run; restoring committed canonical"
+    git checkout HEAD -- BENCH.json
+  fi
+fi
+
+git add -A BENCH.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
+if ! git diff --cached --quiet; then
+  git commit -m "round ${round}: commit bench/correctness artifacts"
+else
+  echo "no artifact changes to commit"
+fi
