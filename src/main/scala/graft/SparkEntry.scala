@@ -4483,7 +4483,7 @@ object SparkEntry {
         |lvc AS (
         |  SELECT grp, gs.l,
         |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
-        |  FROM hl, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY grp, gs.l),
+        |  FROM hl, (SELECT unnest(range(0, 42)) AS l) gs GROUP BY grp, gs.l),
         |minl AS (
         |  SELECT grp, CAST(min(l) AS INT) AS lev
         |  FROM lvc WHERE c <= 128 GROUP BY grp),
@@ -4535,7 +4535,7 @@ object SparkEntry {
         |lvc AS (
         |  SELECT grp, gs.l,
         |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
-        |  FROM hl, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY grp, gs.l),
+        |  FROM hl, (SELECT unnest(range(0, 42)) AS l) gs GROUP BY grp, gs.l),
         |minl AS (
         |  SELECT grp, CAST(min(l) AS INT) AS lev
         |  FROM lvc WHERE c <= 128 GROUP BY grp),
@@ -4573,7 +4573,7 @@ object SparkEntry {
         |lvc AS (
         |  SELECT gs.l,
         |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
-        |  FROM h, (SELECT unnest(range(0, 25)) AS l) gs GROUP BY gs.l),
+        |  FROM h, (SELECT unnest(range(0, 42)) AS l) gs GROUP BY gs.l),
         |minl AS (SELECT CAST(min(l) AS INT) AS lev FROM lvc WHERE c <= 4096),
         |samp AS (
         |  SELECT v FROM h, minl
@@ -4640,7 +4640,7 @@ object SparkEntry {
     // survivor count fits the b=256 buffer — exactly what the buffer's
     // overflow-escalation converges to), the survivor sample at that
     // level, and values[ceil(q*m)] by window rank. Levels are probed by
-    // a small cross join against range(0,25) — oracle-side cost only;
+    // a small cross join against range(0,42) — oracle-side cost only;
     // the engine never materializes levels.
     "q98_quantile_sketch" ->
       """WITH h AS (
@@ -4653,7 +4653,7 @@ object SparkEntry {
         |lvc AS (
         |  SELECT event_type, gs.l,
         |    count(*) FILTER (WHERE hv % CAST(pow(2, gs.l) AS BIGINT) = 0) AS c
-        |  FROM h, (SELECT unnest(range(0, 25)) AS l) gs
+        |  FROM h, (SELECT unnest(range(0, 42)) AS l) gs
         |  GROUP BY event_type, gs.l),
         |minl AS (
         |  SELECT event_type, CAST(min(l) AS INT) AS level

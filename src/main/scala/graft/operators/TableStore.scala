@@ -62,7 +62,7 @@ object TableStore {
   val StaleStagingMs: Long = 30L * 60 * 1000
 }
 
-final class TableStore(root: String) {
+class TableStore(root: String) {
   Files.createDirectories(Paths.get(root))
 
   private def tableDir(name: String) = Paths.get(root, name)
@@ -148,6 +148,61 @@ final class TableStore(root: String) {
       case None => spark.read.parquet(versionPath(name, v).toString)
     }
     (df, v)
+  }
+
+  /** Read a SPECIFIC committed version — the manifest-resolved read a
+    * multi-table overlay (e.g. [[CorpusProfile]]'s profile manifest)
+    * needs: the overlay pins each member table's version, and readers
+    * must see exactly those pins rather than whatever `_current` points
+    * at, because a writer that crashed after committing a member table
+    * but before the overlay-manifest swap leaves an orphan successor
+    * version no manifest references. Only the current version and its
+    * immediate predecessor are retained by [[prune]], so a valid pin is
+    * always readable. */
+  def snapshotAt(spark: SparkSession, name: String, version: Int): DataFrame = {
+    val dir = versionPath(name, version)
+    if (!Files.exists(dir))
+      throw new IllegalStateException(
+        s"table $name has no version v$version under $root (pruned or never committed)")
+    val df = declaredSchemaAt(name, version) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None => spark.read.parquet(dir.toString)
+    }
+    if (bucketSpec(name).isDefined) df.drop("_bucket") else df
+  }
+
+  /** Roll the table back to `version`, discarding any later (orphaned)
+    * versions — the recovery primitive for multi-table overlays: a
+    * writer that commits member tables and then fails before its
+    * overlay-manifest swap leaves successors no reader can resolve; the
+    * redelivered write first rolls each member back to its pinned
+    * version so the refold derives from committed-visible state and the
+    * CAS anchors line up again. Keeping members at most one version
+    * ahead of their pins is also what keeps the pins inside [[prune]]'s
+    * retention window. The `_current` repoint is atomic; orphan dirs are
+    * swept after it (a crash in between leaves junk dirs that the next
+    * commit's existing-dest cleanup removes). No-op when already at
+    * `version`. */
+  def rollbackTo(name: String, version: Int): Unit = withTableLock(name) {
+    val cur = requireVersion(name)
+    if (cur != version) {
+      require(cur > version,
+        s"cannot roll $name forward from v$cur to v$version")
+      if (!Files.exists(versionPath(name, version)))
+        throw new IllegalStateException(
+          s"table $name cannot roll back to pruned version v$version")
+      val tmp = tableDir(name).resolve("_current.tmp")
+      val body = version.toString + bucketSpec(name)
+        .map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}")
+        .getOrElse("")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ((version + 1) to cur).foreach { w =>
+        try deleteRecursively(versionPath(name, w))
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Read a bucketed table INCLUDING the `_bucket` partition column, so

@@ -141,4 +141,186 @@ class CorpusProfileSpec extends SparkSpec {
     assert(kmvV1 > kmvV0 && lvlV1 > lvlV0,
       "append must commit successor versions, never overwrite in place")
   }
+
+  // ---- exactly-once: crash between member commits and the manifest swap
+
+  /** A store whose next manifest-table commit throws — the crash window
+    * the round-9/10 verdicts flagged: sketches committed, gate not. */
+  private class ManifestCrashStore(root: String) extends TableStore(root) {
+    @volatile var failManifest = false
+    override def write(df: org.apache.spark.sql.DataFrame, name: String,
+        expected: Option[Int]): Int = {
+      if (failManifest && name.endsWith("_manifest"))
+        throw new RuntimeException("injected crash before manifest swap")
+      super.write(df, name, expected)
+    }
+  }
+
+  test("crash after sketch commits, before the manifest swap: redelivery folds exactly once") {
+    val store = new ManifestCrashStore(freshRoot())
+    def admit(ids: Range, bid: Long) =
+      CorpusProfile.admitBatch(spark, docs(ids), bid,
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    assert(admit(1 to 300, 0L), "first batch builds")
+    store.failManifest = true
+    intercept[RuntimeException] { admit(301 to 600, 1L) }
+    store.failManifest = false
+    // Structured Streaming redelivers the in-flight batch after a failure:
+    // the gate must treat it as NOT yet admitted (the sketch commits above
+    // are unreferenced orphans) and fold it exactly once
+    assert(admit(301 to 600, 1L), "redelivered batch must fold")
+    assert(!admit(301 to 600, 1L), "a second redelivery must be refused")
+    val clean = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    assert(servedProfile(store) === servedProfile(clean),
+      "crash + redelivery must be bit-equal to a single clean admission")
+  }
+
+  test("crash mid-admission leaves readers on the pre-batch state") {
+    val store = new ManifestCrashStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    val before = servedProfile(store)
+    store.failManifest = true
+    intercept[RuntimeException] {
+      CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    }
+    store.failManifest = false
+    assert(servedProfile(store) === before,
+      "orphan member versions must be invisible until the manifest swap")
+  }
+
+  // ---- level-merge arithmetic on crafted hashes (the probe-ceiling fix)
+
+  private def lvlState(rows: Seq[(String, Long, Double)], b: Int) = {
+    val s = spark; import s.implicits._
+    rows.toDF("group", "_hv", "_v").groupBy(col("group"))
+      .agg(org.apache.spark.sql.graft.LevelSample
+        .level_sample(col("_hv"), col("_v"), b).as("ls"))
+      .select(col("group"), col("ls.level").as("level"),
+        explode(arrays_zip(col("ls.hashes").as("hv"),
+          col("ls.values").as("v"))).as("_e"))
+      .select(col("group"), col("level"), col("_e.hv").as("hv"),
+        col("_e.v").as("v"))
+  }
+
+  private def collectState(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3))).toSeq.sorted
+
+  test("fold reaches canonical levels past the old 24-offset ceiling") {
+    val s = spark; import s.implicits._
+    // stored at level 0 with two tz=30 hashes; batch adds hv=2^31; b=2:
+    // every level through 30 holds all three rows, so the canonical
+    // minimal fitting level is 31 — beyond the old fixed probe window,
+    // which silently deleted the group's state here
+    val stored = Seq(("g", 0, 1L << 30, 1.0), ("g", 0, 3L << 30, 3.0))
+      .toDF("group", "level", "hv", "v")
+    val batch = Seq(("g", 1L << 31, 2.0)).toDF("group", "hv", "v")
+    val folded = collectState(CorpusProfile.foldLevelState(stored, batch, 2))
+    assert(folded === Seq(("g", 31, 1L << 31, 2.0)),
+      "the survivor at level 31 must be found, not dropped")
+    val scratch = collectState(lvlState(
+      Seq(("g", 1L << 30, 1.0), ("g", 3L << 30, 3.0), ("g", 1L << 31, 2.0)), 2))
+    assert(folded === scratch, "fold must equal the from-scratch aggregate")
+  }
+
+  test("fold emits the canonical EMPTY level instead of dropping the group") {
+    val s = spark; import s.implicits._
+    // three odd hashes, b=2: level 0 overflows, level 1 has zero
+    // survivors — the canonical state is (level 1, empty sample), which
+    // the row encoding represents as no rows; from-scratch agrees
+    val stored = Seq(("g", 0, 1L, 1.0)).toDF("group", "level", "hv", "v")
+    val batch = Seq(("g", 3L, 2.0), ("g", 5L, 3.0)).toDF("group", "hv", "v")
+    val folded = CorpusProfile.foldLevelState(stored, batch, 2)
+    assert(folded.count() === 0)
+    val scratch = lvlState(Seq(("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 3.0)), 2)
+    assert(scratch.count() === 0,
+      "from-scratch build also retains nothing at the escalated level")
+  }
+
+  test("fold fails loudly when no level can ever fit (hash-0 multiplicity > b)") {
+    val s = spark; import s.implicits._
+    val stored = Seq.empty[(String, Int, Long, Double)]
+      .toDF("group", "level", "hv", "v")
+    val batch = Seq(("g", 0L, 1.0), ("g", 0L, 2.0)).toDF("group", "hv", "v")
+    val e = intercept[Exception] {
+      CorpusProfile.foldLevelState(stored, batch, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("cannot fit")),
+      s"expected a loud unfittable-group error, got: $e")
+  }
+
+  test("fold equals the native aggregate on varied-trailing-zero hashes") {
+    val s = spark; import s.implicits._
+    def hv(i: Int): Long = (i.toLong * 2654435761L + 12345L) & ((1L << 40) - 1)
+    val rows = (1 to 400).map(i => (s"g${i % 3}", hv(i), i.toDouble))
+    val (a, b) = rows.splitAt(250)
+    val folded = collectState(CorpusProfile.foldLevelState(
+      lvlState(a, 8), b.toDF("group", "hv", "v"), 8))
+    assert(folded === collectState(lvlState(rows, 8)),
+      "fold over a split must equal the aggregate over the whole")
+  }
+
+  // ---- NaN symmetry (round-10 verdict #4)
+
+  test("appending a NaN-bearing batch equals a from-scratch build") {
+    val s = spark; import s.implicits._
+    val clean = docs(1 to 600)
+    val noisy = docs(601 to 700)
+      .withColumn("num", when(col("id") % 3 === 0, lit(Double.NaN))
+        .otherwise(col("num")))
+    val fullStore = new TableStore(freshRoot())
+    CorpusProfile.build(clean.unionByName(noisy),
+      "grp", "txt", "id", "num", 32, 64, fullStore, "p")
+    val incStore = new TableStore(freshRoot())
+    CorpusProfile.build(clean, "grp", "txt", "id", "num", 32, 64, incStore, "p")
+    CorpusProfile.append(spark, noisy,
+      "grp", "txt", "id", "num", 32, 64, incStore, "p")
+    assert(servedProfile(incStore) === servedProfile(fullStore),
+      "append must skip NaN values exactly as the build aggregate does")
+  }
+
+  // ---- rebuild: the takedown path for the non-subtractive tiers
+
+  test("rebuild over the retained corpus equals a from-scratch build") {
+    val store = new TableStore(freshRoot())
+    CorpusProfile.build(docs(1 to 600), "grp", "txt", "id", "num", 32, 64, store, "p")
+    CorpusProfile.append(spark, docs(601 to 900),
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    // GDPR-style takedown: drop every id divisible by 7, rebuild the
+    // non-subtractive tiers over what remains
+    val retained = docs(1 to 900).filter(col("id") % 7 =!= 0)
+    CorpusProfile.rebuild(retained, "grp", "txt", "id", "num", 32, 64, store, "p")
+    val fresh = new TableStore(freshRoot())
+    CorpusProfile.build(retained, "grp", "txt", "id", "num", 32, 64, fresh, "p")
+    assert(servedProfile(store) === servedProfile(fresh),
+      "rebuild must be bit-equal to building over the retained corpus")
+  }
+
+  test("rebuild preserves the admission gate and the frequency tier") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(freshRoot())
+    def admit(ids: Range, bid: Long) =
+      CorpusProfile.admitBatch(spark, docs(ids), bid,
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    assert(admit(1 to 300, 0L) && admit(301 to 600, 1L))
+    val toks = (1 to 500).map(i => (s"g${i % 2}", s"w${i % 31}")).toDF("grp", "v")
+    CorpusProfile.buildFreq(toks, "grp", "v", 4, 128, store, "p")
+    val freqBefore = CorpusProfile.freq(spark, store, "p", Seq("w1", "w7"), 4, 128)
+      .orderBy(col("group"), col("term")).collect().map(_.toSeq).toSeq
+    CorpusProfile.rebuild(docs(1 to 600).filter(col("id") % 5 =!= 0),
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    assert(!admit(1 to 10, 1L), "already-admitted batch ids must stay admitted")
+    assert(admit(601 to 700, 2L), "the admission chain continues after a rebuild")
+    val freqAfter = CorpusProfile.freq(spark, store, "p", Seq("w1", "w7"), 4, 128)
+      .orderBy(col("group"), col("term")).collect().map(_.toSeq).toSeq
+    assert(freqAfter === freqBefore, "the frequency tier's pin must survive a rebuild")
+  }
 }
