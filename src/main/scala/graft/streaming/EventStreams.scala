@@ -88,50 +88,87 @@ object EventStreams {
       }
   }
 
-  final case class FunnelState(idx: Int, lastMs: Long)
+  final case class FunnelState(idx: Int, lastUs: Long)
   final case class FunnelProgress(user_id: Long, reached: Int)
+
+  /** Event-time MICROSECONDS of a timestamp — the precision the batch
+    * funnel folds at (`unix_micros`); folding streams at milliseconds
+    * would let two step events inside the same millisecond advance the
+    * batch funnel but not the streaming one. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** Streaming funnel progress: the stateful face of
     * [[graft.operators.Funnel.funnel]] — per-user greedy earliest-
     * completion matching carried ACROSS micro-batches in checkpointed
-    * state (step index + last-match event time, a dozen bytes per user).
+    * state (step index + last-match event time in micros, a dozen bytes
+    * per user).
     *
     * Each batch folds the user's arriving events in (ts, event_id) order
-    * through the same strict-ordering rule as the batch operator and
-    * emits the user's current `reached` step when it is > 0. `reached`
-    * is MONOTONE, so the drained output reduces to the batch answer with
-    * `max(reached) per user` — which is exactly how the declared query's
-    * hash gate replays it against the batch-funnel oracle. The
-    * equivalence holds when per-user event order is non-decreasing
-    * across batches (a time-partitioned ingest); out-of-order delivery
-    * WITHIN a batch is handled by the sort, and production deployments
-    * bound state with a timeout eviction in the usual way (the state
-    * here is per-user-constant, not per-event, so it grows with users,
-    * not volume). */
+    * through the same strict-ordering rule AND the same microsecond
+    * precision as the batch operator, and emits the user's current
+    * `reached` step when it is > 0. `reached` is MONOTONE, so the
+    * drained output reduces to the batch answer with `max(reached) per
+    * user` — which is exactly how the declared query's hash gate replays
+    * it against the batch-funnel oracle. The equivalence holds when
+    * per-user event order is non-decreasing across batches (a
+    * time-partitioned ingest); out-of-order delivery WITHIN a batch is
+    * handled by the sort.
+    *
+    * State is BOUNDED two ways (the sessionize pattern):
+    *  - completion: a user who reaches the last step can never advance
+    *    again, so the state is removed immediately (a later event
+    *    restarts an independent funnel — harmless under the max() gate);
+    *  - idleness: an event-time timeout evicts a user whose last event
+    *    is `idleTimeoutMs` behind the watermark. An evicted user's next
+    *    event restarts at step 0, so `idleTimeoutMs` is the retention
+    *    horizon for in-flight funnels — size it to the longest
+    *    step-to-step gap worth honoring (default 30 days), NOT to
+    *    Long.MaxValue, or state grows with the all-time user count. */
   def funnelOnStream(
       events: Dataset[Event],
       steps: Seq[String],
-      watermarkDelay: String = "30 minutes"): Dataset[FunnelProgress] = {
+      watermarkDelay: String = "30 minutes",
+      idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Dataset[FunnelProgress] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "steps must be nonempty and distinct")
+    require(idleTimeoutMs > 0, "idleTimeoutMs must be positive")
     import events.sparkSession.implicits._
     val stepList = steps.toList
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          sorted.foreach { e =>
-            if (st.idx < stepList.size && e.event_type == stepList(st.idx) &&
-                (st.idx == 0 || e.ts.getTime > st.lastMs))
-              st = FunnelState(st.idx + 1, e.ts.getTime)
+          if (state.hasTimedOut) {
+            // idle past the retention horizon: every reached step was
+            // already emitted when it advanced — just evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              if (st.idx < stepList.size && e.event_type == stepList(st.idx) &&
+                  (st.idx == 0 || us > st.lastUs))
+                st = FunnelState(st.idx + 1, us)
+            }
+            if (st.idx >= stepList.size) {
+              // complete — nothing can advance further; evict now
+              state.remove()
+            } else {
+              state.update(st)
+              // rows is non-empty when not a timeout invocation; the
+              // deadline must stay ahead of the current watermark
+              val lastSeenMs = sorted.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(math.max(lastSeenMs + idleTimeoutMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            if (st.idx > 0) Iterator.single(FunnelProgress(userId, st.idx))
+            else Iterator.empty
           }
-          state.update(st)
-          if (st.idx > 0) Iterator.single(FunnelProgress(userId, st.idx))
-          else Iterator.empty
       }
   }
 

@@ -141,4 +141,96 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalReached === Map(1L -> 3, 2L -> 1),
       "user 1 must complete across batches; user 2's pre-view click is dead")
   }
+
+  test("streaming funnel folds at microsecond precision like the batch operator") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1: three steps 100 MICROSECONDS apart inside one millisecond —
+    // a millisecond fold sees equal times and stalls at step 1;
+    // user 2: view and click at the SAME microsecond — strict ordering
+    // must refuse the advance, exactly as the batch fold does
+    val evs = Seq(
+      Event(1, ts("2026-01-01 00:00:00.0001"), 1, "view", 0.0),
+      Event(2, ts("2026-01-01 00:00:00.0002"), 1, "click", 0.0),
+      Event(3, ts("2026-01-01 00:00:00.0003"), 1, "purchase", 0.0),
+      Event(4, ts("2026-01-01 00:00:00.0001"), 2, "view", 0.0),
+      Event(5, ts("2026-01-01 00:00:00.0001"), 2, "click", 0.0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelOnStream(input.toDS(),
+        steps = Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnelus")
+      .outputMode(OutputMode.Append).start()
+    input.addData(evs: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("funnelus").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("reached")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    query.stop()
+    assert(streamed === Map(1L -> 3, 2L -> 1),
+      "sub-millisecond steps must advance; same-microsecond steps must not")
+    // drain ≡ batch on the same sub-millisecond fixture
+    val batchReached = graft.operators.Funnel.funnel(
+        evs.toDF(), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(org.apache.spark.sql.functions.col("step")).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(batchReached === Map(1 -> 2, 2 -> 1, 3 -> 1),
+      "batch operator agrees: both users enter, only user 1 advances")
+  }
+
+  test("streaming funnel evicts idle state once the watermark passes the horizon") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelOnStream(input.toDS(),
+        steps = Seq("view", "click", "purchase"),
+        watermarkDelay = "1 second", idleTimeoutMs = 60_000L)
+      .writeStream.format("memory").queryName("funnelevict")
+      .outputMode(OutputMode.Append).start()
+    // user 1 reaches step 2, then goes idle past the 1-minute horizon
+    input.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "view", 0.0),
+      Event(2, ts("2026-01-01 00:00:10"), 1, "click", 0.0))
+    query.processAllAvailable()
+    // another user's event drives the watermark far past user 1's
+    // deadline (00:01:10) → the timeout fires and evicts user 1's state
+    input.addData(Event(3, ts("2026-01-01 01:00:00"), 2, "view", 0.0))
+    query.processAllAvailable()
+    // post-eviction: a purchase would have completed the old funnel, but
+    // the funnel must restart cleanly at step 0 — the purchase is dead,
+    // the following view re-enters at step 1
+    input.addData(
+      Event(4, ts("2026-01-01 01:10:00"), 1, "purchase", 0.0),
+      Event(5, ts("2026-01-01 01:11:00"), 1, "view", 0.0))
+    query.processAllAvailable()
+    val u1 = spark.table("funnelevict").collect()
+      .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Int]("reached")).toSeq
+    query.stop()
+    assert(!u1.contains(3), "evicted state must not resurrect to complete")
+    assert(u1.max === 2 && u1.last === 1,
+      s"expected pre-eviction progress 2 then a clean restart at 1, got $u1")
+  }
+
+  test("streaming funnel evicts on completion; later events restart independently") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelOnStream(input.toDS(),
+        steps = Seq("view", "click"))
+      .writeStream.format("memory").queryName("funneldone")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "view", 0.0),
+      Event(2, ts("2026-01-01 00:01:00"), 1, "click", 0.0))
+    query.processAllAvailable()
+    // completed state was removed; this view starts a FRESH funnel and
+    // must emit reached=1, not re-emit the completed 2
+    input.addData(Event(3, ts("2026-01-01 00:05:00"), 1, "view", 0.0))
+    query.processAllAvailable()
+    val u1 = spark.table("funneldone").collect()
+      .map(r => r.getAs[Int]("reached")).toSeq
+    query.stop()
+    assert(u1 === Seq(2, 1),
+      s"completion then an independent restart, got $u1")
+  }
 }
