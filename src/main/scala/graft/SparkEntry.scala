@@ -884,6 +884,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ext: HEAVY-HITTER DISCOVERY — the complement of q100's point-query
+    // CMS ("how often do these KNOWN terms occur") and q42's exact
+    // vocabulary shuffle: "what ARE the frequent terms per lang",
+    // sub-vocabulary. A per-group Misra–Gries summary (one mergeable
+    // aggregate exchange, k counters per group) discovers a guaranteed
+    // superset of the ≥2% tokens; the candidates broadcast into an exact
+    // verify count whose shuffle carries ≤ groups × k keys. The output
+    // is the EXACT thresholded set — deterministic under any
+    // partitioning (the summary's content noise never reaches the
+    // result), which is why a plain GROUP BY/HAVING oracle replays it.
+    "q108_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Sketches.heavyHitters(
+          t(s, dir, "documents").select(col("lang"),
+            explode(filter(graft.functions.TextFunctions.tokens(col("text")),
+              x => length(x) > 0)).as("token")),
+          Seq("lang"), "token", minFrac = 0.02)
+        .orderBy(col("lang"), col("term"))
+    }),
+
     // ext: STREAMING FUNNEL under the hash gate — the fifth streaming
     // face (q78 session state, q80 windows, q81 dedup state, q96
     // stream-static join): per-user funnel state (step index + last
@@ -4586,11 +4605,32 @@ object SparkEntry {
         |    max(CASE WHEN r = greatest((i.i * m + 9) // 10, 1) THEN v END) AS bv
         |  FROM rk, (SELECT unnest(range(1, 10)) AS i) i GROUP BY i.i)
         |SELECT d.doc_id, d.n_chars,
-        |  CAST(1 + sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > b.bv
-        |    THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |    ELSE CAST(1 + sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > b.bv
+        |      THEN 1 ELSE 0 END) AS INT) END AS bucket
         |FROM documents d CROSS JOIN bounds b
         |GROUP BY d.doc_id, d.n_chars
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Heavy-hitter replay: the oracle affords the full-vocabulary
+    // aggregate the engine's two-pass MG+verify avoids — exact counts,
+    // the same integer basis-point threshold (cnt·10000 ≥ 200·n), the
+    // same round-6 frequency. Equality holds because the engine's
+    // output is the EXACT thresholded set: the MG summary only ever
+    // proposes a guaranteed superset of it.
+    "q108_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS v
+        |  FROM documents),
+        |tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+        |cnt AS (SELECT lang, v, count(*) AS c FROM toks GROUP BY lang, v)
+        |SELECT c.lang, c.v AS term, c.c AS n_occurrences,
+        |  round(CAST(c.c AS DOUBLE) / t.n, 6) AS frequency
+        |FROM cnt c JOIN tot t ON c.lang = t.lang
+        |WHERE c.c * 10000 >= 200 * t.n
+        |ORDER BY c.lang, term""".stripMargin,
 
     // Cohort-retention replay: first-activity week per user, distinct
     // (user, week) activity, week offsets by exact day arithmetic / 7,

@@ -106,11 +106,87 @@ object Sketches {
         i => element_at(col("ls.values"),
           greatest(floor((i.cast("long") * m + lit(nBuckets - 1).cast("long"))
             / lit(nBuckets.toDouble)).cast("int"), lit(1)))).as("_bounds"))
+    // NULL values carry no rank: they are excluded from boundary
+    // estimation above, so assigning them a bucket would silently file
+    // them below every boundary (the old behavior: bucket 1). They get
+    // bucket NULL instead — the row is kept, the non-answer is explicit,
+    // and both engines agree (`NTILE` replays mirror it with a CASE).
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        (lit(1) + size(filter(col("_bounds"),
-          x => col(valueCol).cast("double") > x))).cast("int"))
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise((lit(1) + size(filter(col("_bounds"),
+            x => col(valueCol).cast("double") > x))).cast("int")))
       .drop("_bounds")
+  }
+
+  /** Heavy-hitter DISCOVERY per group: every value whose frequency is at
+    * least `minFrac` of its group's rows, with its EXACT count — the
+    * question q100's count–min sketch cannot ask ("what ARE the top
+    * terms", vs "how often do these known terms occur") answered without
+    * q42's full-vocabulary shuffle.
+    *
+    * Two passes, both sub-vocabulary:
+    *
+    *  1. CANDIDATES — one aggregate exchange folding the raw stream into
+    *     a per-group [[org.apache.spark.sql.graft.MisraGries]] summary
+    *     (k counters, mergeable by pointwise-add-and-truncate, so the
+    *     partial aggregate combines map-side like the rest of the sketch
+    *     family). The summary's survivor set is merge-order-dependent,
+    *     but its GUARANTEE is not: every value with true frequency
+    *     > n/(k+1) survives any merge tree. With k + 1 > 1/minFrac,
+    *     the candidates are a certain superset of the answer.
+    *  2. VERIFY — exact counts of the candidate values only: the
+    *     broadcast candidate list filters the stream, so the counting
+    *     shuffle carries at most groups × k keys, never the vocabulary.
+    *
+    * Because pass 2 is exact and pass 1 is a guaranteed superset, the
+    * OUTPUT is fully deterministic — independent of partitioning and
+    * merge order — and replays in SQL as a plain `GROUP BY ... HAVING
+    * count ≥ ceil(minFrac·n)` (the threshold compares in integer
+    * basis-point arithmetic on both engines). The summary-content
+    * nondeterminism never reaches the result.
+    *
+    * Output per hitter: (groups..., term, n_occurrences, frequency
+    * rounded to 6), one row per (group, value) meeting the threshold.
+    *
+    * @param minFrac frequency threshold in (0, 1), basis-point resolution
+    * @param k       summary size; 0 (default) sizes it to 2/minFrac,
+    *                twice the guarantee's minimum
+    */
+  def heavyHitters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      minFrac: Double,
+      k: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(minFrac > 0.0 && minFrac < 1.0,
+      s"minFrac must lie in (0, 1), got $minFrac")
+    val p = math.round(minFrac * 10000).toInt
+    require(math.abs(minFrac * 10000 - p) < 1e-6,
+      s"minFrac $minFrac finer than basis-point resolution")
+    val kk = if (k > 0) k else math.max(16, math.ceil(2.0 / minFrac).toInt)
+    require((kk + 1) * minFrac > 1.0,
+      s"summary size $kk cannot guarantee minFrac=$minFrac hitters " +
+        s"(need k + 1 > ${1.0 / minFrac})")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("string").as("_v"): _*)
+    val cand = rows
+      .groupBy(groupCols.map(col): _*)
+      .agg(org.apache.spark.sql.graft.MisraGries
+        .misra_gries(col("_v"), kk).as("mg"))
+      .select(groupCols.map(col) :+ col("mg.n").as("_n") :+
+        explode(col("mg.items")).as("_v"): _*)
+    rows
+      .join(broadcast(cand), groupCols :+ "_v")
+      .groupBy(groupCols.map(col) :+ col("_v"): _*)
+      .agg(max(col("_n")).as("_n"), count(lit(1)).as("n_occurrences"))
+      // exact threshold in integer arithmetic: cnt >= ceil(p·n/10000)
+      .filter(col("n_occurrences") * 10000 >= lit(p.toLong) * col("_n"))
+      .select(groupCols.map(col) :+ col("_v").as("term") :+
+        col("n_occurrences") :+
+        round(col("n_occurrences").cast("double") /
+          col("_n").cast("double"), 6).as("frequency"): _*)
   }
 
   /** Count–min frequency estimates (Cormode & Muthukrishnan, J. Algorithms

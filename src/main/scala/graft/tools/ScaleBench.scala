@@ -182,7 +182,11 @@ object ScaleBench {
     "q105_profile_serve", "q106_profile_freq",
     // streamed admission into the profile: per-drain cost = the sketch
     // aggregates over each micro-batch + the batchId-gate commits
-    "q107_stream_profile")
+    "q107_stream_profile",
+    // r11: heavy-hitter discovery — the MG candidate aggregate scans the
+    // token stream (∝ corpus) and the verify count's shuffle is capped
+    // at groups × k keys, so the decade slope should track the scan
+    "q108_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

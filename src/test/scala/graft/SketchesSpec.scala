@@ -215,6 +215,93 @@ class SketchesSpec extends SparkSpec {
       s"sketch = exactly one exchange:\n$plan")
   }
 
+  test("quantile buckets file NULL values under bucket NULL, not bucket 1") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, None), (6L, None)).toDF("id", "v")
+    val out = Sketches.quantileBuckets(df, "id", "v", nBuckets = 2, b = 16)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(5L) === None && out(6L) === None,
+      "a NULL value has no rank — its bucket must be NULL, not silently 1")
+    // non-NULL rows split exactly as if the NULLs were absent
+    assert(out(1L) === Some(1) && out(2L) === Some(1) &&
+      out(3L) === Some(2) && out(4L) === Some(2),
+      "NULL rows must not shift the boundaries or the real buckets")
+  }
+
+  test("heavy hitters: exact thresholded output on skewed data, truncation exercised") {
+    val s = spark; import s.implicits._
+    // zipf-ish: value i appears ceil(1000/i) times, i = 1..100 — far more
+    // distinct values than the k=40 summary, so MG truncation runs
+    val rows = (1 to 100).flatMap(i =>
+      Seq.fill(math.ceil(1000.0 / i).toInt)(("g", s"v$i")))
+    val n = rows.size
+    val truth = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = truth.filter { case (_, c) => c * 10000 >= 500L * n }
+    assert(expected.size >= 2 && expected.size <= 5,
+      s"fixture sanity: a few hitters at 5%, got ${expected.size}")
+    val out = Sketches.heavyHitters(
+        scala.util.Random.shuffle(rows).toDF("g", "v").repartition(13),
+        Seq("g"), "v", minFrac = 0.05)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === expected.toMap,
+      "output must be the EXACT set of 5% hitters with exact counts")
+  }
+
+  test("heavy hitters are deterministic under any partitioning") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 60).flatMap(i =>
+      Seq.fill(1 + 600 / i)((s"g${i % 2}", s"w$i")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHitters(df, Seq("g"), "v", 0.04)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    val a = run(rows.toDF("g", "v").repartition(1))
+    val b = run(scala.util.Random.shuffle(rows).toDF("g", "v").repartition(29))
+    assert(a === b && a.nonEmpty,
+      "the verified answer is canonical even though the summary content is not")
+  }
+
+  test("misra-gries summary: lower bounds, coverage guarantee, bounded size") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 80).flatMap(i => Seq.fill(1 + 800 / i)(("g", s"t$i")))
+    val n = rows.size
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val k = 12
+    // any merge tree (here: whatever 17 partitions' scheduler order gives)
+    val mg = scala.util.Random.shuffle(rows).toDF("g", "v").repartition(17)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.graft.MisraGries
+        .misra_gries(col("v"), k).as("mg"))
+      .select(col("mg.n"), col("mg.items"), col("mg.counts"))
+      .collect().head
+    assert(mg.getLong(0) === n.toLong)
+    val items = mg.getSeq[String](1)
+    val counts = mg.getSeq[Long](2)
+    assert(items.size <= k, "summary never exceeds k counters")
+    items.zip(counts).foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item: stored $c must lower-bound ${truth(item)}")
+      assert(truth(item) - c <= n.toLong / (k + 1),
+        s"$item: error ${truth(item) - c} exceeds n/(k+1) = ${n / (k + 1)}")
+    }
+    truth.filter(_._2 > n.toLong / (k + 1)).keys.foreach { heavy =>
+      assert(items.contains(heavy),
+        s"$heavy is above the n/(k+1) guarantee line and must survive")
+    }
+  }
+
+  test("heavy hitters plan: no vocabulary-wide shuffle on the verify side") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i => ("g", s"w${i % 40}")).toDF("g", "v")
+    val plan = Sketches.heavyHitters(df, Seq("g"), "v", 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), s"no cross product:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"candidates must broadcast into the verify filter:\n$plan")
+    assert(!plan.contains("Window"), s"no ranking windows:\n$plan")
+  }
+
   test("top_k_pairs_distinct buffer skips duplicates at every position") {
     import org.apache.spark.sql.graft.TopKBuffer
     val buf = new TopKBuffer(4, dedup = true)
