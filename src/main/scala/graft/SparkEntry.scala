@@ -2102,8 +2102,15 @@ object SparkEntry {
         .select(col("doc_id").as("probe_id"),
           slice(filter(graft.functions.TextFunctions.tokens(col("text")),
             x => length(x) > 0), 1, 3).as("pterms"))
+      // maxDfFrac = 0.75 EXERCISES the hot-postings skew guard on the
+      // declared path (r10 verdict item 9): roughly half this corpus's
+      // vocabulary sits above 75% document frequency — stopword-dense
+      // terms whose |corpus|-sized postings are the skew buckets and
+      // whose idf ≈ 0 contributes noise-level score — and is pruned
+      // before scoring; the oracle applies the identical df ≤ 0.75·N
+      // cut in its probe-term CTE.
       graft.operators.Retrieval.bm25Against(docs, "doc_id", "text",
-        probes, "probe_id", "pterms", k = 5)
+        probes, "probe_id", "pterms", k = 5, maxDfFrac = 0.75)
     }),
 
     // ext: STREAMING dedup-on-ingest under the hash gate — the
@@ -2967,11 +2974,15 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
         |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-        |pt AS (
+        |ptraw AS (
         |  SELECT DISTINCT probe_id, term FROM (
         |    SELECT doc_id AS probe_id, unnest(list_slice(toks, 1, 3)) AS term
         |    FROM d WHERE doc_id % 97 = 0)
         |  WHERE len(term) > 0),
+        |pt AS (
+        |  SELECT ptraw.probe_id, ptraw.term
+        |  FROM ptraw JOIN tdf ON ptraw.term = tdf.term, st
+        |  WHERE CAST(tdf.df AS DOUBLE) <= 0.75 * st.n),
         |sc AS (
         |  SELECT pt.probe_id, post.doc_id,
         |    CAST(count(*) AS INT) AS n_match_terms,
