@@ -1570,6 +1570,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the PQ-persisted family's declared ≥0.9-RECALL serving point
+    // (the q99 pattern applied to the 16-byte-code tier — r10 verdict
+    // item 8): q87's exact chain one probe wider. ProbeSweep's
+    // [sweep-pq] curve on this fixture: nProbe=4 → 0.820, 5 → 0.9133,
+    // 6 → 0.9667, at EVERY shortlist in 64–256 — recall is PROBE-bound,
+    // the ADC shortlist already matching the float tier's ceiling at
+    // each width (quantization error is fully absorbed by the 64-deep
+    // re-rank), so the cheapest ≥0.9 config keeps the cheap shortlist
+    // and pays exactly one extra probed cell. Budget:quality tiers for
+    // the stored-code path: q87 = budget (0.82), this = quality (0.91).
+    "q109_pq_quality" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.PqIndex.topKRefined(s, batch, "vec_id", "embedding",
+          new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
+          k = 3, nProbe = 5, shortlist = 64)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: DIVERSIFIED top-k retrieval (Carbonell & Goldstein, SIGIR 1998
     // MMR) over the persisted index's candidates — the serving-side
     // counterpart of the dedup family: q60's top-8 pool per query is
@@ -2307,6 +2327,129 @@ object SparkEntry {
         |  round(CASE WHEN c1 > 0 THEN CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)
         |    ELSE 0.0 END, 6) FROM c
         |ORDER BY step""".stripMargin
+
+  private def pqPersistedOracle(nProbe: Int): String =
+    s"""WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the stored (id, v, cell) float tier
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |pu0 AS ( -- PQ training input: unit forms of the stored corpus
+        |  SELECT id, cell, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM assigned),
+        |pu AS (SELECT id, cell, list_transform(v, x -> x / nrm) AS u FROM pu0),
+        |ms AS (SELECT unnest(range(0, 16)) AS sub),
+        |psubs AS (
+        |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
+        |  FROM pu, ms),
+        |seedv AS (
+        |  SELECT u, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS code
+        |  FROM pu ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 32),
+        |pcb0 AS (
+        |  SELECT ms.sub AS sub, sv.code, sv.u[ms.sub*4+1:(ms.sub+1)*4] AS c_v
+        |  FROM ms CROSS JOIN seedv sv),
+        |pa1 AS (
+        |  SELECT id, sub, sv, code FROM (
+        |    SELECT sb.id, sb.sub, sb.sv, c.code,
+        |      row_number() OVER (PARTITION BY sb.id, sb.sub
+        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+        |    FROM psubs sb JOIN pcb0 c ON sb.sub = c.sub) WHERE rnk = 1),
+        |pm1 AS (
+        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
+        |    SELECT sub, code, unnest(list_transform(sv,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
+        |    FROM pa1) GROUP BY sub, code, t.pos),
+        |pcb1 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM pm1 GROUP BY sub, code),
+        |pa2 AS (
+        |  SELECT id, sub, sv, code FROM (
+        |    SELECT sb.id, sb.sub, sb.sv, c.code,
+        |      row_number() OVER (PARTITION BY sb.id, sb.sub
+        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+        |    FROM psubs sb JOIN pcb1 c ON sb.sub = c.sub) WHERE rnk = 1),
+        |pm2 AS (
+        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
+        |    SELECT sub, code, unnest(list_transform(sv,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
+        |    FROM pa2) GROUP BY sub, code, t.pos),
+        |pcb2 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM pm2 GROUP BY sub, code),
+        |codes AS ( -- the stored (id, cell, codes) tier, long form
+        |  SELECT id, sub, code FROM (
+        |    SELECT sb.id, sb.sub, c.code,
+        |      row_number() OVER (PARTITION BY sb.id, sb.sub
+        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
+        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
+        |    FROM psubs sb JOIN pcb2 c ON sb.sub = c.sub) WHERE rnk = 1),
+        |qu0 AS ( -- query side: batch unit forms + subvectors
+        |  SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM batch),
+        |qu AS (SELECT id, list_transform(v, x -> x / nrm) AS u FROM qu0),
+        |qsubs AS (
+        |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
+        |  FROM qu, ms),
+        |probes AS ( -- serving probes 4 cells of the shared model
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= $nProbe),
+        |cand AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id
+        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
+        |parts AS ( -- ADC: per-subspace partial dots against coded slots
+        |  SELECT c.vec_id, c.neighbor_id, k.sub,
+        |    list_dot_product(qs.sv, cb.c_v) AS part
+        |  FROM cand c
+        |  JOIN codes k ON c.neighbor_id = k.id
+        |  JOIN qsubs qs ON c.vec_id = qs.id AND k.sub = qs.sub
+        |  JOIN pcb2 cb ON k.sub = cb.sub AND k.code = cb.code),
+        |sc AS (
+        |  SELECT vec_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS score
+        |  FROM parts GROUP BY vec_id, neighbor_id),
+        |short AS ( -- 64-deep shortlist on the ADC score
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY score DESC, neighbor_id ASC) AS s_rank
+        |    FROM sc) WHERE s_rank <= 64),
+        |rr AS ( -- exact re-rank on the stored floats
+        |  SELECT sh.vec_id, sh.neighbor_id,
+        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY sh.vec_id
+        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
+        |        sh.neighbor_id ASC) AS rank
+        |  FROM short sh
+        |  JOIN batch qb ON sh.vec_id = qb.id
+        |  JOIN assigned nb ON sh.neighbor_id = nb.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
   private def ivfRefinedOracle(nProbe: Int): String =
       s"""WITH ecast AS (
@@ -3812,128 +3955,15 @@ object SparkEntry {
     // ascending-sub ADC partial-dot fold (the q84/q85-established
     // equivalence with the native scorer), a 64-deep shortlist, and exact
     // cosine on the stored floats re-ranking to top-3.
-    "q87_pq_persisted" ->
-      """WITH ecast AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
-        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
-        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
-        |seeds AS (
-        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
-        |  FROM corpus
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
-        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
-        |a1 AS (
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, s.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
-        |    SELECT cell, unnest(list_transform(v,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
-        |    FROM a1) GROUP BY cell, u.pos),
-        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
-        |c1live AS (
-        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
-        |assigned AS ( -- the stored (id, v, cell) float tier
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
-        |pu0 AS ( -- PQ training input: unit forms of the stored corpus
-        |  SELECT id, cell, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM assigned),
-        |pu AS (SELECT id, cell, list_transform(v, x -> x / nrm) AS u FROM pu0),
-        |ms AS (SELECT unnest(range(0, 16)) AS sub),
-        |psubs AS (
-        |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
-        |  FROM pu, ms),
-        |seedv AS (
-        |  SELECT u, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS code
-        |  FROM pu ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 32),
-        |pcb0 AS (
-        |  SELECT ms.sub AS sub, sv.code, sv.u[ms.sub*4+1:(ms.sub+1)*4] AS c_v
-        |  FROM ms CROSS JOIN seedv sv),
-        |pa1 AS (
-        |  SELECT id, sub, sv, code FROM (
-        |    SELECT sb.id, sb.sub, sb.sv, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM psubs sb JOIN pcb0 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |pm1 AS (
-        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
-        |    SELECT sub, code, unnest(list_transform(sv,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
-        |    FROM pa1) GROUP BY sub, code, t.pos),
-        |pcb1 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM pm1 GROUP BY sub, code),
-        |pa2 AS (
-        |  SELECT id, sub, sv, code FROM (
-        |    SELECT sb.id, sb.sub, sb.sv, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM psubs sb JOIN pcb1 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |pm2 AS (
-        |  SELECT sub, code, t.pos AS pos, avg(t.x) AS cm FROM (
-        |    SELECT sub, code, unnest(list_transform(sv,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS t
-        |    FROM pa2) GROUP BY sub, code, t.pos),
-        |pcb2 AS (SELECT sub, code, list(cm ORDER BY pos) AS c_v FROM pm2 GROUP BY sub, code),
-        |codes AS ( -- the stored (id, cell, codes) tier, long form
-        |  SELECT id, sub, code FROM (
-        |    SELECT sb.id, sb.sub, c.code,
-        |      row_number() OVER (PARTITION BY sb.id, sb.sub
-        |        ORDER BY list_sum(list_transform(c.c_v, x -> x * x))
-        |          - 2 * list_dot_product(sb.sv, c.c_v) ASC, c.code ASC) AS rnk
-        |    FROM psubs sb JOIN pcb2 c ON sb.sub = c.sub) WHERE rnk = 1),
-        |qu0 AS ( -- query side: batch unit forms + subvectors
-        |  SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM batch),
-        |qu AS (SELECT id, list_transform(v, x -> x / nrm) AS u FROM qu0),
-        |qsubs AS (
-        |  SELECT id, ms.sub AS sub, u[ms.sub*4+1:(ms.sub+1)*4] AS sv
-        |  FROM qu, ms),
-        |probes AS ( -- serving probes 4 cells of the shared model
-        |  SELECT q_id, cell FROM (
-        |    SELECT b.id AS q_id, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
-        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 4),
-        |cand AS (
-        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id
-        |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.id),
-        |parts AS ( -- ADC: per-subspace partial dots against coded slots
-        |  SELECT c.vec_id, c.neighbor_id, k.sub,
-        |    list_dot_product(qs.sv, cb.c_v) AS part
-        |  FROM cand c
-        |  JOIN codes k ON c.neighbor_id = k.id
-        |  JOIN qsubs qs ON c.vec_id = qs.id AND k.sub = qs.sub
-        |  JOIN pcb2 cb ON k.sub = cb.sub AND k.code = cb.code),
-        |sc AS (
-        |  SELECT vec_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS score
-        |  FROM parts GROUP BY vec_id, neighbor_id),
-        |short AS ( -- 64-deep shortlist on the ADC score
-        |  SELECT vec_id, neighbor_id FROM (
-        |    SELECT vec_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY score DESC, neighbor_id ASC) AS s_rank
-        |    FROM sc) WHERE s_rank <= 64),
-        |rr AS ( -- exact re-rank on the stored floats
-        |  SELECT sh.vec_id, sh.neighbor_id,
-        |    list_cosine_similarity(qb.v, nb.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY sh.vec_id
-        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC,
-        |        sh.neighbor_id ASC) AS rank
-        |  FROM short sh
-        |  JOIN batch qb ON sh.vec_id = qb.id
-        |  JOIN assigned nb ON sh.neighbor_id = nb.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "q87_pq_persisted" -> pqPersistedOracle(nProbe = 4),
+
+    // q109 replay: the IDENTICAL stored-PQ chain one probe wider — the
+    // measured cheapest ≥0.9-recall point for the 16-byte-code serving
+    // tier (ProbeSweep [sweep-pq]: nProbe=5 → 0.9133 at every shortlist
+    // 64/128/256, i.e. recall is PROBE-bound and the 64-deep shortlist
+    // already absorbs all quantization error, so the cheap shortlist
+    // stays). Only the c_rank bound differs.
+    "q109_pq_quality" -> pqPersistedOracle(nProbe = 5),
 
     // q88 replay: q60's stored-index chain widened to a top-8 candidate
     // pool, then the MMR greedy unrolled as CTEs (the BPE-merge trick):

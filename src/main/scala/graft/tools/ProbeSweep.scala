@@ -79,6 +79,23 @@ object ProbeSweep {
         f"float=${hitF.toDouble / nSplit}%.4f refined32=${hitR.toDouble / nSplit}%.4f " +
         f"ceiling=${hitC.toDouble / nSplit}%.4f")
     }
+
+    // ---- PQ-persisted serving tier (q87): recall of the 16-byte-code
+    // ADC shortlist + exact refine as (nProbe, shortlist) widen — the
+    // sweep that either finds the cheapest ≥0.9 config or shows the
+    // codes' ceiling (r10 verdict item 8). The ceiling column above
+    // bounds every shortlist at the same nProbe. ----
+    import graft.operators.PqIndex
+    PqIndex.buildStored(spark, store, "emb_idx", m = 16, nCodes = 32,
+      iterations = 2)
+    for (nProbe <- Seq(4, 5, 6, 8); shortlist <- Seq(64, 128, 256)) {
+      val pq = PqIndex.topKRefined(spark, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe, shortlist)
+        .select(col("vec_id"), col("neighbor_id"))
+      val hit = pq.intersect(splitExact).count()
+      println(f"[sweep-pq] nProbe=$nProbe shortlist=$shortlist " +
+        f"recall@3=${hit.toDouble / nSplit}%.4f")
+    }
     spark.stop()
   }
 }

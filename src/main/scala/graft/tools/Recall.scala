@@ -69,7 +69,8 @@ object Recall {
         "q79_ivf_quantized" -> splitExact,
         "q86_ivf_refined" -> splitExact,
         "q99_ivf_quality" -> splitExact,
-        "q87_pq_persisted" -> splitExact)
+        "q87_pq_persisted" -> splitExact,
+        "q109_pq_quality" -> splitExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()

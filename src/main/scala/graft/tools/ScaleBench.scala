@@ -186,7 +186,10 @@ object ScaleBench {
     // r11: heavy-hitter discovery — the MG candidate aggregate scans the
     // token stream (∝ corpus) and the verify count's shuffle is capped
     // at groups × k keys, so the decade slope should track the scan
-    "q108_heavy_hitters")
+    "q108_heavy_hitters",
+    // r11: the PQ-persisted ≥0.9 quality point (q87's chain one probe
+    // wider — candidate volume grows 5/4, everything else identical)
+    "q109_pq_quality")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
