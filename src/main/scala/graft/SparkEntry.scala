@@ -2122,15 +2122,17 @@ object SparkEntry {
         .select(col("doc_id").as("probe_id"),
           slice(filter(graft.functions.TextFunctions.tokens(col("text")),
             x => length(x) > 0), 1, 3).as("pterms"))
-      // maxDfFrac = 0.75 EXERCISES the hot-postings skew guard on the
-      // declared path (r10 verdict item 9): roughly half this corpus's
-      // vocabulary sits above 75% document frequency — stopword-dense
+      // maxDfFrac = 0.78 EXERCISES the hot-postings skew guard on the
+      // declared path (r10 verdict item 9): a band of this corpus's
+      // vocabulary sits above 78% document frequency — stopword-dense
       // terms whose |corpus|-sized postings are the skew buckets and
       // whose idf ≈ 0 contributes noise-level score — and is pruned
-      // before scoring; the oracle applies the identical df ≤ 0.75·N
+      // before scoring at EVERY SF while other probe terms survive
+      // (0.75 empties the sf0.1 probe set: every first-position token
+      // there exceeds it); the oracle applies the identical df ≤ 0.78·N
       // cut in its probe-term CTE.
       graft.operators.Retrieval.bm25Against(docs, "doc_id", "text",
-        probes, "probe_id", "pterms", k = 5, maxDfFrac = 0.75)
+        probes, "probe_id", "pterms", k = 5, maxDfFrac = 0.78)
     }),
 
     // ext: STREAMING dedup-on-ingest under the hash gate — the
@@ -3125,7 +3127,7 @@ object SparkEntry {
         |pt AS (
         |  SELECT ptraw.probe_id, ptraw.term
         |  FROM ptraw JOIN tdf ON ptraw.term = tdf.term, st
-        |  WHERE CAST(tdf.df AS DOUBLE) <= 0.75 * st.n),
+        |  WHERE CAST(tdf.df AS DOUBLE) <= 0.78 * st.n),
         |sc AS (
         |  SELECT pt.probe_id, post.doc_id,
         |    CAST(count(*) AS INT) AS n_match_terms,

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Persisted, APPENDABLE corpus profile — the sketch family as maintained
   * state, under the same CAS-versioned [[TableStore]] discipline as the
@@ -78,23 +77,42 @@ object CorpusProfile {
   private[graft] final case class ProfileManifest(
       kmv: Option[Int], lvl: Option[Int], cms: Option[Int], lastBatchId: Long)
 
-  private val manifestSchema = StructType(Seq(
-    StructField("kmv_v", IntegerType, nullable = true),
-    StructField("lvl_v", IntegerType, nullable = true),
-    StructField("cms_v", IntegerType, nullable = true),
-    StructField("last_batch_id", LongType, nullable = false)))
+  /** The manifest is a TableStore table whose versions hold ONE
+    * driver-written JSON file instead of parquet — the store's staging +
+    * CAS + atomic-swap machinery is file-format agnostic, and keeping
+    * the manifest out of Spark makes every manifest read/write a pure
+    * file op: an admission pays zero extra Spark jobs for its gate, and
+    * serving resolves its pins without a scan job. */
+  private def manifestFile = "manifest.json"
+
+  private def encodeManifest(m: ProfileManifest): String =
+    s"""{"kmv_v":${m.kmv.getOrElse(-1)},"lvl_v":${m.lvl.getOrElse(-1)},""" +
+      s""""cms_v":${m.cms.getOrElse(-1)},"last_batch_id":${m.lastBatchId}}"""
+
+  private def decodeManifest(s: String): ProfileManifest = {
+    def field(k: String): Long = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim.toLong
+    }
+    def opt(k: String): Option[Int] = {
+      val v = field(k); if (v < 0) None else Some(v.toInt)
+    }
+    ProfileManifest(opt("kmv_v"), opt("lvl_v"), opt("cms_v"),
+      field("last_batch_id"))
+  }
 
   /** The manifest row and the manifest TABLE's version (the CAS anchor a
     * later [[commitManifest]] must carry). */
   private[graft] def readManifest(
       spark: SparkSession, store: TableStore, name: String): Option[(ProfileManifest, Int)] =
-    if (!store.exists(manifestTable(name))) None
-    else {
-      val (df, v) = store.snapshot(spark, manifestTable(name))
-      val r = df.select(col("kmv_v"), col("lvl_v"), col("cms_v"),
-        col("last_batch_id")).head()
-      def optInt(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
-      Some((ProfileManifest(optInt(0), optInt(1), optInt(2), r.getLong(3)), v))
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.path(manifestTable(name)))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
     }
 
   /** The single commit point: swap the 1-row manifest (CAS against the
@@ -102,12 +120,10 @@ object CorpusProfile {
     * before this call is invisible until it succeeds. */
   private def commitManifest(
       spark: SparkSession, store: TableStore, name: String,
-      m: ProfileManifest, expected: Option[Int]): Unit = {
-    val row = Row(m.kmv.map(Int.box).orNull, m.lvl.map(Int.box).orNull,
-      m.cms.map(Int.box).orNull, m.lastBatchId)
-    store.write(spark.createDataFrame(java.util.Arrays.asList(row), manifestSchema),
-      manifestTable(name), expected)
-  }
+      m: ProfileManifest, expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
 
   private def requireManifest(
       spark: SparkSession, store: TableStore, name: String): (ProfileManifest, Int) =

@@ -280,6 +280,22 @@ class TableStore(root: String) {
     commitStaged(name, expected, staging, None)
   }
 
+  /** Commit a DRIVER-written single file as the table's next version —
+    * the same staging + CAS + atomic-swap path as [[write]], with no
+    * Spark job: for tiny control-plane tables (e.g. [[CorpusProfile]]'s
+    * profile manifest) whose content is one metadata record. Readers
+    * resolve [[path]]/[[currentVersion]] and read the file directly. */
+  def commitFile(
+      name: String, fileName: String, bytes: Array[Byte],
+      expected: Option[Int]): Int = {
+    val staging = newStaging(name)
+    stagingWrite(staging) {
+      Files.createDirectories(staging)
+      Files.write(staging.resolve(fileName), bytes)
+    }
+    commitStaged(name, expected, staging, None)
+  }
+
   /** Full write of a bucketed table: one hash shuffle on the bucket column
     * at load time buys every later merge its bucket pruning. */
   def writeBucketed(df: DataFrame, name: String, spec: BucketSpec): Int =

@@ -148,11 +148,11 @@ class CorpusProfileSpec extends SparkSpec {
     * the round-9/10 verdicts flagged: sketches committed, gate not. */
   private class ManifestCrashStore(root: String) extends TableStore(root) {
     @volatile var failManifest = false
-    override def write(df: org.apache.spark.sql.DataFrame, name: String,
-        expected: Option[Int]): Int = {
+    override def commitFile(name: String, fileName: String,
+        bytes: Array[Byte], expected: Option[Int]): Int = {
       if (failManifest && name.endsWith("_manifest"))
         throw new RuntimeException("injected crash before manifest swap")
-      super.write(df, name, expected)
+      super.commitFile(name, fileName, bytes, expected)
     }
   }
 

@@ -155,4 +155,47 @@ class TableStoreSnapshotSpec extends SparkSpec {
     assert(snap.collect().toSeq === Seq(Row(1, "first")))
     assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "second")))
   }
+
+  // ---- r11 overlay primitives: snapshotAt + rollbackTo (the recovery
+  // pair CorpusProfile's manifest-pinned commits are built on)
+
+  test("snapshotAt reads the pinned version; pruned/uncommitted versions refuse") {
+    val root = tmpDir("snap-at")
+    val store = new TableStore(root)
+    store.write(oneRow("v1"), "t")
+    store.write(oneRow("v2"), "t")
+    assert(store.snapshotAt(spark, "t", 1).collect().toSeq === Seq(Row(1, "v1")))
+    assert(store.snapshotAt(spark, "t", 2).collect().toSeq === Seq(Row(1, "v2")))
+    intercept[IllegalStateException] { store.snapshotAt(spark, "t", 7) }
+    store.write(oneRow("v3"), "t") // prune drops v1
+    intercept[IllegalStateException] { store.snapshotAt(spark, "t", 1) }
+  }
+
+  test("rollbackTo discards orphan successors and the next commit reuses their slot") {
+    val root = tmpDir("rollback")
+    val store = new TableStore(root)
+    store.write(oneRow("pinned"), "t")
+    store.write(oneRow("orphan"), "t") // a crashed writer's unreferenced v2
+    assert(store.currentVersion("t") === Some(2))
+    store.rollbackTo("t", 1)
+    assert(store.currentVersion("t") === Some(1))
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "pinned")))
+    assert(versionDirs(root, "t") === Seq("v1"), "orphan dirs swept")
+    // the refold commits v2 again, CAS-anchored at the restored head
+    val v = store.write(oneRow("refolded"), "t", Some(1))
+    assert(v === 2)
+    assert(store.read(spark, "t").collect().toSeq === Seq(Row(1, "refolded")))
+  }
+
+  test("rollbackTo is a no-op at the current version and refuses forward/pruned targets") {
+    val root = tmpDir("rollback-edges")
+    val store = new TableStore(root)
+    store.write(oneRow("a"), "t")
+    store.rollbackTo("t", 1) // no-op
+    assert(store.currentVersion("t") === Some(1))
+    intercept[IllegalArgumentException] { store.rollbackTo("t", 5) } // forward
+    store.write(oneRow("b"), "t")
+    store.write(oneRow("c"), "t") // v1 pruned
+    intercept[IllegalStateException] { store.rollbackTo("t", 1) }
+  }
 }
