@@ -130,6 +130,16 @@ object CorpusProfile {
     readManifest(spark, store, name).getOrElse(throw new IllegalStateException(
       s"profile $name has no manifest — build a tier first"))
 
+  /** Roll a member table back to its pin when (and only when) orphan
+    * successors sit above it. The guard matters in the degenerate repair
+    * state where a pin points at a version that no longer exists (two
+    * racing zombie admitters + a precisely-timed crash can reach it —
+    * see [[admitBatch]]): rolling "forward" is impossible, and the
+    * caller's fresh write + manifest swap is itself the repair. */
+  private def rollbackIfAhead(store: TableStore, table: String, pin: Int): Unit =
+    if (store.currentVersion(table).exists(_ > pin))
+      store.rollbackTo(table, pin)
+
   private def pinnedRead(
       spark: SparkSession, store: TableStore, name: String,
       pin: Option[Int], table: String, what: String): DataFrame =
@@ -160,7 +170,16 @@ object CorpusProfile {
       .select(col(groupCol).as("group"), draw("kll", col(idCol)).as("hv"),
         col(numCol).cast("double").as("v"))
 
-  /** Level-sample rows (group, level, hv, v) for a batch. */
+  /** Level-sample rows (group, level, hv, v) for a batch.
+    *
+    * Every group carries one LEVEL-TOMBSTONE row (hv/v NULL) beside its
+    * survivors — prepended to the zipped arrays so it costs no second
+    * aggregate pass. The tombstone is what keeps a group's LEVEL in
+    * storage when its canonical survivor set is empty (count at L−1
+    * overflowed b, count at L is zero): without it the group's state
+    * vanished entirely, the next append refolded it from level 0, and
+    * append diverged from a from-scratch build — the row encoding must
+    * never lose information the sketch buffer holds. */
   private def lvlRows(
       df: DataFrame, groupCol: String, idCol: String, numCol: String,
       b: Int): DataFrame =
@@ -170,7 +189,10 @@ object CorpusProfile {
       .agg(org.apache.spark.sql.graft.LevelSample
         .level_sample(col("_hv"), col("_v"), b).as("ls"))
       .select(col("group"), col("ls.level").as("level"),
-        explode(arrays_zip(col("ls.hashes").as("hv"), col("ls.values").as("v")))
+        explode(concat(
+          array(struct(lit(null).cast("long").as("hv"),
+            lit(null).cast("double").as("v"))),
+          arrays_zip(col("ls.hashes").as("hv"), col("ls.values").as("v"))))
           .as("_e"))
       .select(col("group"), col("level"), col("_e.hv").as("hv"),
         col("_e.v").as("v"))
@@ -194,11 +216,18 @@ object CorpusProfile {
     *
     *  - no probed level fits b but the survivor set EMPTIES at
     *    maxOff + 1 (count 0 ≤ b): that is the canonical level — emit it
-    *    (as an empty survivor set, exactly what a from-scratch build
-    *    produces) instead of dropping the group's state;
+    *    (as the group's level tombstone with no survivor rows, exactly
+    *    the state a from-scratch [[lvlRows]] produces) instead of
+    *    dropping the group's state;
     *  - more than b rows share hv == 0, so NO level ever fits: raise an
     *    error naming the group instead of silently deleting its state —
     *    the operator must rebuild with a larger b.
+    *
+    * Output rows mirror [[lvlRows]]' encoding: one level-tombstone row
+    * (hv/v NULL) per group plus the survivors — so a group whose sample
+    * empties keeps its LEVEL across folds (a tombstone-only group with
+    * no arriving rows carries straight through; one with arriving rows
+    * refolds from its stored level, never from 0).
     */
   private[graft] def foldLevelState(
       lvlStored: DataFrame, batch: DataFrame, b: Int): DataFrame = {
@@ -211,6 +240,7 @@ object CorpusProfile {
       .filter(pmod(col("hv"), pow(lit(2.0), col("_l0")).cast("long")) === 0)
       .select(col("group"), col("hv"), col("v"), col("_l0"))
     val unioned = lvlStored
+      .filter(col("hv").isNotNull) // level tombstones carry no survivor
       .join(broadcast(storedLev), Seq("group"))
       .select(col("group"), col("hv"), col("v"), col("_l0"))
       .unionByName(batchMasked)
@@ -230,7 +260,7 @@ object CorpusProfile {
       .groupBy(col("group"), col("_l0"))
       .agg(min(when(col("_c") <= b, col("_off"))).as("_fit"),
         max(col("_off")).as("_maxOff"))
-      .select(col("group"),
+      .select(col("group"), col("_l0"),
         when(col("_fit").isNull && (col("_l0") + col("_maxOff") >= MaxLevel),
           raise_error(concat(
             lit(s"level sample cannot fit b=$b within $MaxLevel levels for group "),
@@ -240,11 +270,21 @@ object CorpusProfile {
           // count at _maxOff + 1 is zero (no row survives past its tz
           // bound), which fits b: the canonical level when nothing else does
           .otherwise(coalesce(col("_fit"), col("_maxOff") + 1)).as("_off"))
-    unioned
-      .join(broadcast(chosen), Seq("group"))
+    // groups present only as a tombstone (empty stored sample, no
+    // arriving rows) have no counted rows: their state carries through
+    // unchanged (zero survivors at the stored level still fit b)
+    val chosenFull = chosen.unionByName(
+      storedLev.join(chosen, Seq("group"), "left_anti")
+        .select(col("group"), col("_l0"), lit(0).as("_off")))
+    val markers = chosenFull.select(col("group"),
+      (col("_l0") + col("_off")).cast("int").as("level"),
+      lit(null).cast("long").as("hv"), lit(null).cast("double").as("v"))
+    val survivors = unioned
+      .join(broadcast(chosenFull.select(col("group"), col("_off"))), Seq("group"))
       .filter(col("_tzr") >= col("_off"))
       .select(col("group"), (col("_l0") + col("_off")).cast("int").as("level"),
         col("hv"), col("v"))
+    markers.unionByName(survivors)
   }
 
   // ------------------------------------------------------------- build/append
@@ -264,19 +304,32 @@ object CorpusProfile {
       name: String): Unit =
     buildStamped(df, groupCol, distinctCol, idCol, numCol, k, b, store, name, None)
 
+  /** @return false iff `stamp` was already admitted (checked against the
+    *         SAME manifest read the commit CASes on — a failover
+    *         admitter that lands the batch between our gate check and
+    *         here must be detected, not folded over). */
   private def buildStamped(
       df: DataFrame, groupCol: String, distinctCol: String, idCol: String,
       numCol: String, k: Int, b: Int, store: TableStore, name: String,
-      stamp: Option[Long]): Unit = {
+      stamp: Option[Long]): Boolean = {
     val spark = df.sparkSession
     val prev = readManifest(spark, store, name)
-    val kv = store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name))
-    val lv = store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name))
     val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
-    commitManifest(spark, store, name,
-      base.copy(kmv = Some(kv), lvl = Some(lv),
-        lastBatchId = stamp.getOrElse(base.lastBatchId)),
-      prev.map(_._2))
+    if (stamp.exists(_ <= base.lastBatchId)) false
+    else {
+      // a crashed writer can have left orphan successors ABOVE the pins;
+      // writing on top of them would let the commit's prune discard the
+      // still-pinned versions under live readers — roll back first
+      base.kmv.foreach(rollbackIfAhead(store, kmvTable(name), _))
+      base.lvl.foreach(rollbackIfAhead(store, lvlTable(name), _))
+      val kv = store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name))
+      val lv = store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name))
+      commitManifest(spark, store, name,
+        base.copy(kmv = Some(kv), lvl = Some(lv),
+          lastBatchId = stamp.getOrElse(base.lastBatchId)),
+        prev.map(_._2))
+      true
+    }
   }
 
   /** Fold a batch into the committed profile — no rescan of history. The
@@ -297,19 +350,26 @@ object CorpusProfile {
     appendStamped(spark, batch, groupCol, distinctCol, idCol, numCol, k, b,
       store, name, None)
 
+  /** @return false iff `stamp` was already admitted — checked against
+    *         the SAME manifest read the commit CASes on, so a failover
+    *         admitter that landed the batch after our caller's gate
+    *         check (but before this read) is seen and skipped; one
+    *         landing after this read makes the commit CAS throw
+    *         [[VersionConflictException]] instead of double-folding. */
   private def appendStamped(
       spark: SparkSession, batch: DataFrame, groupCol: String,
       distinctCol: String, idCol: String, numCol: String, k: Int, b: Int,
-      store: TableStore, name: String, stamp: Option[Long]): Unit = {
+      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
     val (m, mv) = requireManifest(spark, store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
     val kmvPin = m.kmv.getOrElse(throw new IllegalStateException(
       s"profile $name has no distinct tier — build it first"))
     val lvlPin = m.lvl.getOrElse(throw new IllegalStateException(
       s"profile $name has no quantile tier — build it first"))
     // recovery: discard orphan successor versions (a previous writer
     // crashed after a member commit, before its manifest swap)
-    store.rollbackTo(kmvTable(name), kmvPin)
-    store.rollbackTo(lvlTable(name), lvlPin)
+    rollbackIfAhead(store, kmvTable(name), kmvPin)
+    rollbackIfAhead(store, lvlTable(name), lvlPin)
 
     // KMV: stored hashes re-enter the same dedup top-k beside the batch's
     val kmvStored = store.snapshotAt(spark, kmvTable(name), kmvPin)
@@ -333,6 +393,7 @@ object CorpusProfile {
       m.copy(kmv = Some(kv), lvl = Some(lv),
         lastBatchId = stamp.getOrElse(m.lastBatchId)),
       Some(mv))
+    true
   }
 
   /** Takedown path for the NON-subtractive tiers: the KMV and level
@@ -384,6 +445,20 @@ object CorpusProfile {
     * skipped. There is no window in which the sketches advanced but the
     * gate did not (the round-9/10 verdict's double-fold defect).
     *
+    * Concurrent (zombie) admitters of the SAME batchId are safe against
+    * double-folding: the fold re-checks `last_batch_id` on the very
+    * manifest read its commit CASes against, so a batch another admitter
+    * already landed is skipped, and one landing mid-flight makes this
+    * commit throw [[VersionConflictException]] loudly instead. Because
+    * racing admitters derive IDENTICAL member content (same pins, same
+    * deterministic batch), every interleaving leaves correct pinned
+    * data; the one residual hazard — zombie A discards zombie B's
+    * in-flight member commit via orphan rollback, B's manifest swap
+    * still wins, and A then dies before re-writing — can leave a pin
+    * with no backing files, which [[rebuild]] repairs (its rollback
+    * guard tolerates a missing pinned version and its fresh write +
+    * swap re-point the manifest).
+    *
     * First admitted batch BUILDS the profile's distinct + quantile
     * tiers; later ones APPEND. Returns true when the batch was folded,
     * false when skipped as a replay. */
@@ -402,15 +477,12 @@ object CorpusProfile {
     val prev = readManifest(spark, store, name)
     val last = prev.map(_._1.lastBatchId).getOrElse(-1L)
     if (batchId <= last) false
-    else {
-      if (prev.exists(_._1.kmv.isDefined))
-        appendStamped(spark, batch, groupCol, distinctCol, idCol, numCol,
-          k, b, store, name, Some(batchId))
-      else
-        buildStamped(batch, groupCol, distinctCol, idCol, numCol, k, b,
-          store, name, Some(batchId))
-      true
-    }
+    else if (prev.exists(_._1.kmv.isDefined))
+      appendStamped(spark, batch, groupCol, distinctCol, idCol, numCol,
+        k, b, store, name, Some(batchId))
+    else
+      buildStamped(batch, groupCol, distinctCol, idCol, numCol, k, b,
+        store, name, Some(batchId))
   }
 
   /** Streaming admission: every micro-batch of `stream` is folded into
@@ -455,11 +527,14 @@ object CorpusProfile {
       name: String): Unit = {
     val spark = df.sparkSession
     val prev = readManifest(spark, store, name)
+    val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
+    // see buildStamped: orphan successors above the pin must go first,
+    // or this commit's prune discards the still-pinned version
+    base.cms.foreach(rollbackIfAhead(store, cmsTable(name), _))
     val cv = store.write(
       Sketches.cmsCells(df.select(col(groupCol).as("group"),
         col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"),
       cmsTable(name))
-    val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
     commitManifest(spark, store, name, base.copy(cms = Some(cv)), prev.map(_._2))
   }
 
@@ -477,7 +552,7 @@ object CorpusProfile {
     val (m, mv) = requireManifest(spark, store, name)
     val pin = m.cms.getOrElse(throw new IllegalStateException(
       s"profile $name has no frequency tier — build it first"))
-    store.rollbackTo(cmsTable(name), pin)
+    rollbackIfAhead(store, cmsTable(name), pin)
     val stored = store.snapshotAt(spark, cmsTable(name), pin)
     val merged = stored
       .unionByName(Sketches.cmsCells(batch.select(col(groupCol).as("group"),
@@ -510,7 +585,7 @@ object CorpusProfile {
     val (m, mv) = requireManifest(spark, store, name)
     val pin = m.cms.getOrElse(throw new IllegalStateException(
       s"profile $name has no frequency tier — build it first"))
-    store.rollbackTo(cmsTable(name), pin)
+    rollbackIfAhead(store, cmsTable(name), pin)
     val stored = store.snapshotAt(spark, cmsTable(name), pin)
     val negated = Sketches.cmsCells(removed.select(col(groupCol).as("group"),
         col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms")
@@ -559,11 +634,18 @@ object CorpusProfile {
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
             greatest(col("_kth"), lit(1L)).cast("double")), 4).as("est_distinct"))
     val lvlBase = pinnedRead(spark, store, name, m.lvl, lvlTable(name), "quantile")
+      // collect_list skips the NULL the tombstone guard produces, so a
+      // group's level tombstone never enters its sample; a group whose
+      // canonical sample is EMPTY (tombstone only) has no order
+      // statistics to serve and is dropped — exactly the inner-join drop
+      // the full-corpus oracle performs on its empty `samp` CTE
       .groupBy(col("group"))
       .agg(max(col("level")).as("level"),
-        sort_array(collect_list(struct(col("v"), col("hv")))).as("_s"))
+        sort_array(collect_list(when(col("hv").isNotNull,
+          struct(col("v"), col("hv"))))).as("_s"))
       .select(col("group"), col("level"),
         col("_s.v").as("_vs"), size(col("_s")).as("n_retained"))
+      .filter(col("n_retained") > 0)
     val qCols = qs.map { q =>
       val m2 = col("n_retained").cast("long")
       val p = math.round(q * 10000).toInt

@@ -106,14 +106,18 @@ object Sketches {
         i => element_at(col("ls.values"),
           greatest(floor((i.cast("long") * m + lit(nBuckets - 1).cast("long"))
             / lit(nBuckets.toDouble)).cast("int"), lit(1)))).as("_bounds"))
-    // NULL values carry no rank: they are excluded from boundary
-    // estimation above, so assigning them a bucket would silently file
-    // them below every boundary (the old behavior: bucket 1). They get
-    // bucket NULL instead — the row is kept, the non-answer is explicit,
-    // and both engines agree (`NTILE` replays mirror it with a CASE).
+    // NULL and NaN values carry no rank: both are excluded from boundary
+    // estimation above (the filter and LevelSample's NaN skip), so
+    // assigning them a bucket would silently file them somewhere — NULL
+    // compared below every boundary (old behavior: bucket 1) and NaN,
+    // which Spark orders above every double, into the TOP bucket. Both
+    // get bucket NULL instead: the row is kept, the non-answer is
+    // explicit, and both engines agree (`NTILE` replays mirror it with
+    // a CASE).
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        when(col(valueCol).isNull, lit(null).cast("int"))
+        when(col(valueCol).isNull ||
+            isnan(col(valueCol).cast("double")), lit(null).cast("int"))
           .otherwise((lit(1) + size(filter(col("_bounds"),
             x => col(valueCol).cast("double") > x))).cast("int")))
       .drop("_bounds")

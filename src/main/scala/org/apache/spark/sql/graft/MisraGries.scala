@@ -17,14 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * counters over a string stream.
   *
   * Update (Misra & Gries, "Finding repeated elements", Sci. Comput.
-  * Program. 1982, decrement-by-min variant): an arriving item increments
-  * its counter or claims a free slot; at capacity, the minimum counter
-  * value m is subtracted from every counter (dropping the ≥1 that reach
-  * zero) and the arrival is absorbed by the same subtraction. Each unit
-  * of decrement is simultaneously charged to k stored counters plus the
-  * arrival, so every stored count is a LOWER bound within n/(k+1) of the
+  * Program. 1982): an arriving item increments its counter or claims a
+  * free slot; at capacity, ONE is subtracted from every counter and the
+  * arrival is absorbed by the same subtraction. Each decrement event
+  * removes exactly one unit from k stored counters AND the arrival —
+  * k+1 items charged simultaneously — so there are at most n/(k+1)
+  * events, every stored count is a LOWER bound within n/(k+1) of the
   * item's true frequency, and every item with true frequency > n/(k+1)
-  * is guaranteed a surviving counter.
+  * is guaranteed a surviving counter. (A decrement-by-min variant is
+  * tempting — fewer events — but it charges m units to only mk+1
+  * weight, weakening the bound to n/k and breaking the k+1 > 1/θ
+  * sizing arithmetic [[graft.operators.Sketches.heavyHitters]] builds
+  * on; concretely, k=3 over a,a,a,a,b,b,b,b,c,c,c,c,d empties the
+  * whole summary at d although a/b/c all clear n/(k+1).)
   *
   * Merge (Agarwal et al., "Mergeable summaries", PODS 2012): pointwise
   * add, then subtract the (k+1)-th largest count and drop non-positives.
@@ -45,10 +50,10 @@ final class MisraGriesBuffer(val k: Int) {
       case Some(c) => counts.update(item, c + 1)
       case None if counts.size < k => counts.update(item, 1L)
       case None =>
-        // capacity: subtract the min count from every counter and from
-        // the arrival's implicit count of 1 (m >= 1, so it dies too)
-        val m = counts.valuesIterator.min
-        subtractAll(m)
+        // capacity: subtract ONE from every counter and from the
+        // arrival's implicit count of 1 (the arrival dies with it) —
+        // exactly one unit per k+1 items, the bound's charging argument
+        subtractAll(1)
     }
   }
 

@@ -194,23 +194,89 @@ class CorpusProfileSpec extends SparkSpec {
       "orphan member versions must be invisible until the manifest swap")
   }
 
+  test("rebuild after a crashed append must not prune the still-pinned versions") {
+    // crash an append between member commits and the manifest swap
+    // (orphan successors above the pins), then run the takedown rebuild:
+    // it must roll the members back first — writing on top of the
+    // orphans would let the commit's prune delete the pinned versions
+    // under live readers and brick later recovery
+    val store = new ManifestCrashStore(freshRoot())
+    CorpusProfile.build(docs(1 to 300), "grp", "txt", "id", "num", 32, 64, store, "p")
+    store.failManifest = true
+    intercept[RuntimeException] {
+      CorpusProfile.append(spark, docs(301 to 600),
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    }
+    store.failManifest = false
+    val retained = docs(1 to 300).filter(col("id") % 3 =!= 0)
+    CorpusProfile.rebuild(retained, "grp", "txt", "id", "num", 32, 64, store, "p")
+    val fresh = new TableStore(freshRoot())
+    CorpusProfile.build(retained, "grp", "txt", "id", "num", 32, 64, fresh, "p")
+    assert(servedProfile(store) === servedProfile(fresh),
+      "rebuild over orphaned member state must still serve the retained corpus")
+  }
+
+  test("two concurrent admitters of the same batchId fold it exactly once") {
+    // the zombie-driver race: both pass the outer gate read, both enter
+    // the fold; the manifest/member CAS must make exactly one commit win
+    // — the loser skips (saw the winner's manifest) or conflicts loudly,
+    // never silently double-folds
+    val store = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = (0 until 2).map { _ =>
+      new java.util.concurrent.FutureTask[String](() => {
+        gate.await()
+        try {
+          if (CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+              "grp", "txt", "id", "num", 32, 64, store, "p")) "folded"
+          else "skipped"
+        } catch {
+          case _: graft.operators.VersionConflictException => "conflict"
+          case e: Throwable
+              if Option(e.getCause).exists(_.isInstanceOf[
+                graft.operators.VersionConflictException]) => "conflict"
+        }
+      })
+    }
+    outcomes.foreach(t => new Thread(t).start())
+    val results = outcomes.map(_.get()).sorted
+    assert(results.count(_ == "folded") === 1,
+      s"exactly one admitter may fold, got $results")
+    val clean = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    assert(servedProfile(store) === servedProfile(clean),
+      "the racing admitters must leave exactly one admission's state")
+  }
+
   // ---- level-merge arithmetic on crafted hashes (the probe-ceiling fix)
 
+  /** From-scratch level state via the native aggregate, in the SAME row
+    * encoding as CorpusProfile.lvlRows: one level-tombstone row (hv/v
+    * NULL) per group plus the survivors. */
   private def lvlState(rows: Seq[(String, Long, Double)], b: Int) = {
     val s = spark; import s.implicits._
     rows.toDF("group", "_hv", "_v").groupBy(col("group"))
       .agg(org.apache.spark.sql.graft.LevelSample
         .level_sample(col("_hv"), col("_v"), b).as("ls"))
       .select(col("group"), col("ls.level").as("level"),
-        explode(arrays_zip(col("ls.hashes").as("hv"),
-          col("ls.values").as("v"))).as("_e"))
+        explode(concat(
+          array(struct(lit(null).cast("long").as("hv"),
+            lit(null).cast("double").as("v"))),
+          arrays_zip(col("ls.hashes").as("hv"),
+            col("ls.values").as("v")))).as("_e"))
       .select(col("group"), col("level"), col("_e.hv").as("hv"),
         col("_e.v").as("v"))
   }
 
   private def collectState(df: org.apache.spark.sql.DataFrame) =
-    df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-      r.getDouble(3))).toSeq.sorted
+    df.collect().map(r => (r.getString(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq.sorted
 
   test("fold reaches canonical levels past the old 24-offset ceiling") {
     val s = spark; import s.implicits._
@@ -222,25 +288,52 @@ class CorpusProfileSpec extends SparkSpec {
       .toDF("group", "level", "hv", "v")
     val batch = Seq(("g", 1L << 31, 2.0)).toDF("group", "hv", "v")
     val folded = collectState(CorpusProfile.foldLevelState(stored, batch, 2))
-    assert(folded === Seq(("g", 31, 1L << 31, 2.0)),
+    assert(folded === Seq(("g", 31, None, None),
+      ("g", 31, Some(1L << 31), Some(2.0))),
       "the survivor at level 31 must be found, not dropped")
     val scratch = collectState(lvlState(
       Seq(("g", 1L << 30, 1.0), ("g", 3L << 30, 3.0), ("g", 1L << 31, 2.0)), 2))
     assert(folded === scratch, "fold must equal the from-scratch aggregate")
   }
 
-  test("fold emits the canonical EMPTY level instead of dropping the group") {
+  test("fold keeps the canonical EMPTY level as a tombstone instead of dropping the group") {
     val s = spark; import s.implicits._
     // three odd hashes, b=2: level 0 overflows, level 1 has zero
     // survivors — the canonical state is (level 1, empty sample), which
-    // the row encoding represents as no rows; from-scratch agrees
+    // the row encoding keeps as the group's level tombstone
     val stored = Seq(("g", 0, 1L, 1.0)).toDF("group", "level", "hv", "v")
     val batch = Seq(("g", 3L, 2.0), ("g", 5L, 3.0)).toDF("group", "hv", "v")
-    val folded = CorpusProfile.foldLevelState(stored, batch, 2)
-    assert(folded.count() === 0)
-    val scratch = lvlState(Seq(("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 3.0)), 2)
-    assert(scratch.count() === 0,
-      "from-scratch build also retains nothing at the escalated level")
+    val folded = collectState(CorpusProfile.foldLevelState(stored, batch, 2))
+    assert(folded === Seq(("g", 1, None, None)),
+      "the level must survive the emptying — dropped state cannot refold")
+    assert(folded === collectState(
+      lvlState(Seq(("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 3.0)), 2)),
+      "from-scratch build stores the same tombstone-only state")
+  }
+
+  test("a group that EMPTIED keeps its level: later appends never refold from level 0") {
+    val s = spark; import s.implicits._
+    // the review counterexample: after the state above (level 1, empty),
+    // two MORE odd hashes arrive. With the level preserved they fail the
+    // level-1 mask and the state stays (level 1, empty) — exactly the
+    // from-scratch answer over all five rows. Losing the level would
+    // have refolded them from level 0 into a divergent (level 0, 2-row)
+    // state.
+    val stored = Seq(("g", 0, 1L, 1.0)).toDF("group", "level", "hv", "v")
+    val after1 = CorpusProfile.foldLevelState(stored,
+      Seq(("g", 3L, 2.0), ("g", 5L, 3.0)).toDF("group", "hv", "v"), 2)
+    val after2 = collectState(CorpusProfile.foldLevelState(after1,
+      Seq(("g", 7L, 4.0), ("g", 9L, 5.0)).toDF("group", "hv", "v"), 2))
+    assert(after2 === collectState(lvlState(
+      Seq(("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 3.0),
+        ("g", 7L, 4.0), ("g", 9L, 5.0)), 2)),
+      "append after an emptied sample must equal the from-scratch build")
+    // and a survivor-bearing batch refolds FROM the stored level, so a
+    // mask-passing hash re-populates the sample at the right level
+    val after3 = collectState(CorpusProfile.foldLevelState(after1,
+      Seq(("g", 4L, 9.0)).toDF("group", "hv", "v"), 2))
+    assert(after3 === collectState(lvlState(
+      Seq(("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 3.0), ("g", 4L, 9.0)), 2)))
   }
 
   test("fold fails loudly when no level can ever fit (hash-0 multiplicity > b)") {

@@ -291,6 +291,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries decrements by ONE: the n/(k+1) bound survives minimum-sized k") {
+    val s = spark; import s.implicits._
+    // the decrement-by-min counterexample (review finding): k=3 over
+    // a,a,a,a,b,b,b,b,c,c,c,c,d — subtracting the min (4) at d would
+    // empty the whole summary although a/b/c all clear n/(k+1) = 3.25;
+    // classic decrement-by-1 must keep all three with counts >= 4 - 3
+    val rows = Seq.fill(4)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") :+ "d"
+    // one partition, d LAST: the order that makes decrement-by-min wipe
+    // the summary (any reorder only helps it pass)
+    val mg = s.sparkContext.parallelize(rows.map(("g", _)), 1).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.graft.MisraGries
+        .misra_gries(col("v"), 3).as("mg"))
+      .select(col("mg.items"), col("mg.counts")).collect().head
+    val kept = mg.getSeq[String](0).zip(mg.getSeq[Long](1)).toMap
+    for (h <- Seq("a", "b", "c")) {
+      assert(kept.contains(h), s"$h clears n/(k+1) and must survive, got $kept")
+      assert(kept(h) >= 1, s"$h: count ${kept.get(h)} below the 4 - 13/4 bound")
+    }
+    // and the exact verify pass turns that into the exact thresholded set
+    val out = Sketches.heavyHitters(rows.map(("g", _)).toDF("g", "v"),
+        Seq("g"), "v", minFrac = 0.3, k = 3)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 4L, "b" -> 4L, "c" -> 4L),
+      "minimum-sized summary (k+1 > 1/minFrac) must still be a certain superset")
+  }
+
   test("heavy hitters plan: no vocabulary-wide shuffle on the verify side") {
     val s = spark; import s.implicits._
     val df = (1 to 500).map(i => ("g", s"w${i % 40}")).toDF("g", "v")

@@ -32,7 +32,12 @@ PY
   fi
 fi
 
-git add -A BENCH.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
+# one guarded add per pathspec: `git add` with several pathspecs is
+# all-or-nothing — a single non-matching one (e.g. LEAKCHECK.json not
+# yet produced) would abort the whole add and silently stage NOTHING
+for spec in BENCH.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json; do
+  [ -e "$spec" ] && git add -A "$spec"
+done
 if ! git diff --cached --quiet; then
   git commit -m "round ${round}: commit bench/correctness artifacts"
 else
