@@ -4648,7 +4648,8 @@ object SparkEntry {
         |    max(CASE WHEN r = greatest((i.i * m + 9) // 10, 1) THEN v END) AS bv
         |  FROM rk, (SELECT unnest(range(1, 10)) AS i) i GROUP BY i.i)
         |SELECT d.doc_id, d.n_chars,
-        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |  CASE WHEN d.n_chars IS NULL
+        |         OR isnan(CAST(d.n_chars AS DOUBLE)) THEN NULL
         |    ELSE CAST(1 + sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > b.bv
         |      THEN 1 ELSE 0 END) AS INT) END AS bucket
         |FROM documents d CROSS JOIN bounds b

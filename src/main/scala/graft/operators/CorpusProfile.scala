@@ -131,13 +131,17 @@ object CorpusProfile {
       s"profile $name has no manifest — build a tier first"))
 
   /** Roll a member table back to its pin when (and only when) orphan
-    * successors sit above it. The guard matters in the degenerate repair
-    * state where a pin points at a version that no longer exists (two
-    * racing zombie admitters + a precisely-timed crash can reach it —
-    * see [[admitBatch]]): rolling "forward" is impossible, and the
-    * caller's fresh write + manifest swap is itself the repair. */
+    * successors sit above it AND the pinned version still exists. Both
+    * guards matter in the degenerate repair states racing zombie
+    * admitters can leave (see [[admitBatch]]): a pin AHEAD of the
+    * current version (rolling "forward" is impossible) and a pin whose
+    * files were pruned by stacked orphan commits (rolling back to it is
+    * impossible). In either case the caller's fresh write + manifest
+    * swap is itself the repair — [[rebuild]] goes through here, which
+    * is what makes it the universal repair path. */
   private def rollbackIfAhead(store: TableStore, table: String, pin: Int): Unit =
-    if (store.currentVersion(table).exists(_ > pin))
+    if (store.currentVersion(table).exists(_ > pin) &&
+        store.hasVersion(table, pin))
       store.rollbackTo(table, pin)
 
   private def pinnedRead(
@@ -273,9 +277,18 @@ object CorpusProfile {
     // groups present only as a tombstone (empty stored sample, no
     // arriving rows) have no counted rows: their state carries through
     // unchanged (zero survivors at the stored level still fit b)
-    val chosenFull = chosen.unionByName(
+    val chosenDistributed = chosen.unionByName(
       storedLev.join(chosen, Seq("group"), "left_anti")
         .select(col("group"), col("_l0"), lit(0).as("_off")))
+    // ONE row per group — materialized once on the driver (bounded
+    // control-plane, like every centroid/codebook collect in the repo)
+    // so the three consumers below don't re-run the probe aggregation
+    // pipeline each, and the unfittable-group raise_error above fires
+    // HERE, before any member-table write
+    val spark = lvlStored.sparkSession
+    val chosenFull = spark.createDataFrame(
+      java.util.Arrays.asList(chosenDistributed.collect(): _*),
+      chosenDistributed.schema)
     val markers = chosenFull.select(col("group"),
       (col("_l0") + col("_off")).cast("int").as("level"),
       lit(null).cast("long").as("hv"), lit(null).cast("double").as("v"))
@@ -308,7 +321,7 @@ object CorpusProfile {
     *         SAME manifest read the commit CASes on — a failover
     *         admitter that lands the batch between our gate check and
     *         here must be detected, not folded over). */
-  private def buildStamped(
+  private[graft] def buildStamped(
       df: DataFrame, groupCol: String, distinctCol: String, idCol: String,
       numCol: String, k: Int, b: Int, store: TableStore, name: String,
       stamp: Option[Long]): Boolean = {
@@ -316,6 +329,14 @@ object CorpusProfile {
     val prev = readManifest(spark, store, name)
     val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
     if (stamp.exists(_ <= base.lastBatchId)) false
+    else if (stamp.isDefined && base.kmv.isDefined)
+      // the caller's build-vs-append decision was made from a STALE read:
+      // a concurrent admitter built the first tiers since. Building here
+      // would overwrite (and silently discard) that admitted data — fold
+      // this batch on top instead (append fails actionably if the pin
+      // has no backing files).
+      appendStamped(spark, df, groupCol, distinctCol, idCol, numCol, k, b,
+        store, name, stamp)
     else {
       // a crashed writer can have left orphan successors ABOVE the pins;
       // writing on top of them would let the commit's prune discard the
@@ -356,7 +377,7 @@ object CorpusProfile {
     *         check (but before this read) is seen and skipped; one
     *         landing after this read makes the commit CAS throw
     *         [[VersionConflictException]] instead of double-folding. */
-  private def appendStamped(
+  private[graft] def appendStamped(
       spark: SparkSession, batch: DataFrame, groupCol: String,
       distinctCol: String, idCol: String, numCol: String, k: Int, b: Int,
       store: TableStore, name: String, stamp: Option[Long]): Boolean = {
@@ -366,6 +387,17 @@ object CorpusProfile {
       s"profile $name has no distinct tier — build it first"))
     val lvlPin = m.lvl.getOrElse(throw new IllegalStateException(
       s"profile $name has no quantile tier — build it first"))
+    // a pin with no backing files is the residual zombie-crash state
+    // (admitBatch scaladoc): append cannot derive from it — fail with
+    // the repair action instead of wedging on an opaque read error
+    Seq(kmvTable(name) -> kmvPin, lvlTable(name) -> lvlPin).foreach {
+      case (t, p) =>
+        if (!store.hasVersion(t, p))
+          throw new IllegalStateException(
+            s"profile $name pins $t v$p but its files are gone — crashed " +
+              "racing admitters left an unrepaired state; run " +
+              "CorpusProfile.rebuild over the retained corpus to repair")
+    }
     // recovery: discard orphan successor versions (a previous writer
     // crashed after a member commit, before its manifest swap)
     rollbackIfAhead(store, kmvTable(name), kmvPin)

@@ -171,6 +171,13 @@ class TableStore(root: String) {
     if (bucketSpec(name).isDefined) df.drop("_bucket") else df
   }
 
+  /** Whether this version's files still exist on disk — lets overlay
+    * recovery distinguish "orphans above the pin" (roll back) from "pin
+    * itself pruned" (skip the rollback; a fresh write + overlay swap is
+    * the repair). */
+  def hasVersion(name: String, version: Int): Boolean =
+    Files.exists(versionPath(name, version))
+
   /** Roll the table back to `version`, discarding any later (orphaned)
     * versions — the recovery primitive for multi-table overlays: a
     * writer that commits member tables and then fails before its

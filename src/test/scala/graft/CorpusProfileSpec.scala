@@ -216,6 +216,27 @@ class CorpusProfileSpec extends SparkSpec {
       "rebuild over orphaned member state must still serve the retained corpus")
   }
 
+  test("a stale build decision folds on top instead of discarding the admitted corpus") {
+    // the zombie interleaving: admitter P2 read the manifest BEFORE P1's
+    // first-build swap, so it decided to BUILD — replayed here by calling
+    // the stamped build directly after batch 0 landed. Building would
+    // silently discard batch 0; the gate must detect the stale decision
+    // and append instead.
+    val store = new TableStore(freshRoot())
+    assert(CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p"))
+    assert(CorpusProfile.buildStamped(docs(301 to 600),
+      "grp", "txt", "id", "num", 32, 64, store, "p", Some(1L)),
+      "the stale-decision batch must still be admitted")
+    val clean = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    assert(servedProfile(store) === servedProfile(clean),
+      "batch 0 must survive a racing admitter's stale build decision")
+  }
+
   test("two concurrent admitters of the same batchId fold it exactly once") {
     // the zombie-driver race: both pass the outer gate read, both enter
     // the fold; the manifest/member CAS must make exactly one commit win

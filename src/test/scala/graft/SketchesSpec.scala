@@ -230,6 +230,23 @@ class SketchesSpec extends SparkSpec {
       "NULL rows must not shift the boundaries or the real buckets")
   }
 
+  test("quantile buckets file NaN values under bucket NULL, not the top bucket") {
+    val s = spark; import s.implicits._
+    // NaN is excluded from boundary estimation (LevelSample skips it)
+    // but Spark orders it above every double, so without the guard it
+    // would silently land in the TOP bucket — the mirror image of the
+    // NULL-to-bucket-1 defect
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, Double.NaN)).toDF("id", "v")
+    val out = Sketches.quantileBuckets(df, "id", "v", nBuckets = 2, b = 16)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(5L) === None, "a NaN value has no rank — bucket NULL")
+    assert(out(1L) === Some(1) && out(2L) === Some(1) &&
+      out(3L) === Some(2) && out(4L) === Some(2),
+      "NaN rows must not shift the boundaries or the real buckets")
+  }
+
   test("heavy hitters: exact thresholded output on skewed data, truncation exercised") {
     val s = spark; import s.implicits._
     // zipf-ish: value i appears ceil(1000/i) times, i = 1..100 — far more

@@ -38,6 +38,10 @@ fi
 for spec in BENCH.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json; do
   [ -e "$spec" ] && git add -A "$spec"
 done
+# deletions of TRACKED artifacts: the filesystem globs above no longer
+# match a removed file, so stage those via the index's view
+git ls-files BENCH.json LEAKCHECK.json 'BENCH_r*.json' 'CORRECTNESS_r*.json' |
+  while read -r f; do [ -e "$f" ] || git add -A "$f"; done
 if ! git diff --cached --quiet; then
   git commit -m "round ${round}: commit bench/correctness artifacts"
 else
