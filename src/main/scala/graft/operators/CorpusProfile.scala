@@ -343,8 +343,16 @@ object CorpusProfile {
       // still-pinned versions under live readers — roll back first
       base.kmv.foreach(rollbackIfAhead(store, kmvTable(name), _))
       base.lvl.foreach(rollbackIfAhead(store, lvlTable(name), _))
-      val kv = store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name))
-      val lv = store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name))
+      // independent member tables: both build jobs run concurrently
+      // (same rationale and failure semantics as the append path)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val kvF = Future(
+        store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name)))
+      val lvF = Future(
+        store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name)))
+      val kv = Await.result(kvF, scala.concurrent.duration.Duration.Inf)
+      val lv = Await.result(lvF, scala.concurrent.duration.Duration.Inf)
       commitManifest(spark, store, name,
         base.copy(kmv = Some(kv), lvl = Some(lv),
           lastBatchId = stamp.getOrElse(base.lastBatchId)),
@@ -412,14 +420,24 @@ object CorpusProfile {
       .agg(org.apache.spark.sql.graft.TopKPairs
         .top_k_pairs_distinct(-col("hv").cast("double"), col("hv"), k).as("tk"))
       .select(col("group"), explode(col("tk.neighbor_id")).as("hv"))
-    val kv = store.write(kmvMerged, kmvTable(name), Some(kmvPin))
 
     // level sample: re-derive the canonical minimal level over
     // (stored survivors ∪ batch) — correctness argument in the scaladoc
     val lvlStored = store.snapshotAt(spark, lvlTable(name), lvlPin)
     val lvlMerged = foldLevelState(lvlStored,
       levelInputRows(batch, groupCol, idCol, numCol), b)
-    val lv = store.write(lvlMerged, lvlTable(name), Some(lvlPin))
+
+    // the two member commits touch independent tables (separate staging
+    // dirs, separate locks): submit both write jobs concurrently — the
+    // per-batch wall time is the slower of the two, not their sum. A
+    // half-failed pair is just the crash-orphan state the manifest swap
+    // below never observes and the next fold's rollback cleans up.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val kvF = Future(store.write(kmvMerged, kmvTable(name), Some(kmvPin)))
+    val lvF = Future(store.write(lvlMerged, lvlTable(name), Some(lvlPin)))
+    val kv = Await.result(kvF, scala.concurrent.duration.Duration.Inf)
+    val lv = Await.result(lvF, scala.concurrent.duration.Duration.Inf)
 
     commitManifest(spark, store, name,
       m.copy(kmv = Some(kv), lvl = Some(lv),
