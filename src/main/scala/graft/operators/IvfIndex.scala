@@ -92,7 +92,18 @@ object IvfIndex {
   /** Incremental maintenance: assign an arriving batch to the PERSISTED
     * centroids (no refit) and commit corpus ∪ batch as the next version of
     * the vectors table — the daily operation of a production embedding
-    * pipeline. The model version is untouched. */
+    * pipeline. The model version is untouched.
+    *
+    * The tiers commit as SEPARATE per-table CAS swaps (float, then int8,
+    * then PQ codes), so a crash mid-append leaves later tiers behind the
+    * float tier. The repair contract is RETRY: every tier's union
+    * anti-joins the batch against its OWN stored ids, so re-running the
+    * same append is idempotent per tier — already-appended tiers pass
+    * through untouched (no duplicate rows) and the missing tiers catch
+    * up, converging all tiers to the consistent state. Until the retry,
+    * a lagging sibling tier serves as if the batch had not arrived yet
+    * (its probes miss the new ids; re-ranks drop ids its shortlist never
+    * proposes) — stale, never corrupt. */
   def append(
       spark: SparkSession,
       batch: DataFrame,
@@ -103,7 +114,8 @@ object IvfIndex {
     val assigned = assign(batch, idCol, vecCol, centroids(spark, store, name))
     // snapshot: the write CASes against the version this union derived from
     val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
-    store.write(stored.unionByName(assigned), vectorsTable(name), Some(readVersion))
+    val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
+    store.write(stored.unionByName(fresh), vectorsTable(name), Some(readVersion))
     // a quantized sibling is SERVING state — it must see the same append,
     // or quantized probes silently miss everything admitted since the
     // last quantizeStored
@@ -112,7 +124,8 @@ object IvfIndex {
       val (qStored, qVersion) = store.snapshot(spark, qVectorsTable(name))
       store.write(
         qStored.unionByName(
-          assigned.select(col("id"), col("cell"), scale.as("scale"), qv.as("qv"))),
+          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("cell"), scale.as("scale"), qv.as("qv"))),
         qVectorsTable(name), Some(qVersion))
     }
     // the PQ tier is serving state too — encode the batch against the

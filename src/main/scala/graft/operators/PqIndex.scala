@@ -124,7 +124,12 @@ object PqIndex {
     val batchCodes = arr.join(unit.select(col("id"), col("cell")), Seq("id"))
       .select(col("id"), col("cell"), col("n_codes"))
     val (stored, version) = store.snapshot(spark, codesTable(name))
-    store.write(stored.unionByName(batchCodes), codesTable(name), Some(version))
+    // per-tier id dedup: a RETRIED append (the repair for a crash between
+    // the index's tier commits — see IvfIndex.append) must pass through
+    // already-encoded ids instead of duplicating their code rows
+    val freshCodes = batchCodes
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+    store.write(stored.unionByName(freshCodes), codesTable(name), Some(version))
   }
 
   /** Takedown for the PQ tier — called by [[IvfIndex.remove]]: a removed

@@ -139,4 +139,50 @@ class PqIndexSpec extends SparkSpec {
       store, "emb", k = 1, nProbe = 2, shortlist = 20).count() === 2)
     scope.release()
   }
+
+  /** A store that fails the NEXT commit of one named table — the crash
+    * window between the index's per-tier commits. */
+  private class TierCrashStore(root: String) extends TableStore(root) {
+    @volatile var failTable: Option[String] = None
+    override def write(df: org.apache.spark.sql.DataFrame, name: String,
+        expected: Option[Int]): Int = {
+      if (failTable.contains(name))
+        throw new RuntimeException(s"injected crash on $name commit")
+      super.write(df, name, expected)
+    }
+  }
+
+  test("a crashed multi-tier append is repaired by retry: tiers converge, no duplicates") {
+    val store = new TierCrashStore(tmpDir("pqidx-crash"))
+    buildPq(store)
+    IvfIndex.quantizeStored(spark, store, "emb") // int8 sibling present too
+    val fresh = corpus(3, offset = 60000L)
+    // crash between the float commit and the int8 sibling commit
+    store.failTable = Some("emb_qvectors")
+    intercept[RuntimeException] {
+      IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
+    }
+    store.failTable = None
+    def tierCount(read: => org.apache.spark.sql.DataFrame): Long =
+      read.filter(col("id") >= 60000L).count()
+    assert(tierCount(IvfIndex.vectors(spark, store, "emb")) === 3,
+      "float tier committed before the crash")
+    assert(tierCount(store.read(spark, "emb_qvectors")) === 0,
+      "int8 tier is lagging — stale, not corrupt")
+    // RETRY is the documented repair: per-tier id dedup makes it
+    // idempotent, so the float tier passes through (no duplicate rows)
+    // and the lagging siblings catch up
+    IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
+    assert(tierCount(IvfIndex.vectors(spark, store, "emb")) === 3,
+      "retry must not duplicate the already-committed float rows")
+    assert(tierCount(store.read(spark, "emb_qvectors")) === 3,
+      "retry must converge the int8 sibling")
+    assert(tierCount(PqIndex.codes(spark, store, "emb")) === 3,
+      "retry must converge the PQ codes tier")
+    // serving agrees: a probe for an appended vector finds it exactly once
+    val probe = PqIndex.topKRefined(spark,
+      corpus(1, offset = 60000L).withColumn("vec_id", lit(99998L)),
+      "vec_id", "embedding", store, "emb", k = 2, nProbe = 2, shortlist = 8)
+    assert(probe.head().getAs[Long]("neighbor_id") === 60000L)
+  }
 }
