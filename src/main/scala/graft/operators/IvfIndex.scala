@@ -245,16 +245,28 @@ object IvfIndex {
         "id", "v", b.nCellsModel, iterations, store, name)
       // sibling tiers carry the OLD cell ids after a refit — a quantized
       // or PQ probe against them would equi-join two unrelated cell
-      // spaces. Re-derive both from the refitted float table: the int8
-      // rows re-quantize (one narrow pass), the PQ codes are
-      // cell-independent (codebook untouched) and only re-join their
-      // cell column.
-      if (store.exists(qVectorsTable(name))) quantizeStored(spark, store, name)
-      if (PqIndex.exists(store, name))
-        PqIndex.refreshCells(spark,
-          vectors(spark, store, name).select(col("id"), col("cell")), store, name)
+      // spaces; re-derive both from the refitted float table
+      repairTiers(spark, store, name)
       Some(fitted)
     }
+  }
+
+  /** Re-derive every SIBLING tier from the committed float tier — the
+    * convergent repair for a crash mid-[[rebalance]]: the refit commits
+    * the model + float tier first, so dying before the sibling refreshes
+    * leaves int8/PQ rows on the OLD cell space (their probes equi-join
+    * two unrelated cell id spaces — wrong, not merely stale), and simply
+    * re-running rebalance may short-circuit on the now-healthy skew
+    * without ever touching them. This op is idempotent and cheap (one
+    * narrow pass per sibling: int8 re-quantizes, PQ codes are
+    * cell-independent and only re-join their cell column), so a
+    * production pipeline runs it after any interrupted maintenance
+    * window — or unconditionally; it converges from any tier state. */
+  def repairTiers(spark: SparkSession, store: TableStore, name: String): Unit = {
+    if (store.exists(qVectorsTable(name))) quantizeStored(spark, store, name)
+    if (PqIndex.exists(store, name))
+      PqIndex.refreshCells(spark,
+        vectors(spark, store, name).select(col("id"), col("cell")), store, name)
   }
 
   // -------------------------------------------------------------------

@@ -185,4 +185,44 @@ class PqIndexSpec extends SparkSpec {
       "vec_id", "embedding", store, "emb", k = 2, nProbe = 2, shortlist = 8)
     assert(probe.head().getAs[Long]("neighbor_id") === 60000L)
   }
+
+  test("a crashed rebalance is repaired by repairTiers: sibling cell spaces converge") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TierCrashStore(tmpDir("pqidx-rbcrash"))
+    // the drift fixture from the rebalance test: x-cluster corpus + a
+    // y-direction batch pushes the 2-cell model past the skew bound
+    val xCorpus = (1 to 10).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d < 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(xCorpus, "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    IvfIndex.quantizeStored(spark, store, "emb")
+    PqIndex.buildStored(spark, store, "emb", m = 4, nCodes = 8, iterations = 1)
+    val yBatch = (101 to 110).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d >= 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(spark, yBatch, "vec_id", "embedding", store, "emb")
+    // crash AFTER the refit's float/model commits, BEFORE the int8
+    // refresh: the sibling tiers are left on the OLD cell space
+    store.failTable = Some("emb_qvectors")
+    intercept[RuntimeException] {
+      IvfIndex.rebalance(spark, store, "emb", bound = 1.4)
+    }
+    store.failTable = None
+    def staleCells(tier: org.apache.spark.sql.DataFrame): Long =
+      tier.select(col("id"), col("cell").as("t_cell"))
+        .join(IvfIndex.vectors(spark, store, "emb").select(col("id"), col("cell")),
+          Seq("id"))
+        .filter(col("t_cell") =!= col("cell")).count()
+    assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) > 0,
+      "fixture sanity: the crash left the int8 tier on the old cell space")
+    // re-running rebalance may legitimately no-op (skew already fixed by
+    // the committed refit) — repairTiers is the convergent repair
+    IvfIndex.repairTiers(spark, store, "emb")
+    assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) === 0,
+      "repairTiers must re-derive the int8 tier's cells")
+    assert(staleCells(PqIndex.codes(spark, store, "emb")) === 0,
+      "repairTiers must re-derive the PQ tier's cells")
+    scope.release()
+  }
 }
