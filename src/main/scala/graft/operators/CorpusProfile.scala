@@ -105,11 +105,15 @@ object CorpusProfile {
   }
 
   /** The manifest row and the manifest TABLE's version (the CAS anchor a
-    * later [[commitManifest]] must carry). */
+    * later [[commitManifest]] must carry). The content is read from the
+    * v-dir of the version just resolved — NOT via `store.path`, which
+    * re-reads `_current`: a manifest commit landing between the two reads
+    * would pair v+1 content with CAS anchor v (safe, but every such
+    * mismatch is a spurious conflict and an orphan member version). */
   private[graft] def readManifest(
       spark: SparkSession, store: TableStore, name: String): Option[(ProfileManifest, Int)] =
     store.currentVersion(manifestTable(name)).map { v =>
-      val f = java.nio.file.Paths.get(store.path(manifestTable(name)))
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
         .resolve(manifestFile)
       (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8)), v)
@@ -130,19 +134,94 @@ object CorpusProfile {
     readManifest(spark, store, name).getOrElse(throw new IllegalStateException(
       s"profile $name has no manifest — build a tier first"))
 
-  /** Roll a member table back to its pin when (and only when) orphan
-    * successors sit above it AND the pinned version still exists. Both
-    * guards matter in the degenerate repair states racing zombie
-    * admitters can leave (see [[admitBatch]]): a pin AHEAD of the
-    * current version (rolling "forward" is impossible) and a pin whose
-    * files were pruned by stacked orphan commits (rolling back to it is
-    * impossible). In either case the caller's fresh write + manifest
-    * swap is itself the repair — [[rebuild]] goes through here, which
-    * is what makes it the universal repair path. */
+  // -------------------------------------------------- admission concurrency
+
+  /** Per-(store-root, profile) admission mutex — see [[OverlayLock]]:
+    * the kmv and lvl member tables commit as two INDEPENDENT per-table
+    * CAS swaps, so two in-process admitters racing the same profile can
+    * split the wins — A takes the kmv CAS, B takes the lvl CAS — and
+    * then BOTH lose their second commit and abort: the batch is admitted
+    * by neither (the round-11 livelock, CorpusProfileSpec's
+    * `Vector(conflict, conflict)`). Serializing in-process admitters
+    * closes that schedule outright; the manifest CAS stays in force as
+    * the cross-process backstop, where [[retryOnConflict]] turns a
+    * split-win into a refold instead of an abort. Reentrant because a
+    * stale build decision delegates build → append under the same lock. */
+  private def withAdmissionLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "profile", name)(body)
+
+  /** Attempts per admission before a conflict is rethrown. Cross-process
+    * races are rare (one streaming admitter per profile is the designed
+    * deployment) and the streaming gate redelivers on failure, so a small
+    * bound beats looping forever against a livelocking peer. */
+  private val MaxAdmissionAttempts = 3
+
+  /** Run one fold attempt, retrying on [[VersionConflictException]]: a
+    * conflict means another admitter moved a member table or the manifest
+    * under us. Re-read the manifest — if it shows `stamp` admitted, the
+    * peer won and this is a skip (exactly-once holds); otherwise the next
+    * attempt re-reads the pins, rolls back the split-win orphans, and
+    * refolds from committed-visible state. */
+  private def retryOnConflict(
+      spark: SparkSession, store: TableStore, name: String,
+      stamp: Option[Long])(attempt: => Boolean): Boolean = {
+    var n = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: VersionConflictException =>
+          n += 1
+          if (stamp.isDefined && readManifest(spark, store, name)
+              .exists(_._1.lastBatchId >= stamp.get)) return false
+          if (n >= MaxAdmissionAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Dedicated pool for the paired member-table commit jobs. These block
+    * on Spark actions for seconds; running them on the bounded global
+    * fork-join pool could starve it under many concurrent profile folds
+    * in one JVM (ADVICE r11). Daemon threads, cached: at most two live
+    * tasks per in-flight admission. */
+  private lazy val memberCommitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-profile-member-commit")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Submit the two member commits concurrently and wait for BOTH to
+    * settle — per-batch wall time is the slower of the two, not their
+    * sum, and no commit is still in flight when the caller acts on a
+    * failure (a retry that rolled back a table while our own write was
+    * mid-commit would race ourselves). Prefers surfacing a
+    * [[VersionConflictException]] (retryable) over an incidental error. */
+  private def commitMembersPaired(kmv: => Int, lvl: => Int): (Int, Int) = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = memberCommitEc
+    val kvF = Future(kmv)
+    val lvF = Future(lvl)
+    val inf = scala.concurrent.duration.Duration.Inf
+    val kvT = Await.ready(kvF, inf).value.get
+    val lvT = Await.ready(lvF, inf).value.get
+    (kvT, lvT) match {
+      case (scala.util.Success(kv), scala.util.Success(lv)) => (kv, lv)
+      case _ =>
+        val failures = Seq(kvT, lvT).collect { case scala.util.Failure(e) => e }
+        throw failures.find(_.isInstanceOf[VersionConflictException])
+          .getOrElse(failures.head)
+    }
+  }
+
+  /** [[OverlayLock.rollbackIfAhead]] — kept as a local alias; both guards
+    * matter in the degenerate repair states racing zombie admitters can
+    * leave (see [[admitBatch]]), where the caller's fresh write +
+    * manifest swap is itself the repair — [[rebuild]] goes through here,
+    * which is what makes it the universal repair path. */
   private def rollbackIfAhead(store: TableStore, table: String, pin: Int): Unit =
-    if (store.currentVersion(table).exists(_ > pin) &&
-        store.hasVersion(table, pin))
-      store.rollbackTo(table, pin)
+    OverlayLock.rollbackIfAhead(store, table, pin)
 
   private def pinnedRead(
       spark: SparkSession, store: TableStore, name: String,
@@ -324,40 +403,35 @@ object CorpusProfile {
   private[graft] def buildStamped(
       df: DataFrame, groupCol: String, distinctCol: String, idCol: String,
       numCol: String, k: Int, b: Int, store: TableStore, name: String,
-      stamp: Option[Long]): Boolean = {
+      stamp: Option[Long]): Boolean = withAdmissionLock(store, name) {
     val spark = df.sparkSession
-    val prev = readManifest(spark, store, name)
-    val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
-    if (stamp.exists(_ <= base.lastBatchId)) false
-    else if (stamp.isDefined && base.kmv.isDefined)
-      // the caller's build-vs-append decision was made from a STALE read:
-      // a concurrent admitter built the first tiers since. Building here
-      // would overwrite (and silently discard) that admitted data — fold
-      // this batch on top instead (append fails actionably if the pin
-      // has no backing files).
-      appendStamped(spark, df, groupCol, distinctCol, idCol, numCol, k, b,
-        store, name, stamp)
-    else {
-      // a crashed writer can have left orphan successors ABOVE the pins;
-      // writing on top of them would let the commit's prune discard the
-      // still-pinned versions under live readers — roll back first
-      base.kmv.foreach(rollbackIfAhead(store, kmvTable(name), _))
-      base.lvl.foreach(rollbackIfAhead(store, lvlTable(name), _))
-      // independent member tables: both build jobs run concurrently
-      // (same rationale and failure semantics as the append path)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val kvF = Future(
-        store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name)))
-      val lvF = Future(
-        store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name)))
-      val kv = Await.result(kvF, scala.concurrent.duration.Duration.Inf)
-      val lv = Await.result(lvF, scala.concurrent.duration.Duration.Inf)
-      commitManifest(spark, store, name,
-        base.copy(kmv = Some(kv), lvl = Some(lv),
-          lastBatchId = stamp.getOrElse(base.lastBatchId)),
-        prev.map(_._2))
-      true
+    retryOnConflict(spark, store, name, stamp) {
+      val prev = readManifest(spark, store, name)
+      val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
+      if (stamp.exists(_ <= base.lastBatchId)) false
+      else if (stamp.isDefined && base.kmv.isDefined)
+        // the caller's build-vs-append decision was made from a STALE read:
+        // a concurrent admitter built the first tiers since. Building here
+        // would overwrite (and silently discard) that admitted data — fold
+        // this batch on top instead (append fails actionably if the pin
+        // has no backing files).
+        appendStamped(spark, df, groupCol, distinctCol, idCol, numCol, k, b,
+          store, name, stamp)
+      else {
+        // a crashed writer can have left orphan successors ABOVE the pins;
+        // writing on top of them would let the commit's prune discard the
+        // still-pinned versions under live readers — roll back first
+        base.kmv.foreach(rollbackIfAhead(store, kmvTable(name), _))
+        base.lvl.foreach(rollbackIfAhead(store, lvlTable(name), _))
+        val (kv, lv) = commitMembersPaired(
+          store.write(kmvRows(df, groupCol, distinctCol, k), kmvTable(name)),
+          store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name)))
+        commitManifest(spark, store, name,
+          base.copy(kmv = Some(kv), lvl = Some(lv),
+            lastBatchId = stamp.getOrElse(base.lastBatchId)),
+          prev.map(_._2))
+        true
+      }
     }
   }
 
@@ -382,10 +456,32 @@ object CorpusProfile {
   /** @return false iff `stamp` was already admitted — checked against
     *         the SAME manifest read the commit CASes on, so a failover
     *         admitter that landed the batch after our caller's gate
-    *         check (but before this read) is seen and skipped; one
-    *         landing after this read makes the commit CAS throw
-    *         [[VersionConflictException]] instead of double-folding. */
+    *         check (but before this read) is seen and skipped. In-process
+    *         admitters serialize on the per-profile admission lock
+    *         (exactly one folds, the rest skip); a CROSS-process peer
+    *         moving a member table or the manifest mid-flight surfaces as
+    *         [[VersionConflictException]], which the retry loop resolves
+    *         by re-reading the manifest — skip when the peer admitted
+    *         this stamp, refold from the fresh pins otherwise. Never
+    *         double-folds; a conflict escapes only after
+    *         [[MaxAdmissionAttempts]] straight losses. */
   private[graft] def appendStamped(
+      spark: SparkSession, batch: DataFrame, groupCol: String,
+      distinctCol: String, idCol: String, numCol: String, k: Int, b: Int,
+      store: TableStore, name: String, stamp: Option[Long]): Boolean =
+    withAdmissionLock(store, name) {
+      retryOnConflict(spark, store, name, stamp) {
+        appendAttempt(spark, batch, groupCol, distinctCol, idCol, numCol,
+          k, b, store, name, stamp)
+      }
+    }
+
+  /** One fold attempt: derive from the manifest-pinned versions, commit
+    * the merged members, swap the manifest. Throws
+    * [[VersionConflictException]] when a peer moved a member table or the
+    * manifest mid-flight — [[appendStamped]]'s retry loop re-reads and
+    * refolds (or skips, when the peer admitted this very stamp). */
+  private def appendAttempt(
       spark: SparkSession, batch: DataFrame, groupCol: String,
       distinctCol: String, idCol: String, numCol: String, k: Int, b: Int,
       store: TableStore, name: String, stamp: Option[Long]): Boolean = {
@@ -432,12 +528,9 @@ object CorpusProfile {
     // per-batch wall time is the slower of the two, not their sum. A
     // half-failed pair is just the crash-orphan state the manifest swap
     // below never observes and the next fold's rollback cleans up.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val kvF = Future(store.write(kmvMerged, kmvTable(name), Some(kmvPin)))
-    val lvF = Future(store.write(lvlMerged, lvlTable(name), Some(lvlPin)))
-    val kv = Await.result(kvF, scala.concurrent.duration.Duration.Inf)
-    val lv = Await.result(lvF, scala.concurrent.duration.Duration.Inf)
+    val (kv, lv) = commitMembersPaired(
+      store.write(kmvMerged, kmvTable(name), Some(kmvPin)),
+      store.write(lvlMerged, lvlTable(name), Some(lvlPin)))
 
     commitManifest(spark, store, name,
       m.copy(kmv = Some(kv), lvl = Some(lv),
@@ -495,19 +588,22 @@ object CorpusProfile {
     * skipped. There is no window in which the sketches advanced but the
     * gate did not (the round-9/10 verdict's double-fold defect).
     *
-    * Concurrent (zombie) admitters of the SAME batchId are safe against
-    * double-folding: the fold re-checks `last_batch_id` on the very
-    * manifest read its commit CASes against, so a batch another admitter
-    * already landed is skipped, and one landing mid-flight makes this
-    * commit throw [[VersionConflictException]] loudly instead. Because
-    * racing admitters derive IDENTICAL member content (same pins, same
-    * deterministic batch), every interleaving leaves correct pinned
-    * data; the one residual hazard — zombie A discards zombie B's
-    * in-flight member commit via orphan rollback, B's manifest swap
-    * still wins, and A then dies before re-writing — can leave a pin
-    * with no backing files, which [[rebuild]] repairs (its rollback
-    * guard tolerates a missing pinned version and its fresh write +
-    * swap re-point the manifest).
+    * Concurrent (zombie) admitters of the SAME batchId admit it exactly
+    * once. In-process, admitters serialize on the per-profile admission
+    * lock: the first folds, later ones re-read the manifest under the
+    * lock and skip — no schedule exists where both abort (the round-11
+    * split-win livelock: two admitters each winning one member-table CAS
+    * and losing the other). Cross-process, the manifest CAS is the
+    * backstop: a fold that loses a member or manifest CAS re-reads the
+    * manifest and either skips (the peer admitted this stamp) or rolls
+    * the members back and refolds — because racing admitters derive
+    * IDENTICAL member content (same pins, same deterministic batch),
+    * every interleaving leaves correct pinned data. The one residual
+    * hazard — zombie A discards zombie B's in-flight member commit via
+    * orphan rollback, B's manifest swap still wins, and A then dies
+    * before re-writing — can leave a pin with no backing files, which
+    * [[rebuild]] repairs (its rollback guard tolerates a missing pinned
+    * version and its fresh write + swap re-point the manifest).
     *
     * First admitted batch BUILDS the profile's distinct + quantile
     * tiers; later ones APPEND. Returns true when the batch was folded,
@@ -574,18 +670,25 @@ object CorpusProfile {
       depth: Int,
       width: Int,
       store: TableStore,
-      name: String): Unit = {
+      name: String): Unit = withAdmissionLock(store, name) {
     val spark = df.sparkSession
-    val prev = readManifest(spark, store, name)
-    val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
-    // see buildStamped: orphan successors above the pin must go first,
-    // or this commit's prune discards the still-pinned version
-    base.cms.foreach(rollbackIfAhead(store, cmsTable(name), _))
-    val cv = store.write(
-      Sketches.cmsCells(df.select(col(groupCol).as("group"),
-        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"),
-      cmsTable(name))
-    commitManifest(spark, store, name, base.copy(cms = Some(cv)), prev.map(_._2))
+    // same lock + retry as the distinct/quantile path: the manifest is
+    // shared across tiers, so a concurrent admitBatch swapping it would
+    // otherwise conflict this commit's CAS
+    retryOnConflict(spark, store, name, None) {
+      val prev = readManifest(spark, store, name)
+      val base = prev.map(_._1).getOrElse(ProfileManifest(None, None, None, -1L))
+      // see buildStamped: orphan successors above the pin must go first,
+      // or this commit's prune discards the still-pinned version
+      base.cms.foreach(rollbackIfAhead(store, cmsTable(name), _))
+      val cv = store.write(
+        Sketches.cmsCells(df.select(col(groupCol).as("group"),
+          col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"),
+        cmsTable(name))
+      commitManifest(spark, store, name, base.copy(cms = Some(cv)), prev.map(_._2))
+      true
+    }
+    ()
   }
 
   /** Fold a batch's cells into the committed frequency tier (manifest
@@ -598,19 +701,23 @@ object CorpusProfile {
       depth: Int,
       width: Int,
       store: TableStore,
-      name: String): Unit = {
-    val (m, mv) = requireManifest(spark, store, name)
-    val pin = m.cms.getOrElse(throw new IllegalStateException(
-      s"profile $name has no frequency tier — build it first"))
-    rollbackIfAhead(store, cmsTable(name), pin)
-    val stored = store.snapshotAt(spark, cmsTable(name), pin)
-    val merged = stored
-      .unionByName(Sketches.cmsCells(batch.select(col(groupCol).as("group"),
-        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"))
-      .groupBy(col("group"), col("_r"), col("_b"))
-      .agg(sum(col("_c")).as("_c"))
-    val cv = store.write(merged, cmsTable(name), Some(pin))
-    commitManifest(spark, store, name, m.copy(cms = Some(cv)), Some(mv))
+      name: String): Unit = withAdmissionLock(store, name) {
+    retryOnConflict(spark, store, name, None) {
+      val (m, mv) = requireManifest(spark, store, name)
+      val pin = m.cms.getOrElse(throw new IllegalStateException(
+        s"profile $name has no frequency tier — build it first"))
+      rollbackIfAhead(store, cmsTable(name), pin)
+      val stored = store.snapshotAt(spark, cmsTable(name), pin)
+      val merged = stored
+        .unionByName(Sketches.cmsCells(batch.select(col(groupCol).as("group"),
+          col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms"))
+        .groupBy(col("group"), col("_r"), col("_b"))
+        .agg(sum(col("_c")).as("_c"))
+      val cv = store.write(merged, cmsTable(name), Some(pin))
+      commitManifest(spark, store, name, m.copy(cms = Some(cv)), Some(mv))
+      true
+    }
+    ()
   }
 
   /** Takedown for the FREQUENCY tier: subtract a removed batch's cells
@@ -631,21 +738,25 @@ object CorpusProfile {
       depth: Int,
       width: Int,
       store: TableStore,
-      name: String): Unit = {
-    val (m, mv) = requireManifest(spark, store, name)
-    val pin = m.cms.getOrElse(throw new IllegalStateException(
-      s"profile $name has no frequency tier — build it first"))
-    rollbackIfAhead(store, cmsTable(name), pin)
-    val stored = store.snapshotAt(spark, cmsTable(name), pin)
-    val negated = Sketches.cmsCells(removed.select(col(groupCol).as("group"),
-        col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms")
-      .withColumn("_c", -col("_c"))
-    val merged = stored.unionByName(negated)
-      .groupBy(col("group"), col("_r"), col("_b"))
-      .agg(greatest(sum(col("_c")), lit(0L)).as("_c"))
-      .filter(col("_c") > 0)
-    val cv = store.write(merged, cmsTable(name), Some(pin))
-    commitManifest(spark, store, name, m.copy(cms = Some(cv)), Some(mv))
+      name: String): Unit = withAdmissionLock(store, name) {
+    retryOnConflict(spark, store, name, None) {
+      val (m, mv) = requireManifest(spark, store, name)
+      val pin = m.cms.getOrElse(throw new IllegalStateException(
+        s"profile $name has no frequency tier — build it first"))
+      rollbackIfAhead(store, cmsTable(name), pin)
+      val stored = store.snapshotAt(spark, cmsTable(name), pin)
+      val negated = Sketches.cmsCells(removed.select(col(groupCol).as("group"),
+          col(valueCol).as("v")), Seq("group"), "v", depth, width, "cms")
+        .withColumn("_c", -col("_c"))
+      val merged = stored.unionByName(negated)
+        .groupBy(col("group"), col("_r"), col("_b"))
+        .agg(greatest(sum(col("_c")), lit(0L)).as("_c"))
+        .filter(col("_c") > 0)
+      val cv = store.write(merged, cmsTable(name), Some(pin))
+      commitManifest(spark, store, name, m.copy(cms = Some(cv)), Some(mv))
+      true
+    }
+    ()
   }
 
   /** Serve frequency estimates for `queries` from the committed cells

@@ -1,0 +1,64 @@
+package graft.operators
+
+/** Shared concurrency discipline for multi-table OVERLAYS — families of
+  * member tables whose visibility is governed by one pinned manifest
+  * ([[CorpusProfile]]'s sketch tiers, [[IvfIndex]]'s float/int8/PQ tiers).
+  *
+  * Member tables commit as independent per-table CAS swaps, so two
+  * in-process writers racing the same overlay can SPLIT the wins — each
+  * takes one member CAS and loses another — and then both abort: the
+  * round-11 livelock, where a batch was admitted by neither racer. The
+  * JVM-wide per-overlay mutex here closes that schedule outright for
+  * in-process writers; the manifest CAS stays in force as the
+  * cross-process backstop, where [[retryOnConflict]] turns a split-win
+  * into a rollback-and-redo instead of an abort.
+  */
+private[graft] object OverlayLock {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `body` under the JVM-wide mutation mutex for (`scope`, overlay
+    * `name`) in `store`. Keyed by the store ROOT (not instance), so two
+    * store handles over one directory share the mutex. Reentrant: overlay
+    * operations delegate to one another (e.g. a stale build decision
+    * falls through to append) under the same lock. */
+  def withLock[A](store: TableStore, scope: String, name: String)(body: => A): A = {
+    val lock = locks.computeIfAbsent(
+      scope + "#" + store.root + "#" + name,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try body finally lock.unlock()
+  }
+
+  /** Run one overlay mutation attempt, redoing it on
+    * [[VersionConflictException]]: a conflict means a cross-process peer
+    * moved a member table or the manifest under us — the next attempt
+    * re-reads the manifest, rolls back the split-win orphans, and
+    * re-derives from committed-visible state. Bounded: overlay writers
+    * are designed to be singular per deployment, so a persistent loser
+    * should fail loudly rather than loop against a livelocking peer. */
+  def retryOnConflict[A](maxAttempts: Int = 3)(attempt: => A): A = {
+    var n = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: VersionConflictException =>
+          n += 1
+          if (n >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Roll a member table back to its manifest pin when (and only when)
+    * orphan successors sit above it AND the pinned version still exists.
+    * Both guards matter in degenerate repair states: a pin AHEAD of the
+    * current version (rolling "forward" is impossible) and a pin whose
+    * files were pruned by stacked orphan commits (the caller's fresh
+    * write + manifest swap is itself the repair). */
+  def rollbackIfAhead(store: TableStore, table: String, pin: Int): Unit =
+    if (store.currentVersion(table).exists(_ > pin) &&
+        store.hasVersion(table, pin))
+      store.rollbackTo(table, pin)
+}

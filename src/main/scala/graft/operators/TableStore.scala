@@ -62,7 +62,7 @@ object TableStore {
   val StaleStagingMs: Long = 30L * 60 * 1000
 }
 
-class TableStore(root: String) {
+class TableStore(val root: String) {
   Files.createDirectories(Paths.get(root))
 
   private def tableDir(name: String) = Paths.get(root, name)
@@ -95,6 +95,14 @@ class TableStore(root: String) {
     }
 
   private def versionPath(name: String, v: Int): Path = tableDir(name).resolve(s"v$v")
+
+  /** Directory of a SPECIFIC version — the file-read sibling of
+    * [[snapshotAt]]: an overlay that resolved [[currentVersion]] must read
+    * that version's files from its own dir, not re-resolve [[path]] (a
+    * commit landing between the two reads would pair v+1 content with a
+    * CAS anchor of v — safe but a source of avoidable spurious conflicts). */
+  private[graft] def pathAt(name: String, v: Int): String =
+    versionPath(name, v).toString
 
   private def requireVersion(name: String): Int =
     currentVersion(name).getOrElse(

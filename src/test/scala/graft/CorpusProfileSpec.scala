@@ -239,9 +239,11 @@ class CorpusProfileSpec extends SparkSpec {
 
   test("two concurrent admitters of the same batchId fold it exactly once") {
     // the zombie-driver race: both pass the outer gate read, both enter
-    // the fold; the manifest/member CAS must make exactly one commit win
-    // — the loser skips (saw the winner's manifest) or conflicts loudly,
-    // never silently double-folds
+    // the fold. In-process admitters serialize on the per-profile
+    // admission lock, so this is now DETERMINISTIC: the first folds, the
+    // second re-reads the manifest under the lock and skips — never the
+    // round-11 split-win livelock where each admitter won one member CAS
+    // and both aborted (the batch folded zero times)
     val store = new TableStore(freshRoot())
     CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
       "grp", "txt", "id", "num", 32, 64, store, "p")
@@ -265,6 +267,8 @@ class CorpusProfileSpec extends SparkSpec {
     val results = outcomes.map(_.get()).sorted
     assert(results.count(_ == "folded") === 1,
       s"exactly one admitter may fold, got $results")
+    assert(results.count(_ == "skipped") === 1,
+      s"the in-process loser must SKIP under the admission lock, got $results")
     val clean = new TableStore(freshRoot())
     CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
       "grp", "txt", "id", "num", 32, 64, clean, "p")
@@ -272,6 +276,125 @@ class CorpusProfileSpec extends SparkSpec {
       "grp", "txt", "id", "num", 32, 64, clean, "p")
     assert(servedProfile(store) === servedProfile(clean),
       "the racing admitters must leave exactly one admission's state")
+  }
+
+  // ---- forced split-win: the cross-process schedule, deterministically
+
+  /** Pauses an armed lvl member commit at its CAS doorstep (latch
+    * handshake), so the test can deterministically steal that table's CAS
+    * from "another process" — the exact split-win interleaving the
+    * round-11 race test only caught by thread-timing luck. The steal
+    * bypasses the in-process admission lock (a direct store.write), which
+    * is precisely what a second JVM would do. */
+  private class PausingStore(root: String) extends TableStore(root) {
+    @volatile var armed = false
+    val reached = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    override private[graft] def commitStaged(
+        name: String, expected: Option[Int], staging: java.nio.file.Path,
+        spec: Option[graft.operators.BucketSpec]): Int = {
+      if (armed && name == "p_lvl") {
+        armed = false
+        reached.countDown()
+        proceed.await()
+      }
+      super.commitStaged(name, expected, staging, spec)
+    }
+  }
+
+  test("forced split-win: a stolen member CAS is retried and the batch folds exactly once") {
+    val store = new PausingStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    val (m0, _) = CorpusProfile.readManifest(spark, store, "p").get
+    val lvlPin = m0.lvl.get
+    store.armed = true
+    val task = new java.util.concurrent.FutureTask[Boolean](() =>
+      CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+        "grp", "txt", "id", "num", 32, 64, store, "p"))
+    new Thread(task).start()
+    assert(store.reached.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "admitter must reach its lvl member commit")
+    // the "remote peer" wins the lvl CAS while our admitter holds the
+    // in-process lock — its own lvl commit below MUST now conflict
+    val s = spark; import s.implicits._
+    val junk = Seq(("g0", 0, 1L, 1.0)).toDF("group", "level", "hv", "v")
+    store.write(junk, "p_lvl", Some(lvlPin))
+    store.proceed.countDown()
+    assert(task.get(), "the admitter must refold after losing the member CAS, not abort")
+    val clean = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    assert(servedProfile(store) === servedProfile(clean),
+      "the retried fold must discard the stolen orphan and land the batch exactly once")
+  }
+
+  test("a reader mid-admission sees the complete pre-batch state, never a tier mix") {
+    // read-side half of the exactly-once guarantee: hold the admitter
+    // between its member commits (kmv may be committed, lvl is not, the
+    // manifest has NOT swapped) and read — the manifest pin must serve
+    // the complete pre-batch tier set
+    val store = new PausingStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    val before = servedProfile(store)
+    store.armed = true
+    val task = new java.util.concurrent.FutureTask[Boolean](() =>
+      CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+        "grp", "txt", "id", "num", 32, 64, store, "p"))
+    new Thread(task).start()
+    assert(store.reached.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(servedProfile(store) === before,
+      "a mid-commit reader must see the pre-batch state — member commits are invisible")
+    store.proceed.countDown()
+    assert(task.get())
+    val clean = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    CorpusProfile.admitBatch(spark, docs(301 to 600), 1L,
+      "grp", "txt", "id", "num", 32, 64, clean, "p")
+    assert(servedProfile(store) === servedProfile(clean),
+      "after the swap the reader sees the complete post-batch state")
+  }
+
+  test("readers hammering profile() during admissions only observe prefix states") {
+    // non-deterministic sweep beside the forced schedule above: a reader
+    // loop runs while three batches admit; every observed profile must be
+    // one of the four prefix states (after batch 0, 0-1, 0-2, 0-3)
+    val store = new TableStore(freshRoot())
+    CorpusProfile.admitBatch(spark, docs(1 to 300), 0L,
+      "grp", "txt", "id", "num", 32, 64, store, "p")
+    @volatile var stop = false
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        // a slow read whose pin fell out of the documented ≤2-version
+        // retention window throws loudly (snapshotAt) — availability,
+        // not consistency; only COMPLETED reads are consistency-checked
+        try observed.add(servedProfile(store))
+        catch { case _: Throwable => () }
+      }
+    })
+    reader.start()
+    for ((lo, bid) <- Seq(301 -> 1L, 601 -> 2L, 901 -> 3L))
+      CorpusProfile.admitBatch(spark, docs(lo to lo + 299), bid,
+        "grp", "txt", "id", "num", 32, 64, store, "p")
+    stop = true
+    reader.join(120000)
+    val valid: Set[Seq[Any]] = (0 to 3).map { upTo =>
+      val clean = new TableStore(freshRoot())
+      for (b <- 0 to upTo)
+        CorpusProfile.admitBatch(spark, docs(b * 300 + 1 to b * 300 + 300),
+          b.toLong, "grp", "txt", "id", "num", 32, 64, clean, "p")
+      servedProfile(clean): Seq[Any]
+    }.toSet
+    assert(observed.size > 0, "the reader loop must have completed at least one read")
+    observed.forEach { o =>
+      assert(valid.contains(o),
+        s"reader observed a state that is no admission prefix: $o")
+    }
   }
 
   // ---- level-merge arithmetic on crafted hashes (the probe-ceiling fix)
