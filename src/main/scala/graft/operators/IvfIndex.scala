@@ -11,14 +11,27 @@ import graft.functions.VectorFunctions._
   * [[Dedup.dedupAgainst]]'s batch-vs-corpus discipline: fit once, persist,
   * then serve arriving batches against the stored state WITHOUT refitting.
   *
-  * Storage (two versioned [[TableStore]] tables, atomic-swap like any
-  * warehouse table):
+  * Storage: versioned [[TableStore]] member tables plus ONE pinned
+  * manifest — the same atomicity pattern as [[CorpusProfile]]:
   *
   *  - `<name>_centroids` — [[KMeans.fit]] output in long form
   *    `(cell, pos, centroid, n_assigned)`: kilobytes, the model;
   *  - `<name>_vectors` — the indexed corpus `(id, v, cell)`: each vector
   *    stored with its nearest-cell assignment, so a probe reads only the
-  *    probed cells' rows.
+  *    probed cells' rows;
+  *  - `<name>_qvectors` (optional int8 tier), `<name>_pq_codebook` /
+  *    `<name>_pq_codes` (optional PQ tier — [[PqIndex]]);
+  *  - `<name>_manifest` — a 1-row file table pinning EVERY member's
+  *    version. Every mutation (build/append/remove/rebalance/quantize/
+  *    PQ-build) commits its member versions first — invisible orphans —
+  *    and then swaps the manifest ONCE. Readers resolve all tiers from a
+  *    single manifest read, so no interleaving of a read with any
+  *    mutation can observe a mixed tier set (the round-11 residual:
+  *    per-tier commits let a reader pair a new float tier with an old
+  *    PQ tier, or — after a crashed rebalance — serve sibling tiers on a
+  *    dead cell space). A writer crash before the swap leaves only
+  *    orphans; the next mutation rolls the members back to their pins
+  *    and re-derives.
   *
   * Scale shape (unchanged from [[Similarity.ivfTopKWithCentroids]]):
   * centroids BROADCAST everywhere they appear; assignment is one narrow
@@ -28,16 +41,108 @@ import graft.functions.VectorFunctions._
   * version; [[topK]]'s candidate join is an equi-join on `cell`, and each
   * (query, stored-vector) candidate arises at most once because a stored
   * vector lives in exactly ONE cell — no dedup exchange at all, strictly
-  * cheaper than the self-join IVF path.
+  * cheaper than the self-join IVF path. The manifest adds one driver-side
+  * file read per logical operation and one file-commit per mutation —
+  * zero extra Spark jobs.
   */
 object IvfIndex {
 
   private def centroidsTable(name: String) = s"${name}_centroids"
-  private def vectorsTable(name: String) = s"${name}_vectors"
+  private[operators] def vectorsTableName(name: String) = s"${name}_vectors"
+  private def vectorsTable(name: String) = vectorsTableName(name)
   private def qVectorsTable(name: String) = s"${name}_qvectors"
+  private def manifestTable(name: String) = s"${name}_manifest"
+  private val manifestFile = "manifest.json"
 
-  /** Fit spherical k-means on `df` and persist BOTH halves of the index.
-    * Returns the fitted centroids (long form, as stored). */
+  // ---------------------------------------------------------------- manifest
+
+  /** Pinned member-table versions for the whole index family. `None` =
+    * the optional tier has not been built. */
+  private[graft] final case class IvfManifest(
+      centroids: Int,
+      vectors: Int,
+      qvectors: Option[Int],
+      pqCodebook: Option[Int],
+      pqCodes: Option[Int])
+
+  private def encodeManifest(m: IvfManifest): String =
+    s"""{"centroids_v":${m.centroids},"vectors_v":${m.vectors},""" +
+      s""""qvectors_v":${m.qvectors.getOrElse(-1)},""" +
+      s""""pq_codebook_v":${m.pqCodebook.getOrElse(-1)},""" +
+      s""""pq_codes_v":${m.pqCodes.getOrElse(-1)}}"""
+
+  private def decodeManifest(s: String): IvfManifest = {
+    def field(k: String): Int = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"index manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim.toInt
+    }
+    def opt(k: String): Option[Int] = {
+      val v = field(k); if (v < 0) None else Some(v)
+    }
+    IvfManifest(field("centroids_v"), field("vectors_v"),
+      opt("qvectors_v"), opt("pq_codebook_v"), opt("pq_codes_v"))
+  }
+
+  /** The manifest and the manifest TABLE's version (the CAS anchor a
+    * later [[commitManifest]] must carry). Content is read from the
+    * v-dir of the version just resolved, so content and anchor always
+    * agree (see [[CorpusProfile.readManifest]]). */
+  private[graft] def readManifest(
+      store: TableStore, name: String): Option[(IvfManifest, Int)] =
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
+    }
+
+  private[operators] def requireManifest(
+      store: TableStore, name: String): (IvfManifest, Int) =
+    readManifest(store, name).getOrElse(throw new IllegalStateException(
+      s"index $name has no manifest — build it first"))
+
+  /** The single commit point: swap the manifest (CAS against the version
+    * the caller read). Member versions committed before this call are
+    * invisible until it succeeds. */
+  private[operators] def commitManifest(
+      store: TableStore, name: String, m: IvfManifest,
+      expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
+
+  private def withIndexLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "ivf", name)(body)
+
+  /** Roll every member table back to its manifest pin, discarding the
+    * orphan successors a crashed writer left — every mutation starts
+    * here so its member commits CAS cleanly against the pins. */
+  private def rollbackAll(store: TableStore, name: String, m: IvfManifest): Unit = {
+    OverlayLock.rollbackIfAhead(store, centroidsTable(name), m.centroids)
+    OverlayLock.rollbackIfAhead(store, vectorsTable(name), m.vectors)
+    m.qvectors.foreach(OverlayLock.rollbackIfAhead(store, qVectorsTable(name), _))
+    m.pqCodebook.foreach(
+      OverlayLock.rollbackIfAhead(store, PqIndex.codebookTableName(name), _))
+    m.pqCodes.foreach(
+      OverlayLock.rollbackIfAhead(store, PqIndex.codesTableName(name), _))
+  }
+
+  // ------------------------------------------------------------------ build
+
+  /** Fit spherical k-means on `df` and persist the index. When the index
+    * already exists, this is the REBUILD path (a new model over a new
+    * corpus — [[rebalance]] calls it with the stored corpus): every
+    * sibling tier present in the manifest is RE-DERIVED from the new
+    * float tier inside the same commit family — int8 re-quantizes, PQ
+    * codes re-encode against the committed codebook — and ONE manifest
+    * swap publishes model + corpus + siblings together. A reader never
+    * observes the new cell space paired with old sibling rows (the
+    * crashed-rebalance wrong-cell hazard the per-tier commit layout had);
+    * a crash anywhere before the swap leaves the old coherent family
+    * serving. Returns the fitted centroids (long form, as stored). */
   def build(
       df: DataFrame,
       idCol: String,
@@ -45,20 +150,59 @@ object IvfIndex {
       nCells: Int,
       iterations: Int,
       store: TableStore,
-      name: String)(implicit caches: CacheScope): DataFrame = {
-    val fitted = KMeans.fit(df, idCol, vecCol, nCells, iterations)
-    store.write(fitted, centroidsTable(name))
-    store.write(assign(df, idCol, vecCol, centroidVectorsOf(fitted)), vectorsTable(name))
-    fitted
+      name: String)(implicit caches: CacheScope): DataFrame =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val spark = df.sparkSession
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
+        val fitted = KMeans.fit(df, idCol, vecCol, nCells, iterations)
+        val cv = store.write(fitted, centroidsTable(name))
+        val vv = store.write(
+          assign(df, idCol, vecCol, centroidVectorsOf(fitted)), vectorsTable(name))
+        // sibling tiers re-derive from the COMMITTED new float rows (a
+        // parquet read — the assignment pass is never recomputed per tier)
+        val storedNew = store.snapshotAt(spark, vectorsTable(name), vv)
+        val qv = prev.flatMap(_._1.qvectors).map { _ =>
+          val (scale, qvc) = quantizeCols(col("v"))
+          store.write(storedNew.select(col("id"), col("cell"),
+            scale.as("scale"), qvc.as("qv")), qVectorsTable(name))
+        }
+        val (cbPin, pcV) = prev.map(_._1) match {
+          case Some(m) if m.pqCodebook.isDefined && m.pqCodes.isDefined =>
+            val cbRows = store.snapshotAt(spark,
+              PqIndex.codebookTableName(name), m.pqCodebook.get)
+            (m.pqCodebook, Some(store.write(
+              PqIndex.encodeAssigned(spark, storedNew, cbRows),
+              PqIndex.codesTableName(name))))
+          case _ => (None, None)
+        }
+        commitManifest(store, name, IvfManifest(cv, vv, qv, cbPin, pcV),
+          prev.map(_._2))
+        fitted
+      }
+    }
+
+  /** The stored model re-assembled as `(cell, c_v)` vectors
+    * (manifest-pinned read). */
+  def centroids(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    centroidsAt(spark, store, name, m)
   }
 
-  /** The stored model re-assembled as `(cell, c_v)` vectors. */
-  def centroids(spark: SparkSession, store: TableStore, name: String): DataFrame =
-    centroidVectorsOf(store.read(spark, centroidsTable(name)))
+  private[operators] def centroidsAt(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
+    centroidVectorsOf(store.snapshotAt(spark, centroidsTable(name), m.centroids))
 
-  /** The indexed corpus `(id, v, cell)` as stored. */
-  def vectors(spark: SparkSession, store: TableStore, name: String): DataFrame =
-    store.read(spark, vectorsTable(name))
+  /** The indexed corpus `(id, v, cell)` as stored (manifest-pinned read). */
+  def vectors(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    vectorsAt(spark, store, name, m)
+  }
+
+  private[operators] def vectorsAt(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
+    store.snapshotAt(spark, vectorsTable(name), m.vectors)
 
   private def centroidVectorsOf(fittedLongForm: DataFrame): DataFrame =
     KMeans.centroidVectors(fittedLongForm)
@@ -90,78 +234,90 @@ object IvfIndex {
   }
 
   /** Incremental maintenance: assign an arriving batch to the PERSISTED
-    * centroids (no refit) and commit corpus ∪ batch as the next version of
-    * the vectors table — the daily operation of a production embedding
-    * pipeline. The model version is untouched.
+    * centroids (no refit) and commit corpus ∪ batch across EVERY tier —
+    * float, int8 and PQ rows all land as member versions, then one
+    * manifest swap publishes them together. The model version is
+    * untouched. A crash before the swap leaves the old family serving
+    * (orphans roll back on the next mutation); a reader can never see a
+    * batch in one tier but not another.
     *
-    * The tiers commit as SEPARATE per-table CAS swaps (float, then int8,
-    * then PQ codes), so a crash mid-append leaves later tiers behind the
-    * float tier. The repair contract is RETRY: every tier's union
-    * anti-joins the batch against its OWN stored ids, so re-running the
-    * same append is idempotent per tier — already-appended tiers pass
-    * through untouched (no duplicate rows) and the missing tiers catch
-    * up, converging all tiers to the consistent state. Until the retry,
-    * a lagging sibling tier serves as if the batch had not arrived yet
-    * (its probes miss the new ids; re-ranks drop ids its shortlist never
-    * proposes) — stale, never corrupt. */
+    * INSERT-ONLY by id: each tier anti-joins the batch against its own
+    * stored ids, so re-appending an existing id — including one whose
+    * vector CHANGED — is a no-op for that id, never a duplicate row.
+    * Callers that mean to upsert a changed vector must [[remove]] the id
+    * first and then append it. */
   def append(
       spark: SparkSession,
       batch: DataFrame,
       idCol: String,
       vecCol: String,
       store: TableStore,
-      name: String): Unit = {
-    val assigned = assign(batch, idCol, vecCol, centroids(spark, store, name))
-    // snapshot: the write CASes against the version this union derived from
-    val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
-    val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
-    store.write(stored.unionByName(fresh), vectorsTable(name), Some(readVersion))
-    // a quantized sibling is SERVING state — it must see the same append,
-    // or quantized probes silently miss everything admitted since the
-    // last quantizeStored
-    if (store.exists(qVectorsTable(name))) {
-      val (scale, qv) = quantizeCols(col("v"))
-      val (qStored, qVersion) = store.snapshot(spark, qVectorsTable(name))
-      store.write(
-        qStored.unionByName(
-          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
-            .select(col("id"), col("cell"), scale.as("scale"), qv.as("qv"))),
-        qVectorsTable(name), Some(qVersion))
+      name: String): Unit =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
+        val stored = vectorsAt(spark, store, name, m)
+        val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
+        val vv = store.write(stored.unionByName(fresh), vectorsTable(name),
+          Some(m.vectors))
+        // the int8 sibling is SERVING state — it must see the same append,
+        // or quantized probes silently miss everything admitted since the
+        // last quantizeStored
+        val qv = m.qvectors.map { qPin =>
+          val (scale, qvc) = quantizeCols(col("v"))
+          val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+          store.write(
+            qStored.unionByName(
+              assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+                .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))),
+            qVectorsTable(name), Some(qPin))
+        }
+        // the PQ tier too — encoded against the COMMITTED codebook
+        // (refit-free, like the int8 re-quantization)
+        val pcV = m.pqCodes.map(pin =>
+          PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
+        commitManifest(store, name,
+          m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
+      }
     }
-    // the PQ tier is serving state too — encode the batch against the
-    // COMMITTED codebook (refit-free, like the int8 re-quantization)
-    if (PqIndex.exists(store, name))
-      PqIndex.appendEncoded(spark, assigned, store, name)
-  }
 
-  /** Takedown: commit a next version of the vectors table WITHOUT the
-    * given ids — the removal path an index must have at scale (a handful
-    * of right-to-be-forgotten ids cannot cost a corpus re-fit; the model
-    * is untouched and probe behaviour for every other vector is
-    * unchanged). `ids` is broadcast into an anti-join — callers pass the
-    * takedown list, which is small by nature. Returns how many vectors
-    * were actually removed. */
+  /** Takedown: commit a next version of every tier WITHOUT the given ids
+    * — the removal path an index must have at scale (a handful of
+    * right-to-be-forgotten ids cannot cost a corpus re-fit; the model is
+    * untouched and probe behaviour for every other vector is unchanged).
+    * `ids` is broadcast into anti-joins — callers pass the takedown
+    * list, which is small by nature. One manifest swap publishes the
+    * removal across all tiers at once. Returns how many vectors were
+    * actually removed. */
   def remove(
       spark: SparkSession,
       ids: DataFrame,
       store: TableStore,
-      name: String): Long = {
-    val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-    val (stored, readVersion) = store.snapshot(spark, vectorsTable(name))
-    val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
-    val before = stored.count()
-    store.write(kept, vectorsTable(name), Some(readVersion))
-    // takedown must reach the quantized sibling too — a removed vector
-    // that still matches quantized probes isn't removed at all
-    if (store.exists(qVectorsTable(name))) {
-      val (qStored, qVersion) = store.snapshot(spark, qVectorsTable(name))
-      store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
-        qVectorsTable(name), Some(qVersion))
+      name: String): Long =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        val stored = vectorsAt(spark, store, name, m)
+        val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
+        val before = stored.count()
+        val keptN = kept.count()
+        val vv = store.write(kept, vectorsTable(name), Some(m.vectors))
+        val qv = m.qvectors.map { qPin =>
+          val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+          store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
+            qVectorsTable(name), Some(qPin))
+        }
+        val pcV = m.pqCodes.map(pin =>
+          PqIndex.removeIdsAt(spark, drop, store, name, pin))
+        commitManifest(store, name,
+          m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
+        before - keptN
+      }
     }
-    if (PqIndex.exists(store, name))
-      PqIndex.removeIds(spark, drop, store, name)
-    before - vectors(spark, store, name).count()
-  }
 
   /** Per-cell occupancy of the stored corpus — the index's health metric,
     * one partial-combined aggregate over the narrow `(id, v, cell)` table
@@ -182,11 +338,15 @@ object IvfIndex {
   }
 
   /** Compute [[CellBalance]] — two tiny aggregates (≤ nCells rows ever
-    * reach the driver). Cheap enough to run after every [[append]]. */
+    * reach the driver), both tiers resolved from ONE manifest read.
+    * Cheap enough to run after every [[append]]. */
   def balance(spark: SparkSession, store: TableStore, name: String): CellBalance = {
-    val nModel = store.read(spark, centroidsTable(name))
+    val (m, _) = requireManifest(store, name)
+    val nModel = store.snapshotAt(spark, centroidsTable(name), m.centroids)
       .select(col("cell")).distinct().count().toInt
-    val occ = cellStats(spark, store, name).collect().map(_.getLong(1))
+    val occ = vectorsAt(spark, store, name, m)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
     CellBalance(
       nCellsModel = nModel,
       nCellsLive = occ.length,
@@ -221,10 +381,12 @@ object IvfIndex {
 
   /** The refit trigger [[append]]-forever needs: when occupancy skew
     * exceeds `bound`, refit the model ON THE STORED CORPUS via [[build]]
-    * (same cell count) and commit both halves as next versions — readers
-    * swap atomically, and a concurrent appender loses its CAS instead of
-    * splicing stale cell ids into the rebuilt index. Below the bound this
-    * is a metadata-cost no-op returning None.
+    * (same cell count) — which re-derives every sibling tier from the
+    * new float rows and publishes model + corpus + siblings in ONE
+    * manifest swap. Readers swap atomically between coherent families; a
+    * crash mid-refit leaves the old family serving (no wrong-cell
+    * window). Below the bound this is a metadata-cost no-op returning
+    * None.
     *
     * Policy, not mechanism: a production pipeline calls this after its
     * append cadence (e.g. daily) with a bound around 2–4; the refit costs
@@ -240,34 +402,43 @@ object IvfIndex {
     require(bound >= 1.0, s"bound is a max/mean ratio, must be >= 1, got $bound")
     val b = balance(spark, store, name)
     if (b.skewRatio <= bound) None
-    else {
-      val fitted = build(vectors(spark, store, name).select(col("id"), col("v")),
-        "id", "v", b.nCellsModel, iterations, store, name)
-      // sibling tiers carry the OLD cell ids after a refit — a quantized
-      // or PQ probe against them would equi-join two unrelated cell
-      // spaces; re-derive both from the refitted float table
-      repairTiers(spark, store, name)
-      Some(fitted)
-    }
+    else Some(build(vectors(spark, store, name).select(col("id"), col("v")),
+      "id", "v", b.nCellsModel, iterations, store, name))
   }
 
-  /** Re-derive every SIBLING tier from the committed float tier — the
-    * convergent repair for a crash mid-[[rebalance]]: the refit commits
-    * the model + float tier first, so dying before the sibling refreshes
-    * leaves int8/PQ rows on the OLD cell space (their probes equi-join
-    * two unrelated cell id spaces — wrong, not merely stale), and simply
-    * re-running rebalance may short-circuit on the now-healthy skew
-    * without ever touching them. This op is idempotent and cheap (one
-    * narrow pass per sibling: int8 re-quantizes, PQ codes are
-    * cell-independent and only re-join their cell column), so a
-    * production pipeline runs it after any interrupted maintenance
-    * window — or unconditionally; it converges from any tier state. */
-  def repairTiers(spark: SparkSession, store: TableStore, name: String): Unit = {
-    if (store.exists(qVectorsTable(name))) quantizeStored(spark, store, name)
-    if (PqIndex.exists(store, name))
-      PqIndex.refreshCells(spark,
-        vectors(spark, store, name).select(col("id"), col("cell")), store, name)
-  }
+  /** Re-derive every SIBLING tier from the manifest-pinned float tier and
+    * publish them in one manifest swap — a maintenance operator, now that
+    * the manifest already guarantees readers a coherent family: [[build]]
+    * and [[rebalance]] re-derive siblings inside their own swap, so this
+    * op exists for states that arise OUTSIDE the commit protocol (e.g. a
+    * family restored from per-table backups). Idempotent and cheap (one
+    * narrow pass per sibling: int8 re-quantizes, PQ re-encodes against
+    * the committed codebook); converges from any tier state. */
+  def repairTiers(spark: SparkSession, store: TableStore, name: String): Unit =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val stored = vectorsAt(spark, store, name, m)
+        val qv = m.qvectors.map { _ =>
+          val (scale, qvc) = quantizeCols(col("v"))
+          store.write(stored.select(col("id"), col("cell"),
+            scale.as("scale"), qvc.as("qv")), qVectorsTable(name))
+        }
+        val pcV = (m.pqCodebook, m.pqCodes) match {
+          case (Some(cbPin), Some(_)) =>
+            val cbRows = store.snapshotAt(spark,
+              PqIndex.codebookTableName(name), cbPin)
+            Some(store.write(PqIndex.encodeAssigned(spark, stored, cbRows),
+              PqIndex.codesTableName(name)))
+          case _ => None
+        }
+        if (qv.isDefined || pcV.isDefined)
+          commitManifest(store, name,
+            m.copy(qvectors = qv.orElse(m.qvectors),
+              pqCodes = pcV.orElse(m.pqCodes)), Some(mv))
+      }
+    }
 
   // -------------------------------------------------------------------
   // int8 scalar quantization — the storage diet for the 100 TB index.
@@ -290,24 +461,41 @@ object IvfIndex {
     (scale, qv)
   }
 
-  /** Quantize an existing index's stored vectors into the int8 sibling
-    * table `<name>_qvectors` `(id, cell, scale double, qv array<byte>)` —
+  /** Quantize the index's stored vectors into the int8 sibling table
+    * `<name>_qvectors` `(id, cell, scale double, qv array<byte>)` —
     * ~1 byte per component versus 8 for the float table, which is what
     * dominates index storage at corpus scale. One narrow pass over the
-    * stored table; the model is untouched, and probes that can tolerate
-    * the ≤ scale/2 per-component error serve entirely from the quantized
-    * rows ([[topKQuantized]]). */
-  def quantizeStored(spark: SparkSession, store: TableStore, name: String): Unit = {
-    val stored = vectors(spark, store, name)
-    val (scale, qv) = quantizeCols(col("v"))
-    store.write(
-      stored.select(col("id"), col("cell"), scale.as("scale"), qv.as("qv")),
-      qVectorsTable(name))
+    * manifest-pinned float tier, published by one manifest swap; the
+    * model is untouched, and probes that can tolerate the ≤ scale/2
+    * per-component error serve entirely from the quantized rows
+    * ([[topKQuantized]]). From here on, [[append]]/[[remove]]/[[build]]
+    * keep the tier in lockstep automatically. */
+  def quantizeStored(spark: SparkSession, store: TableStore, name: String): Unit =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        m.qvectors.foreach(OverlayLock.rollbackIfAhead(store, qVectorsTable(name), _))
+        val stored = vectorsAt(spark, store, name, m)
+        val (scale, qvc) = quantizeCols(col("v"))
+        val qv = store.write(
+          stored.select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv")),
+          qVectorsTable(name))
+        commitManifest(store, name, m.copy(qvectors = Some(qv)), Some(mv))
+      }
+    }
+
+  /** The quantized corpus as stored: `(id, cell, scale, qv)`
+    * (manifest-pinned read). */
+  def quantizedVectors(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    qVectorsAt(spark, store, name, m)
   }
 
-  /** The quantized corpus as stored: `(id, cell, scale, qv)`. */
-  def quantizedVectors(spark: SparkSession, store: TableStore, name: String): DataFrame =
-    store.read(spark, qVectorsTable(name))
+  private def qVectorsAt(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
+    store.snapshotAt(spark, qVectorsTable(name),
+      m.qvectors.getOrElse(throw new IllegalStateException(
+        s"index $name has no int8 tier — run quantizeStored first")))
 
   /** Dequantized view `(id, cell, v)` of [[quantizedVectors]] — the scoring
     * input. A nonzero vector's max component quantizes to ±127, so the
@@ -335,14 +523,17 @@ object IvfIndex {
       store: TableStore,
       name: String,
       k: Int,
-      nProbe: Int): DataFrame =
-    topKAgainst(spark, batch, idCol, vecCol, store, name, k, nProbe,
-      vectors(spark, store, name))
+      nProbe: Int): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    topKAgainst(batch, idCol, vecCol, k, nProbe,
+      centroidsAt(spark, store, name, m), vectorsAt(spark, store, name, m))
+  }
 
   /** [[topK]] served from the int8 table — same probe ranking (the model
     * is full-precision either way), same candidate-join shape; only the
     * scored corpus rows are dequantized `qv × scale` products. The scan
-    * reads ~1/8 the bytes of the float path. */
+    * reads ~1/8 the bytes of the float path. Both tiers resolve from ONE
+    * manifest read. */
   def topKQuantized(
       spark: SparkSession,
       batch: DataFrame,
@@ -351,9 +542,12 @@ object IvfIndex {
       store: TableStore,
       name: String,
       k: Int,
-      nProbe: Int): DataFrame =
-    topKAgainst(spark, batch, idCol, vecCol, store, name, k, nProbe,
-      dequantized(quantizedVectors(spark, store, name)))
+      nProbe: Int): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    topKAgainst(batch, idCol, vecCol, k, nProbe,
+      centroidsAt(spark, store, name, m),
+      dequantized(qVectorsAt(spark, store, name, m)))
+  }
 
   /** Two-stage QUALITY serving from the persisted index (the
     * [[Pq.topKRefined]] shortlist-and-refine trick applied to stored
@@ -366,7 +560,9 @@ object IvfIndex {
     * serving at nProbe=4 over int8 costs about the same scan bytes as the
     * base tier's nProbe=2 over floats, and the refine joins move only
     * `shortlist` narrow rows per query (equi-join on id, never
-    * all-pairs). Output schema matches [[topK]]. */
+    * all-pairs). Every tier resolves from ONE manifest read — the
+    * shortlist and the re-rank can never straddle a concurrent
+    * mutation's swap. Output schema matches [[topK]]. */
   def topKRefined(
       spark: SparkSession,
       batch: DataFrame,
@@ -378,13 +574,15 @@ object IvfIndex {
       nProbe: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k && k >= 1, s"need shortlist $shortlist >= k $k >= 1")
-    val short = topKAgainst(spark, batch, idCol, vecCol, store, name,
-        shortlist, nProbe, dequantized(quantizedVectors(spark, store, name)))
+    val (m, _) = requireManifest(store, name)
+    val short = topKAgainst(batch, idCol, vecCol, shortlist, nProbe,
+        centroidsAt(spark, store, name, m),
+        dequantized(qVectorsAt(spark, store, name, m)))
       .select(col("vec_id"), col("neighbor_id"))
     val q = batch
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", l2Norm(col("q_v")))
-    val corpus = vectors(spark, store, name)
+    val corpus = vectorsAt(spark, store, name, m)
       .select(col("id").as("neighbor_id"), col("v").as("n_v"))
       .withColumn("n_nrm", l2Norm(col("n_v")))
     Similarity.exactRerank(short, q, corpus, k)
@@ -399,11 +597,10 @@ object IvfIndex {
       .withColumn("q_nrm", l2Norm(col("q_v")))
       .filter(col("q_nrm") > 0)
 
-  /** The stored model in probe shape: `(cell, c_v, c_nrm)`, zero-norm
-    * cells dropped. */
-  private[operators] def probeCentroids(
-      spark: SparkSession, store: TableStore, name: String): DataFrame =
-    centroids(spark, store, name)
+  /** A centroid-vectors frame in probe shape: `(cell, c_v, c_nrm)`,
+    * zero-norm cells dropped. */
+  private[operators] def probeCentroidsOf(centroidVectors: DataFrame): DataFrame =
+    centroidVectors
       .select(col("cell"), col("c_v"))
       .withColumn("c_nrm", l2Norm(col("c_v")))
       .filter(col("c_nrm") > 0)
@@ -425,17 +622,15 @@ object IvfIndex {
   }
 
   private def topKAgainst(
-      spark: SparkSession,
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      store: TableStore,
-      name: String,
       k: Int,
       nProbe: Int,
+      centroidVectors: DataFrame,
       corpusVectors: DataFrame): DataFrame = {
     val q = probeQueries(batch, idCol, vecCol)
-    val probes = probeCells(q, probeCentroids(spark, store, name), nProbe)
+    val probes = probeCells(q, probeCentroidsOf(centroidVectors), nProbe)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
     val corpus = corpusVectors
       .withColumn("nrm", l2Norm(col("v")))

@@ -152,12 +152,14 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
-  test("a crashed multi-tier append is repaired by retry: tiers converge, no duplicates") {
+  test("a crashed multi-tier append is invisible; retry folds it exactly once") {
     val store = new TierCrashStore(tmpDir("pqidx-crash"))
     buildPq(store)
     IvfIndex.quantizeStored(spark, store, "emb") // int8 sibling present too
     val fresh = corpus(3, offset = 60000L)
-    // crash between the float commit and the int8 sibling commit
+    // crash between the float member commit and the int8 sibling commit:
+    // under the family manifest NOTHING is published — the float rows are
+    // invisible orphans until the (never-reached) manifest swap
     store.failTable = Some("emb_qvectors")
     intercept[RuntimeException] {
       IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
@@ -165,20 +167,19 @@ class PqIndexSpec extends SparkSpec {
     store.failTable = None
     def tierCount(read: => org.apache.spark.sql.DataFrame): Long =
       read.filter(col("id") >= 60000L).count()
-    assert(tierCount(IvfIndex.vectors(spark, store, "emb")) === 3,
-      "float tier committed before the crash")
-    assert(tierCount(store.read(spark, "emb_qvectors")) === 0,
-      "int8 tier is lagging — stale, not corrupt")
-    // RETRY is the documented repair: per-tier id dedup makes it
-    // idempotent, so the float tier passes through (no duplicate rows)
-    // and the lagging siblings catch up
+    assert(tierCount(IvfIndex.vectors(spark, store, "emb")) === 0,
+      "a crashed append must be invisible in EVERY tier — the float rows are orphans")
+    assert(tierCount(IvfIndex.quantizedVectors(spark, store, "emb")) === 0)
+    assert(tierCount(PqIndex.codes(spark, store, "emb")) === 0)
+    // RETRY is the repair: the refold rolls the float orphan back to its
+    // pin, re-derives every tier, and ONE swap publishes them together
     IvfIndex.append(spark, fresh, "vec_id", "embedding", store, "emb")
     assert(tierCount(IvfIndex.vectors(spark, store, "emb")) === 3,
-      "retry must not duplicate the already-committed float rows")
-    assert(tierCount(store.read(spark, "emb_qvectors")) === 3,
-      "retry must converge the int8 sibling")
+      "retry must land the batch exactly once in the float tier")
+    assert(tierCount(IvfIndex.quantizedVectors(spark, store, "emb")) === 3,
+      "retry must land the batch in the int8 sibling")
     assert(tierCount(PqIndex.codes(spark, store, "emb")) === 3,
-      "retry must converge the PQ codes tier")
+      "retry must land the batch in the PQ codes tier")
     // serving agrees: a probe for an appended vector finds it exactly once
     val probe = PqIndex.topKRefined(spark,
       corpus(1, offset = 60000L).withColumn("vec_id", lit(99998L)),
@@ -186,7 +187,7 @@ class PqIndexSpec extends SparkSpec {
     assert(probe.head().getAs[Long]("neighbor_id") === 60000L)
   }
 
-  test("a crashed rebalance is repaired by repairTiers: sibling cell spaces converge") {
+  test("a crashed rebalance leaves the OLD family serving coherently; retry converges") {
     implicit val scope: CacheScope = new CacheScope
     val s = spark; import s.implicits._
     val store = new TierCrashStore(tmpDir("pqidx-rbcrash"))
@@ -202,8 +203,11 @@ class PqIndexSpec extends SparkSpec {
       (i.toLong, Array.tabulate(16)(d => if (d >= 8) 1.0f + 0.002f * i * d else 0.001f * i)))
       .toDF("vec_id", "embedding")
     IvfIndex.append(spark, yBatch, "vec_id", "embedding", store, "emb")
-    // crash AFTER the refit's float/model commits, BEFORE the int8
-    // refresh: the sibling tiers are left on the OLD cell space
+    val skewBefore = IvfIndex.balance(spark, store, "emb").skewRatio
+    // crash AFTER the refit's float/model member commits, BEFORE the int8
+    // re-derivation: the manifest never swaps, so readers stay on the
+    // OLD family — coherent (stale), never a cell-space mix. This was the
+    // round-11 wrong-not-stale window the per-tier commit layout had.
     store.failTable = Some("emb_qvectors")
     intercept[RuntimeException] {
       IvfIndex.rebalance(spark, store, "emb", bound = 1.4)
@@ -214,15 +218,64 @@ class PqIndexSpec extends SparkSpec {
         .join(IvfIndex.vectors(spark, store, "emb").select(col("id"), col("cell")),
           Seq("id"))
         .filter(col("t_cell") =!= col("cell")).count()
-    assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) > 0,
-      "fixture sanity: the crash left the int8 tier on the old cell space")
-    // re-running rebalance may legitimately no-op (skew already fixed by
-    // the committed refit) — repairTiers is the convergent repair
-    IvfIndex.repairTiers(spark, store, "emb")
     assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) === 0,
-      "repairTiers must re-derive the int8 tier's cells")
-    assert(staleCells(PqIndex.codes(spark, store, "emb")) === 0,
-      "repairTiers must re-derive the PQ tier's cells")
+      "after a crashed rebalance every served tier must still agree — old coherent family")
+    assert(staleCells(PqIndex.codes(spark, store, "emb")) === 0)
+    assert(IvfIndex.balance(spark, store, "emb").skewRatio === skewBefore,
+      "the crashed refit must not be partially visible in the balance metric")
+    // RETRY is the repair: the skew is still over the bound (nothing was
+    // published), so rebalance refits and ONE swap publishes the whole
+    // re-derived family
+    assert(IvfIndex.rebalance(spark, store, "emb", bound = 1.4).isDefined,
+      "retrying the rebalance must still see the skew and refit")
+    assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) === 0)
+    assert(staleCells(PqIndex.codes(spark, store, "emb")) === 0)
+    assert(IvfIndex.balance(spark, store, "emb").skewRatio <= 1.4)
+    // repairTiers stays a convergent maintenance no-op on a healthy family
+    IvfIndex.repairTiers(spark, store, "emb")
+    assert(staleCells(IvfIndex.quantizedVectors(spark, store, "emb")) === 0)
+    assert(staleCells(PqIndex.codes(spark, store, "emb")) === 0)
+    scope.release()
+  }
+
+  test("a reader pinned across a concurrent mutation never observes mixed tiers") {
+    // the read-side contract the manifest buys: resolve ONCE, then every
+    // tier read (float, int8, PQ) comes from that coherent pin even if a
+    // rebalance swaps the family mid-read. Forced deterministically: read
+    // the manifest, run the full rebalance, then serve from the OLD pin.
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("pqidx-pin"))
+    val xCorpus = (1 to 10).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d < 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(xCorpus, "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    IvfIndex.quantizeStored(spark, store, "emb")
+    PqIndex.buildStored(spark, store, "emb", m = 4, nCodes = 8, iterations = 1)
+    val yBatch = (101 to 110).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d >= 8) 1.0f + 0.002f * i * d else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(spark, yBatch, "vec_id", "embedding", store, "emb")
+    // the reader resolves its pin BEFORE the mutation...
+    val (pinned, _) = graft.operators.IvfIndex.readManifest(store, "emb").get
+    // ...a full rebalance swaps the family under it (new cell space)...
+    assert(IvfIndex.rebalance(spark, store, "emb", bound = 1.4).isDefined)
+    // ...and the pinned read still serves the complete OLD family: both
+    // sibling tiers agree with the pinned float tier's cell space.
+    // (prune retains the immediate predecessor version, so a pin taken
+    // one swap ago is always readable — the documented retention rule)
+    val oldFloat = store.snapshotAt(spark, "emb_vectors", pinned.vectors)
+      .select(col("id"), col("cell"))
+    val oldQ = store.snapshotAt(spark, "emb_qvectors", pinned.qvectors.get)
+      .select(col("id"), col("cell").as("t_cell"))
+    val oldPq = store.snapshotAt(spark, "emb_pq_codes", pinned.pqCodes.get)
+      .select(col("id"), col("cell").as("t_cell"))
+    assert(oldQ.join(oldFloat, Seq("id"))
+      .filter(col("t_cell") =!= col("cell")).count() === 0,
+      "pinned int8 tier must agree with the pinned float tier")
+    assert(oldPq.join(oldFloat, Seq("id"))
+      .filter(col("t_cell") =!= col("cell")).count() === 0,
+      "pinned PQ tier must agree with the pinned float tier")
     scope.release()
   }
 }
