@@ -214,11 +214,36 @@ object ScaleBench {
       .map(only => heavy.filter(only.contains))
       .getOrElse(heavy)
 
-    def time(name: String, dir: String): (Double, Long) = {
+    // q108's declared 2% threshold cannot survive the scale fixture's
+    // word~k suffixing: every token's relative frequency divides by the
+    // replication factor, so at sf1 the thresholded set is EMPTY and the
+    // slope would time an empty verify path (ADVICE r11). The slope-only
+    // scaled-dir variant divides minFrac by the factor — the equivalent
+    // workload on the diluted vocabulary: each base heavy token maps to
+    // `factor` suffixed variants at freq/factor, so the thresholded set
+    // scales ×factor and the verify shuffle is genuinely exercised.
+    def scaledVariant(
+        name: String): Option[(org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = name match {
+      case "q108_heavy_hitters" => Some { (s, dir) =>
+        graft.operators.Sketches.heavyHitters(
+            s.read.parquet(s"$dir/documents.parquet").select(col("lang"),
+              explode(org.apache.spark.sql.functions.filter(
+                graft.functions.TextFunctions.tokens(col("text")),
+                x => length(x) > 0)).as("token")),
+            Seq("lang"), "token", minFrac = 0.02 / factor)
+          .orderBy(col("lang"), col("term"))
+      }
+      case _ => None
+    }
+
+    def time(name: String, dir: String, scaledDir: Boolean): (Double, Long) = {
+      val q = (if (scaledDir) scaledVariant(name) else None)
+        .getOrElse(graft.SparkEntry.queries(name))
       var rows = 0L
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        rows = graft.SparkEntry.queries(name)(spark, dir).count()
+        rows = q(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
       // release app-lifetime pins between measurements — same hygiene
@@ -241,9 +266,12 @@ object ScaleBench {
     graft.operators.CacheScope.appLifetime.release()
 
     val rows = selected.map { name =>
-      val (tBase, rBase) = time(name, base)
-      val (tScaled, rScaled) = time(name, scaled)
+      val (tBase, rBase) = time(name, base, scaledDir = false)
+      val (tScaled, rScaled) = time(name, scaled, scaledDir = true)
       val slope = tScaled / (tBase * factor)
+      if (rScaled == 0 && rBase > 0)
+        println(s"[scalebench] WARNING $name produced EMPTY scaled output — " +
+          "the slope times a degenerate run; fix the fixture or add a scaledVariant")
       println(f"[scalebench] $name%-24s base=$tBase%7.2fs scaled=$tScaled%7.2fs " +
         f"slope=$slope%5.2f rows: $rBase -> $rScaled")
       (name, tBase, tScaled, slope, rBase, rScaled)
