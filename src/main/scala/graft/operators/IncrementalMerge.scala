@@ -43,6 +43,17 @@ object IncrementalMerge {
       .filter(f => fileName(f.file) > meta.lastIncrementalFile) // P5: string >
     if (pending.isEmpty) return -1L // "No files to process." (sql:422)
 
+    // out-of-band rename/drop policing (SchemaEvolution scaladoc): when
+    // the metadata declares the upstream column list, a rename / drop /
+    // reorder fails HERE with its remediation instead of positionally
+    // mis-casting the batch. Adds pass — the in-band widen path owns
+    // them. Control-plane: one string comparison, no Spark job.
+    meta.configValue("declared_columns").foreach { declared =>
+      SchemaEvolution.check(meta.targetTableName,
+        declared.replaceAll(" ", "").split(",").filter(_.nonEmpty).toSeq,
+        store.read(spark, meta.targetTableName).schema.fieldNames.toSeq)
+    }
+
     def mergeOnce(): Long = {
       val target = store.read(spark, meta.targetTableName)
       // order-only row ids: latest-per-PK compares (file, row) lexicographically

@@ -201,6 +201,83 @@ class CdcPipelineSpec extends SparkSpec {
       "3" -> ("carol", "300.25")))
   }
 
+  test("declared_columns: a matching (or add-carrying) declaration merges normally") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    // declared == stored, and declared with trailing ADDS — both pass the
+    // policing (adds belong to the in-band widen path)
+    val meta = meta0.copy(additionalConfig =
+      """{"declared_columns": "id, name, balance, updated_at, new_col"}""")
+    metaStore.upsert(meta)
+    FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
+    writeCsv(s"$stageDir/cdc/customer_sync", "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00"))
+    val rows = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    assert(rows === 1)
+    assert(snapshot(store)("1") === ("alice2", "111.00"))
+  }
+
+  test("declared_columns: an upstream DROP is rejected loudly with the re-baseline remedy") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    FullLoad.run(spark, meta0, stageDir, store, metaStore, schema)
+    // upstream dropped the middle column `balance`: every later positional
+    // cell shifts left — merging would mis-cast, so the merge must refuse
+    val meta = meta0.copy(additionalConfig =
+      """{"declared_columns": "id, name, updated_at"}""")
+    metaStore.upsert(meta)
+    writeCsv(s"$stageDir/cdc/customer_sync", "20260102-000000001.csv", Seq(
+      "U,1,alice2,2026-01-02 00:00:00"))
+    val err = intercept[IllegalStateException] {
+      IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+        stageDir, store, metaStore)
+    }
+    assert(err.getMessage.contains("balance"), s"must name the dropped column: $err")
+    assert(err.getMessage.contains("full load"), "must name the remediation")
+    // target untouched, watermark NOT advanced — the batch replays after
+    // the operator re-baselines
+    assert(snapshot(store) === Map(
+      "1" -> ("alice", "100.50"),
+      "2" -> ("bob", "200.00"),
+      "3" -> ("carol", "300.25")))
+    assert(metaStore.get(meta.fullPath).get.lastIncrementalFile === "0")
+  }
+
+  test("declared_columns: an upstream RENAME is rejected loudly naming both sides") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    FullLoad.run(spark, meta0, stageDir, store, metaStore, schema)
+    val meta = meta0.copy(additionalConfig =
+      """{"declared_columns": "id, customer_name, balance, updated_at"}""")
+    metaStore.upsert(meta)
+    writeCsv(s"$stageDir/cdc/customer_sync", "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00"))
+    val err = intercept[IllegalStateException] {
+      IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+        stageDir, store, metaStore)
+    }
+    assert(err.getMessage.contains("'name' -> 'customer_name'"),
+      s"must name the rename pair: $err")
+    assert(err.getMessage.contains("full load"), "must name the remediation")
+    assert(snapshot(store)("1") === ("alice", "100.50"))
+  }
+
+  test("SchemaEvolution.classify covers the positional-feed evolution shapes") {
+    import graft.operators.SchemaEvolution._
+    val stored = Seq("id", "name", "balance", "updated_at")
+    assert(classify(stored, stored) === Compatible)
+    assert(classify(stored :+ "extra", stored) === Compatible) // trailing add
+    assert(classify(Seq("id", "name", "updated_at"), stored) ===
+      Drops(Seq("balance")))
+    assert(classify(Seq("id", "customer_name", "balance", "updated_at"), stored) ===
+      Renames(Seq("name" -> "customer_name")))
+    // rename + trailing add still classifies as the rename
+    assert(classify(Seq("id", "customer_name", "balance", "updated_at", "x"), stored) ===
+      Renames(Seq("name" -> "customer_name")))
+    assert(classify(Seq("id", "balance", "name", "updated_at"), stored) ===
+      Reordered)
+    // a swap that drops a column too is beyond the recognizable shapes
+    assert(classify(Seq("balance", "id"), stored) === Incompatible)
+  }
+
   test("replayed files at-or-below the watermark are skipped (empty batch early-exits)") {
     val (_, stageDir, metaStore, store, meta) = setup()
     FullLoad.run(spark, meta, stageDir, store, metaStore, schema)
