@@ -107,6 +107,74 @@ object SparkEntry {
       root
     })
 
+  /** q110's SEED fixture, once per input dir: the 80% (`vec_id % 10 ∉
+    * {0, 9}`) index built and persisted under `<root>/idx`, plus the
+    * `% 10 == 9` slice staged as three single-file parquet micro-batches
+    * under `<root>/stage`. The QUERY copies the seed index to a fresh
+    * run root and drains the staged files through
+    * [[graft.operators.IvfIndex.admitStream]] — the measured operation
+    * is the exactly-once streaming admission itself, on top of a
+    * pre-built model (seed-then-stream, the production shape). */
+  private val q110SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q110SeedRoot(s: SparkSession, dir: String): String =
+    q110SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q110seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0 &&
+        pmod(col("vec_id"), lit(10)) =!= 9)
+      // same sizing rule as q60, over THIS fixture's seed split — the
+      // oracle recomputes greatest(8, count // 56) from the same count
+      val nCells = math.max(8, (seed.count() / 56L).toInt)
+      locally {
+        implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+        try graft.operators.IvfIndex.build(seed, "vec_id", "embedding",
+          nCells = nCells, iterations = 1, store, "emb_idx")
+        finally scope.release()
+      }
+      // stage the streamed slice as three deterministic single-file
+      // batches (flat dir; maxFilesPerTrigger=1 makes each its own
+      // micro-batch through the admission gate)
+      val stageDir = java.nio.file.Paths.get(root, "stage")
+      java.nio.file.Files.createDirectories(stageDir)
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        emb.filter(pmod(col("vec_id"), lit(10)) === 9 &&
+            pmod(col("vec_id"), lit(3)) === k)
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
+  /** Recursive dir copy (hard links where possible) — gives each q110
+    * run its own index family to drain the stream into, without
+    * re-fitting the seed model. */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    val stream = java.nio.file.Files.walk(s0)
+    try stream.iterator().forEachRemaining { p =>
+      val q = d0.resolve(s0.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else
+        try java.nio.file.Files.createLink(q, p)
+        catch { case _: Exception => java.nio.file.Files.copy(p, q) }
+    } finally stream.close()
+  }
+
   /** The staged event-stream fixture q78/q80 drain: the events table split
     * into four time-quartile parquet files plus one per-user flush file,
     * mtimes explicitly spaced so the file source's (mtime, path) order IS
@@ -235,6 +303,7 @@ object SparkEntry {
     guarded("eventStage")(prepareEventStage(s, dir))
     guarded("dupEventStage")(prepareDupEventStage(s, dir))
     guarded("corpusProfile")(q105ProfileRoot(s, dir))
+    guarded("q110Seed")(q110SeedRoot(s, dir))
   }
 
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
@@ -1585,6 +1654,40 @@ object SparkEntry {
       graft.operators.PqIndex.topKRefined(s, batch, "vec_id", "embedding",
           new graft.operators.TableStore(q60IndexRoot(s, dir)), "emb_idx",
           k = 3, nProbe = 5, shortlist = 64)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: EXACTLY-ONCE STREAMING ADMISSION into the persisted ANN index
+    // family — the SEVENTH streaming face (q67 CDC, q78 sessions, q80
+    // windows, q81 dedup state, q96 enrich, q107 profile admission; this
+    // one maintains the embedding index as a live sink). Seed-then-
+    // stream: the model fits once on the 80% (vec_id % 10 ∉ {0,9}) seed;
+    // the % 10 == 9 slice arrives as three AvailableNow micro-batches
+    // through IvfIndex.admitBatch, whose batchId gate rides IN the
+    // family manifest — tier advance and gate record are one atomic
+    // pointer swap, so redelivery folds exactly once (crash-injection
+    // spec). Admission is refit-free assignment + insert-only unions, so
+    // the drained state is a pure function of the SET of streamed rows
+    // (any batch split converges — the q107 set-canonicity argument),
+    // which is exactly what the from-scratch oracle replays: fit on the
+    // seed, assign the streamed slice to the stored centroids, probe the
+    // union. Serving the q60 batch against the streamed index must match
+    // hash-exactly.
+    "q110_stream_index" -> ((s, dir) => {
+      val seedRoot = q110SeedRoot(s, dir)
+      val root = newTmpDir("graft_q110run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.IvfIndex.admitStream(stream, "vec_id", "embedding",
+        store, "emb_idx", s"$root/chk").awaitTermination()
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe = 2)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -3966,6 +4069,70 @@ object SparkEntry {
     // already absorbs all quantization error, so the cheap shortlist
     // stays). Only the c_rank bound differs.
     "q109_pq_quality" -> pqPersistedOracle(nProbe = 5),
+
+    // Streamed-admission replay: q60's chain on the 80% seed split, plus
+    // ONE extra CTE — the streamed slice assigned refit-free to the
+    // stored centroids (the engine's admitBatch rule: cosine DESC, cell
+    // ASC, zero-norm dropped) and unioned into the served corpus. The
+    // micro-batch split drops out: admission is set-canonical, so the
+    // three-drain streamed state equals this single-shot assignment.
+    "q110_stream_index" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 NOT IN (0, 9)),
+        |streamed AS (SELECT * FROM ecast WHERE id % 10 = 9),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 NOT IN (0, 9)) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the seed-built (id, v, cell) vectors table
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |admitted AS ( -- streamed rows: refit-free assignment, same rule
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM streamed b CROSS JOIN c1live c) WHERE rnk = 1),
+        |stored AS (
+        |  SELECT * FROM assigned UNION ALL SELECT * FROM admitted),
+        |probes AS ( -- batch ranks the stored centroids, probes top 2 cells
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN stored a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // q88 replay: q60's stored-index chain widened to a top-8 candidate
     // pool, then the MMR greedy unrolled as CTEs (the BPE-merge trick):

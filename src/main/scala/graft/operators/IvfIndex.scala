@@ -56,34 +56,41 @@ object IvfIndex {
 
   // ---------------------------------------------------------------- manifest
 
-  /** Pinned member-table versions for the whole index family. `None` =
-    * the optional tier has not been built. */
+  /** Pinned member-table versions for the whole index family plus the
+    * streaming-admission gate. `None` = the optional tier has not been
+    * built; `lastBatchId` = the newest [[admitBatch]] batchId folded in
+    * (-1 before any admission) — riding in the manifest makes the index
+    * advance and the gate record one atomic pointer swap, exactly the
+    * [[CorpusProfile.admitBatch]] discipline. */
   private[graft] final case class IvfManifest(
       centroids: Int,
       vectors: Int,
       qvectors: Option[Int],
       pqCodebook: Option[Int],
-      pqCodes: Option[Int])
+      pqCodes: Option[Int],
+      lastBatchId: Long = -1L)
 
   private def encodeManifest(m: IvfManifest): String =
     s"""{"centroids_v":${m.centroids},"vectors_v":${m.vectors},""" +
       s""""qvectors_v":${m.qvectors.getOrElse(-1)},""" +
       s""""pq_codebook_v":${m.pqCodebook.getOrElse(-1)},""" +
-      s""""pq_codes_v":${m.pqCodes.getOrElse(-1)}}"""
+      s""""pq_codes_v":${m.pqCodes.getOrElse(-1)},""" +
+      s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): IvfManifest = {
-    def field(k: String): Int = {
+    def field(k: String): Long = {
       val i = s.indexOf("\"" + k + "\":")
       require(i >= 0, s"index manifest missing $k: $s")
       val from = i + k.length + 3
       val end = s.indexWhere(c => c == ',' || c == '}', from)
-      s.substring(from, end).trim.toInt
+      s.substring(from, end).trim.toLong
     }
     def opt(k: String): Option[Int] = {
-      val v = field(k); if (v < 0) None else Some(v)
+      val v = field(k); if (v < 0) None else Some(v.toInt)
     }
-    IvfManifest(field("centroids_v"), field("vectors_v"),
-      opt("qvectors_v"), opt("pq_codebook_v"), opt("pq_codes_v"))
+    IvfManifest(field("centroids_v").toInt, field("vectors_v").toInt,
+      opt("qvectors_v"), opt("pq_codebook_v"), opt("pq_codes_v"),
+      field("last_batch_id"))
   }
 
   /** The manifest and the manifest TABLE's version (the CAS anchor a
@@ -177,8 +184,11 @@ object IvfIndex {
               PqIndex.codesTableName(name))))
           case _ => (None, None)
         }
-        commitManifest(store, name, IvfManifest(cv, vv, qv, cbPin, pcV),
-          prev.map(_._2))
+        // the admission gate survives a rebuild: already-admitted batch
+        // ids stay admitted, so a live admitStream resumes cleanly
+        // against the refitted family
+        commitManifest(store, name, IvfManifest(cv, vv, qv, cbPin, pcV,
+          prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
         fitted
       }
     }
@@ -255,33 +265,102 @@ object IvfIndex {
       name: String): Unit =
     withIndexLock(store, name) {
       OverlayLock.retryOnConflict() {
-        val (m, mv) = requireManifest(store, name)
-        rollbackAll(store, name, m)
-        val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
-        val stored = vectorsAt(spark, store, name, m)
-        val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
-        val vv = store.write(stored.unionByName(fresh), vectorsTable(name),
-          Some(m.vectors))
-        // the int8 sibling is SERVING state — it must see the same append,
-        // or quantized probes silently miss everything admitted since the
-        // last quantizeStored
-        val qv = m.qvectors.map { qPin =>
-          val (scale, qvc) = quantizeCols(col("v"))
-          val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-          store.write(
-            qStored.unionByName(
-              assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
-                .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))),
-            qVectorsTable(name), Some(qPin))
-        }
-        // the PQ tier too — encoded against the COMMITTED codebook
-        // (refit-free, like the int8 re-quantization)
-        val pcV = m.pqCodes.map(pin =>
-          PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
-        commitManifest(store, name,
-          m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
+        appendStamped(spark, batch, idCol, vecCol, store, name, None)
+      }
+      ()
+    }
+
+  /** One gated fold attempt: derive from the manifest pins, commit every
+    * tier's member version, swap the manifest once (recording `stamp`
+    * when given). Returns false iff `stamp` was already admitted —
+    * checked against the SAME manifest read the swap CASes on, so the
+    * exactly-once argument is [[CorpusProfile.appendStamped]]'s
+    * verbatim. */
+  private def appendStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, vecCol: String,
+      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    rollbackAll(store, name, m)
+    val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
+    val stored = vectorsAt(spark, store, name, m)
+    val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
+    val vv = store.write(stored.unionByName(fresh), vectorsTable(name),
+      Some(m.vectors))
+    // the int8 sibling is SERVING state — it must see the same append,
+    // or quantized probes silently miss everything admitted since the
+    // last quantizeStored
+    val qv = m.qvectors.map { qPin =>
+      val (scale, qvc) = quantizeCols(col("v"))
+      val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+      store.write(
+        qStored.unionByName(
+          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))),
+        qVectorsTable(name), Some(qPin))
+    }
+    // the PQ tier too — encoded against the COMMITTED codebook
+    // (refit-free, like the int8 re-quantization)
+    val pcV = m.pqCodes.map(pin =>
+      PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
+    commitManifest(store, name,
+      m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
+        lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+    true
+  }
+
+  /** Exactly-once micro-batch admission into the index family — the gate
+    * a `foreachBatch` sink needs, because Structured Streaming redelivers
+    * the in-flight batch after a failure and a replayed [[append]] of a
+    * batch whose ids already landed is only harmless thanks to the
+    * insert-only anti-joins; a batch REASSIGNED after a concurrent
+    * rebalance would still re-enter. The gate rides IN the family
+    * manifest: tier advances and the `batchId` record are ONE atomic
+    * pointer swap, so a crash anywhere before the swap leaves only
+    * orphan member versions — the redelivered batch sees the old
+    * `last_batch_id`, rolls the members back, and folds exactly once; a
+    * crash after the swap leaves the batch recorded and redelivery is
+    * skipped. Racing admitters serialize in-process on the index lock
+    * and resolve cross-process via the conflict-retry re-read, exactly
+    * like [[CorpusProfile.admitBatch]].
+    *
+    * The index must be BUILT (a seed corpus fitted) before streaming —
+    * k-means needs data; this is the seed-then-stream deployment shape.
+    * Returns true when the batch folded, false when skipped as replay. */
+  def admitBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String): Boolean =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, batch, idCol, vecCol, store, name, Some(batchId))
       }
     }
+
+  /** Streaming admission: every micro-batch of `stream` folds into the
+    * persisted index family through the [[admitBatch]] gate — the index
+    * as a live sink (the seventh streaming face, beside the profile's
+    * [[CorpusProfile.admitStream]]). Drain with `Trigger.AvailableNow`
+    * for a bounded stage, or leave running against a feed. */
+  def admitStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** Takedown: commit a next version of every tier WITHOUT the given ids
     * — the removal path an index must have at scale (a handful of

@@ -70,7 +70,11 @@ object Recall {
         "q86_ivf_refined" -> splitExact,
         "q99_ivf_quality" -> splitExact,
         "q87_pq_persisted" -> splitExact,
-        "q109_pq_quality" -> splitExact)
+        "q109_pq_quality" -> splitExact,
+        // streamed admission serves the SAME final corpus (80% seed +
+        // 10% streamed = every vec_id % 10 != 0 row), so the split
+        // ground truth applies verbatim
+        "q110_stream_index" -> splitExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()

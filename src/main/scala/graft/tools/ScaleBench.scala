@@ -189,7 +189,11 @@ object ScaleBench {
     "q108_heavy_hitters",
     // r11: the PQ-persisted ≥0.9 quality point (q87's chain one probe
     // wider — candidate volume grows 5/4, everything else identical)
-    "q109_pq_quality")
+    "q109_pq_quality",
+    // r12: exactly-once streaming admission into the index family —
+    // per-drain cost = refit-free assignment + insert-only unions per
+    // micro-batch + one manifest swap each; the seed fit is fixture
+    "q110_stream_index")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
