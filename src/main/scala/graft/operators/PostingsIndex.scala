@@ -1,0 +1,330 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted BM25 postings index — the RETRIEVAL-side analogue of
+  * [[IvfIndex]]'s maintain-then-serve discipline (and of the reference's
+  * incremental state maintenance, control_migration_schema_script.sql:244,
+  * 412–416): pay the one (doc, term) shuffle ONCE at build, then fold
+  * arriving batches into committed state and serve every later probe
+  * batch from the stored postings. This is exactly what
+  * [[Retrieval.bm25Against]] cannot do — it rebuilds the inverted index
+  * inside every invocation, a cost a 100 TB decontamination-audit corpus
+  * pays once, here.
+  *
+  * Storage (member tables of one family, pinned by `<name>_manifest` —
+  * the [[CorpusProfile]]/[[IvfIndex]] overlay pattern, third instance):
+  *
+  *  - `<name>_postings` — `(doc_id, dl, term, tf)`: the inverted index in
+  *    long form, doc length denormalized so scoring never joins it back;
+  *  - `<name>_docs` — `(doc_id, dl)`: one row per indexed document
+  *    (INCLUDING zero-token docs, which never reach postings but count
+  *    toward N/avgdl — the corpus-stats source and the insert-only
+  *    membership anchor);
+  *  - `<name>_termstats` — `(term, df)`: per-term document frequency,
+  *    maintained by CELL-WISE SUM (append adds the fresh docs' distinct
+  *    terms, takedown subtracts exactly) so serving never re-aggregates
+  *    the vocabulary from postings;
+  *  - `<name>_manifest` — every member's version + the streaming
+  *    admission gate's `last_batch_id`, swapped once per mutation.
+  *
+  * Every piece of this state is EXACTLY mergeable — postings/docs rows
+  * union disjointly (insert-only by doc id), df counts are sums — so
+  * build-then-append equals a from-scratch build bit-for-bit, and unlike
+  * the KMV/level sketches the takedown is exact: [[remove]] anti-joins
+  * the doc rows and subtracts their df contributions, no rebuild needed.
+  * The declared query (q111) proves mergeability the strong way: build
+  * on 90% of the corpus, append the other 10%, and serving must
+  * hash-match the FULL-corpus [[Retrieval.bm25Against]] oracle (q97's
+  * SQL verbatim).
+  *
+  * Scale shape: build/append pay one (doc, term) exchange over their
+  * input (never over history); state is Σ dl postings rows; serving
+  * joins the tiny probe-term set (broadcast) onto the stored postings —
+  * scored volume Σ_t df(t), never probes × corpus — plus a 1-row stats
+  * aggregate over docs and a pruned read of termstats. The scoring tail
+  * is [[Retrieval.bm25ScoreAndTopK]], shared with the ad-hoc path, so
+  * the served scores are bit-identical to a fresh index build.
+  */
+object PostingsIndex {
+
+  private def postingsTable(name: String) = s"${name}_postings"
+  private def docsTable(name: String) = s"${name}_docs"
+  private def termStatsTable(name: String) = s"${name}_termstats"
+  private def manifestTable(name: String) = s"${name}_manifest"
+  private val manifestFile = "manifest.json"
+
+  // ---------------------------------------------------------------- manifest
+
+  private[graft] final case class BmManifest(
+      postings: Int, docs: Int, termStats: Int, lastBatchId: Long = -1L)
+
+  private def encodeManifest(m: BmManifest): String =
+    s"""{"postings_v":${m.postings},"docs_v":${m.docs},""" +
+      s""""termstats_v":${m.termStats},"last_batch_id":${m.lastBatchId}}"""
+
+  private def decodeManifest(s: String): BmManifest = {
+    def field(k: String): Long = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"postings manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim.toLong
+    }
+    BmManifest(field("postings_v").toInt, field("docs_v").toInt,
+      field("termstats_v").toInt, field("last_batch_id"))
+  }
+
+  private[graft] def readManifest(
+      store: TableStore, name: String): Option[(BmManifest, Int)] =
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
+    }
+
+  private def requireManifest(store: TableStore, name: String): (BmManifest, Int) =
+    readManifest(store, name).getOrElse(throw new IllegalStateException(
+      s"postings index $name has no manifest — build it first"))
+
+  private def commitManifest(
+      store: TableStore, name: String, m: BmManifest, expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
+
+  private def withLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "bm25", name)(body)
+
+  private def rollbackAll(store: TableStore, name: String, m: BmManifest): Unit = {
+    OverlayLock.rollbackIfAhead(store, postingsTable(name), m.postings)
+    OverlayLock.rollbackIfAhead(store, docsTable(name), m.docs)
+    OverlayLock.rollbackIfAhead(store, termStatsTable(name), m.termStats)
+  }
+
+  // -------------------------------------------------------------- tokenizing
+
+  /** `(doc_id, dl, _toks)` — the SAME tokenization as
+    * [[Retrieval.bm25Against]] (and its oracle), or served scores drift. */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+
+  /** `(doc_id, dl, term, tf)` postings of a tokenized frame — the one
+    * (doc, term) exchange. */
+  private def postingsOf(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")) // dl functional on doc_id
+      .agg(count(lit(1)).as("tf"))
+
+  /** `(term, df)` of a postings frame — postings are unique per
+    * (doc, term), so df is a row count. */
+  private def termStatsOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  // ------------------------------------------------------------------ build
+
+  /** Tokenize `df`, pay the one (doc, term) shuffle, and commit all three
+    * member tables + the manifest swap. Rebuilding an existing index
+    * replaces every member (the admission gate survives, as in
+    * [[IvfIndex.build]]). */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
+        val spark = df.sparkSession
+        val tok = tokenized(df, idCol, textCol)
+        val dv = store.write(tok.select(col("doc_id"), col("dl")), docsTable(name))
+        val pv = store.write(postingsOf(tok), postingsTable(name))
+        // derive df from the COMMITTED postings (a parquet read) so the
+        // tokenize+explode chain is never recomputed for the third table
+        val tv = store.write(
+          termStatsOf(store.snapshotAt(spark, postingsTable(name), pv)),
+          termStatsTable(name))
+        commitManifest(store, name,
+          BmManifest(pv, dv, tv, prev.map(_._1.lastBatchId).getOrElse(-1L)),
+          prev.map(_._2))
+      }
+    }
+
+  // ----------------------------------------------------------- append/remove
+
+  /** Fold a document batch into the committed index — no rescan of
+    * history. INSERT-ONLY by doc id (the [[IvfIndex.append]] contract):
+    * a re-sent id — even with changed text — is a no-op; upserts go
+    * through [[remove]] + append. */
+  def append(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, batch, idCol, textCol, store, name, None)
+      }
+      ()
+    }
+
+  private def appendStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    rollbackAll(store, name, m)
+    val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
+    val tok = tokenized(batch, idCol, textCol)
+    val fresh = tok.join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val dv = store.write(
+      docsStored.unionByName(fresh.select(col("doc_id"), col("dl"))),
+      docsTable(name), Some(m.docs))
+    val freshPostings = postingsOf(fresh)
+    val pv = store.write(
+      store.snapshotAt(spark, postingsTable(name), m.postings)
+        .unionByName(freshPostings),
+      postingsTable(name), Some(m.postings))
+    // df merge is CELL-WISE SUM — the one sketch-free mergeable tier
+    val tv = store.write(
+      store.snapshotAt(spark, termStatsTable(name), m.termStats)
+        .unionByName(termStatsOf(freshPostings))
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      termStatsTable(name), Some(m.termStats))
+    commitManifest(store, name,
+      m.copy(postings = pv, docs = dv, termStats = tv,
+        lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+    true
+  }
+
+  /** EXACT takedown — what the non-subtractive sketch tiers cannot do:
+    * postings/doc rows anti-join away and the removed docs' df
+    * contributions subtract precisely (counts clamped at zero, zero rows
+    * dropped), so remove ∘ append is the identity on the index state.
+    * `ids` is broadcast — takedown lists are small by nature. Returns
+    * how many documents were removed. */
+  def remove(
+      spark: SparkSession,
+      ids: DataFrame,
+      store: TableStore,
+      name: String): Long =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
+        val keptDocs = docsStored.join(drop, docsStored("doc_id") === col("_rm_id"), "left_anti")
+        val before = docsStored.count()
+        val keptN = keptDocs.count()
+        val dv = store.write(keptDocs, docsTable(name), Some(m.docs))
+        val postStored = store.snapshotAt(spark, postingsTable(name), m.postings)
+        val removedPostings = postStored.join(drop,
+          postStored("doc_id") === col("_rm_id"), "left_semi")
+        val pv = store.write(
+          postStored.join(drop, postStored("doc_id") === col("_rm_id"), "left_anti"),
+          postingsTable(name), Some(m.postings))
+        val tv = store.write(
+          store.snapshotAt(spark, termStatsTable(name), m.termStats)
+            .unionByName(termStatsOf(removedPostings)
+              .withColumn("df", -col("df")))
+            .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+            .filter(col("df") > 0),
+          termStatsTable(name), Some(m.termStats))
+        commitManifest(store, name,
+          m.copy(postings = pv, docs = dv, termStats = tv), Some(mv))
+        before - keptN
+      }
+    }
+
+  // --------------------------------------------------------------- admission
+
+  /** Exactly-once micro-batch admission — the batchId gate rides in the
+    * family manifest ([[CorpusProfile.admitBatch]]'s argument verbatim):
+    * tier advances and the gate record are one atomic swap, so a crash
+    * mid-fold is invisible and the redelivered batch folds exactly once.
+    * Returns true when folded, false when skipped as a replay. */
+  def admitBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, batch, idCol, textCol, store, name, Some(batchId))
+      }
+    }
+
+  /** Streaming admission: the retrieval index as a live sink (the same
+    * face as [[IvfIndex.admitStream]], for the lexical tier). */
+  def admitStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  // ----------------------------------------------------------------- serving
+
+  /** The stored postings `(doc_id, dl, term, tf)` (manifest-pinned). */
+  def postings(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    store.snapshotAt(spark, postingsTable(name), m.postings)
+  }
+
+  /** Top-`k` stored documents for EVERY probe, served entirely from
+    * committed state: a 1-row stats aggregate over the docs table, the
+    * probe terms joined to the maintained df table, and the shared
+    * [[Retrieval.bm25ScoreAndTopK]] tail over the stored postings — the
+    * same math, broadcast structure and FP summation order as
+    * [[Retrieval.bm25Against]], minus its per-call index build. Every
+    * member resolves from ONE manifest read. Output schema matches:
+    * `(probe_id, doc_id, n_match_terms, bm25)`. */
+  def topK(
+      spark: SparkSession,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTermsCol: String,
+      store: TableStore,
+      name: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0)(implicit caches: CacheScope): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val (m, _) = requireManifest(store, name)
+    val post = store.snapshotAt(spark, postingsTable(name), m.postings)
+      .select(col("doc_id"), col("dl").as("_dl"), col("term"), col("tf").as("_tf"))
+    val stats = store.snapshotAt(spark, docsTable(name), m.docs)
+      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sum_dl"))
+    val termDf = store.snapshotAt(spark, termStatsTable(name), m.termStats)
+      .select(col("term"), col("df").as("_df"))
+    Retrieval.bm25ScoreAndTopK(post,
+      Retrieval.probeTerms(probes, probeIdCol, probeTermsCol, termDf, stats, maxDfFrac),
+      k, k1, b)
+  }
+}

@@ -163,9 +163,20 @@ object Retrieval {
       sum(col("_dl")).as("_sum_dl"))
     val termDf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("_df")) // postings are unique per (doc, term)
+    bm25ScoreAndTopK(postings, probeTerms(probes, probeIdCol, probeTermsCol,
+      termDf, stats, maxDfFrac), k, k1, b)
+  }
 
-    // probe terms: exploded + deduplicated, idf stats attached — tiny
-    val probeTerms = probes
+  /** Probe terms exploded + deduplicated, df/corpus stats attached and
+    * the hot-postings guard applied — tiny (≤ probes × terms rows). */
+  private[operators] def probeTerms(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTermsCol: String,
+      termDf: DataFrame,
+      stats: DataFrame,
+      maxDfFrac: Double): DataFrame =
+    probes
       .select(col(probeIdCol).as("probe_id"),
         explode(col(probeTermsCol)).as("term"))
       .select(col("probe_id"), lower(col("term")).as("term"))
@@ -175,6 +186,20 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .filter(col("_df").cast("double") <= lit(maxDfFrac) * col("_n").cast("double"))
 
+  /** The shared scoring tail of batch BM25 — steps 3–4 of
+    * [[bm25Against]]'s plan, factored so [[PostingsIndex.topK]] serves
+    * the IDENTICAL math (and therefore the identical oracle) from
+    * committed postings instead of a per-call index build.
+    *
+    * `postings` is `(doc_id, _dl, term, _tf)`; `probeTerms` is
+    * `(probe_id, term, _df, _n, _sum_dl)` — tiny, broadcast onto the
+    * postings. */
+  private[operators] def bm25ScoreAndTopK(
+      postings: DataFrame,
+      probeTerms: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double)(implicit caches: CacheScope): DataFrame = {
     // score contributions: probe terms (broadcast) × their postings
     val n = col("_n").cast("double")
     val avgdl = col("_sum_dl").cast("double") / n

@@ -193,7 +193,11 @@ object ScaleBench {
     // r12: exactly-once streaming admission into the index family —
     // per-drain cost = refit-free assignment + insert-only unions per
     // micro-batch + one manifest swap each; the seed fit is fixture
-    "q110_stream_index")
+    "q110_stream_index",
+    // r12: batch BM25 served from the persisted postings index — the
+    // per-call (doc, term) shuffle q97 pays is gone; serving scales with
+    // Σ df(probed terms) + the vocabulary-sized termstats read
+    "q111_bm25_persisted")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
