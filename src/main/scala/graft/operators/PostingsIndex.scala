@@ -44,10 +44,11 @@ import graft.functions.TextFunctions
   * Scale shape: build/append pay one (doc, term) exchange over their
   * input (never over history); state is Σ dl postings rows; serving
   * joins the tiny probe-term set (broadcast) onto the stored postings —
-  * scored volume Σ_t df(t), never probes × corpus — plus a 1-row stats
-  * aggregate over docs and a pruned read of termstats. The scoring tail
-  * is [[Retrieval.bm25ScoreAndTopK]], shared with the ad-hoc path, so
-  * the served scores are bit-identical to a fresh index build.
+  * scored volume Σ_t df(t), never probes × corpus — plus a read of the
+  * vocabulary-sized termstats table; the corpus counters (N, Σdl) come
+  * straight from the manifest, zero Spark jobs. The scoring tail is
+  * [[Retrieval.bm25ScoreAndTopK]], shared with the ad-hoc path, so the
+  * served scores are bit-identical to a fresh index build.
   */
 object PostingsIndex {
 
@@ -59,12 +60,19 @@ object PostingsIndex {
 
   // ---------------------------------------------------------------- manifest
 
+  /** Member pins + the admission gate + the CORPUS COUNTERS. N and Σdl
+    * are exact mergeable sums, so they ride in the manifest instead of
+    * costing every serve a full docs-table scan + aggregate: build sets
+    * them, append adds the fresh batch's, remove subtracts the dropped
+    * docs' — always in the same swap as the rows they describe. */
   private[graft] final case class BmManifest(
-      postings: Int, docs: Int, termStats: Int, lastBatchId: Long = -1L)
+      postings: Int, docs: Int, termStats: Int,
+      nDocs: Long, sumDl: Long, lastBatchId: Long = -1L)
 
   private def encodeManifest(m: BmManifest): String =
     s"""{"postings_v":${m.postings},"docs_v":${m.docs},""" +
-      s""""termstats_v":${m.termStats},"last_batch_id":${m.lastBatchId}}"""
+      s""""termstats_v":${m.termStats},"n_docs":${m.nDocs},""" +
+      s""""sum_dl":${m.sumDl},"last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): BmManifest = {
     def field(k: String): Long = {
@@ -75,7 +83,15 @@ object PostingsIndex {
       s.substring(from, end).trim.toLong
     }
     BmManifest(field("postings_v").toInt, field("docs_v").toInt,
-      field("termstats_v").toInt, field("last_batch_id"))
+      field("termstats_v").toInt, field("n_docs"), field("sum_dl"),
+      field("last_batch_id"))
+  }
+
+  /** `(count, Σdl)` of a `(doc_id, dl, ...)` frame — one tiny aggregate,
+    * paid per MUTATION so serving never pays it. */
+  private def docCounters(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private[graft] def readManifest(
@@ -152,8 +168,10 @@ object PostingsIndex {
         val tv = store.write(
           termStatsOf(store.snapshotAt(spark, postingsTable(name), pv)),
           termStatsTable(name))
+        val (n, sdl) = docCounters(store.snapshotAt(spark, docsTable(name), dv))
         commitManifest(store, name,
-          BmManifest(pv, dv, tv, prev.map(_._1.lastBatchId).getOrElse(-1L)),
+          BmManifest(pv, dv, tv, n, sdl,
+            prev.map(_._1.lastBatchId).getOrElse(-1L)),
           prev.map(_._2))
       }
     }
@@ -201,8 +219,10 @@ object PostingsIndex {
         .unionByName(termStatsOf(freshPostings))
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       termStatsTable(name), Some(m.termStats))
+    val (dn, dsdl) = docCounters(fresh)
     commitManifest(store, name,
       m.copy(postings = pv, docs = dv, termStats = tv,
+        nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
         lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
     true
   }
@@ -225,8 +245,9 @@ object PostingsIndex {
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
         val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
         val keptDocs = docsStored.join(drop, docsStored("doc_id") === col("_rm_id"), "left_anti")
-        val before = docsStored.count()
-        val keptN = keptDocs.count()
+        val removedDocs = docsStored.join(drop,
+          docsStored("doc_id") === col("_rm_id"), "left_semi")
+        val (rmN, rmSdl) = docCounters(removedDocs)
         val dv = store.write(keptDocs, docsTable(name), Some(m.docs))
         val postStored = store.snapshotAt(spark, postingsTable(name), m.postings)
         val removedPostings = postStored.join(drop,
@@ -242,8 +263,9 @@ object PostingsIndex {
             .filter(col("df") > 0),
           termStatsTable(name), Some(m.termStats))
         commitManifest(store, name,
-          m.copy(postings = pv, docs = dv, termStats = tv), Some(mv))
-        before - keptN
+          m.copy(postings = pv, docs = dv, termStats = tv,
+            nDocs = m.nDocs - rmN, sumDl = m.sumDl - rmSdl), Some(mv))
+        rmN
       }
     }
 
@@ -295,13 +317,13 @@ object PostingsIndex {
   }
 
   /** Top-`k` stored documents for EVERY probe, served entirely from
-    * committed state: a 1-row stats aggregate over the docs table, the
-    * probe terms joined to the maintained df table, and the shared
-    * [[Retrieval.bm25ScoreAndTopK]] tail over the stored postings — the
-    * same math, broadcast structure and FP summation order as
-    * [[Retrieval.bm25Against]], minus its per-call index build. Every
-    * member resolves from ONE manifest read. Output schema matches:
-    * `(probe_id, doc_id, n_match_terms, bm25)`. */
+    * committed state: corpus counters straight from the manifest (no
+    * docs-table scan), the probe terms joined to the maintained df
+    * table, and the shared [[Retrieval.bm25ScoreAndTopK]] tail over the
+    * stored postings — the same math, broadcast structure and FP
+    * summation order as [[Retrieval.bm25Against]], minus its per-call
+    * index build. Every member resolves from ONE manifest read. Output
+    * schema matches: `(probe_id, doc_id, n_match_terms, bm25)`. */
   def topK(
       spark: SparkSession,
       probes: DataFrame,
@@ -319,8 +341,10 @@ object PostingsIndex {
     val (m, _) = requireManifest(store, name)
     val post = store.snapshotAt(spark, postingsTable(name), m.postings)
       .select(col("doc_id"), col("dl").as("_dl"), col("term"), col("tf").as("_tf"))
-    val stats = store.snapshotAt(spark, docsTable(name), m.docs)
-      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sum_dl"))
+    // corpus stats come from the MANIFEST counters — zero Spark jobs; the
+    // docs table is the membership/rebuild source, never a serve-time scan
+    val stats = spark.range(1)
+      .select(lit(m.nDocs).as("_n"), lit(m.sumDl).as("_sum_dl"))
     val termDf = store.snapshotAt(spark, termStatsTable(name), m.termStats)
       .select(col("term"), col("df").as("_df"))
     Retrieval.bm25ScoreAndTopK(post,
