@@ -37,8 +37,12 @@ import graft.functions.VectorFunctions._
   * centroids BROADCAST everywhere they appear; assignment is one narrow
   * pass over the batch (argmax as a partial-combining max_by aggregate —
   * the exchange ships one row per vector, never batch × nCells);
-  * [[append]] unions narrow `(id, v, cell)` rows into the next table
-  * version; [[topK]]'s candidate join is an equi-join on `cell`, and each
+  * [[append]] commits ONLY the batch's narrow `(id, v, cell)` rows — the
+  * stored version's files carry into the next version as hard links
+  * ([[TableStore.appendRows]]), O(batch) not O(corpus), with a
+  * compacting rewrite folded in when file counts creep
+  * ([[OverlayLock.appendOrCompact]]); [[topK]]'s candidate join is an
+  * equi-join on `cell`, and each
   * (query, stored-vector) candidate arises at most once because a stored
   * vector lives in exactly ONE cell — no dedup exchange at all, strictly
   * cheaper than the self-join IVF path. The manifest adds one driver-side
@@ -284,20 +288,22 @@ object IvfIndex {
     rollbackAll(store, name, m)
     val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
     val stored = vectorsAt(spark, store, name, m)
+    // O(batch) member commits: only the fresh rows are written; the
+    // pinned version's files carry forward as links (appendOrCompact
+    // folds a compacting rewrite in when file counts creep)
     val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
-    val vv = store.write(stored.unionByName(fresh), vectorsTable(name),
-      Some(m.vectors))
+      .select(col("id"), col("v"), col("cell")) // stored column order
+    val vv = OverlayLock.appendOrCompact(store, vectorsTable(name),
+      m.vectors, stored, fresh)
     // the int8 sibling is SERVING state — it must see the same append,
     // or quantized probes silently miss everything admitted since the
     // last quantizeStored
     val qv = m.qvectors.map { qPin =>
       val (scale, qvc) = quantizeCols(col("v"))
       val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-      store.write(
-        qStored.unionByName(
-          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
-            .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))),
-        qVectorsTable(name), Some(qPin))
+      val qFresh = assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
+      OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
     }
     // the PQ tier too — encoded against the COMMITTED codebook
     // (refit-free, like the int8 re-quantization)

@@ -51,6 +51,28 @@ private[graft] object OverlayLock {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Commit an overlay member's append as an O(batch) linked write
+    * ([[TableStore.appendRows]]: new part files + hard links of the
+    * pinned version — a 100 TB member never gets rewritten to admit a
+    * micro-batch), EXCEPT when the pinned version's part-file count has
+    * crept past `maxFiles`: then the append folds into a compacting full
+    * rewrite of stored ∪ fresh at `targetFiles` files — the same swap,
+    * amortized to one rewrite every ~`maxFiles` appends, so streaming
+    * admission never hits the small-file wall. The caller publishes the
+    * returned version via its manifest swap as usual. */
+  def appendOrCompact(
+      store: TableStore,
+      table: String,
+      pin: Int,
+      stored: org.apache.spark.sql.DataFrame,
+      fresh: org.apache.spark.sql.DataFrame,
+      maxFiles: Int = 64,
+      targetFiles: Int = 8): Int =
+    if (store.fileCount(table) > maxFiles)
+      store.write(stored.unionByName(fresh).repartition(targetFiles),
+        table, Some(pin))
+    else store.appendRows(fresh, table, pin)
+
   /** Roll a member table back to its manifest pin when (and only when)
     * orphan successors sit above it AND the pinned version still exists.
     * Both guards matter in degenerate repair states: a pin AHEAD of the

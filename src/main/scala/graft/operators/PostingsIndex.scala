@@ -205,14 +205,15 @@ object PostingsIndex {
     val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
     val tok = tokenized(batch, idCol, textCol)
     val fresh = tok.join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val dv = store.write(
-      docsStored.unionByName(fresh.select(col("doc_id"), col("dl"))),
-      docsTable(name), Some(m.docs))
+    // O(batch) member commits for the corpus-sized tables: only the
+    // fresh rows are written, the pinned version's files carry as links
+    // (appendOrCompact folds a compacting rewrite in when counts creep);
+    // termstats below stays a merge-rewrite — it is vocabulary-sized
+    val dv = OverlayLock.appendOrCompact(store, docsTable(name), m.docs,
+      docsStored, fresh.select(col("doc_id"), col("dl")))
     val freshPostings = postingsOf(fresh)
-    val pv = store.write(
-      store.snapshotAt(spark, postingsTable(name), m.postings)
-        .unionByName(freshPostings),
-      postingsTable(name), Some(m.postings))
+    val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
+      store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
     // df merge is CELL-WISE SUM — the one sketch-free mergeable tier
     val tv = store.write(
       store.snapshotAt(spark, termStatsTable(name), m.termStats)

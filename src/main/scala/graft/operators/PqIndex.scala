@@ -166,7 +166,9 @@ object PqIndex {
     val stored = store.snapshotAt(spark, codesTableName(name), pin)
     val freshCodes = batchCodes
       .join(stored.select(col("id")), Seq("id"), "left_anti")
-    store.write(stored.unionByName(freshCodes), codesTableName(name), Some(pin))
+      .select(col("id"), col("cell"), col("n_codes")) // stored column order
+    // O(batch): only the fresh code rows are written (see appendOrCompact)
+    OverlayLock.appendOrCompact(store, codesTableName(name), pin, stored, freshCodes)
   }
 
   /** Member-commit half of the PQ takedown — called by

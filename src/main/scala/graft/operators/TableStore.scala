@@ -295,6 +295,41 @@ class TableStore(val root: String) {
     commitStaged(name, expected, staging, None)
   }
 
+  /** Append-only commit for a PLAIN table: write ONLY `rows` as new part
+    * files and carry every part file of the `expected` version into the
+    * next version as a hard link (copy fallback) — the LSM discipline
+    * that makes maintaining a large corpus-sized table O(batch) per
+    * append instead of O(corpus): the [[IvfIndex]]/[[PostingsIndex]]
+    * member unions previously re-wrote the whole stored table for every
+    * admitted micro-batch, which a 100 TB index cannot pay. The caller's
+    * read snapshot (`expected`) is both the link source and the CAS
+    * anchor, exactly like [[commitBucketMerge]]. `rows`' schema must
+    * match the stored files' (same writer, same shape — the family
+    * operators guarantee it).
+    *
+    * File counts grow by the batch write's partitioning each append;
+    * [[compactPlain]] (already wired into the admission paths) bounds
+    * them. Returns the new version. */
+  def appendRows(rows: DataFrame, name: String, expected: Int): Int = {
+    val curDir = versionPath(name, expected)
+    val staging = newStaging(name)
+    stagingWrite(staging) {
+      rows.write.mode("overwrite").parquet(staging.toString)
+      // carry the old parts AFTER the write: "overwrite" would have
+      // cleared pre-existing files from the staging dir
+      val stream = Files.list(curDir)
+      try stream.iterator().forEachRemaining { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("part-")) linkOrCopy(f, staging.resolve(n))
+      } finally stream.close()
+      // a declared schema stays in force for the carried pre-widen files
+      val sf = curDir.resolve("_schema.json")
+      if (Files.exists(sf))
+        Files.copy(sf, staging.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    commitStaged(name, Some(expected), staging, None)
+  }
+
   /** Commit a DRIVER-written single file as the table's next version —
     * the same staging + CAS + atomic-swap path as [[write]], with no
     * Spark job: for tiny control-plane tables (e.g. [[CorpusProfile]]'s

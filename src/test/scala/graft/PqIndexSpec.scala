@@ -144,11 +144,16 @@ class PqIndexSpec extends SparkSpec {
     * window between the index's per-tier commits. */
   private class TierCrashStore(root: String) extends TableStore(root) {
     @volatile var failTable: Option[String] = None
-    override def write(df: org.apache.spark.sql.DataFrame, name: String,
-        expected: Option[Int]): Int = {
+    private def check(name: String): Unit =
       if (failTable.contains(name))
         throw new RuntimeException(s"injected crash on $name commit")
-      super.write(df, name, expected)
+    override def write(df: org.apache.spark.sql.DataFrame, name: String,
+        expected: Option[Int]): Int = {
+      check(name); super.write(df, name, expected)
+    }
+    override def appendRows(rows: org.apache.spark.sql.DataFrame,
+        name: String, expected: Int): Int = {
+      check(name); super.appendRows(rows, name, expected)
     }
   }
 

@@ -198,4 +198,47 @@ class TableStoreSnapshotSpec extends SparkSpec {
     store.write(oneRow("c"), "t") // v1 pruned
     intercept[IllegalStateException] { store.rollbackTo("t", 1) }
   }
+
+  // ---- appendRows: the O(batch) linked commit (r12) ----
+
+  test("appendRows writes only the batch; stored files carry as links; CAS holds") {
+    val root = tmpDir("tstore-append")
+    val store = new TableStore(root)
+    val v1 = store.write((1 to 100).map(i => (i, s"p$i")).toDF("id", "payload"), "t")
+    val v2 = store.appendRows(
+      (101 to 120).map(i => (i, s"p$i")).toDF("id", "payload"), "t", v1)
+    assert(v2 === v1 + 1)
+    val read = store.read(spark, "t")
+    assert(read.count() === 120)
+    assert(read.select("id").distinct().count() === 120,
+      "linked old parts + new parts must union without duplication")
+    // stale CAS anchor: a concurrent writer moved the table first
+    intercept[VersionConflictException] {
+      store.appendRows(oneRow("x"), "t", v1)
+    }
+    // an EMPTY append still commits a valid, complete next version
+    val v3 = store.appendRows(
+      Seq.empty[(Int, String)].toDF("id", "payload"), "t", v2)
+    assert(store.read(spark, "t").count() === 120)
+    assert(v3 === v2 + 1)
+  }
+
+  test("appendOrCompact folds a compacting rewrite in once file counts creep") {
+    val root = tmpDir("tstore-compact")
+    val store = new TableStore(root)
+    var v = store.write(oneRow("seed").repartition(2), "t")
+    // repeated O(batch) appends grow the part-file count monotonically...
+    for (i <- 1 to 6) {
+      val fresh = Seq((100 + i, s"f$i")).toDF("id", "payload").repartition(2)
+      val (stored, cur) = store.snapshot(spark, "t")
+      assert(cur === v)
+      v = graft.operators.OverlayLock.appendOrCompact(
+        store, "t", v, stored, fresh, maxFiles = 8, targetFiles = 2)
+    }
+    // ...until the bound trips and one append rewrites to targetFiles
+    assert(store.fileCount("t") <= 8 + 2,
+      s"file count must be bounded by the compaction fold, got ${store.fileCount("t")}")
+    val rows = store.read(spark, "t").count()
+    assert(rows === 7, "compaction must preserve every appended row exactly once")
+  }
 }
