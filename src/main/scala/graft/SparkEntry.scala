@@ -159,6 +159,19 @@ object SparkEntry {
       root
     })
 
+  /** q108's body parameterized by threshold — ONE definition shared with
+    * ScaleBench's scaled-dir slope variant (which runs it at
+    * minFrac/factor because the scale fixture's token suffixing dilutes
+    * every frequency by the factor), so the two sites cannot drift. */
+  private[graft] def heavyHittersQuery(minFrac: Double)(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+        t(s, dir, "documents").select(col("lang"),
+          explode(filter(graft.functions.TextFunctions.tokens(col("text")),
+            x => length(x) > 0)).as("token")),
+        Seq("lang"), "token", minFrac)
+      .orderBy(col("lang"), col("term"))
+
   /** q111's persisted BM25 postings index, once per input dir: BUILT on
     * the 90% (`doc_id % 10 != 0`) corpus split, then the 10% split
     * APPENDED — so serving proves exact mergeability against the
@@ -985,14 +998,7 @@ object SparkEntry {
     // is the EXACT thresholded set — deterministic under any
     // partitioning (the summary's content noise never reaches the
     // result), which is why a plain GROUP BY/HAVING oracle replays it.
-    "q108_heavy_hitters" -> ((s, dir) => {
-      graft.operators.Sketches.heavyHitters(
-          t(s, dir, "documents").select(col("lang"),
-            explode(filter(graft.functions.TextFunctions.tokens(col("text")),
-              x => length(x) > 0)).as("token")),
-          Seq("lang"), "token", minFrac = 0.02)
-        .orderBy(col("lang"), col("term"))
-    }),
+    "q108_heavy_hitters" -> ((s, dir) => heavyHittersQuery(0.02)(s, dir)),
 
     // ext: STREAMING FUNNEL under the hash gate — the fifth streaming
     // face (q78 session state, q80 windows, q81 dedup state, q96

@@ -633,8 +633,9 @@ object CorpusProfile {
 
   /** Streaming admission: every micro-batch of `stream` is folded into
     * the committed profile through the [[admitBatch]] gate — the profile
-    * as a live sink. Drain with `Trigger.AvailableNow` for a bounded
-    * stage, or leave running against a feed. */
+    * as a live sink. `availableNow = true` (default) drains what is
+    * queued and stops (a bounded stage); `false` leaves the query
+    * running continuously against a live feed. */
   def admitStream(
       stream: DataFrame,
       groupCol: String,
@@ -645,16 +646,19 @@ object CorpusProfile {
       b: Int,
       store: TableStore,
       name: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch.sparkSession, batch, batchId,
           groupCol, distinctCol, idCol, numCol, k, b, store, name)
         ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   // ------------------------------------------------------------ frequency tier
 

@@ -350,23 +350,27 @@ object IvfIndex {
   /** Streaming admission: every micro-batch of `stream` folds into the
     * persisted index family through the [[admitBatch]] gate — the index
     * as a live sink (the seventh streaming face, beside the profile's
-    * [[CorpusProfile.admitStream]]). Drain with `Trigger.AvailableNow`
-    * for a bounded stage, or leave running against a feed. */
+    * [[CorpusProfile.admitStream]]). `availableNow = true` (default)
+    * drains what is queued and stops — a bounded stage; `false` leaves
+    * the query running continuously against a live feed. */
   def admitStream(
       stream: DataFrame,
       idCol: String,
       vecCol: String,
       store: TableStore,
       name: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
         ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   /** Takedown: commit a next version of every tier WITHOUT the given ids
     * — the removal path an index must have at scale (a handful of

@@ -125,10 +125,23 @@ object PostingsIndex {
   // -------------------------------------------------------------- tokenizing
 
   /** `(doc_id, dl, _toks)` — the SAME tokenization as
-    * [[Retrieval.bm25Against]] (and its oracle), or served scores drift. */
+    * [[Retrieval.bm25Against]] (and its oracle), or served scores drift.
+    *
+    * Deduplicated BY DOC ID within the input: doc ids are this index's
+    * primary key, and a batch carrying the same id twice (at-least-once
+    * upstream delivery, two staged files in one trigger) must index it
+    * ONCE — the stored-ids anti-join alone only screens against history.
+    * Without this, a doubled row permanently inflates N, df and every
+    * served score. The winner among conflicting duplicate texts is the
+    * md5-smallest token stream — deterministic under any partitioning
+    * (the same canonicalization trick as the sampling/seeding draws);
+    * [[IvfIndex.assign]] gets the equivalent guarantee structurally from
+    * its per-id argmax. */
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
         filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0).as("_toks"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("_toks"), md5(concat_ws(" ", col("_toks")))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
 
   /** `(doc_id, dl, term, tf)` postings of a tokenized frame — the one
@@ -160,19 +173,24 @@ object PostingsIndex {
         val prev = readManifest(store, name)
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
         val spark = df.sparkSession
+        // pinned: the docs write and the postings write would otherwise
+        // each re-run the tokenize + dedupe chain end-to-end
         val tok = tokenized(df, idCol, textCol)
-        val dv = store.write(tok.select(col("doc_id"), col("dl")), docsTable(name))
-        val pv = store.write(postingsOf(tok), postingsTable(name))
-        // derive df from the COMMITTED postings (a parquet read) so the
-        // tokenize+explode chain is never recomputed for the third table
-        val tv = store.write(
-          termStatsOf(store.snapshotAt(spark, postingsTable(name), pv)),
-          termStatsTable(name))
-        val (n, sdl) = docCounters(store.snapshotAt(spark, docsTable(name), dv))
-        commitManifest(store, name,
-          BmManifest(pv, dv, tv, n, sdl,
-            prev.map(_._1.lastBatchId).getOrElse(-1L)),
-          prev.map(_._2))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dv = store.write(tok.select(col("doc_id"), col("dl")), docsTable(name))
+          val pv = store.write(postingsOf(tok), postingsTable(name))
+          // derive df from the COMMITTED postings (a parquet read) so the
+          // tokenize+explode chain is never recomputed for the third table
+          val tv = store.write(
+            termStatsOf(store.snapshotAt(spark, postingsTable(name), pv)),
+            termStatsTable(name))
+          val (n, sdl) = docCounters(store.snapshotAt(spark, docsTable(name), dv))
+          commitManifest(store, name,
+            BmManifest(pv, dv, tv, n, sdl,
+              prev.map(_._1.lastBatchId).getOrElse(-1L)),
+            prev.map(_._2))
+        } finally tok.unpersist()
       }
     }
 
@@ -203,29 +221,36 @@ object PostingsIndex {
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
-    val tok = tokenized(batch, idCol, textCol)
-    val fresh = tok.join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    // O(batch) member commits for the corpus-sized tables: only the
-    // fresh rows are written, the pinned version's files carry as links
-    // (appendOrCompact folds a compacting rewrite in when counts creep);
-    // termstats below stays a merge-rewrite — it is vocabulary-sized
-    val dv = OverlayLock.appendOrCompact(store, docsTable(name), m.docs,
-      docsStored, fresh.select(col("doc_id"), col("dl")))
-    val freshPostings = postingsOf(fresh)
-    val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
-      store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
-    // df merge is CELL-WISE SUM — the one sketch-free mergeable tier
-    val tv = store.write(
-      store.snapshotAt(spark, termStatsTable(name), m.termStats)
-        .unionByName(termStatsOf(freshPostings))
-        .groupBy(col("term")).agg(sum(col("df")).as("df")),
-      termStatsTable(name), Some(m.termStats))
-    val (dn, dsdl) = docCounters(fresh)
-    commitManifest(store, name,
-      m.copy(postings = pv, docs = dv, termStats = tv,
-        nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
-        lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-    true
+    // pinned: four consumers below (docs append, postings, termstats
+    // delta, counters) would otherwise each re-run the tokenize +
+    // dedupe + stored-ids anti-join chain end-to-end — the same hygiene
+    // rationale as bm25Against's postings pin
+    val fresh = tokenized(batch, idCol, textCol)
+      .join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // O(batch) member commits for the corpus-sized tables: only the
+      // fresh rows are written, the pinned version's files carry as links
+      // (appendOrCompact folds a compacting rewrite in when counts creep);
+      // termstats below stays a merge-rewrite — it is vocabulary-sized
+      val dv = OverlayLock.appendOrCompact(store, docsTable(name), m.docs,
+        docsStored, fresh.select(col("doc_id"), col("dl")))
+      val freshPostings = postingsOf(fresh)
+      val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
+        store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
+      // df merge is CELL-WISE SUM — the one sketch-free mergeable tier
+      val tv = store.write(
+        store.snapshotAt(spark, termStatsTable(name), m.termStats)
+          .unionByName(termStatsOf(freshPostings))
+          .groupBy(col("term")).agg(sum(col("df")).as("df")),
+        termStatsTable(name), Some(m.termStats))
+      val (dn, dsdl) = docCounters(fresh)
+      commitManifest(store, name,
+        m.copy(postings = pv, docs = dv, termStats = tv,
+          nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
+          lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+      true
+    } finally fresh.unpersist()
   }
 
   /** EXACT takedown — what the non-subtractive sketch tiers cannot do:
@@ -292,22 +317,27 @@ object PostingsIndex {
     }
 
   /** Streaming admission: the retrieval index as a live sink (the same
-    * face as [[IvfIndex.admitStream]], for the lexical tier). */
+    * face as [[IvfIndex.admitStream]], for the lexical tier).
+    * `availableNow = true` (default) drains and stops; `false` runs
+    * continuously against a live feed. */
   def admitStream(
       stream: DataFrame,
       idCol: String,
       textCol: String,
       store: TableStore,
       name: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
         ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   // ----------------------------------------------------------------- serving
 

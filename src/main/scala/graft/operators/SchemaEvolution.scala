@@ -40,6 +40,12 @@ object SchemaEvolution {
     * `stored` (the target table's data columns, in order). */
   def classify(declared: Seq[String], stored: Seq[String]): Evolution = {
     if (declared.take(stored.length) == stored) Compatible // exact or adds
+    // declared is a strict PREFIX of stored: the target is AHEAD of the
+    // metadata — the normal state right after an in-band widen landed
+    // before declared_columns was refreshed. Trailing-only differences
+    // shift nothing positionally, so this must pass (only a MID-table
+    // subsequence below is a real drop).
+    else if (stored.take(declared.length) == declared) Compatible
     else if (isProperSubsequence(declared, stored))
       Drops(stored.diff(declared))
     else if (declared.length == stored.length &&

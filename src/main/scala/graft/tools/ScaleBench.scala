@@ -233,15 +233,10 @@ object ScaleBench {
     def scaledVariant(
         name: String): Option[(org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = name match {
-      case "q108_heavy_hitters" => Some { (s, dir) =>
-        graft.operators.Sketches.heavyHitters(
-            s.read.parquet(s"$dir/documents.parquet").select(col("lang"),
-              explode(org.apache.spark.sql.functions.filter(
-                graft.functions.TextFunctions.tokens(col("text")),
-                x => length(x) > 0)).as("token")),
-            Seq("lang"), "token", minFrac = 0.02 / factor)
-          .orderBy(col("lang"), col("term"))
-      }
+      // the CANONICAL q108 body (SparkEntry.heavyHittersQuery — one
+      // definition, two sites) at the factor-adjusted threshold
+      case "q108_heavy_hitters" =>
+        Some(graft.SparkEntry.heavyHittersQuery(0.02 / factor))
       case _ => None
     }
 

@@ -265,6 +265,11 @@ class CdcPipelineSpec extends SparkSpec {
     val stored = Seq("id", "name", "balance", "updated_at")
     assert(classify(stored, stored) === Compatible)
     assert(classify(stored :+ "extra", stored) === Compatible) // trailing add
+    // target AHEAD of the metadata (in-band widen landed before
+    // declared_columns was refreshed): trailing-only difference shifts
+    // nothing positionally — must pass, not false-positive as a drop
+    assert(classify(stored, stored :+ "widened") === Compatible)
+    // a MID-table drop is the corrupting case and still rejects
     assert(classify(Seq("id", "name", "updated_at"), stored) ===
       Drops(Seq("balance")))
     assert(classify(Seq("id", "customer_name", "balance", "updated_at"), stored) ===

@@ -100,6 +100,27 @@ class PostingsIndexSpec extends SparkSpec {
       "re-appending existing ids must be a no-op; upsert = remove + append")
   }
 
+  test("an intra-batch duplicate doc id indexes exactly once (N/df/scores uninflated)") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("pidx-dup"))
+    PostingsIndex.build(docs(1 to 90), "doc_id", "text", store, "bm")
+    // the batch carries doc 95 twice (at-least-once upstream delivery);
+    // the stored-ids anti-join alone cannot catch this — the within-batch
+    // dedupe must
+    val once = docRows(91 to 100)
+    val doubled = (once ++ once.filter(_.doc_id == 95L)).toDF("doc_id", "text")
+    PostingsIndex.append(spark, doubled, "doc_id", "text", store, "bm")
+    val clean = new TableStore(tmpDir("pidx-dup-clean"))
+    PostingsIndex.build(docs(1 to 90), "doc_id", "text", clean, "bm")
+    PostingsIndex.append(spark, once.toDF("doc_id", "text"), "doc_id", "text", clean, "bm")
+    assert(serve(store) === serve(clean),
+      "a doubled row must not inflate N, df, or any served score")
+    assert(graft.operators.PostingsIndex.postings(spark, store, "bm")
+      .filter(col("doc_id") === 95L).count() ===
+      graft.operators.PostingsIndex.postings(spark, clean, "bm")
+        .filter(col("doc_id") === 95L).count())
+  }
+
   test("admitBatch gate: replays refused; crash mid-fold invisible, redelivery folds once") {
     val store = new CrashStore(tmpDir("pidx-adm"))
     PostingsIndex.build(docs(1 to 90), "doc_id", "text", store, "bm")
