@@ -286,33 +286,39 @@ object IvfIndex {
     val (m, mv) = requireManifest(store, name)
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
+    // pinned: three tier commits below each consume the assignment —
+    // unpinned, every tier would re-run the batch × broadcast(centroids)
+    // argmax chain end-to-end (the PostingsIndex.appendStamped hygiene)
     val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
-    val stored = vectorsAt(spark, store, name, m)
-    // O(batch) member commits: only the fresh rows are written; the
-    // pinned version's files carry forward as links (appendOrCompact
-    // folds a compacting rewrite in when file counts creep)
-    val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("v"), col("cell")) // stored column order
-    val vv = OverlayLock.appendOrCompact(store, vectorsTable(name),
-      m.vectors, stored, fresh)
-    // the int8 sibling is SERVING state — it must see the same append,
-    // or quantized probes silently miss everything admitted since the
-    // last quantizeStored
-    val qv = m.qvectors.map { qPin =>
-      val (scale, qvc) = quantizeCols(col("v"))
-      val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-      val qFresh = assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
-      OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
-    }
-    // the PQ tier too — encoded against the COMMITTED codebook
-    // (refit-free, like the int8 re-quantization)
-    val pcV = m.pqCodes.map(pin =>
-      PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
-    commitManifest(store, name,
-      m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
-        lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-    true
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stored = vectorsAt(spark, store, name, m)
+      // O(batch) member commits: only the fresh rows are written; the
+      // pinned version's files carry forward as links (appendOrCompact
+      // folds a compacting rewrite in when file counts creep)
+      val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("v"), col("cell")) // stored column order
+      val vv = OverlayLock.appendOrCompact(store, vectorsTable(name),
+        m.vectors, stored, fresh)
+      // the int8 sibling is SERVING state — it must see the same append,
+      // or quantized probes silently miss everything admitted since the
+      // last quantizeStored
+      val qv = m.qvectors.map { qPin =>
+        val (scale, qvc) = quantizeCols(col("v"))
+        val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+        val qFresh = assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
+        OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
+      }
+      // the PQ tier too — encoded against the COMMITTED codebook
+      // (refit-free, like the int8 re-quantization)
+      val pcV = m.pqCodes.map(pin =>
+        PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
+      commitManifest(store, name,
+        m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
+          lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+      true
+    } finally assigned.unpersist()
   }
 
   /** Exactly-once micro-batch admission into the index family — the gate

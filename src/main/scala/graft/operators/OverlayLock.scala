@@ -64,7 +64,9 @@ private[graft] object OverlayLock {
       store: TableStore,
       table: String,
       pin: Int,
-      stored: org.apache.spark.sql.DataFrame,
+      stored: => org.apache.spark.sql.DataFrame, // by-name: only the rare
+      // compaction branch reads the stored snapshot — callers without
+      // another use for it (the postings append) never pay for building it
       fresh: org.apache.spark.sql.DataFrame,
       maxFiles: Int = 64,
       targetFiles: Int = 8): Int =

@@ -40,12 +40,22 @@ object SchemaEvolution {
     * `stored` (the target table's data columns, in order). */
   def classify(declared: Seq[String], stored: Seq[String]): Evolution = {
     if (declared.take(stored.length) == stored) Compatible // exact or adds
-    // declared is a strict PREFIX of stored: the target is AHEAD of the
-    // metadata — the normal state right after an in-band widen landed
-    // before declared_columns was refreshed. Trailing-only differences
-    // shift nothing positionally, so this must pass (only a MID-table
-    // subsequence below is a real drop).
-    else if (stored.take(declared.length) == declared) Compatible
+    // declared is a strict PREFIX of stored, and every extra stored
+    // column carries the in-band widen path's auto-generated name
+    // (`c<ordinal>` — IncrementalMerge.widenIfBatchIsWider): the target
+    // is AHEAD of the metadata, the normal state right after a widen
+    // landed before declared_columns was refreshed. Positionally
+    // harmless — pass.
+    else if (stored.take(declared.length) == declared &&
+        stored.drop(declared.length).forall(_.matches("c\\d+")))
+      Compatible
+    // declared is a strict prefix but the extras are REAL named columns:
+    // the operator refreshed the metadata to record an upstream TRAILING
+    // drop. Positionally the change files just carry trailing nulls —
+    // but merging them would overwrite every stored value in the dropped
+    // columns with null on each update. A declared drop must be loud.
+    else if (stored.take(declared.length) == declared)
+      Drops(stored.drop(declared.length))
     else if (isProperSubsequence(declared, stored))
       Drops(stored.diff(declared))
     else if (declared.length == stored.length &&

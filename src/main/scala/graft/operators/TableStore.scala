@@ -311,21 +311,37 @@ class TableStore(val root: String) {
     * [[compactPlain]] (already wired into the admission paths) bounds
     * them. Returns the new version. */
   def appendRows(rows: DataFrame, name: String, expected: Int): Int = {
+    // a bucketed table's data lives in _bucket=N/ subdirs: the top-level
+    // part-file carry below would silently drop every bucket (and the
+    // spec=None commit would lose the layout) — fail loudly instead
+    require(bucketSpec(name).isEmpty,
+      s"$name is bucketed — appendRows only supports plain tables; " +
+        "use commitBucketMerge for copy-on-write bucket appends")
     val curDir = versionPath(name, expected)
     val staging = newStaging(name)
     stagingWrite(staging) {
       rows.write.mode("overwrite").parquet(staging.toString)
       // carry the old parts AFTER the write: "overwrite" would have
-      // cleared pre-existing files from the staging dir
-      val stream = Files.list(curDir)
-      try stream.iterator().forEachRemaining { f =>
-        val n = f.getFileName.toString
-        if (n.startsWith("part-")) linkOrCopy(f, staging.resolve(n))
-      } finally stream.close()
-      // a declared schema stays in force for the carried pre-widen files
-      val sf = curDir.resolve("_schema.json")
-      if (Files.exists(sf))
-        Files.copy(sf, staging.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
+      // cleared pre-existing files from the staging dir. A concurrent
+      // writer advancing the table TWICE during our Spark write lets
+      // prune delete the expected version's dir — that is the version
+      // conflict the caller's retry loop understands, not an IO bug
+      try {
+        val stream = Files.list(curDir)
+        try stream.iterator().forEachRemaining { f =>
+          val n = f.getFileName.toString
+          if (n.startsWith("part-")) linkOrCopy(f, staging.resolve(n))
+        } finally stream.close()
+        // declared schema stays in force for the carried pre-widen files
+        val sf = curDir.resolve("_schema.json")
+        if (Files.exists(sf))
+          Files.copy(sf, staging.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new VersionConflictException(
+            s"table $name v$expected was pruned while this append staged " +
+              s"(concurrent writers advanced the table) — re-read and retry: $e")
+      }
     }
     commitStaged(name, Some(expected), staging, None)
   }

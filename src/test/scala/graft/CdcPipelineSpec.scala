@@ -266,10 +266,16 @@ class CdcPipelineSpec extends SparkSpec {
     assert(classify(stored, stored) === Compatible)
     assert(classify(stored :+ "extra", stored) === Compatible) // trailing add
     // target AHEAD of the metadata (in-band widen landed before
-    // declared_columns was refreshed): trailing-only difference shifts
-    // nothing positionally — must pass, not false-positive as a drop
-    assert(classify(stored, stored :+ "widened") === Compatible)
-    // a MID-table drop is the corrupting case and still rejects
+    // declared_columns was refreshed): the extras carry the widen path's
+    // auto-generated c<N> names — must pass, not false-positive as a drop
+    assert(classify(stored, stored :+ "c5") === Compatible)
+    assert(classify(stored, stored ++ Seq("c5", "c6")) === Compatible)
+    // but a REAL named trailing column missing from a refreshed
+    // declaration is a genuine upstream drop: merging would null-overwrite
+    // the stored values on every update — must reject loudly
+    assert(classify(stored.dropRight(1), stored) ===
+      Drops(Seq("updated_at")))
+    // a MID-table drop is the positionally corrupting case and rejects
     assert(classify(Seq("id", "name", "updated_at"), stored) ===
       Drops(Seq("balance")))
     assert(classify(Seq("id", "customer_name", "balance", "updated_at"), stored) ===

@@ -121,6 +121,36 @@ class PostingsIndexSpec extends SparkSpec {
         .filter(col("doc_id") === 95L).count())
   }
 
+  test("conflicting duplicate texts resolve to the md5-smallest token stream, deterministically") {
+    val s = spark; import s.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val (a, b) = ("alpha beta gamma", "delta epsilon zeta")
+    val winner = if (md5hex(a) <= md5hex(b)) a else b
+    // the batch carries doc 200 twice with DIFFERENT texts (a re-crawl
+    // delivering two revisions in one trigger); the index must pick the
+    // md5-smallest stream — the documented canonical winner — so the
+    // committed state is a pure function of the row SET, not of
+    // partitioning or arrival order
+    val conflicted = Seq((200L, a), (200L, b)).toDF("doc_id", "text")
+    val store = new TableStore(tmpDir("pidx-conf"))
+    PostingsIndex.build(docs(1 to 50), "doc_id", "text", store, "bm")
+    PostingsIndex.append(spark, conflicted, "doc_id", "text", store, "bm")
+    val clean = new TableStore(tmpDir("pidx-conf-clean"))
+    PostingsIndex.build(docs(1 to 50), "doc_id", "text", clean, "bm")
+    PostingsIndex.append(spark, Seq((200L, winner)).toDF("doc_id", "text"),
+      "doc_id", "text", clean, "bm")
+    assert(serve(store) === serve(clean),
+      s"the canonical winner must be the md5-smallest stream ('$winner')")
+    // and the reversed arrival order converges to the same state
+    val rev = new TableStore(tmpDir("pidx-conf-rev"))
+    PostingsIndex.build(docs(1 to 50), "doc_id", "text", rev, "bm")
+    PostingsIndex.append(spark, Seq((200L, b), (200L, a)).toDF("doc_id", "text"),
+      "doc_id", "text", rev, "bm")
+    assert(serve(rev) === serve(clean), "winner selection must be order-independent")
+  }
+
   test("admitBatch gate: replays refused; crash mid-fold invisible, redelivery folds once") {
     val store = new CrashStore(tmpDir("pidx-adm"))
     PostingsIndex.build(docs(1 to 90), "doc_id", "text", store, "bm")
