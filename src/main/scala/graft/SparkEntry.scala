@@ -193,6 +193,47 @@ object SparkEntry {
       root
     })
 
+  /** q113's SEED fixture, once per input dir: the 90% (`doc_id % 10 != 0`)
+    * postings index built and persisted under `<root>/idx`, plus the
+    * `% 10 == 0` slice staged as three single-file parquet micro-batches
+    * under `<root>/stage` — the q110 seed-then-stream shape applied to the
+    * LEXICAL index. The query copies the seed to a fresh run root and
+    * drains the staged files through [[graft.operators.PostingsIndex
+    * .admitStream]]; the measured operation is the exactly-once streaming
+    * admission itself, on top of pre-built postings. */
+  private val q113SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q113SeedRoot(s: SparkSession, dir: String): String =
+    q113SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q113seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val docs = t(s, dir, "documents")
+      graft.operators.PostingsIndex.build(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", store, "bm_idx")
+      val stageDir = java.nio.file.Paths.get(root, "stage")
+      java.nio.file.Files.createDirectories(stageDir)
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+            pmod(col("doc_id"), lit(3)) === k)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** Recursive dir copy (hard links where possible) — gives each q110
     * run its own index family to drain the stream into, without
     * re-fitting the seed model. */
@@ -2288,6 +2329,68 @@ object SparkEntry {
         k = 5, maxDfFrac = 0.78)
     }),
 
+    // ext: HYBRID retrieval — reciprocal-rank fusion (Cormack et al.,
+    // SIGIR 2009) of the two retrieval families this engine serves: the
+    // LEXICAL leg is q97's per-probe BM25 top-10 (same probes, same 0.78
+    // hot-postings guard), the VECTOR leg is exact cosine top-10 of the
+    // same probe ids against the embedding corpus (probe batch broadcast,
+    // corpus scanned once — the q97 probe-frame shape; self-matches kept,
+    // retrieval semantics). Fusion never touches the corpus: both legs
+    // arrive top-k-sized, RRF is one (probe, doc) hash exchange + a
+    // partial top-k — each 1/(60+rank) addend is a pure function of an
+    // integer rank, so the fused doubles replay bit-exactly in the
+    // oracle's UNION ALL + ordered-sum formulation.
+    "q112_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          slice(filter(graft.functions.TextFunctions.tokens(col("text")),
+            x => length(x) > 0), 1, 3).as("pterms"))
+      val wLex = Window.partitionBy(col("probe_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = graft.operators.Retrieval.bm25Against(docs, "doc_id", "text",
+          probes, "probe_id", "pterms", k = 10, maxDfFrac = 0.78)
+        .select(col("probe_id"), col("doc_id"),
+          row_number().over(wLex).as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopKAgainst(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
+        .select(col("vec_id").as("probe_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, vec), kRrf = 60, k = 5)
+        .orderBy(col("probe_id"), col("rrf_rank"))
+    }),
+
+    // ext: EXACTLY-ONCE STREAMING ADMISSION into the persisted BM25
+    // postings index — q110's seed-then-stream discipline on the LEXICAL
+    // tier (the eighth streaming face): postings built once on the 90%
+    // seed, the % 10 == 0 slice arrives as three AvailableNow
+    // micro-batches through PostingsIndex.admitBatch, whose batchId gate
+    // rides IN the family manifest (tier advance + gate record = one
+    // atomic pointer swap, so redelivery folds exactly once). Because
+    // every piece of postings state is EXACTLY mergeable (insert-only
+    // doc/posting rows, cell-wise df + corpus-counter sums), the drained
+    // index is bit-identical to a from-scratch full-corpus build — so
+    // serving q97's probes must hash-match q97's full-corpus oracle
+    // (SHARED verbatim), the strongest statement the gate can make.
+    "q113_stream_bm25" -> ((s, dir) => {
+      val seedRoot = q113SeedRoot(s, dir)
+      val root = newTmpDir("graft_q113run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PostingsIndex.admitStream(stream, "doc_id", "text",
+        store, "bm_idx", s"$root/chk").awaitTermination()
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          slice(filter(graft.functions.TextFunctions.tokens(col("text")),
+            x => length(x) > 0), 1, 3).as("pterms"))
+      graft.operators.PostingsIndex.topK(s, probes, "probe_id", "pterms",
+        store, "bm_idx", k = 5, maxDfFrac = 0.78)
+    }),
+
     // ext: STREAMING dedup-on-ingest under the hash gate — the
     // `dropDuplicatesWithinWatermark` face of exact dedup, on the real
     // file-source path (its MemoryStream spec only exercises semantics).
@@ -2832,8 +2935,12 @@ object SparkEntry {
     * 90/10 build+append): the index state is exactly mergeable, so both
     * must equal the full-corpus chain. maxDfFrac = 0.78 mirrored in the
     * ptraw→pt CTE. */
-  private def bm25BatchOracleSql: String =
-    """WITH d AS (
+  /** The q97 BM25-batch CTE chain, ending in `sc` = (probe_id, doc_id,
+    * n_match_terms, score) over ALL scored candidates — shared verbatim
+    * by the q97/q111 oracles (top-5 select) and q112's lexical leg
+    * (top-10 rank feed), so the three cannot drift. */
+  private def bm25BatchCtes: String =
+    """d AS (
       |  SELECT doc_id,
       |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
       |  FROM documents),
@@ -2870,11 +2977,49 @@ object SparkEntry {
       |    JOIN tdf ON pt.term = tdf.term
       |    JOIN post ON pt.term = post.term
       |    JOIN dl ON post.doc_id = dl.doc_id, st
-      |  GROUP BY pt.probe_id, post.doc_id)
-      |SELECT probe_id, doc_id, n_match_terms, round(score, 6) AS bm25
-      |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-      |        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
-      |WHERE rn <= 5""".stripMargin
+      |  GROUP BY pt.probe_id, post.doc_id)""".stripMargin
+
+  private def bm25BatchOracleSql: String =
+    s"""WITH $bm25BatchCtes
+       |SELECT probe_id, doc_id, n_match_terms, round(score, 6) AS bm25
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+       |WHERE rn <= 5""".stripMargin
+
+  /** q112 replay: the shared BM25 CTE chain ranked to top-10 per probe,
+    * the exact-cosine vector leg ranked to top-10 (self kept — retrieval
+    * semantics), then RRF: UNION ALL the legs, sum 1/(60+rank) ordered by
+    * leg (two addends — order-insensitive, but kept explicit), rank the
+    * fused score raw (each addend is a pure function of an integer rank,
+    * so the doubles are engine-independent), doc_id tie-break. */
+  private def hybridRrfOracleSql: String =
+    s"""WITH $bm25BatchCtes,
+       |ltop AS (
+       |  SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS r FROM (
+       |    SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+       |  WHERE rn <= 10),
+       |vsc AS (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rn
+       |  FROM embeddings a CROSS JOIN embeddings b
+       |  WHERE a.vec_id % 97 = 0),
+       |vtop AS (SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS r
+       |  FROM vsc WHERE rn <= 10),
+       |legs AS (
+       |  SELECT probe_id, doc_id, 0 AS leg, r FROM ltop
+       |  UNION ALL SELECT probe_id, doc_id, 1 AS leg, r FROM vtop),
+       |f AS (
+       |  SELECT probe_id, doc_id, CAST(count(*) AS INT) AS n_legs,
+       |    sum(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY leg) AS fused
+       |  FROM legs GROUP BY probe_id, doc_id)
+       |SELECT probe_id, doc_id, n_legs, round(fused, 6) AS rrf,
+       |  CAST(rk AS INT) AS rrf_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY fused DESC, doc_id) AS rk FROM f)
+       |WHERE rk <= 5 ORDER BY probe_id, rrf_rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
@@ -3315,6 +3460,8 @@ object SparkEntry {
     // full-corpus answer — equality here IS the mergeability proof, the
     // q105/q106 argument applied to the retrieval tier.
     "q111_bm25_persisted" -> bm25BatchOracleSql,
+    "q112_hybrid_rrf" -> hybridRrfOracleSql,
+    "q113_stream_bm25" -> bm25BatchOracleSql,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of

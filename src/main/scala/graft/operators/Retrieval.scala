@@ -230,4 +230,55 @@ object Retrieval {
     scored.join(broadcast(topk), Seq("probe_id", "doc_id"))
       .select(col("probe_id"), col("doc_id"), col("n_match_terms"), col("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods", SIGIR 2009) of N ranked retrieval legs — the standard
+    * hybrid-retrieval combiner, lexical BM25 + embedding ANN being the
+    * canonical pair: each leg contributes `1 / (kRrf + rank)` per
+    * (probe, doc); a doc missing from a leg simply contributes nothing
+    * (no imputed rank), and fused docs rank by the summed score with the
+    * engine-wide (score desc, doc_id asc) tie-break.
+    *
+    * Every leg carries `(probe_id, doc_id, rank)` — rank 1-based within
+    * its probe. Contributions fold in LEG ORDER (the
+    * [[bm25ScoreAndTopK]] sorted-sum discipline) so the floating-point
+    * sum replays exactly in any engine that can order its aggregates —
+    * though each addend is a pure function of an integer rank, so the
+    * fused doubles are engine-independent to the last bit anyway.
+    *
+    * Scale shape: the inputs are ALREADY top-k-sized (≤ legs × probes ×
+    * k rows — each retriever did its own corpus work); fusion is one
+    * hash exchange on (probe_id, doc_id) plus the
+    * [[org.apache.spark.sql.graft.TopKPairs]] partial top-k per probe.
+    * Nothing here touches the corpus, at any corpus size.
+    *
+    * Output: (probe_id, doc_id, n_legs, rrf, rrf_rank), `rrf` rounded to
+    * 6, ranked on the raw fused score. */
+  def rrfFuse(legs: Seq[DataFrame], kRrf: Int = 60, k: Int = 10)(
+      implicit caches: CacheScope): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tagged = legs.zipWithIndex.map { case (df, i) =>
+      df.select(col("probe_id"), col("doc_id"), lit(i).as("_leg"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double"))).as("_c"))
+    }.reduce(_ unionByName _)
+    // pinned: feeds the per-probe top-k AND the n_legs rejoin
+    val fused = caches.pin(tagged
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_legs"),
+        aggregate(sort_array(collect_list(struct(col("_leg"), col("_c")))),
+          lit(0.0), (acc, x) => acc + x.getField("_c")).as("_rrf")))
+    val top = fused.groupBy(col("probe_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("_rrf"), col("doc_id"), k).as("_tk"))
+      .select(col("probe_id"), posexplode(col("_tk")).as(Seq("_i", "_e")))
+      .select(col("probe_id"), col("_e.neighbor_id").as("doc_id"),
+        (col("_i") + 1).as("rrf_rank"))
+    // rejoin for n_legs + the fused score: top is ≤ k·probes rows
+    fused.join(broadcast(top), Seq("probe_id", "doc_id"))
+      .select(col("probe_id"), col("doc_id"), col("n_legs"),
+        round(col("_rrf"), 6).as("rrf"), col("rrf_rank"))
+  }
 }

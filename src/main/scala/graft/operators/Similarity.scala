@@ -150,6 +150,35 @@ object Similarity {
     }
   }
 
+  /** Exact cosine top-k of a PROBE batch against a separate corpus — the
+    * "against" face of [[bruteForceTopK]]: the self-join scores every
+    * corpus pair (O(n²)); a probe batch only needs probes × corpus. The
+    * probe frame broadcasts (it is the user-bounded side, the same shape
+    * as [[Retrieval.bm25Against]]'s probe-term frame), so the corpus is
+    * scanned ONCE and never shuffled; per-probe top-k is the
+    * [[topKFromScored]] partial-combining aggregate, so only k rows per
+    * (probe, partition) reach the exchange. Self-matches are KEPT —
+    * retrieval semantics: a probe's own stored row is a valid answer
+    * (the dedup-facing [[bruteForceTopK]] excludes self). For probe
+    * batches too large to broadcast, the persisted [[IvfIndex]] /
+    * [[PqIndex]] tiers are the scale path; this is the exact baseline
+    * they are graded against (RECALL_SNAPSHOT).
+    * Output: (vec_id, neighbor_id, cosine, rank) — vec_id is the probe id. */
+  def bruteForceTopKAgainst(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = corpus.select(col(idCol).as("_nid"), toDouble(col(vecCol)).as("_nv"))
+      .withColumn("_nnrm", l2Norm(col("_nv")))
+    val q = probes.select(col(probeIdCol).as("_qid"), toDouble(col(probeVecCol)).as("_qv"))
+      .withColumn("_qnrm", l2Norm(col("_qv")))
+    val scored = base.crossJoin(broadcast(q))
+      .select(col("_qid").as("vec_id"), col("_nid").as("neighbor_id"),
+        (dot(col("_qv"), col("_nv")) / (col("_qnrm") * col("_nnrm"))).as("cosine"))
+    topKFromScored(scored, k)
+  }
+
   /** Per-group top-k via the [[org.apache.spark.sql.graft.TopKPairs]]
     * aggregate: partial top-k buffers combine map-side, so only k rows per
     * (group, partition) reach the shuffle — vs a window sort moving every

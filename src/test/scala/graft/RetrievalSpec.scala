@@ -129,4 +129,56 @@ class RetrievalSpec extends SparkSpec {
         .sortBy(t => (t._1, t._2)).toSeq
     assert(run(corpus(), probes) === run(corpus().repartition(7), probes.repartition(3)))
   }
+
+  private def leg(s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Long, Int)]) = {
+    import s.implicits._
+    rows.toDF("probe_id", "doc_id", "rank")
+  }
+
+  test("rrfFuse sums 1/(k+rank) per leg, hand-checked, missing legs contribute nothing") {
+    val s = spark
+    // probe 1: doc 10 ranks 1 in BOTH legs; doc 20 only lexical (rank 2);
+    // doc 30 only vector (rank 2)
+    val lex = leg(s, Seq((1L, 10L, 1), (1L, 20L, 2)))
+    val vec = leg(s, Seq((1L, 10L, 1), (1L, 30L, 2)))
+    val out = Retrieval.rrfFuse(Seq(lex, vec), kRrf = 60, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_legs"), r.getAs[Double]("rrf"), r.getAs[Int]("rrf_rank")))).toMap
+    val r1 = 1.0 / 61.0; val r2 = 1.0 / 62.0
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(10L) === ((2, rd(r1 + r1), 1)))
+    // both single-leg docs score 1/62; doc_id breaks the tie
+    assert(out(20L) === ((1, rd(r2), 2)))
+    assert(out(30L) === ((1, rd(r2), 3)))
+  }
+
+  test("rrfFuse keeps probes independent and k bounds each probe's output") {
+    val s = spark
+    val lex = leg(s, (1 to 8).map(i => (1L, i.toLong, i)) ++ Seq((2L, 99L, 1)))
+    val vec = leg(s, (1 to 8).map(i => (1L, (9 - i).toLong, i)))
+    val out = Retrieval.rrfFuse(Seq(lex, vec), kRrf = 60, k = 3).collect()
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe(1L).length === 3, "k must cap per probe")
+    assert(byProbe(2L).map(_.getAs[Long]("doc_id")).toSeq === Seq(99L))
+    // probe 1: doc d has lex rank d and vec rank 9-d → fused is maximized
+    // at the balanced middle (1/(60+d) + 1/(69-d) is symmetric around
+    // d=4.5 and LOWEST there; the extremes d=1, d=8 tie highest, doc_id
+    // tie-break puts 1 first, then 8, then the 2/7 tie)
+    val p1 = byProbe(1L).sortBy(_.getAs[Int]("rrf_rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(p1 === Seq(1L, 8L, 2L))
+  }
+
+  test("rrfFuse is deterministic under repartitioning and leg order changes nothing") {
+    val s = spark
+    val lex = leg(s, Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 10L, 1)))
+    val vec = leg(s, Seq((1L, 20L, 1), (2L, 30L, 1), (2L, 10L, 2)))
+    def run(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Retrieval.rrfFuse(Seq(a, b), kRrf = 60, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    assert(run(lex, vec) === run(lex.repartition(7), vec.repartition(3)))
+    // two addends commute bit-exactly, so leg order cannot matter
+    assert(run(lex, vec) === run(vec, lex))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -166,6 +167,47 @@ class SimilaritySpec extends SparkSpec {
     // one cell = no bounding at all → exactly the quadratic baseline
     assert(cellPairs(1) === exact)
     scope.release()
+  }
+
+  test("bruteForceTopKAgainst: self ranks first, then the self-join's neighbours") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopKAgainst(df, "vec_id", "embedding",
+        df.filter(col("vec_id") <= 2), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    // only the two probes produce rows
+    assert(out.keys.map(_._1).toSet === Set(1L, 2L))
+    // retrieval semantics: rank 1 is the probe's own stored row at cosine 1
+    assert(out((1L, 1))._1 === 1L && math.abs(out((1L, 1))._2 - 1.0) < 1e-12)
+    assert(out((2L, 1))._1 === 2L)
+    // rank 2 matches the self-join's top-1 (which excludes self)
+    val self = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(out((1L, 2))._1 === self(1L))
+    assert(out((2L, 2))._1 === self(2L))
+  }
+
+  test("bruteForceTopKAgainst broadcasts the probe side, never shuffles the corpus") {
+    val s = spark; import s.implicits._
+    val df = (0L until 64L).map(i =>
+      (i, Array(math.cos(i / 7.0).toFloat, math.sin(i / 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopKAgainst(df, "vec_id", "embedding",
+      df.filter(col("vec_id") % 16 === 0), "vec_id", "embedding", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$plan")
+    // the only wide exchange is the per-probe top-k aggregate, keyed by
+    // probe id — the corpus itself reaches it pre-reduced to ≤ k rows per
+    // (probe, partition) by the partial TopKPairs buffers
+    assert(plan.contains("partial_topkpairs"), s"partial top-k missing:\n$plan")
+    assert(out.count() === 4 * 3)
   }
 
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
