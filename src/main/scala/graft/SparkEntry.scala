@@ -2391,6 +2391,41 @@ object SparkEntry {
         store, "bm_idx", k = 5, maxDfFrac = 0.78)
     }),
 
+    // ext: HARD-NEGATIVE MINING for contrastive training data — per probe,
+    // the top-5 most-similar DIFFERENT-label vectors plus the probe's best
+    // same-label cosine (pos_cosine), the triplet-margin inputs. One
+    // probe-broadcast corpus scan feeds BOTH aggregates (top_k_pairs over a
+    // label-mismatch-gated score + conditional max) — the mining pass costs
+    // one bruteForceTopKAgainst, not two.
+    "q114_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding", "label",
+          k = 5)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"),
+          round(col("pos_cosine"), 6).as("pos_cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // ext: LEAKAGE-SAFE train/val/test split — q57's salted-interval draw
+    // keyed by the doc's near-dup cluster ROOT (q28's components over the
+    // exact-jaccard pairs), so no near-duplicate pair can straddle train
+    // and test (Lee et al., ACL 2022 §6.2). Per-doc assignment output:
+    // the oracle re-derives every root via the recursive-CTE components
+    // and every split via the md5 interval, so one torn cluster or one
+    // re-rooted doc fails the hash.
+    "q115_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxShinglePostings = 100)
+      graft.operators.Sampling.leakageSafeSplit(
+          docs.select(col("doc_id")), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("root"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: STREAMING dedup-on-ingest under the hash gate — the
     // `dropDuplicatesWithinWatermark` face of exact dedup, on the real
     // file-source path (its MemoryStream spec only exercises semantics).
@@ -3462,6 +3497,74 @@ object SparkEntry {
     "q111_bm25_persisted" -> bm25BatchOracleSql,
     "q112_hybrid_rrf" -> hybridRrfOracleSql,
     "q113_stream_bm25" -> bm25BatchOracleSql,
+
+    // q114 replay: one scored CTE over (probe % 23 = 0) × corpus; negatives
+    // ranked within the label-mismatch set, pos_cosine a conditional max
+    // over the same-label-not-self set, left-joined back (NULL when the
+    // probe's label appears nowhere else). Ranking on the RAW cosine both
+    // sides (the q18/q112 discipline), rounding only at the output.
+    "q114_hard_negatives" ->
+      """WITH sc AS (
+        |  SELECT a.vec_id AS vec_id, a.label AS qlab,
+        |    b.vec_id AS neighbor_id, b.label AS nlab,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id % 23 = 0),
+        |neg AS (
+        |  SELECT vec_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |  FROM sc WHERE nlab <> qlab),
+        |pos AS (
+        |  SELECT vec_id, max(cos) AS pc FROM sc
+        |  WHERE nlab = qlab AND neighbor_id <> vec_id GROUP BY vec_id)
+        |SELECT n.vec_id, n.neighbor_id, round(n.cos, 6) AS cosine,
+        |  CAST(n.rnk AS INT) AS rank, round(p.pc, 6) AS pos_cosine
+        |FROM neg n LEFT JOIN pos p USING (vec_id)
+        |WHERE n.rnk <= 5 ORDER BY n.vec_id, n.rnk""".stripMargin,
+
+    // q115 replay: q28's recursive-CTE components (same shingle chain,
+    // same 0.2 threshold and ≤100 hot-postings cap) give each clustered
+    // doc its min-id root; unclustered docs root themselves; then q57's
+    // md5 interval draw ON THE ROOT.
+    "q115_leakage_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 100),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n
+        |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |rooted AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+        |drawn AS (
+        |  SELECT doc_id, root,
+        |    CAST('0x' || substring(md5('split:' || CAST(root AS VARCHAR)), 1, 10) AS BIGINT)
+        |      / 1099511627776.0 AS frac
+        |  FROM rooted)
+        |SELECT doc_id, root,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
+        |FROM drawn ORDER BY doc_id""".stripMargin,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of

@@ -106,6 +106,44 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** LEAKAGE-SAFE dataset split: [[assignSplit]] keyed by each row's
+    * duplicate-cluster ROOT instead of its own id, so a whole near-dup
+    * cluster lands in ONE split. Splitting per-doc leaks: near-duplicates
+    * straddle train/test and the eval set scores memorization (the
+    * train/test overlap failure documented by Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 §6.2) —
+    * deduplicating is not enough if the split itself can separate a
+    * surviving doc from the near-copy that informed it.
+    *
+    * `pairs` is any near-dup pair list this engine produces
+    * ([[Dedup.jaccardPairs]], [[Dedup.minhashLshPairs]], SimHash, the
+    * semantic pairs — columns `(a_id, b_id)`); components come from
+    * [[Dedup.duplicateClusters]] (min-id root), docs in no pair root
+    * themselves. The draw hashes the ROOT id, so adding a split or
+    * changing fractions can never tear a cluster apart, and a doc's
+    * assignment is stable under corpus growth that doesn't change its
+    * cluster root.
+    *
+    * Scale: the pair plan dominates (banded/bucketed upstream); the split
+    * itself adds one left join of the corpus against the (small) clustered
+    * subset and a narrow projection — no new corpus shuffle beyond that
+    * join's exchange.
+    *
+    * Output: `df` + `root` + `split`. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val rooted = df.join(clusters, Seq(idCol), "left")
+      .withColumn("root", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    assignSplit(rooted, "root", splits, salt)
+  }
+
   /** Deterministic global training shuffle: every row gets a stable
     * `(shard, shard_pos)` — shard by the salted draw mod `nShards`,
     * position by the draw's rank within the shard. Reading shards in order

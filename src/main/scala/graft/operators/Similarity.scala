@@ -179,6 +179,62 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training data
+    * (the miner behind triplet and InfoNCE batches, cf. the in-batch vs
+    * mined-negatives discussion in Karpukhin et al., "Dense Passage
+    * Retrieval", EMNLP 2020 §5): for each probe, the top-k most-similar
+    * corpus vectors with a DIFFERENT label — the negatives hardest to
+    * separate — plus `pos_cosine`, the probe's best SAME-label similarity
+    * (its strongest positive, self excluded), so a consumer can form
+    * (anchor, positive, negative) triplets and margin-filter (a negative
+    * with `cosine > pos_cosine` violates the margin outright; "semi-hard"
+    * selection is a downstream filter on these two columns).
+    *
+    * ONE scan of the corpus scores both sides: negatives and the positive
+    * ceiling come from the same probe-broadcast crossJoin, split by a
+    * label predicate inside the aggregate — `top_k_pairs` over a
+    * `when(label mismatch, cosine)` score (its update skips nulls) and a
+    * conditional `max` for `pos_cosine` — so the mining pass costs exactly
+    * one [[bruteForceTopKAgainst]], not two. Only k buffered pairs + one
+    * running max per (probe, partition) reach the exchange.
+    *
+    * Probes whose label covers the ENTIRE corpus (no possible negative)
+    * emit nothing; `pos_cosine` is NULL when the probe's label appears
+    * nowhere else (no possible positive). For probe batches too large to
+    * broadcast, mine through the [[IvfIndex]] shortlist and re-rank — this
+    * is the exact baseline that path is graded against.
+    *
+    * Output: (vec_id, neighbor_id, cosine, rank, pos_cosine) — rank ≤ k by
+    * (cosine desc, neighbor_id asc) within the different-label set. */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      probeLabelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = corpus.select(col(idCol).as("_nid"), col(labelCol).as("_nlab"),
+        toDouble(col(vecCol)).as("_nv"))
+      .withColumn("_nnrm", l2Norm(col("_nv")))
+    val q = probes.select(col(probeIdCol).as("_qid"), col(probeLabelCol).as("_qlab"),
+        toDouble(col(probeVecCol)).as("_qv"))
+      .withColumn("_qnrm", l2Norm(col("_qv")))
+    val scored = base.crossJoin(broadcast(q))
+      .select(col("_qid"), col("_qlab"), col("_nid"), col("_nlab"),
+        (dot(col("_qv"), col("_nv")) / (col("_qnrm") * col("_nnrm"))).as("_cos"))
+    scored
+      .groupBy(col("_qid"))
+      .agg(
+        org.apache.spark.sql.graft.TopKPairs.top_k_pairs(
+          when(col("_nlab") =!= col("_qlab"), col("_cos")), col("_nid"), k).as("_tk"),
+        max(when(col("_nlab") === col("_qlab") && col("_nid") =!= col("_qid"),
+          col("_cos"))).as("pos_cosine"))
+      .filter(size(col("_tk")) > 0)
+      .select(col("_qid").as("vec_id"), col("pos_cosine"),
+        posexplode(col("_tk")).as(Seq("_i", "_e")))
+      .select(col("vec_id"), col("_e.neighbor_id").as("neighbor_id"),
+        col("_e.score").as("cosine"), (col("_i") + 1).as("rank"),
+        col("pos_cosine"))
+  }
+
   /** Per-group top-k via the [[org.apache.spark.sql.graft.TopKPairs]]
     * aggregate: partial top-k buffers combine map-side, so only k rows per
     * (group, partition) reach the shuffle — vs a window sort moving every

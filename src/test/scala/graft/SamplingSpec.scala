@@ -260,4 +260,47 @@ class SamplingSpec extends SparkSpec {
     assert(a === Seq(1L, 2L)) // id asc breaks the tie: 40+40 ≤ 100 < 120
     assert(a === b)
   }
+  test("leakageSafeSplit keeps every near-dup cluster in one split, roots singletons at themselves") {
+    val s = spark; import s.implicits._
+    // clusters: {1,2,3} (chain via pairs), {10,11}; 20/21 are singletons
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("root"), r.getAs[String]("split")))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    // min-id roots
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).toSet === Set(1L))
+    assert(Seq(10L, 11L).map(rows(_)._1).toSet === Set(10L))
+    assert(rows(20L)._1 === 20L && rows(21L)._1 === 21L)
+    // the leakage guarantee: one split per cluster
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).toSet.size === 1)
+    assert(Seq(10L, 11L).map(rows(_)._2).toSet.size === 1)
+    // cluster members get EXACTLY the root's own assignment
+    val solo = Sampling.assignSplit(Seq(1L, 10L).toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows(3L)._2 === solo(1L))
+    assert(rows(11L)._2 === solo(10L))
+  }
+
+  test("leakageSafeSplit is deterministic under repartitioning and exhaustive") {
+    val s = spark; import s.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    val pairs = (1L to 50L).map(i => (i, i + 100L)).toDF("a_id", "b_id")
+    def run(d: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Sampling.leakageSafeSplit(d, "doc_id", p,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"),
+          r.getAs[String]("split"))).sortBy(_._1).toSeq
+    val a = run(df, pairs)
+    assert(a === run(df.repartition(7), pairs.repartition(3)))
+    assert(a.length === 200) // exhaustive: every doc assigned exactly once
+    // paired docs share root and split
+    a.filter(_._1 <= 50).foreach { case (id, root, split) =>
+      val partner = a((id + 100 - 1).toInt)
+      assert(root === id && partner._2 === id && partner._3 === split)
+    }
+  }
 }

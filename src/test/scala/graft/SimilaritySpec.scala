@@ -222,4 +222,56 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
     assert(pairs.toSet === Set((1L, 2L)))
   }
+  test("hardNegatives: different-label top-k, pos_cosine ceiling, NULL when label unique") {
+    val s = spark; import s.implicits._
+    // labels: A = {1, 2} near each other; B = {3, 4}; C = {5} unique
+    val df = Seq(
+      (1L, "A", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "A", Array(0.9f, 0.1f, 0.0f)),
+      (3L, "B", Array(0.8f, 0.6f, 0.0f)),
+      (4L, "B", Array(0.0f, 1.0f, 0.0f)),
+      (5L, "C", Array(0.7f, 0.7f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        df.filter(col("vec_id").isin(1L, 5L)), "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"),
+          if (r.isNullAt(r.fieldIndex("pos_cosine"))) None
+          else Some(r.getAs[Double]("pos_cosine"))))).toMap
+    // probe 1 (label A): negatives ranked among {3,4,5}; 3 and 5 are the
+    // closest to (1,0,0); its positive ceiling is cos(1,2)
+    assert(out((1L, 1))._1 === 3L)
+    assert(out((1L, 2))._1 === 5L)
+    val cos12 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(out((1L, 1))._2.get - cos12) < 1e-9)
+    // probe 5 (label C, unique): every other vector is a negative,
+    // pos_cosine is NULL
+    assert(out((5L, 1))._2 === None)
+    assert(Set(out((5L, 1))._1, out((5L, 2))._1).subsetOf(Set(1L, 2L, 3L, 4L)))
+    // same-label ids never appear as negatives for probe 1
+    assert(!Seq(out((1L, 1))._1, out((1L, 2))._1).contains(2L))
+  }
+
+  test("hardNegatives emits nothing when the corpus is all one label, and mines in ONE scan") {
+    val s = spark; import s.implicits._
+    val mono = Seq(
+      (1L, "A", Array(1.0f, 0.0f)),
+      (2L, "A", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.hardNegatives(mono, "vec_id", "embedding", "label",
+      mono, "vec_id", "embedding", "label", k = 3).count() === 0)
+    val mixed = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B",
+        Array(math.cos(i / 5.0).toFloat, math.sin(i / 5.0).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(mixed, "vec_id", "embedding", "label",
+      mixed.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", "label", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // one probe-broadcast corpus scan feeds BOTH aggregates: exactly one
+    // BNLJ (the broadcast crossJoin), partial top-k before the exchange
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1,
+      s"expected exactly one broadcast crossJoin:\n$plan")
+    assert(plan.contains("partial_topkpairs"), s"partial top-k missing:\n$plan")
+    assert(out.count() === 4 * 3)
+  }
 }
