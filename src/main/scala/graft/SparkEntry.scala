@@ -380,6 +380,7 @@ object SparkEntry {
     guarded("corpusProfile")(q105ProfileRoot(s, dir))
     guarded("q110Seed")(q110SeedRoot(s, dir))
     guarded("q111Bm")(q111BmRoot(s, dir))
+    guarded("q113Seed")(q113SeedRoot(s, dir))
   }
 
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
@@ -2408,6 +2409,31 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: q114's SCALE PATH — hard negatives mined from the IVF
+    // shortlist instead of a corpus scan: q29's cell-bounded chain
+    // overfetched to 25 per probe, then label joins + the same
+    // one-aggregate split (negatives top-5 / positive-ceiling max).
+    // The corpus is never re-paired; mining adds only the two narrow
+    // id-equi label joins. Approximation is one-sided (a missed true
+    // negative is absent, never mis-ranked; pos_cosine is a lower
+    // bound, NULL when no same-label row was recalled) — and because
+    // the centroid sample is md5-deterministic the ENTIRE approximate
+    // result replays in SQL: the oracle verifies the scale path
+    // itself, not the brute-force baseline (which q114 already pins).
+    "q116_hard_negatives_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      val short = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 25, nCells = nCells, nProbe = 4)
+        .filter(col("vec_id") % 23 === 0)
+      Similarity.hardNegativesFromShortlist(short,
+          emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"),
+          round(col("pos_cosine"), 6).as("pos_cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: LEAKAGE-SAFE train/val/test split — q57's salted-interval draw
     // keyed by the doc's near-dup cluster ROOT (q28's components over the
     // exact-jaccard pairs), so no near-duplicate pair can straddle train
@@ -2811,8 +2837,12 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM rr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
-  private def ivfTopKOracle(nProbe: Int): String =
-    s"""WITH base AS (
+  /** The q29 IVF replay chain ending in `ranked` = (vec_id, neighbor_id,
+    * cos_raw, rank) over all cell-bounded candidates — shared verbatim by
+    * the q29/q92 oracles (top-3 select) and q116 (rank ≤ 25 shortlist
+    * feed), so the three cannot drift. */
+  private def ivfChainCtes(nProbe: Int): String =
+    s"""base AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (
        |  SELECT id AS c_id, v AS c_v FROM base
@@ -2837,9 +2867,43 @@ object SparkEntry {
        |      ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, c.neighbor_id ASC) AS rank
        |  FROM cand c
        |  JOIN base qb ON c.vec_id = qb.id
-       |  JOIN base nb ON c.neighbor_id = nb.id)
+       |  JOIN base nb ON c.neighbor_id = nb.id)""".stripMargin
+
+  private def ivfTopKOracle(nProbe: Int): String =
+    s"""WITH ${ivfChainCtes(nProbe)}
        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** q116 replay: the shared IVF chain cut to the rank ≤ 25 shortlist for
+    * the % 23 probes, then the label mining — negatives re-ranked within
+    * the mismatch set, positive ceiling a conditional max (self excluded),
+    * left-joined back (NULL when the shortlist recalled no same-label
+    * row). Raw-cosine ranking, round-at-output — the q114 discipline. */
+  private def hardNegativesAnnOracleSql: String =
+    s"""WITH ${ivfChainCtes(nProbe = 4)},
+       |short AS (
+       |  SELECT vec_id, neighbor_id, cos_raw FROM ranked
+       |  WHERE rank <= 25 AND vec_id % 23 = 0),
+       |lb AS (SELECT vec_id AS id, label FROM embeddings),
+       |neg AS (
+       |  SELECT s.vec_id, s.neighbor_id, s.cos_raw,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY s.cos_raw DESC, s.neighbor_id ASC) AS rnk
+       |  FROM short s
+       |  JOIN lb ql ON s.vec_id = ql.id
+       |  JOIN lb nl ON s.neighbor_id = nl.id
+       |  WHERE nl.label <> ql.label),
+       |pos AS (
+       |  SELECT s.vec_id, max(s.cos_raw) AS pc
+       |  FROM short s
+       |  JOIN lb ql ON s.vec_id = ql.id
+       |  JOIN lb nl ON s.neighbor_id = nl.id
+       |  WHERE nl.label = ql.label AND s.neighbor_id <> s.vec_id
+       |  GROUP BY s.vec_id)
+       |SELECT n.vec_id, n.neighbor_id, round(n.cos_raw, 6) AS cosine,
+       |  CAST(n.rnk AS INT) AS rank, round(p.pc, 6) AS pos_cosine
+       |FROM neg n LEFT JOIN pos p USING (vec_id)
+       |WHERE n.rnk <= 5 ORDER BY n.vec_id, n.rnk""".stripMargin
 
   private def pqAdcChain(nProbe: Int): String =
     s"""WITH base AS (
@@ -3565,6 +3629,8 @@ object SparkEntry {
         |  CASE WHEN frac < 0.8 THEN 'train'
         |       WHEN frac < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
         |FROM drawn ORDER BY doc_id""".stripMargin,
+
+    "q116_hard_negatives_ann" -> hardNegativesAnnOracleSql,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of

@@ -220,6 +220,15 @@ object Similarity {
     val scored = base.crossJoin(broadcast(q))
       .select(col("_qid"), col("_qlab"), col("_nid"), col("_nlab"),
         (dot(col("_qv"), col("_nv")) / (col("_qnrm") * col("_nnrm"))).as("_cos"))
+    mineLabeledScored(scored, k)
+  }
+
+  /** Shared mining tail of [[hardNegatives]] / [[hardNegativesFromShortlist]]
+    * — `scored` carries `(_qid, _qlab, _nid, _nlab, _cos)`: one aggregate
+    * splits every candidate by the label predicate (top-k buffer over the
+    * mismatches — `top_k_pairs` skips the null-gated matches — and a
+    * conditional max over the matches, self excluded). */
+  private def mineLabeledScored(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("_qid"))
       .agg(
@@ -233,6 +242,43 @@ object Similarity {
       .select(col("vec_id"), col("_e.neighbor_id").as("neighbor_id"),
         col("_e.score").as("cosine"), (col("_i") + 1).as("rank"),
         col("pos_cosine"))
+
+  /** [[hardNegatives]] from a PRE-COMPUTED shortlist — the 100 TB mining
+    * path: the corpus-scale work happens in whatever produced the
+    * shortlist ([[ivfTopK]] cells, [[lshTopK]] buckets, a persisted
+    * [[IvfIndex]]/[[PqIndex]] `topK`), and mining is then label joins +
+    * the same one-aggregate split over probes × shortlist rows — the
+    * corpus itself is never re-scanned. Overfetch the shortlist (k' of
+    * 3–5× k) so enough different-label candidates survive the filter.
+    *
+    * Approximation is inherited, and one-sided per column: `cosine` ranks
+    * only candidates the shortlist recalled (a missed true hard negative
+    * is absent, never mis-ranked), and `pos_cosine` is a LOWER bound on
+    * the true positive ceiling — NULL when the shortlist holds no
+    * same-label row at all, which at small k' is common; margin filters
+    * must treat NULL as "ceiling unknown", not "no positive exists".
+    * [[hardNegatives]] is the exact baseline this path is graded against.
+    *
+    * `shortlist` carries `(vec_id, neighbor_id, cosine)` (self-pairs
+    * tolerated — a self row is same-label, never a negative, and the
+    * self-exclusion in the positive max keeps it out of the ceiling);
+    * `labels` is the (id → label) side, joined TWICE on the narrow id
+    * columns — at corpus scale these are the only exchanges mining adds.
+    *
+    * Output: (vec_id, neighbor_id, cosine, rank, pos_cosine), rank ≤ k by
+    * (cosine desc, neighbor_id asc) within the different-label set. */
+  def hardNegativesFromShortlist(
+      shortlist: DataFrame,
+      labels: DataFrame, labelIdCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lab = labels.select(col(labelIdCol).as("_lid"), col(labelCol).as("_lab"))
+    val scored = shortlist
+      .select(col("vec_id").as("_qid"), col("neighbor_id").as("_nid"),
+        col("cosine").as("_cos"))
+      .join(lab.select(col("_lid").as("_qid"), col("_lab").as("_qlab")), Seq("_qid"))
+      .join(lab.select(col("_lid").as("_nid"), col("_lab").as("_nlab")), Seq("_nid"))
+    mineLabeledScored(scored, k)
   }
 
   /** Per-group top-k via the [[org.apache.spark.sql.graft.TopKPairs]]

@@ -197,7 +197,14 @@ object ScaleBench {
     // r12: batch BM25 served from the persisted postings index — the
     // per-call (doc, term) shuffle q97 pays is gone; serving scales with
     // Σ df(probed terms) + the vocabulary-sized termstats read
-    "q111_bm25_persisted")
+    "q111_bm25_persisted",
+    // r13: exactly-once postings admission — per-drain cost = one
+    // tokenize+count pass over each micro-batch + O(batch) linked
+    // appends + one manifest swap; the 90% seed build is fixture
+    "q113_stream_bm25",
+    // r13: leakage-safe split — the q28 pair plan + components, plus one
+    // corpus-vs-clustered-subset left join and the narrow interval draw
+    "q115_leakage_split")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
