@@ -2434,6 +2434,21 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: QUALITY-KEEPER near-dedup — keep the BEST copy per near-dup
+    // cluster (longest here: n_chars, ties min id), not the min-id one:
+    // the RefinedWeb/FineWeb keeper choice (truncated mirrors and paywall
+    // stubs lose to the full article). Same q28 pair plan + components;
+    // the keeper is a k=1 partial top-k per cluster; the corpus flows
+    // through one anti-join. Constant score ≡ plain nearDedup (spec'd).
+    "q117_keep_best_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxShinglePostings = 100)
+      Dedup.nearDedupKeepBest(docs, "doc_id", "n_chars", pairs)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ext: LEAKAGE-SAFE train/val/test split — q57's salted-interval draw
     // keyed by the doc's near-dup cluster ROOT (q28's components over the
     // exact-jaccard pairs), so no near-duplicate pair can straddle train
@@ -3631,6 +3646,47 @@ object SparkEntry {
         |FROM drawn ORDER BY doc_id""".stripMargin,
 
     "q116_hard_negatives_ann" -> hardNegativesAnnOracleSql,
+
+    // q117 replay: q28's recursive-CTE components, keeper = row_number 1
+    // by (n_chars desc, id asc) within each cluster, survivors = corpus
+    // minus the non-keeper cluster members.
+    "q117_keep_best_dedup" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 100),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n
+        |  HAVING count(*) / (a.n + b.n - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+        |scored AS (
+        |  SELECT l.id, l.cluster_id, d.n_chars
+        |  FROM lab l JOIN documents d ON l.id = d.doc_id),
+        |keep AS (
+        |  SELECT id FROM (
+        |    SELECT id, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, id ASC) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |drp AS (SELECT id FROM lab ANTI JOIN keep USING (id))
+        |SELECT doc_id, n_chars FROM documents
+        |ANTI JOIN drp ON documents.doc_id = drp.id
+        |ORDER BY doc_id""".stripMargin,
 
     // q82 replay: the whole span-removal chain in SQL — L-gram md5 marks,
     // HAVING count(*)>1 dup set, gaps-and-islands merge (window max of

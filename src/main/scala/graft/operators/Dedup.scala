@@ -293,6 +293,48 @@ object Dedup {
     df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** [[nearDedupFromPairs]] with a QUALITY keeper — keep the BEST copy per
+    * cluster, not the minimum id: near-duplicates are rarely identical
+    * (truncated mirrors, boilerplate-injected rewraps, paywall stubs of
+    * full articles), and min-id keeps whichever happened to be crawled
+    * first. Curation pipelines keep the argmax of a quality signal
+    * instead — length, quality score, source priority (the keeper choice
+    * the RefinedWeb/FineWeb corpus builders apply to near-dup clusters).
+    *
+    * Keeper per cluster = max `scoreCol`, ties by SMALLER id — so a
+    * constant score degrades exactly to [[nearDedupFromPairs]] (spec'd).
+    * Docs in no pair are untouched. NaN scores lose to any finite score
+    * (the [[org.apache.spark.sql.graft.TopKPairs]] buffer drops NaN); a
+    * NULL score never reaches the buffer, so an all-NULL/NaN cluster
+    * keeps its min id via the join-back described below.
+    *
+    * Scale: clusters come from the pair list (tiny vs the corpus); the
+    * keeper argmax is a k=1 [[org.apache.spark.sql.graft.TopKPairs]]
+    * partial-combining aggregate over cluster-member rows only; the
+    * corpus flows through exactly one anti-join against the (tiny) drop
+    * list — the [[nearDedupFromPairs]] shape plus one narrow score join. */
+  def nearDedupKeepBest(
+      df: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val scored = clusters.join(
+      df.select(col(idCol).as("id"), col(scoreCol).cast("double").as("_score")),
+      Seq("id"))
+    val keepers = scored
+      .filter(!isnull(col("_score")) && !isnan(col("_score")))
+      .groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairs
+        .top_k_pairs(col("_score"), col("id"), 1).as("_tk"))
+      .select(col("cluster_id"), col("_tk").getItem(0)
+        .getField("neighbor_id").as("_keep_id"))
+    // join back on cluster_id: clusters whose every score was NULL/NaN
+    // have no keeper row — fall back to the min-id keeper (cluster_id)
+    val drop = clusters
+      .join(keepers, Seq("cluster_id"), "left")
+      .filter(col("id") =!= coalesce(col("_keep_id"), col("cluster_id")))
+      .select(col("id").as("_drop_id"))
+    df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Cross-document paragraph dedup — RefinedWeb/FineWeb-style boilerplate
     * removal: a paragraph repeated anywhere in the corpus (cookie banners,
     * nav text, license blocks) survives ONLY at its first occurrence in

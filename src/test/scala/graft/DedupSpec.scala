@@ -278,4 +278,49 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === (("x", 5L, 4L)))
     assert(got(3L) === (("y", 5L, 4L)))
   }
+  test("nearDedupKeepBest keeps the highest-score copy per cluster, min id on ties") {
+    val s = spark; import s.implicits._
+    // cluster {1,2,3}: scores 5, 9, 9 -> keeper 2 (tie broken by min id);
+    // cluster {10,11}: keeper 11 (higher score); 20 is a singleton
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 7L), (20L, 0L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val kept = Dedup.nearDedupKeepBest(df, "doc_id", "score", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(2L, 11L, 20L))
+  }
+
+  test("nearDedupKeepBest with a constant score degrades to nearDedupFromPairs") {
+    val s = spark; import s.implicits._
+    val df = (1L to 40L).map(i => (i, 1.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 7L), (7L, 13L), (20L, 21L), (30L, 31L)).toDF("a_id", "b_id")
+    val best = Dedup.nearDedupKeepBest(df, "doc_id", "score", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val minId = Dedup.nearDedupFromPairs(df, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(best === minId)
+  }
+
+  test("nearDedupKeepBest: NULL/NaN scores lose; an all-NULL cluster keeps its min id") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(Double.NaN)),
+        (10L, None), (11L, None))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val kept = Dedup.nearDedupKeepBest(df, "doc_id", "score", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // cluster {1,2,3}: only 1 has a usable score; cluster {10,11}: no
+    // usable score at all -> min-id fallback keeps 10
+    assert(kept === Seq(1L, 10L))
+  }
+
+  test("nearDedupKeepBest is deterministic under repartitioning") {
+    val s = spark; import s.implicits._
+    val df = (1L to 60L).map(i => (i, (i * 37 % 11).toDouble)).toDF("doc_id", "score")
+    val pairs = (1L to 20L).map(i => (i, i + 20L)).toDF("a_id", "b_id")
+    def run(d: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDedupKeepBest(d, "doc_id", "score", p)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(run(df, pairs) === run(df.repartition(7), pairs.repartition(3)))
+  }
 }
