@@ -56,6 +56,14 @@ object Recall {
     val splitExact = exactAgainst(
       emb.filter(pmod(col("vec_id"), lit(10)) === 0),
       emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)).cache()
+    // hard-negative mining ground truth: the EXACT miner's (probe,
+    // negative) pairs at q114/q116's declared operating point (k=5,
+    // %23 probes) — the tracked quality is how much of the exact set the
+    // ANN-shortlist path recovers, so this row is recall@5 not @3
+    val mineExact = pairs(Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label",
+      emb.filter(pmod(col("vec_id"), lit(23)) === 0),
+      "vec_id", "embedding", "label", k = 5)).cache()
     try {
       val tracked: Seq[(String, DataFrame)] = Seq(
         "q29_ivf_topk" -> selfExact,
@@ -74,7 +82,8 @@ object Recall {
         // streamed admission serves the SAME final corpus (80% seed +
         // 10% streamed = every vec_id % 10 != 0 row), so the split
         // ground truth applies verbatim
-        "q110_stream_index" -> splitExact)
+        "q110_stream_index" -> splitExact,
+        "q116_hard_negatives_ann" -> mineExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()
@@ -84,6 +93,7 @@ object Recall {
     } finally {
       selfExact.unpersist()
       splitExact.unpersist()
+      mineExact.unpersist()
     }
   }
 
