@@ -2434,6 +2434,22 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: CORPUS OVERLAP ESTIMATION from KMV synopses (Beyer et al.,
+    // SIGMOD 2007) — pairwise vocabulary Jaccard / union / intersection
+    // between sources WITHOUT joining the corpora: one sketch pass (≤ k
+    // hashes per group-partition reach the exchange), then a broadcast
+    // pairing of the groups × k synopsis table. The "how much of crawl B
+    // is already in crawl A" audit at 100 TB, from two KB-sized synopses.
+    // md5-deterministic end to end, so the ESTIMATES replay in SQL.
+    "q118_corpus_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.Sketches.kmvOverlap(toks, "source", "tok", k = 256)
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
     // ext: QUALITY-KEEPER near-dedup — keep the BEST copy per near-dup
     // cluster (longest here: n_chars, ties min id), not the min-id one:
     // the RefinedWeb/FineWeb keeper choice (truncated mirrors and paywall
@@ -3646,6 +3662,59 @@ object SparkEntry {
         |FROM drawn ORDER BY doc_id""".stripMargin,
 
     "q116_hard_negatives_ann" -> hardNegativesAnnOracleSql,
+
+    // q118 replay: per-source distinct 40-bit token draws ranked to the
+    // k=256 sketch, pairs joined on source order, the union re-ranked to
+    // its own k smallest, coincidence count via two sketch lookups, then
+    // the same (k−1)/R-or-exact arms as q93. Every estimate is a pure
+    // function of md5 draws, so the APPROXIMATE answers hash-match.
+    "q118_corpus_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5('kmv:' || tok), 1, 10) AS BIGINT) AS hv
+        |  FROM tk WHERE len(tok) > 0),
+        |r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |sk AS (SELECT source, hv, least(n, 256) AS ns FROM r WHERE rk <= 256),
+        |gs AS (SELECT DISTINCT source, ns FROM sk),
+        |prs AS (
+        |  SELECT a.source AS ga, a.ns AS na, b.source AS gb, b.ns AS nb
+        |  FROM gs a JOIN gs b ON a.source < b.source),
+        |su AS (
+        |  SELECT p.ga, p.gb, s.hv FROM prs p
+        |  JOIN sk s ON s.source IN (p.ga, p.gb)
+        |  GROUP BY p.ga, p.gb, s.hv),
+        |ur AS (
+        |  SELECT ga, gb, hv,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY hv ASC) AS urk
+        |  FROM su),
+        |uk AS (SELECT ga, gb, hv FROM ur WHERE urk <= 256),
+        |agg AS (
+        |  SELECT u.ga, u.gb, count(*) AS l, max(u.hv) AS kth,
+        |    sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS nboth
+        |  FROM uk u
+        |  LEFT JOIN sk ia ON ia.source = u.ga AND ia.hv = u.hv
+        |  LEFT JOIN sk ib ON ib.source = u.gb AND ib.hv = u.hv
+        |  GROUP BY u.ga, u.gb)
+        |SELECT p.ga AS group_a, p.gb AS group_b,
+        |  CAST(p.na AS INT) AS n_a_sketch, CAST(p.nb AS INT) AS n_b_sketch,
+        |  round(CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE), 6) AS est_jaccard,
+        |  round(CASE WHEN l < 256 THEN CAST(l AS DOUBLE)
+        |    ELSE 255.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |    END, 4) AS est_union,
+        |  round((CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE)) *
+        |    (CASE WHEN l < 256 THEN CAST(l AS DOUBLE)
+        |     ELSE 255.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |     END), 4) AS est_intersection
+        |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // q117 replay: q28's recursive-CTE components, keeper = row_number 1
     // by (n_chars desc, id asc) within each cluster, survivors = corpus

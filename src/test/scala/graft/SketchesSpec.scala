@@ -366,4 +366,55 @@ class SketchesSpec extends SparkSpec {
     buf.add(4.0, 2L)
     assert(buf.ids.take(4).toSeq === before)
   }
+  test("kmvOverlap exact arm: sub-k groups give exact jaccard/union/intersection") {
+    val s = spark; import s.implicits._
+    // A = {1..60}, B = {41..100}: |A ∩ B| = 20, |A ∪ B| = 100, J = 0.2
+    val df = ((1 to 60).map(v => ("a", v.toString)) ++
+      (41 to 100).map(v => ("b", v.toString))).toDF("g", "v")
+    val r = Sketches.kmvOverlap(df, "g", "v", k = 256).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[String]("group_a") === "a" && row.getAs[String]("group_b") === "b")
+    assert(row.getAs[Int]("n_a_sketch") === 60 && row.getAs[Int]("n_b_sketch") === 60)
+    assert(row.getAs[Double]("est_jaccard") === 0.2)
+    assert(row.getAs[Double]("est_union") === 100.0)
+    assert(row.getAs[Double]("est_intersection") === 20.0)
+  }
+
+  test("kmvOverlap estimator arm lands near the true overlap and is repartition-invariant") {
+    val s = spark; import s.implicits._
+    // 4000-distinct groups with a 2000-element intersection: J = 1/3
+    val df = ((1 to 4000).map(v => ("a", s"v$v")) ++
+      (2001 to 6000).map(v => ("b", s"v$v")) ++
+      Seq(("a", null.asInstanceOf[String]))).toDF("g", "v") // NULL excluded
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvOverlap(d, "g", "v", k = 256).collect()(0)
+    val row = run(df)
+    assert(row.getAs[Int]("n_a_sketch") === 256)
+    val j = row.getAs[Double]("est_jaccard")
+    val u = row.getAs[Double]("est_union")
+    val i = row.getAs[Double]("est_intersection")
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"J estimate too far: $j")
+    assert(math.abs(u - 6000.0) / 6000.0 < 0.25, s"U estimate too far: $u")
+    assert(math.abs(i - 2000.0) / 2000.0 < 0.45, s"I estimate too far: $i")
+    // deterministic: exact same doubles under any layout
+    val rep = run(df.repartition(13))
+    assert(rep.getAs[Double]("est_jaccard") === j)
+    assert(rep.getAs[Double]("est_union") === u)
+    assert(rep.getAs[Double]("est_intersection") === i)
+  }
+
+  test("kmvOverlap emits one row per unordered group pair") {
+    val s = spark; import s.implicits._
+    val df = (1 to 30).flatMap(v =>
+      Seq(("a", s"x$v"), ("b", s"y$v"), ("c", s"x$v"))).toDF("g", "v")
+    val rows = Sketches.kmvOverlap(df, "g", "v", k = 64).collect()
+    val ps = rows.map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b"))).toSet
+    assert(ps === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a and c are identical sets: J = 1 exactly (exact arm)
+    val ac = rows.find(r => r.getAs[String]("group_a") == "a"
+      && r.getAs[String]("group_b") == "c").get
+    assert(ac.getAs[Double]("est_jaccard") === 1.0)
+    assert(ac.getAs[Double]("est_intersection") === 30.0)
+  }
 }
