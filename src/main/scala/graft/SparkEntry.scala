@@ -2450,6 +2450,20 @@ object SparkEntry {
         .orderBy(col("group_a"), col("group_b"))
     }),
 
+    // ext: q118 SERVED FROM COMMITTED PROFILE STATE — pairwise source
+    // overlap from the q105 profile's persisted kmv member (zero corpus
+    // scan; the synopses are already on disk), through the SAME estimator
+    // code object as the ad-hoc q118. The profile was built 90% + appended
+    // 10%, and kmv state is canonical, so the served estimates must equal
+    // a from-scratch pass over the FULL corpus — the oracle replays that
+    // from-scratch chain, extending the q105/q106 serve-vs-scratch proof
+    // to a PAIRWISE statistic.
+    "q119_profile_overlap" -> ((s, dir) => {
+      graft.operators.CorpusProfile.overlap(s,
+          new graft.operators.TableStore(q105ProfileRoot(s, dir)), "docs", k = 64)
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
     // ext: QUALITY-KEEPER near-dedup — keep the BEST copy per near-dup
     // cluster (longest here: n_chars, ties min id), not the min-id one:
     // the RefinedWeb/FineWeb keeper choice (truncated mirrors and paywall
@@ -3712,6 +3726,56 @@ object SparkEntry {
         |  round((CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE)) *
         |    (CASE WHEN l < 256 THEN CAST(l AS DOUBLE)
         |     ELSE 255.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |     END), 4) AS est_intersection
+        |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    // q119 replay: the q118 chain from scratch over the FULL documents
+    // corpus — distinct TEXT per source (the profile's distinctCol), k=64
+    // (the profile's build k). Equality against the served output IS the
+    // canonicity proof: build(90%) + append(10%) left exactly the sketch a
+    // single full pass would.
+    "q119_profile_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5('kmv:' || text), 1, 10) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |sk AS (SELECT source, hv, least(n, 64) AS ns FROM r WHERE rk <= 64),
+        |gs AS (SELECT DISTINCT source, ns FROM sk),
+        |prs AS (
+        |  SELECT a.source AS ga, a.ns AS na, b.source AS gb, b.ns AS nb
+        |  FROM gs a JOIN gs b ON a.source < b.source),
+        |su AS (
+        |  SELECT p.ga, p.gb, s.hv FROM prs p
+        |  JOIN sk s ON s.source IN (p.ga, p.gb)
+        |  GROUP BY p.ga, p.gb, s.hv),
+        |ur AS (
+        |  SELECT ga, gb, hv,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY hv ASC) AS urk
+        |  FROM su),
+        |uk AS (SELECT ga, gb, hv FROM ur WHERE urk <= 64),
+        |agg AS (
+        |  SELECT u.ga, u.gb, count(*) AS l, max(u.hv) AS kth,
+        |    sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS nboth
+        |  FROM uk u
+        |  LEFT JOIN sk ia ON ia.source = u.ga AND ia.hv = u.hv
+        |  LEFT JOIN sk ib ON ib.source = u.gb AND ib.hv = u.hv
+        |  GROUP BY u.ga, u.gb)
+        |SELECT p.ga AS group_a, p.gb AS group_b,
+        |  CAST(p.na AS INT) AS n_a_sketch, CAST(p.nb AS INT) AS n_b_sketch,
+        |  round(CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE), 6) AS est_jaccard,
+        |  round(CASE WHEN l < 64 THEN CAST(l AS DOUBLE)
+        |    ELSE 63.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |    END, 4) AS est_union,
+        |  round((CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE)) *
+        |    (CASE WHEN l < 64 THEN CAST(l AS DOUBLE)
+        |     ELSE 63.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
         |     END), 4) AS est_intersection
         |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
         |ORDER BY group_a, group_b""".stripMargin,

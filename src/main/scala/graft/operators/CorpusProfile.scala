@@ -823,4 +823,27 @@ object CorpusProfile {
       .select(Seq(col("group"), col("n_sketch"), col("est_distinct"),
         col("level"), col("n_retained")) ++ qCols: _*)
   }
+
+  /** Pairwise corpus overlap served from COMMITTED profile state —
+    * [[Sketches.kmvOverlap]]'s estimator (SAME code object, so the ad-hoc
+    * and served paths cannot drift) over the persisted kmv member rows:
+    * zero corpus scan, the synopses are already on disk and canonical, so
+    * the served estimates are bit-identical to a from-scratch
+    * [[Sketches.kmvOverlap]] over everything ever admitted — the
+    * q105/q106 serve-vs-scratch argument applied to a PAIRWISE statistic.
+    * `k` must be the profile's build k (the sketch rows carry ≤ k hashes
+    * per group; a larger k here would mistake a full sketch for the exact
+    * arm). Reads ride the same pinned manifest as [[profile]]. */
+  def overlap(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      k: Int): DataFrame = {
+    val (m, _) = requireManifest(spark, store, name)
+    val sk = pinnedRead(spark, store, name, m.kmv, kmvTable(name), "distinct")
+      .groupBy(col("group"))
+      .agg(sort_array(collect_list(col("hv"))).as("_sk"))
+      .select(col("group").as("_g"), col("_sk"))
+    Sketches.overlapFromSynopses(sk, k)
+  }
 }

@@ -114,6 +114,16 @@ object Sketches {
       .agg(org.apache.spark.sql.graft.TopKPairs
         .top_k_pairs_distinct(-col("_hv").cast("double"), col("_hv"), k)
         .getField("neighbor_id").as("_sk")) // ascending hashes
+    overlapFromSynopses(sk, k)
+  }
+
+  /** The pairing + coincidence estimator behind [[kmvOverlap]], shared with
+    * [[CorpusProfile.overlap]] (which serves the SAME estimates from its
+    * committed kmv member rows) — one code object so the ad-hoc and the
+    * served path cannot drift. `sk` carries one row per group:
+    * `(_g, _sk: array<long>)`, the group's ≤ k smallest distinct draws
+    * ascending. */
+  private[operators] def overlapFromSynopses(sk: DataFrame, k: Int): DataFrame = {
     val a = sk.select(col("_g").as("group_a"), col("_sk").as("_a"))
     val b = sk.select(col("_g").as("group_b"), col("_sk").as("_b"))
     val u = slice(array_sort(array_union(col("_a"), col("_b"))), 1, k)

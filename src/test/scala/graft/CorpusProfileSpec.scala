@@ -560,4 +560,25 @@ class CorpusProfileSpec extends SparkSpec {
       .orderBy(col("group"), col("term")).collect().map(_.toSeq).toSeq
     assert(freqAfter === freqBefore, "the frequency tier's pin must survive a rebuild")
   }
+  test("overlap served from committed state equals the ad-hoc kmvOverlap from scratch") {
+    val store = new TableStore(freshRoot())
+    val all = docs(1 to 400)
+    // build 75%, append 25% — the served synopses must be canonical
+    CorpusProfile.build(all.filter(col("id") % 4 =!= 0),
+      "grp", "txt", "id", "num", k = 32, b = 128, store, "p")
+    CorpusProfile.append(spark, all.filter(col("id") % 4 === 0),
+      "grp", "txt", "id", "num", k = 32, b = 128, store, "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val served = rows(CorpusProfile.overlap(spark, store, "p", k = 32))
+    val scratch = rows(graft.operators.Sketches.kmvOverlap(
+      all, "grp", "txt", k = 32))
+    assert(served === scratch)
+    assert(served.nonEmpty) // 3 groups -> 3 pairs
+    assert(served.length === 3)
+    // txt repeats with period 211 across interleaved groups: real overlap
+    assert(served.exists(_._5 > 0.0), "expected nonzero jaccard between groups")
+  }
 }
