@@ -204,7 +204,15 @@ object ScaleBench {
     "q113_stream_bm25",
     // r13: leakage-safe split — the q28 pair plan + components, plus one
     // corpus-vs-clustered-subset left join and the narrow interval draw
-    "q115_leakage_split")
+    "q115_leakage_split",
+    // r13: pairwise overlap from KMV synopses — the corpus-token-sized
+    // sketch pass (q93's shape over an exploded token stream) dominates;
+    // pairing is a broadcast self-join of G × k synopsis rows
+    "q118_corpus_overlap",
+    // r13: overlap SERVED from committed profile state — reads G × ≤k
+    // hash rows + the G² pairing; must be corpus-size-independent like
+    // the q105/q106 serving rows (the fixture build is staged per dir)
+    "q119_profile_overlap")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
