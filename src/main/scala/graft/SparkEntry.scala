@@ -2405,7 +2405,7 @@ object SparkEntry {
           k = 5)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"),
-          round(col("pos_cosine"), 6).as("pos_cosine"))
+          col("pos_id"), round(col("pos_cosine"), 6).as("pos_cosine"))
         .orderBy(col("vec_id"), col("rank"))
     }),
 
@@ -2430,7 +2430,7 @@ object SparkEntry {
           emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"),
-          round(col("pos_cosine"), 6).as("pos_cosine"))
+          col("pos_id"), round(col("pos_cosine"), 6).as("pos_cosine"))
         .orderBy(col("vec_id"), col("rank"))
     }),
 
@@ -2939,14 +2939,17 @@ object SparkEntry {
        |  JOIN lb nl ON s.neighbor_id = nl.id
        |  WHERE nl.label <> ql.label),
        |pos AS (
-       |  SELECT s.vec_id, max(s.cos_raw) AS pc
-       |  FROM short s
-       |  JOIN lb ql ON s.vec_id = ql.id
-       |  JOIN lb nl ON s.neighbor_id = nl.id
-       |  WHERE nl.label = ql.label AND s.neighbor_id <> s.vec_id
-       |  GROUP BY s.vec_id)
+       |  SELECT vec_id, neighbor_id AS pos_id, cos_raw AS pc FROM (
+       |    SELECT s.vec_id, s.neighbor_id, s.cos_raw,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY s.cos_raw DESC, s.neighbor_id ASC) AS prk
+       |    FROM short s
+       |    JOIN lb ql ON s.vec_id = ql.id
+       |    JOIN lb nl ON s.neighbor_id = nl.id
+       |    WHERE nl.label = ql.label AND s.neighbor_id <> s.vec_id)
+       |  WHERE prk = 1)
        |SELECT n.vec_id, n.neighbor_id, round(n.cos_raw, 6) AS cosine,
-       |  CAST(n.rnk AS INT) AS rank, round(p.pc, 6) AS pos_cosine
+       |  CAST(n.rnk AS INT) AS rank, p.pos_id, round(p.pc, 6) AS pos_cosine
        |FROM neg n LEFT JOIN pos p USING (vec_id)
        |WHERE n.rnk <= 5 ORDER BY n.vec_id, n.rnk""".stripMargin
 
@@ -3626,10 +3629,14 @@ object SparkEntry {
         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |  FROM sc WHERE nlab <> qlab),
         |pos AS (
-        |  SELECT vec_id, max(cos) AS pc FROM sc
-        |  WHERE nlab = qlab AND neighbor_id <> vec_id GROUP BY vec_id)
+        |  SELECT vec_id, neighbor_id AS pos_id, cos AS pc FROM (
+        |    SELECT vec_id, neighbor_id, cos,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, neighbor_id ASC) AS prk
+        |    FROM sc WHERE nlab = qlab AND neighbor_id <> vec_id)
+        |  WHERE prk = 1)
         |SELECT n.vec_id, n.neighbor_id, round(n.cos, 6) AS cosine,
-        |  CAST(n.rnk AS INT) AS rank, round(p.pc, 6) AS pos_cosine
+        |  CAST(n.rnk AS INT) AS rank, p.pos_id, round(p.pc, 6) AS pos_cosine
         |FROM neg n LEFT JOIN pos p USING (vec_id)
         |WHERE n.rnk <= 5 ORDER BY n.vec_id, n.rnk""".stripMargin,
 

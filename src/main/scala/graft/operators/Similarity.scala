@@ -204,7 +204,9 @@ object Similarity {
     * broadcast, mine through the [[IvfIndex]] shortlist and re-rank — this
     * is the exact baseline that path is graded against.
     *
-    * Output: (vec_id, neighbor_id, cosine, rank, pos_cosine) — rank ≤ k by
+    * Output: (vec_id, neighbor_id, cosine, rank, pos_id, pos_cosine) —
+    * pos_id is the positive's own id (triplet emission needs the row, not
+    * just the ceiling value); rank ≤ k by
     * (cosine desc, neighbor_id asc) within the different-label set. */
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
@@ -227,7 +229,11 @@ object Similarity {
     * — `scored` carries `(_qid, _qlab, _nid, _nlab, _cos)`: one aggregate
     * splits every candidate by the label predicate (top-k buffer over the
     * mismatches — `top_k_pairs` skips the null-gated matches — and a
-    * conditional max over the matches, self excluded). */
+    * conditional struct-argmax over the matches, self excluded, carrying
+    * the POSITIVE'S ID out so consumers can emit real (anchor, positive,
+    * negative) triplets, not just the ceiling value; the negated-id field
+    * makes the struct max break cosine ties to the SMALLER id, the
+    * engine-wide order). */
   private def mineLabeledScored(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("_qid"))
@@ -235,13 +241,14 @@ object Similarity {
         org.apache.spark.sql.graft.TopKPairs.top_k_pairs(
           when(col("_nlab") =!= col("_qlab"), col("_cos")), col("_nid"), k).as("_tk"),
         max(when(col("_nlab") === col("_qlab") && col("_nid") =!= col("_qid"),
-          col("_cos"))).as("pos_cosine"))
+          struct(col("_cos").as("c"), (-col("_nid")).as("negid")))).as("_pos"))
       .filter(size(col("_tk")) > 0)
-      .select(col("_qid").as("vec_id"), col("pos_cosine"),
+      .select(col("_qid").as("vec_id"),
+        col("_pos.c").as("pos_cosine"), (-col("_pos.negid")).as("pos_id"),
         posexplode(col("_tk")).as(Seq("_i", "_e")))
       .select(col("vec_id"), col("_e.neighbor_id").as("neighbor_id"),
         col("_e.score").as("cosine"), (col("_i") + 1).as("rank"),
-        col("pos_cosine"))
+        col("pos_id"), col("pos_cosine"))
 
   /** [[hardNegatives]] from a PRE-COMPUTED shortlist — the 100 TB mining
     * path: the corpus-scale work happens in whatever produced the
@@ -265,7 +272,8 @@ object Similarity {
     * `labels` is the (id → label) side, joined TWICE on the narrow id
     * columns — at corpus scale these are the only exchanges mining adds.
     *
-    * Output: (vec_id, neighbor_id, cosine, rank, pos_cosine), rank ≤ k by
+    * Output: (vec_id, neighbor_id, cosine, rank, pos_id, pos_cosine),
+    * pos_id the recalled positive's id (NULL with pos_cosine); rank ≤ k by
     * (cosine desc, neighbor_id asc) within the different-label set. */
   def hardNegativesFromShortlist(
       shortlist: DataFrame,

@@ -244,6 +244,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1L, 2))._1 === 5L)
     val cos12 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
     assert(math.abs(out((1L, 1))._2.get - cos12) < 1e-9)
+    // the positive's own id rides out with the ceiling: triplet = (1, 2, 3)
+    val byProbe = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        df.filter(col("vec_id").isin(1L, 5L)), "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (if (r.isNullAt(r.fieldIndex("pos_id"))) None
+         else Some(r.getAs[Long]("pos_id")))).toMap
+    assert(byProbe(1L) === Some(2L))
+    assert(byProbe(5L) === None)
     // probe 5 (label C, unique): every other vector is a negative,
     // pos_cosine is NULL
     assert(out((5L, 1))._2 === None)
@@ -291,6 +299,13 @@ class SimilaritySpec extends SparkSpec {
           else Some(r.getAs[Double]("pos_cosine"))))).toMap
     // probe 1: negatives are 3 (0.8) then 4 (0.7); the self row (same
     // label) is neither a negative nor the ceiling — pos_cosine is 0.9
+    // from doc 2, whose id rides out as pos_id
+    val posIds = Similarity.hardNegativesFromShortlist(short, labels, "id", "lab", k = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (if (r.isNullAt(r.fieldIndex("pos_id"))) None
+         else Some(r.getAs[Long]("pos_id")))).toMap
+    assert(posIds(1L) === Some(2L))
+    assert(posIds(5L) === None)
     assert(out((1L, 1)) === ((3L, 0.8, Some(0.9))))
     assert(out((1L, 2)) === ((4L, 0.7, Some(0.9))))
     assert(!out.contains((1L, 3)))
