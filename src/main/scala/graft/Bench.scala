@@ -80,6 +80,17 @@ object Bench {
       // >10x pass spreads on q23/q42. Within-query passes still share the
       // warm cache (the serving-shaped measurement).
       graft.operators.CacheScope.appLifetime.release()
+      // Same hygiene for STREAMING state: every drained query leaves its
+      // state-store providers + the maintenance task alive in the JVM
+      // (keyed by checkpoint dir, so each run adds new ones, and nothing
+      // evicts them inside one application). With 8 streaming queries
+      // early in the sorted order, later drains measured the accumulated
+      // maintenance/GC tax, not their own plans — measured r13: q80 in
+      // the full bench 6.15s vs 3.7s isolated, same plan. stop() unloads
+      // all providers and halts maintenance; the next streaming query
+      // restarts it lazily.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       (name, times, !failed)
     }
     val (loadAfter, _) = hostLoad()

@@ -271,6 +271,10 @@ object ScaleBench {
       // ways (base and scaled inflate differently). Within-query passes
       // still share the warm cache.
       graft.operators.CacheScope.appLifetime.release()
+      // streaming-state hygiene, same rationale as the Bench loop: unload
+      // accumulated state-store providers + maintenance between queries
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       (times.min, rows)
     }
 
