@@ -256,13 +256,29 @@ object Retrieval {
     * Output: (probe_id, doc_id, n_legs, rrf, rrf_rank), `rrf` rounded to
     * 6, ranked on the raw fused score. */
   def rrfFuse(legs: Seq[DataFrame], kRrf: Int = 60, k: Int = 10)(
+      implicit caches: CacheScope): DataFrame =
+    rrfFuseWeighted(legs.map(_ -> 1.0), kRrf, k)
+
+  /** [[rrfFuse]] with a per-leg weight — the standard production knob
+    * (e.g. lexical 0.7 / vector 0.3 when one retriever is trusted more):
+    * each leg contributes `w / (kRrf + rank)`. Weight 1.0 on every leg is
+    * BIT-IDENTICAL to [[rrfFuse]] (`w / x` with w = 1.0 is the same IEEE
+    * division), so the unweighted oracle discipline carries over; any
+    * other weights stay engine-replayable for the same reason the
+    * unweighted form is — each addend is a pure function of an integer
+    * rank and a constant. Zero-weight legs are allowed (they contribute
+    * nothing but still count in `n_legs`); negative weights are refused. */
+  def rrfFuseWeighted(
+      legs: Seq[(DataFrame, Double)], kRrf: Int = 60, k: Int = 10)(
       implicit caches: CacheScope): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
     require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
     require(k >= 1, s"k must be >= 1, got $k")
-    val tagged = legs.zipWithIndex.map { case (df, i) =>
+    require(legs.forall(_._2 >= 0.0),
+      s"leg weights must be >= 0, got ${legs.map(_._2).mkString(",")}")
+    val tagged = legs.zipWithIndex.map { case ((df, w), i) =>
       df.select(col("probe_id"), col("doc_id"), lit(i).as("_leg"),
-        (lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double"))).as("_c"))
+        (lit(w) / (lit(kRrf.toDouble) + col("rank").cast("double"))).as("_c"))
     }.reduce(_ unionByName _)
     // pinned: feeds the per-probe top-k AND the n_legs rejoin
     val fused = caches.pin(tagged

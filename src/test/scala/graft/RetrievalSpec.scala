@@ -181,4 +181,31 @@ class RetrievalSpec extends SparkSpec {
     // two addends commute bit-exactly, so leg order cannot matter
     assert(run(lex, vec) === run(vec, lex))
   }
+  test("rrfFuseWeighted: weight scales each leg's addends; weight 1.0 is bit-identical") {
+    val s = spark
+    val lex = leg(s, Seq((1L, 10L, 1), (1L, 20L, 2)))
+    val vec = leg(s, Seq((1L, 10L, 1), (1L, 30L, 2)))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_legs"), r.getAs[Double]("rrf"), r.getAs[Int]("rrf_rank")))).toMap
+    // all-1.0 weights == the unweighted form, down to the last bit
+    val unweighted = collectMap(Retrieval.rrfFuse(Seq(lex, vec), kRrf = 60, k = 10))
+    val ones = collectMap(Retrieval.rrfFuseWeighted(
+      Seq(lex -> 1.0, vec -> 1.0), kRrf = 60, k = 10))
+    assert(ones === unweighted)
+    // lexical 2x: doc 20 (lex-only, rank 2) now outranks doc 30 (vec-only,
+    // rank 2), and doc 10's sum is 2/61 + 1/61
+    val weighted = collectMap(Retrieval.rrfFuseWeighted(
+      Seq(lex -> 2.0, vec -> 1.0), kRrf = 60, k = 10))
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(weighted(10L) === ((2, rd(2.0 / 61.0 + 1.0 / 61.0), 1)))
+    assert(weighted(20L)._3 === 2 && weighted(30L)._3 === 3)
+    assert(weighted(20L)._2 === rd(2.0 / 62.0))
+    // zero weight: the leg stops contributing but still counts in n_legs
+    val zeroVec = collectMap(Retrieval.rrfFuseWeighted(
+      Seq(lex -> 1.0, vec -> 0.0), kRrf = 60, k = 10))
+    assert(zeroVec(10L)._1 === 2)               // seen by both legs
+    assert(zeroVec(10L)._2 === rd(1.0 / 61.0))  // but only lex scores
+    assert(zeroVec(30L)._2 === 0.0)
+  }
 }
