@@ -2434,6 +2434,27 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the mining family's QUALITY tier — q116's chain at nProbe=10
+    // and a 50-deep shortlist (q116 : q120 :: q29 : q92): recall is purely
+    // candidate-bound, so widening the probe and overfetch lifts
+    // recall@5 from the budget tier's 0.41 to 0.79 (RECALL_SNAPSHOT) at
+    // 2.5x the candidate volume — still ~nProbe/nCells of the corpus per
+    // probe, constant per-probe work as n grows. Same full-SQL oracle:
+    // the scale path itself is hash-verified at this operating point too.
+    "q120_hard_negatives_quality" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      val short = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 50, nCells = nCells, nProbe = 10)
+        .filter(col("vec_id") % 23 === 0)
+      Similarity.hardNegativesFromShortlist(short,
+          emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"),
+          col("pos_id"), round(col("pos_cosine"), 6).as("pos_cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: CORPUS OVERLAP ESTIMATION from KMV synopses (Beyer et al.,
     // SIGMOD 2007) — pairwise vocabulary Jaccard / union / intersection
     // between sources WITHOUT joining the corpora: one sketch pass (≤ k
@@ -2925,10 +2946,15 @@ object SparkEntry {
     * left-joined back (NULL when the shortlist recalled no same-label
     * row). Raw-cosine ranking, round-at-output — the q114 discipline. */
   private def hardNegativesAnnOracleSql: String =
-    s"""WITH ${ivfChainCtes(nProbe = 4)},
+    hardNegativesAnnOracleSqlAt(nProbe = 4, shortlist = 25)
+
+  /** Parameterized form shared by the budget (q116: nProbe 4, shortlist
+    * 25) and quality (q120: nProbe 10, shortlist 50) mining tiers. */
+  private def hardNegativesAnnOracleSqlAt(nProbe: Int, shortlist: Int): String =
+    s"""WITH ${ivfChainCtes(nProbe)},
        |short AS (
        |  SELECT vec_id, neighbor_id, cos_raw FROM ranked
-       |  WHERE rank <= 25 AND vec_id % 23 = 0),
+       |  WHERE rank <= $shortlist AND vec_id % 23 = 0),
        |lb AS (SELECT vec_id AS id, label FROM embeddings),
        |neg AS (
        |  SELECT s.vec_id, s.neighbor_id, s.cos_raw,
@@ -3683,6 +3709,7 @@ object SparkEntry {
         |FROM drawn ORDER BY doc_id""".stripMargin,
 
     "q116_hard_negatives_ann" -> hardNegativesAnnOracleSql,
+    "q120_hard_negatives_quality" -> hardNegativesAnnOracleSqlAt(nProbe = 10, shortlist = 50),
 
     // q118 replay: per-source distinct 40-bit token draws ranked to the
     // k=256 sketch, pairs joined on source order, the union re-ranked to

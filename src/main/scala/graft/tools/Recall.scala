@@ -83,7 +83,9 @@ object Recall {
         // 10% streamed = every vec_id % 10 != 0 row), so the split
         // ground truth applies verbatim
         "q110_stream_index" -> splitExact,
-        "q116_hard_negatives_ann" -> mineExact)
+        "q116_hard_negatives_ann" -> mineExact,
+        // the quality tier: same exact ground truth, wider probe+overfetch
+        "q120_hard_negatives_quality" -> mineExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()
