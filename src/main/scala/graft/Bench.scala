@@ -90,7 +90,7 @@ object Bench {
       // all providers and halts maintenance; the next streaming query
       // restarts it lazily.
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // fatal (OOM etc.) must surface
       (name, times, !failed)
     }
     val (loadAfter, _) = hostLoad()

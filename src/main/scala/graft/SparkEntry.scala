@@ -2423,9 +2423,15 @@ object SparkEntry {
     "q116_hard_negatives_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val nCells = math.max(16, (emb.count() / 125L).toInt)
-      val short = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      // against-probe path: centroid sample + cell assignment stay
+      // corpus-shaped, but only the %23 probe batch ranks cells and
+      // scores candidates (~23x less candidate work than probing the
+      // full corpus and filtering after). Row-identical to that chain —
+      // per-probe results are independent — so the oracle still replays
+      // the full-probe CTE and filters %23 after it.
+      val short = Similarity.ivfTopKAgainst(emb, "vec_id", "embedding",
+          probes = emb.filter(col("vec_id") % 23 === 0),
           k = 25, nCells = nCells, nProbe = 4)
-        .filter(col("vec_id") % 23 === 0)
       Similarity.hardNegativesFromShortlist(short,
           emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
         .select(col("vec_id"), col("neighbor_id"),
@@ -2444,9 +2450,10 @@ object SparkEntry {
     "q120_hard_negatives_quality" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val nCells = math.max(16, (emb.count() / 125L).toInt)
-      val short = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      // q116's against-probe shape at the quality operating point
+      val short = Similarity.ivfTopKAgainst(emb, "vec_id", "embedding",
+          probes = emb.filter(col("vec_id") % 23 === 0),
           k = 50, nCells = nCells, nProbe = 10)
-        .filter(col("vec_id") % 23 === 0)
       Similarity.hardNegativesFromShortlist(short,
           emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
         .select(col("vec_id"), col("neighbor_id"),

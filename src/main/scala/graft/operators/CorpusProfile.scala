@@ -75,7 +75,12 @@ object CorpusProfile {
   /** Pinned member-table versions + the admission gate. `None` = the tier
     * has not been built. */
   private[graft] final case class ProfileManifest(
-      kmv: Option[Int], lvl: Option[Int], cms: Option[Int], lastBatchId: Long)
+      kmv: Option[Int], lvl: Option[Int], cms: Option[Int], lastBatchId: Long,
+      // k the distinct tier was built with (-1 = pre-r14 manifest, unknown).
+      // Persisted so sketch READERS ([[overlap]]) can validate their k
+      // against it: a larger k would mistake a full k-sized sketch for the
+      // exact sub-k arm and mis-estimate badly; a smaller k would truncate.
+      buildK: Int = -1)
 
   /** The manifest is a TableStore table whose versions hold ONE
     * driver-written JSON file instead of parquet — the store's staging +
@@ -87,7 +92,8 @@ object CorpusProfile {
 
   private def encodeManifest(m: ProfileManifest): String =
     s"""{"kmv_v":${m.kmv.getOrElse(-1)},"lvl_v":${m.lvl.getOrElse(-1)},""" +
-      s""""cms_v":${m.cms.getOrElse(-1)},"last_batch_id":${m.lastBatchId}}"""
+      s""""cms_v":${m.cms.getOrElse(-1)},"last_batch_id":${m.lastBatchId},""" +
+      s""""build_k":${m.buildK}}"""
 
   private def decodeManifest(s: String): ProfileManifest = {
     def field(k: String): Long = {
@@ -100,8 +106,10 @@ object CorpusProfile {
     def opt(k: String): Option[Int] = {
       val v = field(k); if (v < 0) None else Some(v.toInt)
     }
+    // build_k is absent from pre-r14 manifests — read as unknown (-1)
+    val bk = if (s.contains("\"build_k\":")) field("build_k").toInt else -1
     ProfileManifest(opt("kmv_v"), opt("lvl_v"), opt("cms_v"),
-      field("last_batch_id"))
+      field("last_batch_id"), bk)
   }
 
   /** The manifest row and the manifest TABLE's version (the CAS anchor a
@@ -428,7 +436,7 @@ object CorpusProfile {
           store.write(lvlRows(df, groupCol, idCol, numCol, b), lvlTable(name)))
         commitManifest(spark, store, name,
           base.copy(kmv = Some(kv), lvl = Some(lv),
-            lastBatchId = stamp.getOrElse(base.lastBatchId)),
+            lastBatchId = stamp.getOrElse(base.lastBatchId), buildK = k),
           prev.map(_._2))
         true
       }
@@ -487,6 +495,9 @@ object CorpusProfile {
       store: TableStore, name: String, stamp: Option[Long]): Boolean = {
     val (m, mv) = requireManifest(spark, store, name)
     if (stamp.exists(_ <= m.lastBatchId)) return false
+    require(m.buildK < 0 || m.buildK == k,
+      s"profile $name was built with k=${m.buildK}; folding a batch at k=$k " +
+        "would merge incompatible sketches — pass the build k")
     val kmvPin = m.kmv.getOrElse(throw new IllegalStateException(
       s"profile $name has no distinct tier — build it first"))
     val lvlPin = m.lvl.getOrElse(throw new IllegalStateException(
@@ -534,7 +545,7 @@ object CorpusProfile {
 
     commitManifest(spark, store, name,
       m.copy(kmv = Some(kv), lvl = Some(lv),
-        lastBatchId = stamp.getOrElse(m.lastBatchId)),
+        lastBatchId = stamp.getOrElse(m.lastBatchId), buildK = k),
       Some(mv))
     true
   }
@@ -833,13 +844,17 @@ object CorpusProfile {
     * q105/q106 serve-vs-scratch argument applied to a PAIRWISE statistic.
     * `k` must be the profile's build k (the sketch rows carry ≤ k hashes
     * per group; a larger k here would mistake a full sketch for the exact
-    * arm). Reads ride the same pinned manifest as [[profile]]. */
+    * arm) — VALIDATED against the manifest's persisted `build_k`, not
+    * taken on trust. Reads ride the same pinned manifest as [[profile]]. */
   def overlap(
       spark: SparkSession,
       store: TableStore,
       name: String,
       k: Int): DataFrame = {
     val (m, _) = requireManifest(spark, store, name)
+    require(m.buildK < 0 || m.buildK == k,
+      s"profile $name was built with k=${m.buildK}, not k=$k — a mismatched " +
+        "k flips full sketches into the exact sub-k arm and mis-estimates")
     val sk = pinnedRead(spark, store, name, m.kmv, kmvTable(name), "distinct")
       .groupBy(col("group"))
       .agg(sort_array(collect_list(col("hv"))).as("_sk"))

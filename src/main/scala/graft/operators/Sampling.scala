@@ -136,11 +136,19 @@ object Sampling {
       pairs: DataFrame,
       splits: Seq[(String, Double)],
       salt: String = "split"): DataFrame = {
+    // `root`/`split` are OUTPUT columns — reject inputs that already carry
+    // them (silent overwrite would corrupt the caller's data); the cluster
+    // join key is underscore-namespaced so an input `cluster_id` column can
+    // never capture the left-join resolution.
+    Seq("root", "split").foreach { c =>
+      require(!df.columns.contains(c),
+        s"leakageSafeSplit emits a '$c' column; input already has one — rename it first")
+    }
     val clusters = Dedup.duplicateClusters(pairs)
-      .select(col("id").as(idCol), col("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id").as("_lss_cluster_id"))
     val rooted = df.join(clusters, Seq(idCol), "left")
-      .withColumn("root", coalesce(col("cluster_id"), col(idCol)))
-      .drop("cluster_id")
+      .withColumn("root", coalesce(col("_lss_cluster_id"), col(idCol)))
+      .drop("_lss_cluster_id")
     assignSplit(rooted, "root", splits, salt)
   }
 

@@ -465,11 +465,43 @@ object Similarity {
     ivfFromCentroids(base, cents, k, nProbe)
   }
 
+  /** [[ivfTopK]] with an EXPLICIT probe batch: centroid sampling and cell
+    * ASSIGNMENT run over the full `df` (the index side is corpus-shaped
+    * either way), but only `probes` rows rank cells and score candidates —
+    * the mining shape (q116/q120 probe every 23rd vector) pays
+    * probe-batch×nProbe candidate work instead of corpus×nProbe. Results
+    * for a probe are independent of every other probe, so this is
+    * row-identical to [[ivfTopK]] post-filtered to the probe ids (the
+    * committed q116 oracle is exactly that chain). `probes` must carry the
+    * same id/vec columns; a probe id present in the corpus is excluded
+    * from its own neighbor list, as in self-search. */
+  def ivfTopKAgainst(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4)(implicit caches: graft.operators.CacheScope): DataFrame = {
+    val base = caches.pin(df
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))))
+    val centroids = base
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("_h")).limit(nCells)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val probeBase = probes
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    ivfFromCentroids(base, centroids, k, nProbe, Some(probeBase))
+  }
+
   private def ivfFromCentroids(
       base: DataFrame,
       centroids: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      probeBase: Option[DataFrame] = None): DataFrame = {
     // zero-norm guard for BOTH entry points: a dead centroid (sampled
     // zero-norm embedding, or a fitted cell that averaged to zero) makes
     // every c_sim NaN; Spark sorts NaN above all finite doubles, so the
@@ -488,10 +520,22 @@ object Similarity {
       .filter(col("c_rank") <= nProbe)
     val assigned = ranked.filter(col("c_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    // queries probe their nProbe nearest cells
-    val probes = ranked
-      .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
-        col("c_id").as("cell"))
+    // queries probe their nProbe nearest cells: self-search derives probes
+    // from the SAME ranked subtree (the window exchange is computed once
+    // and reused — ReuseExchange); an explicit probe batch ranks cells
+    // itself, trading that reuse for a probe-batch-sized candidate side
+    val probes = probeBase match {
+      case None =>
+        ranked.select(col("id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"), col("c_id").as("cell"))
+      case Some(pb) =>
+        pb.crossJoin(broadcast(live))
+          .withColumn("c_sim", dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+          .withColumn("c_rank", row_number().over(assignW))
+          .filter(col("c_rank") <= nProbe)
+          .select(col("id").as("q_id"), col("v").as("q_v"),
+            col("nrm").as("q_nrm"), col("c_id").as("cell"))
+    }
     // score before dedup: duplicates (query probing several cells holding
     // the same vector) re-score identically; the dedup exchange then moves
     // (id, id, double) rows, never vectors

@@ -24,8 +24,15 @@ object Recall {
 
   val snapshotPath = "RECALL_SNAPSHOT.tsv"
 
-  /** k of every tracked declared query (they all emit top-3). */
+  /** k of the self/split search families (they emit top-3). */
   val k = 3
+
+  /** Per-query k: the snapshot stores it per row so a parser never assumes
+    * one metric across families (the mining rows are recall@5 — k=5 is
+    * [[Similarity.hardNegatives]]' declared operating point there). */
+  val kOf: Map[String, Int] = Map(
+    "q116_hard_negatives_ann" -> 5,
+    "q120_hard_negatives_quality" -> 5).withDefaultValue(k)
 
   private def pairs(df: DataFrame): DataFrame =
     df.select(col("vec_id").cast("long").as("vec_id"),
@@ -100,9 +107,9 @@ object Recall {
   }
 
   def writeSnapshot(recalls: Map[String, Double], path: String = snapshotPath): Unit = {
-    val body = "# query\trecall_at_3\n" +
+    val body = "# query\tk\trecall_at_k\n" +
       recalls.toSeq.sortBy(_._1)
-        .map { case (n, r) => f"$n\t$r%.6f" }.mkString("", "\n", "\n")
+        .map { case (n, r) => f"$n\t${kOf(n)}\t$r%.6f" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -114,7 +121,8 @@ object Recall {
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l => val cols = l.split("\t"); cols(0) -> cols(1).toDouble }
+      // 3-col (query, k, recall_at_k); tolerate the legacy 2-col form
+      .map { l => val cols = l.split("\t"); cols(0) -> cols.last.toDouble }
       .toMap
   }
 }

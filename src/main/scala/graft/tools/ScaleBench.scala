@@ -274,7 +274,7 @@ object ScaleBench {
       // streaming-state hygiene, same rationale as the Bench loop: unload
       // accumulated state-store providers + maintenance between queries
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // fatal (OOM etc.) must surface
       (times.min, rows)
     }
 

@@ -14,7 +14,7 @@ class RecallRegressionSpec extends SparkSpec {
 
   private val tolerance = 0.02
 
-  test("no ANN query's recall@3 dropped vs the committed snapshot") {
+  test("no ANN query's recall@k dropped vs the committed snapshot") {
     val snapshot = Recall.readSnapshot()
     assert(snapshot.nonEmpty,
       s"missing ${Recall.snapshotPath} — run `sbt 'runMain graft.tools.RecallSnapshot'`")
@@ -28,7 +28,7 @@ class RecallRegressionSpec extends SparkSpec {
     val regressions = current.toSeq.sortBy(_._1).flatMap { case (name, cur) =>
       snapshot.get(name).collect {
         case old if cur < old - tolerance =>
-          f"$name recall@3 dropped $old%.4f -> $cur%.4f"
+          f"$name recall@${Recall.kOf(name)} dropped $old%.4f -> $cur%.4f"
       }
     }
     assert(regressions.isEmpty,
