@@ -2555,6 +2555,73 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ext: MULTIMODAL NEAR-DUP — perceptual-hash image dedup, the
+    // multimodal×dedup pairing: REAL PNG encode→ImageIO decode on the
+    // executors (q66's replay trick), exact-integer dHash over the decoded
+    // raster (Multimodal.dHash64Of), then the SAME chunk-band pigeonhole
+    // pair join as text SimHash (Dedup.hammingBandedPairs) and the same
+    // clustering tail. Fixture: 40 groups × 3 variants — base 9×8 grid, a
+    // 3× block-upscaled copy (block means identical → hamming 0 by
+    // construction), and a ±1-luma perturbed re-render (small but nonzero
+    // hamming). Every stage is md5-free pure arithmetic, so the oracle
+    // replays grid → bits → chunks → banding → hamming → components in
+    // full SQL. All narrow until the (tiny) signature band join; the
+    // corpus-scale cost at 100 TB is one decode pass + a 64-bit-per-image
+    // shuffle, never pixels.
+    "q121_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(40).as[Long]
+      val items = seeds.flatMap { g =>
+        (0 to 2).iterator.map { variant =>
+          val scale = if (variant == 1) 3 else 1
+          val w = graft.operators.Multimodal.DHashCols * scale
+          val h = graft.operators.Multimodal.DHashRows * scale
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val gx = x / scale; val gy = y / scale
+              // middle-square mix — a LINEAR map mod 256 would give every
+              // group the same adjacent-cell difference pattern (hash
+              // collapse); squaring and taking bits 8..15 decorrelates
+              // groups (measured: inter-group hamming ≥ 7, perturbed-copy
+              // hamming ≤ 3 at every SF's doc_ids — the 6-bit threshold
+              // separates them)
+              val sd = (g * 131 + gx * 31 + gy * 17 + 7) % 65536
+              val base = (sd * sd / 256) % 256
+              val v = (if (variant == 2)
+                (base + (if ((gx + gy) % 2 == 0) 1 else 0)) % 256
+              else base).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.operators.Multimodal.MediaItem(
+            g * 10 + variant, "image", bos.toByteArray, "image/png",
+            s"synth://$g/$variant")
+        }
+      }
+      val hashes = graft.operators.Multimodal.dHashes(items)
+      val pairs = Dedup.hammingBandedPairs(
+        hashes.select(col("item_id").as("id"), col("dhash").as("sig")),
+        maxHamming = 6, maxBucketSize = 200)
+        .select(col("a_id"), col("b_id"))
+      val clusters = Dedup.duplicateClusters(pairs)
+        .select(col("id").as("item_id"), col("cluster_id"))
+      hashes.join(clusters, Seq("item_id"), "left")
+        .select(col("item_id"), col("dhash"),
+          coalesce(col("cluster_id"), col("item_id")).as("root"),
+          (coalesce(col("cluster_id"), col("item_id")) === col("item_id"))
+            .cast("int").as("kept"))
+        .orderBy(col("item_id"))
+    }),
+
     // and luminance histogram are the true pixel statistics. All narrow —
     // generate/encode/decode never leave the partition.
     "q66_pixel_decode" -> ((s, dir) => {
@@ -3459,6 +3526,75 @@ object SparkEntry {
         |  GROUP BY c.a_id, c.b_id)
         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 7
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Replays q121 end-to-end: the synthesized luma grids (pure bigint
+    // arithmetic — the 3× upscale averages back to the base grid exactly,
+    // so variants 0/1 share one grid), dHash bits, the 7-chunk banding,
+    // exact hamming, and the recursive component/keeper tail. The Spark
+    // side's PNG encode→decode must reproduce these grids bit-for-bit for
+    // the hashes to match.
+    "q121_image_neardup" ->
+      """WITH RECURSIVE seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 40),
+        |items AS (
+        |  SELECT g, v.variant, g * 10 + v.variant AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |dh AS (
+        |  SELECT item_id, CAST(sum(CASE WHEN sbit = 0 THEN 0
+        |    WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+        |    AS BIGINT) AS dhash
+        |  FROM sigbits GROUP BY item_id),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS item_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s)
+        |SELECT i.item_id, dh.dhash,
+        |  coalesce(lab.cluster_id, i.item_id) AS root,
+        |  CASE WHEN coalesce(lab.cluster_id, i.item_id) = i.item_id
+        |    THEN 1 ELSE 0 END AS kept
+        |FROM items i JOIN dh USING (item_id) LEFT JOIN lab USING (item_id)
+        |ORDER BY i.item_id""".stripMargin,
 
     "q28_dup_clusters" ->
       """WITH RECURSIVE docs AS (

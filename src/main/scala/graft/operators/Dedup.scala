@@ -513,6 +513,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame =
+    hammingBandedPairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** The chunk-band pigeonhole pair join over ANY 64-bit signature frame
+    * `(id, sig)` — the machinery behind [[simhashPairs]], shared by the
+    * perceptual-hash image path ([[Multimodal.dHashes]]) and any future
+    * bit-signature family: candidates must agree exactly on ≥1 of the
+    * `maxHamming + 1` signature chunks, then verify by exact popcount.
+    * Same skew guard as MinHash-LSH (hot buckets capped). */
+  def hammingBandedPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     // maxHamming=0 would make bitsPer=64 and (1L<<64)-1 == 0 (JVM shifts
     // are mod 64), collapsing every signature into bucket 0 — use an exact
@@ -521,7 +535,6 @@ object Dedup {
       s"maxHamming must be in [1, 31], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     // chunk c = bits [c*bitsPer, (c+1)*bitsPer): exact unsigned shift + mask,
     // built with Scala-level chunk indices so the shift amount is a literal.
     val chunkCols = (0 until chunks).map(c =>

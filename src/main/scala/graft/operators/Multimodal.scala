@@ -205,6 +205,95 @@ object Multimodal {
     }
   }
 
+  /** dHash grid geometry: 9×8 luma cells → 8×8 horizontal-gradient bits
+    * (the classic difference-hash layout). */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  /** 64-bit perceptual difference hash of a decoded raster — EXACT integer
+    * arithmetic so an external SQL oracle can replay it bit-for-bit:
+    *
+    *  1. partition the image into a [[DHashCols]]×[[DHashRows]] grid of
+    *     cells (cell (gx,gy) spans pixel columns [gx·W/9, (gx+1)·W/9) ×
+    *     rows [gy·H/8, (gy+1)·H/8), floor arithmetic — exact equal blocks
+    *     when W,H are multiples of 9,8);
+    *  2. per cell, sum integer Rec.601 luma ×1000 (299R + 587G + 114B) —
+    *     no floating point anywhere;
+    *  3. bit (gy·8 + gx) = 1 iff cell (gx,gy)'s MEAN luma < cell
+    *     (gx+1,gy)'s, compared exactly by cross-multiplying the sums with
+    *     the cell pixel counts.
+    *
+    * Robustness comes from the downsample: any k× rescale that preserves
+    * block means (and, approximately, any resampling or mild re-encode)
+    * maps to the same grid, so copies land within a small Hamming
+    * distance — the property the banded pair join exploits. */
+  def dHash64Of(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = Array.ofDim[Long](DHashCols, DHashRows)
+    val counts = Array.ofDim[Long](DHashCols, DHashRows)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, row, 0, w)
+      val gy = y * DHashRows / h
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val lum1000 = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        val gx = x * DHashCols / w
+        sums(gx)(gy) += lum1000
+        counts(gx)(gy) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    var gy = 0
+    while (gy < DHashRows) {
+      var gx = 0
+      while (gx < DHashCols - 1) {
+        // mean(gx) < mean(gx+1), exact: sum_a/n_a < sum_b/n_b ⇔
+        // sum_a·n_b < sum_b·n_a (counts are positive for any W,H ≥ grid)
+        if (sums(gx)(gy) * counts(gx + 1)(gy) <
+            sums(gx + 1)(gy) * counts(gx)(gy))
+          sig |= 1L << (gy * (DHashCols - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  /** Per-item perceptual hash over REAL decoded rasters: ImageIO decode
+    * (PNG/JPEG/GIF/BMP) on the executors, [[dHash64Of]] over the pixels —
+    * partition-local like every decoder, payload bytes never move. Items
+    * that aren't images or fail to decode are dropped (a dirty corpus is
+    * the normal case; they can't carry a pixel hash).
+    *
+    * @return (item_id, dhash) — feed
+    *         `select(item_id as id, dhash as sig)` into
+    *         [[Dedup.hammingBandedPairs]] for the near-dup pair list, then
+    *         [[Dedup.nearDedupFromPairs]] / [[Dedup.nearDedupKeepBest]]
+    *         for the keeper pass: image dedup composes into the SAME tail
+    *         as every text pair source. */
+  def dHashes(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { item =>
+        if (item.kind != "image") None
+        else {
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(item.content)))
+            catch { case _: Exception => None }
+          img.map(im => (item.item_id, dHash64Of(im)))
+        }
+      }
+    }.toDF("item_id", "dhash")
+  }
+
   /** Load a directory of media files as MediaItems (binaryFile source:
     * splits by file, carries path/length/mtime metadata natively). */
   def readMediaDir(spark: SparkSession, dir: String, kind: String): Dataset[MediaItem] = {

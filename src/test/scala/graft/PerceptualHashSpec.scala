@@ -1,0 +1,144 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+import graft.operators.Multimodal.MediaItem
+
+/** The multimodal×dedup pairing: [[Multimodal.dHash64Of]]'s invariants
+  * (rescale-stability, re-encode robustness) and the composition of image
+  * hashes into the SAME banded-pair + keeper tail every text pair source
+  * uses. Everything here is deterministic — the JDK's PNG/JPEG codecs are
+  * pure functions of the pixels. */
+class PerceptualHashSpec extends SparkSpec {
+
+  /** A structured grayscale test card: middle-square mixed luma per cell
+    * (the q121 fixture arithmetic), painted at `scale`× as constant
+    * blocks. */
+  private def card(seed: Long, scale: Int, perturb: Int = 0): BufferedImage = {
+    val w = Multimodal.DHashCols * scale
+    val h = Multimodal.DHashRows * scale
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gx = x / scale; val gy = y / scale
+      val sd = (seed * 131 + gx * 31 + gy * 17 + 7) % 65536
+      val v = (((sd * sd / 256) % 256 +
+        (if (perturb != 0 && (gx + gy) % 2 == 0) perturb else 0)) % 256).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  /** A smooth two-axis gradient — the JPEG-friendly shape (no hard edges,
+    * so lossy re-encode moves cell means only slightly). */
+  private def gradient(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 255) / (w - 1) + (y * 97) / (h - 1)) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte]): BufferedImage =
+    javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash is invariant under exact k× block upscale (any k)") {
+    for (seed <- Seq(3L, 17L, 99L); k <- Seq(2, 3, 5)) {
+      val base = Multimodal.dHash64Of(card(seed, 1))
+      val up = Multimodal.dHash64Of(card(seed, k))
+      assert(base === up, s"seed=$seed k=$k")
+    }
+  }
+
+  test("dHash is invariant under nearest-neighbor rescale of a real raster") {
+    // not just constant blocks: upscale via Graphics2D nearest-neighbor,
+    // which replicates pixels — block means are preserved exactly
+    val src = card(42L, 2)
+    val big = new BufferedImage(src.getWidth * 3, src.getHeight * 3,
+      BufferedImage.TYPE_INT_RGB)
+    val g2 = big.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+    g2.drawImage(src, 0, 0, big.getWidth, big.getHeight, null)
+    g2.dispose()
+    assert(Multimodal.dHash64Of(src) === Multimodal.dHash64Of(big))
+  }
+
+  test("dHash survives PNG→JPEG re-encode within a small hamming budget") {
+    val src = gradient(90, 80)
+    val pngHash = Multimodal.dHash64Of(decode(encode(src, "png")))
+    val jpgHash = Multimodal.dHash64Of(decode(encode(src, "jpg")))
+    val d = hamming(pngHash, jpgHash)
+    assert(d <= 6, s"JPEG re-encode moved the hash by $d bits")
+    // and the PNG roundtrip is LOSSLESS — bit-identical
+    assert(pngHash === Multimodal.dHash64Of(src))
+  }
+
+  test("unrelated structured images stay far apart") {
+    val hs = Seq(1L, 2L, 3L, 4L, 5L).map(s => Multimodal.dHash64Of(card(s, 1)))
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(hamming(hs(i), hs(j)) > 6, s"cards $i/$j too close")
+  }
+
+  test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
+    val s = spark; import s.implicits._
+    // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
+    // 2× upscale) + 2 singletons; quality = payload size (keep the
+    // largest encoding per cluster)
+    val items = (for (g <- 0 until 4; v <- 0 until 3) yield {
+      val img = v match {
+        case 0 => card(g * 7 + 1, 1)
+        case 1 => card(g * 7 + 1, 1, perturb = 1)
+        case 2 => card(g * 7 + 1, 4)
+      }
+      MediaItem(g * 10L + v, "image", encode(img, "png"), "image/png", s"g$g/v$v")
+    }) ++ Seq(
+      MediaItem(900L, "image", encode(gradient(45, 40), "png"), "image/png", "lone1"),
+      // a non-image payload must be dropped, not fail the task
+      MediaItem(901L, "image", Array[Byte](1, 2, 3), "image/png", "junk"))
+    val ds = items.toDS()
+
+    val hashes = Multimodal.dHashes(ds)
+    val hm = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!hm.contains(901L), "undecodable payload must drop out")
+    assert(hm.contains(900L))
+    for (g <- 0 until 4) {
+      assert(hm(g * 10L) === hm(g * 10L + 2), "upscale must hash identically")
+      assert(hamming(hm(g * 10L), hm(g * 10L + 1)) <= 6, "perturbed copy too far")
+    }
+
+    val pairs = Dedup.hammingBandedPairs(
+      hashes.select(col("item_id").as("id"), col("dhash").as("sig")),
+      maxHamming = 6)
+    val meta = ds.toDF().select(col("item_id"),
+      length(col("content")).cast("double").as("n_bytes"))
+    val kept = Dedup.nearDedupKeepBest(meta, "item_id", "n_bytes", pairs)
+      .select("item_id").as[Long].collect().toSet
+
+    // one keeper per group + the two singletons (undecodable item has no
+    // hash → never paired → survives untouched)
+    assert(kept.size === 6, s"kept=$kept")
+    assert(kept.contains(900L) && kept.contains(901L))
+    for (g <- 0 until 4) {
+      val members = Set(g * 10L, g * 10L + 1, g * 10L + 2)
+      val winner = kept.intersect(members)
+      assert(winner.size === 1, s"group $g kept $winner")
+      // keeper is the argmax payload size within the cluster
+      val sizes = items.filter(i => members.contains(i.item_id))
+        .map(i => i.item_id -> i.content.length).toMap
+      assert(sizes(winner.head) === sizes.values.max)
+    }
+  }
+}
