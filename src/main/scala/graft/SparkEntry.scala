@@ -2622,6 +2622,36 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: HTML→TEXT BOILERPLATE EXTRACTION (pipeline stage 0, upstream
+    // of q91's C4 rules) — boilerpipe/jusText-family heuristics as one
+    // codegen regex chain: script/style/comment drop, block tags → line
+    // breaks, per-line LINK-DENSITY filter (nav bars and "click here"
+    // lines die), tag strip + entity decode + whitespace collapse. The
+    // fixture wraps each document's text in deterministic markup (nav
+    // div, tracking comment, entity-laden footer, all-link CTA) so every
+    // rule fires; output is q91's fingerprint-not-payload contract.
+    // Zero exchanges, zero UDFs — scan-speed at 100 TB.
+    "q122_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>h1{color:red}</style>" +
+          "<script>var x = 1; if (x < 2) { x = 2; }</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><div id=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></div><p>"),
+        regexp_replace(col("text"), "\n", " "),
+        lit("</p><!-- tracking: 12345 -->" +
+          "<p>Copyright &amp; Terms &lt;here&gt;&nbsp;now.</p>" +
+          "<p><a href=\"/more\">Click here to read the full article</a></p>" +
+          "</body></html>"))
+      graft.operators.Clean.htmlToText(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), col("n_lines"),
+          length(col("text")).as("n_chars"),
+          md5(col("text").cast("binary")).as("content_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // and luminance histogram are the true pixel statistics. All narrow —
     // generate/encode/decode never leave the partition.
     "q66_pixel_decode" -> ((s, dir) => {
@@ -3267,6 +3297,22 @@ object SparkEntry {
        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
        |        ORDER BY fused DESC, doc_id) AS rk FROM f)
        |WHERE rk <= 5 ORDER BY probe_id, rrf_rank""".stripMargin
+
+  /** The q122 per-line visible-text chain in DuckDB SQL, nested
+    * programmatically so the 8-deep regexp_replace parenthesization can't
+    * drift out of balance: strip tags → decode the five entities
+    * (`&amp;` last) → collapse whitespace → trim. Mirrors
+    * [[graft.operators.Clean.htmlToText]]'s `visible`. */
+  private def htmlVisibleSql(x: String): String = {
+    val strip = s"regexp_replace($x, '<[^>]*>', ' ', 'g')"
+    val entities = Seq(
+      "&nbsp;" -> "' '", "&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&#39;" -> "''''", "&amp;" -> "'&'")
+    val decoded = entities.foldLeft(strip) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', $rep, 'g')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
@@ -5097,6 +5143,63 @@ object SparkEntry {
         |  md5(CASE WHEN page_ok AND len(kept_lines) >= 2
         |       THEN array_to_string(kept_lines, chr(10)) ELSE '' END) AS content_fp
         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // Replays q122 end-to-end: the markup synthesis, the script/style/
+    // comment drop, block-tag line breaks, per-line link-density filter,
+    // tag strip + entity decode + whitespace collapse, and the ordered
+    // per-doc reassembly — the full htmlToText chain in DuckDB's regex
+    // dialect (RE2 shares (?is), non-greedy, and \s with Java here).
+    "q122_html_extract" ->
+      ("""WITH base AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>h1{color:red}</style>'
+        |    || '<script>var x = 1; if (x < 2) { x = 2; }</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || '</h1><div id="nav"><a href="/">Home</a> '
+        |    || '<a href="/about">About us</a> <a href="/contact">Contact</a></div><p>'
+        |    || regexp_replace(text, '\n', ' ', 'g')
+        |    || '</p><!-- tracking: 12345 -->'
+        |    || '<p>Copyright &amp; Terms &lt;here&gt;&nbsp;now.</p>'
+        |    || '<p><a href="/more">Click here to read the full article</a></p>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |s3 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS h
+        |  FROM base),
+        |s4 AS (
+        |  SELECT doc_id, regexp_replace(h,
+        |    '(?i)</?(p|div|li|h[1-6]|tr|table|ul|ol|br)(\s[^>]*)?/?>',
+        |    chr(10), 'g') AS h
+        |  FROM s3),
+        |ls AS (SELECT doc_id, string_split(h, chr(10)) AS ls FROM s4),
+        |lin AS (
+        |  -- constant range (DuckDB range() rejects lateral args) + bound
+        |  -- check; the synthesized markup yields ~14 lines per doc
+        |  SELECT doc_id, r.i AS i, ls[CAST(r.i AS INT)] AS l
+        |  FROM ls, range(1, 257) r(i) WHERE r.i <= len(ls)),
+        |proc AS (
+        |  SELECT doc_id, i,
+        |    """.stripMargin + htmlVisibleSql("l") + """ AS v,
+        |    length(""".stripMargin + htmlVisibleSql(
+      "array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')") + """) AS kl
+        |  FROM lin),
+        |keptl AS (
+        |  -- kl is NULL for anchor-free lines (DuckDB's regexp_extract_all
+        |  -- over no match); Spark's returns an empty array → 0
+        |  SELECT * FROM proc
+        |  WHERE length(v) > 0 AND coalesce(kl, 0) <= 0.5 * length(v)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+        |    string_agg(v, chr(10) ORDER BY i) AS txt
+        |  FROM keptl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+        |  CAST(coalesce(length(a.txt), 0) AS INT) AS n_chars,
+        |  md5(coalesce(a.txt, '')) AS content_fp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     // q60's replay chain, ending in a threshold screen instead of top-k:
     // a batch id is dropped iff its best probed-cell cosine reaches the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Heuristic page/line cleaning for web-scraped training corpora.
@@ -59,5 +59,63 @@ object Clean {
       when(keptFlag, size(keptArr)).otherwise(lit(0)).as("n_lines_kept"),
       md5(when(keptFlag, array_join(keptArr, "\n")).otherwise(lit(""))
         .cast("binary")).as("content_fp"))
+  }
+
+  /** HTML → text with public extraction heuristics — pipeline stage 0,
+    * upstream of [[c4Clean]]: raw crawl markup in, line-structured visible
+    * text out. The rule set is the boilerpipe/jusText family's
+    * (Kohlschütter et al., WSDM 2010; Pomikálek 2011) expressed as a
+    * deterministic regex chain:
+    *
+    *  1. drop invisible containers — `<script>`, `<style>`, comments;
+    *  2. block-level tags (`p div li h1–h6 tr table ul ol br`) become line
+    *     breaks — layout structure survives as '\n';
+    *  3. per line, LINK DENSITY = visible-chars-inside-`<a>` over total
+    *     visible chars; lines above `maxLinkDensity` are navigation/
+    *     boilerplate and drop (the jusText/boilerpipe core signal);
+    *  4. remaining tags strip, the five standard entities decode
+    *     (`&amp;` LAST — the double-escape rule), whitespace collapses.
+    *
+    * Scale shape: identical to [[c4Clean]] — per-row native regex/array
+    * expressions in one codegen pass, zero exchanges, zero UDFs; at
+    * 100 TB this runs at scan speed. The per-line visible text is
+    * computed twice (keep-filter + projection) — a CPU-only trade that
+    * keeps the whole operator expression-level.
+    *
+    * @return (idCol, text, n_lines) — cleaned text with one line per
+    *         surviving block, empty string when nothing survives */
+  def htmlToText(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      maxLinkDensity: Double = 0.5): DataFrame = {
+    require(maxLinkDensity > 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in (0, 1], got $maxLinkDensity")
+    val html = coalesce(col(htmlCol), lit(""))
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // open OR close of a block element breaks the line; the (\s[^>]*)?/?>
+    // tail keeps <pre>/<param>/... from matching the p/br alternates
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|li|h[1-6]|tr|table|ul|ol|br)(\\s[^>]*)?/?>", "\n")
+    def decodeEntities(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(c,
+          "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    def visible(l: Column): Column =
+      trim(regexp_replace(decodeEntities(
+        regexp_replace(l, "<[^>]*>", " ")), "\\s+", " "))
+    def linkLen(l: Column): Column =
+      length(visible(array_join(
+        regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")))
+    val lines = split(blocks, "\n")
+    val kept = filter(lines, l =>
+      length(visible(l)) > 0 &&
+        linkLen(l).cast("double") <= lit(maxLinkDensity) * length(visible(l)))
+    docs.select(col(idCol),
+      array_join(transform(kept, l => visible(l)), "\n").as("text"),
+      size(kept).as("n_lines"))
   }
 }

@@ -75,4 +75,89 @@ class CleanSpec extends SparkSpec {
       "not the input's stale kept column")
     assert(out.getInt(2) === 2)
   }
+
+  // ------------------------------------------------------------ htmlToText
+
+  private def extract(html: String, maxLinkDensity: Double = 0.5): (String, Int) = {
+    val s = spark; import s.implicits._
+    val r = Clean.htmlToText(Seq((1L, html)).toDF("doc_id", "html"),
+      "doc_id", "html", maxLinkDensity).collect().head
+    (r.getString(1), r.getInt(2))
+  }
+
+  test("htmlToText: scripts, styles and comments vanish; block tags break lines") {
+    val (text, n) = extract(
+      "<html><head><style>p { color: red }</style>" +
+        "<script type='text/javascript'>if (a < b) { alert('<p>'); }</script>" +
+        "</head><body><h1>Title</h1><p>First para.</p>" +
+        "<!-- hidden comment with words --><p>Second para.</p></body></html>")
+    assert(text === "Title\nFirst para.\nSecond para.")
+    assert(n === 3)
+  }
+
+  test("htmlToText: nested inline tags strip, block structure survives") {
+    val (text, _) = extract(
+      "<p>Some <b>bold <i>and italic</i></b> text.</p><ul><li>item one</li>" +
+        "<li>item <em>two</em></li></ul>")
+    assert(text === "Some bold and italic text.\nitem one\nitem two")
+  }
+
+  test("htmlToText: entities decode, &amp; last (no double-decode)") {
+    val (text, _) = extract("<p>A &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;&amp; done</p>")
+    assert(text === "A <tag> \"quoted\" 's & done")
+    // &amp;lt; must decode to the LITERAL '&lt;', not '<'
+    val (t2, _) = extract("<p>escaped: &amp;lt;</p>")
+    assert(t2 === "escaped: &lt;")
+  }
+
+  test("htmlToText: link-density boundary — at the threshold keeps, above drops") {
+    // visible 'aaaa bbbb' (9 chars), link text 'aaaa' (4): 4/9 < 0.5 → keep
+    val (kept, _) = extract("<p><a href='/x'>aaaa</a> bbbb</p>")
+    assert(kept === "aaaa bbbb")
+    // all-link line: density 1 → drop; nav bars die the same way
+    val (dropped, n) = extract(
+      "<p>real content line here</p><p><a href='/m'>click here for more</a></p>" +
+        "<div><a href='/'>Home</a> <a href='/a'>About</a></div>")
+    assert(dropped === "real content line here" && n === 1)
+    // exactly AT the threshold is kept (<=): visible 'abcd efgh' 9, link 4,
+    // with maxLinkDensity = 4.0/9 the comparison is equality
+    val (atEdge, _) = extract("<p><a>abcd</a> efgh</p>", maxLinkDensity = 4.0 / 9)
+    assert(atEdge === "abcd efgh")
+  }
+
+  test("htmlToText: <pre>/<param> do not match the p/br block alternates") {
+    val (text, n) = extract("<p>before</p><span>pre<pre>kept inline</pre>text</span>")
+    // <pre> is not a block break: 'pre kept inline text' stays one line
+    assert(n === 2, s"got $n lines: $text")
+  }
+
+  test("htmlToText: NULL html and empty pages yield empty text, zero lines") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, Option("<script>x</script>")), (2L, None))
+      .toDF("doc_id", "html")
+    val out = Clean.htmlToText(docs, "doc_id", "html")
+      .orderBy(col("doc_id")).collect()
+    assert(out.forall(r => r.getString(1) === "" && r.getInt(2) === 0))
+  }
+
+  test("htmlToText composes with c4Clean: stage 0 → stage 1") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L,
+      "<div><a href='/'>Home</a></div>" +
+        "<p>This is a good first sentence.</p>" +
+        "<p>And here is another good one.</p>" +
+        "<p><a href='/m'>subscribe now</a></p>")).toDF("doc_id", "html")
+    val text = Clean.htmlToText(docs, "doc_id", "html")
+    val cleaned = Clean.c4Clean(text, "doc_id", "text", minKeptLines = 2)
+      .collect().head
+    assert(cleaned.getBoolean(1) && cleaned.getInt(2) === 2)
+  }
+
+  test("htmlToText is a narrow plan: no exchange of any kind") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    val plan = Clean.htmlToText(docs, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must stay narrow:\n$plan")
+  }
 }
