@@ -378,6 +378,61 @@ object IvfIndex {
     else writer).start()
   }
 
+  /** UPSERT: replace-or-insert the batch's ids across every tier in ONE
+    * manifest swap. [[remove]]-then-[[append]] has two commit points,
+    * which is two defects a changed vector cannot afford: a reader
+    * landing between the swaps sees the id ABSENT (it exists upstream
+    * and was never taken down), and a crash between them loses the
+    * vector until redelivery. Here each tier commits `stored \ batchIds
+    * ∪ assigned(batch)` as one member version and the single swap
+    * publishes all of them — a concurrent reader serves the old vector
+    * or the new one, never neither. Ids not previously present insert
+    * exactly as [[append]] would.
+    *
+    * Unlike append's O(batch) linked members, the replace half forces a
+    * rewrite of the corpus-sized tiers (dropping rows cannot ride a
+    * link-forward) — the same cost shape as [[remove]], paid once
+    * instead of twice. Returns how many ids were replaced (present
+    * before the upsert). */
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String): Long =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val batchIds = broadcast(assigned.select(col("id")).distinct())
+          val stored = vectorsAt(spark, store, name, m)
+          val kept = stored.join(batchIds, Seq("id"), "left_anti")
+          val replaced = stored.join(batchIds, Seq("id"), "left_semi").count()
+          val vv = store.write(
+            kept.unionByName(assigned.select(col("id"), col("v"), col("cell"))),
+            vectorsTable(name), Some(m.vectors))
+          val qv = m.qvectors.map { qPin =>
+            val (scale, qvc) = quantizeCols(col("v"))
+            val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+            store.write(
+              qStored.join(batchIds, Seq("id"), "left_anti")
+                .unionByName(assigned.select(col("id"), col("cell"),
+                  scale.as("scale"), qvc.as("qv"))),
+              qVectorsTable(name), Some(qPin))
+          }
+          val pcV = m.pqCodes.map(pin =>
+            PqIndex.upsertEncodedAt(spark, assigned, batchIds, store, name, m, pin))
+          commitManifest(store, name,
+            m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
+          replaced
+        } finally assigned.unpersist()
+      }
+    }
+
   /** Takedown: commit a next version of every tier WITHOUT the given ids
     * — the removal path an index must have at scale (a handful of
     * right-to-be-forgotten ids cannot cost a corpus re-fit; the model is

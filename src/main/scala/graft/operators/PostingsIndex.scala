@@ -253,6 +253,66 @@ object PostingsIndex {
     } finally fresh.unpersist()
   }
 
+  /** UPSERT: replace-or-insert the batch's documents in ONE manifest
+    * swap — the re-crawl path ([[append]] is deliberately insert-only, so
+    * a revised document would otherwise need [[remove]] + [[append]]:
+    * two commit points, a reader-visible window where the doc is ABSENT
+    * from retrieval, and a crash between them that loses it entirely).
+    * Every tier commits `stored \ batchIds ∪ fresh` — postings and doc
+    * rows swap wholesale, term dfs adjust by (fresh − removed) exactly,
+    * the global counters likewise — and the single swap publishes all of
+    * it: a concurrent query scores the old revision or the new one,
+    * never neither. Replace forces a rewrite of the corpus-sized tiers
+    * (the [[remove]] cost shape, paid once instead of twice). Returns
+    * how many documents were replaced (present before the upsert). */
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Long =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val fresh = tokenized(batch, idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val batchIds = broadcast(fresh.select(col("doc_id")).distinct())
+          val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
+          val replacedDocs = docsStored.join(batchIds, Seq("doc_id"), "left_semi")
+          val (rmN, rmSdl) = docCounters(replacedDocs)
+          val dv = store.write(
+            docsStored.join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(fresh.select(col("doc_id"), col("dl"))),
+            docsTable(name), Some(m.docs))
+          val postStored = store.snapshotAt(spark, postingsTable(name), m.postings)
+          val removedPostings = postStored.join(batchIds, Seq("doc_id"), "left_semi")
+          val freshPostings = postingsOf(fresh)
+          val pv = store.write(
+            postStored.join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(freshPostings),
+            postingsTable(name), Some(m.postings))
+          // df delta = fresh − removed, cell-wise (exact subtraction, the
+          // remove-path arithmetic composed with append's merge)
+          val tv = store.write(
+            store.snapshotAt(spark, termStatsTable(name), m.termStats)
+              .unionByName(termStatsOf(freshPostings))
+              .unionByName(termStatsOf(removedPostings).withColumn("df", -col("df")))
+              .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+              .filter(col("df") > 0),
+            termStatsTable(name), Some(m.termStats))
+          val (addN, addSdl) = docCounters(fresh)
+          commitManifest(store, name,
+            m.copy(postings = pv, docs = dv, termStats = tv,
+              nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl),
+            Some(mv))
+          rmN
+        } finally fresh.unpersist()
+      }
+    }
+
   /** EXACT takedown — what the non-subtractive sketch tiers cannot do:
     * postings/doc rows anti-join away and the removed docs' df
     * contributions subtract precisely (counts clamped at zero, zero rows

@@ -171,6 +171,28 @@ object PqIndex {
     OverlayLock.appendOrCompact(store, codesTableName(name), pin, stored, freshCodes)
   }
 
+  /** Member-commit half of the PQ upsert — called by [[IvfIndex.upsert]]
+    * inside ITS manifest swap: stored codes minus the batch ids, plus the
+    * batch re-encoded against the COMMITTED codebook (refit-free, as in
+    * [[appendEncodedAt]]). */
+  private[operators] def upsertEncodedAt(
+      spark: SparkSession,
+      assigned: DataFrame,
+      batchIds: DataFrame,
+      store: TableStore,
+      name: String,
+      man: IvfIndex.IvfManifest,
+      pin: Int): Int = {
+    val cbRows = store.snapshotAt(spark, codebookTableName(name),
+      man.pqCodebook.getOrElse(noTier(name)))
+    val batchCodes = encodeAssigned(spark, assigned, cbRows)
+    val stored = store.snapshotAt(spark, codesTableName(name), pin)
+    store.write(
+      stored.join(batchIds, Seq("id"), "left_anti")
+        .unionByName(batchCodes.select(col("id"), col("cell"), col("n_codes"))),
+      codesTableName(name), Some(pin))
+  }
+
   /** Member-commit half of the PQ takedown — called by
     * [[IvfIndex.remove]] inside ITS manifest swap. */
   private[operators] def removeIdsAt(
