@@ -1763,6 +1763,36 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the STREAMED-admission family's declared ≥0.9-RECALL serving
+    // point (the q99/q109 discipline applied to the admitted index —
+    // r13 verdict item 5): q110's exact chain, serving at nProbe=6. The
+    // admitted tenth sits in cells fit WITHOUT it, so the streamed
+    // family's recall curve is measurably worse than q60's at every
+    // width — ProbeSweep's [sweep-stream] curve on this fixture:
+    // nProbe 2 → 0.567 (q110's budget point), 4 → 0.813, 5 → 0.893,
+    // 6 → 0.947 — making nProbe=6 the cheapest ≥0.9 config (vs 5 for
+    // the seed-only q99 family: streaming admission costs one extra
+    // probed cell of serving budget at the same quality bar — the
+    // measured price of refit-free maintenance). Budget:quality tiers
+    // for the live index: q110 = budget (0.57), this = quality (0.95).
+    "q123_stream_quality" -> ((s, dir) => {
+      val seedRoot = q110SeedRoot(s, dir)
+      val root = newTmpDir("graft_q123run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.IvfIndex.admitStream(stream, "vec_id", "embedding",
+        store, "emb_idx", s"$root/chk").awaitTermination()
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe = 6)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: DIVERSIFIED top-k retrieval (Carbonell & Goldstein, SIGIR 1998
     // MMR) over the persisted index's candidates — the serving-side
     // counterpart of the dedup family: q60's top-8 pool per query is
@@ -3313,6 +3343,68 @@ object SparkEntry {
     }
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
+
+  /** The q110/q123 streamed-admission replay chain — q60's seed-split
+    * build plus the refit-free streamed assignment, serving at
+    * `nProbe` probed cells (the one parameter the budget and quality
+    * tiers differ in). */
+  private def streamIndexOracleSql(nProbe: Int): String =
+    s"""WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 NOT IN (0, 9)),
+        |streamed AS (SELECT * FROM ecast WHERE id % 10 = 9),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 NOT IN (0, 9)) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- the seed-built (id, v, cell) vectors table
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |admitted AS ( -- streamed rows: refit-free assignment, same rule
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM streamed b CROSS JOIN c1live c) WHERE rnk = 1),
+        |stored AS (
+        |  SELECT * FROM assigned UNION ALL SELECT * FROM admitted),
+        |probes AS ( -- batch ranks the stored centroids, probes top 2 cells
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= $nProbe),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN stored a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
@@ -4868,63 +4960,13 @@ object SparkEntry {
     // ASC, zero-norm dropped) and unioned into the served corpus. The
     // micro-batch split drops out: admission is set-canonical, so the
     // three-drain streamed state equals this single-shot assignment.
-    "q110_stream_index" ->
-      """WITH ecast AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
-        |corpus AS (SELECT * FROM ecast WHERE id % 10 NOT IN (0, 9)),
-        |streamed AS (SELECT * FROM ecast WHERE id % 10 = 9),
-        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
-        |seeds AS (
-        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
-        |  FROM corpus
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
-        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 NOT IN (0, 9)) // 56)),
-        |a1 AS (
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, s.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
-        |    SELECT cell, unnest(list_transform(v,
-        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
-        |    FROM a1) GROUP BY cell, u.pos),
-        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
-        |c1live AS ( -- mirror of the engine's zero-norm centroid guard
-        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
-        |assigned AS ( -- the seed-built (id, v, cell) vectors table
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
-        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
-        |admitted AS ( -- streamed rows: refit-free assignment, same rule
-        |  SELECT id, v, cell FROM (
-        |    SELECT b.id, b.v, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
-        |    FROM streamed b CROSS JOIN c1live c) WHERE rnk = 1),
-        |stored AS (
-        |  SELECT * FROM assigned UNION ALL SELECT * FROM admitted),
-        |probes AS ( -- batch ranks the stored centroids, probes top 2 cells
-        |  SELECT q_id, cell FROM (
-        |    SELECT b.id AS q_id, c.cell,
-        |      row_number() OVER (PARTITION BY b.id
-        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
-        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
-        |ranked AS (
-        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
-        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
-        |    row_number() OVER (PARTITION BY p.q_id
-        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
-        |  FROM probes p
-        |  JOIN stored a USING (cell)
-        |  JOIN batch qb ON p.q_id = qb.id
-        |  WHERE p.q_id <> a.id)
-        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "q110_stream_index" -> streamIndexOracleSql(nProbe = 2),
+
+    // q123 replay: the IDENTICAL streamed-admission chain at the
+    // declared ≥0.9 serving width — only the c_rank bound differs.
+    "q123_stream_quality" -> streamIndexOracleSql(nProbe = 6),
+
+
 
     // q88 replay: q60's stored-index chain widened to a top-8 candidate
     // pool, then the MMR greedy unrolled as CTEs (the BPE-merge trick):

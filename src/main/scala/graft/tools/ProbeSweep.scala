@@ -96,6 +96,32 @@ object ProbeSweep {
       println(f"[sweep-pq] nProbe=$nProbe shortlist=$shortlist " +
         f"recall@3=${hit.toDouble / nSplit}%.4f")
     }
+
+    // ---- STREAMED-admission family (q110): the model fits on the 80%
+    // seed only, the % 10 == 9 slice folds in refit-free, so its recall
+    // curve is NOT q60's (worse-fitting cells for the admitted tenth).
+    // This sweep finds the cheapest ≥0.9 serving point for the admitted
+    // index — the q99/q109 discipline applied to the streamed family. ----
+    val seed = emb.filter(!pmod(col("vec_id"), lit(10)).isin(0, 9))
+    val streamed = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val sroot = java.nio.file.Files.createTempDirectory("graft_sweep_sidx").toString
+    val sstore = new TableStore(sroot)
+    val sCells = math.max(8, (seed.count() / 56L).toInt)
+    locally {
+      implicit val cs: CacheScope = new CacheScope
+      try IvfIndex.build(seed, "vec_id", "embedding", sCells, 1, sstore, "emb_idx")
+      finally cs.release()
+    }
+    // batch admission ≡ the streamed drain (set-canonical fold)
+    IvfIndex.admitBatch(spark, streamed, 0L, "vec_id", "embedding", sstore, "emb_idx")
+    for (nProbe <- Seq(2, 3, 4, 5, 6, 8, 10)) {
+      val fl = IvfIndex.topK(spark, batch, "vec_id", "embedding",
+          sstore, "emb_idx", k = 3, nProbe)
+        .select(col("vec_id"), col("neighbor_id"))
+      val hit = fl.intersect(splitExact).count()
+      println(f"[sweep-stream] nCells=$sCells nProbe=$nProbe " +
+        f"float=${hit.toDouble / nSplit}%.4f")
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,9 @@ object Recall {
         // 10% streamed = every vec_id % 10 != 0 row), so the split
         // ground truth applies verbatim
         "q110_stream_index" -> splitExact,
+        // the streamed family's declared ≥0.9 point (q110's chain at
+        // nProbe=6) — same ground truth as its budget tier
+        "q123_stream_quality" -> splitExact,
         "q116_hard_negatives_ann" -> mineExact,
         // the quality tier: same exact ground truth, wider probe+overfetch
         "q120_hard_negatives_quality" -> mineExact)
