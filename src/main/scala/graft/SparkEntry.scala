@@ -2492,6 +2492,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: TRIPLET SELECTION — the emission step finishing the mining
+    // family (q114 → training data): the exact miner's rows pass the
+    // margin rule floor < neg < pos_cosine − margin (Schroff CVPR 2015),
+    // emitting real (anchor, positive, negative) id triplets. Cosines
+    // are rounded to 6 places BEFORE the margin test on both sides, so
+    // the boundary comparisons replay exactly; anchors whose ceiling is
+    // NULL drop under the operator's default (the NULL-ceiling contract
+    // — 'unknown', not 'no positive'; spec'd both ways). Adds only a
+    // per-row filter to q114's plan.
+    "q124_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mined = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding", "label",
+          k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("pos_cosine", round(col("pos_cosine"), 6))
+      Similarity.selectTriplets(mined, margin = 0.05, floor = 0.0)
+        .orderBy(col("anchor_id"), col("negative_id"))
+    }),
+
     // ext: CORPUS OVERLAP ESTIMATION from KMV synopses (Beyer et al.,
     // SIGMOD 2007) — pairwise vocabulary Jaccard / union / intersection
     // between sources WITHOUT joining the corpora: one sketch pass (≤ k
@@ -3946,6 +3966,38 @@ object SparkEntry {
         |  CAST(n.rnk AS INT) AS rank, p.pos_id, round(p.pc, 6) AS pos_cosine
         |FROM neg n LEFT JOIN pos p USING (vec_id)
         |WHERE n.rnk <= 5 ORDER BY n.vec_id, n.rnk""".stripMargin,
+
+    // q124 replay: q114's chain plus the margin WHERE — the inner join
+    // (not left) IS the default NULL-ceiling drop; boundary tests run on
+    // the same 6-place-rounded values the engine filters on.
+    "q124_triplets" ->
+      """WITH sc AS (
+        |  SELECT a.vec_id AS vec_id, a.label AS qlab,
+        |    b.vec_id AS neighbor_id, b.label AS nlab,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id % 23 = 0),
+        |neg AS (
+        |  SELECT vec_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |  FROM sc WHERE nlab <> qlab),
+        |pos AS (
+        |  SELECT vec_id, neighbor_id AS pos_id, cos AS pc FROM (
+        |    SELECT vec_id, neighbor_id, cos,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, neighbor_id ASC) AS prk
+        |    FROM sc WHERE nlab = qlab AND neighbor_id <> vec_id)
+        |  WHERE prk = 1)
+        |SELECT n.vec_id AS anchor_id, p.pos_id AS positive_id,
+        |  n.neighbor_id AS negative_id, round(p.pc, 6) AS pos_cosine,
+        |  round(n.cos, 6) AS neg_cosine
+        |FROM neg n JOIN pos p USING (vec_id)
+        |WHERE n.rnk <= 5
+        |  AND round(n.cos, 6) < round(p.pc, 6) - 0.05
+        |  AND round(n.cos, 6) > 0.0
+        |ORDER BY anchor_id, negative_id""".stripMargin,
 
     // q115 replay: q28's recursive-CTE components (same shingle chain,
     // same 0.2 threshold and ≤100 hot-postings cap) give each clustered

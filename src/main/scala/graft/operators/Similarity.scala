@@ -289,6 +289,50 @@ object Similarity {
     mineLabeledScored(scored, k)
   }
 
+  /** TRIPLET SELECTION — the emission step finishing the mining family:
+    * [[hardNegatives]] / [[hardNegativesFromShortlist]] rows become
+    * (anchor, positive, negative) training triplets under the margin rule
+    * (Schroff et al., CVPR 2015; the hard-negative shape of Karpukhin et
+    * al., EMNLP 2020): a negative is kept iff
+    *
+    *   `floor < cosine < pos_cosine − margin`
+    *
+    * — harder than the floor (not a trivially-distant negative) but at
+    * least `margin` below the positive ceiling (the triplet has a
+    * nonzero loss gap to learn from).
+    *
+    * THE NULL-CEILING CONTRACT, encoded here and not in user code:
+    * `pos_cosine` NULL means the MINER recalled no positive — for the
+    * shortlist path that is "ceiling unknown", NOT "no positive exists"
+    * (the corpus may hold one the shortlist missed). By default those
+    * anchors are DROPPED — the margin test is unevaluable, and silently
+    * keeping them would emit triplets with no positive row. Pass
+    * `keepUnknownCeiling = true` to emit their negatives with NULL
+    * positive columns instead — the downstream route for re-mining those
+    * anchors through the exact miner rather than discarding them.
+    *
+    * Pure per-row filter + projection over the mined frame — no new
+    * exchange at any scale; the mining pass upstream dominates.
+    *
+    * @return (anchor_id, positive_id, negative_id, pos_cosine,
+    *         neg_cosine) */
+  def selectTriplets(
+      mined: DataFrame,
+      margin: Double,
+      floor: Double = -1.0,
+      keepUnknownCeiling: Boolean = false): DataFrame = {
+    require(margin >= 0.0, s"margin must be >= 0, got $margin")
+    val known = !isnull(col("pos_cosine"))
+    val passKnown = known &&
+      col("cosine") < col("pos_cosine") - lit(margin) && col("cosine") > lit(floor)
+    val passUnknown = !known && lit(keepUnknownCeiling) && col("cosine") > lit(floor)
+    mined.filter(passKnown || passUnknown)
+      .select(col("vec_id").as("anchor_id"),
+        col("pos_id").as("positive_id"),
+        col("neighbor_id").as("negative_id"),
+        col("pos_cosine"), col("cosine").as("neg_cosine"))
+  }
+
   /** Per-group top-k via the [[org.apache.spark.sql.graft.TopKPairs]]
     * aggregate: partial top-k buffers combine map-side, so only k rows per
     * (group, partition) reach the shuffle — vs a window sort moving every

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, isnull, lit, when}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -334,5 +334,48 @@ class SimilaritySpec extends SparkSpec {
     // operating point (q92/q99 carry the declared quality points)
     assert(recall > 0.4, s"shortlist mining recall@5 too low: $recall")
     scope.release()
+  }
+
+  test("selectTriplets: margin rule binds exactly; NULL ceiling drops by default, keeps on request") {
+    val s = spark; import s.implicits._
+    // hand-built mined rows: (vec_id, neighbor_id, cosine, rank, pos_id, pos_cosine)
+    val mined = Seq(
+      // pos ceiling 0.9: neg at 0.84 passes (0.84 < 0.85), 0.85 fails
+      // (strict <), 0.86 fails; floor 0.1: neg at 0.05 fails
+      (1L, 11L, 0.84, 1, 100L, Some(0.9)),
+      (1L, 12L, 0.85, 2, 100L, Some(0.9)),
+      (1L, 13L, 0.86, 3, 100L, Some(0.9)),
+      (1L, 14L, 0.05, 4, 100L, Some(0.9)),
+      // ceiling unknown: the shortlist recalled no positive
+      (2L, 21L, 0.70, 1, 0L, None))
+      .toDF("vec_id", "neighbor_id", "cosine", "rank", "pos_id", "pos_cosine")
+      .withColumn("pos_id", when(isnull(col("pos_cosine")), lit(null)).otherwise(col("pos_id")))
+    val kept = Similarity.selectTriplets(mined, margin = 0.05, floor = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(kept === Set((1L, 11L)),
+      "only the strictly-inside-margin, above-floor negative survives")
+    // NULL ceiling ≠ no positive: keepUnknownCeiling routes those rows on
+    val withUnknown = Similarity.selectTriplets(mined, margin = 0.05,
+      floor = 0.1, keepUnknownCeiling = true)
+    val rows = withUnknown.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet === Set((1L, 11L), (2L, 21L)))
+    val unknownRow = rows.find(_.getLong(0) === 2L).get
+    assert(unknownRow.isNullAt(1) && unknownRow.isNullAt(3),
+      "unknown-ceiling rows carry NULL positive columns, not a fabricated positive")
+    // emitted triplets reference the miner's positive row
+    val knownRow = withUnknown.filter(col("anchor_id") === 1L).collect().head
+    assert(knownRow.getLong(1) === 100L && knownRow.getDouble(3) === 0.9)
+  }
+
+  test("selectTriplets adds no exchange beyond the mining plan") {
+    val s = spark; import s.implicits._
+    val mined = Seq((1L, 2L, 0.5, 1, 3L, 0.8))
+      .toDF("vec_id", "neighbor_id", "cosine", "rank", "pos_id", "pos_cosine")
+    val before = mined.queryExecution.executedPlan.toString
+      .sliding("Exchange".length).count(_ == "Exchange")
+    val after = Similarity.selectTriplets(mined, margin = 0.1)
+      .queryExecution.executedPlan.toString
+      .sliding("Exchange".length).count(_ == "Exchange")
+    assert(after === before, "triplet selection must be filter+project only")
   }
 }
