@@ -381,7 +381,26 @@ object SparkEntry {
     guarded("q110Seed")(q110SeedRoot(s, dir))
     guarded("q111Bm")(q111BmRoot(s, dir))
     guarded("q113Seed")(q113SeedRoot(s, dir))
+    guarded("q125Profiles")(q125ProfileRoots(s, dir))
   }
+
+  /** q125's two INDEPENDENT profiles — corpus halves (doc_id parity)
+    * built into separate stores, the cross-store overlap fixture. */
+  private val q125ProfileCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q125ProfileRoots(s: SparkSession, dir: String): String =
+    q125ProfileCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q125prof").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusProfile.build(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "source", "text", "doc_id", "n_chars", k = 64, b = 128,
+        new graft.operators.TableStore(s"$root/a"), "docs")
+      graft.operators.CorpusProfile.build(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "source", "text", "doc_id", "n_chars", k = 64, b = 128,
+        new graft.operators.TableStore(s"$root/b"), "docs")
+      root
+    })
 
   /** q69's persisted MinHash signature index over the `doc_id % 5 != 0`
     * corpus split — same fixture discipline as [[q60IndexRoot]]; the
@@ -2542,6 +2561,23 @@ object SparkEntry {
         .orderBy(col("group_a"), col("group_b"))
     }),
 
+    // ext: CROSS-STORE PROFILE OVERLAP — q119's served-overlap statistic
+    // computed BETWEEN two independently maintained profiles (crawl A's
+    // store vs crawl B's): both pinned kmv members union, tag-prefixed,
+    // through the SAME estimator object as the ad-hoc q118 and the
+    // one-store q119 — zero corpus scan on either side, two KB-sized
+    // synopsis reads and one broadcast pairing regardless of corpus
+    // size. KMV canonicity makes the two-store estimates equal an
+    // ad-hoc kmvOverlap over the concatenated corpora (spec'd); the
+    // oracle replays the full from-scratch chain per tagged half.
+    "q125_cross_profile_overlap" -> ((s, dir) => {
+      val root = q125ProfileRoots(s, dir)
+      graft.operators.CorpusProfile.overlapStores(s,
+          new graft.operators.TableStore(s"$root/a"), "docs",
+          new graft.operators.TableStore(s"$root/b"), "docs", k = 64)
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
     // ext: QUALITY-KEEPER near-dedup — keep the BEST copy per near-dup
     // cluster (longest here: n_chars, ties min id), not the min-id one:
     // the RefinedWeb/FineWeb keeper choice (truncated mirrors and paywall
@@ -4133,6 +4169,55 @@ object SparkEntry {
         |  FROM uk u
         |  LEFT JOIN sk ia ON ia.source = u.ga AND ia.hv = u.hv
         |  LEFT JOIN sk ib ON ib.source = u.gb AND ib.hv = u.hv
+        |  GROUP BY u.ga, u.gb)
+        |SELECT p.ga AS group_a, p.gb AS group_b,
+        |  CAST(p.na AS INT) AS n_a_sketch, CAST(p.nb AS INT) AS n_b_sketch,
+        |  round(CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE), 6) AS est_jaccard,
+        |  round(CASE WHEN l < 64 THEN CAST(l AS DOUBLE)
+        |    ELSE 63.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |    END, 4) AS est_union,
+        |  round((CAST(nboth AS DOUBLE) / CAST(l AS DOUBLE)) *
+        |    (CASE WHEN l < 64 THEN CAST(l AS DOUBLE)
+        |     ELSE 63.0 * 1099511627776.0 / CAST(greatest(kth, 1) AS DOUBLE)
+        |     END), 4) AS est_intersection
+        |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    // q125 replay: q119's from-scratch KMV chain with the groups split
+    // into the two tagged stores (doc parity) — each half sketches its
+    // own rows, the pairing runs over the union of both synopsis sets.
+    "q125_cross_profile_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'a:' ELSE 'b:' END) || source AS g,
+        |    CAST('0x' || substring(md5('kmv:' || text), 1, 10) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT g, hv,
+        |    row_number() OVER (PARTITION BY g ORDER BY hv ASC) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |sk AS (SELECT g, hv, least(n, 64) AS ns FROM r WHERE rk <= 64),
+        |gs AS (SELECT DISTINCT g, ns FROM sk),
+        |prs AS (
+        |  SELECT a.g AS ga, a.ns AS na, b.g AS gb, b.ns AS nb
+        |  FROM gs a JOIN gs b ON a.g < b.g),
+        |su AS (
+        |  SELECT p.ga, p.gb, s.hv FROM prs p
+        |  JOIN sk s ON s.g IN (p.ga, p.gb)
+        |  GROUP BY p.ga, p.gb, s.hv),
+        |ur AS (
+        |  SELECT ga, gb, hv,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY hv ASC) AS urk
+        |  FROM su),
+        |uk AS (SELECT ga, gb, hv FROM ur WHERE urk <= 64),
+        |agg AS (
+        |  SELECT u.ga, u.gb, count(*) AS l, max(u.hv) AS kth,
+        |    sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS nboth
+        |  FROM uk u
+        |  LEFT JOIN sk ia ON ia.g = u.ga AND ia.hv = u.hv
+        |  LEFT JOIN sk ib ON ib.g = u.gb AND ib.hv = u.hv
         |  GROUP BY u.ga, u.gb)
         |SELECT p.ga AS group_a, p.gb AS group_b,
         |  CAST(p.na AS INT) AS n_a_sketch, CAST(p.nb AS INT) AS n_b_sketch,

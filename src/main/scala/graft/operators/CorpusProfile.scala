@@ -850,15 +850,53 @@ object CorpusProfile {
       spark: SparkSession,
       store: TableStore,
       name: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    Sketches.overlapFromSynopses(kmvSynopses(spark, store, name, k, tag = ""), k)
+
+  /** One profile's committed kmv member as estimator-ready synopsis rows
+    * `(_g, _sk ascending)`, groups optionally `tag`-prefixed (the
+    * cross-store disambiguator — without it, a group name common to two
+    * stores would union into ONE synopsis and estimate the merged corpus
+    * instead of comparing the two). */
+  private def kmvSynopses(
+      spark: SparkSession, store: TableStore, name: String, k: Int,
+      tag: String): DataFrame = {
     val (m, _) = requireManifest(spark, store, name)
     require(m.buildK < 0 || m.buildK == k,
       s"profile $name was built with k=${m.buildK}, not k=$k — a mismatched " +
         "k flips full sketches into the exact sub-k arm and mis-estimates")
-    val sk = pinnedRead(spark, store, name, m.kmv, kmvTable(name), "distinct")
+    val g = if (tag.isEmpty) col("group")
+      else concat(lit(tag), col("group").cast("string"))
+    pinnedRead(spark, store, name, m.kmv, kmvTable(name), "distinct")
       .groupBy(col("group"))
       .agg(sort_array(collect_list(col("hv"))).as("_sk"))
-      .select(col("group").as("_g"), col("_sk"))
-    Sketches.overlapFromSynopses(sk, k)
+      .select(g.as("_g"), col("_sk"))
+  }
+
+  /** CROSS-STORE pairwise overlap: profile A's groups vs profile B's —
+    * the "how much of crawl B's vocabulary is already in crawl A" audit
+    * across two INDEPENDENTLY maintained profiles, with zero corpus
+    * scan on either side. Both stores' pinned kmv members union into one
+    * synopsis frame (groups tag-prefixed so same-named groups stay
+    * distinct) and flow through the SAME estimator object as
+    * [[Sketches.kmvOverlap]] and the one-store [[overlap]] — so two
+    * profiles built over disjoint corpora estimate exactly what an
+    * ad-hoc [[Sketches.kmvOverlap]] over the concatenated corpora would
+    * (KMV sketches are canonical: same rows in, same synopsis out,
+    * regardless of which store folded them — spec-verified). Both
+    * profiles must share the build `k`; corpus-size-independent by
+    * construction (two ≤ groups×k synopsis tables, one broadcast
+    * pairing). */
+  def overlapStores(
+      spark: SparkSession,
+      storeA: TableStore, nameA: String,
+      storeB: TableStore, nameB: String,
+      k: Int,
+      tagA: String = "a:",
+      tagB: String = "b:"): DataFrame = {
+    require(tagA != tagB, "the two store tags must differ")
+    Sketches.overlapFromSynopses(
+      kmvSynopses(spark, storeA, nameA, k, tagA)
+        .unionByName(kmvSynopses(spark, storeB, nameB, k, tagB)), k)
   }
 }

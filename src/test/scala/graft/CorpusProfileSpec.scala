@@ -581,4 +581,53 @@ class CorpusProfileSpec extends SparkSpec {
     // txt repeats with period 211 across interleaved groups: real overlap
     assert(served.exists(_._5 > 0.0), "expected nonzero jaccard between groups")
   }
+
+  test("cross-store overlap equals ad-hoc kmvOverlap over the concatenated corpora") {
+    val corpusA = docs(1 to 700).filter(col("id") % 2 === 0)
+    val corpusB = docs(1 to 700).filter(col("id") % 2 === 1)
+    val a = new TableStore(freshRoot())
+    val b = new TableStore(freshRoot())
+    CorpusProfile.build(corpusA, "grp", "txt", "id", "num", 32, 64, a, "p")
+    CorpusProfile.build(corpusB, "grp", "txt", "id", "num", 32, 64, b, "p")
+    val served = CorpusProfile.overlapStores(spark, a, "p", b, "p", k = 32)
+      .orderBy(col("group_a"), col("group_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // ground truth: ONE ad-hoc sketch pass over the concatenation with
+    // the same tags — KMV canonicity makes these bit-equal
+    val tagged = corpusA.select(concat(lit("a:"), col("grp")).as("g"), col("txt"))
+      .unionByName(corpusB.select(concat(lit("b:"), col("grp")).as("g"), col("txt")))
+    val adHoc = graft.operators.Sketches.kmvOverlap(tagged, "g", "txt", k = 32)
+      .orderBy(col("group_a"), col("group_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(served === adHoc,
+      "two independently built profiles must estimate exactly what one " +
+        "from-scratch pass over the concatenated corpora does")
+    // both intra-store (a:gX vs a:gY) and cross-store (a:gX vs b:gY)
+    // pairs are present — 6 tagged groups → 15 pairs
+    assert(served.length === 15)
+    assert(served.exists(p => p._1.startsWith("a:") && p._2.startsWith("b:")))
+  }
+
+  test("cross-store overlap validates both stores' build k and rejects equal tags") {
+    val a = new TableStore(freshRoot())
+    val b = new TableStore(freshRoot())
+    CorpusProfile.build(docs(1 to 100), "grp", "txt", "id", "num", 32, 64, a, "p")
+    CorpusProfile.build(docs(1 to 100), "grp", "txt", "id", "num", 16, 64, b, "p")
+    val e = intercept[IllegalArgumentException] {
+      CorpusProfile.overlapStores(spark, a, "p", b, "p", k = 32).collect()
+    }
+    assert(e.getMessage.contains("built with k=16"),
+      s"mismatched build k must fail actionably, got: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      CorpusProfile.overlapStores(spark, a, "p", a, "p", k = 32,
+        tagA = "x:", tagB = "x:")
+    }
+    // and the single-store overlap enforces the same validation
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusProfile.overlap(spark, b, "p", k = 32).collect()
+    }
+    assert(e2.getMessage.contains("built with k=16"))
+  }
 }
