@@ -323,4 +323,75 @@ class DedupSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(run(df, pairs) === run(df.repartition(7), pairs.repartition(3)))
   }
+
+  /** The family claim, tested not asserted: for ANY pair source feeding
+    * the shared tail, keepBest keeps exactly the per-cluster score argmax
+    * (ties: min id) over the clusters THAT source induces, plus every
+    * unpaired doc. The expectation is recomputed independently from the
+    * pair list (driver-side union-find over the collected pairs). */
+  private def expectedKeepers(
+      pairs: org.apache.spark.sql.DataFrame,
+      scores: Map[Long, Double], allIds: Set[Long]): Set[Long] = {
+    val edges = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val byRoot = clustered.groupBy(find)
+    val keepers = byRoot.values.map(members =>
+      members.minBy(id => (-scores(id), id))).toSet
+    keepers ++ (allIds -- clustered)
+  }
+
+  test("keepBest over MinHash-LSH pairs keeps the argmax within each approximate cluster") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    // planted near-dup groups: 12 groups × 3 rewraps of one base phrase
+    // (suffix noise so copies are near- not exact-dups), plus loners
+    val rows = (0 until 12).flatMap { g =>
+      val base = s"group $g shares this long base phrase about topic ${g * 7} " +
+        s"with extra words alpha beta gamma delta epsilon"
+      (0 until 3).map(v => (g * 10L + v, s"$base variant$v", (g * 10 + v) % 7 * 1.0))
+    } ++ (900L to 905L).map(i => (i, s"utterly unrelated loner document $i " +
+      s"speaking of ${i * 13} things nobody else mentions", 1.0))
+    val df = rows.toDF("doc_id", "text", "score")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(pairs.count() > 0, "the planted groups must pair")
+    val kept = Dedup.nearDedupKeepBest(df, "doc_id", "score", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val scores = rows.map(r => r._1 -> r._3).toMap
+    assert(kept === expectedKeepers(pairs, scores, rows.map(_._1).toSet))
+    scope.release()
+  }
+
+  test("keepBest over cosine near-dup pairs keeps the argmax within each semantic cluster") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    // 8 direction groups × 3 jittered copies: same direction ⇒ cosine ≈ 1
+    val rows = (0 until 8).flatMap { g =>
+      (0 until 3).map { v =>
+        val vec = Array.tabulate(12) { d =>
+          (math.sin(g * 31 + d * 7) + (if (d == v) 0.01 else 0.0)).toFloat
+        }
+        (g * 10L + v, vec, (g * 10 + v) % 5 * 1.0)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "score")
+    val pairs = graft.operators.Similarity.cosineNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.98, bits = 6, tables = 8)
+    assert(pairs.count() > 0, "the jittered copies must pair")
+    val kept = Dedup.nearDedupKeepBest(df, "vec_id", "score", pairs)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val scores = rows.map(r => r._1 -> r._3).toMap
+    assert(kept === expectedKeepers(pairs, scores, rows.map(_._1).toSet))
+    scope.release()
+  }
 }
