@@ -43,6 +43,21 @@ final case class TableMeta(
       .map(m => Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3)))
   }
 
+  /** One-level string→string OBJECT lookup into `additional_config`
+    * (`{"renames": {"old": "new", ...}}` — the declared CDC rename map,
+    * [[graft.operators.SchemaEvolution]]): same stdlib-only regex
+    * discipline as [[configValue]]; nested objects beyond one level are
+    * not a shape the control table carries. Returns empty when the key
+    * is absent or not an object. */
+  def configObject(key: String): Map[String, String] = {
+    val obj = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\{([^}]*)\\}").r
+    obj.findFirstMatchIn(additionalConfig).map { m =>
+      val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2)).toMap
+    }.getOrElse(Map.empty)
+  }
+
   /** PK-hash bucket count for the target table's layout
     * (`additional_config: {"buckets": N}`) — enables the copy-on-write
     * bucketed merge path in [[graft.operators.IncrementalMerge]]. */

@@ -51,7 +51,10 @@ object IncrementalMerge {
     meta.configValue("declared_columns").foreach { declared =>
       SchemaEvolution.check(meta.targetTableName,
         declared.replaceAll(" ", "").split(",").filter(_.nonEmpty).toSeq,
-        store.read(spark, meta.targetTableName).schema.fieldNames.toSeq)
+        store.read(spark, meta.targetTableName).schema.fieldNames.toSeq,
+        // declared rename map: the sanctioned old→new bridge — mapped
+        // renames pass (positionally harmless), unmapped drift stays loud
+        meta.configObject("renames"))
     }
 
     def mergeOnce(): Long = {

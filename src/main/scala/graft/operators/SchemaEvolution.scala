@@ -78,6 +78,41 @@ object SchemaEvolution {
     i == sub.length
   }
 
+  /** [[check]] with a DECLARED RENAME MAP (`additional_config:
+    * {"renames": {"stored_old": "declared_new"}}`) — the sanctioned
+    * bridge when upstream renamed columns and `declared_columns` already
+    * records the new names: a rename is positionally harmless in a
+    * headerless feed (no cell moves), so once the operator declares the
+    * old→new mapping the merge may proceed with the stored names —
+    * a fleet migration records one map per table instead of hand-
+    * rewriting files or re-baselining. The stored layout is translated
+    * through the map and THEN classified, so only the mapped renames
+    * are absolved: unmapped drift — a rename the map misses, a drop, a
+    * reorder — still fails loudly with its remediation. The map itself
+    * is validated first: an entry whose old name is not stored is stale
+    * metadata, and a mapping that collides two columns can never be
+    * right; both fail actionably rather than silently misclassifying. */
+  def check(tableName: String, declared: Seq[String], stored: Seq[String],
+      renames: Map[String, String]): Unit = {
+    if (renames.isEmpty) check(tableName, declared, stored)
+    else {
+      val stale = renames.keys.filterNot(stored.contains).toSeq.sorted
+      if (stale.nonEmpty)
+        throw new IllegalStateException(
+          s"rename map for $tableName names [${stale.mkString(", ")}] that " +
+            "the target does not store — stale metadata; fix the renames " +
+            "object to map stored names")
+      val mapped = stored.map(s => renames.getOrElse(s, s))
+      val dups = mapped.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      if (dups.nonEmpty)
+        throw new IllegalStateException(
+          s"rename map for $tableName collides columns onto " +
+            s"[${dups.toSeq.sorted.mkString(", ")}] — a map may never merge " +
+            "two stored columns into one name")
+      check(tableName, declared, mapped)
+    }
+  }
+
   /** [[classify]] and throw with remediation on anything a positional
     * merge cannot express. Call with the declared list ONLY when the
     * metadata carries one. */

@@ -260,6 +260,61 @@ class CdcPipelineSpec extends SparkSpec {
     assert(snapshot(store)("1") === ("alice", "100.50"))
   }
 
+  test("renames map: a declared upstream rename merges normally (no file rewrite)") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    FullLoad.run(spark, meta0, stageDir, store, metaStore, schema)
+    // upstream renamed name → customer_name; declared_columns records the
+    // new name and the renames map sanctions the bridge — the merge
+    // proceeds on the stored layout (a rename moves no positional cell)
+    val meta = meta0.copy(additionalConfig =
+      """{"declared_columns": "id, customer_name, balance, updated_at",
+        | "renames": {"name": "customer_name"}}""".stripMargin)
+    metaStore.upsert(meta)
+    writeCsv(s"$stageDir/cdc/customer_sync", "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00"))
+    val rows = IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+      stageDir, store, metaStore)
+    assert(rows === 1)
+    assert(snapshot(store)("1") === ("alice2", "111.00"))
+  }
+
+  test("renames map: unmapped drift beside a mapped rename still fails loudly") {
+    val (_, stageDir, metaStore, store, meta0) = setup()
+    FullLoad.run(spark, meta0, stageDir, store, metaStore, schema)
+    // the map covers name→customer_name, but declared ALSO renames
+    // balance → amount: the unmapped half must still trip the guard
+    val meta = meta0.copy(additionalConfig =
+      """{"declared_columns": "id, customer_name, amount, updated_at",
+        | "renames": {"name": "customer_name"}}""".stripMargin)
+    metaStore.upsert(meta)
+    writeCsv(s"$stageDir/cdc/customer_sync", "20260102-000000001.csv", Seq(
+      "U,1,alice2,111.00,2026-01-02 00:00:00"))
+    val err = intercept[IllegalStateException] {
+      IncrementalMerge.run(spark, metaStore.get(meta.fullPath).get,
+        stageDir, store, metaStore)
+    }
+    assert(err.getMessage.contains("'balance' -> 'amount'"),
+      s"the unmapped rename must surface: $err")
+    assert(snapshot(store)("1") === ("alice", "100.50"))
+  }
+
+  test("renames map: stale entries and colliding mappings fail actionably") {
+    import graft.operators.SchemaEvolution
+    val stored = Seq("id", "name", "balance", "updated_at")
+    val stale = intercept[IllegalStateException] {
+      SchemaEvolution.check("t", stored, stored, Map("ghost" -> "other"))
+    }
+    assert(stale.getMessage.contains("ghost") && stale.getMessage.contains("stale"))
+    val collide = intercept[IllegalStateException] {
+      SchemaEvolution.check("t",
+        Seq("id", "x", "x", "updated_at"), stored,
+        Map("name" -> "x", "balance" -> "x"))
+    }
+    assert(collide.getMessage.contains("collides"))
+    // and an empty map is the plain path: same acceptance as before
+    SchemaEvolution.check("t", stored, stored, Map.empty)
+  }
+
   test("SchemaEvolution.classify covers the positional-feed evolution shapes") {
     import graft.operators.SchemaEvolution._
     val stored = Seq("id", "name", "balance", "updated_at")
