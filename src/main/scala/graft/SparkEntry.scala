@@ -382,7 +382,83 @@ object SparkEntry {
     guarded("q111Bm")(q111BmRoot(s, dir))
     guarded("q113Seed")(q113SeedRoot(s, dir))
     guarded("q125Profiles")(q125ProfileRoots(s, dir))
+    guarded("q126Seed")(q126SeedRoot(s, dir))
+    guarded("q127Stage")(q127StageRoot(s, dir))
   }
+
+  /** q126's seed + revision stage: postings built over the FULL corpus
+    * (original text), and the % 10 == 0 docs' REVISED copies staged as
+    * three parquet files — the live-revision stream. */
+  private val q126SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q126SeedRoot(s: SparkSession, dir: String): String =
+    q126SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q126seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val docs = t(s, dir, "documents")
+      graft.operators.PostingsIndex.build(docs, "doc_id", "text", store, "bm_idx")
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+            pmod(col("doc_id"), lit(3)) === k)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" revised edition")).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
+  /** q127's revision stage: the % 10 == 9 corpus slice RE-EMBEDDED
+    * (dimension 0 shifted +0.5, in DOUBLE space so the oracle's
+    * arithmetic replays exactly), staged as three parquet files. The
+    * index side reuses the q60 fixture (copied per run — the shared
+    * fixture must never be mutated). */
+  private val q127StageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q127StageRoot(s: SparkSession, dir: String): String =
+    q127StageCache.computeIfAbsent(dir, _ => {
+      import graft.functions.VectorFunctions.{l2Norm, toDouble}
+      val root = newTmpDir("graft_q127stage").toString
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      val rev = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+        .withColumn("_n", l2Norm(col("embedding"))).filter(col("_n") > 0)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.5)).otherwise(x)))
+        .select(col("vec_id"), col("embedding"))
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        rev.filter(pmod(col("vec_id"), lit(3)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
 
   /** q125's two INDEPENDENT profiles — corpus halves (doc_id parity)
     * built into separate stores, the cross-store overlap fixture. */
@@ -2441,6 +2517,69 @@ object SparkEntry {
         store, "bm_idx", k = 5, maxDfFrac = 0.78)
     }),
 
+    // ext: EXACTLY-ONCE STREAMED UPSERT ADMISSION — the live-REVISION
+    // sink, composing r14's single-swap upsert with the streaming gate:
+    // the postings index is built over the FULL corpus, then the
+    // %10==0 docs arrive RE-CRAWLED (' revised edition' appended) as
+    // three micro-batches through admitUpsertStream. Insert-only
+    // admission (q113) would silently keep the stale text — the ids
+    // already exist; here each drain replaces its docs across all
+    // tiers in one swap that also records the batchId, so a
+    // redelivered revision folds exactly once. Serving must match the
+    // from-scratch build over the REVISED corpus — the oracle is the
+    // q97 chain with the revision CASE substituted, the strongest
+    // statement the upsert-fold can make (exact df subtraction, dl
+    // replacement, counter updates all land in the hash).
+    "q126_stream_bm25_upsert" -> ((s, dir) => {
+      val seedRoot = q126SeedRoot(s, dir)
+      val root = newTmpDir("graft_q126run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PostingsIndex.admitUpsertStream(stream, "doc_id", "text",
+        store, "bm_idx", s"$root/chk").awaitTermination()
+      // probes read the REVISED corpus (same CASE as the oracle's d CTE)
+      val revised = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" revised edition"))).otherwise(col("text"))
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          slice(filter(graft.functions.TextFunctions.tokens(revised),
+            x => length(x) > 0), 1, 3).as("pterms"))
+      graft.operators.PostingsIndex.topK(s, probes, "probe_id", "pterms",
+        store, "bm_idx", k = 5, maxDfFrac = 0.78)
+    }),
+
+    // ext: q126's VECTOR-SIDE twin — streamed upsert admission into the
+    // persisted IVF family: the %10==9 slice arrives RE-EMBEDDED
+    // (dimension 0 shifted +0.5 in double space) as three micro-batches
+    // through IvfIndex.admitUpsertStream against a copy of the q60
+    // index. Every tier (float/int8/PQ) replaces the revised ids in one
+    // swap per batch; the model is untouched (refit-free maintenance),
+    // so the oracle is q60's chain with centroids fit on the ORIGINAL
+    // corpus and the revised vectors substituted into the assignment +
+    // serving CTEs — serving must match a from-scratch assignment of
+    // the final vector set, which is exactly what exact replacement
+    // plus refit-free assignment guarantees.
+    "q127_stream_ivf_upsert" -> ((s, dir) => {
+      val stageRoot = q127StageRoot(s, dir)
+      val root = newTmpDir("graft_q127run").toString
+      copyTree(q60IndexRoot(s, dir), s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$stageRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stageRoot/stage")
+      graft.operators.IvfIndex.admitUpsertStream(stream, "vec_id", "embedding",
+        store, "emb_idx", s"$root/chk").awaitTermination()
+      val batch = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      graft.operators.IvfIndex.topK(s, batch, "vec_id", "embedding",
+          store, "emb_idx", k = 3, nProbe = 2)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: HARD-NEGATIVE MINING for contrastive training data — per probe,
     // the top-5 most-similar DIFFERENT-label vectors plus the probe's best
     // same-label cosine (pos_cosine), the triplet-margin inputs. One
@@ -3302,10 +3441,13 @@ object SparkEntry {
     * n_match_terms, score) over ALL scored candidates — shared verbatim
     * by the q97/q111 oracles (top-5 select) and q112's lexical leg
     * (top-10 rank feed), so the three cannot drift. */
-  private def bm25BatchCtes: String =
-    """d AS (
+  /** The shared batch-BM25 CTE chain over an arbitrary corpus-text
+    * expression — `"text"` for the stored corpus (q97/q111/q112/q113),
+    * the revision CASE for q126's upserted corpus. */
+  private def bm25BatchCtesOver(textSql: String): String =
+    s"""d AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |    list_filter(string_split(lower($textSql), ' '), x -> len(x) > 0) AS toks
       |  FROM documents),
       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
       |post AS (
@@ -3341,6 +3483,8 @@ object SparkEntry {
       |    JOIN post ON pt.term = post.term
       |    JOIN dl ON post.doc_id = dl.doc_id, st
       |  GROUP BY pt.probe_id, post.doc_id)""".stripMargin
+
+  private def bm25BatchCtes: String = bm25BatchCtesOver("text")
 
   private def bm25BatchOracleSql: String =
     s"""WITH $bm25BatchCtes
@@ -3972,6 +4116,78 @@ object SparkEntry {
     "q111_bm25_persisted" -> bm25BatchOracleSql,
     "q112_hybrid_rrf" -> hybridRrfOracleSql,
     "q113_stream_bm25" -> bm25BatchOracleSql,
+
+    // q127 replay: q60's chain with the model fit on the ORIGINAL corpus
+    // (build-time state — upsert never refits) and the REVISED vectors
+    // (dim 0 + 0.5, double arithmetic — exact both engines) substituted
+    // into the assignment + serving CTEs. DuckDB lambdas index 1-based,
+    // so the engine's dimension 0 is i = 1 here.
+    "q127_stream_ivf_upsert" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 <> 0),
+        |batch AS (SELECT * FROM ecast WHERE id % 10 = 0),
+        |final AS ( -- the post-upsert stored vectors: %10==9 re-embedded
+        |  SELECT id,
+        |    CASE WHEN id % 10 = 9
+        |      THEN list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.5 ELSE x END)
+        |      ELSE v END AS v
+        |  FROM corpus),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |assigned AS ( -- FINAL vectors assigned to the build-time model
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM final b CROSS JOIN c1live c) WHERE rnk = 1),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM batch b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |ranked AS (
+        |  SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+        |    list_cosine_similarity(qb.v, a.v) AS cos_raw,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qb.v, a.v) DESC, a.id ASC) AS rank
+        |  FROM probes p
+        |  JOIN assigned a USING (cell)
+        |  JOIN batch qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id)
+        |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // q126 replay: the identical q97 chain over the REVISED corpus (the
+    // upsert CASE substituted into the d CTE) — the drained upsert-
+    // admission state must serve exactly what a from-scratch build over
+    // the final revisions would.
+    "q126_stream_bm25_upsert" ->
+      (s"""WITH ${bm25BatchCtesOver(
+        "CASE WHEN doc_id % 10 = 0 THEN text || ' revised edition' ELSE text END")}
+        |SELECT probe_id, doc_id, n_match_terms, round(score, 6) AS bm25
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin),
 
     // q114 replay: one scored CTE over (probe % 23 = 0) × corpus; negatives
     // ranked within the label-mismatch set, pos_cosine a conditional max

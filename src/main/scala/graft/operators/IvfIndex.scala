@@ -403,7 +403,21 @@ object IvfIndex {
       name: String): Long =
     withIndexLock(store, name) {
       OverlayLock.retryOnConflict() {
+        upsertStamped(spark, batch, idCol, vecCol, store, name, None)._2
+      }
+    }
+
+  /** The gated fold behind [[upsert]] and [[admitUpsertBatch]]:
+    * single-swap replace-or-insert, optionally recording `stamp` as the
+    * admitted batchId in the SAME swap.
+    * @return (folded, idsReplaced) — folded false iff `stamp` was
+    *         already admitted */
+  private def upsertStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, vecCol: String,
+      store: TableStore, name: String, stamp: Option[Long]): (Boolean, Long) = {
+    {
         val (m, mv) = requireManifest(store, name)
+        if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
         rollbackAll(store, name, m)
         val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -427,11 +441,54 @@ object IvfIndex {
           val pcV = m.pqCodes.map(pin =>
             PqIndex.upsertEncodedAt(spark, assigned, batchIds, store, name, m, pin))
           commitManifest(store, name,
-            m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
-          replaced
+            m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
+              lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+          (true, replaced)
         } finally assigned.unpersist()
+    }
+  }
+
+  /** Exactly-once micro-batch UPSERT admission — [[admitBatch]]'s gate
+    * with [[upsert]]'s fold: a stream of vector REVISIONS (re-embedded
+    * documents after a model refresh, corrected rows) replaces each
+    * arriving id across every tier atomically; the batchId gate rides
+    * in the same swap, so a redelivered revision folds exactly once
+    * rather than being silently ignored by the insert-only anti-join
+    * (which would keep the STALE vector). Returns true when folded. */
+  def admitUpsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String): Boolean =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        upsertStamped(spark, batch, idCol, vecCol, store, name, Some(batchId))._1
       }
     }
+
+  /** [[admitStream]] with upsert folds — the live-revision sink for the
+    * vector index family. */
+  def admitUpsertStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   /** Takedown: commit a next version of every tier WITHOUT the given ids
     * — the removal path an index must have at scale (a handful of

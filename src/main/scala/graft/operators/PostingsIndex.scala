@@ -274,7 +274,22 @@ object PostingsIndex {
       name: String): Long =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
+        upsertStamped(spark, batch, idCol, textCol, store, name, None)._2
+      }
+    }
+
+  /** The gated fold behind [[upsert]] and [[admitUpsertBatch]] — same
+    * single-swap replace-or-insert, optionally recording `stamp` as the
+    * admitted batchId in the SAME swap (the exactly-once argument of
+    * [[appendStamped]], applied to revisions).
+    * @return (folded, docsReplaced) — folded false iff `stamp` was
+    *         already admitted */
+  private def upsertStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      store: TableStore, name: String, stamp: Option[Long]): (Boolean, Long) = {
+    {
         val (m, mv) = requireManifest(store, name)
+        if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
         rollbackAll(store, name, m)
         val fresh = tokenized(batch, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -306,12 +321,13 @@ object PostingsIndex {
           val (addN, addSdl) = docCounters(fresh)
           commitManifest(store, name,
             m.copy(postings = pv, docs = dv, termStats = tv,
-              nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl),
+              nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl,
+              lastBatchId = stamp.getOrElse(m.lastBatchId)),
             Some(mv))
-          rmN
+          (true, rmN)
         } finally fresh.unpersist()
-      }
     }
+  }
 
   /** EXACT takedown — what the non-subtractive sketch tiers cannot do:
     * postings/doc rows anti-join away and the removed docs' df
@@ -375,6 +391,48 @@ object PostingsIndex {
         appendStamped(spark, batch, idCol, textCol, store, name, Some(batchId))
       }
     }
+
+  /** Exactly-once micro-batch UPSERT admission — [[admitBatch]]'s gate
+    * with [[upsert]]'s fold: a stream of document REVISIONS (re-crawls,
+    * edits) replaces each arriving doc atomically, and the batchId gate
+    * riding in the same manifest swap makes redelivery fold exactly once
+    * — which [[admitBatch]]'s insert-only fold could not give revisions
+    * (a replayed revision would be a no-op only because the id exists,
+    * silently keeping the OLD text if the crash landed between swap and
+    * sink). Returns true when folded, false when skipped as a replay. */
+  def admitUpsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        upsertStamped(spark, batch, idCol, textCol, store, name, Some(batchId))._1
+      }
+    }
+
+  /** [[admitStream]] with upsert folds — the live-revision sink. */
+  def admitUpsertStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   /** Streaming admission: the retrieval index as a live sink (the same
     * face as [[IvfIndex.admitStream]], for the lexical tier).

@@ -235,6 +235,65 @@ class UpsertSpec extends SparkSpec {
       "after the swap the revised doc serves under its new term")
   }
 
+  test("postings upsert admission: replayed batchIds refused, crash invisible, gate rides the swap") {
+    val store = new CrashStore(tmpDir("ups-bm-adm"))
+    PostingsIndex.build(ddf(1 to 80), "doc_id", "text", store, "bm")
+    assert(PostingsIndex.admitUpsertBatch(spark, ddf(40 to 44, "x"), 0L,
+      "doc_id", "text", store, "bm"), "first revision batch folds")
+    val after0 = serveBm(store)
+    assert(!PostingsIndex.admitUpsertBatch(spark, ddf(40 to 44, "x"), 0L,
+      "doc_id", "text", store, "bm"), "replayed batchId refused")
+    assert(serveBm(store) === after0)
+    // crash between member commits: invisible; redelivery folds once
+    store.failTable = Some("bm_postings")
+    intercept[RuntimeException] {
+      PostingsIndex.admitUpsertBatch(spark, ddf(45 to 49, "x"), 1L,
+        "doc_id", "text", store, "bm")
+    }
+    store.failTable = None
+    assert(serveBm(store) === after0, "crashed revision admission invisible")
+    assert(PostingsIndex.admitUpsertBatch(spark, ddf(45 to 49, "x"), 1L,
+      "doc_id", "text", store, "bm"), "redelivered revision folds")
+    val clean = new TableStore(tmpDir("ups-bm-adm-clean"))
+    PostingsIndex.build(ddf(1 to 80), "doc_id", "text", clean, "bm")
+    PostingsIndex.upsert(spark, ddf(40 to 49, "x"), "doc_id", "text", clean, "bm")
+    assert(serveBm(store) === serveBm(clean),
+      "gated revision chain ≡ one clean batch upsert")
+  }
+
+  test("insert-only admission keeps STALE text for existing ids — the gap upsert admission closes") {
+    val a = new TableStore(tmpDir("ups-bm-stale-a"))
+    PostingsIndex.build(ddf(1 to 60), "doc_id", "text", a, "bm")
+    // the revision arrives through the INSERT-ONLY gate: doc 42 already
+    // exists, so its new text is silently ignored
+    assert(PostingsIndex.admitBatch(spark, ddf(42 to 42, "x"), 0L,
+      "doc_id", "text", a, "bm"))
+    assert(!serveBm(a).exists(_._2 === 42L),
+      "insert-only admission must NOT have indexed the revised tail term")
+    // the same batch through the upsert gate replaces it
+    val b = new TableStore(tmpDir("ups-bm-stale-b"))
+    PostingsIndex.build(ddf(1 to 60), "doc_id", "text", b, "bm")
+    assert(PostingsIndex.admitUpsertBatch(spark, ddf(42 to 42, "x"), 0L,
+      "doc_id", "text", b, "bm"))
+    assert(serveBm(b).exists(_._2 === 42L),
+      "upsert admission must serve the revision")
+  }
+
+  test("IVF upsert admission: revised vectors replace across tiers exactly once") {
+    val store = new TableStore(tmpDir("ups-ivf-adm"))
+    buildIvf(store)
+    assert(IvfIndex.admitUpsertBatch(spark, vdf(50 to 54, bump = 0.5), 0L,
+      "vec_id", "embedding", store, "emb"), "revision batch folds")
+    assert(!IvfIndex.admitUpsertBatch(spark, vdf(50 to 54, bump = 0.5), 0L,
+      "vec_id", "embedding", store, "emb"), "replayed batchId refused")
+    val clean = new TableStore(tmpDir("ups-ivf-adm-clean"))
+    buildIvf(clean)
+    IvfIndex.upsert(spark, vdf(50 to 54, bump = 0.5), "vec_id", "embedding",
+      clean, "emb")
+    assert(ivfState(store) === ivfState(clean),
+      "gated revision ≡ clean upsert across every tier")
+  }
+
   test("postings crash mid-upsert is invisible; the retry lands bit-equal to clean") {
     val store = new CrashStore(tmpDir("ups-bm-crash"))
     PostingsIndex.build(ddf(1 to 80), "doc_id", "text", store, "bm")
