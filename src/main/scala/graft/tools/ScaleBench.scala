@@ -212,7 +212,34 @@ object ScaleBench {
     // r13: overlap SERVED from committed profile state — reads G × ≤k
     // hash rows + the G² pairing; must be corpus-size-independent like
     // the q105/q106 serving rows (the fixture build is staged per dir)
-    "q119_profile_overlap")
+    "q119_profile_overlap",
+    // r14: perceptual-hash image near-dup — decode+hash is a narrow
+    // per-item pass over a CONSTANT 120-image fixture, so the decade
+    // should be wall-flat; what this measures is that the signature
+    // band join never densifies
+    "q121_image_neardup",
+    // r14: HTML→text extraction — one codegen regex chain over every
+    // doc; the honest scan-speed claim at ×10
+    "q122_html_extract",
+    // r14: the streamed-index quality tier — q110's drain + serving at
+    // nProbe=6 (3× the candidate volume of the budget tier)
+    "q123_stream_quality",
+    // r14: triplet selection — q114's mining pass + a per-row filter;
+    // the slope must be the miner's (probes ∝ SF × corpus scan)
+    "q124_triplets",
+    // r14: cross-store profile overlap — two synopsis reads + the
+    // broadcast pairing; must be corpus-size-independent (both
+    // profile builds are staged per dir, untimed)
+    "q125_cross_profile_overlap",
+    // r14: streamed UPSERT admission, both families — per-drain cost is
+    // the replace-rewrite of the corpus-sized tiers (∝ stored size, the
+    // honest cost of revision ingest) + one swap; these measure that
+    // the rewrite scales linearly and nothing densifies
+    "q126_stream_bm25_upsert", "q127_stream_ivf_upsert",
+    // r14: mining through the against-probe IVF path — candidate work is
+    // probe-batch-bound (%23 of the corpus) instead of corpus-bound; the
+    // decade verifies the 23× candidate saving holds as n grows
+    "q116_hard_negatives_ann")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
