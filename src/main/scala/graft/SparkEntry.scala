@@ -421,6 +421,52 @@ object SparkEntry {
       root
     })
 
+  /** The q121/q129 image fixture: 40 groups × (base, 3× block-upscale,
+    * ±1-luma perturbed) grayscale test cards, PNG-encoded on the
+    * executors. Grid luma is a middle-square mix of (group, gx, gy) —
+    * a LINEAR map mod 256 would give every group the same adjacent-cell
+    * difference pattern (dHash collapse); squaring and taking bits 8..15
+    * decorrelates groups (measured: inter-group hamming ≥ 7,
+    * perturbed-copy hamming ≤ 3 at every SF's doc_ids). Pure bigint
+    * arithmetic, so both the dHash chain (q121) and the pixel-feature
+    * chain (q129) replay in SQL. */
+  private def perceptualCards(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.MediaItem] = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(40).as[Long]
+    seeds.flatMap { g =>
+      (0 to 2).iterator.map { variant =>
+        val scale = if (variant == 1) 3 else 1
+        val w = graft.operators.Multimodal.DHashCols * scale
+        val h = graft.operators.Multimodal.DHashRows * scale
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val gx = x / scale; val gy = y / scale
+            val sd = (g * 131 + gx * 31 + gy * 17 + 7) % 65536
+            val base = (sd * sd / 256) % 256
+            val v = (if (variant == 2)
+              (base + (if ((gx + gy) % 2 == 0) 1 else 0)) % 256
+            else base).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.operators.Multimodal.MediaItem(
+          g * 10 + variant, "image", bos.toByteArray, "image/png",
+          s"synth://$g/$variant")
+      }
+    }
+  }
+
   /** q127's revision stage: the % 10 == 9 corpus slice RE-EMBEDDED
     * (dimension 0 shifted +0.5, in DOUBLE space so the oracle's
     * arithmetic replays exactly), staged as three parquet files. The
@@ -2717,6 +2763,50 @@ object SparkEntry {
         .orderBy(col("group_a"), col("group_b"))
     }),
 
+    // ext: SIMILAR-IMAGE SEARCH — the multimodal×similarity pairing:
+    // PixelDecoder's REAL content features (channel means + luma
+    // histogram over the decoded raster) become the embedding column and
+    // flow through the SAME exact-cosine searcher as the vector corpus
+    // (Similarity.bruteForceTopK) — any multimodal feature extractor
+    // feeds the whole ANN family unchanged (IVF/LSH/persisted tiers take
+    // the same (id, vector) shape). The q121 fixture's float features
+    // replay exactly in SQL: grid means are exact-rational divisions,
+    // luma bins replay the engine's literal 0.299v+0.587v+0.114v double
+    // chain, and the float cast is one REAL round-trip.
+    "q129_image_similarity" -> ((s, dir) => {
+      // search on the luma-HISTOGRAM slice of the decoded features: the
+      // channel-mean triplet (three equal large components on grayscale
+      // cards) would dominate the direction and collapse every cosine
+      // to ~1 — the shape-vs-brightness choice any image searcher makes.
+      // Boundary ties are exclusively between bitwise-identical vectors
+      // (the 3× upscale reproduces the base histogram exactly), so the
+      // id tie-break is engine-independent.
+      val feats = graft.operators.Multimodal.extractFeatures(
+          perceptualCards(s, dir),
+          new graft.operators.Multimodal.PixelDecoder()).toDF()
+        .select(col("item_id"), slice(col("feature"), 4,
+          graft.operators.Multimodal.LumBins).as("feature"))
+      Similarity.bruteForceTopK(feats, "item_id", "feature", k = 3)
+        .select(col("vec_id").as("item_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("item_id"), col("rank"))
+    }),
+
+    // ext: CONTAINMENT pairs (Broder 1997) — directed near-dup detection
+    // by |A∩B|/|A|: the asymmetric case Jaccard structurally misses (a
+    // short doc wholly inside a longer one — paywall stubs, quoted
+    // articles — has tiny Jaccard but containment ≈ 1). Same pinned
+    // shingle-postings plan as q15/q28 with the directed denominators;
+    // both directions ride one row.
+    "q128_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxShinglePostings = 1000)
+        .select(col("a_id"), col("b_id"), col("shared"),
+          round(col("containment_a_in_b"), 6).as("containment_a_in_b"),
+          round(col("containment_b_in_a"), 6).as("containment_b_in_a"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ext: QUALITY-KEEPER near-dedup — keep the BEST copy per near-dup
     // cluster (longest here: n_chars, ties min id), not the min-id one:
     // the RefinedWeb/FineWeb keeper choice (truncated mirrors and paywall
@@ -2794,45 +2884,7 @@ object SparkEntry {
     // corpus-scale cost at 100 TB is one decode pass + a 64-bit-per-image
     // shuffle, never pixels.
     "q121_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val seeds = t(s, dir, "documents").select(col("doc_id"))
-        .orderBy(col("doc_id")).limit(40).as[Long]
-      val items = seeds.flatMap { g =>
-        (0 to 2).iterator.map { variant =>
-          val scale = if (variant == 1) 3 else 1
-          val w = graft.operators.Multimodal.DHashCols * scale
-          val h = graft.operators.Multimodal.DHashRows * scale
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val gx = x / scale; val gy = y / scale
-              // middle-square mix — a LINEAR map mod 256 would give every
-              // group the same adjacent-cell difference pattern (hash
-              // collapse); squaring and taking bits 8..15 decorrelates
-              // groups (measured: inter-group hamming ≥ 7, perturbed-copy
-              // hamming ≤ 3 at every SF's doc_ids — the 6-bit threshold
-              // separates them)
-              val sd = (g * 131 + gx * 31 + gy * 17 + 7) % 65536
-              val base = (sd * sd / 256) % 256
-              val v = (if (variant == 2)
-                (base + (if ((gx + gy) % 2 == 0) 1 else 0)) % 256
-              else base).toInt
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          graft.operators.Multimodal.MediaItem(
-            g * 10 + variant, "image", bos.toByteArray, "image/png",
-            s"synth://$g/$variant")
-        }
-      }
-      val hashes = graft.operators.Multimodal.dHashes(items)
+      val hashes = graft.operators.Multimodal.dHashes(perceptualCards(s, dir))
       val pairs = Dedup.hammingBandedPairs(
         hashes.select(col("item_id").as("id"), col("dhash").as("sig")),
         maxHamming = 6, maxBucketSize = 200)
@@ -4447,6 +4499,77 @@ object SparkEntry {
         |     END), 4) AS est_intersection
         |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // q129 replay: the q121 grids → PixelDecoder's feature arithmetic —
+    // grid means as exact-rational divisions (the 3× upscale divides the
+    // same rational, so variants 0/1 share one feature row), luma bins
+    // via the engine's literal 0.299v+0.587v+0.114v double chain, floats
+    // as one REAL round-trip — then the q18 cosine ranking.
+    "q129_image_similarity" ->
+      """WITH seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 40),
+        |items AS (
+        |  SELECT g, v.variant, g * 10 + v.variant AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS vv
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |bincnt AS (
+        |  -- e-notation literals: DuckDB parses 0.299 as DECIMAL, whose
+        |  -- EXACT arithmetic sums to v and lands boundary pixels one bin
+        |  -- up from the engine's double chain (63.999... vs 64.000)
+        |  SELECT item_id,
+        |    least(7, CAST(floor((0.299e0*vv + 0.587e0*vv + 0.114e0*vv) / 32.0e0) AS INT)) AS bin,
+        |    count(*) AS cnt
+        |  FROM grid GROUP BY item_id, bin),
+        |bins AS (
+        |  SELECT i.item_id, b.b AS bin, coalesce(c.cnt, 0) AS cnt
+        |  FROM items i CROSS JOIN range(0, 8) b(b)
+        |  LEFT JOIN bincnt c ON c.item_id = i.item_id AND c.bin = b.b),
+        |hvec AS (
+        |  SELECT item_id,
+        |    list(CAST(CAST(cnt / 72.0 AS REAL) AS DOUBLE) ORDER BY bin) AS hs
+        |  FROM bins GROUP BY item_id),
+        |feat AS (SELECT item_id, hs AS f FROM hvec)
+        |SELECT item_id, neighbor_id, cosine, rank FROM (
+        |  SELECT a.item_id AS item_id, b.item_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.f, b.f), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY a.item_id
+        |      ORDER BY list_cosine_similarity(a.f, b.f) DESC, b.item_id ASC) AS rank
+        |  FROM feat a JOIN feat b ON a.item_id <> b.item_id)
+        |WHERE rank <= 3 ORDER BY item_id, rank""".stripMargin,
+
+    // q128 replay: q28's shingle-postings chain with the directed
+    // denominators (hashed vs string shingles agree on DISTINCT counts
+    // modulo a ~2^-64 collision).
+    "q128_containment_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM docs WHERE len(t) >= 3),
+        |posts AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cold AS (
+        |  SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 1000),
+        |cposts AS (SELECT p.* FROM posts p JOIN cold USING (shingle)),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared,
+        |    count(*) / a.n AS ca, count(*) / b.n AS cb
+        |  FROM cposts a JOIN cposts b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.n, b.n
+        |  HAVING count(*) / a.n >= 0.5 OR count(*) / b.n >= 0.5)
+        |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+        |  round(ca, 6) AS containment_a_in_b,
+        |  round(cb, 6) AS containment_b_in_a
+        |FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
     // q117 replay: q28's recursive-CTE components, keeper = row_number 1
     // by (n_chars desc, id asc) within each cluster, survivors = corpus

@@ -87,6 +87,54 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jaccard")
   }
 
+  /** CONTAINMENT pairs (Broder, SEQUENCES 1997 §2.1): directed near-dup
+    * detection by `|A ∩ B| / |A|` — the asymmetric sibling of
+    * [[jaccardPairs]] that Jaccard structurally misses: a short document
+    * wholly contained in a much longer one (a quoted article inside a
+    * commentary page, a paywall stub of the full text, a chapter inside
+    * the book) has tiny Jaccard (the union is the big doc) but
+    * containment ≈ 1. Curation pipelines drop or down-weight the
+    * contained copy; [[nearDedupKeepBest]] composes directly (alias
+    * contained→a_id, container→b_id).
+    *
+    * Same plan as [[jaccardPairs]] — one pinned shingle-posting pass, the
+    * hot-shingle cap, one shingle-equi self-join, one pair-grouped count
+    * — the only change is the denominator and that BOTH directions are
+    * evaluated (a_id < b_id still; the two directed scores ride one row).
+    *
+    * @return (a_id, b_id, shared, containment_a_in_b, containment_b_in_a)
+    *         for pairs where EITHER direction ≥ threshold */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShinglePostings: Int = 1000)(implicit caches: CacheScope): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val posts = caches.pin(
+      docs.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle")))
+    val filtered =
+      if (maxShinglePostings == Int.MaxValue) posts
+      else {
+        val hot = posts.groupBy("shingle").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxShinglePostings).select("shingle")
+        posts.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val a = filtered.alias("a"); val b = filtered.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment_a_in_b", col("shared").cast("double") / col("na"))
+      .withColumn("containment_b_in_a", col("shared").cast("double") / col("nb"))
+      .filter(col("containment_a_in_b") >= threshold ||
+        col("containment_b_in_a") >= threshold)
+      .select("a_id", "b_id", "shared", "containment_a_in_b", "containment_b_in_a")
+  }
+
   /** MinHash-LSH candidate pairs verified by signature-estimated Jaccard.
     *
     * Signature of `numHashes` min-hashes split into `bands` bands; docs

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.{col, length}
 
 class DedupSpec extends SparkSpec {
 
@@ -322,6 +323,48 @@ class DedupSpec extends SparkSpec {
       Dedup.nearDedupKeepBest(d, "doc_id", "score", p)
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(run(df, pairs) === run(df.repartition(7), pairs.repartition(3)))
+  }
+
+  test("containmentPairs: a short doc inside a long one — invisible to Jaccard, containment ≈ 1") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val padding = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val df = Seq(
+      (1L, core), // the contained stub
+      (2L, s"$core $padding"), // the container
+      (3L, "utterly different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    // Jaccard misses the pair entirely at any useful threshold
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.2)
+    assert(jac.count() === 0, "Jaccard must NOT pair the stub with the container")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // the stub's shingles are fully inside the container (modulo the one
+    // boundary shingle bridging core→padding which the stub lacks)
+    assert(r.getDouble(3) === 1.0, "containment of the stub in the container")
+    assert(r.getDouble(4) < 0.2, "the container is NOT contained in the stub")
+    // direction is symmetric in the row, asymmetric in the score
+    scope.release()
+  }
+
+  test("containmentPairs composes into nearDedupKeepBest (drop the contained copy)") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val padding = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, core), (2L, s"$core $padding"), (3L, "unrelated island of text"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("double"))
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .select("a_id", "b_id")
+    val kept = Dedup.nearDedupKeepBest(df, "doc_id", "n_chars", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(2L, 3L), "keep the container (longest), drop the stub")
+    scope.release()
   }
 
   /** The family claim, tested not asserted: for ANY pair source feeding

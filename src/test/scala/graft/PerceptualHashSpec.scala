@@ -92,6 +92,26 @@ class PerceptualHashSpec extends SparkSpec {
       assert(hamming(hs(i), hs(j)) > 6, s"cards $i/$j too close")
   }
 
+  test("decoded pixel features feed the ANN family: same-card variants rank first") {
+    val s = spark; import s.implicits._
+    // 6 cards × (original, 4× upscale): the multimodal×similarity pairing
+    val items = (for (g <- 0 until 6; v <- Seq(1, 4)) yield
+      MediaItem(g * 10L + v, "image", encode(card(g * 3 + 2, v), "png"),
+        "image/png", s"g$g/s$v")).toDS()
+    val feats = Multimodal.extractFeatures(items, new Multimodal.PixelDecoder())
+      .toDF().select(col("item_id"),
+        org.apache.spark.sql.functions.slice(col("feature"), 4,
+          Multimodal.LumBins).as("feature"))
+    val top1 = graft.operators.Similarity
+      .bruteForceTopK(feats, "item_id", "feature", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- 0 until 6) {
+      assert(top1(g * 10L + 1) === g * 10L + 4,
+        s"card $g's upscale must be its nearest neighbor")
+      assert(top1(g * 10L + 4) === g * 10L + 1)
+    }
+  }
+
   test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
     val s = spark; import s.implicits._
     // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
