@@ -239,7 +239,13 @@ object ScaleBench {
     // r14: mining through the against-probe IVF path — candidate work is
     // probe-batch-bound (%23 of the corpus) instead of corpus-bound; the
     // decade verifies the 23× candidate saving holds as n grows
-    "q116_hard_negatives_ann")
+    "q116_hard_negatives_ann",
+    // r14: directed containment pairs — the q15/q28 shingle-postings plan
+    // with directed denominators; the slope must stay in that family
+    "q128_containment_pairs",
+    // r14: pixel-feature similar-image search — constant 120-image
+    // fixture (wall-flat by design); verifies decode+search never densify
+    "q129_image_similarity")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
