@@ -431,13 +431,15 @@ object SparkEntry {
     * arithmetic, so both the dHash chain (q121) and the pixel-feature
     * chain (q129) replay in SQL. */
   private def perceptualCards(
-      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[
+      s: SparkSession, dir: String, nGroups: Int = 40,
+      variants: Seq[Int] = Seq(0, 1, 2)): org.apache.spark.sql.Dataset[
       graft.operators.Multimodal.MediaItem] = {
     import s.implicits._
+    val vs = variants
     val seeds = t(s, dir, "documents").select(col("doc_id"))
-      .orderBy(col("doc_id")).limit(40).as[Long]
+      .orderBy(col("doc_id")).limit(nGroups).as[Long]
     seeds.flatMap { g =>
-      (0 to 2).iterator.map { variant =>
+      vs.iterator.map { variant =>
         val scale = if (variant == 1) 3 else 1
         val w = graft.operators.Multimodal.DHashCols * scale
         val h = graft.operators.Multimodal.DHashRows * scale
@@ -2792,6 +2794,36 @@ object SparkEntry {
         .orderBy(col("item_id"), col("rank"))
     }),
 
+    // ext: IMAGE ADMISSION SCREEN — the against face of the perceptual
+    // family (q45's dedupAgainst for pixels): stored state is 64 BITS
+    // per image (the dHash projection — the corpus rasters are never
+    // re-decoded), the arriving batch hashes fresh and band-joins
+    // against it; an item within 6 bits of ANY stored image is already
+    // in the corpus (the %10==0 re-uploads and every rescaled/perturbed
+    // copy of them die; the 10 novel groups admit — measured margins:
+    // copies ≤ 3 bits from their base, novel ≥ 10 from everything).
+    "q130_image_screen" -> ((s, dir) => {
+      def hashed(n: Int, vs: Seq[Int]) =
+        graft.operators.Multimodal.dHashes(perceptualCards(s, dir, n, vs))
+      val storedH = hashed(40, Seq(0))
+      // batch = every variant of the 40 stored groups (re-uploads +
+      // rescaled/perturbed copies) plus the 10 NOVEL groups' bases
+      val batchH = hashed(40, Seq(0, 1, 2)).unionByName(
+        hashed(50, Seq(0)).join(storedH.select("item_id"),
+          Seq("item_id"), "left_anti"))
+      val stored = storedH.select(col("item_id").as("id"), col("dhash").as("sig"))
+      val batch = batchH.select(col("item_id").as("id"), col("dhash").as("sig"))
+      val matches = Dedup.hammingBandedPairsAgainst(batch, stored, maxHamming = 6)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_stored_matches"))
+      batch.join(matches, batch("id") === col("batch_id"), "left")
+        .select(col("id").as("item_id"),
+          coalesce(col("n_stored_matches"), lit(0L)).as("n_stored_matches"),
+          (coalesce(col("n_stored_matches"), lit(0L)) === 0)
+            .cast("int").as("admitted"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: CONTAINMENT pairs (Broder 1997) — directed near-dup detection
     // by |A∩B|/|A|: the asymmetric case Jaccard structurally misses (a
     // short doc wholly inside a longer one — paywall stubs, quoted
@@ -4499,6 +4531,66 @@ object SparkEntry {
         |     END), 4) AS est_intersection
         |FROM agg JOIN prs p ON agg.ga = p.ga AND agg.gb = p.gb
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // q130 replay: the q121 grid/bit machinery over the batch∪stored item
+    // universe, the 7-chunk banding on both sides (hot cap mirrored, per
+    // side), exact hamming per candidate, then the per-batch-item match
+    // count and admission flag.
+    "q130_image_screen" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 50)),
+        |items AS (
+        |  SELECT g, gi, v.variant, g * 10 + v.variant AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)
+        |  WHERE gi <= 40 OR v.variant = 0),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |stored AS (SELECT item_id FROM items WHERE gi <= 40 AND variant = 0),
+        |schunks AS (SELECT c.* FROM chunks c JOIN stored USING (item_id)),
+        |hotb AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hots AS (SELECT chunk, value FROM schunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hot AS (SELECT * FROM hotb UNION SELECT * FROM hots),
+        |coldb AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |colds AS (SELECT c.* FROM schunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS batch_id, b.item_id AS stored_id
+        |  FROM coldb a JOIN colds b
+        |    ON a.chunk = b.chunk AND a.value = b.value),
+        |ham AS (
+        |  SELECT c.batch_id, c.stored_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.batch_id
+        |  JOIN sigbits sb ON sb.item_id = c.stored_id AND sb.b = sa.b
+        |  GROUP BY c.batch_id, c.stored_id),
+        |matches AS (
+        |  SELECT batch_id, count(*) AS n FROM ham
+        |  WHERE hamming <= 6 GROUP BY batch_id)
+        |SELECT i.item_id, coalesce(m.n, 0) AS n_stored_matches,
+        |  CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS admitted
+        |FROM items i LEFT JOIN matches m ON m.batch_id = i.item_id
+        |ORDER BY i.item_id""".stripMargin,
 
     // q129 replay: the q121 grids → PixelDecoder's feature arithmetic —
     // grid means as exact-rational divisions (the 3× upscale divides the

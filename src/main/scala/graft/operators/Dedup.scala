@@ -605,6 +605,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The AGAINST face of [[hammingBandedPairs]]: batch signatures vs a
+    * separate (typically stored) signature table — the screen an image
+    * admission pipeline runs, where the corpus side is a persisted
+    * `(id, sig)` projection (64 bits per image, rebuilt never) and only
+    * the arriving batch is hashed fresh. Same chunk-band pigeonhole, hot
+    * buckets capped on BOTH sides ([[minhashLshPairsAgainst]]'s guard).
+    *
+    * @return (batch_id, stored_id, hamming ≤ maxHamming) */
+  def hammingBandedPairsAgainst(
+      batch: DataFrame,
+      stored: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    def banded(sigs: DataFrame) = caches.pin(sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
+    val sb = banded(batch)
+    val sc = banded(stored)
+    def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    coldB.alias("a")
+      .join(coldC.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("batch_id", "stored_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any
     * run of `spanTokens` whitespace-delimited tokens that appears more than
     * once ANYWHERE in the corpus (other documents or elsewhere in the same

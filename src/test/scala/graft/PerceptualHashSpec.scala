@@ -112,6 +112,30 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  test("hammingBandedPairsAgainst: batch screens against stored sigs — copies match, novel admit") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    val stored = (0 until 6).map(g =>
+      (g * 10L, Multimodal.dHash64Of(card(g * 7 + 1, 1)))).toDF("id", "sig")
+    val batch = (
+      // a rescaled re-upload of card 2 (identical hash) + a perturbed
+      // copy of card 3 + two novel cards
+      Seq(900L -> Multimodal.dHash64Of(card(2 * 7 + 1, 3)),
+        901L -> Multimodal.dHash64Of(card(3 * 7 + 1, 1, perturb = 1)),
+        902L -> Multimodal.dHash64Of(card(77, 1)),
+        903L -> Multimodal.dHash64Of(card(91, 1)))).toDF("id", "sig")
+    val pairs = Dedup.hammingBandedPairsAgainst(batch, stored, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byBatch = pairs.groupBy(_._1)
+    assert(byBatch(900L).exists(p => p._2 === 20L && p._3 === 0),
+      "rescaled re-upload must match its stored original at hamming 0")
+    assert(byBatch(901L).exists(p => p._2 === 30L && p._3 <= 6),
+      "perturbed copy must match within the budget")
+    assert(!byBatch.contains(902L) && !byBatch.contains(903L),
+      "novel cards must have no stored match")
+    scope.release()
+  }
+
   test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
     val s = spark; import s.implicits._
     // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
