@@ -115,6 +115,55 @@ object SparkEntry {
     * [[graft.operators.IvfIndex.admitStream]] — the measured operation
     * is the exactly-once streaming admission itself, on top of a
     * pre-built model (seed-then-stream, the production shape). */
+  /** The q131 video fixture: 30 groups × 6 midpoint-sampled frames, each
+    * frame a perceptualCards-arithmetic test card seeded by (group,
+    * frame-seed). Variants per group: 0 = original, 1 = re-encode (3×
+    * block upscale — per-frame dHash identical), 2 = perturbed copy
+    * (±1-luma checkerboard per frame — per-frame hamming ≤ 3), 3 = a
+    * short clip sharing only frames 0–1 with the original (its remaining
+    * frames reseed at f+100), which must stay BELOW the
+    * minMatchingFrames=4 vote. item_id = (g*10 + variant)*10 + frame, so
+    * the SQL replay recovers (video, frame) by integer div/mod. */
+  private def videoFrameCards(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaItem] = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(30).as[Long]
+    seeds.flatMap { g =>
+      for {
+        variant <- (0 to 3).iterator
+        f <- (0 until 6).iterator
+      } yield {
+        val scale = if (variant == 1) 3 else 1
+        val fs = if (variant == 3 && f >= 2) f + 100 else f
+        val w = graft.operators.Multimodal.DHashCols * scale
+        val h = graft.operators.Multimodal.DHashRows * scale
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val gx = x / scale; val gy = y / scale
+            val sd = (g * 131 + fs * 57 + gx * 31 + gy * 17 + 7) % 65536
+            val base = (sd * sd / 256) % 256
+            val v = (if (variant == 2)
+              (base + (if ((gx + gy) % 2 == 0) 1 else 0)) % 256
+            else base).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.operators.Multimodal.MediaItem(
+          (g * 10 + variant) * 10 + f, "image", bos.toByteArray, "image/png",
+          s"synth://$g/$variant/$f")
+      }
+    }
+  }
+
   private val q110SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q110SeedRoot(s: SparkSession, dir: String): String =
     q110SeedCache.computeIfAbsent(dir, _ => {
@@ -2824,6 +2873,24 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: VIDEO NEAR-DUP — the frame-sequence member of the multimodal×
+    // dedup family: per-frame dHashes (the sampleFrames→decode→dHashes
+    // shape), frame-index-aligned hamming banding (midpoint fractional
+    // sampling makes frame i comparable across re-encodes of the same
+    // content), then a ≥4-of-6 frame vote per video pair. The fixture's
+    // expected pairs per group: (original, re-encode, perturbed-copy)
+    // all-match at 6 frames; the 2-shared-frame clip variant stays below
+    // the vote — the threshold semantics, not just the plumbing, are
+    // oracle-checked.
+    "q131_video_neardup" -> ((s, dir) => {
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+      Dedup.videoNearDupPairs(sigs, maxHamming = 6, minMatchingFrames = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ext: CONTAINMENT pairs (Broder 1997) — directed near-dup detection
     // by |A∩B|/|A|: the asymmetric case Jaccard structurally misses (a
     // short doc wholly inside a longer one — paywall stubs, quoted
@@ -4591,6 +4658,59 @@ object SparkEntry {
         |  CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS admitted
         |FROM items i LEFT JOIN matches m ON m.batch_id = i.item_id
         |ORDER BY i.item_id""".stripMargin,
+
+    // q131 replay: the q121 grid/bit machinery per (video, frame) item,
+    // the frame index joining positionally and riding the band key, exact
+    // hamming per (pair, frame), then the ≥4-of-6 frame vote.
+    "q131_video_neardup" ->
+      """WITH seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30),
+        |items AS (
+        |  SELECT g, v.variant, f.f,
+        |    CASE WHEN v.variant = 3 AND f.f >= 2 THEN f.f + 100 ELSE f.f END AS fs,
+        |    g * 10 + v.variant AS vid,
+        |    (g * 10 + v.variant) * 10 + f.f AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2), (3)) v(variant), range(0, 6) f(f)),
+        |grid AS (
+        |  SELECT item_id, vid, f, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, a.vid, a.f, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, vid, f, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, vid, f, chunk),
+        |hot AS (SELECT f, chunk, value FROM chunks
+        |  GROUP BY f, chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (f, chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.vid AS a_id, b.vid AS b_id, a.f AS f,
+        |    a.item_id AS a_item, b.item_id AS b_item
+        |  FROM cold a JOIN cold b
+        |    ON a.f = b.f AND a.chunk = b.chunk AND a.value = b.value
+        |      AND a.vid < b.vid),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id, c.f,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_item
+        |  JOIN sigbits sb ON sb.item_id = c.b_item AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id, c.f)
+        |SELECT a_id, b_id, count(*) AS n_matching_frames
+        |FROM ham WHERE hamming <= 6
+        |GROUP BY a_id, b_id HAVING count(*) >= 4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q129 replay: the q121 grids → PixelDecoder's feature arithmetic —
     // grid means as exact-rational divisions (the 3× upscale divides the

@@ -643,6 +643,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** VIDEO near-dup by frame-aligned perceptual hashes: over a per-frame
+    * signature frame `(id, frame, sig)` — the shape
+    * [[Multimodal.sampleFrames]] → decode → [[Multimodal.dHashes]]
+    * produces — two videos are near-duplicates when at least
+    * `minMatchingFrames` of their sampled frames match within the
+    * per-frame hamming budget. Midpoint FRACTIONAL sampling (frame i at
+    * (i+1/2)/n of the duration) is what aligns frame i across a re-encode
+    * or container remux of the same content regardless of fps, so the
+    * frame index joins positionally. Candidates ride the same chunk-band
+    * pigeonhole as [[hammingBandedPairs]], with the frame index IN the
+    * band key — buckets never mix frames, so the skew cap and the
+    * candidate count stay per-frame. The per-pair vote is one
+    * count-distinct-frames aggregate: a clip sharing only its intro
+    * frames with a longer video stays below the threshold (the directed
+    * containment case belongs to [[containmentPairs]]' family, not here).
+    *
+    * @param frameSigs (id, frame, sig) — one 64-bit signature per sampled
+    *                  frame; 8 bytes × n frames per video is the entire
+    *                  state, so a 100 TB video corpus screens from a
+    *                  signature table in the low GBs
+    * @return (a_id, b_id, n_matching_frames ≥ minMatchingFrames), a < b */
+  def videoNearDupPairs(
+      frameSigs: DataFrame,
+      maxHamming: Int,
+      minMatchingFrames: Int,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minMatchingFrames >= 1, "need a positive frame-match threshold")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val banded = caches.pin(frameSigs.select(col("id"), col("frame"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
+    val hot = banded.groupBy(col("frame"), col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("frame", "chunk", "value")
+    val cold = banded.join(broadcast(hot), Seq("frame", "chunk", "value"), "left_anti")
+    cold.alias("a")
+      .join(cold.alias("b"),
+        col("a.frame") === col("b.frame") && col("a.chunk") === col("b.chunk") &&
+          col("a.value") === col("b.value") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.frame").as("frame"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("a_id", "b_id", "frame")
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= minMatchingFrames)
+  }
+
   /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any
     * run of `spanTokens` whitespace-delimited tokens that appears more than
     * once ANYWHERE in the corpus (other documents or elsewhere in the same

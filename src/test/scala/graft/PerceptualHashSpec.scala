@@ -136,6 +136,31 @@ class PerceptualHashSpec extends SparkSpec {
     scope.release()
   }
 
+  test("videoNearDupPairs: frame-aligned vote — full-copy pairs survive, shared-intro clips don't") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    def fsig(g: Long, f: Int, scale: Int = 1, perturb: Int = 0): Long =
+      Multimodal.dHash64Of(card(g * 101 + f * 57, scale, perturb))
+    // 10 = original, 11 = re-encode (3× upscale — identical per-frame
+    // hash), 12 = perturbed copy (within the per-frame budget), 13 = a
+    // clip sharing only frames 0–1, 14 = unrelated content
+    val rows = (0 until 6).flatMap { f =>
+      Seq(
+        (10L, f, fsig(1, f)),
+        (11L, f, fsig(1, f, scale = 3)),
+        (12L, f, fsig(1, f, perturb = 1)),
+        (13L, f, if (f < 2) fsig(1, f) else fsig(40, f)),
+        (14L, f, fsig(7, f)))
+    }.toDF("id", "frame", "sig")
+    val pairs = Dedup.videoNearDupPairs(rows, maxHamming = 6, minMatchingFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      "exactly the three full-copy pairs must survive the 4-of-6 vote")
+    assert(pairs.forall(_._3 === 6L), "full copies must match at every frame")
+    scope.release()
+  }
+
   test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
     val s = spark; import s.implicits._
     // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
