@@ -245,7 +245,14 @@ object ScaleBench {
     "q128_containment_pairs",
     // r14: pixel-feature similar-image search — constant 120-image
     // fixture (wall-flat by design); verifies decode+search never densify
-    "q129_image_similarity")
+    "q129_image_similarity",
+    // r14: image admission screen — constant 160-image fixture, both
+    // sides of the against-band join fixed; verifies the per-side hot
+    // cap + band join stay wall-flat
+    "q130_image_screen",
+    // r14: video near-dup — constant 720-frame fixture; verifies the
+    // frame-keyed banding and the per-pair frame vote never densify
+    "q131_video_neardup")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
