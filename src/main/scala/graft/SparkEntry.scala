@@ -164,6 +164,49 @@ object SparkEntry {
     }
   }
 
+  /** The q132 audio fixture: 30 groups × (base, 3× block-upsampled
+    * re-encode at 3× the sample rate, +1-on-even-windows perturbed copy)
+    * WAV clips, RIFF/PCM-encoded on the executors and REALLY re-parsed by
+    * [[graft.operators.Multimodal.wavPcm16Mono]]. Sample values reuse the
+    * perceptualCards middle-square mix over (group, sample index) — pure
+    * bigint arithmetic, so the fingerprint chain replays in SQL. 1040 =
+    * 65 windows × 16 samples, so window boundaries are exact at both
+    * rates and the upsample invariance is bit-exact. */
+  private def audioClipCards(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaItem] = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(30).as[Long]
+    seeds.flatMap { g =>
+      (0 to 2).iterator.map { variant =>
+        val rep = if (variant == 1) 3 else 1
+        val n0 = graft.operators.Multimodal.AfpWindows * 16
+        val n = n0 * rep
+        val rate = 8000 * rep
+        val bytes = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Unit = { bytes.write(v & 0xff); bytes.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+        def tag(t: String): Unit = bytes.write(t.getBytes("US-ASCII"))
+        tag("RIFF"); le32(36 + 2 * n); tag("WAVE")
+        tag("fmt "); le32(16); le16(1); le16(1); le32(rate); le32(rate * 2)
+        le16(2); le16(16)
+        tag("data"); le32(2 * n)
+        var i = 0
+        while (i < n) {
+          val bi = i / rep
+          val sd = (g * 131 + bi * 17 + 7) % 65536
+          val base = (sd * sd / 256) % 256
+          val v = if (variant == 2 && (bi / 16) % 2 == 0) base + 1 else base
+          le16(v.toInt)
+          i += 1
+        }
+        graft.operators.Multimodal.MediaItem(
+          g * 10 + variant, "audio", bytes.toByteArray, "audio/wav",
+          s"synth://$g/$variant")
+      }
+    }
+  }
+
   private val q110SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q110SeedRoot(s: SparkSession, dir: String): String =
     q110SeedCache.computeIfAbsent(dir, _ => {
@@ -2891,6 +2934,30 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
+    // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
+    // fixture's WAV bytes round-trip through the actual byte-walking
+    // decoder), the 65-window energy-contour fingerprint (gain- and
+    // resample-invariant by exact integer arithmetic), then the SAME
+    // hamming-banded pair join + cluster/keeper tail as the image and
+    // text signature families. Re-encodes at 3× the sample rate hash
+    // identically; perturbed copies land within the budget.
+    "q132_audio_neardup" -> ((s, dir) => {
+      val fps = graft.operators.Multimodal.audioFingerprints(audioClipCards(s, dir))
+      val pairs = Dedup.hammingBandedPairs(
+        fps.select(col("item_id").as("id"), col("afp").as("sig")),
+        maxHamming = 6, maxBucketSize = 200)
+        .select(col("a_id"), col("b_id"))
+      val clusters = Dedup.duplicateClusters(pairs)
+        .select(col("id").as("item_id"), col("cluster_id"))
+      fps.join(clusters, Seq("item_id"), "left")
+        .select(col("item_id"), col("afp"),
+          coalesce(col("cluster_id"), col("item_id")).as("root"),
+          (coalesce(col("cluster_id"), col("item_id")) === col("item_id"))
+            .cast("int").as("kept"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: CONTAINMENT pairs (Broder 1997) — directed near-dup detection
     // by |A∩B|/|A|: the asymmetric case Jaccard structurally misses (a
     // short doc wholly inside a longer one — paywall stubs, quoted
@@ -4657,6 +4724,75 @@ object SparkEntry {
         |SELECT i.item_id, coalesce(m.n, 0) AS n_stored_matches,
         |  CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS admitted
         |FROM items i LEFT JOIN matches m ON m.batch_id = i.item_id
+        |ORDER BY i.item_id""".stripMargin,
+
+    // q132 replay: the WAV synthesis arithmetic (the oracle never parses
+    // RIFF bytes — it replays the sample VALUES the decoder provably
+    // recovers, the q66/q121 trick) → 65-window energy sums with exact
+    // cross-multiplied mean comparisons → the q121 bit/band/cluster tail.
+    "q132_audio_neardup" ->
+      """WITH RECURSIVE seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30),
+        |items AS (
+        |  SELECT g, v.variant, g * 10 + v.variant AS item_id,
+        |    CASE WHEN v.variant = 1 THEN 3 ELSE 1 END AS rep
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)),
+        |samp AS (
+        |  SELECT item_id, CAST(i.i * 65 // (1040 * rep) AS INT) AS w,
+        |    ((((g*131 + (i.i // rep)*17 + 7) % 65536)
+        |      * ((g*131 + (i.i // rep)*17 + 7) % 65536)) // 256) % 256
+        |    + CASE WHEN variant = 2 AND ((i.i // rep) // 16) % 2 = 0
+        |        THEN 1 ELSE 0 END AS s
+        |  FROM items, range(0, 3120) i(i)
+        |  WHERE i.i < 1040 * rep),
+        |energy AS (
+        |  SELECT item_id, w, sum(s) AS e, count(*) AS c
+        |  FROM samp GROUP BY item_id, w),
+        |sigbits AS (
+        |  SELECT a.item_id, a.w AS b,
+        |    CASE WHEN a.e * bb.c < bb.e * a.c THEN 1 ELSE 0 END AS sbit
+        |  FROM energy a JOIN energy bb
+        |    ON bb.item_id = a.item_id AND bb.w = a.w + 1
+        |  WHERE a.w < 64),
+        |dh AS (
+        |  SELECT item_id, CAST(sum(CASE WHEN sbit = 0 THEN 0
+        |    WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+        |    AS BIGINT) AS afp
+        |  FROM sigbits GROUP BY item_id),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS item_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s)
+        |SELECT i.item_id, dh.afp,
+        |  coalesce(lab.cluster_id, i.item_id) AS root,
+        |  CASE WHEN coalesce(lab.cluster_id, i.item_id) = i.item_id
+        |    THEN 1 ELSE 0 END AS kept
+        |FROM items i JOIN dh USING (item_id) LEFT JOIN lab USING (item_id)
         |ORDER BY i.item_id""".stripMargin,
 
     // q131 replay: the q121 grid/bit machinery per (video, frame) item,

@@ -252,7 +252,11 @@ object ScaleBench {
     "q130_image_screen",
     // r14: video near-dup — constant 720-frame fixture; verifies the
     // frame-keyed banding and the per-pair frame vote never densify
-    "q131_video_neardup")
+    "q131_video_neardup",
+    // r14: audio near-dup — constant 90-clip fixture (real WAV parse +
+    // energy-contour hash per item); verifies the shared banded tail
+    // stays wall-flat with a third signature family riding it
+    "q132_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

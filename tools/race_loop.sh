@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 n="${1:-20}"
 cmds=()
 for _ in $(seq 1 "$n"); do
-  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec")
+  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec graft.UpsertSpec")
 done
 log=$(mktemp /tmp/graft_race_loop.XXXXXX.log)
 sbt -batch "${cmds[@]}" >"$log" 2>&1 || true
