@@ -230,6 +230,16 @@ object Multimodal {
   def dHash64Of(im: java.awt.image.BufferedImage): Long = {
     val w = im.getWidth
     val h = im.getHeight
+    // exactness bound: the cross-multiplied compare below is
+    // sum(≤255000·cellPixels) × count(≤cellPixels) with cellPixels ≈
+    // pixels/72 — past ~4×10⁸ total pixels the product can exceed
+    // Long.MaxValue and silently corrupt the signature, so fail loudly
+    // instead ([[dHashes]] drops such items row-wise). No real ImageIO
+    // raster approaches this (a 0.4-gigapixel image needs a ~1.6 GB
+    // int raster), so the guard documents the limit rather than costing
+    // anything in practice.
+    require(w.toLong * h <= 400000000L,
+      s"dHash64Of exact-arithmetic bound exceeded: ${w}x$h pixels")
     val sums = Array.ofDim[Long](DHashCols, DHashRows)
     val counts = Array.ofDim[Long](DHashCols, DHashRows)
     val row = new Array[Int](w)
@@ -284,11 +294,13 @@ object Multimodal {
       it.flatMap { item =>
         if (item.kind != "image") None
         else {
-          val img =
-            try Option(javax.imageio.ImageIO.read(
+          // decode AND hash under the try: the hash's exact-arithmetic
+          // bound (gigapixel rasters) must drop row-wise like a failed
+          // decode, never fail the task
+          try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(item.content)))
-            catch { case _: Exception => None }
-          img.map(im => (item.item_id, dHash64Of(im)))
+            .map(im => (item.item_id, dHash64Of(im)))
+          catch { case _: Exception => None }
         }
       }
     }.toDF("item_id", "dhash")
@@ -307,16 +319,21 @@ object Multimodal {
     def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // chunk offsets walked in Long: near-2GB inputs can push
+    // off + 8 + sz past Int.MaxValue, and Int wraparound would turn a
+    // corrupt size field into a negative offset that passes the bound
+    // check and throws out of the accessors instead of returning None
+    var off = 12L
     var fmtOk = false; var rate = 0; var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length) {
-      val id = tag(off); val sz = le32(off + 4)
+      val o = off.toInt // off + 8 <= length ⇒ fits in Int
+      val id = tag(o); val sz = le32(o + 4)
       if (sz < 0 || sz > bytes.length) return None // hostile/corrupt size field
       if (id == "fmt " && off + 8 + 16 <= bytes.length) {
-        fmtOk = le16(off + 8) == 1 && le16(off + 10) == 1 && le16(off + 22) == 16
-        rate = le32(off + 12)
-      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        fmtOk = le16(o + 8) == 1 && le16(o + 10) == 1 && le16(o + 22) == 16
+        rate = le32(o + 12)
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0 || dataOff.toLong + dataLen > bytes.length) None
     else {
@@ -383,9 +400,15 @@ object Multimodal {
     items.mapPartitions { it =>
       it.flatMap { item =>
         if (item.kind != "audio") None
-        else wavPcm16Mono(item.content).map { case (_, s) =>
-          (item.item_id, audioFp64Of(s))
-        }
+        else
+          // parse + hash under the try, and clips shorter than the window
+          // count (which audioFp64Of rejects loudly) filter out first:
+          // a valid-but-tiny or hostile WAV drops row-wise, never fails
+          // the task — the same contract as the image decoders
+          try wavPcm16Mono(item.content)
+            .filter(_._2.length >= AfpWindows)
+            .map { case (_, s) => (item.item_id, audioFp64Of(s)) }
+          catch { case _: Exception => None }
       }
     }.toDF("item_id", "afp")
   }

@@ -99,10 +99,14 @@ class AudioFingerprintSpec extends SparkSpec {
         MediaItem(g * 10L + 2, "audio",
           wavBytes(8000, base.map(_ * 2)), "audio/wav", s"a$g/2"),
         // a corrupt payload: must drop row-wise, not fail the task
-        MediaItem(g * 10L + 3, "audio", Array.fill[Byte](16)(7), "audio/wav", s"a$g/x"))
+        MediaItem(g * 10L + 3, "audio", Array.fill[Byte](16)(7), "audio/wav", s"a$g/x"),
+        // a VALID WAV too short for the 65-window contour (audioFp64Of
+        // would throw): must also drop row-wise (ADVICE r14)
+        MediaItem(g * 10L + 4, "audio", wavBytes(8000, synth(g, 10)),
+          "audio/wav", s"a$g/s"))
     }.toDS()
     val fps = Multimodal.audioFingerprints(items)
-    assert(fps.count() === 12, "corrupt items drop row-wise")
+    assert(fps.count() === 12, "corrupt and too-short items drop row-wise")
     val pairs = Dedup.hammingBandedPairs(
       fps.select(col("item_id").as("id"), col("afp").as("sig")), maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
