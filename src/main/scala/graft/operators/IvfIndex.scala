@@ -55,8 +55,25 @@ object IvfIndex {
   private[operators] def vectorsTableName(name: String) = s"${name}_vectors"
   private def vectorsTable(name: String) = vectorsTableName(name)
   private def qVectorsTable(name: String) = s"${name}_qvectors"
+  // revision-overlay members (one per data tier): the REPLACEMENT rows a
+  // [[upsert]] admits, shadowing their base-tier ids at read time — the
+  // LSM overlay that makes a revision batch O(batch) committed bytes
+  // instead of a rewrite of every corpus-sized tier
+  private def ovlVectorsTable(name: String) = s"${name}_vectors_ovl"
+  private def ovlQVectorsTable(name: String) = s"${name}_qvectors_ovl"
+  private[operators] def ovlPqCodesTable(name: String) = s"${name}_pq_codes_ovl"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
+
+  /** Overlay-compaction policy: fold the overlay into the base tiers when
+    * it exceeds `OvlFrac` of the base float tier's bytes AND the
+    * `OvlFloorBytes` floor (the floor keeps parquet's fixed per-file
+    * overhead from forcing tiny corpora to compact every batch). At the
+    * 1/8 ratio a fold costs ≤ 9/8 base-tier writes amortized over ≥ 1/8
+    * base-tier bytes of admitted revisions — bounded write amplification,
+    * the classic LSM trade. Both probes are file-metadata reads. */
+  private[operators] val OvlFloorBytes: Long = 1L << 20
+  private[operators] val OvlFrac: Double = 0.125
 
   // ---------------------------------------------------------------- manifest
 
@@ -65,20 +82,29 @@ object IvfIndex {
     * built; `lastBatchId` = the newest [[admitBatch]] batchId folded in
     * (-1 before any admission) — riding in the manifest makes the index
     * advance and the gate record one atomic pointer swap, exactly the
-    * [[CorpusProfile.admitBatch]] discipline. */
+    * [[CorpusProfile.admitBatch]] discipline. The `ovl*` pins are the
+    * revision overlay: rows whose ids SHADOW the base tier at read time
+    * (`None` = empty overlay), committed by [[upsert]] and folded into
+    * the base by compaction — always through the same single swap. */
   private[graft] final case class IvfManifest(
       centroids: Int,
       vectors: Int,
       qvectors: Option[Int],
       pqCodebook: Option[Int],
       pqCodes: Option[Int],
-      lastBatchId: Long = -1L)
+      lastBatchId: Long = -1L,
+      ovlVectors: Option[Int] = None,
+      ovlQvectors: Option[Int] = None,
+      ovlPqCodes: Option[Int] = None)
 
   private def encodeManifest(m: IvfManifest): String =
     s"""{"centroids_v":${m.centroids},"vectors_v":${m.vectors},""" +
       s""""qvectors_v":${m.qvectors.getOrElse(-1)},""" +
       s""""pq_codebook_v":${m.pqCodebook.getOrElse(-1)},""" +
       s""""pq_codes_v":${m.pqCodes.getOrElse(-1)},""" +
+      s""""ovl_vectors_v":${m.ovlVectors.getOrElse(-1)},""" +
+      s""""ovl_qvectors_v":${m.ovlQvectors.getOrElse(-1)},""" +
+      s""""ovl_pq_codes_v":${m.ovlPqCodes.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): IvfManifest = {
@@ -92,9 +118,16 @@ object IvfIndex {
     def opt(k: String): Option[Int] = {
       val v = field(k); if (v < 0) None else Some(v.toInt)
     }
+    // overlay pins absent = pre-overlay manifest (an index persisted by an
+    // earlier build, e.g. a tmpfs fixture surviving the upgrade): empty
+    // overlay, not an error
+    def optAbsent(k: String): Option[Int] =
+      if (s.indexOf("\"" + k + "\":") < 0) None else opt(k)
     IvfManifest(field("centroids_v").toInt, field("vectors_v").toInt,
       opt("qvectors_v"), opt("pq_codebook_v"), opt("pq_codes_v"),
-      field("last_batch_id"))
+      field("last_batch_id"),
+      optAbsent("ovl_vectors_v"), optAbsent("ovl_qvectors_v"),
+      optAbsent("ovl_pq_codes_v"))
   }
 
   /** The manifest and the manifest TABLE's version (the CAS anchor a
@@ -139,7 +172,27 @@ object IvfIndex {
       OverlayLock.rollbackIfAhead(store, PqIndex.codebookTableName(name), _))
     m.pqCodes.foreach(
       OverlayLock.rollbackIfAhead(store, PqIndex.codesTableName(name), _))
+    m.ovlVectors.foreach(OverlayLock.rollbackIfAhead(store, ovlVectorsTable(name), _))
+    m.ovlQvectors.foreach(OverlayLock.rollbackIfAhead(store, ovlQVectorsTable(name), _))
+    m.ovlPqCodes.foreach(OverlayLock.rollbackIfAhead(store, ovlPqCodesTable(name), _))
   }
+
+  /** base ∖ overlay-ids ∪ overlay — the read-time merge every tier serves
+    * through: an id in the overlay shadows its base row (the replaced
+    * revision), ids only in the overlay are inserts. The overlay is
+    * compaction-bounded (≤ [[OvlFrac]] of the base + one batch), so its
+    * id set broadcasts into the anti-join — the merge costs the base scan
+    * it was already paying plus one broadcast, never a shuffle. */
+  private def mergedWithOverlay(
+      spark: SparkSession, store: TableStore, base: DataFrame,
+      ovlTable: String, ovlPin: Option[Int]): DataFrame =
+    ovlPin match {
+      case None => base
+      case Some(pin) =>
+        val ovl = store.snapshotAt(spark, ovlTable, pin)
+        base.join(broadcast(ovl.select(col("id")).distinct()), Seq("id"), "left_anti")
+          .unionByName(ovl)
+    }
 
   // ------------------------------------------------------------------ build
 
@@ -208,13 +261,22 @@ object IvfIndex {
       spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
     centroidVectorsOf(store.snapshotAt(spark, centroidsTable(name), m.centroids))
 
-  /** The indexed corpus `(id, v, cell)` as stored (manifest-pinned read). */
+  /** The indexed corpus `(id, v, cell)` as served (manifest-pinned read,
+    * overlay-merged: revision rows shadow their base ids). */
   def vectors(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
     vectorsAt(spark, store, name, m)
   }
 
+  /** The served float tier: base ∖ overlay-ids ∪ overlay. */
   private[operators] def vectorsAt(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
+    mergedWithOverlay(spark, store, baseVectorsAt(spark, store, name, m),
+      ovlVectorsTable(name), m.ovlVectors)
+
+  /** The base float tier ONLY — the linked-append target; serving always
+    * goes through [[vectorsAt]]. */
+  private def baseVectorsAt(
       spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
     store.snapshotAt(spark, vectorsTable(name), m.vectors)
 
@@ -292,11 +354,21 @@ object IvfIndex {
     val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stored = vectorsAt(spark, store, name, m)
+      // insert-only means absent from the SERVED view: base ids AND the
+      // revision overlay's ids both screen the batch (an id living only
+      // in the overlay must not re-enter the base, or the overlay's
+      // shadow would hide the newer row behind the stale re-append)
+      val ovlIds = m.ovlVectors.map(pin => broadcast(
+        store.snapshotAt(spark, ovlVectorsTable(name), pin)
+          .select(col("id")).distinct()))
+      def screenOvl(df: DataFrame): DataFrame =
+        ovlIds.map(ids => df.join(ids, Seq("id"), "left_anti")).getOrElse(df)
+      val stored = baseVectorsAt(spark, store, name, m)
       // O(batch) member commits: only the fresh rows are written; the
       // pinned version's files carry forward as links (appendOrCompact
       // folds a compacting rewrite in when file counts creep)
-      val fresh = assigned.join(stored.select(col("id")), Seq("id"), "left_anti")
+      val fresh = screenOvl(
+        assigned.join(stored.select(col("id")), Seq("id"), "left_anti"))
         .select(col("id"), col("v"), col("cell")) // stored column order
       val vv = OverlayLock.appendOrCompact(store, vectorsTable(name),
         m.vectors, stored, fresh)
@@ -306,7 +378,8 @@ object IvfIndex {
       val qv = m.qvectors.map { qPin =>
         val (scale, qvc) = quantizeCols(col("v"))
         val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-        val qFresh = assigned.join(qStored.select(col("id")), Seq("id"), "left_anti")
+        val qFresh = screenOvl(
+          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti"))
           .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
         OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
       }
@@ -383,17 +456,22 @@ object IvfIndex {
     * which is two defects a changed vector cannot afford: a reader
     * landing between the swaps sees the id ABSENT (it exists upstream
     * and was never taken down), and a crash between them loses the
-    * vector until redelivery. Here each tier commits `stored \ batchIds
-    * ∪ assigned(batch)` as one member version and the single swap
-    * publishes all of them — a concurrent reader serves the old vector
-    * or the new one, never neither. Ids not previously present insert
-    * exactly as [[append]] would.
+    * vector until redelivery. Here the batch's rows land in the REVISION
+    * OVERLAY — one small member per tier whose ids shadow the base at
+    * read time (`base ∖ overlay-ids ∪ overlay`) — and the single swap
+    * publishes all of them: a concurrent reader serves the old vector or
+    * the new one, never neither. Ids not previously present insert
+    * exactly as [[append]] would (an overlay id absent from the base
+    * shadows nothing).
     *
-    * Unlike append's O(batch) linked members, the replace half forces a
-    * rewrite of the corpus-sized tiers (dropping rows cannot ride a
-    * link-forward) — the same cost shape as [[remove]], paid once
-    * instead of twice. Returns how many ids were replaced (present
-    * before the upsert). */
+    * Cost shape: committed bytes are O(batch ∪ overlay), NEVER
+    * O(corpus) — the corpus-sized tiers are untouched, so a live
+    * revision stream ([[admitUpsertStream]]) writes only what it admits.
+    * When the overlay outgrows the [[OvlFrac]]/[[OvlFloorBytes]] policy
+    * it folds into the base tiers (the one amortized corpus rewrite,
+    * still a single swap). Returns how many ids were replaced (present
+    * before the upsert) — a corpus semi-join scan paid only by this
+    * manual path, never by the gated admission. */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -408,45 +486,137 @@ object IvfIndex {
     }
 
   /** The gated fold behind [[upsert]] and [[admitUpsertBatch]]:
-    * single-swap replace-or-insert, optionally recording `stamp` as the
-    * admitted batchId in the SAME swap.
+    * single-swap replace-or-insert into the revision overlay, optionally
+    * recording `stamp` as the admitted batchId in the SAME swap.
     * @return (folded, idsReplaced) — folded false iff `stamp` was
-    *         already admitted */
+    *         already admitted; idsReplaced computed only when
+    *         `stamp` is None (the gated path skips the corpus scan) */
   private def upsertStamped(
       spark: SparkSession, batch: DataFrame, idCol: String, vecCol: String,
       store: TableStore, name: String, stamp: Option[Long]): (Boolean, Long) = {
-    {
-        val (m, mv) = requireManifest(store, name)
-        if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
-        rollbackAll(store, name, m)
-        val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val batchIds = broadcast(assigned.select(col("id")).distinct())
-          val stored = vectorsAt(spark, store, name, m)
-          val kept = stored.join(batchIds, Seq("id"), "left_anti")
-          val replaced = stored.join(batchIds, Seq("id"), "left_semi").count()
-          val vv = store.write(
-            kept.unionByName(assigned.select(col("id"), col("v"), col("cell"))),
-            vectorsTable(name), Some(m.vectors))
-          val qv = m.qvectors.map { qPin =>
-            val (scale, qvc) = quantizeCols(col("v"))
-            val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-            store.write(
-              qStored.join(batchIds, Seq("id"), "left_anti")
-                .unionByName(assigned.select(col("id"), col("cell"),
-                  scale.as("scale"), qvc.as("qv"))),
-              qVectorsTable(name), Some(qPin))
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
+    rollbackAll(store, name, m)
+    val assigned = assign(batch, idCol, vecCol, centroidsAt(spark, store, name, m))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchIds = broadcast(assigned.select(col("id")).distinct())
+      val replaced =
+        if (stamp.isDefined) 0L
+        else vectorsAt(spark, store, name, m)
+          .join(batchIds, Seq("id"), "left_semi").count()
+      // fold-vs-overlay decided on the PRE-batch overlay size (two file-
+      // metadata reads): past the policy bound this batch rides the
+      // amortized fold into the base; below it, only overlay bytes commit
+      val overlayFull = m.ovlVectors.exists { pin =>
+        store.byteSizeAt(ovlVectorsTable(name), pin) > math.max(
+          OvlFloorBytes.toDouble,
+          OvlFrac * store.byteSizeAt(vectorsTable(name), m.vectors))
+      }
+      val next =
+        if (overlayFull) foldTiers(spark, store, name, m, Some((assigned, batchIds)))
+        else {
+          // overlay rewrite: old overlay minus the batch's ids plus the
+          // batch — at most one row per id, so the read-time merge needs
+          // no recency bookkeeping. The overlay is policy-bounded small;
+          // rewriting it wholesale is O(overlay), not O(corpus).
+          def ovlWrite(
+              table: String, pin: Option[Int], rows: DataFrame): Int = {
+            val merged = pin match {
+              case Some(p) => store.snapshotAt(spark, table, p)
+                .join(batchIds, Seq("id"), "left_anti").unionByName(rows)
+              case None => rows
+            }
+            // few files per version: each batch rewrites the overlay, so
+            // inheriting the batch's shuffle partitioning would creep
+            // file counts for no scan benefit
+            pin match {
+              case Some(p) => store.write(merged.coalesce(8), table, Some(p))
+              case None => store.write(merged.coalesce(8), table)
+            }
           }
-          val pcV = m.pqCodes.map(pin =>
-            PqIndex.upsertEncodedAt(spark, assigned, batchIds, store, name, m, pin))
-          commitManifest(store, name,
-            m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
-              lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-          (true, replaced)
-        } finally assigned.unpersist()
-    }
+          val ovv = ovlWrite(ovlVectorsTable(name), m.ovlVectors,
+            assigned.select(col("id"), col("v"), col("cell")))
+          val oqv = m.qvectors.map { _ =>
+            val (scale, qvc) = quantizeCols(col("v"))
+            ovlWrite(ovlQVectorsTable(name), m.ovlQvectors,
+              assigned.select(col("id"), col("cell"),
+                scale.as("scale"), qvc.as("qv")))
+          }
+          val opc = m.pqCodes.map { _ =>
+            val cbRows = store.snapshotAt(spark, PqIndex.codebookTableName(name),
+              m.pqCodebook.getOrElse(throw new IllegalStateException(
+                s"index $name has PQ codes but no codebook pin")))
+            ovlWrite(ovlPqCodesTable(name), m.ovlPqCodes,
+              PqIndex.encodeAssigned(spark, assigned, cbRows)
+                .select(col("id"), col("cell"), col("n_codes")))
+          }
+          m.copy(ovlVectors = Some(ovv), ovlQvectors = oqv, ovlPqCodes = opc)
+        }
+      commitManifest(store, name,
+        next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+      (true, replaced)
+    } finally assigned.unpersist()
   }
+
+  /** Fold the revision overlay (plus, optionally, one more assigned
+    * batch) into the base tiers: each tier commits its SERVED view —
+    * `base ∖ (overlay ∪ batch) ids ∪ overlay ∪ batch` — as one member
+    * version, and the returned manifest clears every overlay pin. The
+    * caller publishes it in its single swap. This is the one amortized
+    * corpus-sized rewrite the overlay design pays. */
+  private def foldTiers(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest,
+      extra: Option[(DataFrame, DataFrame)]): IvfManifest = {
+    def foldOne(mergedBase: DataFrame, rows: DataFrame => DataFrame): DataFrame =
+      extra match {
+        case Some((assigned, batchIds)) =>
+          mergedBase.join(batchIds, Seq("id"), "left_anti")
+            .unionByName(rows(assigned))
+        case None => mergedBase
+      }
+    val vv = store.write(
+      foldOne(vectorsAt(spark, store, name, m),
+        _.select(col("id"), col("v"), col("cell"))),
+      vectorsTable(name), Some(m.vectors))
+    val qv = m.qvectors.map { qPin =>
+      val (scale, qvc) = quantizeCols(col("v"))
+      store.write(
+        foldOne(qVectorsAt(spark, store, name, m),
+          _.select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))),
+        qVectorsTable(name), Some(qPin))
+    }
+    val pcV = m.pqCodes.map { pin =>
+      val encode = (assigned: DataFrame) => {
+        val cbRows = store.snapshotAt(spark, PqIndex.codebookTableName(name),
+          m.pqCodebook.getOrElse(throw new IllegalStateException(
+            s"index $name has PQ codes but no codebook pin")))
+        PqIndex.encodeAssigned(spark, assigned, cbRows)
+          .select(col("id"), col("cell"), col("n_codes"))
+      }
+      store.write(foldOne(pqCodesAt(spark, store, name, m), encode),
+        PqIndex.codesTableName(name), Some(pin))
+    }
+    m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
+      ovlVectors = None, ovlQvectors = None, ovlPqCodes = None)
+  }
+
+  /** Maintenance operator: fold the revision overlay into the base tiers
+    * now (one corpus-sized rewrite + one swap), regardless of the
+    * automatic policy — e.g. before a planned probe-latency-sensitive
+    * window. No-op when the overlay is empty. */
+  def compactOverlay(spark: SparkSession, store: TableStore, name: String): Unit =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        if (m.ovlVectors.isDefined || m.ovlQvectors.isDefined ||
+            m.ovlPqCodes.isDefined) {
+          rollbackAll(store, name, m)
+          commitManifest(store, name, foldTiers(spark, store, name, m, None),
+            Some(mv))
+        }
+      }
+    }
 
   /** Exactly-once micro-batch UPSERT admission — [[admitBatch]]'s gate
     * with [[upsert]]'s fold: a stream of vector REVISIONS (re-embedded
@@ -508,20 +678,28 @@ object IvfIndex {
         val (m, mv) = requireManifest(store, name)
         rollbackAll(store, name, m)
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        // a takedown rewrites every corpus-sized tier anyway, so the
+        // revision overlay folds in for free: each tier commits its
+        // SERVED view minus the dropped ids, and the swap clears the
+        // overlay pins
         val stored = vectorsAt(spark, store, name, m)
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
         val before = stored.count()
         val keptN = kept.count()
         val vv = store.write(kept, vectorsTable(name), Some(m.vectors))
         val qv = m.qvectors.map { qPin =>
-          val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+          val qStored = qVectorsAt(spark, store, name, m)
           store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
             qVectorsTable(name), Some(qPin))
         }
-        val pcV = m.pqCodes.map(pin =>
-          PqIndex.removeIdsAt(spark, drop, store, name, pin))
+        val pcV = m.pqCodes.map { pin =>
+          val codes = pqCodesAt(spark, store, name, m)
+          store.write(codes.join(drop, codes("id") === col("_rm_id"), "left_anti"),
+            PqIndex.codesTableName(name), Some(pin))
+        }
         commitManifest(store, name,
-          m.copy(vectors = vv, qvectors = qv, pqCodes = pcV), Some(mv))
+          m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
+            ovlVectors = None, ovlQvectors = None, ovlPqCodes = None), Some(mv))
         before - keptN
       }
     }
@@ -626,6 +804,10 @@ object IvfIndex {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
         rollbackAll(store, name, m)
+        // siblings re-derive from the SERVED float view (base ∪ overlay),
+        // so each rebuilt sibling is complete and its own overlay clears;
+        // the float overlay itself is untouched — it keeps shadowing the
+        // float base, and the rebuilt siblings already contain its rows
         val stored = vectorsAt(spark, store, name, m)
         val qv = m.qvectors.map { _ =>
           val (scale, qvc) = quantizeCols(col("v"))
@@ -643,7 +825,10 @@ object IvfIndex {
         if (qv.isDefined || pcV.isDefined)
           commitManifest(store, name,
             m.copy(qvectors = qv.orElse(m.qvectors),
-              pqCodes = pcV.orElse(m.pqCodes)), Some(mv))
+              pqCodes = pcV.orElse(m.pqCodes),
+              ovlQvectors = if (qv.isDefined) None else m.ovlQvectors,
+              ovlPqCodes = if (pcV.isDefined) None else m.ovlPqCodes),
+            Some(mv))
       }
     }
 
@@ -682,12 +867,17 @@ object IvfIndex {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
         m.qvectors.foreach(OverlayLock.rollbackIfAhead(store, qVectorsTable(name), _))
+        m.ovlQvectors.foreach(
+          OverlayLock.rollbackIfAhead(store, ovlQVectorsTable(name), _))
+        // quantize the SERVED float view: the fresh int8 base then covers
+        // any revision-overlay floats, so the int8 overlay clears
         val stored = vectorsAt(spark, store, name, m)
         val (scale, qvc) = quantizeCols(col("v"))
         val qv = store.write(
           stored.select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv")),
           qVectorsTable(name))
-        commitManifest(store, name, m.copy(qvectors = Some(qv)), Some(mv))
+        commitManifest(store, name,
+          m.copy(qvectors = Some(qv), ovlQvectors = None), Some(mv))
       }
     }
 
@@ -700,9 +890,22 @@ object IvfIndex {
 
   private def qVectorsAt(
       spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
-    store.snapshotAt(spark, qVectorsTable(name),
-      m.qvectors.getOrElse(throw new IllegalStateException(
-        s"index $name has no int8 tier — run quantizeStored first")))
+    mergedWithOverlay(spark, store,
+      store.snapshotAt(spark, qVectorsTable(name),
+        m.qvectors.getOrElse(throw new IllegalStateException(
+          s"index $name has no int8 tier — run quantizeStored first"))),
+      ovlQVectorsTable(name), m.ovlQvectors)
+
+  /** The served PQ-codes tier (base ∖ overlay-ids ∪ overlay) — the read
+    * every PQ consumer shares ([[PqIndex.topKRefined]], [[remove]],
+    * compaction). */
+  private[operators] def pqCodesAt(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
+    mergedWithOverlay(spark, store,
+      store.snapshotAt(spark, PqIndex.codesTableName(name),
+        m.pqCodes.getOrElse(throw new IllegalStateException(
+          s"index $name has no PQ tier — run PqIndex.buildStored first"))),
+      ovlPqCodesTable(name), m.ovlPqCodes)
 
   /** Dequantized view `(id, cell, v)` of [[quantizedVectors]] — the scoring
     * input. A nonzero vector's max component quantizes to ±127, so the

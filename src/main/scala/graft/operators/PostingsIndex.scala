@@ -55,8 +55,21 @@ object PostingsIndex {
   private def postingsTable(name: String) = s"${name}_postings"
   private def docsTable(name: String) = s"${name}_docs"
   private def termStatsTable(name: String) = s"${name}_termstats"
+  // revision-overlay members: the replacement postings/doc rows an
+  // [[upsert]] admits, shadowing their base doc_ids at read time —
+  // committed bytes per revision batch are O(batch ∪ overlay), never a
+  // rewrite of the corpus-sized base (the [[IvfIndex]] overlay, applied
+  // to the lexical tier; termstats stays an authoritative merge-rewrite
+  // because it is vocabulary-sized, not corpus-sized)
+  private def ovlPostingsTable(name: String) = s"${name}_postings_ovl"
+  private def ovlDocsTable(name: String) = s"${name}_docs_ovl"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
+
+  /** Overlay-compaction policy — [[IvfIndex.OvlFrac]]'s rationale on the
+    * postings tier's bytes. */
+  private val OvlFloorBytes: Long = IvfIndex.OvlFloorBytes
+  private val OvlFrac: Double = IvfIndex.OvlFrac
 
   // ---------------------------------------------------------------- manifest
 
@@ -64,15 +77,22 @@ object PostingsIndex {
     * are exact mergeable sums, so they ride in the manifest instead of
     * costing every serve a full docs-table scan + aggregate: build sets
     * them, append adds the fresh batch's, remove subtracts the dropped
-    * docs' — always in the same swap as the rows they describe. */
+    * docs' — always in the same swap as the rows they describe. The
+    * counters and termstats describe the SERVED corpus (base ∖ overlay
+    * ids ∪ overlay); `ovl*` pins are the revision overlay (`None` =
+    * empty). */
   private[graft] final case class BmManifest(
       postings: Int, docs: Int, termStats: Int,
-      nDocs: Long, sumDl: Long, lastBatchId: Long = -1L)
+      nDocs: Long, sumDl: Long, lastBatchId: Long = -1L,
+      ovlPostings: Option[Int] = None, ovlDocs: Option[Int] = None)
 
   private def encodeManifest(m: BmManifest): String =
     s"""{"postings_v":${m.postings},"docs_v":${m.docs},""" +
       s""""termstats_v":${m.termStats},"n_docs":${m.nDocs},""" +
-      s""""sum_dl":${m.sumDl},"last_batch_id":${m.lastBatchId}}"""
+      s""""sum_dl":${m.sumDl},""" +
+      s""""ovl_postings_v":${m.ovlPostings.getOrElse(-1)},""" +
+      s""""ovl_docs_v":${m.ovlDocs.getOrElse(-1)},""" +
+      s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): BmManifest = {
     def field(k: String): Long = {
@@ -82,9 +102,16 @@ object PostingsIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim.toLong
     }
+    // overlay pins absent = pre-overlay manifest (older persisted index):
+    // empty overlay, not an error
+    def optAbsent(k: String): Option[Int] = {
+      if (s.indexOf("\"" + k + "\":") < 0) None
+      else { val v = field(k); if (v < 0) None else Some(v.toInt) }
+    }
     BmManifest(field("postings_v").toInt, field("docs_v").toInt,
       field("termstats_v").toInt, field("n_docs"), field("sum_dl"),
-      field("last_batch_id"))
+      field("last_batch_id"),
+      optAbsent("ovl_postings_v"), optAbsent("ovl_docs_v"))
   }
 
   /** `(count, Σdl)` of a `(doc_id, dl, ...)` frame — one tiny aggregate,
@@ -120,7 +147,39 @@ object PostingsIndex {
     OverlayLock.rollbackIfAhead(store, postingsTable(name), m.postings)
     OverlayLock.rollbackIfAhead(store, docsTable(name), m.docs)
     OverlayLock.rollbackIfAhead(store, termStatsTable(name), m.termStats)
+    m.ovlPostings.foreach(OverlayLock.rollbackIfAhead(store, ovlPostingsTable(name), _))
+    m.ovlDocs.foreach(OverlayLock.rollbackIfAhead(store, ovlDocsTable(name), _))
   }
+
+  /** base ∖ overlay-doc_ids ∪ overlay — the read-time merge both
+    * corpus-sized tiers serve through. The overlay is compaction-bounded,
+    * so its doc_id set broadcasts into the anti-join. */
+  private def mergedWithOverlay(
+      spark: SparkSession, store: TableStore, base: DataFrame,
+      ovlTable: String, ovlPin: Option[Int]): DataFrame =
+    ovlPin match {
+      case None => base
+      case Some(pin) =>
+        val ovl = store.snapshotAt(spark, ovlTable, pin)
+        base.join(broadcast(ovl.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti")
+          .unionByName(ovl)
+    }
+
+  /** The served postings `(doc_id, dl, term, tf)`: base ∖ overlay ∪
+    * overlay. */
+  private def postingsAt(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame =
+    mergedWithOverlay(spark, store,
+      store.snapshotAt(spark, postingsTable(name), m.postings),
+      ovlPostingsTable(name), m.ovlPostings)
+
+  /** The served docs `(doc_id, dl)`. */
+  private def docsAt(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame =
+    mergedWithOverlay(spark, store,
+      store.snapshotAt(spark, docsTable(name), m.docs),
+      ovlDocsTable(name), m.ovlDocs)
 
   // -------------------------------------------------------------- tokenizing
 
@@ -221,12 +280,20 @@ object PostingsIndex {
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
+    // insert-only against the SERVED id set: base docs AND the revision
+    // overlay's (an id living only in the overlay must not re-enter the
+    // base, or the overlay's shadow would hide the stale re-append)
+    val ovlIds = m.ovlDocs.map(pin => broadcast(
+      store.snapshotAt(spark, ovlDocsTable(name), pin)
+        .select(col("doc_id")).distinct()))
+    def screenOvl(df: DataFrame): DataFrame =
+      ovlIds.map(ids => df.join(ids, Seq("doc_id"), "left_anti")).getOrElse(df)
     // pinned: four consumers below (docs append, postings, termstats
     // delta, counters) would otherwise each re-run the tokenize +
     // dedupe + stored-ids anti-join chain end-to-end — the same hygiene
     // rationale as bm25Against's postings pin
-    val fresh = tokenized(batch, idCol, textCol)
-      .join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fresh = screenOvl(tokenized(batch, idCol, textCol)
+        .join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // O(batch) member commits for the corpus-sized tables: only the
@@ -258,13 +325,19 @@ object PostingsIndex {
     * a revised document would otherwise need [[remove]] + [[append]]:
     * two commit points, a reader-visible window where the doc is ABSENT
     * from retrieval, and a crash between them that loses it entirely).
-    * Every tier commits `stored \ batchIds ∪ fresh` — postings and doc
-    * rows swap wholesale, term dfs adjust by (fresh − removed) exactly,
-    * the global counters likewise — and the single swap publishes all of
-    * it: a concurrent query scores the old revision or the new one,
-    * never neither. Replace forces a rewrite of the corpus-sized tiers
-    * (the [[remove]] cost shape, paid once instead of twice). Returns
-    * how many documents were replaced (present before the upsert). */
+    * The batch's doc/posting rows land in the REVISION OVERLAY — small
+    * members whose doc_ids shadow the base at read time — while term dfs
+    * adjust by (fresh − removed) exactly and the global counters
+    * likewise; the single swap publishes all of it: a concurrent query
+    * scores the old revision or the new one, never neither.
+    *
+    * Cost shape: committed bytes are O(batch ∪ overlay) + O(vocabulary)
+    * for the termstats merge-rewrite — the corpus-sized base tiers are
+    * untouched until the overlay outgrows the policy bound and folds
+    * (the one amortized rewrite). The exact df subtraction still READS
+    * the served postings of the replaced docs (a doc's old terms live
+    * nowhere else) — a column-pruned scan, not a rewrite. Returns how
+    * many documents were replaced (present before the upsert). */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -279,55 +352,113 @@ object PostingsIndex {
     }
 
   /** The gated fold behind [[upsert]] and [[admitUpsertBatch]] — same
-    * single-swap replace-or-insert, optionally recording `stamp` as the
-    * admitted batchId in the SAME swap (the exactly-once argument of
-    * [[appendStamped]], applied to revisions).
+    * single-swap replace-or-insert into the revision overlay, optionally
+    * recording `stamp` as the admitted batchId in the SAME swap (the
+    * exactly-once argument of [[appendStamped]], applied to revisions).
     * @return (folded, docsReplaced) — folded false iff `stamp` was
     *         already admitted */
   private def upsertStamped(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       store: TableStore, name: String, stamp: Option[Long]): (Boolean, Long) = {
-    {
-        val (m, mv) = requireManifest(store, name)
-        if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
-        rollbackAll(store, name, m)
-        val fresh = tokenized(batch, idCol, textCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val batchIds = broadcast(fresh.select(col("doc_id")).distinct())
-          val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
-          val replacedDocs = docsStored.join(batchIds, Seq("doc_id"), "left_semi")
-          val (rmN, rmSdl) = docCounters(replacedDocs)
-          val dv = store.write(
-            docsStored.join(batchIds, Seq("doc_id"), "left_anti")
-              .unionByName(fresh.select(col("doc_id"), col("dl"))),
-            docsTable(name), Some(m.docs))
-          val postStored = store.snapshotAt(spark, postingsTable(name), m.postings)
-          val removedPostings = postStored.join(batchIds, Seq("doc_id"), "left_semi")
-          val freshPostings = postingsOf(fresh)
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return (false, 0L)
+    rollbackAll(store, name, m)
+    val fresh = tokenized(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchIds = broadcast(fresh.select(col("doc_id")).distinct())
+      // exact bookkeeping needs the replaced docs' SERVED state: dl for
+      // the counters (narrow docs scan), old terms for the df
+      // subtraction (column-pruned postings scan) — reads, never rewrites
+      val replacedDocs = docsAt(spark, store, name, m)
+        .join(batchIds, Seq("doc_id"), "left_semi")
+      val (rmN, rmSdl) = docCounters(replacedDocs)
+      val removedPostings = postingsAt(spark, store, name, m)
+        .join(batchIds, Seq("doc_id"), "left_semi")
+      val freshPostings = postingsOf(fresh)
+      // termstats: vocabulary-sized authoritative merge-rewrite — df
+      // delta = fresh − removed, cell-wise (exact subtraction, the
+      // remove-path arithmetic composed with append's merge)
+      val tv = store.write(
+        store.snapshotAt(spark, termStatsTable(name), m.termStats)
+          .unionByName(termStatsOf(freshPostings))
+          .unionByName(termStatsOf(removedPostings).withColumn("df", -col("df")))
+          .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+          .filter(col("df") > 0),
+        termStatsTable(name), Some(m.termStats))
+      val (addN, addSdl) = docCounters(fresh)
+      // fold-vs-overlay on the PRE-batch overlay size (file-metadata
+      // reads) — the IvfIndex.upsertStamped policy on the postings tier
+      val overlayFull = m.ovlPostings.exists { pin =>
+        store.byteSizeAt(ovlPostingsTable(name), pin) > math.max(
+          OvlFloorBytes.toDouble,
+          OvlFrac * store.byteSizeAt(postingsTable(name), m.postings))
+      }
+      val next =
+        if (overlayFull) {
+          // amortized fold: commit each corpus tier's served view with
+          // the batch replaced, clear the overlay pins
           val pv = store.write(
-            postStored.join(batchIds, Seq("doc_id"), "left_anti")
+            postingsAt(spark, store, name, m)
+              .join(batchIds, Seq("doc_id"), "left_anti")
               .unionByName(freshPostings),
             postingsTable(name), Some(m.postings))
-          // df delta = fresh − removed, cell-wise (exact subtraction, the
-          // remove-path arithmetic composed with append's merge)
-          val tv = store.write(
-            store.snapshotAt(spark, termStatsTable(name), m.termStats)
-              .unionByName(termStatsOf(freshPostings))
-              .unionByName(termStatsOf(removedPostings).withColumn("df", -col("df")))
-              .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
-              .filter(col("df") > 0),
-            termStatsTable(name), Some(m.termStats))
-          val (addN, addSdl) = docCounters(fresh)
-          commitManifest(store, name,
-            m.copy(postings = pv, docs = dv, termStats = tv,
-              nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl,
-              lastBatchId = stamp.getOrElse(m.lastBatchId)),
-            Some(mv))
-          (true, rmN)
-        } finally fresh.unpersist()
-    }
+          val dv = store.write(
+            docsAt(spark, store, name, m)
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(fresh.select(col("doc_id"), col("dl"))),
+            docsTable(name), Some(m.docs))
+          m.copy(postings = pv, docs = dv,
+            ovlPostings = None, ovlDocs = None)
+        } else {
+          // overlay rewrite: old overlay minus the batch's ids plus the
+          // batch — at most one row-set per doc_id, O(overlay) bytes
+          def ovlWrite(table: String, pin: Option[Int], rows: DataFrame): Int = {
+            val merged = pin match {
+              case Some(p) => store.snapshotAt(spark, table, p)
+                .join(batchIds, Seq("doc_id"), "left_anti").unionByName(rows)
+              case None => rows
+            }
+            pin match {
+              case Some(p) => store.write(merged.coalesce(8), table, Some(p))
+              case None => store.write(merged.coalesce(8), table)
+            }
+          }
+          val opv = ovlWrite(ovlPostingsTable(name), m.ovlPostings, freshPostings)
+          val odv = ovlWrite(ovlDocsTable(name), m.ovlDocs,
+            fresh.select(col("doc_id"), col("dl")))
+          m.copy(ovlPostings = Some(opv), ovlDocs = Some(odv))
+        }
+      commitManifest(store, name,
+        next.copy(termStats = tv,
+          nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl,
+          lastBatchId = stamp.getOrElse(m.lastBatchId)),
+        Some(mv))
+      (true, rmN)
+    } finally fresh.unpersist()
   }
+
+  /** Maintenance operator: fold the revision overlay into the base tiers
+    * now (one corpus-sized rewrite + one swap), regardless of the
+    * automatic policy. Termstats and counters already describe the
+    * served view, so only the two corpus tiers move. No-op when the
+    * overlay is empty. */
+  def compactOverlay(spark: SparkSession, store: TableStore, name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        if (m.ovlPostings.isDefined || m.ovlDocs.isDefined) {
+          rollbackAll(store, name, m)
+          val pv = store.write(postingsAt(spark, store, name, m),
+            postingsTable(name), Some(m.postings))
+          val dv = store.write(docsAt(spark, store, name, m),
+            docsTable(name), Some(m.docs))
+          commitManifest(store, name,
+            m.copy(postings = pv, docs = dv,
+              ovlPostings = None, ovlDocs = None), Some(mv))
+        }
+      }
+    }
 
   /** EXACT takedown — what the non-subtractive sketch tiers cannot do:
     * postings/doc rows anti-join away and the removed docs' df
@@ -345,13 +476,16 @@ object PostingsIndex {
         val (m, mv) = requireManifest(store, name)
         rollbackAll(store, name, m)
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-        val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
+        // a takedown rewrites the corpus-sized tiers anyway, so the
+        // revision overlay folds in for free: each tier commits its
+        // SERVED view minus the dropped ids, and the swap clears the pins
+        val docsStored = docsAt(spark, store, name, m)
         val keptDocs = docsStored.join(drop, docsStored("doc_id") === col("_rm_id"), "left_anti")
         val removedDocs = docsStored.join(drop,
           docsStored("doc_id") === col("_rm_id"), "left_semi")
         val (rmN, rmSdl) = docCounters(removedDocs)
         val dv = store.write(keptDocs, docsTable(name), Some(m.docs))
-        val postStored = store.snapshotAt(spark, postingsTable(name), m.postings)
+        val postStored = postingsAt(spark, store, name, m)
         val removedPostings = postStored.join(drop,
           postStored("doc_id") === col("_rm_id"), "left_semi")
         val pv = store.write(
@@ -366,7 +500,8 @@ object PostingsIndex {
           termStatsTable(name), Some(m.termStats))
         commitManifest(store, name,
           m.copy(postings = pv, docs = dv, termStats = tv,
-            nDocs = m.nDocs - rmN, sumDl = m.sumDl - rmSdl), Some(mv))
+            nDocs = m.nDocs - rmN, sumDl = m.sumDl - rmSdl,
+            ovlPostings = None, ovlDocs = None), Some(mv))
         rmN
       }
     }
@@ -459,10 +594,11 @@ object PostingsIndex {
 
   // ----------------------------------------------------------------- serving
 
-  /** The stored postings `(doc_id, dl, term, tf)` (manifest-pinned). */
+  /** The served postings `(doc_id, dl, term, tf)` (manifest-pinned,
+    * revision-overlay merged). */
   def postings(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    store.snapshotAt(spark, postingsTable(name), m.postings)
+    postingsAt(spark, store, name, m)
   }
 
   /** Top-`k` stored documents for EVERY probe, served entirely from
@@ -488,7 +624,7 @@ object PostingsIndex {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val (m, _) = requireManifest(store, name)
-    val post = store.snapshotAt(spark, postingsTable(name), m.postings)
+    val post = postingsAt(spark, store, name, m)
       .select(col("doc_id"), col("dl").as("_dl"), col("term"), col("tf").as("_tf"))
     // corpus stats come from the MANIFEST counters — zero Spark jobs; the
     // docs table is the membership/rebuild source, never a serve-time scan

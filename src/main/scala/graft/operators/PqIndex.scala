@@ -54,11 +54,11 @@ object PqIndex {
       m.pqCodebook.getOrElse(noTier(name)))
   }
 
-  /** The encoded corpus `(id, cell, n_codes)` as committed
-    * (manifest-pinned read). */
+  /** The encoded corpus `(id, cell, n_codes)` as served (manifest-pinned,
+    * revision-overlay merged). */
   def codes(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = IvfIndex.requireManifest(store, name)
-    store.snapshotAt(spark, codesTableName(name), m.pqCodes.getOrElse(noTier(name)))
+    IvfIndex.pqCodesAt(spark, store, name, m)
   }
 
   private def noTier(name: String): Nothing =
@@ -87,8 +87,12 @@ object PqIndex {
           OverlayLock.rollbackIfAhead(store, codebookTableName(name), _))
         man.pqCodes.foreach(
           OverlayLock.rollbackIfAhead(store, codesTableName(name), _))
-        val stored = store.snapshotAt(spark, IvfIndex.vectorsTableName(name),
-          man.vectors)
+        man.ovlPqCodes.foreach(
+          OverlayLock.rollbackIfAhead(store, IvfIndex.ovlPqCodesTable(name), _))
+        // train + encode over the SERVED float view: revision-overlay rows
+        // are first-class corpus, and the fresh codes tier covering them
+        // lets its own overlay clear in the same swap
+        val stored = IvfIndex.vectorsAt(spark, store, name, man)
         val dim = stored.select(size(col("v"))).head().getInt(0)
         require(dim % m == 0, s"dim $dim must divide into $m subspaces")
         val subDim = dim / m
@@ -103,7 +107,8 @@ object PqIndex {
           arr.join(unit.select(col("id"), col("cell")), Seq("id"))
             .select(col("id"), col("cell"), col("n_codes")), codesTableName(name))
         IvfIndex.commitManifest(store, name,
-          man.copy(pqCodebook = Some(cbV), pqCodes = Some(pcV)), Some(mv))
+          man.copy(pqCodebook = Some(cbV), pqCodes = Some(pcV),
+            ovlPqCodes = None), Some(mv))
       }
     }
 
@@ -164,46 +169,20 @@ object PqIndex {
       man.pqCodebook.getOrElse(noTier(name)))
     val batchCodes = encodeAssigned(spark, assigned, cbRows)
     val stored = store.snapshotAt(spark, codesTableName(name), pin)
-    val freshCodes = batchCodes
+    // insert-only against the SERVED id set: base codes AND the revision
+    // overlay's (an id living only in the overlay must not re-enter the
+    // base — IvfIndex.appendStamped's screen, applied to this tier)
+    val screened = man.ovlPqCodes match {
+      case Some(oPin) => batchCodes.join(broadcast(
+          store.snapshotAt(spark, IvfIndex.ovlPqCodesTable(name), oPin)
+            .select(col("id")).distinct()), Seq("id"), "left_anti")
+      case None => batchCodes
+    }
+    val freshCodes = screened
       .join(stored.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("cell"), col("n_codes")) // stored column order
     // O(batch): only the fresh code rows are written (see appendOrCompact)
     OverlayLock.appendOrCompact(store, codesTableName(name), pin, stored, freshCodes)
-  }
-
-  /** Member-commit half of the PQ upsert — called by [[IvfIndex.upsert]]
-    * inside ITS manifest swap: stored codes minus the batch ids, plus the
-    * batch re-encoded against the COMMITTED codebook (refit-free, as in
-    * [[appendEncodedAt]]). */
-  private[operators] def upsertEncodedAt(
-      spark: SparkSession,
-      assigned: DataFrame,
-      batchIds: DataFrame,
-      store: TableStore,
-      name: String,
-      man: IvfIndex.IvfManifest,
-      pin: Int): Int = {
-    val cbRows = store.snapshotAt(spark, codebookTableName(name),
-      man.pqCodebook.getOrElse(noTier(name)))
-    val batchCodes = encodeAssigned(spark, assigned, cbRows)
-    val stored = store.snapshotAt(spark, codesTableName(name), pin)
-    store.write(
-      stored.join(batchIds, Seq("id"), "left_anti")
-        .unionByName(batchCodes.select(col("id"), col("cell"), col("n_codes"))),
-      codesTableName(name), Some(pin))
-  }
-
-  /** Member-commit half of the PQ takedown — called by
-    * [[IvfIndex.remove]] inside ITS manifest swap. */
-  private[operators] def removeIdsAt(
-      spark: SparkSession,
-      drop: DataFrame,
-      store: TableStore,
-      name: String,
-      pin: Int): Int = {
-    val stored = store.snapshotAt(spark, codesTableName(name), pin)
-    store.write(stored.join(drop, stored("id") === col("_rm_id"), "left_anti"),
-      codesTableName(name), Some(pin))
   }
 
   /** Two-stage QUALITY serving from the PQ tier (the [[Pq.topKRefined]]
@@ -244,8 +223,7 @@ object PqIndex {
     // candidates: one row per (query, stored code row) in the probed
     // cells — a stored vector lives in exactly one cell, so each pair
     // arises once; scoring is the codegen ADC fold, no per-pair state
-    val codeRows = store.snapshotAt(spark, codesTableName(name),
-      man.pqCodes.getOrElse(noTier(name)))
+    val codeRows = IvfIndex.pqCodesAt(spark, store, name, man)
     val scored = probes.join(codeRows, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id").as("vec_id"), col("id").as("neighbor_id"),

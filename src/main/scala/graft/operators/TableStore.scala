@@ -472,6 +472,26 @@ class TableStore(val root: String) {
     } finally stream.close()
   }
 
+  /** Total part-file bytes of a SPECIFIC committed version (top-level and
+    * `_bucket=N` files) — the size probe overlay-compaction policies read.
+    * Pure file-metadata op, O(files); never opens a parquet footer. */
+  def byteSizeAt(name: String, version: Int): Long = {
+    def walk(dir: Path): Long = {
+      if (!Files.isDirectory(dir)) return 0L
+      val stream = Files.list(dir)
+      try {
+        var total = 0L
+        stream.iterator().forEachRemaining { f =>
+          val n = f.getFileName.toString
+          if (Files.isDirectory(f)) { if (n.startsWith("_bucket=")) total += walk(f) }
+          else if (n.startsWith("part-")) total += Files.size(f)
+        }
+        total
+      } finally stream.close()
+    }
+    walk(versionPath(name, version))
+  }
+
   /** Compaction for PLAIN tables — the sibling of [[compact]] for tables
     * maintained by whole-version rewrites (e.g. a signature index under a
     * per-micro-batch append cadence, where each union write inherits the

@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CacheScope, IvfIndex, PostingsIndex, PqIndex, TableStore}
+
+/** The revision overlay's cost and semantics contracts (VERDICT r14 #1):
+  *
+  *  - an upsert's COMMITTED BYTES are O(batch ∪ overlay), independent of
+  *    corpus size — measured as the file bytes created under the store
+  *    root during the upsert, at two corpus scales;
+  *  - repeated revisions of the SAME id serve latest-wins through the
+  *    read-time merge;
+  *  - [[IvfIndex.compactOverlay]]/[[PostingsIndex.compactOverlay]] fold
+  *    the overlay into the base without moving the served state, and
+  *    clear the overlay pins;
+  *  - insert-only append after an overlay-only insert does NOT duplicate
+  *    the id; remove folds the overlay and clears it;
+  *  - quantizeStored over a live float overlay leaves a complete int8
+  *    base and clears the int8 overlay.
+  */
+class OverlaySpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def vec(i: Int, bump: Double = 0.0): Array[Float] =
+    Array.tabulate(8)(d => (math.sin(i * 31 + d * 7) + bump).toFloat)
+
+  private def vdf(ids: Range, bump: Double = 0.0) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i.toLong, vec(i, bump))).toDF("vec_id", "embedding")
+  }
+
+  /** Bounded-vocabulary docs: term set is constant in the corpus size, so
+    * the termstats merge-rewrite is corpus-size-independent and the bytes
+    * assertion isolates the corpus-sized tiers. */
+  private def ddf(ids: Range, suffix: String = "") = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i.toLong,
+      s"alpha${i % 13} common beta${i % 7} shared$suffix")).toDF("doc_id", "text")
+  }
+
+  /** Every regular file under `root`, path → size. */
+  private def treeFiles(root: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+    finally w.close()
+  }
+
+  /** Bytes of files that exist now but did not exist in `before` —
+    * the committed bytes of whatever ran in between. */
+  private def bytesCreatedSince(before: Map[String, Long], root: String): Long =
+    treeFiles(root).collect { case (p, sz) if !before.contains(p) => sz }.sum
+
+  private def buildIvf(store: TableStore, n: Int): Unit = {
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      IvfIndex.build(vdf(1 to n), "vec_id", "embedding",
+        nCells = 4, iterations = 1, store, "emb")
+      IvfIndex.quantizeStored(spark, store, "emb")
+      PqIndex.buildStored(spark, store, "emb", m = 4, nCodes = 8, iterations = 1)
+    } finally scope.release()
+  }
+
+  // ------------------------------------------------------- committed bytes
+
+  test("IVF upsert commits O(batch) bytes — corpus-size-independent, a sliver of the base") {
+    val small = new TableStore(tmpDir("ovl-bytes-s"))
+    val big = new TableStore(tmpDir("ovl-bytes-b"))
+    buildIvf(small, 240)
+    buildIvf(big, 2400)
+    val batch = vdf(10 to 17, bump = 0.5)
+    val beforeS = treeFiles(small.root)
+    IvfIndex.upsert(spark, batch, "vec_id", "embedding", small, "emb")
+    val bytesS = bytesCreatedSince(beforeS, small.root)
+    val beforeB = treeFiles(big.root)
+    IvfIndex.upsert(spark, batch, "vec_id", "embedding", big, "emb")
+    val bytesB = bytesCreatedSince(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the corpus must not move the upsert's committed bytes: $bytesS -> $bytesB")
+    val (m, _) = IvfIndex.readManifest(big, "emb").get
+    val baseBytes = big.byteSizeAt("emb_vectors", m.vectors) +
+      big.byteSizeAt("emb_qvectors", m.qvectors.get) +
+      big.byteSizeAt("emb_pq_codes", m.pqCodes.get)
+    assert(bytesB < baseBytes,
+      s"a revision batch ($bytesB B) must not rewrite the base tiers ($baseBytes B)")
+    assert(m.ovlVectors.isDefined && m.ovlQvectors.isDefined && m.ovlPqCodes.isDefined,
+      "the batch landed in the overlay, not the base")
+  }
+
+  test("postings upsert commits O(batch) bytes — corpus-size-independent") {
+    val small = new TableStore(tmpDir("ovl-bm-bytes-s"))
+    val big = new TableStore(tmpDir("ovl-bm-bytes-b"))
+    PostingsIndex.build(ddf(1 to 200), "doc_id", "text", small, "bm")
+    PostingsIndex.build(ddf(1 to 2000), "doc_id", "text", big, "bm")
+    val batch = ddf(10 to 17, "x")
+    val beforeS = treeFiles(small.root)
+    PostingsIndex.upsert(spark, batch, "doc_id", "text", small, "bm")
+    val bytesS = bytesCreatedSince(beforeS, small.root)
+    val beforeB = treeFiles(big.root)
+    PostingsIndex.upsert(spark, batch, "doc_id", "text", big, "bm")
+    val bytesB = bytesCreatedSince(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the corpus must not move the upsert's committed bytes: $bytesS -> $bytesB")
+    val (m, _) = PostingsIndex.readManifest(big, "bm").get
+    val baseBytes = big.byteSizeAt("bm_postings", m.postings) +
+      big.byteSizeAt("bm_docs", m.docs)
+    assert(bytesB < baseBytes,
+      s"a revision batch ($bytesB B) must not rewrite the base tiers ($baseBytes B)")
+    assert(m.ovlPostings.isDefined && m.ovlDocs.isDefined)
+  }
+
+  // -------------------------------------------------- overlay-of-overlay
+
+  test("repeated revisions of the same ids serve latest-wins; compaction moves nothing") {
+    val store = new TableStore(tmpDir("ovl-latest"))
+    buildIvf(store, 120)
+    IvfIndex.upsert(spark, vdf(1 to 5, bump = 0.3), "vec_id", "embedding", store, "emb")
+    IvfIndex.upsert(spark, vdf(3 to 8, bump = 0.6), "vec_id", "embedding", store, "emb")
+    def served: Map[Long, Seq[Double]] =
+      IvfIndex.vectors(spark, store, "emb").collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
+    val s1 = served
+    assert(s1.size === 120, "replacement never changes cardinality")
+    assert(s1(3L) === vec(3, 0.6).map(_.toDouble).toSeq,
+      "id revised twice serves the LATEST revision")
+    assert(s1(1L) === vec(1, 0.3).map(_.toDouble).toSeq,
+      "id revised once keeps its revision")
+    assert(s1(20L) === vec(20).map(_.toDouble).toSeq, "untouched id unchanged")
+    IvfIndex.compactOverlay(spark, store, "emb")
+    val (m, _) = IvfIndex.readManifest(store, "emb").get
+    assert(m.ovlVectors.isEmpty && m.ovlQvectors.isEmpty && m.ovlPqCodes.isEmpty,
+      "compaction clears every overlay pin")
+    assert(served === s1, "compaction must not move the served state")
+    assert(IvfIndex.quantizedVectors(spark, store, "emb").count() === 120)
+    assert(PqIndex.codes(spark, store, "emb").count() === 120)
+  }
+
+  test("postings: repeated revisions serve latest-wins; compaction preserves served scores") {
+    val store = new TableStore(tmpDir("ovl-bm-latest"))
+    PostingsIndex.build(ddf(1 to 100), "doc_id", "text", store, "bm")
+    PostingsIndex.upsert(spark, ddf(40 to 44, " reva"), "doc_id", "text", store, "bm")
+    PostingsIndex.upsert(spark, ddf(42 to 46, " revb"), "doc_id", "text", store, "bm")
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    def serve: Seq[(Long, Double)] =
+      PostingsIndex.topK(spark,
+          Seq((0L, Seq("revb", "reva", "common"))).toDF("q_id", "terms"),
+          "q_id", "terms", store, "bm", k = 20)
+        .select(col("doc_id"), round(col("bm25"), 9))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    try {
+      val before = serve
+      // doc 42 was revised twice: it must match 'revb', not 'reva'
+      val revbDocs = PostingsIndex.postings(spark, store, "bm")
+        .filter(col("term") === "revb").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(revbDocs === (42 to 46).map(_.toLong).toSet)
+      val revaDocs = PostingsIndex.postings(spark, store, "bm")
+        .filter(col("term") === "reva").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(revaDocs === Set(40L, 41L), "docs 42..44's reva revision was superseded")
+      PostingsIndex.compactOverlay(spark, store, "bm")
+      val (m, _) = PostingsIndex.readManifest(store, "bm").get
+      assert(m.ovlPostings.isEmpty && m.ovlDocs.isEmpty)
+      assert(serve === before, "compaction must not move served scores")
+    } finally scope.release()
+  }
+
+  // ------------------------------------------------- composition contracts
+
+  test("append after an overlay-only insert does not duplicate; remove folds the overlay") {
+    val store = new TableStore(tmpDir("ovl-compose"))
+    buildIvf(store, 120)
+    // id 500 enters through the overlay (brand-new insert via upsert)
+    IvfIndex.upsert(spark, vdf(500 to 500, bump = 0.2), "vec_id", "embedding", store, "emb")
+    // an append carrying 500 again (stale copy) plus genuinely new 501
+    IvfIndex.append(spark, vdf(500 to 501), "vec_id", "embedding", store, "emb")
+    val served = IvfIndex.vectors(spark, store, "emb")
+    assert(served.filter(col("id") === 500L).count() === 1, "no duplicate id")
+    assert(served.filter(col("id") === 500L).select(col("v")).head().getSeq[Double](0)
+      === vec(500, 0.2).map(_.toDouble).toSeq,
+      "the overlay's revision wins over the stale re-append")
+    assert(served.count() === 122)
+    val s = spark; import s.implicits._
+    val removed = IvfIndex.remove(spark,
+      Seq(500L, 10L).toDF("vec_id"), store, "emb")
+    assert(removed === 2L)
+    val (m, _) = IvfIndex.readManifest(store, "emb").get
+    assert(m.ovlVectors.isEmpty, "remove folds and clears the overlay")
+    assert(IvfIndex.vectors(spark, store, "emb").count() === 120)
+  }
+
+  test("quantizeStored over a live float overlay: complete int8 base, overlay cleared") {
+    val store = new TableStore(tmpDir("ovl-quant"))
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      IvfIndex.build(vdf(1 to 100), "vec_id", "embedding",
+        nCells = 4, iterations = 1, store, "emb")
+      IvfIndex.upsert(spark, vdf(5 to 9, bump = 0.4), "vec_id", "embedding", store, "emb")
+      IvfIndex.quantizeStored(spark, store, "emb")
+      val (m, _) = IvfIndex.readManifest(store, "emb").get
+      assert(m.ovlVectors.isDefined, "float overlay still live")
+      assert(m.ovlQvectors.isEmpty, "int8 overlay cleared — the base covers it")
+      val q = IvfIndex.quantizedVectors(spark, store, "emb")
+      assert(q.count() === 100)
+      // the revised id's quantized row reflects the REVISED vector: its
+      // scale is max|component|/127 of the bumped values
+      val scale = q.filter(col("id") === 7L).select(col("scale")).head().getDouble(0)
+      val expected = vec(7, 0.4).map(v => math.abs(v.toDouble)).max / 127.0
+      assert(math.abs(scale - expected) < 1e-12,
+        "int8 base quantizes the SERVED (revised) float view")
+    } finally scope.release()
+  }
+}

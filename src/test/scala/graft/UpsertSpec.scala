@@ -38,13 +38,12 @@ class UpsertSpec extends SparkSpec {
     } finally scope.release()
   }
 
-  /** Every tier's committed rows, as comparable values. */
+  /** Every tier's SERVED rows (overlay-merged), as comparable values. */
   private def ivfState(store: TableStore): (Seq[(Long, Int)], Long, Long) = {
     val floats = IvfIndex.vectors(spark, store, "emb")
       .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
-    val (m, _) = IvfIndex.readManifest(store, "emb").get
-    val q = store.snapshotAt(spark, "emb_qvectors", m.qvectors.get).count()
-    val p = store.snapshotAt(spark, "emb_pq_codes", m.pqCodes.get).count()
+    val q = IvfIndex.quantizedVectors(spark, store, "emb").count()
+    val p = PqIndex.codes(spark, store, "emb").count()
     (floats, q, p)
   }
 
@@ -105,9 +104,10 @@ class UpsertSpec extends SparkSpec {
     buildIvf(store)
     val oldV = IvfIndex.vectors(spark, store, "emb")
       .filter(col("id") === 60L).select(col("v")).collect().head.getSeq[Double](0)
-    // pause at the int8 member commit: the float member has already
-    // committed (as an orphan) — exactly the mid-mutation window
-    store.pauseTable = Some("emb_qvectors")
+    // pause at the int8 OVERLAY member commit: the float overlay member
+    // has already committed (as an orphan) — exactly the mid-mutation
+    // window
+    store.pauseTable = Some("emb_qvectors_ovl")
     val task = new java.util.concurrent.FutureTask[Long](() =>
       IvfIndex.upsert(spark, vdf(60 to 60, bump = 0.9), "vec_id", "embedding",
         store, "emb"))
@@ -148,7 +148,7 @@ class UpsertSpec extends SparkSpec {
     val store = new CrashStore(tmpDir("ups-ivf-crash"))
     buildIvf(store)
     val before = ivfState(store)
-    store.failTable = Some("emb_qvectors")
+    store.failTable = Some("emb_qvectors_ovl")
     intercept[RuntimeException] {
       IvfIndex.upsert(spark, vdf(70 to 74, bump = 0.5), "vec_id", "embedding",
         store, "emb")
@@ -220,8 +220,8 @@ class UpsertSpec extends SparkSpec {
     val store = new PausingStore(tmpDir("ups-bm-window"))
     PostingsIndex.build(ddf(1 to 80), "doc_id", "text", store, "bm")
     val before = serveBm(store)
-    // docs member commits first; pause at the postings member commit
-    store.pauseTable = Some("bm_postings")
+    // termstats commits first; pause at the postings OVERLAY member commit
+    store.pauseTable = Some("bm_postings_ovl")
     val task = new java.util.concurrent.FutureTask[Long](() =>
       PostingsIndex.upsert(spark, ddf(42 to 42, "x"), "doc_id", "text", store, "bm"))
     new Thread(task).start()
@@ -245,7 +245,7 @@ class UpsertSpec extends SparkSpec {
       "doc_id", "text", store, "bm"), "replayed batchId refused")
     assert(serveBm(store) === after0)
     // crash between member commits: invisible; redelivery folds once
-    store.failTable = Some("bm_postings")
+    store.failTable = Some("bm_postings_ovl")
     intercept[RuntimeException] {
       PostingsIndex.admitUpsertBatch(spark, ddf(45 to 49, "x"), 1L,
         "doc_id", "text", store, "bm")
