@@ -476,7 +476,48 @@ object SparkEntry {
     guarded("q125Profiles")(q125ProfileRoots(s, dir))
     guarded("q126Seed")(q126SeedRoot(s, dir))
     guarded("q127Stage")(q127StageRoot(s, dir))
+    guarded("q133Seed")(q133SeedRoot(s, dir))
   }
+
+  /** q133's seed + admission stage: the perceptual index BUILT over the
+    * first 20 stored groups' base-card dHashes, and the other 20 groups'
+    * staged as three parquet signature files — the live admission
+    * stream. After the drains the committed index holds all 40 stored
+    * bases, so q130's screen replays verbatim from committed state. */
+  private val q133SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q133SeedRoot(s: SparkSession, dir: String): String =
+    q133SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q133seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val allStored = graft.operators.Multimodal.dHashes(
+          perceptualCards(s, dir, 40, Seq(0)))
+        .select(col("item_id").as("id"), col("dhash").as("sig"))
+      val seedIds = allStored.select(col("id")).orderBy(col("id")).limit(20)
+      graft.operators.PerceptualIndex.build(
+        allStored.join(seedIds, Seq("id"), "left_semi"),
+        maxHamming = 6, store, "img_idx")
+      val rest = allStored.join(seedIds, Seq("id"), "left_anti")
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        rest.filter(pmod(col("id"), lit(3)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
 
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
@@ -2916,6 +2957,44 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: q130 SERVED FROM THE COMMITTED PERCEPTUAL INDEX — the managed
+    // form of the image admission loop (VERDICT r14 #2): the signature
+    // store is a manifest-pinned PerceptualIndex seeded with HALF the
+    // stored groups, the other half arrives as three micro-batches
+    // through the exactly-once admission gate (the 11th streaming face),
+    // and the screen reads the persisted hamming budget from the
+    // manifest instead of trusting the caller. After the drains the
+    // committed state equals q130's ad-hoc stored side, so the oracle is
+    // q130's SQL verbatim — canonicity: the managed index changes WHERE
+    // the signatures live, never what the screen computes.
+    "q133_image_screen_indexed" -> ((s, dir) => {
+      val seedRoot = q133SeedRoot(s, dir)
+      val root = newTmpDir("graft_q133run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PerceptualIndex.admitStream(stream, store, "img_idx",
+        s"$root/chk").awaitTermination()
+      def hashed(n: Int, vs: Seq[Int]) =
+        graft.operators.Multimodal.dHashes(perceptualCards(s, dir, n, vs))
+      val storedIds = graft.operators.PerceptualIndex
+        .signatures(s, store, "img_idx").select(col("id").as("item_id"))
+      val batch = hashed(40, Seq(0, 1, 2)).unionByName(
+          hashed(50, Seq(0)).join(storedIds, Seq("item_id"), "left_anti"))
+        .select(col("item_id").as("id"), col("dhash").as("sig"))
+      val matches = graft.operators.PerceptualIndex.screen(s, batch, store, "img_idx")
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_stored_matches"))
+      batch.join(matches, batch("id") === col("batch_id"), "left")
+        .select(col("id").as("item_id"),
+          coalesce(col("n_stored_matches"), lit(0L)).as("n_stored_matches"),
+          (coalesce(col("n_stored_matches"), lit(0L)) === 0)
+            .cast("int").as("admitted"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: VIDEO NEAR-DUP — the frame-sequence member of the multimodal×
     // dedup family: per-frame dHashes (the sampleFrames→decode→dHashes
     // shape), frame-index-aligned hamming banding (midpoint fractional
@@ -4671,6 +4750,67 @@ object SparkEntry {
     // side), exact hamming per candidate, then the per-batch-item match
     // count and admission flag.
     "q130_image_screen" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 50)),
+        |items AS (
+        |  SELECT g, gi, v.variant, g * 10 + v.variant AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)
+        |  WHERE gi <= 40 OR v.variant = 0),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |stored AS (SELECT item_id FROM items WHERE gi <= 40 AND variant = 0),
+        |schunks AS (SELECT c.* FROM chunks c JOIN stored USING (item_id)),
+        |hotb AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hots AS (SELECT chunk, value FROM schunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hot AS (SELECT * FROM hotb UNION SELECT * FROM hots),
+        |coldb AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |colds AS (SELECT c.* FROM schunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS batch_id, b.item_id AS stored_id
+        |  FROM coldb a JOIN colds b
+        |    ON a.chunk = b.chunk AND a.value = b.value),
+        |ham AS (
+        |  SELECT c.batch_id, c.stored_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.batch_id
+        |  JOIN sigbits sb ON sb.item_id = c.stored_id AND sb.b = sa.b
+        |  GROUP BY c.batch_id, c.stored_id),
+        |matches AS (
+        |  SELECT batch_id, count(*) AS n FROM ham
+        |  WHERE hamming <= 6 GROUP BY batch_id)
+        |SELECT i.item_id, coalesce(m.n, 0) AS n_stored_matches,
+        |  CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS admitted
+        |FROM items i LEFT JOIN matches m ON m.batch_id = i.item_id
+        |ORDER BY i.item_id""".stripMargin,
+
+    // q133 replay: q130's SQL VERBATIM — the managed perceptual index
+    // (seed-build + exactly-once streamed admission + manifest-pinned
+    // screen budget) must change where the signatures live, never what
+    // the screen computes; serving from committed state and the ad-hoc
+    // stored side are the same function of the same item universe.
+    "q133_image_screen_indexed" ->
       """WITH seeds AS (
         |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
         |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 50)),

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted 64-bit perceptual-signature index — the pixel/audio-side
+  * analogue of [[SignatureIndex]] (reference discipline: incremental
+  * state maintenance, control_migration_schema_script.sql:244, 412–416):
+  * decode and hash each media item ONCE ([[Multimodal.dHashes]],
+  * [[Multimodal.audioFingerprints]] — any 64-bit family), persist the
+  * `(id, sig)` projection, then screen every arriving batch against
+  * committed state without ever re-decoding the corpus. Stored state is
+  * 8 bytes per item, so a billion-item corpus screens from a
+  * single-digit-GB table while the payload bytes stay wherever they
+  * live.
+  *
+  * Storage (the [[IvfIndex]]/[[CorpusProfile]] manifest discipline,
+  * fourth instance):
+  *  - `<name>_sigs` — `(id, sig: long)`, the indexed corpus;
+  *  - `<name>_manifest` — one file pinning the sigs version, carrying
+  *    the SCREENING PARAMETER (`max_hamming` — the banding geometry
+  *    derives from it, so every screen uses the model's own budget
+  *    rather than trusting callers to repeat it) and the streaming
+  *    admission gate's `last_batch_id`. Mutations commit the member
+  *    first (an invisible orphan) and swap the manifest once; a crash
+  *    anywhere before the swap is invisible and the redelivered batch
+  *    folds exactly once ([[admitBatch]]).
+  *
+  * The daily admission loop, for pixels:
+  * {{{
+  * val matches = PerceptualIndex.screen(spark, batchSigs, store, "imgs")
+  * val novel = batchSigs.join(broadcast(matches.select(col("batch_id").as("id"))
+  *   .distinct()), Seq("id"), "left_anti")
+  * PerceptualIndex.append(spark, novel, store, "imgs")
+  * }}}
+  *
+  * Scale shape: [[append]] commits ONLY the batch's 8-byte rows (linked
+  * members, [[OverlayLock.appendOrCompact]]); [[screen]] is the
+  * chunk-band pigeonhole equi-join of [[Dedup.hammingBandedPairsAgainst]]
+  * — batch-proportional work against a narrow projection of constant
+  * serving state, hot buckets capped on both sides.
+  */
+object PerceptualIndex {
+
+  private def sigsTable(name: String) = s"${name}_sigs"
+  private def manifestTable(name: String) = s"${name}_manifest"
+  private val manifestFile = "manifest.json"
+
+  /** Sigs pin + the screening budget + the admission gate. */
+  private[graft] final case class PercManifest(
+      sigs: Int, maxHamming: Int, lastBatchId: Long = -1L)
+
+  private def encodeManifest(m: PercManifest): String =
+    s"""{"sigs_v":${m.sigs},"max_hamming":${m.maxHamming},""" +
+      s""""last_batch_id":${m.lastBatchId}}"""
+
+  private def decodeManifest(s: String): PercManifest = {
+    def field(k: String): Long = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"perceptual-index manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim.toLong
+    }
+    PercManifest(field("sigs_v").toInt, field("max_hamming").toInt,
+      field("last_batch_id"))
+  }
+
+  private[graft] def readManifest(
+      store: TableStore, name: String): Option[(PercManifest, Int)] =
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
+    }
+
+  private def requireManifest(store: TableStore, name: String): (PercManifest, Int) =
+    readManifest(store, name).getOrElse(throw new IllegalStateException(
+      s"perceptual index $name has no manifest — build it first"))
+
+  private def commitManifest(
+      store: TableStore, name: String, m: PercManifest, expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
+
+  private def withLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "perc", name)(body)
+
+  private def sigShape(sigs: DataFrame): DataFrame = {
+    val Seq(idc, sigc) = sigs.columns.take(2).toSeq
+    sigs.select(col(idc).as("id"), col(sigc).cast("long").as("sig"))
+  }
+
+  // ------------------------------------------------------------------ build
+
+  /** Persist `(id, sig)` rows (first two columns, any names) and the
+    * screening budget. Rebuilding replaces the corpus; the admission
+    * gate survives, as in every family here. */
+  def build(
+      sigs: DataFrame,
+      maxHamming: Int,
+      store: TableStore,
+      name: String): Unit = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) =>
+          OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs) }
+        val sv = store.write(sigShape(sigs), sigsTable(name))
+        commitManifest(store, name,
+          PercManifest(sv, maxHamming,
+            prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+      }
+    }
+  }
+
+  /** The indexed `(id, sig)` corpus (manifest-pinned read). */
+  def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    store.snapshotAt(spark, sigsTable(name), m.sigs)
+  }
+
+  /** The index's screening budget, as persisted. */
+  def maxHamming(store: TableStore, name: String): Int =
+    requireManifest(store, name)._1.maxHamming
+
+  // ---------------------------------------------------------- append/remove
+
+  /** Fold a signature batch into committed state — INSERT-ONLY by id
+    * (re-sent ids are no-ops), O(batch) linked member commit
+    * ([[OverlayLock.appendOrCompact]]), one manifest swap. */
+  def append(
+      spark: SparkSession,
+      sigs: DataFrame,
+      store: TableStore,
+      name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, sigs, store, name, None)
+      }
+      ()
+    }
+
+  private def appendStamped(
+      spark: SparkSession, sigs: DataFrame,
+      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+    val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+    val fresh = sigShape(sigs)
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+      // at most one signature per id: a batch carrying an id twice (two
+      // staged files in one trigger) indexes the smallest sig —
+      // deterministic under any partitioning (the
+      // PostingsIndex.tokenized canonicalization rationale; signatures
+      // order directly, no digest needed)
+      .groupBy(col("id")).agg(min(col("sig")).as("sig"))
+    val sv = OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
+      stored, fresh)
+    commitManifest(store, name,
+      m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+    true
+  }
+
+  /** Takedown: next sigs version without the given ids — after removal a
+    * future arrival resembling only the removed items is admitted again
+    * (the screen's memory genuinely forgets). Returns rows removed. */
+  def remove(
+      spark: SparkSession,
+      ids: DataFrame,
+      store: TableStore,
+      name: String): Long =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+        val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
+        val before = stored.count()
+        val keptN = kept.count()
+        val sv = store.write(kept, sigsTable(name), Some(m.sigs))
+        commitManifest(store, name, m.copy(sigs = sv), Some(mv))
+        before - keptN
+      }
+    }
+
+  // --------------------------------------------------------------- admission
+
+  /** Exactly-once micro-batch admission ([[CorpusProfile.admitBatch]]'s
+    * gate): the sigs advance and the batchId record are one atomic swap,
+    * so a crash mid-fold is invisible and the redelivered batch folds
+    * exactly once. Returns true when folded, false when replayed. */
+  def admitBatch(
+      spark: SparkSession,
+      sigs: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, sigs, store, name, Some(batchId))
+      }
+    }
+
+  /** Streaming admission: the perceptual index as a live sink (the same
+    * face as [[IvfIndex.admitStream]], for the signature tier). */
+  def admitStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, batchId, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
+  /** Admission screen, served from committed state: every (batch item,
+    * stored item) pair within the INDEX'S hamming budget —
+    * [[Dedup.hammingBandedPairsAgainst]] with the persisted parameter,
+    * the stored side a manifest-pinned 8-byte-per-item read. Callers
+    * aggregate to an admit/reject flag or a match count (q130's tail).
+    *
+    * @return (batch_id, stored_id, hamming ≤ stored max_hamming) */
+  def screen(
+      spark: SparkSession,
+      batchSigs: DataFrame,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    Dedup.hammingBandedPairsAgainst(
+      sigShape(batchSigs),
+      store.snapshotAt(spark, sigsTable(name), m.sigs),
+      m.maxHamming, maxBucketSize)
+  }
+}

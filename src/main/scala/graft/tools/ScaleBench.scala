@@ -256,7 +256,11 @@ object ScaleBench {
     // r14: audio near-dup — constant 90-clip fixture (real WAV parse +
     // energy-contour hash per item); verifies the shared banded tail
     // stays wall-flat with a third signature family riding it
-    "q132_audio_neardup")
+    "q132_audio_neardup",
+    // r15: the managed perceptual index — seed + streamed admission +
+    // manifest-pinned screen; same constant fixture as q130, so the
+    // slope isolates the index machinery (copy, drains, pinned reads)
+    "q133_image_screen_indexed")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
