@@ -3013,6 +3013,30 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: DIRECTED VIDEO CONTAINMENT — the case q131's symmetric vote
+    // is spec'd to MISS: a short clip cut from a longer video. Fixture =
+    // q131's originals (6 frames) plus its variant-3 clips CUT DOWN to
+    // their two genuinely-shared frames (a real 2-frame excerpt); the
+    // frame-banded join drops the frame index from the band key (a cut
+    // breaks positional alignment — any clip frame may be any source
+    // frame) and the directed Broder denominator scores the clip side
+    // 2/2 = 1.0 while q131's ≥4-of-6 vote stays silent on the same
+    // input. Every (original, clip) pair IS caught here.
+    "q134_video_containment" -> ((s, dir) => {
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+        // originals in full; variant-3 clips cut to the shared frames
+        .filter(pmod(col("id"), lit(10)) === 0 ||
+          (pmod(col("id"), lit(10)) === 3 && col("frame") < 2))
+      Dedup.videoContainmentPairs(sigs, maxHamming = 6, minContainment = 0.99)
+        .select(col("a_id"), col("b_id"), col("n_frames_a"), col("n_frames_b"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -4987,6 +5011,65 @@ object SparkEntry {
         |FROM ham WHERE hamming <= 6
         |GROUP BY a_id, b_id HAVING count(*) >= 4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q134 replay: q131's grid/bit machinery over originals + CUT clips,
+    // the band join WITHOUT the frame index (any-frame-to-any-frame),
+    // per-pair distinct matched frames per side, the directed Broder
+    // denominators, kept when either direction reaches the threshold.
+    "q134_video_containment" ->
+      """WITH seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30),
+        |items AS (
+        |  SELECT g, v.variant, f.f,
+        |    CASE WHEN v.variant = 3 AND f.f >= 2 THEN f.f + 100 ELSE f.f END AS fs,
+        |    g * 10 + v.variant AS vid,
+        |    (g * 10 + v.variant) * 10 + f.f AS item_id
+        |  FROM seeds, (VALUES (0), (3)) v(variant), range(0, 6) f(f)
+        |  WHERE v.variant = 0 OR f.f < 2),
+        |grid AS (
+        |  SELECT item_id, vid, f, gx.gx, gy.gy,
+        |    ((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |      * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |      AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, a.vid, a.f, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, vid, f, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, vid, f, chunk),
+        |hot AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.vid AS a_id, b.vid AS b_id,
+        |    a.item_id AS a_item, b.item_id AS b_item,
+        |    a.f AS a_f, b.f AS b_f
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.vid < b.vid),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id, c.a_f, c.b_f,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_item
+        |  JOIN sigbits sb ON sb.item_id = c.b_item AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id, c.a_f, c.b_f),
+        |pair AS (
+        |  SELECT a_id, b_id, count(DISTINCT a_f) AS ma, count(DISTINCT b_f) AS mb
+        |  FROM ham WHERE hamming <= 6 GROUP BY a_id, b_id),
+        |nf AS (SELECT vid, count(DISTINCT f) AS n FROM items GROUP BY vid)
+        |SELECT p.a_id, p.b_id, na.n AS n_frames_a, nb.n AS n_frames_b,
+        |  round(CAST(p.ma AS DOUBLE) / na.n, 6) AS containment_a,
+        |  round(CAST(p.mb AS DOUBLE) / nb.n, 6) AS containment_b
+        |FROM pair p
+        |JOIN nf na ON na.vid = p.a_id JOIN nf nb ON nb.vid = p.b_id
+        |WHERE greatest(CAST(p.ma AS DOUBLE) / na.n,
+        |               CAST(p.mb AS DOUBLE) / nb.n) >= 0.99
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
 
     // q129 replay: the q121 grids → PixelDecoder's feature arithmetic —
     // grid means as exact-rational divisions (the 3× upscale divides the

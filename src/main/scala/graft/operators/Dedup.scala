@@ -657,7 +657,7 @@ object Dedup {
     * candidate count stay per-frame. The per-pair vote is one
     * count-distinct-frames aggregate: a clip sharing only its intro
     * frames with a longer video stays below the threshold (the directed
-    * containment case belongs to [[containmentPairs]]' family, not here).
+    * containment case is [[videoContainmentPairs]]' job, not this one's).
     *
     * @param frameSigs (id, frame, sig) — one 64-bit signature per sampled
     *                  frame; 8 bytes × n frames per video is the entire
@@ -694,6 +694,73 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_matching_frames"))
       .filter(col("n_matching_frames") >= minMatchingFrames)
+  }
+
+  /** DIRECTED video containment — the clip-inside-a-longer-video case
+    * [[videoNearDupPairs]]' symmetric m-of-n vote is spec'd to miss (its
+    * scaladoc routes it here): per video pair, the fraction of EACH
+    * side's frames that match ANY frame of the other within the hamming
+    * budget — [[containmentPairs]]' directed denominator (Broder 1997's
+    * |A∩B|/|A|) on the frame-signature family. A 2-frame clip cut from a
+    * 6-frame video scores containment 1.0 on the clip side while the
+    * symmetric vote sees only 2 matching frames and stays silent.
+    *
+    * Candidates ride the same chunk-band pigeonhole WITHOUT the frame
+    * index in the band key — containment is any-frame-to-any-frame
+    * (a clip's frame 0 may be the source's frame 3; positional alignment
+    * is exactly what a cut breaks), so buckets mix frames and the hot
+    * cap guards the denser join. Both directions land on one (a < b)
+    * row; the pair survives when EITHER direction reaches
+    * `minContainment`.
+    *
+    * @param frameSigs (id, frame, sig) — [[videoNearDupPairs]]'s input
+    * @return (a_id, b_id, n_frames_a, n_frames_b, containment_a,
+    *         containment_b), a < b, greatest(containments) ≥
+    *         minContainment */
+  def videoContainmentPairs(
+      frameSigs: DataFrame,
+      maxHamming: Int,
+      minContainment: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val pinned = caches.pin(frameSigs.select(col("id"), col("frame"), col("sig")))
+    val banded = caches.pin(pinned.select(col("id"), col("frame"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
+    val hot = banded.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val cold = banded.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val matched = cold.alias("a")
+      .join(cold.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.frame").as("a_frame"), col("b.frame").as("b_frame"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("a_id", "b_id", "a_frame", "b_frame")
+      .filter(col("hamming") <= maxHamming)
+    val perPair = matched.groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_frame")).as("_ma"),
+        countDistinct(col("b_frame")).as("_mb"))
+    // per-video frame counts: one small aggregate, broadcast twice
+    val counts = pinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("_nf"))
+    perPair
+      .join(broadcast(counts.select(col("id").as("a_id"), col("_nf").as("n_frames_a"))),
+        Seq("a_id"))
+      .join(broadcast(counts.select(col("id").as("b_id"), col("_nf").as("n_frames_b"))),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_frames_a"), col("n_frames_b"),
+        (col("_ma").cast("double") / col("n_frames_a")).as("containment_a"),
+        (col("_mb").cast("double") / col("n_frames_b")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
   }
 
   /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any

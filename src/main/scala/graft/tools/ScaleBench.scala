@@ -260,7 +260,11 @@ object ScaleBench {
     // r15: the managed perceptual index — seed + streamed admission +
     // manifest-pinned screen; same constant fixture as q130, so the
     // slope isolates the index machinery (copy, drains, pinned reads)
-    "q133_image_screen_indexed")
+    "q133_image_screen_indexed",
+    // r15: directed video containment — constant fixture (originals +
+    // 2-frame clips); verifies the frameless band join + per-side
+    // distinct-frame counts stay wall-flat
+    "q134_video_containment")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

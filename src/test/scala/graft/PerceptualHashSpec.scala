@@ -161,6 +161,34 @@ class PerceptualHashSpec extends SparkSpec {
     scope.release()
   }
 
+  test("videoContainmentPairs: the directed score catches the cut clip the vote misses") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    def fsig(g: Long, f: Int): Long = Multimodal.dHash64Of(card(g * 101 + f * 57, 1))
+    val rows = (
+      // 10 = a 6-frame original; 13 = a TRUE 2-frame clip of its frames
+      // 2–3 stored at indices 0–1 (a cut breaks positional alignment);
+      // 15 = equal-length partial overlap (frames 0–1 only); 14 = noise
+      (0 until 6).map(f => (10L, f, fsig(1, f))) ++
+      Seq((13L, 0, fsig(1, 2)), (13L, 1, fsig(1, 3))) ++
+      (0 until 6).map(f => (15L, f, if (f < 2) fsig(1, f) else fsig(40, f))) ++
+      (0 until 6).map(f => (14L, f, fsig(7, f)))).toDF("id", "frame", "sig")
+    // the symmetric vote misses the clip (only 2 matching frames)...
+    assert(!Dedup.videoNearDupPairs(rows, maxHamming = 6, minMatchingFrames = 4)
+      .collect().exists(r => r.getLong(1) === 13L))
+    // ...the directed containment catches it, index-independently
+    val got = Dedup.videoContainmentPairs(rows, maxHamming = 6, minContainment = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((10L, 13L)),
+      "exactly the (original, clip) pair — partial overlap and noise stay out")
+    val p = got.head
+    assert(p._3 === 6L && p._4 === 2L)
+    assert(p._5 === 2.0 / 6 && p._6 === 1.0,
+      "directed scores: 2/6 on the source side, 1.0 on the clip side")
+    scope.release()
+  }
+
   test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
     val s = spark; import s.implicits._
     // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
