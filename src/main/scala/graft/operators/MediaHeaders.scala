@@ -3,11 +3,11 @@ package graft.operators
 /** Pure-JVM media container header parsing — dimensions and duration from
   * the first bytes of a payload, no codec libraries. This is the real
   * implementation of the "header probe is O(KB) while decode is
-  * O(payload)" contract in [[Multimodal.Decoder.probeDuration]]: all four
+  * O(payload)" contract in [[Multimodal.Decoder.probeDuration]]: all five
   * formats carry the queried fields in fixed, public container structures
   * (PNG IHDR, JPEG SOFn, GIF logical screen descriptor, RIFF/WAVE fmt +
-  * data chunks). Pixel/sample decode stays stubbed — parsing stops at the
-  * header.
+  * data chunks, ISO-BMFF/MP4 moov/mvhd). Pixel/sample decode stays
+  * stubbed — parsing stops at the header.
   *
   * Every parser is total: malformed or foreign bytes return None, never
   * throw — the decoder falls back to its stub, so a mixed/dirty corpus
@@ -89,6 +89,63 @@ object MediaHeaders {
       }
     }
     None
+  }
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** MP4 (ISO-BMFF) duration in ms: the `moov`/`mvhd` movie header's
+    * `duration / timescale` — the dominant video container's real probe,
+    * so [[Multimodal.sampleFrames]]' midpoint timestamps are real for
+    * MP4 payloads. Box walk over the public structure (ISO/IEC 14496-12):
+    * each box is `size32 type`, `size == 1` → 64-bit largesize follows,
+    * `size == 0` → box runs to EOF; `mvhd` version 0 carries
+    * `timescale u32, duration u32` after two u32 timestamps, version 1
+    * the same after two u64 timestamps. The payload must lead with
+    * `ftyp` (the MP4 file magic). Offsets walk in Long and every size is
+    * bounds-checked — hostile/truncated boxes return None, never throw
+    * or hang (the totality contract of every parser here). */
+  def mp4DurationMs(b: Array[Byte]): Option[Long] = {
+    if (b.length < 16 || !tagAt(b, 4, "ftyp")) return None
+    // (payload start, payload end) of each box in [from, until), walked
+    // with hostile-size guards; finds the first box of the given type
+    def findBox(from: Long, until: Long, boxType: String): Option[(Long, Long)] = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val p = pos.toInt // pos < until <= b.length, so it fits
+        val size32 = be32(b, p)
+        val (header, size) =
+          if (size32 == 1L) {
+            if (pos + 16 > until) return None
+            (16L, be64(b, p + 8))
+          } else if (size32 == 0L) (8L, until - pos) // runs to EOF
+          else (8L, size32)
+        if (size < header || pos + size > until) return None // hostile/truncated
+        if (tagAt(b, p + 4, boxType)) return Some((pos + header, pos + size))
+        pos += size
+      }
+      None
+    }
+    for {
+      (moovFrom, moovUntil) <- findBox(0L, b.length.toLong, "moov")
+      (mvhdFrom, mvhdUntil) <- findBox(moovFrom, moovUntil, "mvhd")
+      dur <- {
+        val p = mvhdFrom.toInt
+        if (mvhdFrom + 4 > mvhdUntil) None
+        else u8(b(p)) match { // version byte
+          case 0 if mvhdFrom + 4 + 4 + 4 + 4 + 4 <= mvhdUntil =>
+            val timescale = be32(b, p + 12)
+            val duration = be32(b, p + 16)
+            if (timescale > 0) Some(duration * 1000L / timescale) else None
+          case 1 if mvhdFrom + 4 + 8 + 8 + 4 + 8 <= mvhdUntil =>
+            val timescale = be32(b, p + 20)
+            val duration = be64(b, p + 24)
+            if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale)
+            else None
+          case _ => None
+        }
+      }
+    } yield dur
   }
 
   /** WAV duration in ms: RIFF/WAVE container, `fmt ` chunk's byte rate +

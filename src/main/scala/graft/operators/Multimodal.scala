@@ -114,6 +114,7 @@ object Multimodal {
     override def probeDuration(item: MediaItem): Long =
       if (item.kind == "audio" || item.kind == "video")
         MediaHeaders.wavDurationMs(item.content)
+          .orElse(MediaHeaders.mp4DurationMs(item.content))
           .getOrElse(fallback.probeDuration(item))
       else -1L
 
@@ -126,6 +127,7 @@ object Multimodal {
       val dur =
         if (item.kind == "audio" || item.kind == "video")
           MediaHeaders.wavDurationMs(item.content)
+            .orElse(MediaHeaders.mp4DurationMs(item.content))
         else None
       if (dims.isEmpty && dur.isEmpty) base
       else base.copy(

@@ -99,4 +99,87 @@ class MediaHeadersSpec extends SparkSpec {
     val item = Multimodal.MediaItem(9L, "audio", wavBytes(22050, 22050), "audio/wav", "x")
     assert(new Multimodal.HeaderDecoder().probeDuration(item) === 1000L)
   }
+
+  // ---------------------------------------------------------- MP4 / mvhd
+
+  /** Minimal hand-built ISO-BMFF boxes (ISO/IEC 14496-12 public layout). */
+  private def box(boxType: String, payload: Array[Byte],
+      largesize: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit =
+      (24 to 0 by -8).foreach(s => bos.write(((v >> s) & 0xff).toInt))
+    if (largesize) {
+      be32(1L); bos.write(boxType.getBytes("US-ASCII"))
+      (56 to 0 by -8).foreach(s =>
+        bos.write((((16L + payload.length) >> s) & 0xff).toInt))
+    } else {
+      be32(8L + payload.length); bos.write(boxType.getBytes("US-ASCII"))
+    }
+    bos.write(payload); bos.toByteArray
+  }
+
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] = {
+    val p = new Array[Byte](100) // version 0 mvhd body is 100 bytes
+    def be32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => p(off + i) = ((v >> (24 - 8 * i)) & 0xff).toByte)
+    be32(12, timescale); be32(16, duration)
+    p
+  }
+
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] = {
+    val p = new Array[Byte](112) // version 1 body
+    p(0) = 1
+    def be32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => p(off + i) = ((v >> (24 - 8 * i)) & 0xff).toByte)
+    def be64(off: Int, v: Long): Unit =
+      (0 until 8).foreach(i => p(off + i) = ((v >> (56 - 8 * i)) & 0xff).toByte)
+    be32(20, timescale); be64(24, duration)
+    p
+  }
+
+  private val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
+
+  test("MP4 mvhd duration parses: version 0, version 1, mdat-before-moov, largesize") {
+    val v0 = ftyp ++ box("moov", box("mvhd", mvhdV0(1000, 7500)))
+    assert(MediaHeaders.mp4DurationMs(v0) === Some(7500L))
+    val v1 = ftyp ++ box("moov", box("mvhd", mvhdV1(90000, 90000L * 61)))
+    assert(MediaHeaders.mp4DurationMs(v1) === Some(61000L))
+    // moov after a large mdat (the common streaming-unfriendly layout)
+    val tail = ftyp ++ box("mdat", new Array[Byte](5000)) ++
+      box("moov", box("mvhd", mvhdV0(600, 1200)))
+    assert(MediaHeaders.mp4DurationMs(tail) === Some(2000L))
+    // 64-bit largesize mdat, then moov
+    val ls = ftyp ++ box("mdat", new Array[Byte](64), largesize = true) ++
+      box("moov", box("mvhd", mvhdV0(1000, 250)))
+    assert(MediaHeaders.mp4DurationMs(ls) === Some(250L))
+  }
+
+  test("MP4 parser is total on hostile bytes") {
+    assert(MediaHeaders.mp4DurationMs("no mp4 here at all".getBytes) === None)
+    assert(MediaHeaders.mp4DurationMs(Array.emptyByteArray) === None)
+    // truncated mid-moov
+    val good = ftyp ++ box("moov", box("mvhd", mvhdV0(1000, 7500)))
+    assert(MediaHeaders.mp4DurationMs(good.take(good.length - 40)) === None)
+    // hostile size: a box claiming to extend past EOF
+    val hostile = ftyp.clone()
+    hostile(0) = 0x7f // ftyp size becomes enormous
+    assert(MediaHeaders.mp4DurationMs(hostile) === None)
+    // size < header (cycle bait)
+    val tiny = ftyp ++ Array[Byte](0, 0, 0, 4) ++ "moov".getBytes("US-ASCII")
+    assert(MediaHeaders.mp4DurationMs(tiny) === None)
+    // zero timescale must not divide
+    assert(MediaHeaders.mp4DurationMs(
+      ftyp ++ box("moov", box("mvhd", mvhdV0(0, 7500)))) === None)
+  }
+
+  test("sampleFrames midpoint timestamps are real over an MP4 mvhd duration") {
+    val s = spark; import s.implicits._
+    val mp4 = ftyp ++ box("moov", box("mvhd", mvhdV0(1000, 6000))) // 6s
+    val items = Seq(
+      Multimodal.MediaItem(1L, "video", mp4, "video/mp4", "v")).toDS()
+    val frames = Multimodal.sampleFrames(items, 3, new Multimodal.HeaderDecoder())
+      .collect().sortBy(_.frame_index)
+    // midpoint rule: frame i at (2i+1)/(2n) of 6000ms → 1000, 3000, 5000
+    assert(frames.map(_.ts_ms).toSeq === Seq(1000L, 3000L, 5000L))
+  }
 }
