@@ -207,6 +207,48 @@ object SparkEntry {
     }
   }
 
+  /** The q135 spectral-audio fixture: 30 groups × (base, EQ'd copy,
+    * Nyquist-flipped copy) WAV clips. The EQ is a mild integer treble
+    * shelf `x[i] + (x[i] − x[i−1]) / 4` (JVM integer division truncates
+    * toward zero, exactly like DuckDB's `//`); the flip negates
+    * odd samples — |samples| IDENTICAL to the base, so the q132
+    * energy-contour hash scores it an exact duplicate while its spectrum
+    * sits at the opposite end of the band. Same middle-square sample
+    * arithmetic as q132, so the whole chain replays in SQL. */
+  private def spectralAudioCards(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaItem] = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(30).as[Long]
+    seeds.flatMap { g =>
+      (0 to 2).iterator.map { variant =>
+        val n = graft.operators.Multimodal.AfpWindows * 16
+        val base = Array.tabulate(n) { i =>
+          val sd = (g * 131 + i * 17 + 7) % 65536
+          ((sd * sd / 256) % 256).toInt
+        }
+        val samples = variant match {
+          case 1 => Array.tabulate(n)(i =>
+            if (i == 0) base(0) else base(i) + (base(i) - base(i - 1)) / 4)
+          case 2 => Array.tabulate(n)(i => if (i % 2 == 1) -base(i) else base(i))
+          case _ => base
+        }
+        val bytes = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Unit = { bytes.write(v & 0xff); bytes.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+        def tag(t: String): Unit = bytes.write(t.getBytes("US-ASCII"))
+        tag("RIFF"); le32(36 + 2 * n); tag("WAVE")
+        tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+        le16(2); le16(16)
+        tag("data"); le32(2 * n)
+        samples.foreach(le16)
+        graft.operators.Multimodal.MediaItem(
+          g * 10 + variant, "audio", bytes.toByteArray, "audio/wav",
+          s"synth://sfp/$g/$variant")
+      }
+    }
+  }
+
   private val q110SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q110SeedRoot(s: SparkSession, dir: String): String =
     q110SeedCache.computeIfAbsent(dir, _ => {
@@ -3061,6 +3103,25 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: SPECTRAL AUDIO NEAR-DUP (Haitsma & Kalker 2002) — the
+    // frequency-aware member q132's energy contour can't be: band
+    // energies are exact-integer LAG-DIFFERENCE sums (odd lags 1,3,5,
+    // 9,17 — a comb filterbank), bits are signs of the time-then-band
+    // double difference. The fixture's EQ'd copies (mild integer treble
+    // shelf) pair within the budget; the Nyquist-flipped copies —
+    // IDENTICAL |samples|, so the contour hash calls them exact dups —
+    // stay far (≥17 bits measured), and unrelated groups farther. Same
+    // real RIFF parse, same banded tail, fourth signature family.
+    "q135_audio_spectral" -> ((s, dir) => {
+      val fps = graft.operators.Multimodal.spectralFingerprints(
+        spectralAudioCards(s, dir))
+      Dedup.hammingBandedPairs(
+          fps.select(col("item_id").as("id"), col("sfp").as("sig")),
+          maxHamming = 7, maxBucketSize = 200)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ext: CONTAINMENT pairs (Broder 1997) — directed near-dup detection
     // by |A∩B|/|A|: the asymmetric case Jaccard structurally misses (a
     // short doc wholly inside a longer one — paywall stubs, quoted
@@ -4958,6 +5019,72 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS kept
         |FROM items i JOIN dh USING (item_id) LEFT JOIN lab USING (item_id)
         |ORDER BY i.item_id""".stripMargin,
+
+    // q135 replay: the sample synthesis (base / integer treble shelf via
+    // floor division / Nyquist flip), exact-integer lag-difference band
+    // energies, time-then-band double-difference sign bits, then the
+    // 8×8-bit chunk banding and exact hamming — every step integer.
+    "q135_audio_spectral" ->
+      """WITH seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30),
+        |items AS (
+        |  SELECT g, v.variant, g * 10 + v.variant AS item_id
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)),
+        |base AS (
+        |  SELECT item_id, variant, i.i,
+        |    ((((g*131 + i.i*17 + 7) % 65536)
+        |      * ((g*131 + i.i*17 + 7) % 65536)) // 256) % 256 AS b
+        |  FROM items, range(0, 1040) i(i)),
+        |samp AS (
+        |  SELECT a.item_id, a.i,
+        |    CASE WHEN a.variant = 1 THEN
+        |      CASE WHEN a.i = 0 THEN a.b ELSE a.b + ((a.b - p.b) // 4) END
+        |    WHEN a.variant = 2 THEN
+        |      CASE WHEN a.i % 2 = 1 THEN -a.b ELSE a.b END
+        |    ELSE a.b END AS s
+        |  FROM base a LEFT JOIN base p
+        |    ON p.item_id = a.item_id AND p.i = a.i - 1),
+        |lagd AS (
+        |  SELECT a.item_id, lg.band, a.i, abs(a.s - p.s) AS d
+        |  FROM samp a
+        |  JOIN (VALUES (0, 1), (1, 3), (2, 5), (3, 9), (4, 17)) lg(band, lag)
+        |    ON true
+        |  JOIN samp p ON p.item_id = a.item_id AND p.i = a.i - lg.lag),
+        |energy AS (
+        |  SELECT item_id, band, CAST(i * 17 // 1040 AS INT) AS t, sum(d) AS e
+        |  FROM lagd GROUP BY item_id, band, t),
+        |sigbits AS (
+        |  SELECT e1.item_id, CAST((e1.t - 1) * 4 + e1.band AS INT) AS b,
+        |    CASE WHEN (e1.e - e2.e) - (p1.e - p2.e) > 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM energy e1
+        |  JOIN energy e2 ON e2.item_id = e1.item_id AND e2.t = e1.t
+        |    AND e2.band = e1.band + 1
+        |  JOIN energy p1 ON p1.item_id = e1.item_id AND p1.t = e1.t - 1
+        |    AND p1.band = e1.band
+        |  JOIN energy p2 ON p2.item_id = e1.item_id AND p2.t = e1.t - 1
+        |    AND p2.band = e1.band + 1
+        |  WHERE e1.t >= 1 AND e1.band < 4),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 8 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 8)) AS BIGINT) AS value
+        |  FROM sigbits GROUP BY item_id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 7
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q131 replay: the q121 grid/bit machinery per (video, frame) item,
     // the frame index joining positionally and riding the band key, exact

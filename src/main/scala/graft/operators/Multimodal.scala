@@ -415,6 +415,83 @@ object Multimodal {
     }.toDF("item_id", "afp")
   }
 
+  /** Spectral fingerprint geometry: 17 time windows × 5 lag-difference
+    * bands → 16 × 4 = 64 double-difference bits. */
+  val SfpWindows = 17
+  val SfpLags: Array[Int] = Array(1, 3, 5, 9, 17)
+
+  /** 64-bit SPECTRAL audio fingerprint — the banded time×frequency
+    * difference hash of Haitsma & Kalker (2002), with the filterbank
+    * realized as exact-integer LAG-DIFFERENCE energies so the whole chain
+    * replays in SQL (no FFT, no floats): band b's energy in time window t
+    * is Σ |x[i] − x[i − lag_b]| over the window (lags 1,2,4,8,16 — each
+    * lag-k comb attenuates frequencies near multiples of rate/k, so the
+    * five energies summarize the spectrum coarsely), and
+    * bit (t−1)·4 + b = 1 iff the TIME-then-FREQUENCY double difference
+    * (E(t,b) − E(t,b+1)) − (E(t−1,b) − E(t−1,b+1)) is positive — the H&K
+    * bit rule, whose sign survives mild EQ because a shelf scales
+    * adjacent bands nearly equally while the double difference tracks
+    * CHANGES across time.
+    *
+    * What this adds over [[audioFp64Of]]: the energy contour is blind to
+    * frequency content — two different clips with the same loudness
+    * envelope (e.g. a Nyquist-flipped copy, (−1)^i·x[i], whose |samples|
+    * are IDENTICAL) collide there, and an EQ'd re-encode drifts. Here
+    * the lag filterbank separates them. GAIN stays exactly invariant
+    * (every energy scales together; signs are ratios). Resample
+    * invariance is NOT claimed — a resample moves spectral content by
+    * design; route rate-normalized copies through [[audioFp64Of]]'s
+    * contour or resample first. */
+  def spectralFp64Of(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= AfpWindows, s"need at least $AfpWindows samples, got $n")
+    val nBands = SfpLags.length
+    val e = Array.ofDim[Long](SfpWindows, nBands)
+    var b = 0
+    while (b < nBands) {
+      val lag = SfpLags(b)
+      var i = lag
+      while (i < n) {
+        val w = ((i.toLong * SfpWindows) / n).toInt
+        e(w)(b) += math.abs(samples(i).toLong - samples(i - lag))
+        i += 1
+      }
+      b += 1
+    }
+    var sig = 0L
+    var t = 1
+    while (t < SfpWindows) {
+      var bb = 0
+      while (bb < nBands - 1) {
+        val d = (e(t)(bb) - e(t)(bb + 1)) - (e(t - 1)(bb) - e(t - 1)(bb + 1))
+        if (d > 0) sig |= 1L << ((t - 1) * (nBands - 1) + bb)
+        bb += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
+  /** Per-item spectral fingerprint over REAL parsed WAV PCM — the
+    * [[audioFingerprints]] plumbing with [[spectralFp64Of]] as the hash;
+    * short or hostile clips drop row-wise.
+    *
+    * @return (item_id, sfp) — feeds the same banded tail as every
+    *         64-bit signature family */
+  def spectralFingerprints(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { item =>
+        if (item.kind != "audio") None
+        else
+          try wavPcm16Mono(item.content)
+            .filter(_._2.length >= AfpWindows)
+            .map { case (_, s) => (item.item_id, spectralFp64Of(s)) }
+          catch { case _: Exception => None }
+      }
+    }.toDF("item_id", "sfp")
+  }
+
   /** Load a directory of media files as MediaItems (binaryFile source:
     * splits by file, carries path/length/mtime metadata natively). */
   def readMediaDir(spark: SparkSession, dir: String, kind: String): Dataset[MediaItem] = {

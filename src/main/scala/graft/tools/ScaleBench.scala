@@ -264,7 +264,11 @@ object ScaleBench {
     // r15: directed video containment — constant fixture (originals +
     // 2-frame clips); verifies the frameless band join + per-side
     // distinct-frame counts stay wall-flat
-    "q134_video_containment")
+    "q134_video_containment",
+    // r15: spectral audio fingerprint — constant 90-clip fixture (real
+    // WAV parse + lag-filterbank double-difference hash); the fourth
+    // signature family riding the shared banded tail
+    "q135_audio_spectral")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

@@ -87,6 +87,68 @@ class AudioFingerprintSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- spectral fingerprint
+
+  // truncating division, the q135 fixture's exact arithmetic (JVM `/`
+  // truncates toward zero like DuckDB `//`)
+  private def eqShelf(x: Array[Int]): Array[Int] =
+    Array.tabulate(x.length)(i =>
+      if (i == 0) x(0) else x(i) + (x(i) - x(i - 1)) / 4)
+
+  private def nyquistFlip(x: Array[Int]): Array[Int] =
+    Array.tabulate(x.length)(i => if (i % 2 == 1) -x(i) else x(i))
+
+  test("spectral fingerprint is exactly gain-invariant") {
+    for (seed <- Seq(3L, 17L, 99L); k <- Seq(2, 7, 30)) {
+      val base = synth(seed, N)
+      assert(Multimodal.spectralFp64Of(base) ===
+        Multimodal.spectralFp64Of(base.map(_ * k)),
+        s"gain x$k must not move a single bit (seed $seed)")
+    }
+  }
+
+  test("spectral separates EQ'd copies from envelope-coincidental clips — the contour's blind spot") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val seeds = (0 until 12).map(k => k * 104729L + 31L)
+    for (seed <- seeds) {
+      val base = synth(seed, N)
+      val eq = eqShelf(base)
+      val flip = nyquistFlip(base)
+      // the CONTOUR hash cannot see the flip: |samples| identical
+      assert(Multimodal.audioFp64Of(base) === Multimodal.audioFp64Of(flip),
+        "envelope hash collides on the Nyquist flip — by construction")
+      // the SPECTRAL hash keeps the EQ'd copy and rejects the flip
+      val sBase = Multimodal.spectralFp64Of(base)
+      assert(hamming(sBase, Multimodal.spectralFp64Of(eq)) <= 7,
+        s"mild treble shelf must stay within the budget (seed $seed)")
+      assert(hamming(sBase, Multimodal.spectralFp64Of(flip)) > 7,
+        s"spectrally-opposite clip must not pair (seed $seed)")
+    }
+    for (a <- Seq(31L, 104760L); b <- Seq(209489L, 314218L)) {
+      val d = hamming(Multimodal.spectralFp64Of(synth(a, N)),
+        Multimodal.spectralFp64Of(synth(b, N)))
+      assert(d > 7, s"unrelated clips ($a vs $b) must not pair, got $d")
+    }
+  }
+
+  test("spectralFingerprints: real WAV parse feeds the hash; hostile items drop row-wise") {
+    val s = spark; import s.implicits._
+    val items = (0 until 3).flatMap { g =>
+      val base = synth(g * 7 + 1, N)
+      Seq(
+        MediaItem(g * 10L, "audio", wavBytes(8000, base), "audio/wav", s"s$g/0"),
+        MediaItem(g * 10L + 1, "audio", wavBytes(8000, eqShelf(base)),
+          "audio/wav", s"s$g/1"),
+        MediaItem(g * 10L + 2, "audio", Array.fill[Byte](12)(3), "audio/wav", s"s$g/x"))
+    }.toDS()
+    val fps = Multimodal.spectralFingerprints(items)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps.size === 6, "hostile items drop row-wise")
+    for (g <- 0 until 3)
+      assert(fps(g * 10L) === Multimodal.spectralFp64Of(synth(g * 7 + 1, N)),
+        "the parsed samples hash identically to the source samples")
+  }
+
   test("audioFingerprints → hammingBandedPairs: copies cluster through the shared tail") {
     val s = spark; import s.implicits._
     implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
