@@ -2873,6 +2873,27 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // ext: the mining family's DECLARED ≥0.9 TIER (the q99/q109/q123
+    // discipline — the cheapest swept operating point clearing 0.9):
+    // MineSweep measured recall@5 0.79 at (10, 50), 0.86 at (12, 50),
+    // 0.9273 at (13, 50) — nProbe is what buys recall here; the
+    // shortlist depth past 50 buys nothing (0.9273 at (13, 75) too).
+    // Same full-SQL oracle as q116/q120 at the declared point: the
+    // scale path itself is hash-verified, not just the baseline.
+    "q136_hard_negatives_premium" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nCells = math.max(16, (emb.count() / 125L).toInt)
+      val short = Similarity.ivfTopKAgainst(emb, "vec_id", "embedding",
+          probes = emb.filter(col("vec_id") % 23 === 0),
+          k = 50, nCells = nCells, nProbe = 13)
+      Similarity.hardNegativesFromShortlist(short,
+          emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"),
+          col("pos_id"), round(col("pos_cosine"), 6).as("pos_cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // ext: TRIPLET SELECTION — the emission step finishing the mining
     // family (q114 → training data): the exact miner's rows pass the
     // margin rule floor < neg < pos_cosine − margin (Schroff CVPR 2015),
@@ -4677,6 +4698,9 @@ object SparkEntry {
 
     "q116_hard_negatives_ann" -> hardNegativesAnnOracleSql,
     "q120_hard_negatives_quality" -> hardNegativesAnnOracleSqlAt(nProbe = 10, shortlist = 50),
+    // the mining family's declared ≥0.9 tier: the same parameterized
+    // replay at the MineSweep-chosen operating point
+    "q136_hard_negatives_premium" -> hardNegativesAnnOracleSqlAt(nProbe = 13, shortlist = 50),
 
     // q118 replay: per-source distinct 40-bit token draws ranked to the
     // k=256 sketch, pairs joined on source order, the union re-ranked to

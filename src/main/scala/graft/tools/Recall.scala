@@ -32,7 +32,8 @@ object Recall {
     * [[Similarity.hardNegatives]]' declared operating point there). */
   val kOf: Map[String, Int] = Map(
     "q116_hard_negatives_ann" -> 5,
-    "q120_hard_negatives_quality" -> 5).withDefaultValue(k)
+    "q120_hard_negatives_quality" -> 5,
+    "q136_hard_negatives_premium" -> 5).withDefaultValue(k)
 
   private def pairs(df: DataFrame): DataFrame =
     df.select(col("vec_id").cast("long").as("vec_id"),
@@ -95,7 +96,9 @@ object Recall {
         "q123_stream_quality" -> splitExact,
         "q116_hard_negatives_ann" -> mineExact,
         // the quality tier: same exact ground truth, wider probe+overfetch
-        "q120_hard_negatives_quality" -> mineExact)
+        "q120_hard_negatives_quality" -> mineExact,
+        // the declared ≥0.9 tier (MineSweep's cheapest clearing point)
+        "q136_hard_negatives_premium" -> mineExact)
       tracked.map { case (name, exact) =>
         val approx = pairs(graft.SparkEntry.queries(name)(spark, dir))
         val denom = exact.count()

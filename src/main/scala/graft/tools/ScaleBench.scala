@@ -268,7 +268,11 @@ object ScaleBench {
     // r15: spectral audio fingerprint — constant 90-clip fixture (real
     // WAV parse + lag-filterbank double-difference hash); the fourth
     // signature family riding the shared banded tail
-    "q135_audio_spectral")
+    "q135_audio_spectral",
+    // r15: the mining family's declared ≥0.9 tier — q116's candidate
+    // chain at (nProbe=13, shortlist=50); same ~nProbe/nCells-of-corpus
+    // per-probe shape, so the slope matches its siblings
+    "q136_hard_negatives_premium")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
