@@ -3250,6 +3250,30 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: IMAGE KEEPER — the end-to-end declared form of the image
+    // dedup loop (q121 emits pairs/clusters; q117's keeper rule was
+    // spec-only for pixels): per near-dup cluster keep the
+    // BEST-RESOLUTION copy by REAL decoded width×height — the 3×
+    // upscale (648 px) beats the base and perturbed renders (72 px) in
+    // every group, the RefinedWeb keeper choice applied to images. Two
+    // partition-local decode passes (features + hashes) over the same
+    // items, then the shared pair/cluster/argmax tail; at corpus scale
+    // the moved state stays 64 bits + one long per image.
+    "q137_image_keep_best" -> ((s, dir) => {
+      val items = perceptualCards(s, dir)
+      val feats = graft.operators.Multimodal.extractFeatures(
+          items, new graft.operators.Multimodal.PixelDecoder()).toDF()
+        .select(col("item_id"),
+          (col("width").cast("long") * col("height")).as("pixels"))
+      val hashes = graft.operators.Multimodal.dHashes(items)
+      val pairs = Dedup.hammingBandedPairs(
+          hashes.select(col("item_id").as("id"), col("dhash").as("sig")),
+          maxHamming = 6, maxBucketSize = 200)
+        .select(col("a_id"), col("b_id"))
+      Dedup.nearDedupKeepBest(feats, "item_id", "pixels", pairs)
+        .orderBy(col("item_id"))
+    }),
+
     // ext: HTML→TEXT BOILERPLATE EXTRACTION (pipeline stage 0, upstream
     // of q91's C4 rules) — boilerpipe/jusText-family heuristics as one
     // codegen regex chain: script/style/comment drop, block tags → line
@@ -4336,6 +4360,72 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS kept
         |FROM items i JOIN dh USING (item_id) LEFT JOIN lab USING (item_id)
         |ORDER BY i.item_id""".stripMargin,
+
+    // q137 replay: q121's chain to components, then the q117 keeper
+    // rule (score DESC, id ASC) on the decoded pixel count — variant 1
+    // is the 3× upscale, so pixels = 27×24 = 648 vs 72.
+    "q137_image_keep_best" ->
+      """WITH RECURSIVE seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 40),
+        |items AS (
+        |  SELECT g, v.variant, g * 10 + v.variant AS item_id,
+        |    CASE WHEN v.variant = 1 THEN 648 ELSE 72 END AS pixels
+        |  FROM seeds, (VALUES (0), (1), (2)) v(variant)),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |hot AS (SELECT chunk, value FROM chunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |cold AS (SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM cold a JOIN cold b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |lab AS (
+        |  SELECT s AS item_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |keep AS (
+        |  SELECT item_id FROM (
+        |    SELECT l.item_id, row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY i.pixels DESC, l.item_id ASC) AS rk
+        |    FROM lab l JOIN items i USING (item_id))
+        |  WHERE rk = 1),
+        |drp AS (SELECT item_id FROM lab ANTI JOIN keep USING (item_id))
+        |SELECT item_id, CAST(pixels AS BIGINT) AS pixels FROM items
+        |ANTI JOIN drp USING (item_id)
+        |ORDER BY item_id""".stripMargin,
 
     "q28_dup_clusters" ->
       """WITH RECURSIVE docs AS (

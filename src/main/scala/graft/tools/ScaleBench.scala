@@ -272,7 +272,11 @@ object ScaleBench {
     // r15: the mining family's declared ≥0.9 tier — q116's candidate
     // chain at (nProbe=13, shortlist=50); same ~nProbe/nCells-of-corpus
     // per-probe shape, so the slope matches its siblings
-    "q136_hard_negatives_premium")
+    "q136_hard_negatives_premium",
+    // r15: the image keeper — q121's constant fixture through decode ×2
+    // + the pair/cluster/argmax tail; verifies the end-to-end keeper
+    // composition stays wall-flat
+    "q137_image_keep_best")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
