@@ -3100,6 +3100,39 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: VIDEO ADMISSION SCREEN — q130's daily loop for the third
+    // modality, with CONTAINMENT as the rejection rule (hamming alone
+    // can't screen sequences): an arrival whose frames are all within
+    // budget of stored frames adds nothing and is rejected — the
+    // perturbed full copies (6/6 frames) and the 2-frame cut clips
+    // (2/2) both die — while the partial-overlap arrival (2 of its 6
+    // frames shared, 4 genuinely new) ADMITS: new content is never
+    // blocked by a shared intro. Stored state stays 8 bytes × frame.
+    "q138_video_screen" -> ((s, dir) => {
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+      val stored = sigs.filter(pmod(col("id"), lit(10)) === 0)
+      val v3full = sigs.filter(pmod(col("id"), lit(10)) === 3)
+      val batch = sigs.filter(pmod(col("id"), lit(10)) === 2)
+        .unionByName(v3full)
+        // the cut clip: variant 3's two genuinely-shared frames as an
+        // independent 2-frame arrival (vid slot 4 is unused)
+        .unionByName(v3full.filter(col("frame") < 2)
+          .select((col("id") + 1).as("id"), col("frame"), col("sig")))
+      val matches = Dedup.videoContainmentAgainst(batch, stored,
+          maxHamming = 6, minContainment = 0.99)
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("n_contained_in"))
+      val ids = batch.select(col("id")).distinct()
+      ids.join(matches, ids("id") === col("batch_id"), "left")
+        .select(col("id").as("video_id"),
+          coalesce(col("n_contained_in"), lit(0L)).as("n_contained_in"),
+          (coalesce(col("n_contained_in"), lit(0L)) === 0)
+            .cast("int").as("admitted"))
+        .orderBy(col("video_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -5311,6 +5344,79 @@ object SparkEntry {
         |WHERE greatest(CAST(p.ma AS DOUBLE) / na.n,
         |               CAST(p.mb AS DOUBLE) / nb.n) >= 0.99
         |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    // q138 replay: q134's grid/bit machinery over stored originals +
+    // the three arrival shapes (perturbed full / partial-overlap full /
+    // cut clip in vid slot 4), per-side hot caps, frameless band join
+    // batch×stored, distinct matched ARRIVAL frames per pair, the
+    // directed arrival-side denominator, then the per-arrival
+    // containment count + admission flag.
+    "q138_video_screen" ->
+      """WITH seeds AS (
+        |  SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30),
+        |items AS (
+        |  SELECT g, v.variant, f.f,
+        |    CASE WHEN v.variant = 3 AND f.f >= 2 THEN f.f + 100 ELSE f.f END AS fs,
+        |    g * 10 + v.variant AS vid
+        |  FROM seeds, (VALUES (0), (2), (3), (4)) v(variant), range(0, 6) f(f)
+        |  WHERE v.variant <> 4 OR f.f < 2),
+        |grid AS (
+        |  SELECT g * 1000 + variant * 10 + f AS item_id, vid, f, variant,
+        |    gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, a.vid, a.f, a.variant,
+        |    CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, vid, f, variant, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, vid, f, variant, chunk),
+        |bchunks AS (SELECT * FROM chunks WHERE variant <> 0),
+        |schunks AS (SELECT * FROM chunks WHERE variant = 0),
+        |hotb AS (SELECT chunk, value FROM bchunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hots AS (SELECT chunk, value FROM schunks
+        |  GROUP BY chunk, value HAVING count(*) > 200),
+        |hot AS (SELECT * FROM hotb UNION SELECT * FROM hots),
+        |coldb AS (SELECT c.* FROM bchunks c ANTI JOIN hot USING (chunk, value)),
+        |colds AS (SELECT c.* FROM schunks c ANTI JOIN hot USING (chunk, value)),
+        |cand AS (
+        |  SELECT DISTINCT a.vid AS b_vid, b.vid AS s_vid,
+        |    a.item_id AS b_item, b.item_id AS s_item, a.f AS b_f
+        |  FROM coldb a JOIN colds b
+        |    ON a.chunk = b.chunk AND a.value = b.value),
+        |ham AS (
+        |  SELECT c.b_vid, c.s_vid, c.b_f, c.s_item,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.b_item
+        |  JOIN sigbits sb ON sb.item_id = c.s_item AND sb.b = sa.b
+        |  GROUP BY c.b_vid, c.s_vid, c.b_f, c.s_item),
+        |pair AS (
+        |  SELECT b_vid, s_vid, count(DISTINCT b_f) AS nm
+        |  FROM ham WHERE hamming <= 6 GROUP BY b_vid, s_vid),
+        |nf AS (SELECT vid, count(DISTINCT f) AS n FROM items
+        |  WHERE variant <> 0 GROUP BY vid),
+        |contained AS (
+        |  SELECT p.b_vid, count(*) AS nc
+        |  FROM pair p JOIN nf ON nf.vid = p.b_vid
+        |  WHERE CAST(p.nm AS DOUBLE) / nf.n >= 0.99
+        |  GROUP BY p.b_vid)
+        |SELECT nf.vid AS video_id, coalesce(c.nc, 0) AS n_contained_in,
+        |  CASE WHEN coalesce(c.nc, 0) = 0 THEN 1 ELSE 0 END AS admitted
+        |FROM nf LEFT JOIN contained c ON c.b_vid = nf.vid
+        |ORDER BY video_id""".stripMargin,
 
     // q129 replay: the q121 grids → PixelDecoder's feature arithmetic —
     // grid means as exact-rational divisions (the 3× upscale divides the

@@ -763,6 +763,70 @@ object Dedup {
       .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
   }
 
+  /** The AGAINST face of [[videoContainmentPairs]] — the video admission
+    * screen: per (arriving video, stored video), the fraction of the
+    * ARRIVAL's frames matching any stored frame within the hamming
+    * budget. An arrival contained in the corpus (a re-encode, a cut
+    * clip, a perturbed copy) scores ≥ `minContainment` against its
+    * source and is rejected by the caller's aggregate; an arrival that
+    * merely OVERLAPS (shares an intro) scores its true fraction and
+    * admits — new content is never blocked by a shared prefix. Stored
+    * state is 8 bytes × n frames per corpus video, never re-decoded;
+    * the directed denominator is the ARRIVAL's frame count (rejecting
+    * is about what the arrival adds, not what the corpus contains).
+    *
+    * @param batch  (id, frame, sig) of the arriving videos
+    * @param stored (id, frame, sig) of the corpus
+    * @return (batch_id, stored_id, n_frames_batch, n_matched,
+    *         containment ≥ minContainment) */
+  def videoContainmentAgainst(
+      batch: DataFrame,
+      stored: DataFrame,
+      maxHamming: Int,
+      minContainment: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
+    def banded(sigs: DataFrame) = caches.pin(
+      sigs.select(col("id"), col("frame"), col("sig"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
+    val sb = banded(batchPinned)
+    val sc = banded(stored)
+    def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val matched = coldB.alias("a")
+      .join(coldC.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"),
+        col("a.frame").as("b_frame"), col("b.frame").as("s_frame"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("batch_id", "stored_id", "b_frame", "s_frame")
+      .filter(col("hamming") <= maxHamming)
+    val perPair = matched.groupBy(col("batch_id"), col("stored_id"))
+      .agg(countDistinct(col("b_frame")).as("n_matched"))
+    val counts = batchPinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("n_frames_batch"))
+    perPair
+      .join(broadcast(counts.select(col("id").as("batch_id"),
+        col("n_frames_batch"))), Seq("batch_id"))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_frames_batch"))
+      .filter(col("containment") >= minContainment)
+      .select(col("batch_id"), col("stored_id"), col("n_frames_batch"),
+        col("n_matched"), col("containment"))
+  }
+
   /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any
     * run of `spanTokens` whitespace-delimited tokens that appears more than
     * once ANYWHERE in the corpus (other documents or elsewhere in the same

@@ -276,7 +276,10 @@ object ScaleBench {
     // r15: the image keeper — q121's constant fixture through decode ×2
     // + the pair/cluster/argmax tail; verifies the end-to-end keeper
     // composition stays wall-flat
-    "q137_image_keep_best")
+    "q137_image_keep_best",
+    // r15: the video admission screen — constant fixture; verifies the
+    // frameless against-band join + arrival-side containment stay flat
+    "q138_video_screen")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

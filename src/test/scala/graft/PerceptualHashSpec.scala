@@ -189,6 +189,32 @@ class PerceptualHashSpec extends SparkSpec {
     scope.release()
   }
 
+  test("videoContainmentAgainst: contained arrivals reject, partial overlap admits") {
+    val s = spark; import s.implicits._
+    implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+    def fsig(g: Long, f: Int, perturb: Int = 0): Long =
+      Multimodal.dHash64Of(card(g * 101 + f * 57, 1, perturb))
+    val stored = (0 until 6).flatMap(f =>
+      Seq((10L, f, fsig(1, f)), (20L, f, fsig(7, f)))).toDF("id", "frame", "sig")
+    val batch = (
+      // 100: perturbed full copy of 10 — contained, reject
+      (0 until 6).map(f => (100L, f, fsig(1, f, perturb = 1))) ++
+      // 101: a 2-frame cut of 10's frames 3-4 stored at indices 0-1 —
+      // contained, reject (index-independent)
+      Seq((101L, 0, fsig(1, 3)), (101L, 1, fsig(1, 4))) ++
+      // 102: partial overlap — 2 of 6 frames shared, 4 new — ADMIT
+      (0 until 6).map(f => (102L, f, if (f < 2) fsig(1, f) else fsig(55, f))) ++
+      // 103: novel — admit
+      (0 until 6).map(f => (103L, f, fsig(77, f)))).toDF("id", "frame", "sig")
+    val got = Dedup.videoContainmentAgainst(batch, stored,
+        maxHamming = 6, minContainment = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.map(_._1).toSet === Set(100L, 101L),
+      "exactly the contained arrivals match; overlap and novel admit")
+    assert(got.forall(p => p._2 === 10L && p._3 === 1.0))
+    scope.release()
+  }
+
   test("dHashes → hammingBandedPairs → nearDedupKeepBest: the image dedup tail") {
     val s = spark; import s.implicits._
     // 4 groups × (original PNG, JPEG re-encode of a gradient variant,
