@@ -72,8 +72,8 @@ object IvfIndex {
     * 1/8 ratio a fold costs ≤ 9/8 base-tier writes amortized over ≥ 1/8
     * base-tier bytes of admitted revisions — bounded write amplification,
     * the classic LSM trade. Both probes are file-metadata reads. */
-  private[operators] val OvlFloorBytes: Long = 1L << 20
-  private[operators] val OvlFrac: Double = 0.125
+  private[graft] val OvlFloorBytes: Long = 1L << 20
+  private[graft] val OvlFrac: Double = 0.125
 
   // ---------------------------------------------------------------- manifest
 

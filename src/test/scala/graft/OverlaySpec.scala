@@ -198,6 +198,73 @@ class OverlaySpec extends SparkSpec {
     assert(IvfIndex.vectors(spark, store, "emb").count() === 120)
   }
 
+  test("the automatic policy fold: an oversized overlay rides the next upsert into the base") {
+    val s = spark; import s.implicits._
+    // wide vectors so the overlay clears the 1 MiB floor: dim 64 doubles,
+    // ~3000 rows ≈ 1.5 MB of incompressible sin() payload
+    def wdf(ids: Range, bump: Double = 0.0) =
+      ids.map(i => (i.toLong,
+        Array.tabulate(64)(d => (math.sin(i * 31 + d * 7) + bump).toFloat)))
+        .toDF("vec_id", "embedding")
+    val store = new TableStore(tmpDir("ovl-autofold"))
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      IvfIndex.build(wdf(1 to 500), "vec_id", "embedding",
+        nCells = 4, iterations = 1, store, "emb")
+      // upsert #1: lands in the overlay (pre-batch overlay is empty)
+      IvfIndex.upsert(spark, wdf(1000 to 4999, bump = 0.2),
+        "vec_id", "embedding", store, "emb")
+      val (m1, _) = IvfIndex.readManifest(store, "emb").get
+      assert(m1.ovlVectors.isDefined, "first revision batch lands in the overlay")
+      assert(store.byteSizeAt("emb_vectors_ovl", m1.ovlVectors.get) >
+        IvfIndex.OvlFloorBytes, "fixture sized past the policy floor")
+      // upsert #2: the PRE-batch overlay exceeds the policy -> this batch
+      // rides the amortized fold; every overlay pin clears
+      IvfIndex.upsert(spark, wdf(10 to 14, bump = 0.7),
+        "vec_id", "embedding", store, "emb")
+      val (m2, _) = IvfIndex.readManifest(store, "emb").get
+      assert(m2.ovlVectors.isEmpty && m2.ovlQvectors.isEmpty && m2.ovlPqCodes.isEmpty,
+        "the policy fold clears the overlay pins")
+      val served = IvfIndex.vectors(spark, store, "emb")
+      // 500 base (ids 10..14 REPLACED, not added) + 4000 overlay inserts
+      assert(served.count() === 4500)
+      val v12 = served.filter(col("id") === 12L).select(col("v")).head().getSeq[Double](0)
+      assert(v12(0) === (math.sin(12 * 31) + 0.7).toFloat.toDouble,
+        "the folding batch's own revision serves")
+      val v2k = served.filter(col("id") === 2000L).select(col("v")).head().getSeq[Double](0)
+      assert(v2k(0) === (math.sin(2000 * 31) + 0.2).toFloat.toDouble,
+        "the folded overlay's rows serve from the base")
+    } finally scope.release()
+  }
+
+  test("postings automatic policy fold: oversized overlay rides the next upsert into the base") {
+    val s = spark; import s.implicits._
+    // semi-unique long texts defeat parquet dictionary compression so the
+    // postings overlay clears the 1 MiB floor
+    def bigDdf(ids: Range, suffix: String = "") =
+      ids.map(i => (i.toLong,
+        (0 until 120).map(j => s"w${(i * 31 + j * 17) % 7919}x$i").mkString(" ") +
+          s" common$suffix")).toDF("doc_id", "text")
+    val store = new TableStore(tmpDir("ovl-bm-autofold"))
+    PostingsIndex.build(bigDdf(1 to 300), "doc_id", "text", store, "bm")
+    PostingsIndex.upsert(spark, bigDdf(1000 to 2999, "r"), "doc_id", "text", store, "bm")
+    val (m1, _) = PostingsIndex.readManifest(store, "bm").get
+    assert(m1.ovlPostings.isDefined)
+    assert(store.byteSizeAt("bm_postings_ovl", m1.ovlPostings.get) >
+      (1L << 20), "fixture sized past the policy floor")
+    PostingsIndex.upsert(spark, bigDdf(5 to 9, "z"), "doc_id", "text", store, "bm")
+    val (m2, _) = PostingsIndex.readManifest(store, "bm").get
+    assert(m2.ovlPostings.isEmpty && m2.ovlDocs.isEmpty,
+      "the policy fold clears the overlay pins")
+    assert(m2.nDocs === 2300)
+    // both the folded overlay's docs and the folding batch's serve
+    val terms = PostingsIndex.postings(spark, store, "bm")
+      .filter(col("term").isin("commonr", "commonz"))
+      .groupBy(col("term")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(terms("commonr") === 2000L && terms("commonz") === 5L)
+  }
+
   test("quantizeStored over a live float overlay: complete int8 base, overlay cleared") {
     val store = new TableStore(tmpDir("ovl-quant"))
     implicit val scope: CacheScope = new CacheScope
