@@ -8,6 +8,8 @@
 # Usage: tools/race_loop.sh [iterations]   (default 20)
 # r12 result: 20/20 green (CorpusProfileSpec race subset), plus 5/5 over
 # the full PostingsIndex/IvfAdmission/CorpusProfile concurrency suites.
+# r15 result: 8/8 green over the four suites with the revision-overlay
+# upsert paths (UpsertSpec latch/crash windows on the overlay members).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 n="${1:-20}"
