@@ -106,6 +106,33 @@ class PerceptualIndexSpec extends SparkSpec {
     assert(PerceptualIndex.signatures(spark, store, "img").count() === 13)
   }
 
+  test("racing admitters: exactly one folds, the loser skips under the lock") {
+    val store = new TableStore(tmpDir("perc-race"))
+    PerceptualIndex.build(stored(10), maxHamming = 6, store, "img")
+    val batch = sigDf(Seq((400L, sig(70)), (410L, sig(71))))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = (0 until 2).map { _ =>
+      new java.util.concurrent.FutureTask[String](() => {
+        gate.await()
+        try {
+          if (PerceptualIndex.admitBatch(spark, batch, 0L, store, "img")) "folded"
+          else "skipped"
+        } catch {
+          case _: graft.operators.VersionConflictException => "conflict"
+          case e: Throwable
+              if Option(e.getCause).exists(_.isInstanceOf[
+                graft.operators.VersionConflictException]) => "conflict"
+        }
+      })
+    }
+    outcomes.foreach(t => new Thread(t).start())
+    val results = outcomes.map(_.get()).sorted
+    assert(results === Seq("folded", "skipped"),
+      s"exactly one admitter folds, the in-process loser skips, got $results")
+    assert(PerceptualIndex.signatures(spark, store, "img").count() === 12,
+      "the batch folded exactly once")
+  }
+
   test("streamed admission drains to the same committed state as one batch append") {
     val s = spark; import s.implicits._
     val root = tmpDir("perc-stream")
