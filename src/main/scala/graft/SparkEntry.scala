@@ -519,7 +519,64 @@ object SparkEntry {
     guarded("q126Seed")(q126SeedRoot(s, dir))
     guarded("q127Stage")(q127StageRoot(s, dir))
     guarded("q133Seed")(q133SeedRoot(s, dir))
+    guarded("q139Seed")(q139SeedRoot(s, dir))
   }
+
+  /** q139's seed + admission-loop stage: the perceptual index seeded with
+    * the first 20 stored groups' bases, and three staged drains mixing
+    * NOVEL bases with near-copies of items in three provenance classes —
+    * copies of the seed, copies of items admitted in an EARLIER drain
+    * (the evolving-state proof), and copies of items admitted two drains
+    * back. */
+  private val q139SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q139SeedRoot(s: SparkSession, dir: String): String =
+    q139SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q139seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(40)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      def ranked(variants: Seq[Int]) =
+        graft.operators.Multimodal.dHashes(perceptualCards(s, dir, 40, variants))
+          .withColumn("g", expr("item_id div 10"))
+          .join(seeds, Seq("g"))
+          .select(col("item_id").as("id"), col("dhash").as("sig"), col("gi"))
+      val bases = ranked(Seq(0))
+      val ups = ranked(Seq(1))
+      val pert = ranked(Seq(2))
+      graft.operators.PerceptualIndex.build(
+        bases.filter(col("gi") <= 20).select(col("id"), col("sig")),
+        maxHamming = 6, store, "img_idx")
+      val drains = Seq(
+        bases.filter(col("gi").between(21, 26))
+          .unionByName(ups.filter(col("gi") <= 3)),
+        bases.filter(col("gi").between(27, 32))
+          .unionByName(ups.filter(col("gi").between(21, 23))),
+        bases.filter(col("gi").between(33, 38))
+          .unionByName(pert.filter(col("gi").between(27, 29)))
+          .unionByName(pert.filter(col("gi") === 1)))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.select(col("id"), col("sig"))
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
 
   /** q133's seed + admission stage: the perceptual index BUILT over the
     * first 20 stored groups' base-card dHashes, and the other 20 groups'
@@ -3076,6 +3133,33 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ext: THE ADMISSION LOOP AS ONE EXACTLY-ONCE FOLD — screen against
+    // committed state, admit only the novel, record the batchId, one
+    // swap (admitNovelStream): the daily crawl loop with EVOLVING state.
+    // Three drains prove the evolution: drain-2 copies of items admitted
+    // in drain 1 are rejected BY that admission (not by the seed), and
+    // drain-3 copies of drain-2 admissions likewise — per-item admission
+    // flags are a pure function of the drain sequence, replayed by the
+    // oracle as an unrolled reachability chain over the hamming pairs.
+    "q139_image_admission_loop" -> ((s, dir) => {
+      val seedRoot = q139SeedRoot(s, dir)
+      val root = newTmpDir("graft_q139run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PerceptualIndex.admitNovelStream(stream, store, "img_idx",
+        s"$root/chk").awaitTermination()
+      val staged = s.read.parquet(s"$seedRoot/stage").select(col("id"))
+      val finalIds = graft.operators.PerceptualIndex
+        .signatures(s, store, "img_idx").select(col("id").as("_in_id"))
+      staged.join(finalIds, staged("id") === col("_in_id"), "left")
+        .select(col("id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("admitted"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: DIRECTED VIDEO CONTAINMENT — the case q131's symmetric vote
     // is spec'd to MISS: a short clip cut from a longer video. Fixture =
     // q131's originals (6 frames) plus its variant-3 clips CUT DOWN to
@@ -5097,6 +5181,79 @@ object SparkEntry {
         |  CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS admitted
         |FROM items i LEFT JOIN matches m ON m.batch_id = i.item_id
         |ORDER BY i.item_id""".stripMargin,
+
+    // q139 replay: the q121 grid/bit machinery over the seed ∪ staged
+    // universe, hamming pairs once, then the drain sequence UNROLLED as
+    // set logic over the pair list — admitted(drain k) = no pair into
+    // stored_{k−1}, stored_k = stored_{k−1} ∪ admitted(k). (The engine's
+    // per-drain hot caps are vacuous here and in any sub-universe: ≤178
+    // items < the 200 cap, so the pair list is cap-free on both sides.)
+    "q139_image_admission_loop" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 40)),
+        |univ AS (
+        |  SELECT s.g, s.gi, m.variant, m.drain, s.g * 10 + m.variant AS item_id
+        |  FROM seeds s JOIN (VALUES
+        |    (0, 0, 1, 20),
+        |    (0, 1, 21, 26), (1, 1, 1, 3),
+        |    (0, 2, 27, 32), (1, 2, 21, 23),
+        |    (0, 3, 33, 38), (2, 3, 27, 29), (2, 3, 1, 1)
+        |  ) m(variant, drain, lo, hi) ON s.gi BETWEEN m.lo AND m.hi),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM univ, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.value = b.value
+        |      AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |prs AS (
+        |  SELECT a_id AS x, b_id AS y FROM ham WHERE hamming <= 6
+        |  UNION SELECT b_id, a_id FROM ham WHERE hamming <= 6),
+        |s0 AS (SELECT item_id FROM univ WHERE drain = 0),
+        |a1 AS (SELECT u.item_id FROM univ u WHERE u.drain = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s0 ON p.y = s0.item_id
+        |  WHERE p.x = u.item_id)),
+        |s1 AS (SELECT item_id FROM s0 UNION SELECT item_id FROM a1),
+        |a2 AS (SELECT u.item_id FROM univ u WHERE u.drain = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s1 ON p.y = s1.item_id
+        |  WHERE p.x = u.item_id)),
+        |s2 AS (SELECT item_id FROM s1 UNION SELECT item_id FROM a2),
+        |a3 AS (SELECT u.item_id FROM univ u WHERE u.drain = 3 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s2 ON p.y = s2.item_id
+        |  WHERE p.x = u.item_id)),
+        |adm AS (SELECT item_id FROM a1 UNION
+        |  SELECT item_id FROM a2 UNION SELECT item_id FROM a3)
+        |SELECT u.item_id,
+        |  CASE WHEN adm.item_id IS NOT NULL THEN 1 ELSE 0 END AS admitted
+        |FROM univ u LEFT JOIN adm ON adm.item_id = u.item_id
+        |WHERE u.drain >= 1
+        |ORDER BY u.item_id""".stripMargin,
 
     // q132 replay: the WAV synthesis arithmetic (the oracle never parses
     // RIFF bytes — it replays the sample VALUES the decoder provably

@@ -147,24 +147,47 @@ object PerceptualIndex {
 
   private def appendStamped(
       spark: SparkSession, sigs: DataFrame,
-      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
+      store: TableStore, name: String, stamp: Option[Long],
+      screenFirst: Boolean = false,
+      maxBucketSize: Int = 200): Boolean = {
     val (m, mv) = requireManifest(store, name)
     if (stamp.exists(_ <= m.lastBatchId)) return false
     OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
     val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
-    val fresh = sigShape(sigs)
-      .join(stored.select(col("id")), Seq("id"), "left_anti")
-      // at most one signature per id: a batch carrying an id twice (two
-      // staged files in one trigger) indexes the smallest sig —
-      // deterministic under any partitioning (the
-      // PostingsIndex.tokenized canonicalization rationale; signatures
-      // order directly, no digest needed)
-      .groupBy(col("id")).agg(min(col("sig")).as("sig"))
-    val sv = OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
-      stored, fresh)
-    commitManifest(store, name,
-      m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-    true
+    // the screen-then-admit fold: drop batch items within the persisted
+    // budget of ANY stored signature, admit the rest — both halves read
+    // the SAME pinned stored version, so the loop is one atomic decision
+    val batch0 = sigShape(sigs)
+    val batch =
+      if (!screenFirst) batch0
+      else {
+        implicit val scope: CacheScope = new CacheScope
+        try {
+          val dup = Dedup.hammingBandedPairsAgainst(batch0, stored,
+              m.maxHamming, maxBucketSize)
+            .select(col("batch_id").as("id")).distinct()
+          // materialize the survivor list before the scope's pins release
+          val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          novel.count()
+          novel
+        } finally scope.release()
+      }
+    try {
+      val fresh = batch
+        .join(stored.select(col("id")), Seq("id"), "left_anti")
+        // at most one signature per id: a batch carrying an id twice (two
+        // staged files in one trigger) indexes the smallest sig —
+        // deterministic under any partitioning (the
+        // PostingsIndex.tokenized canonicalization rationale; signatures
+        // order directly, no digest needed)
+        .groupBy(col("id")).agg(min(col("sig")).as("sig"))
+      val sv = OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
+        stored, fresh)
+      commitManifest(store, name,
+        m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+      true
+    } finally if (screenFirst) batch.unpersist()
   }
 
   /** Takedown: next sigs version without the given ids — after removal a
@@ -207,6 +230,49 @@ object PerceptualIndex {
         appendStamped(spark, sigs, store, name, Some(batchId))
       }
     }
+
+  /** The daily loop as ONE exactly-once fold: SCREEN the batch against
+    * committed state (the persisted budget), admit only the novel items,
+    * record the batchId — all against the same pinned sigs version and
+    * published by one swap. The stored set EVOLVES between batches: a
+    * near-copy of an item admitted two drains ago is rejected by that
+    * admission, which the separate screen-then-append calls only get if
+    * the caller sequences them; here the gate enforces it. In-batch
+    * near-dups of EACH OTHER both admit (the screen is against stored
+    * state; pre-dedup a batch with [[Dedup.hammingBandedPairs]] when
+    * that matters). Returns true when folded, false on replay. */
+  def admitNovelBatch(
+      spark: SparkSession,
+      sigs: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, sigs, store, name, Some(batchId),
+          screenFirst = true, maxBucketSize = maxBucketSize)
+      }
+    }
+
+  /** [[admitStream]] with the screen-then-admit fold — the admission
+    * loop as a live sink. */
+  def admitNovelStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitNovelBatch(batch.sparkSession, batch, batchId, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   /** Streaming admission: the perceptual index as a live sink (the same
     * face as [[IvfIndex.admitStream]], for the signature tier). */

@@ -279,7 +279,11 @@ object ScaleBench {
     "q137_image_keep_best",
     // r15: the video admission screen — constant fixture; verifies the
     // frameless against-band join + arrival-side containment stay flat
-    "q138_video_screen")
+    "q138_video_screen",
+    // r15: the screen-then-admit loop — constant fixture through three
+    // gated drains with evolving stored state; verifies the loop's
+    // per-drain screen + O(batch) admission stay wall-flat
+    "q139_image_admission_loop")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

@@ -106,6 +106,40 @@ class PerceptualIndexSpec extends SparkSpec {
     assert(PerceptualIndex.signatures(spark, store, "img").count() === 13)
   }
 
+  test("admitNovelBatch: screen-then-admit with EVOLVING state; replay refused") {
+    val store = new TableStore(tmpDir("perc-novel"))
+    PerceptualIndex.build(stored(5), maxHamming = 6, store, "img")
+    // batch 0: a copy of seed group 2 (rejected) + two novel items
+    assert(PerceptualIndex.admitNovelBatch(spark,
+      sigDf(Seq((900L, sig(2, 1)), (901L, sig(60)), (902L, sig(61)))),
+      0L, store, "img"))
+    val ids0 = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids0 === (0 until 5).map(_ * 10L).toSet ++ Set(901L, 902L),
+      "the seed copy is screened out; the novel items admit")
+    // batch 1: a copy of 901 — rejected BY BATCH 0's admission, the
+    // evolving-state property — plus one more novel
+    assert(PerceptualIndex.admitNovelBatch(spark,
+      sigDf(Seq((910L, sig(60, 2)), (911L, sig(62)))), 1L, store, "img"))
+    val ids1 = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids1.contains(910L),
+      "a copy of an EARLIER DRAIN's admission is rejected by that admission")
+    assert(ids1.contains(911L))
+    // replayed batchId: refused without touching state
+    assert(!PerceptualIndex.admitNovelBatch(spark,
+      sigDf(Seq((990L, sig(90)))), 1L, store, "img"))
+    assert(PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet === ids1)
+    // in-batch near-dups of each other (not of stored): both admit —
+    // the documented contract
+    assert(PerceptualIndex.admitNovelBatch(spark,
+      sigDf(Seq((920L, sig(70)), (921L, sig(70, 1)))), 2L, store, "img"))
+    val ids2 = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2.contains(920L) && ids2.contains(921L))
+  }
+
   test("racing admitters: exactly one folds, the loser skips under the lock") {
     val store = new TableStore(tmpDir("perc-race"))
     PerceptualIndex.build(stored(10), maxHamming = 6, store, "img")
