@@ -133,14 +133,21 @@ object MediaHeaders {
         val p = mvhdFrom.toInt
         if (mvhdFrom + 4 > mvhdUntil) None
         else u8(b(p)) match { // version byte
+          // all-ones duration is ISO 14496-12's "duration unknown"
+          // sentinel in both versions; and v1's u64 can be hostile —
+          // guard the *1000 so a huge value yields None, never a
+          // garbage/negative timeline (the totality contract)
           case 0 if mvhdFrom + 4 + 4 + 4 + 4 + 4 <= mvhdUntil =>
             val timescale = be32(b, p + 12)
             val duration = be32(b, p + 16)
-            if (timescale > 0) Some(duration * 1000L / timescale) else None
+            if (timescale > 0 && duration != 0xFFFFFFFFL)
+              Some(duration * 1000L / timescale)
+            else None
           case 1 if mvhdFrom + 4 + 8 + 8 + 4 + 8 <= mvhdUntil =>
             val timescale = be32(b, p + 20)
-            val duration = be64(b, p + 24)
-            if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale)
+            val duration = be64(b, p + 24) // u64 read as Long: top bit set → negative
+            if (timescale > 0 && duration >= 0 && duration <= Long.MaxValue / 1000L)
+              Some(duration * 1000L / timescale)
             else None
           case _ => None
         }

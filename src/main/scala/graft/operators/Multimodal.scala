@@ -424,9 +424,13 @@ object Multimodal {
     * difference hash of Haitsma & Kalker (2002), with the filterbank
     * realized as exact-integer LAG-DIFFERENCE energies so the whole chain
     * replays in SQL (no FFT, no floats): band b's energy in time window t
-    * is Σ |x[i] − x[i − lag_b]| over the window (lags 1,2,4,8,16 — each
-    * lag-k comb attenuates frequencies near multiples of rate/k, so the
-    * five energies summarize the spectrum coarsely), and
+    * is Σ |x[i] − x[i − lag_b]| over the window (odd lags 1,3,5,9,17 —
+    * odd so a Nyquist flip (−1)^i·x[i] moves EVERY band: an even lag
+    * compares same-parity samples, so the flip cancels and the band is
+    * flip-blind, defeating this feature's stated contrast with
+    * [[audioFp64Of]]; each lag-k comb attenuates frequencies near
+    * multiples of rate/k, so the five energies summarize the spectrum
+    * coarsely), and
     * bit (t−1)·4 + b = 1 iff the TIME-then-FREQUENCY double difference
     * (E(t,b) − E(t,b+1)) − (E(t−1,b) − E(t−1,b+1)) is positive — the H&K
     * bit rule, whose sign survives mild EQ because a shelf scales

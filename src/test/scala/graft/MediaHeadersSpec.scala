@@ -170,6 +170,19 @@ class MediaHeadersSpec extends SparkSpec {
     // zero timescale must not divide
     assert(MediaHeaders.mp4DurationMs(
       ftyp ++ box("moov", box("mvhd", mvhdV0(0, 7500)))) === None)
+    // all-ones "duration unknown" sentinel (ISO 14496-12), both versions
+    assert(MediaHeaders.mp4DurationMs(
+      ftyp ++ box("moov", box("mvhd", mvhdV0(1000, 0xFFFFFFFFL)))) === None)
+    assert(MediaHeaders.mp4DurationMs(
+      ftyp ++ box("moov", box("mvhd", mvhdV1(1000, -1L)))) === None) // u64 all-ones
+    // hostile u64 duration whose *1000 would overflow Long → None, not garbage
+    assert(MediaHeaders.mp4DurationMs(
+      ftyp ++ box("moov",
+        box("mvhd", mvhdV1(1000, Long.MaxValue / 1000L + 1L)))) === None)
+    // the largest representable duration still parses (boundary of the guard)
+    assert(MediaHeaders.mp4DurationMs(
+      ftyp ++ box("moov",
+        box("mvhd", mvhdV1(1000, Long.MaxValue / 1000L)))).isDefined)
   }
 
   test("sampleFrames midpoint timestamps are real over an MP4 mvhd duration") {
