@@ -75,6 +75,43 @@ private[graft] object OverlayLock {
         table, Some(pin))
     else store.appendRows(fresh, table, pin)
 
+  /** [[appendOrCompact]] for a BUCKETED member: the common path is an
+    * O(batch) linked append that preserves the bucket layout
+    * ([[TableStore.appendRowsBucketed]]); when any bucket's part-file
+    * count has crept past `maxFilesPerBucket`, the append instead rides
+    * a bucket-granular compaction — ONLY the oversized buckets plus the
+    * batch's own buckets are read and rewritten (one file each), every
+    * healthy bucket carries as hard links ([[TableStore.commitBucketMerge]]).
+    * Amortized one touched-bucket rewrite every ~`maxFilesPerBucket`
+    * appends, never a full-corpus rewrite of cold buckets. One version
+    * step either way, so the caller's manifest pin stays inside the
+    * prune retention window. */
+  def appendOrCompactBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      store: TableStore,
+      table: String,
+      pin: Int,
+      fresh: org.apache.spark.sql.DataFrame,
+      maxFilesPerBucket: Int = 8): Int = {
+    import org.apache.spark.sql.functions.col
+    val spec = store.bucketSpec(table).getOrElse(throw new IllegalStateException(
+      s"$table is not bucketed — use appendOrCompact"))
+    val oversized = store.bucketFileCounts(table)
+      .filter(_._2 >= maxFilesPerBucket).keySet
+    if (oversized.isEmpty) store.appendRowsBucketed(fresh, table, pin)
+    else {
+      val freshB = fresh.withColumn("_bucket", spec.bucketColumn)
+      // bounded collect: at most nBuckets distinct values
+      val freshBuckets = freshB.select(col("_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val touched = oversized ++ freshBuckets
+      val storedTouched = store.snapshotRawAt(spark, table, pin)
+        .filter(col("_bucket").isin(touched.toSeq.map(Integer.valueOf): _*))
+      store.commitBucketMerge(storedTouched.unionByName(freshB), table,
+        touched, 1, pin)
+    }
+  }
+
   /** Roll a member table back to its manifest pin when (and only when)
     * orphan successors sit above it AND the pinned version still exists.
     * Both guards matter in degenerate repair states: a pin AHEAD of the

@@ -20,10 +20,17 @@ import graft.functions.TextFunctions
   *
   *  - `<name>_postings` — `(doc_id, dl, term, tf)`: the inverted index in
   *    long form, doc length denormalized so scoring never joins it back;
-  *  - `<name>_docs` — `(doc_id, dl)`: one row per indexed document
+  *  - `<name>_docs` — `(doc_id, dl, terms)`: one row per indexed document
   *    (INCLUDING zero-token docs, which never reach postings but count
   *    toward N/avgdl — the corpus-stats source and the insert-only
-  *    membership anchor);
+  *    membership anchor), carrying the doc's DISTINCT term list so every
+  *    per-doc bookkeeping read (an upsert's exact-df subtraction, a
+  *    takedown's) resolves from this one tier instead of scanning the
+  *    postings. The tier is HASH-BUCKETED by doc_id ([[BucketSpec]]), so
+  *    keyed reads prune to the batch's buckets at the directory level —
+  *    bytes read per revision batch are ∝ the touched buckets, never the
+  *    corpus (size buckets to a constant byte target as the corpus
+  *    grows, the standard clustered-table rule);
   *  - `<name>_termstats` — `(term, df)`: per-term document frequency,
   *    maintained by CELL-WISE SUM (append adds the fresh docs' distinct
   *    terms, takedown subtracts exactly) so serving never re-aggregates
@@ -70,6 +77,16 @@ object PostingsIndex {
     * postings tier's bytes. */
   private val OvlFloorBytes: Long = IvfIndex.OvlFloorBytes
   private val OvlFrac: Double = IvfIndex.OvlFrac
+
+  /** Default doc_id-hash bucket count for the docs tier. At 100 TB the
+    * caller sizes this to a constant per-bucket byte target
+    * ([[build]]'s `docBuckets`); the default suits the test SFs. */
+  val DocBuckets: Int = 32
+
+  /** The docs tier's recorded bucket layout; a pre-r16 plain layout
+    * upgrades to the default at its next full rewrite. */
+  private def docSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(docsTable(name)).getOrElse(BucketSpec(DocBuckets, Seq("doc_id")))
 
   // ---------------------------------------------------------------- manifest
 
@@ -174,12 +191,57 @@ object PostingsIndex {
       store.snapshotAt(spark, postingsTable(name), m.postings),
       ovlPostingsTable(name), m.ovlPostings)
 
-  /** The served docs `(doc_id, dl)`. */
+  /** The served docs `(doc_id, dl, terms)`. */
   private def docsAt(
       spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame =
     mergedWithOverlay(spark, store,
       store.snapshotAt(spark, docsTable(name), m.docs),
       ovlDocsTable(name), m.ovlDocs)
+
+  /** The batch's bucket list under `spec` — a bounded collect, at most
+    * nBuckets distinct values (the [[IvfIndex.balance]] class of
+    * control-plane read). */
+  private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
+    keys.select(spec.bucketColumn.as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Base docs rows PRUNED to the buckets `keys` can hash into — the
+    * keyed read every per-batch bookkeeping path goes through:
+    * `_bucket isin(...)` prunes at the directory level, so unread
+    * buckets are never opened and the bytes read are ∝ the batch's
+    * buckets rather than the corpus ([[PrunedReadSpec]] measures it).
+    * A pre-r16 plain layout falls back to the full scan. */
+  private def baseDocsForKeys(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest,
+      keys: DataFrame): DataFrame =
+    store.bucketSpec(docsTable(name)) match {
+      case Some(spec) =>
+        val touched = touchedBuckets(spec, keys)
+        val raw = store.snapshotRawAt(spark, docsTable(name), m.docs)
+        (if (touched.isEmpty) raw.filter(lit(false))
+         else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+          .drop("_bucket")
+      case None => store.snapshotAt(spark, docsTable(name), m.docs)
+    }
+
+  /** SERVED (overlay-merged) docs rows of exactly `batchIds`' ids — ONE
+    * bucket-pruned keyed read feeding both the replaced-doc counters and
+    * the exact-df subtraction. `touched` is the batch's precomputed
+    * bucket list (None on a plain pre-r16 layout → full scan). */
+  private def servedDocsForIds(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest,
+      batchIds: DataFrame, touched: Option[Seq[Int]]): DataFrame = {
+    val base = touched match {
+      case Some(bs) =>
+        val raw = store.snapshotRawAt(spark, docsTable(name), m.docs)
+        (if (bs.isEmpty) raw.filter(lit(false))
+         else raw.filter(col("_bucket").isin(bs.map(Integer.valueOf): _*)))
+          .drop("_bucket")
+      case None => store.snapshotAt(spark, docsTable(name), m.docs)
+    }
+    mergedWithOverlay(spark, store, base, ovlDocsTable(name), m.ovlDocs)
+      .join(batchIds, Seq("doc_id"), "left_semi")
+  }
 
   // -------------------------------------------------------------- tokenizing
 
@@ -203,6 +265,13 @@ object PostingsIndex {
       .agg(min_by(col("_toks"), md5(concat_ws(" ", col("_toks")))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
 
+  /** `(doc_id, dl, terms)` docs rows of a tokenized frame — the doc's
+    * DISTINCT terms ride in the row so df bookkeeping never needs the
+    * postings tier. */
+  private def docRowsOf(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), col("dl"),
+      array_distinct(col("_toks")).as("terms"))
+
   /** `(doc_id, dl, term, tf)` postings of a tokenized frame — the one
     * (doc, term) exchange. */
   private def postingsOf(tok: DataFrame): DataFrame =
@@ -220,13 +289,16 @@ object PostingsIndex {
   /** Tokenize `df`, pay the one (doc, term) shuffle, and commit all three
     * member tables + the manifest swap. Rebuilding an existing index
     * replaces every member (the admission gate survives, as in
-    * [[IvfIndex.build]]). */
+    * [[IvfIndex.build]]). `docBuckets` is the docs tier's doc_id-hash
+    * bucket count — size it to a constant per-bucket byte target at
+    * scale so revision-batch reads stay corpus-size-independent. */
   def build(
       df: DataFrame,
       idCol: String,
       textCol: String,
       store: TableStore,
-      name: String): Unit =
+      name: String,
+      docBuckets: Int = DocBuckets): Unit =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
@@ -237,7 +309,8 @@ object PostingsIndex {
         val tok = tokenized(df, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val dv = store.write(tok.select(col("doc_id"), col("dl")), docsTable(name))
+          val dv = store.writeBucketed(docRowsOf(tok), docsTable(name),
+            BucketSpec(docBuckets, Seq("doc_id")))
           val pv = store.write(postingsOf(tok), postingsTable(name))
           // derive df from the COMMITTED postings (a parquet read) so the
           // tokenize+explode chain is never recomputed for the third table
@@ -279,7 +352,6 @@ object PostingsIndex {
     val (m, mv) = requireManifest(store, name)
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val docsStored = store.snapshotAt(spark, docsTable(name), m.docs)
     // insert-only against the SERVED id set: base docs AND the revision
     // overlay's (an id living only in the overlay must not re-enter the
     // base, or the overlay's shadow would hide the stale re-append)
@@ -288,20 +360,26 @@ object PostingsIndex {
         .select(col("doc_id")).distinct()))
     def screenOvl(df: DataFrame): DataFrame =
       ovlIds.map(ids => df.join(ids, Seq("doc_id"), "left_anti")).getOrElse(df)
-    // pinned: four consumers below (docs append, postings, termstats
+    // pinned twice: tok feeds the bucket-list collect AND the screen;
+    // fresh's four consumers below (docs append, postings, termstats
     // delta, counters) would otherwise each re-run the tokenize +
     // dedupe + stored-ids anti-join chain end-to-end — the same hygiene
     // rationale as bm25Against's postings pin
-    val fresh = screenOvl(tokenized(batch, idCol, textCol)
-        .join(docsStored.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val tok = tokenized(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the stored-ids screen reads ONLY the buckets the batch's ids hash
+    // into — a batch can only collide with history inside its own buckets
+    val fresh = screenOvl(tok.join(
+        baseDocsForKeys(spark, store, name, m, tok).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // O(batch) member commits for the corpus-sized tables: only the
       // fresh rows are written, the pinned version's files carry as links
-      // (appendOrCompact folds a compacting rewrite in when counts creep);
+      // (the compacting variants fold a rewrite in when counts creep);
       // termstats below stays a merge-rewrite — it is vocabulary-sized
-      val dv = OverlayLock.appendOrCompact(store, docsTable(name), m.docs,
-        docsStored, fresh.select(col("doc_id"), col("dl")))
+      val dv = OverlayLock.appendOrCompactBucketed(spark, store,
+        docsTable(name), m.docs, docRowsOf(fresh))
       val freshPostings = postingsOf(fresh)
       val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
         store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
@@ -317,7 +395,7 @@ object PostingsIndex {
           nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
           lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
       true
-    } finally fresh.unpersist()
+    } finally { fresh.unpersist(); tok.unpersist() }
   }
 
   /** UPSERT: replace-or-insert the batch's documents in ONE manifest
@@ -334,10 +412,12 @@ object PostingsIndex {
     * Cost shape: committed bytes are O(batch ∪ overlay) + O(vocabulary)
     * for the termstats merge-rewrite — the corpus-sized base tiers are
     * untouched until the overlay outgrows the policy bound and folds
-    * (the one amortized rewrite). The exact df subtraction still READS
-    * the served postings of the replaced docs (a doc's old terms live
-    * nowhere else) — a column-pruned scan, not a rewrite. Returns how
-    * many documents were replaced (present before the upsert). */
+    * (the one amortized rewrite). Bytes READ are batch-proportional too:
+    * the exact df subtraction resolves the replaced docs' old term lists
+    * from the doc_id-bucketed docs tier, pruned to the batch's buckets
+    * at the directory level — never a corpus-wide postings scan
+    * ([[PrunedReadSpec]] measures it). Returns how many documents were
+    * replaced (present before the upsert). */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -367,26 +447,39 @@ object PostingsIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val batchIds = broadcast(fresh.select(col("doc_id")).distinct())
+      // one control-plane action over the (pinned) batch: its counters
+      // AND its bucket list — collect_set is bounded by the bucket count
+      val bucketExpr = store.bucketSpec(docsTable(name)).map(_.bucketColumn)
+      val freshStats = fresh.agg(
+        count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+        collect_set(bucketExpr.getOrElse(lit(-1)))).head()
+      val (addN, addSdl) = (freshStats.getLong(0), freshStats.getLong(1))
+      val touched = bucketExpr.map(_ => freshStats.getSeq[Int](2))
       // exact bookkeeping needs the replaced docs' SERVED state: dl for
-      // the counters (narrow docs scan), old terms for the df
-      // subtraction (column-pruned postings scan) — reads, never rewrites
-      val replacedDocs = docsAt(spark, store, name, m)
-        .join(batchIds, Seq("doc_id"), "left_semi")
+      // the counters and old DISTINCT terms for the df subtraction —
+      // both live in the docs tier's rows, so this is ONE keyed read,
+      // bucket-pruned to the batch's buckets, pinned batch-sized so the
+      // counters and the subtraction don't re-run it
+      val replacedDocs = servedDocsForIds(spark, store, name, m, batchIds, touched)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val (rmN, rmSdl) = docCounters(replacedDocs)
-      val removedPostings = postingsAt(spark, store, name, m)
-        .join(batchIds, Seq("doc_id"), "left_semi")
       val freshPostings = postingsOf(fresh)
       // termstats: vocabulary-sized authoritative merge-rewrite — df
       // delta = fresh − removed, cell-wise (exact subtraction, the
-      // remove-path arithmetic composed with append's merge)
+      // remove-path arithmetic composed with append's merge); the
+      // removed side explodes the replaced docs' stored term lists —
+      // already distinct per doc, so df is a row count
+      val removedTermDf = replacedDocs
+        .select(explode(col("terms")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val tv = store.write(
         store.snapshotAt(spark, termStatsTable(name), m.termStats)
           .unionByName(termStatsOf(freshPostings))
-          .unionByName(termStatsOf(removedPostings).withColumn("df", -col("df")))
+          .unionByName(removedTermDf.withColumn("df", -col("df")))
           .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
           .filter(col("df") > 0),
         termStatsTable(name), Some(m.termStats))
-      val (addN, addSdl) = docCounters(fresh)
       // fold-vs-overlay on the PRE-batch overlay size (file-metadata
       // reads) — the IvfIndex.upsertStamped policy on the postings tier
       val overlayFull = m.ovlPostings.exists { pin =>
@@ -403,11 +496,11 @@ object PostingsIndex {
               .join(batchIds, Seq("doc_id"), "left_anti")
               .unionByName(freshPostings),
             postingsTable(name), Some(m.postings))
-          val dv = store.write(
+          val dv = store.writeBucketed(
             docsAt(spark, store, name, m)
               .join(batchIds, Seq("doc_id"), "left_anti")
-              .unionByName(fresh.select(col("doc_id"), col("dl"))),
-            docsTable(name), Some(m.docs))
+              .unionByName(docRowsOf(fresh)),
+            docsTable(name), docSpec(store, name), Some(m.docs))
           m.copy(postings = pv, docs = dv,
             ovlPostings = None, ovlDocs = None)
         } else {
@@ -425,8 +518,7 @@ object PostingsIndex {
             }
           }
           val opv = ovlWrite(ovlPostingsTable(name), m.ovlPostings, freshPostings)
-          val odv = ovlWrite(ovlDocsTable(name), m.ovlDocs,
-            fresh.select(col("doc_id"), col("dl")))
+          val odv = ovlWrite(ovlDocsTable(name), m.ovlDocs, docRowsOf(fresh))
           m.copy(ovlPostings = Some(opv), ovlDocs = Some(odv))
         }
       commitManifest(store, name,
@@ -435,6 +527,7 @@ object PostingsIndex {
           lastBatchId = stamp.getOrElse(m.lastBatchId)),
         Some(mv))
       (true, rmN)
+      } finally replacedDocs.unpersist()
     } finally fresh.unpersist()
   }
 
@@ -451,8 +544,8 @@ object PostingsIndex {
           rollbackAll(store, name, m)
           val pv = store.write(postingsAt(spark, store, name, m),
             postingsTable(name), Some(m.postings))
-          val dv = store.write(docsAt(spark, store, name, m),
-            docsTable(name), Some(m.docs))
+          val dv = store.writeBucketed(docsAt(spark, store, name, m),
+            docsTable(name), docSpec(store, name), Some(m.docs))
           commitManifest(store, name,
             m.copy(postings = pv, docs = dv,
               ovlPostings = None, ovlDocs = None), Some(mv))
@@ -484,16 +577,18 @@ object PostingsIndex {
         val removedDocs = docsStored.join(drop,
           docsStored("doc_id") === col("_rm_id"), "left_semi")
         val (rmN, rmSdl) = docCounters(removedDocs)
-        val dv = store.write(keptDocs, docsTable(name), Some(m.docs))
+        val dv = store.writeBucketed(keptDocs, docsTable(name),
+          docSpec(store, name), Some(m.docs))
         val postStored = postingsAt(spark, store, name, m)
-        val removedPostings = postStored.join(drop,
-          postStored("doc_id") === col("_rm_id"), "left_semi")
         val pv = store.write(
           postStored.join(drop, postStored("doc_id") === col("_rm_id"), "left_anti"),
           postingsTable(name), Some(m.postings))
+        // df subtraction from the removed docs' stored term lists — the
+        // postings tier is read once (the kept-rows rewrite), not twice
         val tv = store.write(
           store.snapshotAt(spark, termStatsTable(name), m.termStats)
-            .unionByName(termStatsOf(removedPostings)
+            .unionByName(removedDocs.select(explode(col("terms")).as("term"))
+              .groupBy(col("term")).agg(count(lit(1)).as("df"))
               .withColumn("df", -col("df")))
             .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
             .filter(col("df") > 0),

@@ -179,6 +179,22 @@ class TableStore(val root: String) {
     if (bucketSpec(name).isDefined) df.drop("_bucket") else df
   }
 
+  /** [[snapshotAt]] keeping the `_bucket` layout column — the versioned
+    * sibling of [[readRaw]], for overlay readers that prune a pinned
+    * bucketed member to the buckets a key batch can touch
+    * (`filter(col("_bucket").isin(...))` prunes at the directory level,
+    * so the bytes read are ∝ the touched buckets, never the corpus). */
+  def snapshotRawAt(spark: SparkSession, name: String, version: Int): DataFrame = {
+    val dir = versionPath(name, version)
+    if (!Files.exists(dir))
+      throw new IllegalStateException(
+        s"table $name has no version v$version under $root (pruned or never committed)")
+    declaredSchemaAt(name, version) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None => spark.read.parquet(dir.toString)
+    }
+  }
+
   /** Whether this version's files still exist on disk — lets overlay
     * recovery distinguish "orphans above the pin" (roll back) from "pin
     * itself pruned" (skip the rollback; a fresh write + overlay swap is
@@ -344,6 +360,44 @@ class TableStore(val root: String) {
       }
     }
     commitStaged(name, Some(expected), staging, None)
+  }
+
+  /** [[appendRows]] for a BUCKETED table: write ONLY `rows` (the
+    * `_bucket` layout column is computed here) as new part files inside
+    * their bucket dirs and carry every part file of the `expected`
+    * version — all buckets — into the next version as hard links (copy
+    * fallback). O(batch) data written + O(files) metadata ops, exactly
+    * [[appendRows]]'s LSM discipline with the bucket layout preserved,
+    * so keyed readers keep their directory-level pruning across appends.
+    * Per-bucket file counts grow by ~1 per append;
+    * [[graft.operators.OverlayLock.appendOrCompactBucketed]] bounds them.
+    * Returns the new version. */
+  def appendRowsBucketed(rows: DataFrame, name: String, expected: Int): Int = {
+    val spec = bucketSpec(name).getOrElse(throw new IllegalStateException(
+      s"$name is not bucketed — use appendRows for plain tables"))
+    val curDir = versionPath(name, expected)
+    val staging = newStaging(name)
+    stagingWrite(staging) {
+      rows.withColumn("_bucket", spec.bucketColumn)
+        .repartition(spec.nBuckets, col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+      // carry the old parts AFTER the write (the appendRows rationale:
+      // "overwrite" clears pre-existing staging files); part-file names
+      // embed the writing job's UUID, so links never collide with the
+      // batch's fresh files inside a shared _bucket=N dir
+      try {
+        linkTree(curDir, staging)
+        val sf = curDir.resolve("_schema.json")
+        if (Files.exists(sf))
+          Files.copy(sf, staging.resolve("_schema.json"), StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new VersionConflictException(
+            s"table $name v$expected was pruned while this append staged " +
+              s"(concurrent writers advanced the table) — re-read and retry: $e")
+      }
+    }
+    commitStaged(name, Some(expected), staging, Some(spec))
   }
 
   /** Commit a DRIVER-written single file as the table's next version —

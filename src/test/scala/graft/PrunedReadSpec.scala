@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{PostingsIndex, TableStore}
+
+/** The revision path's READ cost contract (the companion of
+  * [[OverlaySpec]]'s committed-bytes contract): a [[PostingsIndex]]
+  * upsert's bytes READ must be ∝ the batch's buckets — under the
+  * standard clustered-table sizing rule (bucket count grows with the
+  * corpus so per-bucket bytes hold a target), a fixed revision batch
+  * reads the SAME bytes at 10× the corpus, because
+  *
+  *  - the exact-df subtraction resolves old term lists from the
+  *    doc_id-bucketed docs tier, pruned at the directory level to the
+  *    batch's buckets (never the corpus-sized postings tier);
+  *  - the insert screen on the append path prunes the same way.
+  *
+  * Measured from the Hadoop filesystem's global "file"-scheme read
+  * counter — local[*] runs every task in this JVM, so the counter sees
+  * exactly the parquet bytes the drain's jobs opened. The fixture's
+  * vocabulary is bounded (constant in the corpus size), so the
+  * vocabulary-sized termstats merge cannot confound the measurement.
+  */
+class PrunedReadSpec extends SparkSpec {
+
+  private def ddf(ids: Range, suffix: String = "") = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i.toLong,
+      s"alpha${i % 13} common beta${i % 7} shared$suffix")).toDF("doc_id", "text")
+  }
+
+  private def fsBytesRead(): Long = {
+    val st = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    if (st == null) 0L
+    else Option(st.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
+  }
+
+  private def measure(body: => Unit): Long = {
+    val before = fsBytesRead()
+    body
+    fsBytesRead() - before
+  }
+
+  test("upsert drain reads ∝ batch buckets — flat at 10x corpus under the bucket-sizing rule") {
+    val small = new TableStore(tmpDir("pruned-ups-s"))
+    val big = new TableStore(tmpDir("pruned-ups-b"))
+    // per-bucket size held constant (~100 docs/bucket) as the corpus decades
+    PostingsIndex.build(ddf(1 to 400), "doc_id", "text", small, "bm", docBuckets = 4)
+    PostingsIndex.build(ddf(1 to 4000), "doc_id", "text", big, "bm", docBuckets = 40)
+    val batch = ddf(10 to 14, "x") // 5 docs -> at most 5 touched buckets
+    val dSmall = measure(
+      PostingsIndex.upsert(spark, batch, "doc_id", "text", small, "bm"))
+    val dBig = measure(
+      PostingsIndex.upsert(spark, batch, "doc_id", "text", big, "bm"))
+    assert(dSmall > 0 && dBig > 0, "the keyed read must actually read")
+    assert(dBig < 3L * dSmall,
+      s"10x the corpus must not move the upsert's bytes read: $dSmall -> $dBig")
+    // the drain must never scan the corpus-sized tiers: its reads stay a
+    // sliver of postings + docs even at the bigger corpus
+    val (m, _) = PostingsIndex.readManifest(big, "bm").get
+    val corpusBytes = big.byteSizeAt("bm_postings", m.postings) +
+      big.byteSizeAt("bm_docs", m.docs)
+    assert(dBig < corpusBytes / 2,
+      s"a revision drain ($dBig B) must not scan the corpus tiers ($corpusBytes B)")
+  }
+
+  test("append drain's insert screen reads ∝ batch buckets — flat at 10x corpus") {
+    val small = new TableStore(tmpDir("pruned-app-s"))
+    val big = new TableStore(tmpDir("pruned-app-b"))
+    PostingsIndex.build(ddf(1 to 400), "doc_id", "text", small, "bm", docBuckets = 4)
+    PostingsIndex.build(ddf(1 to 4000), "doc_id", "text", big, "bm", docBuckets = 40)
+    val batch = ddf(5001 to 5005) // brand-new ids, <= 5 touched buckets
+    val dSmall = measure(
+      PostingsIndex.append(spark, batch, "doc_id", "text", small, "bm"))
+    val dBig = measure(
+      PostingsIndex.append(spark, batch, "doc_id", "text", big, "bm"))
+    assert(dSmall > 0 && dBig > 0)
+    assert(dBig < 3L * dSmall,
+      s"10x the corpus must not move the append's bytes read: $dSmall -> $dBig")
+  }
+}
