@@ -618,6 +618,53 @@ object SparkEntry {
       root
     })
 
+  /** q140's seed + admission stage: the FRAME index built over the first
+    * 15 stored originals' per-frame dHashes (budgets pinned: hamming 6,
+    * containment 0.99), the other 15 originals' frames staged as three
+    * parquet files — the MANAGED video admission stream (screen-then-
+    * admit drains; originals are mutually non-contained, so every drain
+    * admits whole and the committed index ends at all 30 originals,
+    * letting q138's screen replay verbatim from committed state). */
+  private val q140SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q140SeedRoot(s: SparkSession, dir: String): String =
+    q140SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q140seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val stored = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+        .filter(pmod(col("id"), lit(10)) === 0)
+      val seedIds = stored.select(col("id")).distinct()
+        .orderBy(col("id")).limit(15)
+      graft.operators.FrameIndex.build(
+        stored.join(seedIds, Seq("id"), "left_semi"),
+        maxHamming = 6, minContainment = 0.99, store, "vid_idx")
+      val rest = stored.join(seedIds, Seq("id"), "left_anti")
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      for (k <- 0 until 3) {
+        val part = s"$root/_part$k"
+        // split by VIDEO id so each video's frame set stays whole in one
+        // drain (frame sets are atomic per delivery)
+        rest.filter(pmod(expr("id div 10"), lit(3)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
     * three parquet files — the live-revision stream. */
@@ -3217,6 +3264,45 @@ object SparkEntry {
         .orderBy(col("video_id"))
     }),
 
+    // ext: q138's screen RE-DECLARED SERVED-FROM-COMMITTED-STATE — the
+    // q130→q133 canonicity pattern for the video family: the frame
+    // signatures live in a managed FrameIndex (manifest pins the
+    // per-frame hamming budget AND the containment threshold), seeded
+    // with 15 originals and grown to all 30 through three exactly-once
+    // screen-then-admit drains (admitNovelStream — the managed loop the
+    // bare q138 frame couldn't run: no pinned budget, no batchId gate,
+    // no takedown). The final screen is q138's function of the same
+    // video universe, so the oracle is q138's SQL verbatim.
+    "q140_video_screen_indexed" -> ((s, dir) => {
+      val seedRoot = q140SeedRoot(s, dir)
+      val root = newTmpDir("graft_q140run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.FrameIndex.admitNovelStream(stream, store, "vid_idx",
+        s"$root/chk").awaitTermination()
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+      val v3full = sigs.filter(pmod(col("id"), lit(10)) === 3)
+      val batch = sigs.filter(pmod(col("id"), lit(10)) === 2)
+        .unionByName(v3full)
+        .unionByName(v3full.filter(col("frame") < 2)
+          .select((col("id") + 1).as("id"), col("frame"), col("sig")))
+      val matches = graft.operators.FrameIndex.screen(s, batch, store, "vid_idx")
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("n_contained_in"))
+      val ids = batch.select(col("id")).distinct()
+      ids.join(matches, ids("id") === col("batch_id"), "left")
+        .select(col("id").as("video_id"),
+          coalesce(col("n_contained_in"), lit(0L)).as("n_contained_in"),
+          (coalesce(col("n_contained_in"), lit(0L)) === 0)
+            .cast("int").as("admitted"))
+        .orderBy(col("video_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -4150,7 +4236,7 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracleSql: Map[String, String] = Map(
     "q76_bpe_train" ->
       s"""WITH ${bpeTrainCtes(6)}
          |SELECT * FROM (
@@ -7760,4 +7846,14 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin)
+
+  /** The declared oracles, plus the shared-verbatim entries: q140's
+    * replay is q138's SQL VERBATIM (the q130→q133 canonicity pattern,
+    * applied to the video family) — the managed [[graft.operators
+    * .FrameIndex]] must change where the frame signatures live and how
+    * the stored set grows (seed + three gated screen-then-admit
+    * drains), never what the screen computes over the same universe. */
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("q140_video_screen_indexed" ->
+      baseOracleSql("q138_video_screen"))
 }

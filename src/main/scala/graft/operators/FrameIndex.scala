@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted FRAME-signature index — [[PerceptualIndex]] for families
+  * with MANY rows per item (reference discipline: incremental state
+  * maintenance, control_migration_schema_script.sql:244, 412–416): a
+  * video is `n` sampled frames × 8 bytes ([[Multimodal.sampleFrames]] →
+  * decode → [[Multimodal.dHashes]]), and its admission rule is
+  * CONTAINMENT, not per-signature hamming — an arrival whose frames are
+  * all within budget of stored frames adds nothing (a re-encode, a cut
+  * clip), while a partial overlap admits. [[PerceptualIndex]] cannot
+  * hold this family: one row per id, and its screen has no directed
+  * denominator. Here the stored corpus is `(id, frame, sig)`, the
+  * manifest pins BOTH screening parameters (`max_hamming` per frame,
+  * `min_containment` per video) alongside the member version and the
+  * admission gate, and every mutation is one manifest swap.
+  *
+  * Storage (the [[IvfIndex]]/[[CorpusProfile]] manifest discipline,
+  * fifth instance):
+  *  - `<name>_frames` — `(id, frame, sig: long)`, the indexed corpus;
+  *  - `<name>_manifest` — frames version + `max_hamming` +
+  *    `min_containment` + the streaming gate's `last_batch_id`.
+  *
+  * The admission loop ([[admitNovelBatch]]): SCREEN the arriving videos
+  * against committed state with [[Dedup.videoContainmentAgainst]] (the
+  * arrival-side Broder denominator — rejecting is about what the
+  * arrival adds), admit every frame of the non-contained arrivals,
+  * record the batchId — one swap, so the stored set EVOLVES between
+  * drains exactly once per delivered batch.
+  *
+  * Scale shape: [[append]]/admission commit ONLY the batch's frame rows
+  * (linked members, [[OverlayLock.appendOrCompact]]); [[screen]] is the
+  * frameless chunk-band pigeonhole equi-join of
+  * [[Dedup.videoContainmentAgainst]] — batch-proportional work against
+  * 8 bytes × frames of serving state, hot buckets capped on both sides,
+  * per-arrival frame counts broadcast.
+  */
+object FrameIndex {
+
+  private def framesTable(name: String) = s"${name}_frames"
+  private def manifestTable(name: String) = s"${name}_manifest"
+  private val manifestFile = "manifest.json"
+
+  /** Frames pin + both screening budgets + the admission gate. */
+  private[graft] final case class FrameManifest(
+      frames: Int, maxHamming: Int, minContainment: Double,
+      lastBatchId: Long = -1L)
+
+  private def encodeManifest(m: FrameManifest): String =
+    s"""{"frames_v":${m.frames},"max_hamming":${m.maxHamming},""" +
+      s""""min_containment":${m.minContainment},""" +
+      s""""last_batch_id":${m.lastBatchId}}"""
+
+  private def decodeManifest(s: String): FrameManifest = {
+    def raw(k: String): String = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"frame-index manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim
+    }
+    FrameManifest(raw("frames_v").toInt, raw("max_hamming").toInt,
+      raw("min_containment").toDouble, raw("last_batch_id").toLong)
+  }
+
+  private[graft] def readManifest(
+      store: TableStore, name: String): Option[(FrameManifest, Int)] =
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
+    }
+
+  private def requireManifest(store: TableStore, name: String): (FrameManifest, Int) =
+    readManifest(store, name).getOrElse(throw new IllegalStateException(
+      s"frame index $name has no manifest — build it first"))
+
+  private def commitManifest(
+      store: TableStore, name: String, m: FrameManifest, expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
+
+  private def withLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "frame", name)(body)
+
+  private def frameShape(frames: DataFrame): DataFrame = {
+    val Seq(idc, framec, sigc) = frames.columns.take(3).toSeq
+    frames.select(col(idc).as("id"), col(framec).cast("int").as("frame"),
+      col(sigc).cast("long").as("sig"))
+  }
+
+  // ------------------------------------------------------------------ build
+
+  /** Persist `(id, frame, sig)` rows (first three columns, any names)
+    * and the screening budgets. Rebuilding replaces the corpus; the
+    * admission gate survives, as in every family here. */
+  def build(
+      frames: DataFrame,
+      maxHamming: Int,
+      minContainment: Double,
+      store: TableStore,
+      name: String): Unit = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) =>
+          OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames) }
+        val fv = store.write(frameShape(frames), framesTable(name))
+        commitManifest(store, name,
+          FrameManifest(fv, maxHamming, minContainment,
+            prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+      }
+    }
+  }
+
+  /** The indexed `(id, frame, sig)` corpus (manifest-pinned read). */
+  def frames(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    store.snapshotAt(spark, framesTable(name), m.frames)
+  }
+
+  /** The index's per-frame hamming budget, as persisted. */
+  def maxHamming(store: TableStore, name: String): Int =
+    requireManifest(store, name)._1.maxHamming
+
+  /** The index's containment threshold, as persisted. */
+  def minContainment(store: TableStore, name: String): Double =
+    requireManifest(store, name)._1.minContainment
+
+  // ---------------------------------------------------------- append/remove
+
+  /** Fold a frame batch into committed state — INSERT-ONLY by VIDEO id
+    * (a re-sent id is a no-op for ALL its frames: frame sets are
+    * atomic per item, never merged across deliveries), O(batch) linked
+    * member commit, one manifest swap. */
+  def append(
+      spark: SparkSession,
+      frames: DataFrame,
+      store: TableStore,
+      name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, frames, store, name, None)
+      }
+      ()
+    }
+
+  private def appendStamped(
+      spark: SparkSession, frames: DataFrame,
+      store: TableStore, name: String, stamp: Option[Long],
+      screenFirst: Boolean = false,
+      maxBucketSize: Int = 200): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
+    val stored = store.snapshotAt(spark, framesTable(name), m.frames)
+    // the screen-then-admit fold: drop batch videos CONTAINED in the
+    // stored corpus (the persisted budgets), admit the rest whole —
+    // both halves read the SAME pinned stored version, so the loop is
+    // one atomic decision
+    val batch0 = frameShape(frames)
+    val batch =
+      if (!screenFirst) batch0
+      else {
+        implicit val scope: CacheScope = new CacheScope
+        try {
+          val dup = Dedup.videoContainmentAgainst(batch0, stored,
+              m.maxHamming, m.minContainment, maxBucketSize)
+            .select(col("batch_id").as("id")).distinct()
+          // materialize the survivor list before the scope's pins release
+          val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          novel.count()
+          novel
+        } finally scope.release()
+      }
+    try {
+      val fresh = batch
+        .join(stored.select(col("id")), Seq("id"), "left_anti")
+        // at most one signature per (id, frame): a batch carrying a
+        // frame twice (two staged files in one trigger) indexes the
+        // smallest sig — deterministic under any partitioning (the
+        // PerceptualIndex.appendStamped canonicalization)
+        .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
+      val fv = OverlayLock.appendOrCompact(store, framesTable(name), m.frames,
+        stored, fresh)
+      commitManifest(store, name,
+        m.copy(frames = fv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+      true
+    } finally if (screenFirst) batch.unpersist()
+  }
+
+  /** Takedown: next frames version without ANY frame of the given ids —
+    * after removal an arrival contained only in the removed videos is
+    * admitted again (the screen's memory genuinely forgets). Returns
+    * VIDEOS removed (not frame rows). */
+  def remove(
+      spark: SparkSession,
+      ids: DataFrame,
+      store: TableStore,
+      name: String): Long =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
+        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        val stored = store.snapshotAt(spark, framesTable(name), m.frames)
+        val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
+        val before = stored.select(col("id")).distinct().count()
+        val keptN = kept.select(col("id")).distinct().count()
+        val fv = store.write(kept, framesTable(name), Some(m.frames))
+        commitManifest(store, name, m.copy(frames = fv), Some(mv))
+        before - keptN
+      }
+    }
+
+  // --------------------------------------------------------------- admission
+
+  /** Exactly-once micro-batch admission ([[CorpusProfile.admitBatch]]'s
+    * gate): the frames advance and the batchId record are one atomic
+    * swap. Returns true when folded, false when replayed. */
+  def admitBatch(
+      spark: SparkSession,
+      frames: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, frames, store, name, Some(batchId))
+      }
+    }
+
+  /** The video admission loop as ONE exactly-once fold
+    * ([[PerceptualIndex.admitNovelBatch]] with containment as the
+    * rejection rule): SCREEN the batch's videos against committed state
+    * — an arrival whose frame-containment against ANY stored video
+    * reaches the persisted `min_containment` is rejected whole — admit
+    * every frame of the rest, record the batchId, one swap. The stored
+    * set EVOLVES between drains: a clip cut from a video admitted two
+    * drains ago is rejected BY that admission. In-batch containment
+    * between arrivals is not screened (the [[PerceptualIndex]] hole,
+    * same rationale). Returns true when folded, false on replay. */
+  def admitNovelBatch(
+      spark: SparkSession,
+      frames: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, frames, store, name, Some(batchId),
+          screenFirst = true, maxBucketSize = maxBucketSize)
+      }
+    }
+
+  /** [[admitNovelBatch]] as a live sink — the managed video admission
+    * loop. `availableNow = true` (default) drains and stops. */
+  def admitNovelStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitNovelBatch(batch.sparkSession, batch, batchId, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
+  /** Streaming admission without the screen (insert-only gated folds). */
+  def admitStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, batchId, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
+  /** Admission screen, served from committed state: per (arriving
+    * video, stored video), the arrival-side containment at the INDEX'S
+    * persisted budgets — [[Dedup.videoContainmentAgainst]] with the
+    * manifest's parameters, the stored side a pinned 8-byte-per-frame
+    * read. Callers aggregate to an admit/reject flag (q140's tail).
+    *
+    * @return (batch_id, stored_id, n_frames_batch, n_matched,
+    *         containment ≥ stored min_containment) */
+  def screen(
+      spark: SparkSession,
+      batchFrames: DataFrame,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    Dedup.videoContainmentAgainst(
+      frameShape(batchFrames),
+      store.snapshotAt(spark, framesTable(name), m.frames),
+      m.maxHamming, m.minContainment, maxBucketSize)
+  }
+}

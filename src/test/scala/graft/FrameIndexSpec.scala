@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CacheScope, Dedup, FrameIndex, TableStore}
+
+/** The managed FRAME-signature store (VERDICT r15 #2): the video
+  * admission loop run managed — build / append / remove / screen under
+  * manifest discipline with BOTH budgets (per-frame hamming, per-video
+  * containment) pinned, the exactly-once streamed admission gate, and
+  * canonicity — screening from committed state must equal the ad-hoc
+  * [[Dedup.videoContainmentAgainst]] over the same frames with the
+  * persisted budgets. */
+class FrameIndexSpec extends SparkSpec {
+
+  /** Deterministic well-separated per-frame signatures: distinct high
+    * bits per (group, frame), low bits for within-frame perturbation —
+    * cross-(group, frame) hammings sit near 32, far over any budget. */
+  private def sig(group: Int, frame: Int, perturb: Int = 0): Long =
+    (0x9E3779B97F4A7C15L * (group * 31 + frame * 7 + 1)) & ~0x3FL |
+      (perturb.toLong & 0x3FL)
+
+  private def frameDf(rows: Seq[(Long, Int, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "frame", "sig")
+  }
+
+  /** A 4-frame video per group, id = group * 10. */
+  private def video(g: Int, id: Long = -1L, perturb: Int = 0) =
+    (0 until 4).map(f =>
+      (if (id >= 0) id else g * 10L, f, sig(g, f, perturb)))
+
+  private def stored(n: Int) = frameDf((0 until n).flatMap(video(_)))
+
+  test("screen from committed state ≡ ad-hoc videoContainmentAgainst with the stored budgets") {
+    val store = new TableStore(tmpDir("frame-canon"))
+    FrameIndex.build(stored(20), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    assert(FrameIndex.maxHamming(store, "vid") === 6)
+    assert(FrameIndex.minContainment(store, "vid") === 0.99)
+    // arrivals: a perturbed FULL copy of video 2 (4/4 frames within
+    // budget -> contained), a 2-frame CLIP cut from video 3 (2/2 ->
+    // contained), a PARTIAL overlap (2 frames of video 4 + 2 novel ->
+    // 0.5, admits), and a fully novel video
+    val batch = frameDf(
+      video(2, id = 900L, perturb = 3) ++
+        Seq((901L, 0, sig(3, 1, 1)), (901L, 1, sig(3, 2, 2))) ++
+        (Seq((902L, 0, sig(4, 0, 1)), (902L, 1, sig(4, 1, 1)),
+          (902L, 2, sig(70, 0)), (902L, 3, sig(70, 1)))) ++
+        video(80, id = 903L))
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      val served = FrameIndex.screen(spark, batch, store, "vid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adhoc = Dedup.videoContainmentAgainst(
+          batch, FrameIndex.frames(spark, store, "vid"),
+          maxHamming = 6, minContainment = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served === adhoc)
+      assert(served === Set((900L, 20L), (901L, 30L)),
+        "full copy and cut clip are contained; partial overlap and novel admit")
+    } finally scope.release()
+  }
+
+  test("append is insert-only by VIDEO id; in-batch duplicate (id, frame) folds once") {
+    val store = new TableStore(tmpDir("frame-append"))
+    FrameIndex.build(stored(10), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    // a re-sent stored id with DIFFERENT frames must be a no-op whole;
+    // a new id carrying frame 0 twice keeps the smallest sig
+    FrameIndex.append(spark, frameDf(
+      video(99, id = 0L) ++
+        Seq((500L, 0, 7L), (500L, 0, 3L), (500L, 1, sig(60, 1)))),
+      store, "vid")
+    val rows = FrameIndex.frames(spark, store, "vid")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(rows.count(_._1._1 == 0L) === 4, "stored video keeps its frame set")
+    assert(rows((0L, 0)) === sig(0, 0), "insert-only: stored frames unchanged")
+    assert(rows((500L, 0)) === 3L, "duplicate in-batch frame folds to the smallest sig")
+    assert(rows.count(_._1._1 == 500L) === 2)
+  }
+
+  test("remove forgets ALL frames of an id: a clip of a removed video admits again") {
+    val store = new TableStore(tmpDir("frame-remove"))
+    FrameIndex.build(stored(10), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    val clip = frameDf(Seq((900L, 0, sig(2, 0, 1)), (900L, 1, sig(2, 1, 1))))
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      assert(FrameIndex.screen(spark, clip, store, "vid").count() === 1,
+        "clip cut from stored video 2 is caught")
+      val s = spark; import s.implicits._
+      assert(FrameIndex.remove(spark, Seq(20L).toDF("id"), store, "vid") === 1L)
+      assert(FrameIndex.frames(spark, store, "vid")
+        .filter(col("id") === 20L).count() === 0, "every frame of the id is gone")
+      assert(FrameIndex.screen(spark, clip, store, "vid").count() === 0,
+        "after takedown the screen's memory genuinely forgets")
+    } finally scope.release()
+  }
+
+  /** Fails the NEXT commit of one named table — the crash window between
+    * the member commit and the manifest swap. */
+  private class CrashStore(root: String) extends TableStore(root) {
+    @volatile var failTable: Option[String] = None
+    override def appendRows(rows: org.apache.spark.sql.DataFrame,
+        name: String, expected: Int): Int = {
+      if (failTable.contains(name))
+        throw new RuntimeException(s"injected crash on $name commit")
+      super.appendRows(rows, name, expected)
+    }
+  }
+
+  test("admission gate: replay refused; crash mid-fold invisible; redelivery folds once") {
+    val store = new CrashStore(tmpDir("frame-adm"))
+    FrameIndex.build(stored(10), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    val b0 = frameDf(video(50, id = 200L) ++ video(51, id = 210L))
+    assert(FrameIndex.admitBatch(spark, b0, 0L, store, "vid"), "first batch folds")
+    assert(!FrameIndex.admitBatch(spark, b0, 0L, store, "vid"), "replay refused")
+    assert(FrameIndex.frames(spark, store, "vid").count() === 48)
+    val b1 = frameDf(video(52, id = 220L))
+    store.failTable = Some("vid_frames")
+    intercept[RuntimeException] {
+      FrameIndex.admitBatch(spark, b1, 1L, store, "vid")
+    }
+    store.failTable = None
+    assert(FrameIndex.frames(spark, store, "vid").count() === 48,
+      "crashed fold is invisible (manifest-pinned read ignores the orphan)")
+    assert(FrameIndex.admitBatch(spark, b1, 1L, store, "vid"),
+      "redelivered batch folds exactly once")
+    assert(FrameIndex.frames(spark, store, "vid").count() === 52)
+  }
+
+  test("admitNovelBatch: containment screen with EVOLVING state; replay refused") {
+    val store = new TableStore(tmpDir("frame-novel"))
+    FrameIndex.build(stored(5), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    // drain 0: a clip cut from seed video 2 (rejected) + a novel video
+    assert(FrameIndex.admitNovelBatch(spark, frameDf(
+      Seq((900L, 0, sig(2, 0, 1)), (900L, 1, sig(2, 1, 1))) ++
+        video(60, id = 901L)), 0L, store, "vid"))
+    val ids0 = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(ids0 === (0 until 5).map(_ * 10L).toSet + 901L,
+      "the seed clip is screened out; the novel video admits")
+    // drain 1: a re-encode (perturbed full copy) of drain 0's admission
+    // — rejected BY that admission, the evolving-state property — plus
+    // a partial overlap of it (2 shared + 2 novel frames), which admits
+    assert(FrameIndex.admitNovelBatch(spark, frameDf(
+      video(60, id = 910L, perturb = 2) ++
+        Seq((911L, 0, sig(60, 0, 3)), (911L, 1, sig(60, 1, 3)),
+          (911L, 2, sig(75, 0)), (911L, 3, sig(75, 1)))), 1L, store, "vid"))
+    val ids1 = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids1.contains(910L),
+      "a copy of an EARLIER DRAIN's admission is rejected by that admission")
+    assert(ids1.contains(911L), "partial overlap admits — new content never blocked")
+    // replayed batchId: refused without touching state
+    assert(!FrameIndex.admitNovelBatch(spark,
+      frameDf(video(90, id = 990L)), 1L, store, "vid"))
+    assert(FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet === ids1)
+  }
+
+  test("streamed screen-then-admit drains ≡ the same folds as batch calls") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("frame-stream")
+    val store = new TableStore(s"$root/idx")
+    FrameIndex.build(stored(5), maxHamming = 6, minContainment = 0.99,
+      store, "vid")
+    // three staged drains: novel / clip-of-drain-1-admission / novel
+    val drains = Seq(
+      frameDf(video(61, id = 300L)),
+      frameDf(Seq((310L, 0, sig(61, 0, 1)), (310L, 1, sig(61, 1, 1))) ++
+        video(62, id = 311L)),
+      frameDf(video(63, id = 320L)))
+    val stageDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "stage"))
+    drains.zipWithIndex.foreach { case (d, k) =>
+      val part = s"$root/_p$k"
+      d.coalesce(1).write.mode("overwrite").parquet(part)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+      try f.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+      } finally f.close()
+    }
+    val schema = spark.read.parquet(stageDir.toString).schema
+    FrameIndex.admitNovelStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString),
+      store, "vid", s"$root/chk").awaitTermination()
+    val got = FrameIndex.frames(spark, store, "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val clean = new TableStore(tmpDir("frame-stream-clean"))
+    FrameIndex.build(stored(5), maxHamming = 6, minContainment = 0.99,
+      clean, "vid")
+    drains.zipWithIndex.foreach { case (d, k) =>
+      FrameIndex.admitNovelBatch(spark, d, k.toLong, clean, "vid") }
+    val want = FrameIndex.frames(spark, clean, "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want, "drained state ≡ the same screen-then-admit folds")
+    assert(!got.exists(_._1 == 310L), "the clip of drain 1's admission was rejected")
+  }
+}
