@@ -665,6 +665,63 @@ object SparkEntry {
       root
     })
 
+  /** q141's seed + admission-loop stage: the AUDIO member of the managed
+    * admission family — a [[graft.operators.PerceptualIndex]] seeded with
+    * the first 15 groups' spectral fingerprints (budget 7, q135's), and
+    * three staged drains mixing NOVEL bases, EQ'd copies of items in two
+    * provenance classes (copies of the seed, copies of items admitted in
+    * an EARLIER drain — the evolving-state proof), and NYQUIST-FLIPPED
+    * copies — which ADMIT, because the spectral filterbank's odd lags
+    * move every band under the flip (the q135 property, now exercised
+    * inside the managed loop: a contour-hash index would wrongly reject
+    * these as exact duplicates). */
+  private val q141SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q141SeedRoot(s: SparkSession, dir: String): String =
+    q141SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q141seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val fps = graft.operators.Multimodal.spectralFingerprints(
+          spectralAudioCards(s, dir))
+        .withColumn("g", expr("item_id div 10"))
+        .join(seeds, Seq("g"))
+        .select(col("item_id").as("id"), col("sfp").as("sig"),
+          pmod(col("item_id"), lit(10)).cast("int").as("variant"), col("gi"))
+      def slice(v: Int, lo: Int, hi: Int) =
+        fps.filter(col("variant") === v && col("gi").between(lo, hi))
+          .select(col("id"), col("sig"))
+      graft.operators.PerceptualIndex.build(slice(0, 1, 15),
+        maxHamming = 7, store, "sfp_idx")
+      val drains = Seq(
+        slice(0, 16, 20).unionByName(slice(1, 1, 2)),
+        slice(0, 21, 25).unionByName(slice(1, 16, 17))
+          .unionByName(slice(2, 1, 1)),
+        slice(0, 26, 30).unionByName(slice(1, 21, 22))
+          .unionByName(slice(2, 2, 2)))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
     * three parquet files — the live-revision stream. */
@@ -3303,6 +3360,34 @@ object SparkEntry {
         .orderBy(col("video_id"))
     }),
 
+    // ext: THE AUDIO ADMISSION LOOP — q139's exactly-once screen-then-
+    // admit fold for the audio family, over the q135 SPECTRAL chain:
+    // PerceptualIndex is signature-generic, so the same managed loop
+    // (pinned budget, batchId gate, evolving state) serves spectral
+    // fingerprints unchanged. Three drains prove what the family
+    // choice buys: EQ'd copies of seed items AND of earlier-drain
+    // admissions reject, while NYQUIST-FLIPPED copies — which the
+    // energy-contour hash (q132) calls EXACT duplicates — admit,
+    // because the odd-lag filterbank moves every band under the flip.
+    "q141_audio_admission_loop" -> ((s, dir) => {
+      val seedRoot = q141SeedRoot(s, dir)
+      val root = newTmpDir("graft_q141run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PerceptualIndex.admitNovelStream(stream, store, "sfp_idx",
+        s"$root/chk").awaitTermination()
+      val staged = s.read.parquet(s"$seedRoot/stage").select(col("id"))
+      val finalIds = graft.operators.PerceptualIndex
+        .signatures(s, store, "sfp_idx").select(col("id").as("_in_id"))
+      staged.join(finalIds, staged("id") === col("_in_id"), "left")
+        .select(col("id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("admitted"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -5321,6 +5406,98 @@ object SparkEntry {
         |prs AS (
         |  SELECT a_id AS x, b_id AS y FROM ham WHERE hamming <= 6
         |  UNION SELECT b_id, a_id FROM ham WHERE hamming <= 6),
+        |s0 AS (SELECT item_id FROM univ WHERE drain = 0),
+        |a1 AS (SELECT u.item_id FROM univ u WHERE u.drain = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s0 ON p.y = s0.item_id
+        |  WHERE p.x = u.item_id)),
+        |s1 AS (SELECT item_id FROM s0 UNION SELECT item_id FROM a1),
+        |a2 AS (SELECT u.item_id FROM univ u WHERE u.drain = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s1 ON p.y = s1.item_id
+        |  WHERE p.x = u.item_id)),
+        |s2 AS (SELECT item_id FROM s1 UNION SELECT item_id FROM a2),
+        |a3 AS (SELECT u.item_id FROM univ u WHERE u.drain = 3 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s2 ON p.y = s2.item_id
+        |  WHERE p.x = u.item_id)),
+        |adm AS (SELECT item_id FROM a1 UNION
+        |  SELECT item_id FROM a2 UNION SELECT item_id FROM a3)
+        |SELECT u.item_id,
+        |  CASE WHEN adm.item_id IS NOT NULL THEN 1 ELSE 0 END AS admitted
+        |FROM univ u LEFT JOIN adm ON adm.item_id = u.item_id
+        |WHERE u.drain >= 1
+        |ORDER BY u.item_id""".stripMargin,
+
+    // q141 replay: q139's unrolled-reachability pattern over the q135
+    // SPECTRAL chain — the sample synthesis (base / integer treble
+    // shelf / Nyquist flip), odd-lag filterbank energies, double-
+    // difference bits, hamming pairs ONCE over the seed ∪ staged
+    // universe (the engine's per-drain hot caps are vacuous: 63 items
+    // < the 200 cap), then the 3-drain admission sequence as set
+    // logic. The flips admit — their pairs list is empty at budget 7.
+    "q141_audio_admission_loop" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30)),
+        |univ AS (
+        |  SELECT s.g, s.gi, m.variant, m.drain, s.g * 10 + m.variant AS item_id
+        |  FROM seeds s JOIN (VALUES
+        |    (0, 0, 1, 15),
+        |    (0, 1, 16, 20), (1, 1, 1, 2),
+        |    (0, 2, 21, 25), (1, 2, 16, 17), (2, 2, 1, 1),
+        |    (0, 3, 26, 30), (1, 3, 21, 22), (2, 3, 2, 2)
+        |  ) m(variant, drain, lo, hi) ON s.gi BETWEEN m.lo AND m.hi),
+        |base AS (
+        |  SELECT item_id, variant, i.i,
+        |    ((((g*131 + i.i*17 + 7) % 65536)
+        |      * ((g*131 + i.i*17 + 7) % 65536)) // 256) % 256 AS b
+        |  FROM univ, range(0, 1040) i(i)),
+        |samp AS (
+        |  SELECT a.item_id, a.i,
+        |    CASE WHEN a.variant = 1 THEN
+        |      CASE WHEN a.i = 0 THEN a.b ELSE a.b + ((a.b - p.b) // 4) END
+        |    WHEN a.variant = 2 THEN
+        |      CASE WHEN a.i % 2 = 1 THEN -a.b ELSE a.b END
+        |    ELSE a.b END AS s
+        |  FROM base a LEFT JOIN base p
+        |    ON p.item_id = a.item_id AND p.i = a.i - 1),
+        |lagd AS (
+        |  SELECT a.item_id, lg.band, a.i, abs(a.s - p.s) AS d
+        |  FROM samp a
+        |  JOIN (VALUES (0, 1), (1, 3), (2, 5), (3, 9), (4, 17)) lg(band, lag)
+        |    ON true
+        |  JOIN samp p ON p.item_id = a.item_id AND p.i = a.i - lg.lag),
+        |energy AS (
+        |  SELECT item_id, band, CAST(i * 17 // 1040 AS INT) AS t, sum(d) AS e
+        |  FROM lagd GROUP BY item_id, band, t),
+        |sigbits AS (
+        |  SELECT e1.item_id, CAST((e1.t - 1) * 4 + e1.band AS INT) AS b,
+        |    CASE WHEN (e1.e - e2.e) - (p1.e - p2.e) > 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM energy e1
+        |  JOIN energy e2 ON e2.item_id = e1.item_id AND e2.t = e1.t
+        |    AND e2.band = e1.band + 1
+        |  JOIN energy p1 ON p1.item_id = e1.item_id AND p1.t = e1.t - 1
+        |    AND p1.band = e1.band
+        |  JOIN energy p2 ON p2.item_id = e1.item_id AND p2.t = e1.t - 1
+        |    AND p2.band = e1.band + 1
+        |  WHERE e1.t >= 1 AND e1.band < 4),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 8 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 8)) AS BIGINT) AS value
+        |  FROM sigbits GROUP BY item_id, chunk),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.value = b.value
+        |      AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |prs AS (
+        |  SELECT a_id AS x, b_id AS y FROM ham WHERE hamming <= 7
+        |  UNION SELECT b_id, a_id FROM ham WHERE hamming <= 7),
         |s0 AS (SELECT item_id FROM univ WHERE drain = 0),
         |a1 AS (SELECT u.item_id FROM univ u WHERE u.drain = 1 AND NOT EXISTS (
         |  SELECT 1 FROM prs p JOIN s0 ON p.y = s0.item_id
