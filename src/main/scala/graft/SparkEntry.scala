@@ -722,6 +722,65 @@ object SparkEntry {
       root
     })
 
+  /** q142's seed + keeper-admission stage: a QUALITY-carrying perceptual
+    * index (REAL decoded width×height as the score, the q137 RefinedWeb
+    * rule) built over the first 20 groups' bases, and three staged
+    * drains driving the replace-if-better fold: 3× upscales of stored
+    * items (better — replace), perturbed copies of stored items (worse
+    * — reject), upscales of EARLIER-DRAIN admissions (replace, the
+    * evolving-state proof), and an equal-quality perturbed copy (tie —
+    * the incumbent keeps). */
+  private val q142SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q142SeedRoot(s: SparkSession, dir: String): String =
+    q142SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q142seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val cards = perceptualCards(s, dir, 30, Seq(0, 1, 2))
+      val feats = graft.operators.Multimodal.extractFeatures(
+          cards, new graft.operators.Multimodal.PixelDecoder()).toDF()
+        .select(col("item_id"),
+          (col("width").cast("long") * col("height")).cast("double").as("q"))
+      val fps = graft.operators.Multimodal.dHashes(cards)
+        .join(feats, Seq("item_id"))
+        .withColumn("g", expr("item_id div 10"))
+        .join(seeds, Seq("g"))
+        .select(col("item_id").as("id"), col("dhash").as("sig"), col("q"),
+          pmod(col("item_id"), lit(10)).cast("int").as("variant"), col("gi"))
+      def slice(v: Int, lo: Int, hi: Int) =
+        fps.filter(col("variant") === v && col("gi").between(lo, hi))
+          .select(col("id"), col("sig"), col("q"))
+      graft.operators.PerceptualIndex.buildWithQuality(slice(0, 1, 20),
+        maxHamming = 6, store, "keep_idx")
+      val drains = Seq(
+        slice(1, 1, 3).unionByName(slice(0, 21, 25)),
+        slice(2, 1, 3).unionByName(slice(1, 21, 22)),
+        slice(2, 21, 22).unionByName(slice(0, 26, 30))
+          .unionByName(slice(2, 10, 10)))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
     * three parquet files — the live-revision stream. */
@@ -3388,6 +3447,42 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: KEEPER-AWARE ADMISSION — q137's keeper rule composed with
+    // q139's loop in ONE exactly-once fold (admitKeepBestStream): an
+    // arrival matching stored items within the budget REPLACES them
+    // when its REAL decoded width×height is strictly higher (the
+    // RefinedWeb pixels rule applied at the gate), rejects otherwise —
+    // ties keep the incumbent; removals, admissions and the batchId
+    // publish in one swap. Before this, replace-if-better needed a
+    // manual remove + admit: two commit points and a reader-visible
+    // window. Output = final index membership over the whole universe:
+    // replaced seed bases read 0, their upscale replacements 1.
+    "q142_image_keeper_admission" -> ((s, dir) => {
+      val seedRoot = q142SeedRoot(s, dir)
+      val root = newTmpDir("graft_q142run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.PerceptualIndex.admitKeepBestStream(stream, store,
+        "keep_idx", s"$root/chk").awaitTermination()
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val seedIds = seeds.filter(col("gi") <= 20).select((col("g") * 10).as("id"))
+      val universe = seedIds
+        .unionByName(s.read.parquet(s"$seedRoot/stage").select(col("id")))
+        .distinct()
+      val finalIds = graft.operators.PerceptualIndex
+        .signatures(s, store, "keep_idx").select(col("id").as("_in_id"))
+      universe.join(finalIds, universe("id") === col("_in_id"), "left")
+        .select(col("id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("stored"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -5516,6 +5611,94 @@ object SparkEntry {
         |  CASE WHEN adm.item_id IS NOT NULL THEN 1 ELSE 0 END AS admitted
         |FROM univ u LEFT JOIN adm ON adm.item_id = u.item_id
         |WHERE u.drain >= 1
+        |ORDER BY u.item_id""".stripMargin,
+
+    // q142 replay: q139's unroll EXTENDED with quality replacement —
+    // per drain, an arrival admits iff NO matched stored item's pixels
+    // (648 for the 3x upscale, 72 otherwise — the decoded dimensions,
+    // q137's literal-pixels precedent) are >= its own; admitted
+    // arrivals RETIRE every stored item they matched, so
+    // s_k = (s_{k-1} \ replaced_k) ∪ admitted_k. Output = membership
+    // of s_3 over the whole universe.
+    "q142_image_keeper_admission" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30)),
+        |univ AS (
+        |  SELECT s.g, s.gi, m.variant, m.drain, s.g * 10 + m.variant AS item_id,
+        |    CASE WHEN m.variant = 1 THEN 648 ELSE 72 END AS pixels
+        |  FROM seeds s JOIN (VALUES
+        |    (0, 0, 1, 20),
+        |    (1, 1, 1, 3), (0, 1, 21, 25),
+        |    (2, 2, 1, 3), (1, 2, 21, 22),
+        |    (2, 3, 21, 22), (0, 3, 26, 30), (2, 3, 10, 10)
+        |  ) m(variant, drain, lo, hi) ON s.gi BETWEEN m.lo AND m.hi),
+        |grid AS (
+        |  SELECT item_id, gx.gx, gy.gy,
+        |    CASE WHEN variant = 2
+        |      THEN (((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM univ, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.item_id, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.item_id = a.item_id AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT item_id, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY item_id, chunk),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS a_id, b.item_id AS b_id
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.value = b.value
+        |      AND a.item_id < b.item_id),
+        |ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.item_id = c.a_id
+        |  JOIN sigbits sb ON sb.item_id = c.b_id AND sb.b = sa.b
+        |  GROUP BY c.a_id, c.b_id),
+        |prs AS (
+        |  SELECT a_id AS x, b_id AS y FROM ham WHERE hamming <= 6
+        |  UNION SELECT b_id, a_id FROM ham WHERE hamming <= 6),
+        |s0 AS (SELECT item_id FROM univ WHERE drain = 0),
+        |a1 AS (SELECT u.item_id FROM univ u WHERE u.drain = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s0 ON p.y = s0.item_id
+        |  JOIN univ w ON w.item_id = p.y
+        |  WHERE p.x = u.item_id AND w.pixels >= u.pixels)),
+        |r1 AS (SELECT s0.item_id FROM s0 WHERE EXISTS (
+        |  SELECT 1 FROM prs p JOIN a1 ON p.x = a1.item_id
+        |  WHERE p.y = s0.item_id)),
+        |s1 AS (SELECT item_id FROM s0 ANTI JOIN r1 USING (item_id)
+        |  UNION SELECT item_id FROM a1),
+        |a2 AS (SELECT u.item_id FROM univ u WHERE u.drain = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s1 ON p.y = s1.item_id
+        |  JOIN univ w ON w.item_id = p.y
+        |  WHERE p.x = u.item_id AND w.pixels >= u.pixels)),
+        |r2 AS (SELECT s1.item_id FROM s1 WHERE EXISTS (
+        |  SELECT 1 FROM prs p JOIN a2 ON p.x = a2.item_id
+        |  WHERE p.y = s1.item_id)),
+        |s2 AS (SELECT item_id FROM s1 ANTI JOIN r2 USING (item_id)
+        |  UNION SELECT item_id FROM a2),
+        |a3 AS (SELECT u.item_id FROM univ u WHERE u.drain = 3 AND NOT EXISTS (
+        |  SELECT 1 FROM prs p JOIN s2 ON p.y = s2.item_id
+        |  JOIN univ w ON w.item_id = p.y
+        |  WHERE p.x = u.item_id AND w.pixels >= u.pixels)),
+        |r3 AS (SELECT s2.item_id FROM s2 WHERE EXISTS (
+        |  SELECT 1 FROM prs p JOIN a3 ON p.x = a3.item_id
+        |  WHERE p.y = s2.item_id)),
+        |s3 AS (SELECT item_id FROM s2 ANTI JOIN r3 USING (item_id)
+        |  UNION SELECT item_id FROM a3)
+        |SELECT u.item_id,
+        |  CASE WHEN s3.item_id IS NOT NULL THEN 1 ELSE 0 END AS stored
+        |FROM univ u LEFT JOIN s3 ON s3.item_id = u.item_id
         |ORDER BY u.item_id""".stripMargin,
 
     // q132 replay: the WAV synthesis arithmetic (the oracle never parses

@@ -46,12 +46,19 @@ object PerceptualIndex {
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
-  /** Sigs pin + the screening budget + the admission gate. */
+  /** Sigs pin + the screening budget + the admission gate. `hasQuality`
+    * marks a KEEPER family ([[buildWithQuality]]): the sigs member
+    * carries a per-item quality column and mutates through
+    * [[admitKeepBestBatch]]'s replace-if-better fold — the two layouts
+    * never mix (plain folds on a quality index, or vice versa, fail
+    * loudly instead of corrupting the member schema). */
   private[graft] final case class PercManifest(
-      sigs: Int, maxHamming: Int, lastBatchId: Long = -1L)
+      sigs: Int, maxHamming: Int, lastBatchId: Long = -1L,
+      hasQuality: Boolean = false)
 
   private def encodeManifest(m: PercManifest): String =
     s"""{"sigs_v":${m.sigs},"max_hamming":${m.maxHamming},""" +
+      s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): PercManifest = {
@@ -62,8 +69,10 @@ object PerceptualIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim.toLong
     }
+    // absent = pre-quality manifest (older persisted index): plain layout
+    val hasQ = s.indexOf("\"has_quality\":") >= 0 && field("has_quality") != 0L
     PercManifest(field("sigs_v").toInt, field("max_hamming").toInt,
-      field("last_batch_id"))
+      field("last_batch_id"), hasQ)
   }
 
   private[graft] def readManifest(
@@ -93,6 +102,24 @@ object PerceptualIndex {
     sigs.select(col(idc).as("id"), col(sigc).cast("long").as("sig"))
   }
 
+  /** `(id, sig, q)` of a quality-carrying frame (first three columns,
+    * any names). */
+  private def sigQualityShape(sigs: DataFrame): DataFrame = {
+    val Seq(idc, sigc, qc) = sigs.columns.take(3).toSeq
+    sigs.select(col(idc).as("id"), col(sigc).cast("long").as("sig"),
+      col(qc).cast("double").as("q"))
+  }
+
+  private def requirePlain(m: PercManifest, name: String, op: String): Unit =
+    require(!m.hasQuality,
+      s"perceptual index $name is a KEEPER family (quality-carrying) — " +
+        s"$op would drop its quality column; use admitKeepBestBatch/Stream")
+
+  private def requireQuality(m: PercManifest, name: String, op: String): Unit =
+    require(m.hasQuality,
+      s"perceptual index $name is a plain family — $op needs a " +
+        "quality-carrying index; build it with buildWithQuality")
+
   // ------------------------------------------------------------------ build
 
   /** Persist `(id, sig)` rows (first two columns, any names) and the
@@ -118,7 +145,35 @@ object PerceptualIndex {
     }
   }
 
-  /** The indexed `(id, sig)` corpus (manifest-pinned read). */
+  /** [[build]] for a KEEPER family: persist `(id, sig, quality)` rows
+    * (first three columns, any names) — the quality score is whatever
+    * the pipeline's keeper rule ranks by (decoded width×height for
+    * images, the q137 RefinedWeb rule) and rides IN the member, so the
+    * replace-if-better fold ([[admitKeepBestBatch]]) compares arrivals
+    * against stored quality without re-decoding anything. */
+  def buildWithQuality(
+      sigs: DataFrame,
+      maxHamming: Int,
+      store: TableStore,
+      name: String): Unit = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) =>
+          OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs) }
+        val sv = store.write(sigQualityShape(sigs), sigsTable(name))
+        commitManifest(store, name,
+          PercManifest(sv, maxHamming,
+            prev.map(_._1.lastBatchId).getOrElse(-1L), hasQuality = true),
+          prev.map(_._2))
+      }
+    }
+  }
+
+  /** The indexed `(id, sig)` corpus — `(id, sig, q)` for a keeper
+    * family (manifest-pinned read). */
   def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
     store.snapshotAt(spark, sigsTable(name), m.sigs)
@@ -149,8 +204,10 @@ object PerceptualIndex {
       spark: SparkSession, sigs: DataFrame,
       store: TableStore, name: String, stamp: Option[Long],
       screenFirst: Boolean = false,
-      maxBucketSize: Int = 200): Boolean = {
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Boolean = {
     val (m, mv) = requireManifest(store, name)
+    requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
     val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
@@ -163,11 +220,22 @@ object PerceptualIndex {
       else {
         implicit val scope: CacheScope = new CacheScope
         try {
-          val dup = Dedup.hammingBandedPairsAgainst(batch0, stored,
+          // opt-in WITHIN-BATCH screen (closes the documented in-batch
+          // hole): a burst of near-copies inside one drain collapses to
+          // its smallest-id member — greedy keeper over the pair graph,
+          // any item within budget of a smaller-id batch item dies —
+          // before the stored-state screen decides the survivors
+          val preDeduped =
+            if (!preDedupBatch) batch0
+            else batch0.join(broadcast(
+                Dedup.hammingBandedPairs(batch0, m.maxHamming, maxBucketSize)
+                  .select(col("b_id").as("id")).distinct()),
+              Seq("id"), "left_anti")
+          val dup = Dedup.hammingBandedPairsAgainst(preDeduped, stored,
               m.maxHamming, maxBucketSize)
             .select(col("batch_id").as("id")).distinct()
           // materialize the survivor list before the scope's pins release
-          val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
+          val novel = preDeduped.join(broadcast(dup), Seq("id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           novel.count()
           novel
@@ -237,11 +305,72 @@ object PerceptualIndex {
     * published by one swap. The stored set EVOLVES between batches: a
     * near-copy of an item admitted two drains ago is rejected by that
     * admission, which the separate screen-then-append calls only get if
-    * the caller sequences them; here the gate enforces it. In-batch
-    * near-dups of EACH OTHER both admit (the screen is against stored
-    * state; pre-dedup a batch with [[Dedup.hammingBandedPairs]] when
-    * that matters). Returns true when folded, false on replay. */
+    * the caller sequences them; here the gate enforces it. By default,
+    * in-batch near-dups of EACH OTHER both admit (the screen is against
+    * stored state); `preDedupBatch = true` opts into a within-batch
+    * screen first — a burst of near-copies of one novel item collapses
+    * to its smallest-id member (greedy keeper over the
+    * [[Dedup.hammingBandedPairs]] graph) before the stored screen runs.
+    * Returns true when folded, false on replay. */
   def admitNovelBatch(
+      spark: SparkSession,
+      sigs: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, sigs, store, name, Some(batchId),
+          screenFirst = true, maxBucketSize = maxBucketSize,
+          preDedupBatch = preDedupBatch)
+      }
+    }
+
+  /** [[admitStream]] with the screen-then-admit fold — the admission
+    * loop as a live sink. `preDedupBatch` as in [[admitNovelBatch]]. */
+  def admitNovelStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true,
+      preDedupBatch: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitNovelBatch(batch.sparkSession, batch, batchId, store, name,
+          preDedupBatch = preDedupBatch)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
+  /** KEEPER-AWARE admission — replace-if-better, the composition of
+    * q137's keeper rule with the admission gate that the separate
+    * operators couldn't give (a manual remove + admit is two commit
+    * points and a reader-visible window): screen the arriving
+    * `(id, sig, quality)` batch against the pinned stored state; an
+    * arrival admits iff it matches NOTHING within the budget (novel) or
+    * its quality STRICTLY exceeds every matched stored item's — and an
+    * admitted arrival REPLACES all its matched stored rows (the
+    * higher-resolution re-crawl of a stored image supersedes it, the
+    * RefinedWeb pixels rule applied at the gate). Worse or equal copies
+    * reject; ties keep the incumbent. Everything — removals, admissions,
+    * the batchId — publishes in ONE swap.
+    *
+    * In-batch id duplicates fold to the (highest-quality, then
+    * smallest-sig) row; in-batch near-dups of each other both admit
+    * (the [[admitNovelBatch]] contract). Cost shape: the screen is the
+    * banded batch-vs-stored join; a drain with NO replacements commits
+    * O(batch) linked rows, a drain with replacements rewrites the sigs
+    * member (8–16 B/item — takedown-class cost, [[remove]]'s precedent;
+    * a tombstone overlay is the upgrade path for replacement-heavy
+    * streams). Returns true when folded, false on replay. */
+  def admitKeepBestBatch(
       spark: SparkSession,
       sigs: DataFrame,
       batchId: Long,
@@ -250,14 +379,84 @@ object PerceptualIndex {
       maxBucketSize: Int = 200): Boolean =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
-        appendStamped(spark, sigs, store, name, Some(batchId),
-          screenFirst = true, maxBucketSize = maxBucketSize)
+        keepBestStamped(spark, sigs, store, name, Some(batchId), maxBucketSize)
       }
     }
 
-  /** [[admitStream]] with the screen-then-admit fold — the admission
-    * loop as a live sink. */
-  def admitNovelStream(
+  /** [[admitKeepBestBatch]] without the gate — the ad-hoc fold. */
+  def keepBest(
+      spark: SparkSession,
+      sigs: DataFrame,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        keepBestStamped(spark, sigs, store, name, None, maxBucketSize)
+      }
+      ()
+    }
+
+  private def keepBestStamped(
+      spark: SparkSession, sigs: DataFrame,
+      store: TableStore, name: String, stamp: Option[Long],
+      maxBucketSize: Int): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    requireQuality(m, name, "a replace-if-better fold")
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+    val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+    implicit val scope: CacheScope = new CacheScope
+    // in-batch id duplicates: highest quality wins, ties to smallest sig
+    // (deterministic under any partitioning)
+    val batch = sigQualityShape(sigs)
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("sig"), col("q")),
+        struct(-col("q"), col("sig"))).as("_w"))
+      .select(col("id"), col("_w.sig").as("sig"), col("_w.q").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every (arrival, stored) pair within the persisted budget, scored
+      val scored = Dedup.hammingBandedPairsAgainst(
+          batch.select(col("id"), col("sig")), stored,
+          m.maxHamming, maxBucketSize)
+        .join(stored.select(col("id").as("stored_id"), col("q").as("_sq")),
+          Seq("stored_id"))
+      // admit iff no match holds quality >= the arrival's
+      val admitted = batch
+        .join(scored.groupBy(col("batch_id")).agg(max(col("_sq")).as("_best"))
+          .withColumnRenamed("batch_id", "id"), Seq("id"), "left")
+        .filter(col("_best").isNull || col("q") > col("_best"))
+        .select(col("id"), col("sig"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // an admitted arrival beat ALL its matches — they all retire
+        val removedIds = scored
+          .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
+            "left_semi")
+          .select(col("stored_id").as("id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sv =
+            if (removedIds.count() == 0)
+              OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
+                stored, admitted)
+            else
+              store.write(
+                stored.join(broadcast(removedIds), Seq("id"), "left_anti")
+                  .unionByName(admitted),
+                sigsTable(name), Some(m.sigs))
+          commitManifest(store, name,
+            m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)),
+            Some(mv))
+          true
+        } finally removedIds.unpersist()
+      } finally admitted.unpersist()
+    } finally { batch.unpersist(); scope.release() }
+  }
+
+  /** [[admitKeepBestBatch]] as a live sink — the keeper admission loop. */
+  def admitKeepBestStream(
       stream: DataFrame,
       store: TableStore,
       name: String,
@@ -266,7 +465,7 @@ object PerceptualIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitNovelBatch(batch.sparkSession, batch, batchId, store, name)
+        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name)
         ()
       }
     (if (availableNow)

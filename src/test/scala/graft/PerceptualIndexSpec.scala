@@ -167,6 +167,134 @@ class PerceptualIndexSpec extends SparkSpec {
       "the batch folded exactly once")
   }
 
+  test("admitNovelBatch preDedupBatch: a burst collapses to its smallest id; disjoint items unaffected") {
+    val store = new TableStore(tmpDir("perc-prededup"))
+    PerceptualIndex.build(stored(5), maxHamming = 6, store, "img")
+    // a burst of three near-copies of one NOVEL item + two disjoint novels
+    val s = spark; import s.implicits._
+    val burst = Seq((700L, sig(80)), (701L, sig(80, 1)), (702L, sig(80, 2)),
+      (710L, sig(81)), (711L, sig(82)))
+    assert(PerceptualIndex.admitNovelBatch(spark, burst.toDF("id", "sig"),
+      0L, store, "img", preDedupBatch = true))
+    val ids = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(700L) && !ids.contains(701L) && !ids.contains(702L),
+      "the burst collapses to one admission — its smallest id")
+    assert(ids.contains(710L) && ids.contains(711L),
+      "disjoint novel items are unaffected by the in-batch screen")
+    // default OFF preserves the q139 contract: both near-dups admit
+    val clean = new TableStore(tmpDir("perc-prededup-off"))
+    PerceptualIndex.build(stored(5), maxHamming = 6, clean, "img")
+    assert(PerceptualIndex.admitNovelBatch(spark,
+      Seq((720L, sig(83)), (721L, sig(83, 1))).toDF("id", "sig"),
+      0L, clean, "img"))
+    val defIds = PerceptualIndex.signatures(spark, clean, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(defIds.contains(720L) && defIds.contains(721L))
+  }
+
+  /** A quality index over groups 0..n-1: id g*10, quality 10.0. */
+  private def qualStored(n: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map(g => (g * 10L, sig(g), 10.0)).toDF("id", "sig", "q")
+  }
+
+  private def qdf(rows: Seq[(Long, Long, Double)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "sig", "q")
+  }
+
+  test("admitKeepBestBatch: better copy replaces in one swap, worse/equal rejects, replay refused") {
+    val store = new TableStore(tmpDir("perc-keeper"))
+    PerceptualIndex.buildWithQuality(qualStored(10), maxHamming = 6, store, "img")
+    // better copy of group 2, worse copy of group 3, EQUAL copy of
+    // group 4 (tie keeps the incumbent), one novel
+    assert(PerceptualIndex.admitKeepBestBatch(spark, qdf(Seq(
+      (900L, sig(2, 1), 50.0), (901L, sig(3, 1), 5.0),
+      (902L, sig(4, 1), 10.0), (903L, sig(60), 7.0))), 0L, store, "img"))
+    val rows = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.contains(900L) && !rows.contains(20L),
+      "the better copy REPLACED its stored match in the same swap")
+    assert(rows(900L) === 50.0)
+    assert(!rows.contains(901L) && rows.contains(30L), "worse copy rejects")
+    assert(!rows.contains(902L) && rows.contains(40L), "equal quality keeps the incumbent")
+    assert(rows.contains(903L), "novel arrivals admit")
+    assert(rows.size === 11)
+    // replay: refused without touching state
+    assert(!PerceptualIndex.admitKeepBestBatch(spark,
+      qdf(Seq((990L, sig(90), 1.0))), 0L, store, "img"))
+    assert(PerceptualIndex.signatures(spark, store, "img").count() === 11)
+    // evolving state: a copy better than 900's quality replaces IT now
+    assert(PerceptualIndex.admitKeepBestBatch(spark,
+      qdf(Seq((910L, sig(2, 2), 80.0))), 1L, store, "img"))
+    val rows2 = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows2.contains(910L) && !rows2.contains(900L),
+      "replace-if-better composes across drains (evolving state)")
+    // in-batch duplicate id: highest quality wins
+    assert(PerceptualIndex.admitKeepBestBatch(spark,
+      qdf(Seq((920L, sig(70), 3.0), (920L, sig(70, 1), 9.0))), 2L, store, "img"))
+    val r920 = PerceptualIndex.signatures(spark, store, "img")
+      .filter(col("id") === 920L).collect()
+    assert(r920.length === 1 && r920.head.getDouble(2) === 9.0)
+  }
+
+  test("layout guards: plain folds refuse a keeper index and vice versa") {
+    val store = new TableStore(tmpDir("perc-guard"))
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException] {
+      PerceptualIndex.append(spark, Seq((900L, sig(50))).toDF("id", "sig"),
+        store, "img")
+    }
+    val plain = new TableStore(tmpDir("perc-guard-plain"))
+    PerceptualIndex.build(stored(5), maxHamming = 6, plain, "img")
+    intercept[IllegalArgumentException] {
+      PerceptualIndex.admitKeepBestBatch(spark,
+        qdf(Seq((900L, sig(50), 1.0))), 0L, plain, "img")
+    }
+  }
+
+  test("streamed keeper drains ≡ the same admitKeepBestBatch folds") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("perc-keeper-stream")
+    val store = new TableStore(s"$root/idx")
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
+    val drains = Seq(
+      qdf(Seq((300L, sig(2, 1), 50.0), (301L, sig(61), 4.0))),
+      qdf(Seq((310L, sig(2, 3), 20.0))), // worse than 300's 50 — rejects
+      qdf(Seq((320L, sig(2, 4), 90.0)))) // better than 300 — replaces it
+    val stageDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "stage"))
+    drains.zipWithIndex.foreach { case (d, k) =>
+      val part = s"$root/_p$k"
+      d.coalesce(1).write.mode("overwrite").parquet(part)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+      try f.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+      } finally f.close()
+    }
+    val schema = spark.read.parquet(stageDir.toString).schema
+    PerceptualIndex.admitKeepBestStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString),
+      store, "img", s"$root/chk").awaitTermination()
+    val got = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val clean = new TableStore(tmpDir("perc-keeper-clean"))
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, clean, "img")
+    drains.zipWithIndex.foreach { case (d, k) =>
+      PerceptualIndex.admitKeepBestBatch(spark, d, k.toLong, clean, "img") }
+    val want = PerceptualIndex.signatures(spark, clean, "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want, "drained keeper state ≡ the same gated folds")
+    assert(got.exists(_._1 == 320L) && !got.exists(_._1 == 300L) &&
+      !got.exists(_._1 == 310L) && !got.exists(_._1 == 20L),
+      "the chain of replacements lands on the final best copy")
+  }
+
   test("streamed admission drains to the same committed state as one batch append") {
     val s = spark; import s.implicits._
     val root = tmpDir("perc-stream")
