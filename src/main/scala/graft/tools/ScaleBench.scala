@@ -121,6 +121,92 @@ object ScaleUp {
   }
 }
 
+/** Fixed-batch revision probe (VERDICT r15 #8): the q126/q127 decade
+  * slopes scale the revision batch WITH the corpus, so they cannot see
+  * a per-drain corpus-proportional term (the r14 lesson — a drain cost
+  * ∝ corpus hides inside a slope whose numerator and denominator both
+  * grew). This probe holds the revision batch CONSTANT (64 documents /
+  * 64 vectors) while the corpus decades, builds each index family at
+  * both sizes (the lexical docs tier bucketed under the constant-
+  * bucket-bytes rule: `docBuckets` ×factor at the scaled dir), upserts
+  * the SAME batch, and reports `drift = t_scaled / t_base` per family —
+  * flat (≈1) means the drain does NO corpus-proportional work. Before
+  * r16's bucketed docs tier the lexical drain read the full postings
+  * tier here and measured ∝ corpus; COVERAGE.md records the numbers.
+  *
+  * `runMain graft.tools.RevisionProbe <baseSfDir> <scaledDir> <factor>`
+  * (sf0.01 → sf0.1 is a real decade — no ScaleUp replica needed). */
+object RevisionProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: RevisionProbe <baseSfDir> <scaledDir> <factor>")
+    val Array(base, scaled, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{CacheScope, IvfIndex, PostingsIndex, TableStore}
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    /** (lexical drain sec, vector drain sec) at `dir` — two measured
+      * passes each (state advances between them; both exercise the full
+      * gated fold), min taken. The builds are fixture, untimed. */
+    def run(dir: String, docBuckets: Int): (Double, Double) = {
+      val docs = graft.sources.FixtureLoader.load(spark, dir, "documents")
+      val emb = graft.sources.FixtureLoader.load(spark, dir, "embeddings")
+      val bmStore = new TableStore(tmp("revprobe-bm"))
+      PostingsIndex.build(docs, "doc_id", "text", bmStore, "bm",
+        docBuckets = docBuckets)
+      // the FIXED batch: the 64 smallest doc ids, revised — identical
+      // rows at both corpus sizes
+      val docBatch = docs.orderBy(col("doc_id")).limit(64)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" revised edition")).as("text"))
+      val tLex = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        PostingsIndex.upsert(spark, docBatch, "doc_id", "text", bmStore, "bm")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val ivfStore = new TableStore(tmp("revprobe-ivf"))
+      locally {
+        implicit val scope: CacheScope = new CacheScope
+        try IvfIndex.build(emb, "vec_id", "embedding",
+          nCells = math.max(4, math.sqrt(emb.count().toDouble).toInt / 2),
+          iterations = 2, ivfStore, "emb")
+        finally scope.release()
+      }
+      val vecBatch = emb.orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id"), col("embedding"))
+      val tVec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        IvfIndex.upsert(spark, vecBatch, "vec_id", "embedding", ivfStore, "emb")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      graft.operators.CacheScope.appLifetime.release()
+      (tLex, tVec)
+    }
+
+    val baseBuckets = 8
+    val (lexB, vecB) = run(base, baseBuckets)
+    val (lexS, vecS) = run(scaled, baseBuckets * factor)
+    val json =
+      s"""{"metric":"revision_drift","factor":$factor,"base":"$base",""" +
+        s""""scaled":"$scaled","batch_rows":64,""" +
+        s""""bm25":{"base_sec":${f"$lexB%.3f"},"scaled_sec":${f"$lexS%.3f"},""" +
+        s""""drift":${f"${lexS / lexB}%.3f"}},""" +
+        s""""ivf":{"base_sec":${f"$vecB%.3f"},"scaled_sec":${f"$vecS%.3f"},""" +
+        s""""drift":${f"${vecS / vecB}%.3f"}},"flag_above":2.0}"""
+    println(json)
+    spark.stop()
+  }
+}
+
 /** Scale-slope measurement over the heavy query family: one decade of
   * ACTUAL scaling data for the operators whose 100 TB arguments are
   * otherwise plan-shape reasoning. Runs each query at the base dir and at
@@ -283,7 +369,18 @@ object ScaleBench {
     // r15: the screen-then-admit loop — constant fixture through three
     // gated drains with evolving stored state; verifies the loop's
     // per-drain screen + O(batch) admission stay wall-flat
-    "q139_image_admission_loop")
+    "q139_image_admission_loop",
+    // r16: the managed video admission loop — constant fixture (30
+    // originals, seed + three screen-then-admit drains); verifies the
+    // containment screen + O(batch) admissions stay wall-flat
+    "q140_video_screen_indexed",
+    // r16: the audio admission loop — constant 90-clip spectral fixture
+    // through three gated drains; the q139 shape on the fourth family
+    "q141_audio_admission_loop",
+    // r16: keeper-aware admission — constant fixture through three
+    // keeper drains; per-drain screen + the replace-if-better fold
+    // (replacement rewrites are of the 8–16 B/item sigs member)
+    "q142_image_keeper_admission")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")
