@@ -43,8 +43,20 @@ import org.apache.spark.sql.functions._
 object PerceptualIndex {
 
   private def sigsTable(name: String) = s"${name}_sigs"
+  // tombstone member (KEEPER families): ids whose base rows are retired by
+  // replace-if-better folds — the read-time subtraction that keeps a
+  // replacement drain from rewriting the whole sigs member (the
+  // [[IvfIndex]]/[[PostingsIndex]] revision-overlay discipline, reduced to
+  // its removal half: replacements INSERT under new ids, so no shadow rows
+  // are needed, only retirements)
+  private def rmTable(name: String) = s"${name}_rm"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
+
+  /** Tombstone-compaction policy — [[IvfIndex.OvlFrac]]'s rationale on
+    * the retired-id set's bytes vs the sigs member's. */
+  private val RmFloorBytes: Long = IvfIndex.OvlFloorBytes
+  private val RmFrac: Double = IvfIndex.OvlFrac
 
   /** Sigs pin + the screening budget + the admission gate. `hasQuality`
     * marks a KEEPER family ([[buildWithQuality]]): the sigs member
@@ -54,11 +66,12 @@ object PerceptualIndex {
     * loudly instead of corrupting the member schema). */
   private[graft] final case class PercManifest(
       sigs: Int, maxHamming: Int, lastBatchId: Long = -1L,
-      hasQuality: Boolean = false)
+      hasQuality: Boolean = false, rmSigs: Option[Int] = None)
 
   private def encodeManifest(m: PercManifest): String =
     s"""{"sigs_v":${m.sigs},"max_hamming":${m.maxHamming},""" +
       s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
+      s""""rm_sigs_v":${m.rmSigs.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): PercManifest = {
@@ -69,10 +82,13 @@ object PerceptualIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim.toLong
     }
-    // absent = pre-quality manifest (older persisted index): plain layout
+    // absent = pre-quality/pre-tombstone manifest (older persisted index)
+    def optAbsent(k: String): Option[Int] =
+      if (s.indexOf("\"" + k + "\":") < 0) None
+      else { val v = field(k); if (v < 0) None else Some(v.toInt) }
     val hasQ = s.indexOf("\"has_quality\":") >= 0 && field("has_quality") != 0L
     PercManifest(field("sigs_v").toInt, field("max_hamming").toInt,
-      field("last_batch_id"), hasQ)
+      field("last_batch_id"), hasQ, optAbsent("rm_sigs_v"))
   }
 
   private[graft] def readManifest(
@@ -96,6 +112,28 @@ object PerceptualIndex {
 
   private def withLock[A](store: TableStore, name: String)(body: => A): A =
     OverlayLock.withLock(store, "perc", name)(body)
+
+  private def rollbackAll(store: TableStore, name: String, m: PercManifest): Unit = {
+    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+    m.rmSigs.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+  }
+
+  /** The SERVED signature corpus: base ∖ tombstoned ids (a keeper fold's
+    * retirements — their base rows stay in the files until the amortized
+    * fold). The tombstone set is compaction-bounded, so it broadcasts
+    * into the anti-join; plain families have no pin and read the base
+    * directly. */
+  private def servedSigsAt(
+      spark: SparkSession, store: TableStore, name: String,
+      m: PercManifest): DataFrame = {
+    val base = store.snapshotAt(spark, sigsTable(name), m.sigs)
+    m.rmSigs match {
+      case None => base
+      case Some(pin) => base.join(broadcast(
+          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
+        Seq("id"), "left_anti")
+    }
+  }
 
   private def sigShape(sigs: DataFrame): DataFrame = {
     val Seq(idc, sigc) = sigs.columns.take(2).toSeq
@@ -135,8 +173,7 @@ object PerceptualIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
-        prev.foreach { case (m, _) =>
-          OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs) }
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
         val sv = store.write(sigShape(sigs), sigsTable(name))
         commitManifest(store, name,
           PercManifest(sv, maxHamming,
@@ -161,8 +198,7 @@ object PerceptualIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
-        prev.foreach { case (m, _) =>
-          OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs) }
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
         val sv = store.write(sigQualityShape(sigs), sigsTable(name))
         commitManifest(store, name,
           PercManifest(sv, maxHamming,
@@ -176,7 +212,7 @@ object PerceptualIndex {
     * family (manifest-pinned read). */
   def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    store.snapshotAt(spark, sigsTable(name), m.sigs)
+    servedSigsAt(spark, store, name, m)
   }
 
   /** The index's screening budget, as persisted. */
@@ -209,8 +245,8 @@ object PerceptualIndex {
     val (m, mv) = requireManifest(store, name)
     requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
-    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
-    val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+    rollbackAll(store, name, m)
+    val stored = servedSigsAt(spark, store, name, m)
     // the screen-then-admit fold: drop batch items within the persisted
     // budget of ANY stored signature, admit the rest — both halves read
     // the SAME pinned stored version, so the loop is one atomic decision
@@ -269,14 +305,17 @@ object PerceptualIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
-        OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+        rollbackAll(store, name, m)
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-        val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+        // the takedown rewrite serves double duty: the SERVED view minus
+        // the dropped ids folds any keeper tombstones into the base, and
+        // the swap clears the pin
+        val stored = servedSigsAt(spark, store, name, m)
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
         val before = stored.count()
         val keptN = kept.count()
         val sv = store.write(kept, sigsTable(name), Some(m.sigs))
-        commitManifest(store, name, m.copy(sigs = sv), Some(mv))
+        commitManifest(store, name, m.copy(sigs = sv, rmSigs = None), Some(mv))
         before - keptN
       }
     }
@@ -363,13 +402,18 @@ object PerceptualIndex {
     * the batchId — publishes in ONE swap.
     *
     * In-batch id duplicates fold to the (highest-quality, then
-    * smallest-sig) row; in-batch near-dups of each other both admit
-    * (the [[admitNovelBatch]] contract). Cost shape: the screen is the
-    * banded batch-vs-stored join; a drain with NO replacements commits
-    * O(batch) linked rows, a drain with replacements rewrites the sigs
-    * member (8–16 B/item — takedown-class cost, [[remove]]'s precedent;
-    * a tombstone overlay is the upgrade path for replacement-heavy
-    * streams). Returns true when folded, false on replay. */
+    * smallest-sig) row; re-sent EXISTING ids are no-ops (the [[append]]
+    * insert-only contract — re-crawls arrive under fresh ids); in-batch
+    * near-dups of each other both admit (the [[admitNovelBatch]]
+    * contract). Cost shape: the screen is the banded batch-vs-stored
+    * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
+    * linked appends to the base, retirements land in the compaction-
+    * bounded tombstone member that every read subtracts
+    * (base ∖ retired ids), and past `max(1 MiB, base/8)` the
+    * tombstones ride the next drain into an amortized base rewrite —
+    * the [[IvfIndex]] revision-overlay discipline reduced to its
+    * removal half, since replacements insert under NEW ids and need no
+    * shadow rows. Returns true when folded, false on replay. */
   def admitKeepBestBatch(
       spark: SparkSession,
       sigs: DataFrame,
@@ -404,12 +448,18 @@ object PerceptualIndex {
     val (m, mv) = requireManifest(store, name)
     requireQuality(m, name, "a replace-if-better fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
-    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
-    val stored = store.snapshotAt(spark, sigsTable(name), m.sigs)
+    rollbackAll(store, name, m)
+    val stored = servedSigsAt(spark, store, name, m)
     implicit val scope: CacheScope = new CacheScope
     // in-batch id duplicates: highest quality wins, ties to smallest sig
-    // (deterministic under any partitioning)
+    // (deterministic under any partitioning); a re-sent EXISTING id is a
+    // no-op whole — the insert-only contract, which also keeps a
+    // tombstoned id from re-entering the base under its own name and
+    // being silently hidden by the subtraction (base ids ⊇ retired ids
+    // until the fold, so one anti-join covers both)
     val batch = sigQualityShape(sigs)
+      .join(store.snapshotAt(spark, sigsTable(name), m.sigs).select(col("id")),
+        Seq("id"), "left_anti")
       .groupBy(col("id"))
       .agg(min_by(struct(col("sig"), col("q")),
         struct(-col("q"), col("sig"))).as("_w"))
@@ -437,17 +487,46 @@ object PerceptualIndex {
           .select(col("stored_id").as("id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val sv =
-            if (removedIds.count() == 0)
-              OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
-                stored, admitted)
-            else
-              store.write(
+          // fold-vs-tombstone on the PRE-batch tombstone size (file-
+          // metadata reads) — the IvfIndex.upsertStamped policy on the
+          // retired-id set
+          val rmFull = m.rmSigs.exists { pin =>
+            store.byteSizeAt(rmTable(name), pin) > math.max(
+              RmFloorBytes.toDouble,
+              RmFrac * store.byteSizeAt(sigsTable(name), m.sigs))
+          }
+          val next =
+            if (rmFull) {
+              // amortized fold: the served view minus this batch's
+              // retirements plus its admissions, tombstone pin cleared
+              val sv = store.write(
                 stored.join(broadcast(removedIds), Seq("id"), "left_anti")
                   .unionByName(admitted),
                 sigsTable(name), Some(m.sigs))
+              m.copy(sigs = sv, rmSigs = None)
+            } else {
+              // O(batch ∪ tombstones): admissions link-append to the
+              // BASE (insert-only ids never collide with retired rows
+              // still in the files), retirements merge into the small
+              // tombstone member
+              val sv = OverlayLock.appendOrCompact(store, sigsTable(name),
+                m.sigs,
+                store.snapshotAt(spark, sigsTable(name), m.sigs), admitted)
+              val rv =
+                if (removedIds.isEmpty) m.rmSigs
+                else Some(m.rmSigs match {
+                  case Some(p) => store.write(
+                    store.snapshotAt(spark, rmTable(name), p)
+                      .select(col("id"))
+                      .unionByName(removedIds).distinct().coalesce(4),
+                    rmTable(name), Some(p))
+                  case None => store.write(removedIds.coalesce(4),
+                    rmTable(name), store.currentVersion(rmTable(name)))
+                })
+              m.copy(sigs = sv, rmSigs = rv)
+            }
           commitManifest(store, name,
-            m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)),
+            next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
             Some(mv))
           true
         } finally removedIds.unpersist()
@@ -508,7 +587,7 @@ object PerceptualIndex {
     val (m, _) = requireManifest(store, name)
     Dedup.hammingBandedPairsAgainst(
       sigShape(batchSigs),
-      store.snapshotAt(spark, sigsTable(name), m.sigs),
+      servedSigsAt(spark, store, name, m),
       m.maxHamming, maxBucketSize)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheScope, IvfIndex, PostingsIndex, PqIndex, TableStore}
+import graft.operators.{CacheScope, IvfIndex, PerceptualIndex, PostingsIndex, PqIndex, TableStore}
 
 /** The revision overlay's cost and semantics contracts (VERDICT r14 #1):
   *
@@ -115,6 +115,108 @@ class OverlaySpec extends SparkSpec {
     assert(bytesB < baseBytes,
       s"a revision batch ($bytesB B) must not rewrite the base tiers ($baseBytes B)")
     assert(m.ovlPostings.isDefined && m.ovlDocs.isDefined)
+  }
+
+  // ------------------------------------------------- keeper tombstones
+
+  private def ksig(g: Int, perturb: Int = 0): Long =
+    (0x9E3779B97F4A7C15L * (g + 1)) & ~0x3FL | (perturb.toLong & 0x3FL)
+
+  private def kdf(gs: Range, perturb: Int = 0, idBase: Long = 0L, q: Double = 10.0) = {
+    val s = spark; import s.implicits._
+    gs.map(g => (idBase + g * 10L, ksig(g, perturb), q)).toDF("id", "sig", "q")
+  }
+
+  /** File keys (inodes) under `root` — hard-linked carries of old part
+    * files share an inode with their source, so measuring NEW inodes
+    * counts genuinely written bytes, not link-reuse of committed ones. */
+  private def inodeKeys(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return Set.empty
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey.toString)
+      .toSet
+    finally w.close()
+  }
+
+  private def bytesNewInodes(before: Set[String], root: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(f => !before.contains(java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey.toString))
+      .map(java.nio.file.Files.size(_)).sum
+    finally w.close()
+  }
+
+  test("keeper replacement drain commits O(batch) bytes — corpus-size-independent") {
+    val small = new TableStore(tmpDir("rm-bytes-s"))
+    val big = new TableStore(tmpDir("rm-bytes-b"))
+    PerceptualIndex.buildWithQuality(kdf(0 until 200), maxHamming = 6, small, "img")
+    PerceptualIndex.buildWithQuality(kdf(0 until 2000), maxHamming = 6, big, "img")
+    // 8 better copies of stored groups 10..17 — every one replaces
+    val batch = kdf(10 until 18, perturb = 1, idBase = 1000000L, q = 99.0)
+    val beforeS = inodeKeys(small.root)
+    assert(PerceptualIndex.admitKeepBestBatch(spark, batch, 0L, small, "img"))
+    val bytesS = bytesNewInodes(beforeS, small.root)
+    val beforeB = inodeKeys(big.root)
+    assert(PerceptualIndex.admitKeepBestBatch(spark, batch, 0L, big, "img"))
+    val bytesB = bytesNewInodes(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the corpus must not move the keeper drain's committed bytes: $bytesS -> $bytesB")
+    val (m, _) = PerceptualIndex.readManifest(big, "img").get
+    assert(m.rmSigs.isDefined, "the retirements landed in the tombstone member")
+    assert(bytesB < big.byteSizeAt("img_sigs", m.sigs),
+      s"a replacement drain ($bytesB B) must not rewrite the sigs member")
+    // served state is the replaced view despite the base keeping old rows
+    val served = PerceptualIndex.signatures(spark, big, "img")
+    assert(served.count() === 2000)
+    assert(served.filter(col("id") === 100L).count() === 0, "replaced id retired")
+    assert(served.filter(col("id") === 1000100L).count() === 1, "replacement serves")
+  }
+
+  test("keeper tombstones fold into the base past the policy bound; served state unmoved") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("rm-fold"))
+    // LONG incompressible string ids (the id column is type-generic —
+    // think crawl URLs/content digests) so 3k retirements clear the
+    // 1 MiB policy floor while the 64-bit band buckets stay cold
+    def rid(g: Int, salt: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 24).map { j =>
+        f"${new java.math.BigInteger(1, md.digest(s"$salt:$g:$j".getBytes)) }%032x"
+      }.mkString
+    }
+    def wide(n: Int, salt: String, q: Double) =
+      (0 until n).map(g => (rid(g, salt), ksig(g), q)).toDF("id", "sig", "q")
+    PerceptualIndex.buildWithQuality(wide(3000, "base", q = 1.0),
+      maxHamming = 6, store, "img")
+    // drain 0: better copies of EVERYTHING — 3k long-id retirements > 1 MiB
+    assert(PerceptualIndex.admitKeepBestBatch(spark,
+      wide(3000, "recrawl", q = 2.0), 0L, store, "img"))
+    val (m1, _) = PerceptualIndex.readManifest(store, "img").get
+    assert(m1.rmSigs.isDefined)
+    assert(store.byteSizeAt("img_rm", m1.rmSigs.get) > (1L << 20),
+      "fixture sized past the policy floor")
+    val servedBefore = PerceptualIndex.signatures(spark, store, "img").count()
+    // drain 1: the PRE-batch tombstones exceed the policy -> this batch
+    // rides the amortized fold; the pin clears, the count moves by one
+    assert(PerceptualIndex.admitKeepBestBatch(spark,
+      Seq((rid(7, "novel"), ksig(500000), 5.0)).toDF("id", "sig", "q"),
+      1L, store, "img"))
+    val (m2, _) = PerceptualIndex.readManifest(store, "img").get
+    assert(m2.rmSigs.isEmpty, "the policy fold clears the tombstone pin")
+    assert(PerceptualIndex.signatures(spark, store, "img").count()
+      === servedBefore + 1)
+    assert(PerceptualIndex.signatures(spark, store, "img")
+      .filter(col("q") === 1.0).count() === 0,
+      "every replaced original is genuinely gone from the folded base")
   }
 
   // -------------------------------------------------- overlay-of-overlay

@@ -240,6 +240,27 @@ class PerceptualIndexSpec extends SparkSpec {
     assert(r920.length === 1 && r920.head.getDouble(2) === 9.0)
   }
 
+  test("keeper admission is insert-only by id: re-sent existing ids are no-ops") {
+    val store = new TableStore(tmpDir("perc-keeper-resend"))
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
+    // a re-sent STORED id (even claiming higher quality) is a no-op —
+    // re-crawls arrive under fresh ids; and after a replacement, the
+    // RETIRED id cannot sneak back into the base under its own name
+    assert(PerceptualIndex.admitKeepBestBatch(spark, qdf(Seq(
+      (20L, sig(2, 1), 99.0), (900L, sig(3, 1), 50.0))), 0L, store, "img"))
+    val rows = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(20L) === 10.0, "re-sent stored id is a no-op")
+    assert(rows.contains(900L) && !rows.contains(30L), "the fresh-id replacement folded")
+    assert(!PerceptualIndex.admitKeepBestBatch(spark,
+      qdf(Seq((30L, sig(3, 2), 99.0))), 0L, store, "img"), "replayed batchId refused")
+    assert(PerceptualIndex.admitKeepBestBatch(spark,
+      qdf(Seq((30L, sig(3, 2), 99.0))), 1L, store, "img"))
+    assert(PerceptualIndex.signatures(spark, store, "img")
+      .filter(col("id") === 30L).count() === 0,
+      "a retired id stays retired — its base row still shadows under the tombstone")
+  }
+
   test("layout guards: plain folds refuse a keeper index and vice versa") {
     val store = new TableStore(tmpDir("perc-guard"))
     PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
