@@ -83,10 +83,22 @@ object PostingsIndex {
     * ([[build]]'s `docBuckets`); the default suits the test SFs. */
   val DocBuckets: Int = 32
 
-  /** The docs tier's recorded bucket layout; a pre-r16 plain layout
-    * upgrades to the default at its next full rewrite. */
+  /** Small batches additionally push their EXACT id set into the scan
+    * (Spark plants it as a parquet In / min-max range filter), so a
+    * key-local revision batch prunes below the bucket level through the
+    * sorted layout's tight row-group stats; past this many distinct ids
+    * the read pushes the batch's min-max RANGE instead (a thousands-
+    * literal In costs more in plan/eval than its pruning buys, and a
+    * wide batch defeats row-group stats anyway). */
+  val MaxIdPushdown: Long = 512L
+
+  /** The docs tier's recorded bucket layout (doc_id-hash buckets, rows
+    * SORTED by doc_id within each written file so keyed predicates
+    * prune at the row-group level); a pre-r16 plain layout upgrades to
+    * the default at its next full rewrite. */
   private def docSpec(store: TableStore, name: String): BucketSpec =
-    store.bucketSpec(docsTable(name)).getOrElse(BucketSpec(DocBuckets, Seq("doc_id")))
+    store.bucketSpec(docsTable(name)).getOrElse(
+      BucketSpec(DocBuckets, Seq("doc_id"), sortCols = Seq("doc_id")))
 
   // ---------------------------------------------------------------- manifest
 
@@ -227,10 +239,15 @@ object PostingsIndex {
   /** SERVED (overlay-merged) docs rows of exactly `batchIds`' ids — ONE
     * bucket-pruned keyed read feeding both the replaced-doc counters and
     * the exact-df subtraction. `touched` is the batch's precomputed
-    * bucket list (None on a plain pre-r16 layout → full scan). */
+    * bucket list (None on a plain pre-r16 layout → full scan);
+    * `idPredicate` is the batch's pushed key predicate (an In set or a
+    * min-max range — superset-safe, so applying it before the semi-join
+    * only prunes), which the sorted-within-bucket layout turns into
+    * parquet row-group skips. */
   private def servedDocsForIds(
       spark: SparkSession, store: TableStore, name: String, m: BmManifest,
-      batchIds: DataFrame, touched: Option[Seq[Int]]): DataFrame = {
+      batchIds: DataFrame, touched: Option[Seq[Int]],
+      idPredicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     val base = touched match {
       case Some(bs) =>
         val raw = store.snapshotRawAt(spark, docsTable(name), m.docs)
@@ -239,7 +256,9 @@ object PostingsIndex {
           .drop("_bucket")
       case None => store.snapshotAt(spark, docsTable(name), m.docs)
     }
-    mergedWithOverlay(spark, store, base, ovlDocsTable(name), m.ovlDocs)
+    mergedWithOverlay(spark, store,
+      idPredicate.map(base.filter).getOrElse(base),
+      ovlDocsTable(name), m.ovlDocs)
       .join(batchIds, Seq("doc_id"), "left_semi")
   }
 
@@ -310,7 +329,7 @@ object PostingsIndex {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val dv = store.writeBucketed(docRowsOf(tok), docsTable(name),
-            BucketSpec(docBuckets, Seq("doc_id")))
+            BucketSpec(docBuckets, Seq("doc_id"), sortCols = Seq("doc_id")))
           val pv = store.write(postingsOf(tok), postingsTable(name))
           // derive df from the COMMITTED postings (a parquet read) so the
           // tokenize+explode chain is never recomputed for the third table
@@ -452,15 +471,30 @@ object PostingsIndex {
       val bucketExpr = store.bucketSpec(docsTable(name)).map(_.bucketColumn)
       val freshStats = fresh.agg(
         count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
-        collect_set(bucketExpr.getOrElse(lit(-1)))).head()
+        collect_set(bucketExpr.getOrElse(lit(-1))),
+        min(col("doc_id")), max(col("doc_id"))).head()
       val (addN, addSdl) = (freshStats.getLong(0), freshStats.getLong(1))
       val touched = bucketExpr.map(_ => freshStats.getSeq[Int](2))
+      // the batch's pushed key predicate: a bounded-collect In set for
+      // small batches (Spark plants it — or its min-max rewrite — in the
+      // parquet scan, where the sorted-within-bucket layout skips row
+      // groups), the min-max range otherwise
+      val idPredicate: Option[org.apache.spark.sql.Column] =
+        if (addN == 0L) Some(lit(false))
+        else if (addN <= MaxIdPushdown)
+          Some(col("doc_id").isin(
+            fresh.select(col("doc_id")).collect().map(_.get(0)).toIndexedSeq: _*))
+        else if (freshStats.isNullAt(3)) None
+        else Some(col("doc_id")
+          .between(lit(freshStats.get(3)), lit(freshStats.get(4))))
       // exact bookkeeping needs the replaced docs' SERVED state: dl for
       // the counters and old DISTINCT terms for the df subtraction —
       // both live in the docs tier's rows, so this is ONE keyed read,
-      // bucket-pruned to the batch's buckets, pinned batch-sized so the
-      // counters and the subtraction don't re-run it
-      val replacedDocs = servedDocsForIds(spark, store, name, m, batchIds, touched)
+      // bucket-pruned to the batch's buckets AND key-predicate-pruned
+      // inside them, pinned batch-sized so the counters and the
+      // subtraction don't re-run it
+      val replacedDocs = servedDocsForIds(spark, store, name, m, batchIds,
+          touched, idPredicate)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
       val (rmN, rmSdl) = docCounters(replacedDocs)

@@ -10,9 +10,30 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, xxhash64}
   * only rewrites the buckets its change batch touches and carries every
   * untouched bucket into the next version as a file-level link — the
   * copy-on-write discipline Delta/Iceberg clustered tables use, rebuilt on
-  * plain parquet. */
-final case class BucketSpec(nBuckets: Int, pks: Seq[String]) {
+  * plain parquet.
+  *
+  * `sortCols` (optional) records a WITHIN-BUCKET sort order that every
+  * writer of the table maintains ([[TableStore.writeBucketed]],
+  * [[TableStore.appendRowsBucketed]], [[TableStore.commitBucketMerge]]):
+  * rows land sorted by these columns inside each written file, so the
+  * parquet row-group min/max statistics are tight and a keyed read that
+  * pushes a predicate on them (`doc_id BETWEEN lo AND hi`, a small `IN`
+  * set) prunes BELOW the bucket level — the Delta Z-order/clustering
+  * idea in its one-dimensional form. */
+final case class BucketSpec(
+    nBuckets: Int, pks: Seq[String], sortCols: Seq[String] = Nil) {
   def bucketColumn: Column = pmod(hash(pks.map(col): _*), lit(nBuckets))
+
+  /** Sort a bucket-partitioned frame for writing: by bucket first (one
+    * file per task-partition stays contiguous), then the declared
+    * within-bucket order. Identity when no sort is declared. */
+  private[graft] def sortedForWrite(df: DataFrame): DataFrame =
+    if (sortCols.isEmpty) df
+    else df.sortWithinPartitions((col("_bucket") +: sortCols.map(col)): _*)
+
+  private[graft] def manifestLine: String =
+    s"buckets=$nBuckets;pks=${pks.mkString(",")}" +
+      (if (sortCols.isEmpty) "" else s";sort=${sortCols.mkString(",")}")
 }
 
 /** Two writers raced the same table version: the loser's commit is refused
@@ -83,7 +104,8 @@ class TableStore(val root: String) {
     manifestLines(name).drop(1).headOption.collect {
       case s if s.startsWith("buckets=") =>
         val parts = s.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-        BucketSpec(parts("buckets").toInt, parts("pks").split(",").toSeq)
+        BucketSpec(parts("buckets").toInt, parts("pks").split(",").toSeq,
+          parts.get("sort").map(_.split(",").toSeq).getOrElse(Nil))
     }
 
   def exists(name: String): Boolean = currentVersion(name).isDefined
@@ -224,8 +246,7 @@ class TableStore(val root: String) {
           s"table $name cannot roll back to pruned version v$version")
       val tmp = tableDir(name).resolve("_current.tmp")
       val body = version.toString + bucketSpec(name)
-        .map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}")
-        .getOrElse("")
+        .map("\n" + _.manifestLine).getOrElse("")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -378,8 +399,8 @@ class TableStore(val root: String) {
     val curDir = versionPath(name, expected)
     val staging = newStaging(name)
     stagingWrite(staging) {
-      rows.withColumn("_bucket", spec.bucketColumn)
-        .repartition(spec.nBuckets, col("_bucket"))
+      spec.sortedForWrite(rows.withColumn("_bucket", spec.bucketColumn)
+          .repartition(spec.nBuckets, col("_bucket")))
         .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
       // carry the old parts AFTER the write (the appendRows rationale:
       // "overwrite" clears pre-existing staging files); part-file names
@@ -425,8 +446,8 @@ class TableStore(val root: String) {
       df: DataFrame, name: String, spec: BucketSpec, expected: Option[Int]): Int = {
     val staging = newStaging(name)
     stagingWrite(staging) {
-      df.withColumn("_bucket", spec.bucketColumn)
-        .repartition(spec.nBuckets, col("_bucket"))
+      spec.sortedForWrite(df.withColumn("_bucket", spec.bucketColumn)
+          .repartition(spec.nBuckets, col("_bucket")))
         .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
     }
     commitStaged(name, expected, staging, Some(spec))
@@ -490,7 +511,7 @@ class TableStore(val root: String) {
         rewritten.repartition(math.max(1, touched.size) * filesPerBucket,
           col("_bucket"), pmod(xxhash64(spec.pks.map(col): _*), lit(filesPerBucket.toLong)))
     stagingWrite(dest) {
-      distributed
+      spec.sortedForWrite(distributed)
         .write.mode("overwrite").partitionBy("_bucket").parquet(dest.toString)
       (0 until spec.nBuckets).filterNot(touched).foreach { b =>
         val src = curDir.resolve(s"_bucket=$b")
@@ -669,7 +690,7 @@ class TableStore(val root: String) {
       Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
       val tmp = tableDir(name).resolve("_current.tmp")
       val body = next.toString +
-        spec.map(s => s"\nbuckets=${s.nBuckets};pks=${s.pks.mkString(",")}").getOrElse("")
+        spec.map("\n" + _.manifestLine).getOrElse("")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, concat, lit}
+
 import graft.operators.{PostingsIndex, TableStore}
 
 /** The revision path's READ cost contract (the companion of
@@ -61,6 +63,44 @@ class PrunedReadSpec extends SparkSpec {
       big.byteSizeAt("bm_docs", m.docs)
     assert(dBig < corpusBytes / 2,
       s"a revision drain ($dBig B) must not scan the corpus tiers ($corpusBytes B)")
+  }
+
+  test("key-local upsert prunes BELOW the bucket level: sorted layout + pushed In set skip row groups") {
+    // force many small row groups per bucket file so the sub-bucket
+    // pruning is observable at test scale (at 100 TB the default 128 MB
+    // groups give the same effect for free)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    try {
+      val store = new TableStore(tmpDir("pruned-rg"))
+      // wide-ish docs so the tier clearly spans many row groups
+      val s = spark; import s.implicits._
+      val docs = (1 to 4000).map(i => (i.toLong,
+        (0 until 40).map(j => s"w${(i * 31 + j * 17) % 7919}").mkString(" ") +
+          s" alpha${i % 13} common")).toDF("doc_id", "text")
+      PostingsIndex.build(docs, "doc_id", "text", store, "bm", docBuckets = 4)
+      val tierBytes = {
+        val (m, _) = PostingsIndex.readManifest(store, "bm").get
+        store.byteSizeAt("bm_docs", m.docs)
+      }
+      // three CONSECUTIVE ids: <= 3 touched buckets, and inside each the
+      // In filter lands on ~1 row group of the doc_id-sorted file
+      val batch = docs.filter(col("doc_id").between(2000, 2002))
+        .select(col("doc_id"), concat(col("text"), lit(" rev")).as("text"))
+      val d = measure(
+        PostingsIndex.upsert(spark, batch, "doc_id", "text", store, "bm"))
+      assert(d > 0)
+      assert(d < tierBytes / 4,
+        s"a 3-doc key-local revision ($d B read) must prune below the " +
+          s"bucket level of the $tierBytes B docs tier (bucket pruning " +
+          "alone would read ~3/4 of it)")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
   }
 
   test("append drain's insert screen reads ∝ batch buckets — flat at 10x corpus") {
