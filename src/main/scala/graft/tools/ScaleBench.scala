@@ -317,10 +317,12 @@ object ScaleBench {
     // broadcast pairing; must be corpus-size-independent (both
     // profile builds are staged per dir, untimed)
     "q125_cross_profile_overlap",
-    // r14: streamed UPSERT admission, both families — per-drain cost is
-    // the replace-rewrite of the corpus-sized tiers (∝ stored size, the
-    // honest cost of revision ingest) + one swap; these measure that
-    // the rewrite scales linearly and nothing densifies
+    // r14 (re-shaped r15/r16): streamed UPSERT admission, both families —
+    // per-drain cost is now O(batch ∪ overlay) committed bytes (revision
+    // overlay) and, on the lexical side, a bucket-pruned keyed read of
+    // the docs tier for the exact-df subtraction; these slopes scale the
+    // batch WITH the corpus (the fixture's %-slices), so the fixed-batch
+    // complement is tools/RevisionProbe (drift 0.81/0.75 at 10×)
     "q126_stream_bm25_upsert", "q127_stream_ivf_upsert",
     // r14: mining through the against-probe IVF path — candidate work is
     // probe-batch-bound (%23 of the corpus) instead of corpus-bound; the
