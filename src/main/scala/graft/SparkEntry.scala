@@ -781,6 +781,70 @@ object SparkEntry {
       root
     })
 
+  /** q143's seed + supersede stage: the video KEEPER loop — a FrameIndex
+    * seeded with 2-frame CLIPS of groups 1–10 (variant 3's shared
+    * frames — each identical to its original's first two frames) plus
+    * FULL originals of groups 11–15, then three staged drains driving
+    * the supersede fold: full originals of clip groups (each SUBSUMES
+    * its stored clip — admit + retire in one swap), perturbed full
+    * copies of stored fulls (mutual containment — reject, incumbent
+    * keeps), a clip of an EARLIER-DRAIN admission (reject, evolving
+    * state), a re-encode of a stored clip (reject; the rejected arrival
+    * retires nothing, so the clip SURVIVES), a variant-3 partial
+    * overlap of a stored full (admit WITHOUT retiring), and novel
+    * fulls. */
+  private val q143SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q143SeedRoot(s: SparkSession, dir: String): String =
+    q143SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q143seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+        .withColumn("g", expr("id div 10"))
+        .withColumn("variant", pmod(col("id"), lit(10)))
+        .join(seeds, Seq("g"))
+      def slice(v: Int, lo: Int, hi: Int, maxFrame: Int = 6) =
+        sigs.filter(col("variant") === v && col("gi").between(lo, hi) &&
+            col("frame") < maxFrame)
+          .select(col("id"), col("frame"), col("sig"))
+      graft.operators.FrameIndex.build(
+        slice(3, 1, 10, maxFrame = 2).unionByName(slice(0, 11, 15)),
+        maxHamming = 6, minContainment = 0.99, store, "sup_idx")
+      val drains = Seq(
+        slice(0, 1, 4).unionByName(slice(0, 16, 16))
+          .unionByName(slice(2, 11, 11)),
+        slice(3, 16, 16, maxFrame = 2).unionByName(slice(0, 5, 7))
+          .unionByName(slice(0, 17, 17)).unionByName(slice(2, 1, 1)),
+        slice(0, 8, 9).unionByName(slice(0, 18, 18))
+          .unionByName(slice(1, 10, 10, maxFrame = 2))
+          .unionByName(slice(3, 12, 12)))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
     * three parquet files — the live-revision stream. */
@@ -3483,6 +3547,48 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: VIDEO SUPERSEDE ADMISSION — the video KEEPER: q142's
+    // replace-if-better fold where "better" is STRUCTURAL containment
+    // (videoContainmentDirected's two Broder denominators) instead of a
+    // quality score: an arriving FULL cut that subsumes a stored CLIP
+    // (stored-side containment ≥ the pinned threshold) admits AND
+    // retires the clip in the same swap; mutual containment (a
+    // re-encode) rejects the arrival first — ties keep the incumbent,
+    // and a rejected arrival retires nothing; partial overlaps admit
+    // without retiring. Three gated drains over the managed FrameIndex;
+    // output = final committed membership over the whole universe,
+    // replayed by the oracle as supersede set logic
+    // (s_k = (s_{k−1} ∖ retired_k) ∪ admitted_k) over the q138 frame
+    // machinery with BOTH directed denominators.
+    "q143_video_supersede_admission" -> ((s, dir) => {
+      val seedRoot = q143SeedRoot(s, dir)
+      val root = newTmpDir("graft_q143run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.FrameIndex.admitSupersedeStream(stream, store, "sup_idx",
+        s"$root/chk").awaitTermination()
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val seedVids = seeds.filter(col("gi").between(1, 10))
+        .select((col("g") * 10 + 3).as("id"))
+        .unionByName(seeds.filter(col("gi").between(11, 15))
+          .select((col("g") * 10).as("id")))
+      val universe = seedVids
+        .unionByName(s.read.parquet(s"$seedRoot/stage").select(col("id")))
+        .distinct()
+      val finalIds = graft.operators.FrameIndex
+        .frames(s, store, "sup_idx").select(col("id").as("_in_id")).distinct()
+      universe.join(finalIds, universe("id") === col("_in_id"), "left")
+        .select(col("id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("stored"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -5700,6 +5806,113 @@ object SparkEntry {
         |  CASE WHEN s3.item_id IS NOT NULL THEN 1 ELSE 0 END AS stored
         |FROM univ u LEFT JOIN s3 ON s3.item_id = u.item_id
         |ORDER BY u.item_id""".stripMargin,
+
+    // q143 replay: q142's unroll with STRUCTURAL containment as the
+    // keeper rule — the q138 grid/bit machinery per (video, frame),
+    // frameless pairing, BOTH directed Broder denominators computed
+    // once over the universe (cont(x,y) = |x's frames matched by y| /
+    // |x|), then the 3-drain supersede set logic: an arrival rejects
+    // iff contained (≥0.99) in the CURRENT stored set; an ADMITTED
+    // arrival retires every stored video contained in IT;
+    // s_k = (s_{k−1} ∖ retired_k) ∪ admitted_k. Output = s_3
+    // membership over the whole universe.
+    "q143_video_supersede_admission" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30)),
+        |roles AS (
+        |  SELECT s.g, s.gi, m.slot, m.nfr, m.pert, m.cut, m.drain
+        |  FROM seeds s JOIN (VALUES
+        |    (3, 2, 0, 0, 0, 1, 10),
+        |    (0, 6, 0, 0, 0, 11, 15),
+        |    (0, 6, 0, 0, 1, 1, 4),
+        |    (0, 6, 0, 0, 1, 16, 16),
+        |    (2, 6, 1, 0, 1, 11, 11),
+        |    (3, 2, 0, 0, 2, 16, 16),
+        |    (0, 6, 0, 0, 2, 5, 7),
+        |    (0, 6, 0, 0, 2, 17, 17),
+        |    (2, 6, 1, 0, 2, 1, 1),
+        |    (0, 6, 0, 0, 3, 8, 9),
+        |    (0, 6, 0, 0, 3, 18, 18),
+        |    (1, 2, 0, 0, 3, 10, 10),
+        |    (3, 6, 0, 1, 3, 12, 12)
+        |  ) m(slot, nfr, pert, cut, drain, lo, hi)
+        |  ON s.gi BETWEEN m.lo AND m.hi),
+        |items AS (
+        |  SELECT r.g, r.g * 10 + r.slot AS vid, f.f,
+        |    CASE WHEN r.cut = 1 AND f.f >= 2 THEN f.f + 100 ELSE f.f END AS fs,
+        |    r.pert, r.drain, (r.g * 10 + r.slot) * 10 + f.f AS ik
+        |  FROM roles r, range(0, 6) f(f) WHERE f.f < r.nfr),
+        |grid AS (
+        |  SELECT ik, vid, f, gx.gx, gy.gy,
+        |    CASE WHEN pert = 1
+        |      THEN (((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.ik, a.vid, a.f, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.ik = a.ik AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT ik, vid, f, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY ik, vid, f, chunk),
+        |cand AS (
+        |  SELECT DISTINCT a.ik AS a_ik, b.ik AS b_ik, a.vid AS a_vid,
+        |    b.vid AS b_vid, a.f AS a_f, b.f AS b_f
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.vid < b.vid),
+        |ham AS (
+        |  SELECT c.a_vid, c.b_vid, c.a_f, c.b_f,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.ik = c.a_ik
+        |  JOIN sigbits sb ON sb.ik = c.b_ik AND sb.b = sa.b
+        |  GROUP BY c.a_vid, c.b_vid, c.a_f, c.b_f),
+        |fm AS (
+        |  SELECT a_vid AS x, b_vid AS y, a_f AS xf FROM ham WHERE hamming <= 6
+        |  UNION SELECT b_vid, a_vid, b_f FROM ham WHERE hamming <= 6),
+        |nf AS (SELECT vid, count(DISTINCT f) AS n FROM items GROUP BY vid),
+        |cont AS (
+        |  SELECT d.x, d.y, CAST(count(DISTINCT d.xf) AS DOUBLE) / nf.n AS c
+        |  FROM fm d JOIN nf ON nf.vid = d.x
+        |  GROUP BY d.x, d.y, nf.n),
+        |s0 AS (SELECT vid FROM items WHERE drain = 0 GROUP BY vid),
+        |b1 AS (SELECT vid FROM items WHERE drain = 1 GROUP BY vid),
+        |rj1 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN b1 ON b1.vid = c.x JOIN s0 ON s0.vid = c.y WHERE c.c >= 0.99),
+        |a1 AS (SELECT vid FROM b1 ANTI JOIN rj1 USING (vid)),
+        |r1 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN s0 ON s0.vid = c.x JOIN a1 ON a1.vid = c.y WHERE c.c >= 0.99),
+        |s1 AS (SELECT vid FROM s0 ANTI JOIN r1 USING (vid)
+        |  UNION SELECT vid FROM a1),
+        |b2 AS (SELECT vid FROM items WHERE drain = 2 GROUP BY vid),
+        |rj2 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN b2 ON b2.vid = c.x JOIN s1 ON s1.vid = c.y WHERE c.c >= 0.99),
+        |a2 AS (SELECT vid FROM b2 ANTI JOIN rj2 USING (vid)),
+        |r2 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN s1 ON s1.vid = c.x JOIN a2 ON a2.vid = c.y WHERE c.c >= 0.99),
+        |s2 AS (SELECT vid FROM s1 ANTI JOIN r2 USING (vid)
+        |  UNION SELECT vid FROM a2),
+        |b3 AS (SELECT vid FROM items WHERE drain = 3 GROUP BY vid),
+        |rj3 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN b3 ON b3.vid = c.x JOIN s2 ON s2.vid = c.y WHERE c.c >= 0.99),
+        |a3 AS (SELECT vid FROM b3 ANTI JOIN rj3 USING (vid)),
+        |r3 AS (SELECT DISTINCT c.x AS vid FROM cont c
+        |  JOIN s2 ON s2.vid = c.x JOIN a3 ON a3.vid = c.y WHERE c.c >= 0.99),
+        |s3 AS (SELECT vid FROM s2 ANTI JOIN r3 USING (vid)
+        |  UNION SELECT vid FROM a3)
+        |SELECT u.vid AS item_id,
+        |  CASE WHEN s3.vid IS NOT NULL THEN 1 ELSE 0 END AS stored
+        |FROM (SELECT vid FROM items GROUP BY vid) u
+        |LEFT JOIN s3 ON s3.vid = u.vid
+        |ORDER BY item_id""".stripMargin,
 
     // q132 replay: the WAV synthesis arithmetic (the oracle never parses
     // RIFF bytes — it replays the sample VALUES the decoder provably

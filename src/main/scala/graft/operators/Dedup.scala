@@ -827,6 +827,88 @@ object Dedup {
         col("n_matched"), col("containment"))
   }
 
+  /** BOTH directed containments per (arriving, stored) video pair — the
+    * SUPERSEDE screen's evidence ([[videoContainmentAgainst]] computes
+    * only the rejection half): `containment_batch` is the fraction of
+    * the ARRIVAL's frames matched by the stored video (≥ threshold ⇒
+    * the arrival adds nothing — reject), `containment_stored` the
+    * fraction of the STORED video's frames matched by the arrival
+    * (≥ threshold ⇒ the stored item is SUBSUMED — the full cut a clip
+    * was taken from retires the clip, Broder 1997's |A∩B|/|A| applied
+    * per side). Pairs where NEITHER direction reaches `minContainment`
+    * carry no admission evidence and are dropped.
+    *
+    * Scale shape: the same frameless chunk-band pigeonhole as
+    * [[videoContainmentAgainst]] with per-side hot caps; per-ARRIVAL
+    * frame counts broadcast (the batch is small), per-STORED counts are
+    * one narrow aggregate equi-joined onto the batch-proportional pair
+    * frame — never broadcast, the stored corpus may hold billions of
+    * videos.
+    *
+    * @param batch  (id, frame, sig) of the arriving videos
+    * @param stored (id, frame, sig) of the corpus
+    * @return (batch_id, stored_id, n_frames_batch, n_frames_stored,
+    *         n_matched_batch, n_matched_stored, containment_batch,
+    *         containment_stored), greatest(containments) ≥
+    *         minContainment */
+  def videoContainmentDirected(
+      batch: DataFrame,
+      stored: DataFrame,
+      maxHamming: Int,
+      minContainment: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
+    val storedPinned = caches.pin(stored.select(col("id"), col("frame"), col("sig")))
+    def banded(sigs: DataFrame) = caches.pin(
+      sigs.select(col("id"), col("frame"), col("sig"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "value"))))
+    val sb = banded(batchPinned)
+    val sc = banded(storedPinned)
+    def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val matched = coldB.alias("a")
+      .join(coldC.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"),
+        col("a.frame").as("b_frame"), col("b.frame").as("s_frame"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("batch_id", "stored_id", "b_frame", "s_frame")
+      .filter(col("hamming") <= maxHamming)
+    val perPair = matched.groupBy(col("batch_id"), col("stored_id"))
+      .agg(countDistinct(col("b_frame")).as("n_matched_batch"),
+        countDistinct(col("s_frame")).as("n_matched_stored"))
+    val bCounts = batchPinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("n_frames_batch"))
+    val sCounts = storedPinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("n_frames_stored"))
+    perPair
+      .join(broadcast(bCounts.select(col("id").as("batch_id"),
+        col("n_frames_batch"))), Seq("batch_id"))
+      .join(sCounts.select(col("id").as("stored_id"), col("n_frames_stored")),
+        Seq("stored_id"))
+      .withColumn("containment_batch",
+        col("n_matched_batch").cast("double") / col("n_frames_batch"))
+      .withColumn("containment_stored",
+        col("n_matched_stored").cast("double") / col("n_frames_stored"))
+      .filter(greatest(col("containment_batch"), col("containment_stored"))
+        >= minContainment)
+      .select(col("batch_id"), col("stored_id"), col("n_frames_batch"),
+        col("n_frames_stored"), col("n_matched_batch"), col("n_matched_stored"),
+        col("containment_batch"), col("containment_stored"))
+  }
+
   /** EXACT duplicate-SPAN removal (Lee et al. 2021, arXiv 2107.06499): any
     * run of `spanTokens` whitespace-delimited tokens that appears more than
     * once ANYWHERE in the corpus (other documents or elsewhere in the same

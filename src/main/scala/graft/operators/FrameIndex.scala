@@ -40,17 +40,30 @@ import org.apache.spark.sql.functions._
 object FrameIndex {
 
   private def framesTable(name: String) = s"${name}_frames"
+  // tombstone member: VIDEO ids whose frame rows are retired by a
+  // supersede fold ([[admitSupersedeBatch]] — the full cut retiring the
+  // stored clip it subsumes); the read-time subtraction that keeps a
+  // supersede drain from rewriting the whole frames member (the
+  // [[PerceptualIndex]] keeper-tombstone discipline on the frame family)
+  private def rmTable(name: String) = s"${name}_rm"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
-  /** Frames pin + both screening budgets + the admission gate. */
+  /** Tombstone-compaction policy — [[IvfIndex.OvlFrac]]'s rationale on
+    * the retired-id set's bytes vs the frames member's. */
+  private val RmFloorBytes: Long = IvfIndex.OvlFloorBytes
+  private val RmFrac: Double = IvfIndex.OvlFrac
+
+  /** Frames pin + both screening budgets + the admission gate; `rmFrames`
+    * pins the tombstone member when a supersede fold has retired ids. */
   private[graft] final case class FrameManifest(
       frames: Int, maxHamming: Int, minContainment: Double,
-      lastBatchId: Long = -1L)
+      lastBatchId: Long = -1L, rmFrames: Option[Int] = None)
 
   private def encodeManifest(m: FrameManifest): String =
     s"""{"frames_v":${m.frames},"max_hamming":${m.maxHamming},""" +
       s""""min_containment":${m.minContainment},""" +
+      s""""rm_frames_v":${m.rmFrames.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): FrameManifest = {
@@ -61,8 +74,12 @@ object FrameIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim
     }
+    // absent = pre-tombstone manifest (older persisted index)
+    val rm =
+      if (s.indexOf("\"rm_frames_v\":") < 0) None
+      else { val v = raw("rm_frames_v").toInt; if (v < 0) None else Some(v) }
     FrameManifest(raw("frames_v").toInt, raw("max_hamming").toInt,
-      raw("min_containment").toDouble, raw("last_batch_id").toLong)
+      raw("min_containment").toDouble, raw("last_batch_id").toLong, rm)
   }
 
   private[graft] def readManifest(
@@ -86,6 +103,28 @@ object FrameIndex {
 
   private def withLock[A](store: TableStore, name: String)(body: => A): A =
     OverlayLock.withLock(store, "frame", name)(body)
+
+  private def rollbackAll(store: TableStore, name: String, m: FrameManifest): Unit = {
+    OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
+    m.rmFrames.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+  }
+
+  /** The SERVED frame corpus: base ∖ tombstoned VIDEO ids (a supersede
+    * fold's retirements — their frame rows stay in the files until the
+    * amortized fold). The tombstone set is compaction-bounded, so it
+    * broadcasts into the anti-join; an index no supersede fold has
+    * touched has no pin and reads the base directly. */
+  private def servedFramesAt(
+      spark: SparkSession, store: TableStore, name: String,
+      m: FrameManifest): DataFrame = {
+    val base = store.snapshotAt(spark, framesTable(name), m.frames)
+    m.rmFrames match {
+      case None => base
+      case Some(pin) => base.join(broadcast(
+          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
+        Seq("id"), "left_anti")
+    }
+  }
 
   private def frameShape(frames: DataFrame): DataFrame = {
     val Seq(idc, framec, sigc) = frames.columns.take(3).toSeq
@@ -111,9 +150,10 @@ object FrameIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
-        prev.foreach { case (m, _) =>
-          OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames) }
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
         val fv = store.write(frameShape(frames), framesTable(name))
+        // a rebuild replaces the corpus wholesale — prior retirements are
+        // moot, the tombstone pin clears
         commitManifest(store, name,
           FrameManifest(fv, maxHamming, minContainment,
             prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
@@ -121,10 +161,11 @@ object FrameIndex {
     }
   }
 
-  /** The indexed `(id, frame, sig)` corpus (manifest-pinned read). */
+  /** The indexed `(id, frame, sig)` corpus (manifest-pinned read,
+    * supersede retirements subtracted). */
   def frames(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    store.snapshotAt(spark, framesTable(name), m.frames)
+    servedFramesAt(spark, store, name, m)
   }
 
   /** The index's per-frame hamming budget, as persisted. */
@@ -160,8 +201,8 @@ object FrameIndex {
       maxBucketSize: Int = 200): Boolean = {
     val (m, mv) = requireManifest(store, name)
     if (stamp.exists(_ <= m.lastBatchId)) return false
-    OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
-    val stored = store.snapshotAt(spark, framesTable(name), m.frames)
+    rollbackAll(store, name, m)
+    val stored = servedFramesAt(spark, store, name, m)
     // the screen-then-admit fold: drop batch videos CONTAINED in the
     // stored corpus (the persisted budgets), admit the rest whole —
     // both halves read the SAME pinned stored version, so the loop is
@@ -183,8 +224,13 @@ object FrameIndex {
         } finally scope.release()
       }
     try {
+      // insert-only against the BASE id set (⊇ retired ids until the
+      // fold): a re-sent id is a no-op, and a SUPERSEDED id can never
+      // re-enter under its own name and be silently hidden by the
+      // tombstone subtraction
       val fresh = batch
-        .join(stored.select(col("id")), Seq("id"), "left_anti")
+        .join(store.snapshotAt(spark, framesTable(name), m.frames)
+          .select(col("id")), Seq("id"), "left_anti")
         // at most one signature per (id, frame): a batch carrying a
         // frame twice (two staged files in one trigger) indexes the
         // smallest sig — deterministic under any partitioning (the
@@ -210,14 +256,16 @@ object FrameIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
-        OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
+        rollbackAll(store, name, m)
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-        val stored = store.snapshotAt(spark, framesTable(name), m.frames)
+        val stored = servedFramesAt(spark, store, name, m)
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
         val before = stored.select(col("id")).distinct().count()
         val keptN = kept.select(col("id")).distinct().count()
+        // the rewrite serves from the SERVED view, so pending supersede
+        // retirements fold in here and the tombstone pin clears
         val fv = store.write(kept, framesTable(name), Some(m.frames))
-        commitManifest(store, name, m.copy(frames = fv), Some(mv))
+        commitManifest(store, name, m.copy(frames = fv, rmFrames = None), Some(mv))
         before - keptN
       }
     }
@@ -317,7 +365,155 @@ object FrameIndex {
     val (m, _) = requireManifest(store, name)
     Dedup.videoContainmentAgainst(
       frameShape(batchFrames),
-      store.snapshotAt(spark, framesTable(name), m.frames),
+      servedFramesAt(spark, store, name, m),
       m.maxHamming, m.minContainment, maxBucketSize)
+  }
+
+  // --------------------------------------------------------------- supersede
+
+  /** SUPERSEDE-AWARE admission — the video keeper: replace-the-clip-
+    * with-the-full-cut, [[PerceptualIndex.admitKeepBestBatch]]'s
+    * replace-if-better fold where "better" is STRUCTURAL containment
+    * instead of a quality score ([[Dedup.videoContainmentDirected]]'s
+    * two denominators decide both halves): an arriving video whose OWN
+    * frames are within the containment budget of a stored video adds
+    * nothing and rejects (the [[admitNovelBatch]] rule, unchanged); an
+    * ADMITTED arrival that matches ≥ `min_containment` of a STORED
+    * video's frames SUBSUMES it — the stored clip retires in the same
+    * swap (the full cut a 2-frame clip was taken from replaces the
+    * clip). Mutual containment (a re-encode: both directions ≥
+    * threshold) rejects the arrival FIRST — ties keep the incumbent, and
+    * a rejected arrival never retires anything. Partial overlaps admit
+    * without retiring (shared intros are not subsumption). Everything —
+    * retirements, admissions, the batchId — publishes in ONE swap.
+    *
+    * Cost shape: the screen is the banded batch-vs-stored containment
+    * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
+    * linked frame appends, retirements land in the compaction-bounded
+    * tombstone member every read subtracts, and past
+    * `max(1 MiB, frames/8)` the tombstones ride the next drain into an
+    * amortized base rewrite. Returns true when folded, false on replay. */
+  def admitSupersedeBatch(
+      spark: SparkSession,
+      frames: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        supersedeStamped(spark, frames, store, name, Some(batchId), maxBucketSize)
+      }
+    }
+
+  /** [[admitSupersedeBatch]] without the gate — the ad-hoc fold. */
+  def supersede(
+      spark: SparkSession,
+      frames: DataFrame,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        supersedeStamped(spark, frames, store, name, None, maxBucketSize)
+      }
+      ()
+    }
+
+  private def supersedeStamped(
+      spark: SparkSession, frames: DataFrame,
+      store: TableStore, name: String, stamp: Option[Long],
+      maxBucketSize: Int): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    rollbackAll(store, name, m)
+    val stored = servedFramesAt(spark, store, name, m)
+    implicit val scope: CacheScope = new CacheScope
+    // insert-only against BASE ids (⊇ retired ids until the fold) + the
+    // in-batch (id, frame) canonicalization — appendStamped's contracts
+    val batch = frameShape(frames)
+      .join(store.snapshotAt(spark, framesTable(name), m.frames)
+        .select(col("id")), Seq("id"), "left_anti")
+      .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // both directed containments per (arrival, stored) pair at the
+      // persisted budgets — rejection and subsumption from one screen
+      val directed = Dedup.videoContainmentDirected(batch, stored,
+          m.maxHamming, m.minContainment, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rejected = directed
+          .filter(col("containment_batch") >= m.minContainment)
+          .select(col("batch_id").as("id")).distinct()
+        val admitted = batch
+          .join(broadcast(rejected), Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // stored videos subsumed by an ADMITTED arrival retire whole
+          val removedIds = directed
+            .filter(col("containment_stored") >= m.minContainment)
+            .join(admitted.select(col("id").as("batch_id")).distinct(),
+              Seq("batch_id"), "left_semi")
+            .select(col("stored_id").as("id")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // fold-vs-tombstone on the PRE-batch tombstone size — the
+            // PerceptualIndex.keepBestStamped policy on the frame family
+            val rmFull = m.rmFrames.exists { pin =>
+              store.byteSizeAt(rmTable(name), pin) > math.max(
+                RmFloorBytes.toDouble,
+                RmFrac * store.byteSizeAt(framesTable(name), m.frames))
+            }
+            val next =
+              if (rmFull) {
+                val fv = store.write(
+                  stored.join(broadcast(removedIds), Seq("id"), "left_anti")
+                    .unionByName(admitted),
+                  framesTable(name), Some(m.frames))
+                m.copy(frames = fv, rmFrames = None)
+              } else {
+                val fv = OverlayLock.appendOrCompact(store, framesTable(name),
+                  m.frames,
+                  store.snapshotAt(spark, framesTable(name), m.frames), admitted)
+                val rv =
+                  if (removedIds.isEmpty) m.rmFrames
+                  else Some(m.rmFrames match {
+                    case Some(p) => store.write(
+                      store.snapshotAt(spark, rmTable(name), p)
+                        .select(col("id"))
+                        .unionByName(removedIds).distinct().coalesce(4),
+                      rmTable(name), Some(p))
+                    case None => store.write(removedIds.coalesce(4),
+                      rmTable(name), store.currentVersion(rmTable(name)))
+                  })
+                m.copy(frames = fv, rmFrames = rv)
+              }
+            commitManifest(store, name,
+              next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
+              Some(mv))
+            true
+          } finally removedIds.unpersist()
+        } finally admitted.unpersist()
+      } finally directed.unpersist()
+    } finally { batch.unpersist(); scope.release() }
+  }
+
+  /** [[admitSupersedeBatch]] as a live sink — the video keeper loop. */
+  def admitSupersedeStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitSupersedeBatch(batch.sparkSession, batch, batchId, store, name)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
   }
 }

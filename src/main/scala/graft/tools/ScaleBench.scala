@@ -382,7 +382,10 @@ object ScaleBench {
     // r16: keeper-aware admission — constant fixture through three
     // keeper drains; per-drain screen + the replace-if-better fold
     // (replacement rewrites are of the 8–16 B/item sigs member)
-    "q142_image_keeper_admission")
+    "q142_image_keeper_admission",
+    // r16: video supersede — the containment keeper: per-drain directed
+    // screen + tombstoned retirements (frame appends + rm-id merges)
+    "q143_video_supersede_admission")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

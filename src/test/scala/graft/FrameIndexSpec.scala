@@ -202,4 +202,119 @@ class FrameIndexSpec extends SparkSpec {
     assert(got === want, "drained state ≡ the same screen-then-admit folds")
     assert(!got.exists(_._1 == 310L), "the clip of drain 1's admission was rejected")
   }
+
+  /** A 2-frame CLIP of group g's video (frames 0–1, the cut). */
+  private def clip(g: Int, id: Long, perturb: Int = 0) =
+    (0 until 2).map(f => (id, f, sig(g, f, perturb)))
+
+  test("supersede: the full cut replaces the stored clip; mutual containment keeps the incumbent; partial overlap admits without retiring") {
+    val store = new TableStore(tmpDir("frame-sup"))
+    // stored: CLIPS of groups 2 and 5, FULL videos of groups 3 and 4
+    FrameIndex.build(frameDf(
+      clip(2, id = 20L) ++ clip(5, id = 50L) ++ video(3) ++ video(4)),
+      maxHamming = 6, minContainment = 0.99, store, "vid")
+    assert(FrameIndex.admitSupersedeBatch(spark, frameDf(
+      video(2, id = 900L) ++                    // full cut of stored clip 20
+        video(3, id = 901L, perturb = 2) ++     // re-encode of stored full 30
+        (Seq((902L, 0, sig(4, 0, 1)), (902L, 1, sig(4, 1, 1)),
+          (902L, 2, sig(70, 0)), (902L, 3, sig(70, 1)))) ++ // partial overlap of 40
+        video(80, id = 903L)),                  // novel
+      0L, store, "vid"))
+    val ids = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(20L), "the subsumed clip retires")
+    assert(ids.contains(900L), "its full cut admits in the same swap")
+    assert(ids.contains(30L) && !ids.contains(901L),
+      "mutual containment (a re-encode) keeps the incumbent — the arrival rejects")
+    assert(ids.contains(40L) && ids.contains(902L),
+      "partial overlap admits WITHOUT retiring — shared intros are not subsumption")
+    assert(ids.contains(903L), "novel admits")
+    assert(ids.contains(50L), "an unmatched stored clip is untouched")
+    // canonicity: a fresh clip of group 2 still screens as contained —
+    // now BY the superseding full video, not the retired clip
+    implicit val scope: CacheScope = new CacheScope
+    try {
+      val hits = FrameIndex.screen(spark,
+        frameDf(Seq((990L, 0, sig(2, 0, 3)), (990L, 1, sig(2, 1, 3)))),
+        store, "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((990L, 900L)),
+        "the screen serves the superseding video and has forgotten the clip")
+    } finally scope.release()
+  }
+
+  test("supersede: evolving state across gated drains; replay refused; a rejected arrival never retires") {
+    val store = new TableStore(tmpDir("frame-sup-evolve"))
+    FrameIndex.build(frameDf(clip(6, id = 60L)),
+      maxHamming = 6, minContainment = 0.99, store, "vid")
+    // drain 0: the full cut supersedes the seed clip
+    assert(FrameIndex.admitSupersedeBatch(spark,
+      frameDf(video(6, id = 600L)), 0L, store, "vid"))
+    // drain 1: a clip of drain 0's ADMISSION rejects (evolved state) and
+    // — though it is itself subsumed by 600 — retires nothing, because
+    // rejection precedes retirement
+    assert(FrameIndex.admitSupersedeBatch(spark,
+      frameDf(clip(6, id = 610L, perturb = 1)), 1L, store, "vid"))
+    val ids = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(600L), "seed clip retired; rejected clip admitted nothing")
+    // replayed batchId: refused without touching state
+    assert(!FrameIndex.admitSupersedeBatch(spark,
+      frameDf(video(90, id = 990L)), 1L, store, "vid"))
+    assert(FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().count() === 1)
+    // a RETIRED id can never re-enter under its own name (insert-only
+    // covers the tombstone set until the fold)
+    assert(FrameIndex.admitSupersedeBatch(spark,
+      frameDf(video(91, id = 60L)), 2L, store, "vid"))
+    assert(!FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      .contains(60L), "re-sent retired id is a no-op")
+  }
+
+  test("supersede streamed ≡ the same gated folds as batch calls; takedown clears the tombstone pin") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("frame-sup-stream")
+    val store = new TableStore(s"$root/idx")
+    FrameIndex.build(frameDf(clip(7, id = 70L) ++ clip(8, id = 80L) ++ video(9)),
+      maxHamming = 6, minContainment = 0.99, store, "vid")
+    val drains = Seq(
+      frameDf(video(7, id = 700L)),                 // supersedes clip 70
+      frameDf(video(8, id = 710L, perturb = 1) ++   // supersedes clip 80
+        video(9, id = 711L, perturb = 2)),          // re-encode of full 90: rejects
+      frameDf(video(85, id = 720L)))                // novel
+    val stageDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "stage"))
+    drains.zipWithIndex.foreach { case (d, k) =>
+      val part = s"$root/_p$k"
+      d.coalesce(1).write.mode("overwrite").parquet(part)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+      try f.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+      } finally f.close()
+    }
+    val schema = spark.read.parquet(stageDir.toString).schema
+    FrameIndex.admitSupersedeStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString),
+      store, "vid", s"$root/chk").awaitTermination()
+    val got = FrameIndex.frames(spark, store, "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val clean = new TableStore(tmpDir("frame-sup-stream-clean"))
+    FrameIndex.build(frameDf(clip(7, id = 70L) ++ clip(8, id = 80L) ++ video(9)),
+      maxHamming = 6, minContainment = 0.99, clean, "vid")
+    drains.zipWithIndex.foreach { case (d, k) =>
+      FrameIndex.admitSupersedeBatch(spark, d, k.toLong, clean, "vid") }
+    val want = FrameIndex.frames(spark, clean, "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want, "drained state ≡ the same supersede folds")
+    assert(got.map(_._1) === Set(90L, 700L, 710L, 720L),
+      "clips retired, re-encode rejected, novel admitted")
+    // takedown over a live tombstone set: the rewrite folds retirements
+    // in and clears the pin; the removed id's frames are gone
+    assert(FrameIndex.remove(spark, Seq(700L).toDF("id"), store, "vid") === 1L)
+    val after = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(after === Set(90L, 710L, 720L))
+  }
 }

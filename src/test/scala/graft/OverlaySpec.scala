@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheScope, IvfIndex, PerceptualIndex, PostingsIndex, PqIndex, TableStore}
+import graft.operators.{CacheScope, FrameIndex, IvfIndex, PerceptualIndex, PostingsIndex, PqIndex, TableStore}
 
 /** The revision overlay's cost and semantics contracts (VERDICT r14 #1):
   *
@@ -217,6 +217,55 @@ class OverlaySpec extends SparkSpec {
     assert(PerceptualIndex.signatures(spark, store, "img")
       .filter(col("q") === 1.0).count() === 0,
       "every replaced original is genuinely gone from the folded base")
+  }
+
+  // --------------------------------------------- frame supersede tombstones
+
+  private def fsig(g: Int, f: Int): Long =
+    (0x9E3779B97F4A7C15L * (g * 31 + f * 7 + 1)) & ~0x3FL
+
+  /** 2-frame CLIPS, one per group, id = g*10. */
+  private def clipDf(gs: Range) = {
+    val s = spark; import s.implicits._
+    gs.flatMap(g => (0 until 2).map(f => (g * 10L, f, fsig(g, f))))
+      .toDF("id", "frame", "sig")
+  }
+
+  /** 6-frame FULL cuts of the same groups (frames 0–1 shared). */
+  private def fullDf(gs: Range, idBase: Long) = {
+    val s = spark; import s.implicits._
+    gs.flatMap(g => (0 until 6).map(f => (idBase + g * 10L, f, fsig(g, f))))
+      .toDF("id", "frame", "sig")
+  }
+
+  test("video supersede drain commits O(batch) bytes — corpus-size-independent") {
+    val small = new TableStore(tmpDir("fr-rm-s"))
+    val big = new TableStore(tmpDir("fr-rm-b"))
+    FrameIndex.build(clipDf(0 until 200), maxHamming = 6,
+      minContainment = 0.99, small, "vid")
+    FrameIndex.build(clipDf(0 until 2000), maxHamming = 6,
+      minContainment = 0.99, big, "vid")
+    // 8 full cuts of stored clip groups 10..17 — each admits (2 of its 6
+    // frames shared) and SUPERSEDES its clip (2/2 contained in it)
+    val batch = fullDf(10 until 18, idBase = 1000000L)
+    val beforeS = inodeKeys(small.root)
+    assert(FrameIndex.admitSupersedeBatch(spark, batch, 0L, small, "vid"))
+    val bytesS = bytesNewInodes(beforeS, small.root)
+    val beforeB = inodeKeys(big.root)
+    assert(FrameIndex.admitSupersedeBatch(spark, batch, 0L, big, "vid"))
+    val bytesB = bytesNewInodes(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the corpus must not move the supersede drain's committed bytes: $bytesS -> $bytesB")
+    val (m, _) = FrameIndex.readManifest(big, "vid").get
+    assert(m.rmFrames.isDefined, "the retirements landed in the tombstone member")
+    assert(bytesB < big.byteSizeAt("vid_frames", m.frames),
+      s"a supersede drain ($bytesB B) must not rewrite the frames member")
+    // served state is the superseded view despite the base keeping old rows
+    val served = FrameIndex.frames(spark, big, "vid")
+    assert(served.select(col("id")).distinct().count() === 2000)
+    assert(served.filter(col("id") === 100L).count() === 0, "subsumed clip retired")
+    assert(served.filter(col("id") === 1000100L).count() === 6, "the full cut serves whole")
   }
 
   // -------------------------------------------------- overlay-of-overlay
