@@ -404,8 +404,11 @@ object PerceptualIndex {
     * In-batch id duplicates fold to the (highest-quality, then
     * smallest-sig) row; re-sent EXISTING ids are no-ops (the [[append]]
     * insert-only contract — re-crawls arrive under fresh ids); in-batch
-    * near-dups of each other both admit (the [[admitNovelBatch]]
-    * contract). Cost shape: the screen is the banded batch-vs-stored
+    * near-dups of each other both admit by default (the
+    * [[admitNovelBatch]] contract) — `preDedupBatch = true` opts into a
+    * within-batch keeper screen first, so a burst of near-copies of one
+    * novel item admits only its highest-quality member (ties to the
+    * smallest id). Cost shape: the screen is the banded batch-vs-stored
     * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
     * linked appends to the base, retirements land in the compaction-
     * bounded tombstone member that every read subtracts
@@ -420,10 +423,12 @@ object PerceptualIndex {
       batchId: Long,
       store: TableStore,
       name: String,
-      maxBucketSize: Int = 200): Boolean =
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Boolean =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
-        keepBestStamped(spark, sigs, store, name, Some(batchId), maxBucketSize)
+        keepBestStamped(spark, sigs, store, name, Some(batchId), maxBucketSize,
+          preDedupBatch)
       }
     }
 
@@ -433,10 +438,12 @@ object PerceptualIndex {
       sigs: DataFrame,
       store: TableStore,
       name: String,
-      maxBucketSize: Int = 200): Unit =
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Unit =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
-        keepBestStamped(spark, sigs, store, name, None, maxBucketSize)
+        keepBestStamped(spark, sigs, store, name, None, maxBucketSize,
+          preDedupBatch)
       }
       ()
     }
@@ -444,7 +451,7 @@ object PerceptualIndex {
   private def keepBestStamped(
       spark: SparkSession, sigs: DataFrame,
       store: TableStore, name: String, stamp: Option[Long],
-      maxBucketSize: Int): Boolean = {
+      maxBucketSize: Int, preDedupBatch: Boolean = false): Boolean = {
     val (m, mv) = requireManifest(store, name)
     requireQuality(m, name, "a replace-if-better fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
@@ -457,7 +464,7 @@ object PerceptualIndex {
     // tombstoned id from re-entering the base under its own name and
     // being silently hidden by the subtraction (base ids ⊇ retired ids
     // until the fold, so one anti-join covers both)
-    val batch = sigQualityShape(sigs)
+    val batch0 = sigQualityShape(sigs)
       .join(store.snapshotAt(spark, sigsTable(name), m.sigs).select(col("id")),
         Seq("id"), "left_anti")
       .groupBy(col("id"))
@@ -465,6 +472,25 @@ object PerceptualIndex {
         struct(-col("q"), col("sig"))).as("_w"))
       .select(col("id"), col("_w.sig").as("sig"), col("_w.q").as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // opt-in WITHIN-BATCH keeper ([[admitNovelBatch]]'s preDedupBatch
+    // with the quality rule): in a burst carrying several near-copies
+    // of one NOVEL item, any member within budget of a strictly-better
+    // batch item — or of an equal-quality smaller-id one — dies before
+    // the stored-state fold, so the burst admits only its best copy
+    val batch =
+      if (!preDedupBatch) batch0
+      else {
+        val pairs = Dedup.hammingBandedPairs(
+          batch0.select(col("id"), col("sig")), m.maxHamming, maxBucketSize)
+        val q = batch0.select(col("id"), col("q"))
+        val losers = pairs
+          .join(q.select(col("id").as("a_id"), col("q").as("_qa")), Seq("a_id"))
+          .join(q.select(col("id").as("b_id"), col("q").as("_qb")), Seq("b_id"))
+          .select(when(col("_qa") < col("_qb"), col("a_id"))
+            .otherwise(col("b_id")).as("id")).distinct()
+        batch0.join(broadcast(losers), Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     try {
       // every (arrival, stored) pair within the persisted budget, scored
       val scored = Dedup.hammingBandedPairsAgainst(
@@ -531,20 +557,26 @@ object PerceptualIndex {
           true
         } finally removedIds.unpersist()
       } finally admitted.unpersist()
-    } finally { batch.unpersist(); scope.release() }
+    } finally {
+      if (preDedupBatch) batch.unpersist()
+      batch0.unpersist(); scope.release()
+    }
   }
 
-  /** [[admitKeepBestBatch]] as a live sink — the keeper admission loop. */
+  /** [[admitKeepBestBatch]] as a live sink — the keeper admission loop.
+    * `preDedupBatch` as in [[admitKeepBestBatch]]. */
   def admitKeepBestStream(
       stream: DataFrame,
       store: TableStore,
       name: String,
       checkpoint: String,
-      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+      availableNow: Boolean = true,
+      preDedupBatch: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name)
+        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name,
+          preDedupBatch = preDedupBatch)
         ()
       }
     (if (availableNow)

@@ -240,6 +240,43 @@ class PerceptualIndexSpec extends SparkSpec {
     assert(r920.length === 1 && r920.head.getDouble(2) === 9.0)
   }
 
+  test("admitKeepBestBatch preDedupBatch: a burst admits only its highest-quality member; default off admits all") {
+    val store = new TableStore(tmpDir("perc-keeper-prededup"))
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
+    // a burst of three near-copies of one NOVEL item at different
+    // qualities (the best is NOT the smallest id), an equal-quality tie
+    // pair (smallest id keeps), and one disjoint novel
+    assert(PerceptualIndex.admitKeepBestBatch(spark, qdf(Seq(
+      (700L, sig(80), 3.0), (701L, sig(80, 1), 9.0), (702L, sig(80, 2), 5.0),
+      (710L, sig(81), 4.0), (711L, sig(81, 1), 4.0),
+      (720L, sig(82), 1.0))), 0L, store, "img", preDedupBatch = true))
+    val ids = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(701L) && !ids.contains(700L) && !ids.contains(702L),
+      "the burst admits only its highest-quality member")
+    assert(ids.contains(710L) && !ids.contains(711L),
+      "an equal-quality in-batch tie keeps the smallest id")
+    assert(ids.contains(720L), "disjoint novel items are unaffected")
+    // default OFF preserves the q142 contract: in-batch near-dups of
+    // each other all admit
+    val clean = new TableStore(tmpDir("perc-keeper-prededup-off"))
+    PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, clean, "img")
+    assert(PerceptualIndex.admitKeepBestBatch(spark, qdf(Seq(
+      (730L, sig(83), 3.0), (731L, sig(83, 1), 9.0))), 0L, clean, "img"))
+    val defIds = PerceptualIndex.signatures(spark, clean, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(defIds.contains(730L) && defIds.contains(731L))
+    // the pre-dedup composes with the stored screen: a burst whose best
+    // member is WORSE than its stored match admits nothing
+    assert(PerceptualIndex.admitKeepBestBatch(spark, qdf(Seq(
+      (740L, sig(2, 1), 2.0), (741L, sig(2, 2), 6.0))), 1L, store, "img",
+      preDedupBatch = true))
+    val ids2 = PerceptualIndex.signatures(spark, store, "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(740L) && !ids2.contains(741L) && ids2.contains(20L),
+      "the surviving burst member still loses to a better stored incumbent")
+  }
+
   test("keeper admission is insert-only by id: re-sent existing ids are no-ops") {
     val store = new TableStore(tmpDir("perc-keeper-resend"))
     PerceptualIndex.buildWithQuality(qualStored(5), maxHamming = 6, store, "img")
