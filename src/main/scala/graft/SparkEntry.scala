@@ -845,6 +845,88 @@ object SparkEntry {
       root
     })
 
+  /** q144's universe: the first 30 long-enough docs (≥40 tokens), each
+    * with its derived variants as raw-token slices — the oracle replays
+    * the same slicing over `lower(text)` (lowercasing commutes with
+    * token slicing, and the signature lowercases internally). */
+  private def q144Derived(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 40)
+      .select(col("doc_id").as("g"), col("text"))
+      .orderBy(col("g")).limit(30)
+      .withColumn("gi", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      .select(col("g"), col("gi"),
+        col("text").as("full_text"),
+        concat_ws(" ", slice(toks, lit(1),
+          floor(size(toks) / 2).cast("int"))).as("snip_text"),
+        concat_ws(" ", slice(toks, lit(1),
+          floor(size(toks) / 4).cast("int"))).as("quarter_text"))
+  }
+
+  /** q144's seed + supersede stage: the TEXT keeper loop — a
+    * SignatureIndex (k=128: containment work reads through ±O(1/√k)
+    * estimator noise, so the signature is sized up) seeded with the
+    * SNIPPETS (first half of the tokens) of docs gi 1–8 plus FULL docs
+    * gi 9–12, and three staged drains: full articles of snippet groups
+    * (each subsumes its stored snippet — admit + retire in one CAS
+    * commit), exact re-crawls of stored fulls (mutual containment —
+    * reject, incumbent keeps), a snippet of an EARLIER-DRAIN admission
+    * (reject, evolving state — including one whose ORIGINAL was already
+    * retired), a snippet-copy of a still-stored snippet (reject; the
+    * rejected arrival retires nothing, so the stored snippet survives),
+    * a quarter+partner partial overlap (admit without retiring), and
+    * novel fulls. */
+  private val q144SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q144SeedRoot(s: SparkSession, dir: String): String =
+    q144SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q144seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val derived = q144Derived(s, dir)
+      def pick(lo: Int, hi: Int, slot: Int, textCol: String) =
+        derived.filter(col("gi").between(lo, hi))
+          .select((col("g") * 10 + slot).as("doc_id"),
+            col(textCol).as("text"))
+      graft.operators.SignatureIndex.build(
+        pick(1, 8, 1, "snip_text").unionByName(pick(9, 12, 0, "full_text")),
+        "doc_id", "text",
+        graft.operators.SignatureIndex.Params(3, 128, 32), store, "txt_idx")
+      val overlap = derived.filter(col("gi") === 10)
+        .select((col("g") * 10 + 4).as("doc_id"), col("quarter_text"))
+        .crossJoin(broadcast(derived.filter(col("gi") === 25)
+          .select(col("snip_text").as("_pt"))))
+        .select(col("doc_id"),
+          concat(col("quarter_text"), lit(" "), col("_pt")).as("text"))
+      val drains = Seq(
+        pick(1, 3, 0, "full_text").unionByName(pick(13, 13, 0, "full_text"))
+          .unionByName(pick(9, 9, 2, "full_text")),
+        pick(13, 13, 1, "snip_text").unionByName(pick(4, 5, 0, "full_text"))
+          .unionByName(pick(14, 14, 0, "full_text"))
+          .unionByName(pick(1, 1, 2, "full_text")),
+        pick(6, 7, 0, "full_text").unionByName(pick(15, 15, 0, "full_text"))
+          .unionByName(pick(8, 8, 3, "snip_text")).unionByName(overlap))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q126's seed + revision stage: postings built over the FULL corpus
     * (original text), and the % 10 == 0 docs' REVISED copies staged as
     * three parquet files — the live-revision stream. */
@@ -3589,6 +3671,45 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: TEXT SUPERSEDE ADMISSION — q143's containment keeper for the
+    // TEXT family, from SKETCHES instead of frames: the paywall-stub /
+    // quoted-article case the symmetric Jaccard screen (q69/q123)
+    // structurally misses. Broder's identities turn the minhash
+    // agreement + stored per-doc shingle counts into BOTH directed
+    // containment estimates; an arriving full article retires the
+    // stored snippet it subsumes in the same CAS commit, a re-crawl
+    // rejects (ties keep the incumbent), partial overlaps admit without
+    // retiring, and the loop is idempotent by id under replay. Three
+    // streamed drains (AdmissionStream.startSupersede); output = final
+    // membership, replayed by the oracle as the md5 minhash chain +
+    // the containment formula + 3-drain set logic.
+    "q144_text_supersede_admission" -> ((s, dir) => {
+      val seedRoot = q144SeedRoot(s, dir)
+      val root = newTmpDir("graft_q144run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.streaming.AdmissionStream.startSupersede(stream,
+        "doc_id", "text", store, "txt_idx", minContainment = 0.75,
+        s"$root/chk", _ => ()).awaitTermination()
+      val derived = q144Derived(s, dir)
+      val seedIds = derived.filter(col("gi").between(1, 8))
+        .select((col("g") * 10 + 1).as("doc_id"))
+        .unionByName(derived.filter(col("gi").between(9, 12))
+          .select((col("g") * 10).as("doc_id")))
+      val universe = seedIds
+        .unionByName(s.read.parquet(s"$seedRoot/stage").select(col("doc_id")))
+        .distinct()
+      val finalIds = graft.operators.SignatureIndex
+        .signatures(s, store, "txt_idx").select(col("id").as("_in_id"))
+      universe.join(finalIds, universe("doc_id") === col("_in_id"), "left")
+        .select(col("doc_id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("stored"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -5913,6 +6034,112 @@ object SparkEntry {
         |FROM (SELECT vid FROM items GROUP BY vid) u
         |LEFT JOIN s3 ON s3.vid = u.vid
         |ORDER BY item_id""".stripMargin,
+
+    // q144 replay: q143's supersede unroll for TEXT — the q69 md5
+    // minhash chain at k=128 over token-slice variants (full / first-
+    // half snippet / quarter+partner overlap), per-item DISTINCT-hash
+    // shingle counts, Broder's containment identity
+    // cont(x,y) = (Ĵ/(1+Ĵ))·(|x|+|y|)/|x| computed once over the
+    // universe, then the 3-drain set logic with rejection preceding
+    // retirement. Output = final membership.
+    "q144_text_supersede_admission" ->
+      """WITH gis AS (
+        |  SELECT g, t, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g, string_split(lower(text), ' ') AS t
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 40
+        |    ORDER BY doc_id LIMIT 30)),
+        |roles AS (
+        |  SELECT gg.g, gg.gi, m.slot, m.kind, m.drain, gg.t
+        |  FROM gis gg JOIN (VALUES
+        |    (1, 'snip', 0, 1, 8),
+        |    (0, 'full', 0, 9, 12),
+        |    (0, 'full', 1, 1, 3),
+        |    (0, 'full', 1, 13, 13),
+        |    (2, 'full', 1, 9, 9),
+        |    (1, 'snip', 2, 13, 13),
+        |    (0, 'full', 2, 4, 5),
+        |    (0, 'full', 2, 14, 14),
+        |    (2, 'full', 2, 1, 1),
+        |    (0, 'full', 3, 6, 7),
+        |    (0, 'full', 3, 15, 15),
+        |    (3, 'snip', 3, 8, 8)
+        |  ) m(slot, kind, drain, lo, hi) ON gg.gi BETWEEN m.lo AND m.hi),
+        |items AS (
+        |  SELECT g * 10 + slot AS item_id, drain,
+        |    CASE kind WHEN 'full' THEN t
+        |      ELSE list_slice(t, 1, len(t) // 2) END AS tok
+        |  FROM roles
+        |  UNION ALL
+        |  SELECT a.g * 10 + 4, 3,
+        |    list_concat(list_slice(a.t, 1, len(a.t) // 4),
+        |      list_slice(b.t, 1, len(b.t) // 2))
+        |  FROM gis a, gis b WHERE a.gi = 10 AND b.gi = 25),
+        |sh AS (
+        |  SELECT item_id, list_transform(range(1, len(tok) - 1),
+        |    i -> array_to_string(list_slice(tok, i, i + 2), ' ')) AS s
+        |  FROM items WHERE len(tok) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT item_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT item_id, unnest(s) AS shingle FROM sh)),
+        |nsh AS (SELECT item_id, count(*) AS n FROM hs GROUP BY item_id),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 129) r(i)),
+        |sig AS (
+        |  SELECT item_id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY item_id, i),
+        |agree AS (
+        |  SELECT x.item_id AS xid, y.item_id AS yid,
+        |    sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS m
+        |  FROM sig x JOIN sig y ON y.i = x.i AND y.item_id <> x.item_id
+        |  GROUP BY xid, yid),
+        |cont AS (
+        |  SELECT a.xid, a.yid,
+        |    (CAST(a.m AS DOUBLE) / 128) / (1 + CAST(a.m AS DOUBLE) / 128)
+        |      * (nx.n + ny.n) / nx.n AS c
+        |  FROM agree a
+        |  JOIN nsh nx ON nx.item_id = a.xid
+        |  JOIN nsh ny ON ny.item_id = a.yid),
+        |s0 AS (SELECT item_id FROM items WHERE drain = 0),
+        |b1 AS (SELECT item_id FROM items WHERE drain = 1),
+        |rj1 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN b1 ON b1.item_id = c.xid
+        |  JOIN s0 ON s0.item_id = c.yid WHERE c.c >= 0.75),
+        |a1 AS (SELECT item_id FROM b1 ANTI JOIN rj1 USING (item_id)),
+        |r1 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN s0 ON s0.item_id = c.xid
+        |  JOIN a1 ON a1.item_id = c.yid WHERE c.c >= 0.75),
+        |s1 AS (SELECT item_id FROM s0 ANTI JOIN r1 USING (item_id)
+        |  UNION SELECT item_id FROM a1),
+        |b2 AS (SELECT item_id FROM items WHERE drain = 2),
+        |rj2 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN b2 ON b2.item_id = c.xid
+        |  JOIN s1 ON s1.item_id = c.yid WHERE c.c >= 0.75),
+        |a2 AS (SELECT item_id FROM b2 ANTI JOIN rj2 USING (item_id)),
+        |r2 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN s1 ON s1.item_id = c.xid
+        |  JOIN a2 ON a2.item_id = c.yid WHERE c.c >= 0.75),
+        |s2 AS (SELECT item_id FROM s1 ANTI JOIN r2 USING (item_id)
+        |  UNION SELECT item_id FROM a2),
+        |b3 AS (SELECT item_id FROM items WHERE drain = 3),
+        |rj3 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN b3 ON b3.item_id = c.xid
+        |  JOIN s2 ON s2.item_id = c.yid WHERE c.c >= 0.75),
+        |a3 AS (SELECT item_id FROM b3 ANTI JOIN rj3 USING (item_id)),
+        |r3 AS (SELECT DISTINCT c.xid AS item_id FROM cont c
+        |  JOIN s2 ON s2.item_id = c.xid
+        |  JOIN a3 ON a3.item_id = c.yid WHERE c.c >= 0.75),
+        |s3 AS (SELECT item_id FROM s2 ANTI JOIN r3 USING (item_id)
+        |  UNION SELECT item_id FROM a3)
+        |SELECT u.item_id,
+        |  CASE WHEN s3.item_id IS NOT NULL THEN 1 ELSE 0 END AS stored
+        |FROM (SELECT item_id FROM items GROUP BY item_id) u
+        |LEFT JOIN s3 ON s3.item_id = u.item_id
+        |ORDER BY u.item_id""".stripMargin,
 
     // q132 replay: the WAV synthesis arithmetic (the oracle never parses
     // RIFF bytes — it replays the sample VALUES the decoder provably

@@ -38,7 +38,13 @@ object SignatureIndex {
 
   private def signaturesOf(df: DataFrame, idCol: String, textCol: String, p: Params) =
     df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), p.shingleN, p.numHashes).as("sig"))
+        minhashSignature(col(textCol), p.shingleN, p.numHashes).as("sig"),
+        // distinct-shingle count (one pass, same hashed-shingle set the
+        // signature minimizes over): the containment estimator's
+        // denominators ride WITH the signature, so the directed screen
+        // never re-reads text — hash-collision parity with counting
+        // distinct shingle strings is the q23 argument (~2⁻⁶⁴)
+        size(hashedShingleSet(col(textCol), p.shingleN)).cast("long").as("n_sh"))
       .filter(size(col("sig")) > 0) // docs long enough to shingle
 
   /** Shingle+hash `df` once and persist signatures + parameters. */
@@ -170,5 +176,148 @@ object SignatureIndex {
       .filter(col("_ej") >= threshold)
       .select(col("_drop_id")).distinct()
     batch.join(broadcast(dropIds), batch(idCol) === col("_drop_id"), "left_anti")
+  }
+
+  // -------------------------------------------------------------- containment
+
+  /** BOTH directed containment estimates per (arriving, stored) doc pair
+    * — the TEXT analogue of [[Dedup.videoContainmentDirected]], from
+    * SKETCHES instead of frames: the paywall stub / quoted article /
+    * chapter-inside-the-book case [[screen]]'s symmetric Jaccard
+    * structurally misses (the union is the big doc). From the signature
+    * agreement Ĵ (matching minhash positions / k) and the stored
+    * per-doc distinct-shingle counts, Broder's identities give
+    * `|A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|)` and the two directed containments
+    * |A∩B|/|A|, |A∩B|/|B| — an exact substring scores ≈1.0 on its own
+    * side. Estimates, not exact counts: deterministic (the md5 family),
+    * but a fixed threshold reads through ±O(1/√k) agreement noise —
+    * size `numHashes` accordingly (128+ for containment work).
+    *
+    * Candidates: batch and stored share ANY single minhash position-
+    * value — P(share) = 1−(1−J)ᵏ, ≈1 even at the low Jaccard a
+    * contained snippet has against its container (per-BAND sharing, the
+    * [[screen]] scheme, needs r consecutive agreements and misses
+    * low-J/high-containment pairs by construction). Hot (position,
+    * value) buckets capped on both sides; the corpus side is the narrow
+    * position projection of stored state — text never re-read.
+    *
+    * @return (batch_id, stored_id, est_jaccard, containment_batch,
+    *         containment_stored), greatest(containments) ≥
+    *         minContainment */
+  def screenContainment(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String,
+      minContainment: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    val p = params(spark, store, name)
+    containmentAgainst(
+      caches.pin(signaturesOf(batch, idCol, textCol, p)),
+      caches.pin(signatures(spark, store, name)),
+      p, minContainment, maxBucketSize)
+  }
+
+  private def containmentAgainst(
+      batchSigs: DataFrame, storedSigs: DataFrame, p: Params,
+      minContainment: Double, maxBucketSize: Int)(
+      implicit caches: CacheScope): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require(storedSigs.columns.contains("n_sh"),
+      "stored signatures carry no n_sh column (pre-containment index) — " +
+        "rebuild the index to enable the containment screen")
+    def positions(s: DataFrame) = caches.pin(
+      s.select(col("id"), posexplode(col("sig")).as(Seq("i", "v"))))
+    val pb = positions(batchSigs)
+    val ps = positions(storedSigs)
+    def hotSide(s: DataFrame) = s.groupBy(col("i"), col("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("i", "v")
+    val hot = hotSide(pb).union(hotSide(ps)).distinct()
+    val coldB = pb.join(broadcast(hot), Seq("i", "v"), "left_anti")
+    val coldS = ps.join(broadcast(hot), Seq("i", "v"), "left_anti")
+    val cand = coldB.alias("a")
+      .join(coldS.alias("b"), col("a.i") === col("b.i") && col("a.v") === col("b.v"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
+      .distinct()
+    cand
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs"),
+        col("n_sh").cast("double").as("_na")), Seq("batch_id"))
+      .join(storedSigs.select(col("id").as("stored_id"), col("sig").as("_ss"),
+        col("n_sh").cast("double").as("_nb")), Seq("stored_id"))
+      .withColumn("est_jaccard",
+        org.apache.spark.sql.graft.NativeFunctions
+          .long_positions_equal(col("_bs"), col("_ss")).cast("double") / p.numHashes)
+      .withColumn("_inter",
+        col("est_jaccard") / (lit(1.0) + col("est_jaccard"))
+          * (col("_na") + col("_nb")))
+      .select(col("batch_id"), col("stored_id"), col("est_jaccard"),
+        (col("_inter") / col("_na")).as("containment_batch"),
+        (col("_inter") / col("_nb")).as("containment_stored"))
+      .filter(greatest(col("containment_batch"), col("containment_stored"))
+        >= minContainment)
+  }
+
+  /** SUPERSEDE admission — the text keeper, [[FrameIndex
+    * .admitSupersedeBatch]]'s fold on sketch containment: an arrival
+    * CONTAINED in a stored doc (its own-side estimate ≥ the threshold —
+    * the stub, the quoted excerpt, the re-crawl) rejects, and mutual
+    * containment rejects FIRST so a near-exact copy never displaces its
+    * source; an ADMITTED arrival that contains ≥ threshold of a STORED
+    * doc's shingles SUBSUMES it — the full article retires the stored
+    * snippet in the SAME CAS commit as the admissions (remove + append
+    * is two commit points and a reader-visible window). Partial
+    * overlaps admit without retiring. Idempotent by id like [[append]]
+    * (a replayed batch's admitted ids are already indexed and no-op),
+    * so the at-least-once foreachBatch contract composes to exactly-
+    * once state — [[graft.streaming.AdmissionStream]]'s argument.
+    *
+    * @return the admitted batch rows, original columns (the [[screen]]
+    *         convention) */
+  def supersede(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String,
+      minContainment: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
+    val p = params(spark, store, name)
+    val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
+    val storedPinned = caches.pin(stored)
+    // insert-only by id; in-batch duplicate ids fold to the signature
+    // with the smallest array hash (deterministic under any
+    // partitioning — the PostingsIndex.tokenized canonicalization)
+    val batchSigs = caches.pin(
+      signaturesOf(batch, idCol, textCol, p)
+        .join(storedPinned.select(col("id")), Seq("id"), "left_anti")
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("sig"), col("n_sh")),
+          xxhash64(col("sig"))).as("_w"))
+        .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh")))
+    val pairs = caches.pin(containmentAgainst(batchSigs, storedPinned, p,
+      minContainment, maxBucketSize))
+    val rejected = pairs
+      .filter(col("containment_batch") >= minContainment)
+      .select(col("batch_id").as("id")).distinct()
+    val admitted = caches.pin(
+      batchSigs.join(broadcast(rejected), Seq("id"), "left_anti"))
+    // stored docs subsumed by an ADMITTED arrival retire in the swap
+    val retired = pairs
+      .filter(col("containment_stored") >= minContainment)
+      .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
+        "left_semi")
+      .select(col("stored_id").as("id")).distinct()
+    store.write(
+      storedPinned.join(broadcast(retired), Seq("id"), "left_anti")
+        .unionByName(admitted),
+      sigsTable(name), Some(readVersion))
+    val keptIds = admitted.select(col("id").as("_adm_id"))
+    batch.join(broadcast(keptIds), batch(idCol) === col("_adm_id"), "left_semi")
   }
 }

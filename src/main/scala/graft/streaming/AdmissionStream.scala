@@ -77,4 +77,40 @@ object AdmissionStream {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** [[SignatureIndex.supersede]] as a live sink — the TEXT keeper loop:
+    * per micro-batch, one containment screen-then-supersede fold (the
+    * arriving full article retires the stored snippet it subsumes,
+    * contained arrivals reject, one CAS commit); admitted rows feed the
+    * sink. Same failure semantics as [[start]]: the fold is idempotent
+    * by id, so at-least-once redelivery composes to exactly-once stored
+    * state. */
+  def startSupersede(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      indexName: String,
+      minContainment: Double,
+      checkpointDir: String,
+      sink: DataFrame => Unit,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          implicit val scope: CacheScope = new CacheScope
+          try {
+            val admitted = scope.pin(CdcStream.withConflictRetry(maxAttempts = 3) {
+              SignatureIndex.supersede(spark, batch, idCol, textCol, store,
+                indexName, minContainment)
+            })
+            sink(admitted)
+          } finally scope.release()
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

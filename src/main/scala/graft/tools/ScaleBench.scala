@@ -385,7 +385,10 @@ object ScaleBench {
     "q142_image_keeper_admission",
     // r16: video supersede — the containment keeper: per-drain directed
     // screen + tombstoned retirements (frame appends + rm-id merges)
-    "q143_video_supersede_admission")
+    "q143_video_supersede_admission",
+    // r16: text supersede — sketch containment at the admission gate;
+    // the stored side is the narrow (id, sig, n_sh) position projection
+    "q144_text_supersede_admission")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

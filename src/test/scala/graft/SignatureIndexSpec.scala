@@ -92,4 +92,113 @@ class SignatureIndexSpec extends SparkSpec {
     assert(kept === 3L)
     scope.release()
   }
+
+  // ----------------------------------------------------------- containment
+
+  /** Containment work sizes the signature up (±O(1/√k) noise reads
+    * through a fixed threshold). */
+  private val pc = Params(shingleN = 2, numHashes = 128, bands = 32)
+
+  /** Deterministic unique-token docs: `ns` names the token namespace, so
+    * docs from different namespaces share no shingles at all. */
+  private def words(ns: String, from: Int, n: Int): String =
+    (from until from + n).map(i => s"$ns$i").mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("screenContainment: an exact-substring snippet scores ~1.0 on its own side where the Jaccard screen misses it") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigidx-cont"))
+    val full = words("a", 0, 40)
+    SignatureIndex.build(docsDf(Seq((1L, full), (2L, words("b", 0, 40)))),
+      "doc_id", "text", pc, store, "c")
+    // the snippet: the full doc's first 15 tokens (true J ≈ 14/39 ≈ 0.36
+    // — far below any symmetric near-dup threshold)
+    val snippet = full.split(" ").take(15).mkString(" ")
+    val batch = docsDf(Seq((100L, snippet), (101L, words("z", 0, 30))))
+    val pairs = SignatureIndex.screenContainment(spark, batch, "doc_id",
+        "text", store, "c", minContainment = 0.75)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(3)).toMap
+    assert(pairs.keySet === Set((1L, 100L)),
+      "only the (container, snippet) pair carries containment evidence")
+    assert(pairs((1L, 100L)) >= 0.75, "the snippet is ~fully contained")
+    // the symmetric Jaccard screen KEEPS the snippet — the case this
+    // directed face exists for
+    val jacKept = SignatureIndex.screen(spark, batch, "doc_id", "text",
+      store, "c", threshold = 0.5).collect().map(_.getLong(0)).toSet
+    assert(jacKept === Set(100L, 101L))
+    scope.release()
+  }
+
+  test("supersede: the full article retires the stored snippet; near-copies reject; partial overlap admits without retiring; replay is a no-op") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigidx-sup"))
+    val fullA = words("a", 0, 40)
+    val fullC = words("c", 0, 40)
+    val snippetA = fullA.split(" ").take(15).mkString(" ")
+    // stored: the SNIPPET of a (id 1), a full unrelated doc (id 3)
+    SignatureIndex.build(docsDf(Seq((1L, snippetA), (3L, fullC))),
+      "doc_id", "text", pc, store, "c")
+    val overlap = (fullC.split(" ").take(14) ++
+      words("d", 0, 26).split(" ")).mkString(" ")
+    val batch = docsDf(Seq(
+      (100L, fullA),            // contains stored snippet 1 → admit + retire 1
+      (101L, fullC),            // exact copy of stored 3 → reject (tie keeps incumbent)
+      (102L, words("e", 0, 30)), // novel → admit
+      (103L, overlap)))         // partial overlap of 3 → admit, 3 stays
+    val admitted = SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      store, "c", minContainment = 0.75).collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(100L, 102L, 103L))
+    val ids = SignatureIndex.signatures(spark, store, "c")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L, 100L, 102L, 103L),
+      "snippet retired; incumbent full kept; partial overlap retired nothing")
+    // evolving state: a snippet cut from THIS call's admission rejects
+    val snippet2 = fullA.split(" ").slice(20, 35).mkString(" ")
+    assert(SignatureIndex.supersede(spark,
+      docsDf(Seq((110L, snippet2))), "doc_id", "text",
+      store, "c", minContainment = 0.75).count() === 0)
+    // replayed batch: every admitted id is already indexed → no-op
+    assert(SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      store, "c", minContainment = 0.75).count() === 0)
+    assert(SignatureIndex.signatures(spark, store, "c").count() === 4)
+    scope.release()
+  }
+
+  test("startSupersede drains ≡ the same sequential supersede folds") {
+    val root = tmpDir("sigidx-sup-stream")
+    val store = new TableStore(s"$root/idx")
+    val fullA = words("a", 0, 40)
+    val snippetA = fullA.split(" ").take(15).mkString(" ")
+    SignatureIndex.build(docsDf(Seq((1L, snippetA))),
+      "doc_id", "text", pc, store, "c")
+    val drains = Seq(
+      docsDf(Seq((100L, fullA))),                       // supersedes snippet 1
+      docsDf(Seq((110L, fullA.split(" ").take(15).mkString(" ")), // clip of drain-1 admission → reject
+        (111L, words("f", 0, 30)))))                    // novel → admit
+    val stageDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "stage"))
+    drains.zipWithIndex.foreach { case (d, k) =>
+      val part = s"$root/_p$k"
+      d.coalesce(1).write.mode("overwrite").parquet(part)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+      try f.iterator().forEachRemaining { q =>
+        if (q.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.move(q, stageDir.resolve(s"b$k.parquet"))
+      } finally f.close()
+    }
+    val schema = spark.read.parquet(stageDir.toString).schema
+    val sunk = scala.collection.mutable.Set[Long]()
+    graft.streaming.AdmissionStream.startSupersede(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString),
+      "doc_id", "text", store, "c", minContainment = 0.75,
+      s"$root/chk", adm => sunk ++= adm.collect().map(_.getLong(0)))
+      .awaitTermination()
+    assert(sunk.toSet === Set(100L, 111L),
+      "drained sink sees exactly the admitted rows")
+    assert(SignatureIndex.signatures(spark, store, "c")
+      .collect().map(_.getLong(0)).toSet === Set(100L, 111L),
+      "snippet superseded by drain 1; drain 2's clip rejected BY that admission")
+  }
 }

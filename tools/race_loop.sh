@@ -10,12 +10,15 @@
 # the full PostingsIndex/IvfAdmission/CorpusProfile concurrency suites.
 # r15 result: 8/8 green over the four suites with the revision-overlay
 # upsert paths (UpsertSpec latch/crash windows on the overlay members).
+# r16: the perceptual/frame index suites join the loop — they carry the
+# racing-admitters case, the crash-window gates, and the keeper/supersede
+# tombstone folds (r16 result recorded in COVERAGE.md).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 n="${1:-20}"
 cmds=()
 for _ in $(seq 1 "$n"); do
-  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec graft.UpsertSpec")
+  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec graft.UpsertSpec graft.PerceptualIndexSpec graft.FrameIndexSpec")
 done
 log=$(mktemp /tmp/graft_race_loop.XXXXXX.log)
 sbt -batch "${cmds[@]}" >"$log" 2>&1 || true
