@@ -67,15 +67,38 @@ object SignatureIndex {
     Params(r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
   }
 
-  /** The stored `(id, sig)` corpus signatures. */
+  /** The SERVED `(id, sig, n_sh)` corpus signatures: base rows minus any
+    * id a supersede fold has tombstoned. Markers are ROWS IN THE SIGS
+    * TABLE ITSELF (`n_sh < 0`, empty signature) — the single-table
+    * reduction of the [[PerceptualIndex]] tombstone member: retirements
+    * and admissions commit in ONE appendRows version, so atomicity needs
+    * no manifest, and the markers ride until an amortized fold (the next
+    * oversized supersede, a takedown, or a rebuild) rewrites them away.
+    * A pre-containment index (no `n_sh` column) serves raw. */
   def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame =
-    store.read(spark, sigsTable(name))
+    servedOf(store.read(spark, sigsTable(name)))
 
-  /** Hash an admitted batch with the STORED parameters and commit
-    * corpus ∪ batch signatures as the next version — the model (params)
-    * is untouched, mirroring [[IvfIndex.append]]. IDEMPOTENT by id: ids
+  /** Base ∖ tombstoned ids. The marker set is fold-bounded (small), so
+    * it broadcasts into the anti-join; the anti-join drops the marker
+    * rows themselves along with the rows they retire. */
+  private def servedOf(raw: DataFrame): DataFrame =
+    if (!raw.columns.contains("n_sh")) raw
+    else raw.join(broadcast(raw.filter(col("n_sh") < 0).select(col("id"))),
+      Seq("id"), "left_anti")
+
+  /** Hash an admitted batch with the STORED parameters and commit the
+    * NEW signatures as the next version — the model (params) is
+    * untouched, mirroring [[IvfIndex.append]]. IDEMPOTENT by id: ids
     * already indexed are skipped, so a replayed micro-batch (the
-    * foreachBatch at-least-once contract) never double-inserts. */
+    * foreachBatch at-least-once contract) never double-inserts.
+    *
+    * O(batch) linked commit ([[TableStore.appendRows]]): only the fresh
+    * rows are written, the snapshot version's part files carry as hard
+    * links — a billion-doc signature tier is never rewritten to admit a
+    * micro-batch (it WAS, until late r16: the union-rewrite here was the
+    * one per-drain corpus-sized write left in the admission family).
+    * [[compact]] bounds the resulting file-count creep, and
+    * [[graft.streaming.AdmissionStream]] already runs it per drain. */
   def append(
       spark: SparkSession,
       batch: DataFrame,
@@ -84,13 +107,16 @@ object SignatureIndex {
       store: TableStore,
       name: String): Unit = {
     val p = params(spark, store, name)
-    // snapshot: the write CASes against the version this union derived from
+    // snapshot: the append CASes against the version the screen derived from
     val (existing, readVersion) = store.snapshot(spark, sigsTable(name))
-    store.write(
-      existing.unionByName(
-        signaturesOf(batch, idCol, textCol, p)
-          .join(existing.select(col("id")), Seq("id"), "left_anti")),
-      sigsTable(name), Some(readVersion))
+    require(existing.columns.contains("n_sh"),
+      "stored signatures carry no n_sh column (pre-containment index) — " +
+        "rebuild the index before appending")
+    store.appendRows(
+      signaturesOf(batch, idCol, textCol, p)
+        .join(existing.select(col("id")), Seq("id"), "left_anti"),
+      sigsTable(name), readVersion)
+    ()
   }
 
   /** Bound the signature table's file count — the maintenance call a
@@ -117,8 +143,11 @@ object SignatureIndex {
       name: String): Long = {
     val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
     val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
-    val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
-    val before = stored.count()
+    // the takedown rewrite serves double duty: it starts from the SERVED
+    // view, so pending supersede tombstones fold away in the same commit
+    val served = servedOf(stored)
+    val kept = served.join(drop, served("id") === col("_rm_id"), "left_anti")
+    val before = served.count()
     store.write(kept, sigsTable(name), Some(readVersion))
     before - signatures(spark, store, name).count()
   }
@@ -276,6 +305,14 @@ object SignatureIndex {
     * so the at-least-once foreachBatch contract composes to exactly-
     * once state — [[graft.streaming.AdmissionStream]]'s argument.
     *
+    * Cost shape: EVERY drain commits O(batch ∪ tombstones) — admissions
+    * link-append, retirements land as marker rows (`n_sh = −1`) in the
+    * same single appendRows version, and every read subtracts the
+    * marker ids ([[signatures]]); past `max(1024, live/8)` marker rows
+    * the drain rides one amortized fold that rewrites the served view
+    * and clears the markers. The corpus-sized tier is never rewritten
+    * to admit a micro-batch.
+    *
     * @return the admitted batch rows, original columns (the [[screen]]
     *         convention) */
   def supersede(
@@ -289,18 +326,24 @@ object SignatureIndex {
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     val p = params(spark, store, name)
     val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
-    val storedPinned = caches.pin(stored)
-    // insert-only by id; in-batch duplicate ids fold to the signature
-    // with the smallest array hash (deterministic under any
-    // partitioning — the PostingsIndex.tokenized canonicalization)
+    val raw = caches.pin(stored)
+    require(raw.columns.contains("n_sh"),
+      "stored signatures carry no n_sh column (pre-containment index) — " +
+        "rebuild the index to enable the supersede fold")
+    val served = caches.pin(servedOf(raw))
+    // insert-only against the RAW id set (⊇ tombstoned ids until the
+    // fold — a retired id can never re-enter under its own name and be
+    // hidden by the marker subtraction); in-batch duplicate ids fold to
+    // the signature with the smallest array hash (deterministic under
+    // any partitioning — the PostingsIndex.tokenized canonicalization)
     val batchSigs = caches.pin(
       signaturesOf(batch, idCol, textCol, p)
-        .join(storedPinned.select(col("id")), Seq("id"), "left_anti")
+        .join(raw.select(col("id")), Seq("id"), "left_anti")
         .groupBy(col("id"))
         .agg(min_by(struct(col("sig"), col("n_sh")),
           xxhash64(col("sig"))).as("_w"))
         .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh")))
-    val pairs = caches.pin(containmentAgainst(batchSigs, storedPinned, p,
+    val pairs = caches.pin(containmentAgainst(batchSigs, served, p,
       minContainment, maxBucketSize))
     val rejected = pairs
       .filter(col("containment_batch") >= minContainment)
@@ -308,15 +351,29 @@ object SignatureIndex {
     val admitted = caches.pin(
       batchSigs.join(broadcast(rejected), Seq("id"), "left_anti"))
     // stored docs subsumed by an ADMITTED arrival retire in the swap
-    val retired = pairs
+    val retired = caches.pin(pairs
       .filter(col("containment_stored") >= minContainment)
       .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
         "left_semi")
-      .select(col("stored_id").as("id")).distinct()
-    store.write(
-      storedPinned.join(broadcast(retired), Seq("id"), "left_anti")
-        .unionByName(admitted),
-      sigsTable(name), Some(readVersion))
+      .select(col("stored_id").as("id")).distinct())
+    // commit: O(batch ∪ tombstones) by default — admissions plus the
+    // retirements' marker rows land in ONE linked appendRows version
+    // (single-table atomicity); past the policy bound the batch rides an
+    // amortized fold that rewrites the served view and clears every
+    // marker (the IvfIndex.OvlFrac rationale on marker ROWS)
+    val markerCount = raw.filter(col("n_sh") < 0).count()
+    val retiredCount = retired.count()
+    val liveCount = served.count()
+    val markers = retired.select(col("id"),
+      array().cast("array<long>").as("sig"), lit(-1L).as("n_sh"))
+    if (markerCount + retiredCount > math.max(1024L, liveCount / 8))
+      store.write(
+        served.join(broadcast(retired), Seq("id"), "left_anti")
+          .unionByName(admitted),
+        sigsTable(name), Some(readVersion))
+    else
+      store.appendRows(admitted.unionByName(markers),
+        sigsTable(name), readVersion)
     val keptIds = admitted.select(col("id").as("_adm_id"))
     batch.join(broadcast(keptIds), batch(idCol) === col("_adm_id"), "left_semi")
   }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{CacheScope, SignatureIndex, TableStore}
 import SignatureIndex.Params
 
@@ -162,6 +164,102 @@ class SignatureIndexSpec extends SparkSpec {
     assert(SignatureIndex.supersede(spark, batch, "doc_id", "text",
       store, "c", minContainment = 0.75).count() === 0)
     assert(SignatureIndex.signatures(spark, store, "c").count() === 4)
+    scope.release()
+  }
+
+  /** File keys (inodes) under `root` — hard links share an inode with
+    * their source, so new-inode bytes count genuinely written data
+    * (the OverlaySpec measurement). */
+  private def inodeKeys(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey.toString)
+      .toSet
+    finally w.close()
+  }
+
+  private def bytesNewInodes(before: Set[String], root: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(f => !before.contains(java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey.toString))
+      .map(java.nio.file.Files.size(_)).sum
+    finally w.close()
+  }
+
+  /** `n` unique-token 40-word docs under namespace `ns`. */
+  private def uniqueDocs(ns: String, n: Int) =
+    (0 until n).map(g => (g.toLong,
+      (0 until 40).map(i => s"$ns${g}w$i").mkString(" "))).toDF("doc_id", "text")
+
+  /** The same docs cut to their first 20 tokens, ids offset. */
+  private def snippetsOf(ns: String, n: Int, idBase: Long) =
+    (0 until n).map(g => (idBase + g,
+      (0 until 20).map(i => s"$ns${g}w$i").mkString(" "))).toDF("doc_id", "text")
+
+  test("supersede drain commits O(batch) bytes: marker rows, never a sigs rewrite; retired ids cannot re-enter") {
+    implicit val scope: CacheScope = new CacheScope
+    val small = new TableStore(tmpDir("sigsup-s"))
+    val big = new TableStore(tmpDir("sigsup-b"))
+    SignatureIndex.build(snippetsOf("a", 100, 0L), "doc_id", "text", pc, small, "c")
+    SignatureIndex.build(snippetsOf("a", 1000, 0L), "doc_id", "text", pc, big, "c")
+    // 5 full articles of stored snippets 10..14 — each admits and retires
+    val batch = uniqueDocs("a", 15).filter($"doc_id" >= 10)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val beforeS = inodeKeys(small.root)
+    assert(SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      small, "c", 0.75).count() === 5)
+    val bytesS = bytesNewInodes(beforeS, small.root)
+    val beforeB = inodeKeys(big.root)
+    assert(SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      big, "c", 0.75).count() === 5)
+    val bytesB = bytesNewInodes(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the corpus must not move the supersede drain's committed bytes: $bytesS -> $bytesB")
+    // served = replaced view despite the base keeping old rows + markers
+    val served = SignatureIndex.signatures(spark, big, "c")
+    assert(served.count() === 1000)
+    assert(served.filter(col("id") === 10L).count() === 0, "subsumed snippet retired")
+    assert(served.filter(col("id") === 100010L).count() === 1, "the full article serves")
+    // a retired id can never re-enter under its own name while its
+    // marker is live (insert-only covers the raw id set)
+    assert(SignatureIndex.supersede(spark,
+      Seq((10L, (0 until 30).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", big, "c", 0.75).count() === 0)
+    assert(SignatureIndex.signatures(spark, big, "c")
+      .filter(col("id") === 10L).count() === 0)
+    scope.release()
+  }
+
+  test("supersede markers fold into the base past the policy bound; served state unmoved") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigsup-fold"))
+    SignatureIndex.build(snippetsOf("a", 1200, 0L), "doc_id", "text", pc, store, "c")
+    def fulls(lo: Int, hi: Int) = uniqueDocs("a", hi).filter($"doc_id" >= lo)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    // drain 1: 600 retirements — below the 1024 marker floor, so they
+    // land as marker rows (raw grows; served swaps)
+    assert(SignatureIndex.supersede(spark, fulls(0, 600), "doc_id", "text",
+      store, "c", 0.75).count() === 600)
+    val raw1 = store.read(spark, "c_sigs")
+    assert(raw1.filter(col("n_sh") < 0).count() === 600, "markers live in the table")
+    assert(SignatureIndex.signatures(spark, store, "c").count() === 1200)
+    // drain 2: 600 more — markers + retired cross the bound, the drain
+    // rides the amortized fold and every marker clears
+    assert(SignatureIndex.supersede(spark, fulls(600, 1200), "doc_id", "text",
+      store, "c", 0.75).count() === 600)
+    val raw2 = store.read(spark, "c_sigs")
+    assert(raw2.filter(col("n_sh") < 0).count() === 0, "the fold cleared the markers")
+    val served = SignatureIndex.signatures(spark, store, "c")
+    assert(served.count() === 1200)
+    assert(served.filter(col("id") < 100000L).count() === 0,
+      "every snippet is genuinely gone from the folded base")
     scope.release()
   }
 
