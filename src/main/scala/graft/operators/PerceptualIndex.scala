@@ -350,6 +350,12 @@ object PerceptualIndex {
     * screen first — a burst of near-copies of one novel item collapses
     * to its smallest-id member (greedy keeper over the
     * [[Dedup.hammingBandedPairs]] graph) before the stored screen runs.
+    * GREEDY means ONE PASS: losses are not re-evaluated after a winner
+    * dies, so in a chain A(1)~B(2), B~C(3) with A far from C, both B
+    * and C die and only A survives — the kept set is not a maximal
+    * independent set of the near-dup graph (sequential one-item folds
+    * would keep A and C). Acceptable for the burst case this exists
+    * for; callers needing maximality sequence their drains.
     * Returns true when folded, false on replay. */
   def admitNovelBatch(
       spark: SparkSession,
@@ -408,7 +414,11 @@ object PerceptualIndex {
     * [[admitNovelBatch]] contract) — `preDedupBatch = true` opts into a
     * within-batch keeper screen first, so a burst of near-copies of one
     * novel item admits only its highest-quality member (ties to the
-    * smallest id). Cost shape: the screen is the banded batch-vs-stored
+    * smallest id; greedy ONE PASS — in a quality-ordered chain A(q9)~
+    * B(q10), B~C(q11) with A far from C, both A and B die and only C
+    * admits, where sequential folds would keep A: the kept set is not a
+    * maximal independent set, the [[admitNovelBatch]] caveat).
+    * Cost shape: the screen is the banded batch-vs-stored
     * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
     * linked appends to the base, retirements land in the compaction-
     * bounded tombstone member that every read subtracts

@@ -10,15 +10,46 @@ import graft.functions.TextFunctions._
   * arriving batch against stored state without ever re-reading the corpus
   * text. [[Dedup.dedupAgainst]] recomputes the corpus signatures per call —
   * right for one-off jobs; at a daily admission cadence over a 100 TB
-  * corpus the text re-scan dominates, and this index removes it (stored
-  * signatures are ~numHashes longs per doc — ~1 KB against tens of KB of
-  * text — and banding them back into buckets is a narrow projection).
+  * corpus the text re-scan dominates, and this index removes it.
   *
-  * Storage (versioned [[TableStore]] tables, atomic swap, CAS-protected):
-  *  - `<name>_sigs` — `(id, sig: array<long>)`, the indexed corpus;
-  *  - `<name>_params` — one row `(shingle_n, num_hashes, bands)`: screening
-  *    MUST hash the batch with the model's own parameters, so they travel
-  *    with the index instead of trusting every caller to repeat them.
+  * Storage (member tables pinned by `<name>_manifest` — the
+  * [[IvfIndex]]/[[PostingsIndex]]/[[PerceptualIndex]]/[[FrameIndex]]
+  * overlay discipline, with the screening PROJECTIONS persisted and
+  * bucketed so a drain's read is pruned to the buckets its batch hashes
+  * into instead of re-deriving the projection from the full stored tier
+  * per micro-batch — the same clustered-table treatment the r16 docs tier
+  * gave the lexical upsert, applied to the admission screens themselves):
+  *
+  *  - `<name>_sigs` — `(id, sig: array<long>, n_sh)`, the indexed corpus,
+  *    HASH-BUCKETED by id (sorted within buckets): the insert-only id
+  *    screen and the candidate fetch-back read only the buckets their
+  *    keys hash into;
+  *  - `<name>_pos` — `(id, i, v)`, one row per minhash position,
+  *    HASH-BUCKETED by (i, v): the containment screen's candidate
+  *    generation (batch and stored sharing ANY single position) reads
+  *    only the batch's (i, v) buckets — never a posexplode of every
+  *    stored signature;
+  *  - `<name>_band` — `(id, band, bucket)`, the LSH banding projection,
+  *    HASH-BUCKETED by (band, bucket): the Jaccard screen's candidates
+  *    read only the batch's band-buckets — never a re-banding of the
+  *    full sigs tier;
+  *  - `<name>_rm` — tombstoned ids (a supersede fold's retirements);
+  *    compaction-bounded, broadcast-subtracted by every read, folded
+  *    into the base tiers past the policy bound;
+  *  - `<name>_manifest` — member pins + the model parameters
+  *    (screening MUST hash the batch with the index's own parameters)
+  *    + the SERVED/RETIRED row counters (so no admission decision ever
+  *    runs a count job over the corpus tier) + the streaming gate's
+  *    `last_batch_id`.
+  *
+  * Every projection tier is maintained INCREMENTALLY in the same commit
+  * as the rows it projects: appends land O(batch) linked rows in each
+  * tier's touched buckets ([[TableStore.appendRowsBucketed]]), and the
+  * amortized folds/takedowns rewrite all tiers together. Readers may see
+  * projection rows of tombstoned ids (the tiers are supersets until the
+  * fold); every screen subtracts the broadcast tombstone set before
+  * counting or joining, so results are exactly those of a projection
+  * derived from the served view.
   *
   * The admission loop a corpus pipeline runs daily:
   * {{{
@@ -26,15 +57,98 @@ import graft.functions.TextFunctions._
   * // ... write `kept` to the corpus table ...
   * SignatureIndex.append(spark, kept, "id", "text", store, "corpus")
   * }}}
+  *
+  * Scale shape: at 100 TB the bucket counts are sized to a constant
+  * per-bucket byte target (the standard clustered-table rule — rebucket
+  * at fold time as the corpus grows), so a fixed-size drain's screen
+  * reads a bounded set of constant-size buckets: bytes read per drain
+  * are ∝ the batch's probe keys, independent of stored-corpus size
+  * ([[graft.tools.ScaleBench]]'s screen-decade probe measures it).
   */
 object SignatureIndex {
 
   private def sigsTable(name: String) = s"${name}_sigs"
-  private def paramsTable(name: String) = s"${name}_params"
+  private def posTable(name: String) = s"${name}_pos"
+  private def bandTable(name: String) = s"${name}_band"
+  private def rmTable(name: String) = s"${name}_rm"
+  private def manifestTable(name: String) = s"${name}_manifest"
+  private val manifestFile = "manifest.json"
+
+  /** Default bucket counts for the test SFs; size each to a constant
+    * per-bucket byte target at scale ([[build]]'s parameters). */
+  val SigBuckets: Int = 32
+  val PosBuckets: Int = 64
+  val BandBuckets: Int = 64
 
   final case class Params(shingleN: Int, numHashes: Int, bands: Int) {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
   }
+
+  /** Member pins + model parameters + the row counters + the admission
+    * gate. `nLive`/`nRm` are exact mergeable counts maintained in the
+    * same swap as the rows they describe, so the supersede fold policy
+    * and [[remove]]'s return value never run a count job over the
+    * corpus-sized tiers (the [[PostingsIndex.BmManifest]] counter
+    * rationale). `rm = None` ⇔ no tombstones. */
+  private[graft] final case class SigManifest(
+      sigs: Int, pos: Int, band: Int,
+      shingleN: Int, numHashes: Int, bands: Int,
+      nLive: Long, nRm: Long, lastBatchId: Long = -1L,
+      rm: Option[Int] = None) {
+    def params: Params = Params(shingleN, numHashes, bands)
+  }
+
+  private def encodeManifest(m: SigManifest): String =
+    s"""{"sigs_v":${m.sigs},"pos_v":${m.pos},"band_v":${m.band},""" +
+      s""""rm_v":${m.rm.getOrElse(-1)},"shingle_n":${m.shingleN},""" +
+      s""""num_hashes":${m.numHashes},"bands":${m.bands},""" +
+      s""""n_live":${m.nLive},"n_rm":${m.nRm},""" +
+      s""""last_batch_id":${m.lastBatchId}}"""
+
+  private def decodeManifest(s: String): SigManifest = {
+    def field(k: String): Long = {
+      val i = s.indexOf("\"" + k + "\":")
+      require(i >= 0, s"signature-index manifest missing $k: $s")
+      val from = i + k.length + 3
+      val end = s.indexWhere(c => c == ',' || c == '}', from)
+      s.substring(from, end).trim.toLong
+    }
+    val rm = { val v = field("rm_v"); if (v < 0) None else Some(v.toInt) }
+    SigManifest(field("sigs_v").toInt, field("pos_v").toInt, field("band_v").toInt,
+      field("shingle_n").toInt, field("num_hashes").toInt, field("bands").toInt,
+      field("n_live"), field("n_rm"), field("last_batch_id"), rm)
+  }
+
+  private[graft] def readManifest(
+      store: TableStore, name: String): Option[(SigManifest, Int)] =
+    store.currentVersion(manifestTable(name)).map { v =>
+      val f = java.nio.file.Paths.get(store.pathAt(manifestTable(name), v))
+        .resolve(manifestFile)
+      (decodeManifest(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)), v)
+    }
+
+  private def requireManifest(store: TableStore, name: String): (SigManifest, Int) =
+    readManifest(store, name).getOrElse(throw new IllegalStateException(
+      s"signature index $name has no manifest — build it first"))
+
+  private def commitManifest(
+      store: TableStore, name: String, m: SigManifest, expected: Option[Int]): Unit =
+    store.commitFile(manifestTable(name), manifestFile,
+      encodeManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      expected)
+
+  private def withLock[A](store: TableStore, name: String)(body: => A): A =
+    OverlayLock.withLock(store, "sig", name)(body)
+
+  private def rollbackAll(store: TableStore, name: String, m: SigManifest): Unit = {
+    OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+    OverlayLock.rollbackIfAhead(store, posTable(name), m.pos)
+    OverlayLock.rollbackIfAhead(store, bandTable(name), m.band)
+    m.rm.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+  }
+
+  // ------------------------------------------------------------- projections
 
   private def signaturesOf(df: DataFrame, idCol: String, textCol: String, p: Params) =
     df.select(col(idCol).as("id"),
@@ -47,134 +161,294 @@ object SignatureIndex {
         size(hashedShingleSet(col(textCol), p.shingleN)).cast("long").as("n_sh"))
       .filter(size(col("sig")) > 0) // docs long enough to shingle
 
-  /** Shingle+hash `df` once and persist signatures + parameters. */
+  /** The position projection `(id, i, v)` of a signature frame. */
+  private def positionsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), posexplode(col("sig")).as(Seq("i", "v")))
+
+  /** The LSH banding projection `(id, band, bucket)` — the same bucketing
+    * [[Dedup.minhashLshPairs]] applies, as a narrow persisted tier. */
+  private def bandedOf(sigs: DataFrame, p: Params): DataFrame = {
+    val rows = p.numHashes / p.bands
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bucket")))
+  }
+
+  private def sigSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(sigsTable(name)).getOrElse(
+      BucketSpec(SigBuckets, Seq("id"), sortCols = Seq("id")))
+  private def posSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(posTable(name)).getOrElse(
+      BucketSpec(PosBuckets, Seq("i", "v"), sortCols = Seq("i", "v")))
+  private def bandSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(bandTable(name)).getOrElse(
+      BucketSpec(BandBuckets, Seq("band", "bucket"), sortCols = Seq("band", "bucket")))
+
+  /** The buckets `keys` can hash into under `spec` — a bounded collect,
+    * at most nBuckets distinct values (the [[IvfIndex.balance]] class of
+    * control-plane read). */
+  private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
+    keys.select(spec.bucketColumn.as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** A member tier PRUNED to `touched` buckets: `_bucket isin(...)`
+    * prunes at the directory level, so unread buckets are never opened
+    * and the bytes read are ∝ the batch's probe keys, never the corpus
+    * ([[graft.PrunedScreenSpec]] measures it). */
+  private def prunedAt(
+      spark: SparkSession, store: TableStore, table: String, pin: Int,
+      touched: Seq[Int]): DataFrame = {
+    val raw = store.snapshotRawAt(spark, table, pin)
+    (if (touched.isEmpty) raw.filter(lit(false))
+     else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+      .drop("_bucket")
+  }
+
+  /** The broadcast tombstone-id subtraction every projection read applies:
+    * the tiers keep retired ids' rows until the amortized fold, and the
+    * screens must count and join exactly what a served-view projection
+    * would hold (hot-cell counts included — a cell's rows all live in one
+    * bucket, so a bucket-pruned read sees every cell it reads EXACTLY). */
+  private def minusRm(
+      spark: SparkSession, store: TableStore, name: String,
+      m: SigManifest)(df: DataFrame): DataFrame =
+    m.rm match {
+      case None => df
+      case Some(pin) => df.join(broadcast(
+          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
+        Seq("id"), "left_anti")
+    }
+
+  /** Base sigs rows pruned to the buckets `ids` can hash into — the keyed
+    * read behind the insert-only screen and the candidate fetch-back. */
+  private def baseSigsForIds(
+      spark: SparkSession, store: TableStore, name: String, m: SigManifest,
+      ids: DataFrame): DataFrame =
+    prunedAt(spark, store, sigsTable(name), m.sigs,
+      touchedBuckets(sigSpec(store, name), ids))
+
+  // ------------------------------------------------------------------ build
+
+  /** Shingle+hash `df` once and commit all member tiers + the manifest.
+    * Rebuilding replaces every member (the admission gate survives, as in
+    * [[IvfIndex.build]]). Bucket counts are the clustered-table knob —
+    * size each to a constant per-bucket byte target at scale so screen
+    * reads stay corpus-size-independent. */
   def build(
       df: DataFrame,
       idCol: String,
       textCol: String,
       p: Params,
       store: TableStore,
-      name: String): Unit = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    store.write(signaturesOf(df, idCol, textCol, p), sigsTable(name))
-    store.write(Seq((p.shingleN, p.numHashes, p.bands))
-      .toDF("shingle_n", "num_hashes", "bands"), paramsTable(name))
-  }
+      name: String,
+      sigBuckets: Int = SigBuckets,
+      posBuckets: Int = PosBuckets,
+      bandBuckets: Int = BandBuckets): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
+        val spark = df.sparkSession
+        val sv = store.writeBucketed(signaturesOf(df, idCol, textCol, p),
+          sigsTable(name), BucketSpec(sigBuckets, Seq("id"), sortCols = Seq("id")))
+        // derive the projections from the COMMITTED sigs (a parquet read)
+        // so the shingle+hash chain runs once, not three times
+        val committed = store.snapshotAt(spark, sigsTable(name), sv)
+        val pv = store.writeBucketed(positionsOf(committed), posTable(name),
+          BucketSpec(posBuckets, Seq("i", "v"), sortCols = Seq("i", "v")))
+        val bv = store.writeBucketed(bandedOf(committed, p), bandTable(name),
+          BucketSpec(bandBuckets, Seq("band", "bucket"),
+            sortCols = Seq("band", "bucket")))
+        val n = committed.count()
+        commitManifest(store, name,
+          SigManifest(sv, pv, bv, p.shingleN, p.numHashes, p.bands, n, 0L,
+            prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+      }
+    }
 
-  def params(spark: SparkSession, store: TableStore, name: String): Params = {
-    val r = store.read(spark, paramsTable(name)).head()
-    Params(r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
-  }
+  /** The index's model parameters, as persisted in the manifest. */
+  def params(spark: SparkSession, store: TableStore, name: String): Params =
+    requireManifest(store, name)._1.params
 
   /** The SERVED `(id, sig, n_sh)` corpus signatures: base rows minus any
-    * id a supersede fold has tombstoned. Markers are ROWS IN THE SIGS
-    * TABLE ITSELF (`n_sh < 0`, empty signature) — the single-table
-    * reduction of the [[PerceptualIndex]] tombstone member: retirements
-    * and admissions commit in ONE appendRows version, so atomicity needs
-    * no manifest, and the markers ride until an amortized fold (the next
-    * oversized supersede, a takedown, or a rebuild) rewrites them away.
-    * A pre-containment index (no `n_sh` column) serves raw. */
-  def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame =
-    servedOf(store.read(spark, sigsTable(name)))
+    * id a supersede fold has tombstoned (manifest-pinned read). */
+  def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame = {
+    val (m, _) = requireManifest(store, name)
+    minusRm(spark, store, name, m)(
+      store.snapshotAt(spark, sigsTable(name), m.sigs))
+  }
 
-  /** Base ∖ tombstoned ids. The marker set is fold-bounded (small), so
-    * it broadcasts into the anti-join; the anti-join drops the marker
-    * rows themselves along with the rows they retire. */
-  private def servedOf(raw: DataFrame): DataFrame =
-    if (!raw.columns.contains("n_sh")) raw
-    else raw.join(broadcast(raw.filter(col("n_sh") < 0).select(col("id"))),
-      Seq("id"), "left_anti")
+  // ----------------------------------------------------------- append/remove
 
-  /** Hash an admitted batch with the STORED parameters and commit the
-    * NEW signatures as the next version — the model (params) is
-    * untouched, mirroring [[IvfIndex.append]]. IDEMPOTENT by id: ids
-    * already indexed are skipped, so a replayed micro-batch (the
-    * foreachBatch at-least-once contract) never double-inserts.
-    *
-    * O(batch) linked commit ([[TableStore.appendRows]]): only the fresh
-    * rows are written, the snapshot version's part files carry as hard
-    * links — a billion-doc signature tier is never rewritten to admit a
-    * micro-batch (it WAS, until late r16: the union-rewrite here was the
-    * one per-drain corpus-sized write left in the admission family).
-    * [[compact]] bounds the resulting file-count creep, and
-    * [[graft.streaming.AdmissionStream]] already runs it per drain. */
+  /** Hash an admitted batch with the STORED parameters and commit the new
+    * signatures + their projection rows as O(batch) linked appends into
+    * each tier's touched buckets — a billion-doc tier is never rewritten
+    * to admit a micro-batch, and the per-bucket file-count creep folds
+    * into bucket-granular compaction ([[OverlayLock
+    * .appendOrCompactBucketed]]). IDEMPOTENT by id: ids already in the
+    * BASE (including tombstoned ids, which may not re-enter under their
+    * own name until the fold forgets them) are skipped via a read of the
+    * batch's own id-buckets, so a replayed micro-batch (the foreachBatch
+    * at-least-once contract) never double-inserts. */
   def append(
       spark: SparkSession,
       batch: DataFrame,
       idCol: String,
       textCol: String,
       store: TableStore,
-      name: String): Unit = {
-    val p = params(spark, store, name)
-    // snapshot: the append CASes against the version the screen derived from
-    val (existing, readVersion) = store.snapshot(spark, sigsTable(name))
-    require(existing.columns.contains("n_sh"),
-      "stored signatures carry no n_sh column (pre-containment index) — " +
-        "rebuild the index before appending")
-    store.appendRows(
-      signaturesOf(batch, idCol, textCol, p)
-        .join(existing.select(col("id")), Seq("id"), "left_anti"),
-      sigsTable(name), readVersion)
-    ()
+      name: String): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, batch, idCol, textCol, store, name, None)
+      }
+      ()
+    }
+
+  private def appendStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      store: TableStore, name: String, stamp: Option[Long]): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    rollbackAll(store, name, m)
+    // pinned: the three tier writes + the counter would otherwise each
+    // re-run the shingle+hash chain end-to-end
+    val batchSigs = signaturesOf(batch, idCol, textCol, m.params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // insert-only against the BASE id set, read from the batch's own
+      // id-buckets only (a batch can only collide with history inside
+      // the buckets its ids hash into); in-batch duplicate ids fold to
+      // the signature with the smallest array hash (deterministic under
+      // any partitioning — the PostingsIndex.tokenized canonicalization)
+      val fresh = batchSigs
+        .join(baseSigsForIds(spark, store, name, m, batchSigs).select(col("id")),
+          Seq("id"), "left_anti")
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("sig"), col("n_sh")),
+          xxhash64(col("sig"))).as("_w"))
+        .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = fresh.count()
+        val sv = OverlayLock.appendOrCompactBucketed(spark, store,
+          sigsTable(name), m.sigs, fresh)
+        val pv = OverlayLock.appendOrCompactBucketed(spark, store,
+          posTable(name), m.pos, positionsOf(fresh))
+        val bv = OverlayLock.appendOrCompactBucketed(spark, store,
+          bandTable(name), m.band, bandedOf(fresh, m.params))
+        commitManifest(store, name,
+          m.copy(sigs = sv, pos = pv, band = bv, nLive = m.nLive + n,
+            lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        true
+      } finally fresh.unpersist()
+    } finally batchSigs.unpersist()
   }
 
-  /** Bound the signature table's file count — the maintenance call a
-    * per-micro-batch append cadence needs ([[TableStore.compactPlain]] on
-    * the sigs table; the one-row params table never accumulates). The
-    * no-op case is a directory listing, so callers run it after every
-    * append. Returns the compacted version, if one was committed. */
+  /** Exactly-once micro-batch admission — the batchId gate rides in the
+    * family manifest ([[CorpusProfile.admitBatch]]'s argument verbatim).
+    * Returns true when folded, false when skipped as a replay. */
+  def admitBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      store: TableStore,
+      name: String): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        appendStamped(spark, batch, idCol, textCol, store, name, Some(batchId))
+      }
+    }
+
+  /** Bound the members' per-bucket file counts — the maintenance call a
+    * per-micro-batch append cadence needs. Appends already fold bucket
+    * compaction in ([[OverlayLock.appendOrCompactBucketed]]), so this is
+    * the explicit form: each member compacts its oversized buckets and
+    * the manifest repins in one swap. The no-op case is a directory
+    * listing per member. */
   def compact(
       spark: SparkSession,
       store: TableStore,
       name: String,
-      maxFiles: Int = 64,
-      targetFiles: Int = 8): Option[Int] =
-    store.compactPlain(spark, sigsTable(name), maxFiles, targetFiles)
+      maxFilesPerBucket: Int = 8): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val sv = store.compact(spark, sigsTable(name), maxFilesPerBucket)
+        val pv = store.compact(spark, posTable(name), maxFilesPerBucket)
+        val bv = store.compact(spark, bandTable(name), maxFilesPerBucket)
+        if (sv.isDefined || pv.isDefined || bv.isDefined)
+          commitManifest(store, name,
+            m.copy(sigs = sv.getOrElse(m.sigs), pos = pv.getOrElse(m.pos),
+              band = bv.getOrElse(m.band)), Some(mv))
+      }
+    }
 
-  /** Takedown: commit a next version of the signatures table WITHOUT the
-    * given ids (params untouched). After removal, a future arrival
+  /** Takedown: commit next versions of every tier WITHOUT the given ids
+    * (model parameters untouched). After removal, a future arrival
     * resembling only the removed docs is admitted again — the screen's
-    * memory genuinely forgets. Returns how many signatures were removed. */
+    * memory genuinely forgets. A takedown rewrites the corpus-sized
+    * tiers anyway, so pending supersede tombstones fold away in the same
+    * swap. Returns how many served signatures were removed (from the
+    * manifest counters — no corpus-sized count job). */
   def remove(
       spark: SparkSession,
       ids: DataFrame,
       store: TableStore,
-      name: String): Long = {
-    val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-    val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
-    // the takedown rewrite serves double duty: it starts from the SERVED
-    // view, so pending supersede tombstones fold away in the same commit
-    val served = servedOf(stored)
-    val kept = served.join(drop, served("id") === col("_rm_id"), "left_anti")
-    val before = served.count()
-    store.write(kept, sigsTable(name), Some(readVersion))
-    before - signatures(spark, store, name).count()
-  }
+      name: String): Long =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
+        val served = minusRm(spark, store, name, m)(
+          store.snapshotAt(spark, sigsTable(name), m.sigs))
+        // the dropped-count read is keyed: only the drop list's buckets
+        val removed = minusRm(spark, store, name, m)(
+          baseSigsForIds(spark, store, name, m, drop.select(col("_rm_id").as("id"))))
+          .join(drop, col("id") === col("_rm_id"), "left_semi")
+          .count()
+        val kept = served.join(drop, served("id") === col("_rm_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sv = store.writeBucketed(kept, sigsTable(name),
+            sigSpec(store, name), Some(m.sigs))
+          val pv = store.writeBucketed(positionsOf(kept), posTable(name),
+            posSpec(store, name), Some(m.pos))
+          val bv = store.writeBucketed(bandedOf(kept, m.params), bandTable(name),
+            bandSpec(store, name), Some(m.band))
+          commitManifest(store, name,
+            m.copy(sigs = sv, pos = pv, band = bv,
+              nLive = m.nLive - removed, nRm = 0L, rm = None), Some(mv))
+          removed
+        } finally kept.unpersist()
+      }
+    }
 
-  /** Band `(id, sig)` rows into `(id, sig, band, bucket)` — the same
-    * bucketing [[Dedup.minhashLshPairs]] applies, derived here from STORED
-    * signatures as a narrow projection (no text ever re-read). */
-  private def banded(sigs: DataFrame, p: Params): DataFrame = {
-    val rows = p.numHashes / p.bands
-    sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-        .as(Seq("band", "bucket")))
-  }
+  // ---------------------------------------------------------------- screens
+
+  /** Cells of `s` (keyed by `keys`) holding more than `cap` rows — the
+    * standard LSH hot-bucket guard, exact for every cell a bucket-pruned
+    * read covers (a cell's rows never split across storage buckets). */
+  private def hotCells(s: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap).select(keys.map(col): _*)
 
   /** Admission screen: batch rows whose estimated Jaccard against ANY
     * stored doc reaches `threshold` are dropped; survivors pass through
     * with their original columns. Exact duplicates of stored docs carry
     * identical signatures (est = 1.0) and are dropped by the same test;
     * docs too short to shingle match nothing and are kept. Same hot-bucket
-    * cap discipline as every LSH join here — a boilerplate bucket bounds
-    * candidates at the cost of recall on that bucket, the standard trade.
+    * cap discipline as every LSH join here.
     *
-    * Scale shape: stored side is a narrow banding projection of `(id,
-    * sig)`; candidates are a (band, bucket) equi-join; agreement is the
-    * codegen'd signature compare; the drop list is ≤ batch ids, broadcast
-    * into a left-anti. The corpus text is never touched. */
+    * Scale shape: candidates come from the PERSISTED banding tier, read
+    * bucket-pruned to the batch's own (band, bucket) cells — the stored
+    * corpus is never re-banded; candidate signatures fetch from the
+    * id-bucketed sigs tier, pruned to the candidates' id-buckets. The
+    * corpus text is never touched. */
   def screen(
       spark: SparkSession,
       batch: DataFrame,
@@ -184,23 +458,34 @@ object SignatureIndex {
       name: String,
       threshold: Double,
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
-    val p = params(spark, store, name)
-    // both banded tables feed the hot-bucket agg plus the join — pin
-    val sb = caches.pin(banded(signaturesOf(batch, idCol, textCol, p), p))
-    val sc = caches.pin(banded(signatures(spark, store, name), p))
-    def hotSide(s: DataFrame) = s.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
-      .select("band", "bucket")
-    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val (m, _) = requireManifest(store, name)
+    val p = m.params
+    val batchSigs = caches.pin(signaturesOf(batch, idCol, textCol, p))
+    val sb = caches.pin(bandedOf(batchSigs, p))
+    val storedBand = caches.pin(minusRm(spark, store, name, m)(
+      prunedAt(spark, store, bandTable(name), m.band,
+        touchedBuckets(bandSpec(store, name), sb.select(col("band"), col("bucket"))))))
+    val hot = hotCells(sb, Seq("band", "bucket"), maxBucketSize)
+      .union(hotCells(storedBand, Seq("band", "bucket"), maxBucketSize)).distinct()
     val coldB = sb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val coldC = sc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val dropIds = coldB.alias("a")
+    val coldC = storedBand.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val cand = caches.pin(coldB.alias("a")
       .join(coldC.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .filter(col("a.id") =!= col("b.id")) // re-screening admitted docs is a no-op
-      .select(col("a.id").as("_drop_id"),
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
+      .distinct())
+    // fetch-back: candidate stored signatures from their id-buckets only
+    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
+      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    val dropIds = cand
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs")),
+        Seq("batch_id"))
+      .join(storedSigs.select(col("id").as("stored_id"), col("sig").as("_ss")),
+        Seq("stored_id"))
+      .select(col("batch_id").as("_drop_id"),
         (org.apache.spark.sql.graft.NativeFunctions
-          .long_positions_equal(col("a.sig"), col("b.sig")).cast("double") / p.numHashes)
+          .long_positions_equal(col("_bs"), col("_ss")).cast("double") / p.numHashes)
           .as("_ej"))
       .filter(col("_ej") >= threshold)
       .select(col("_drop_id")).distinct()
@@ -226,9 +511,11 @@ object SignatureIndex {
     * value — P(share) = 1−(1−J)ᵏ, ≈1 even at the low Jaccard a
     * contained snippet has against its container (per-BAND sharing, the
     * [[screen]] scheme, needs r consecutive agreements and misses
-    * low-J/high-containment pairs by construction). Hot (position,
-    * value) buckets capped on both sides; the corpus side is the narrow
-    * position projection of stored state — text never re-read.
+    * low-J/high-containment pairs by construction). The stored side is
+    * the PERSISTED position tier, read bucket-pruned to the batch's own
+    * (i, v) cells — never a posexplode of every stored signature; hot
+    * (i, v) cells capped on both sides; candidate (sig, n_sh) fetch
+    * from the candidates' id-buckets. Text never re-read.
     *
     * @return (batch_id, stored_id, est_jaccard, containment_batch,
     *         containment_stored), greatest(containments) ≥
@@ -242,37 +529,51 @@ object SignatureIndex {
       name: String,
       minContainment: Double,
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
-    val p = params(spark, store, name)
-    containmentAgainst(
-      caches.pin(signaturesOf(batch, idCol, textCol, p)),
-      caches.pin(signatures(spark, store, name)),
-      p, minContainment, maxBucketSize)
+    val (m, _) = requireManifest(store, name)
+    containmentAgainstStored(spark, store, name, m,
+      caches.pin(signaturesOf(batch, idCol, textCol, m.params)),
+      minContainment, maxBucketSize)
   }
 
-  private def containmentAgainst(
-      batchSigs: DataFrame, storedSigs: DataFrame, p: Params,
-      minContainment: Double, maxBucketSize: Int)(
+  /** Candidate (batch_id, stored_id) pairs + both containment estimates,
+    * the stored side resolved from the pruned position tier and the
+    * id-bucketed sigs tier. */
+  private def containmentAgainstStored(
+      spark: SparkSession, store: TableStore, name: String, m: SigManifest,
+      batchSigs: DataFrame, minContainment: Double, maxBucketSize: Int)(
       implicit caches: CacheScope): DataFrame = {
-    require(minContainment > 0.0 && minContainment <= 1.0,
-      s"minContainment must be in (0, 1], got $minContainment")
-    require(storedSigs.columns.contains("n_sh"),
-      "stored signatures carry no n_sh column (pre-containment index) — " +
-        "rebuild the index to enable the containment screen")
-    def positions(s: DataFrame) = caches.pin(
-      s.select(col("id"), posexplode(col("sig")).as(Seq("i", "v"))))
-    val pb = positions(batchSigs)
-    val ps = positions(storedSigs)
-    def hotSide(s: DataFrame) = s.groupBy(col("i"), col("v"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
-      .select("i", "v")
-    val hot = hotSide(pb).union(hotSide(ps)).distinct()
+    val pb = caches.pin(positionsOf(batchSigs))
+    val ps = caches.pin(minusRm(spark, store, name, m)(
+      prunedAt(spark, store, posTable(name), m.pos,
+        touchedBuckets(posSpec(store, name), pb.select(col("i"), col("v"))))))
+    val cand = caches.pin(candidatePairs(pb, ps, maxBucketSize))
+    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
+      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    containmentScores(cand, batchSigs, storedSigs, m.params, minContainment)
+  }
+
+  /** (batch_id, stored_id) pairs sharing ≥1 (i, v) cell, hot cells capped
+    * on both sides. */
+  private def candidatePairs(
+      pb: DataFrame, ps: DataFrame, maxBucketSize: Int): DataFrame = {
+    val hot = hotCells(pb, Seq("i", "v"), maxBucketSize)
+      .union(hotCells(ps, Seq("i", "v"), maxBucketSize)).distinct()
     val coldB = pb.join(broadcast(hot), Seq("i", "v"), "left_anti")
     val coldS = ps.join(broadcast(hot), Seq("i", "v"), "left_anti")
-    val cand = coldB.alias("a")
+    coldB.alias("a")
       .join(coldS.alias("b"), col("a.i") === col("b.i") && col("a.v") === col("b.v"))
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
       .distinct()
+  }
+
+  /** Join candidate pairs back to both signature frames and apply the
+    * Broder identities; `storedSigs` must carry (id, sig, n_sh). */
+  private def containmentScores(
+      cand: DataFrame, batchSigs: DataFrame, storedSigs: DataFrame,
+      p: Params, minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
     cand
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs"),
         col("n_sh").cast("double").as("_na")), Seq("batch_id"))
@@ -291,6 +592,32 @@ object SignatureIndex {
         >= minContainment)
   }
 
+  /** Within-batch directed-containment pre-screen (the opt-in face of
+    * [[supersede]]'s `preDedupBatch`): for batch pairs sharing any
+    * position cell, an item CONTAINED in another batch item dies —
+    * mutual containment (near-copies of each other) keeps the
+    * SMALLEST id (the [[PerceptualIndex]] keeper convention). GREEDY,
+    * one pass: losses are not re-evaluated after a winner dies, so a
+    * containment chain in one burst keeps only its maximal members —
+    * the documented [[PerceptualIndex.admitKeepBestBatch]] semantics. */
+  private def inBatchContainmentLosers(
+      batchSigs: DataFrame, p: Params, minContainment: Double,
+      maxBucketSize: Int)(implicit caches: CacheScope): DataFrame = {
+    val pb = caches.pin(positionsOf(batchSigs))
+    val pairs = containmentScores(
+      candidatePairs(pb, pb, maxBucketSize), batchSigs,
+      batchSigs, p, minContainment)
+    pairs.select(
+      when(col("containment_batch") >= minContainment &&
+          (col("containment_stored") < minContainment ||
+            col("batch_id") > col("stored_id")), col("batch_id"))
+        .when(col("containment_stored") >= minContainment &&
+          (col("containment_batch") < minContainment ||
+            col("stored_id") > col("batch_id")), col("stored_id"))
+        .as("id"))
+      .filter(col("id").isNotNull).distinct()
+  }
+
   /** SUPERSEDE admission — the text keeper, [[FrameIndex
     * .admitSupersedeBatch]]'s fold on sketch containment: an arrival
     * CONTAINED in a stored doc (its own-side estimate ≥ the threshold —
@@ -298,20 +625,38 @@ object SignatureIndex {
     * containment rejects FIRST so a near-exact copy never displaces its
     * source; an ADMITTED arrival that contains ≥ threshold of a STORED
     * doc's shingles SUBSUMES it — the full article retires the stored
-    * snippet in the SAME CAS commit as the admissions (remove + append
-    * is two commit points and a reader-visible window). Partial
-    * overlaps admit without retiring. Idempotent by id like [[append]]
-    * (a replayed batch's admitted ids are already indexed and no-op),
-    * so the at-least-once foreachBatch contract composes to exactly-
-    * once state — [[graft.streaming.AdmissionStream]]'s argument.
+    * snippet in the SAME swap as the admissions. Partial overlaps admit
+    * without retiring. Idempotent by id like [[append]] (a replayed
+    * batch's admitted ids are already indexed and no-op), so the
+    * at-least-once foreachBatch contract composes to exactly-once
+    * state — [[graft.streaming.AdmissionStream]]'s argument.
+    *
+    * Docs too short to shingle PASS THROUGH to the admitted output (the
+    * [[screen]] convention — a keeper gate must not silently lose rows)
+    * but are recorded nowhere: they are screened by nothing and nothing
+    * screens against them, so a redelivered batch re-emits them
+    * (at-least-once for unshingleable rows, exactly-once for indexable
+    * ones — callers needing exact replay route short docs around the
+    * gate).
+    *
+    * By default, in-batch containment between arrivals is NOT screened
+    * (micro-batch file boundaries decide what "arrives together"): a
+    * snippet and its full article in ONE drain both admit.
+    * `preDedupBatch = true` opts into a within-batch directed-
+    * containment screen first — contained batch items die (mutual →
+    * smallest id survives; greedy, one pass) before the stored-state
+    * fold, so the burst admits only its maximal members.
     *
     * Cost shape: EVERY drain commits O(batch ∪ tombstones) — admissions
-    * link-append, retirements land as marker rows (`n_sh = −1`) in the
-    * same single appendRows version, and every read subtracts the
-    * marker ids ([[signatures]]); past `max(1024, live/8)` marker rows
-    * the drain rides one amortized fold that rewrites the served view
-    * and clears the markers. The corpus-sized tier is never rewritten
-    * to admit a micro-batch.
+    * land as linked appends in each tier's touched buckets, retirements
+    * in the small `_rm` member every read subtracts — and EVERY drain's
+    * reads are bucket-pruned to the batch's probe cells (candidates
+    * from the persisted position tier, fetch-back from the id-bucketed
+    * sigs tier). The fold policy prices itself from the MANIFEST
+    * counters — no count job ever runs over a corpus-sized tier; past
+    * `max(1024, live/8)` marker rows the drain rides one amortized fold
+    * that rewrites the served view into all tiers and clears the
+    * tombstones.
     *
     * @return the admitted batch rows, original columns (the [[screen]]
     *         convention) */
@@ -323,58 +668,104 @@ object SignatureIndex {
       store: TableStore,
       name: String,
       minContainment: Double,
-      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
-    val p = params(spark, store, name)
-    val (stored, readVersion) = store.snapshot(spark, sigsTable(name))
-    val raw = caches.pin(stored)
-    require(raw.columns.contains("n_sh"),
-      "stored signatures carry no n_sh column (pre-containment index) — " +
-        "rebuild the index to enable the supersede fold")
-    val served = caches.pin(servedOf(raw))
-    // insert-only against the RAW id set (⊇ tombstoned ids until the
-    // fold — a retired id can never re-enter under its own name and be
-    // hidden by the marker subtraction); in-batch duplicate ids fold to
-    // the signature with the smallest array hash (deterministic under
-    // any partitioning — the PostingsIndex.tokenized canonicalization)
-    val batchSigs = caches.pin(
-      signaturesOf(batch, idCol, textCol, p)
-        .join(raw.select(col("id")), Seq("id"), "left_anti")
-        .groupBy(col("id"))
-        .agg(min_by(struct(col("sig"), col("n_sh")),
-          xxhash64(col("sig"))).as("_w"))
-        .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh")))
-    val pairs = caches.pin(containmentAgainst(batchSigs, served, p,
-      minContainment, maxBucketSize))
-    val rejected = pairs
-      .filter(col("containment_batch") >= minContainment)
-      .select(col("batch_id").as("id")).distinct()
-    val admitted = caches.pin(
-      batchSigs.join(broadcast(rejected), Seq("id"), "left_anti"))
-    // stored docs subsumed by an ADMITTED arrival retire in the swap
-    val retired = caches.pin(pairs
-      .filter(col("containment_stored") >= minContainment)
-      .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
-        "left_semi")
-      .select(col("stored_id").as("id")).distinct())
-    // commit: O(batch ∪ tombstones) by default — admissions plus the
-    // retirements' marker rows land in ONE linked appendRows version
-    // (single-table atomicity); past the policy bound the batch rides an
-    // amortized fold that rewrites the served view and clears every
-    // marker (the IvfIndex.OvlFrac rationale on marker ROWS)
-    val markerCount = raw.filter(col("n_sh") < 0).count()
-    val retiredCount = retired.count()
-    val liveCount = served.count()
-    val markers = retired.select(col("id"),
-      array().cast("array<long>").as("sig"), lit(-1L).as("n_sh"))
-    if (markerCount + retiredCount > math.max(1024L, liveCount / 8))
-      store.write(
-        served.join(broadcast(retired), Seq("id"), "left_anti")
-          .unionByName(admitted),
-        sigsTable(name), Some(readVersion))
-    else
-      store.appendRows(admitted.unionByName(markers),
-        sigsTable(name), readVersion)
-    val keptIds = admitted.select(col("id").as("_adm_id"))
-    batch.join(broadcast(keptIds), batch(idCol) === col("_adm_id"), "left_semi")
-  }
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false)(implicit caches: CacheScope): DataFrame =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, mv) = requireManifest(store, name)
+        rollbackAll(store, name, m)
+        val p = m.params
+        // insert-only against the BASE id set (⊇ tombstoned ids until the
+        // fold — a retired id can never re-enter under its own name and be
+        // hidden by the subtraction), read from the batch's id-buckets
+        // only (the batch's full id list is a superset of the shingleable
+        // ids — superset-safe, it only prunes less); in-batch duplicate
+        // ids fold to the smallest-hash signature
+        val batchSigs0 = caches.pin(
+          signaturesOf(batch, idCol, textCol, p)
+            .join(baseSigsForIds(spark, store, name, m,
+                batch.select(col(idCol).as("id"))).select(col("id")),
+              Seq("id"), "left_anti")
+            .groupBy(col("id"))
+            .agg(min_by(struct(col("sig"), col("n_sh")),
+              xxhash64(col("sig"))).as("_w"))
+            .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh")))
+        val batchSigs =
+          if (!preDedupBatch) batchSigs0
+          else caches.pin(batchSigs0.join(
+            broadcast(inBatchContainmentLosers(batchSigs0, p, minContainment,
+              maxBucketSize)), Seq("id"), "left_anti"))
+        val pairs = caches.pin(containmentAgainstStored(spark, store, name, m,
+          batchSigs, minContainment, maxBucketSize))
+        val rejected = pairs
+          .filter(col("containment_batch") >= minContainment)
+          .select(col("batch_id").as("id")).distinct()
+        val admitted = caches.pin(
+          batchSigs.join(broadcast(rejected), Seq("id"), "left_anti"))
+        // stored docs subsumed by an ADMITTED arrival retire in the swap
+        val retired = caches.pin(pairs
+          .filter(col("containment_stored") >= minContainment)
+          .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
+            "left_semi")
+          .select(col("stored_id").as("id")).distinct())
+        val admittedN = admitted.count()
+        val retiredN = retired.count()
+        // fold policy priced from the MANIFEST counters (no corpus jobs)
+        if (m.nRm + retiredN > math.max(1024L, m.nLive / 8)) {
+          // amortized fold: the served view minus this batch's
+          // retirements plus its admissions, rewritten into every tier,
+          // tombstones cleared
+          val served = minusRm(spark, store, name, m)(
+            store.snapshotAt(spark, sigsTable(name), m.sigs))
+          val kept = served.join(broadcast(retired), Seq("id"), "left_anti")
+            .unionByName(admitted)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val sv = store.writeBucketed(kept, sigsTable(name),
+              sigSpec(store, name), Some(m.sigs))
+            val pv = store.writeBucketed(positionsOf(kept), posTable(name),
+              posSpec(store, name), Some(m.pos))
+            val bv = store.writeBucketed(bandedOf(kept, p), bandTable(name),
+              bandSpec(store, name), Some(m.band))
+            commitManifest(store, name,
+              m.copy(sigs = sv, pos = pv, band = bv,
+                nLive = m.nLive + admittedN - retiredN, nRm = 0L,
+                rm = None), Some(mv))
+          } finally kept.unpersist()
+        } else {
+          // O(batch ∪ tombstones): admissions link-append into each
+          // tier's touched buckets, retirements merge into the small
+          // tombstone member, ONE manifest swap publishes all of it
+          val sv = OverlayLock.appendOrCompactBucketed(spark, store,
+            sigsTable(name), m.sigs, admitted)
+          val pv = OverlayLock.appendOrCompactBucketed(spark, store,
+            posTable(name), m.pos, positionsOf(admitted))
+          val bv = OverlayLock.appendOrCompactBucketed(spark, store,
+            bandTable(name), m.band, bandedOf(admitted, p))
+          val rv =
+            if (retiredN == 0L) m.rm
+            else Some(m.rm match {
+              case Some(pin) => store.write(
+                store.snapshotAt(spark, rmTable(name), pin).select(col("id"))
+                  .unionByName(retired).distinct().coalesce(4),
+                rmTable(name), Some(pin))
+              case None => store.write(retired.coalesce(4),
+                rmTable(name), store.currentVersion(rmTable(name)))
+            })
+          commitManifest(store, name,
+            m.copy(sigs = sv, pos = pv, band = bv,
+              nLive = m.nLive + admittedN - retiredN,
+              nRm = m.nRm + retiredN, rm = rv), Some(mv))
+        }
+        // admitted rows pass through with their original columns; docs
+        // too short to shingle never entered the gate — pass them too
+        val keptIds = admitted.select(col("id").as("_adm_id"))
+        val shingleable = batch
+          .filter(size(hashedShingleSet(col(textCol), p.shingleN)) > 0)
+        shingleable
+          .join(broadcast(keptIds), shingleable(idCol) === col("_adm_id"), "left_semi")
+          .unionByName(batch.filter(
+            size(hashedShingleSet(col(textCol), p.shingleN)) <= 0))
+      }
+    }
 }

@@ -25,16 +25,15 @@ import graft.operators.{CacheScope, Dedup, SignatureIndex, TableStore}
   * at-least-once `foreachBatch` contract composes to exactly-once index
   * state. A concurrent writer on the index loses no data: the CAS retry
   * re-reads and re-appends.
+  *
+  * Small-file accumulation is bounded INSIDE the append path: every tier
+  * of the index is hash-bucketed, and [[graft.operators.OverlayLock
+  * .appendOrCompactBucketed]] folds a bucket-granular compaction into any
+  * drain whose touched buckets have crept past the per-bucket bound — no
+  * separate maintenance call in the loop.
   */
 object AdmissionStream {
 
-  /** `compactMaxFiles`/`compactTargetFiles` bound the index's small-file
-    * accumulation: every micro-batch append commits a version whose file
-    * count inherits the previous version's scan partitioning, so a
-    * continuous stream creeps upward forever without a bound. After each
-    * append the (cheap, listing-only) check runs and, past the bound,
-    * rewrites the signatures into `compactTargetFiles` files under the
-    * same conflict-retry discipline as the append itself. */
   def start(
       stream: DataFrame,
       idCol: String,
@@ -44,9 +43,7 @@ object AdmissionStream {
       threshold: Double,
       checkpointDir: String,
       sink: DataFrame => Unit,
-      availableNow: Boolean = true,
-      compactMaxFiles: Int = 64,
-      compactTargetFiles: Int = 8): StreamingQuery = {
+      availableNow: Boolean = true): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -66,10 +63,6 @@ object AdmissionStream {
             CdcStream.withConflictRetry(maxAttempts = 3) {
               SignatureIndex.append(spark, admitted, idCol, textCol, store, indexName)
             }
-            CdcStream.withConflictRetry(maxAttempts = 3) {
-              SignatureIndex.compact(spark, store, indexName,
-                compactMaxFiles, compactTargetFiles)
-            }
             sink(admitted)
           } finally scope.release()
         }
@@ -84,7 +77,10 @@ object AdmissionStream {
     * contained arrivals reject, one CAS commit); admitted rows feed the
     * sink. Same failure semantics as [[start]]: the fold is idempotent
     * by id, so at-least-once redelivery composes to exactly-once stored
-    * state. */
+    * state. `preDedupBatch` opts into [[SignatureIndex.supersede]]'s
+    * within-batch containment screen (default off: in-batch containment
+    * between arrivals is not screened, and a snippet+article pair in one
+    * drain admits both). */
   def startSupersede(
       stream: DataFrame,
       idCol: String,
@@ -94,7 +90,8 @@ object AdmissionStream {
       minContainment: Double,
       checkpointDir: String,
       sink: DataFrame => Unit,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      preDedupBatch: Boolean = false): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -104,7 +101,7 @@ object AdmissionStream {
           try {
             val admitted = scope.pin(CdcStream.withConflictRetry(maxAttempts = 3) {
               SignatureIndex.supersede(spark, batch, idCol, textCol, store,
-                indexName, minContainment)
+                indexName, minContainment, preDedupBatch = preDedupBatch)
             })
             sink(admitted)
           } finally scope.release()

@@ -207,6 +207,131 @@ object RevisionProbe {
   }
 }
 
+/** Fixed-batch SCREEN-DRAIN probe (VERDICT r16 #7): the admission-loop
+  * decade slopes run on constant fixtures, so they scale the BATCH and
+  * are blind to stored-state growth — exactly where a screen that
+  * re-derives its candidate projection from the full stored index hides
+  * its ∝-corpus term. This probe holds the screen batch CONSTANT
+  * (64 items) while the STORED INDEX decades, and reports
+  * `drift = t_scaled / t_base` per screen face — flat (≈1) means the
+  * screen does no stored-state-proportional work.
+  *
+  * Faces measured: the text family's containment screen + Jaccard screen
+  * + supersede drain (r17's persisted bucketed projections — expected
+  * flat under the constant-bucket-bytes rule), and the perceptual/frame
+  * banded screens (which still re-band their 8-byte/item stored tiers
+  * per drain — expected ∝ stored, recorded honestly; their stored rows
+  * are 8 B/item, so the term is ~100× smaller than the text one was).
+  *
+  * `runMain graft.tools.ScreenProbe <baseSfDir> <scaledDir> <factor>` */
+object ScreenProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScreenProbe <baseSfDir> <scaledDir> <factor>")
+    val Array(base, scaled, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{CacheScope, FrameIndex, PerceptualIndex, SignatureIndex, TableStore}
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    /** Per-face screen seconds at `dir` (two passes, min — screens are
+      * read-only, so state does not advance). Bucket counts scale with
+      * the factor (the constant-bucket-bytes rule). */
+    def run(dir: String, scale: Int): Map[String, Double] = {
+      val docs = graft.sources.FixtureLoader.load(spark, dir, "documents")
+      // the FIXED batch: revised copies of the 64 smallest doc ids —
+      // identical rows at both corpus sizes
+      val batch = docs.orderBy(col("doc_id")).limit(64)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" revised edition")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      def timeFace(body: => Unit): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+
+      val sigStore = new TableStore(tmp("scrprobe-sig"))
+      SignatureIndex.build(docs, "doc_id", "text",
+        SignatureIndex.Params(3, 128, 32), sigStore, "c",
+        sigBuckets = 8 * scale, posBuckets = 32 * scale, bandBuckets = 16 * scale)
+      val tCont = timeFace {
+        implicit val scope: CacheScope = new CacheScope
+        try SignatureIndex.screenContainment(spark, batch, "doc_id", "text",
+          sigStore, "c", minContainment = 0.75).count()
+        finally scope.release()
+      }
+      val tJac = timeFace {
+        implicit val scope: CacheScope = new CacheScope
+        try SignatureIndex.screen(spark, batch, "doc_id", "text",
+          sigStore, "c", threshold = 0.8).count()
+        finally scope.release()
+      }
+      // supersede advances state — one timed pass on a fresh store copy
+      val tSup = {
+        implicit val scope: CacheScope = new CacheScope
+        val t0 = System.nanoTime()
+        try SignatureIndex.supersede(spark, batch, "doc_id", "text",
+          sigStore, "c", minContainment = 0.75).count()
+        finally scope.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+
+      // perceptual/frame: 64-bit signatures derived from the text hash —
+      // the probe measures screen COST shape, not match quality
+      val sigs = docs.select(col("doc_id").as("id"), xxhash64(col("text")).as("sig"))
+      val percStore = new TableStore(tmp("scrprobe-perc"))
+      PerceptualIndex.build(sigs, maxHamming = 3, percStore, "p")
+      val batchSigs = batch.select(col("doc_id").as("id"),
+        xxhash64(col("text")).as("sig"))
+      val tPerc = timeFace {
+        implicit val scope: CacheScope = new CacheScope
+        try PerceptualIndex.screen(spark, batchSigs, percStore, "p").count()
+        finally scope.release()
+      }
+      val frames = docs.select(col("doc_id").as("id"),
+          explode(sequence(lit(0), lit(7))).as("frame"))
+        .withColumn("sig", xxhash64(col("id"), col("frame")))
+      val frameStore = new TableStore(tmp("scrprobe-frame"))
+      FrameIndex.build(frames, maxHamming = 3, minContainment = 0.75,
+        frameStore, "f")
+      val batchFrames = batch.select(col("doc_id").as("id"),
+          explode(sequence(lit(0), lit(7))).as("frame"))
+        .withColumn("sig", xxhash64(col("id"), col("frame"), lit(1)))
+      val tFrame = timeFace {
+        implicit val scope: CacheScope = new CacheScope
+        try FrameIndex.screen(spark, batchFrames, frameStore, "f").count()
+        finally scope.release()
+      }
+      batch.unpersist()
+      graft.operators.CacheScope.appLifetime.release()
+      Map("text_containment" -> tCont, "text_jaccard" -> tJac,
+        "text_supersede" -> tSup, "perceptual" -> tPerc, "frame" -> tFrame)
+    }
+
+    val b = run(base, 1)
+    val s = run(scaled, factor)
+    val faces = Seq("text_containment", "text_jaccard", "text_supersede",
+      "perceptual", "frame")
+    val body = faces.map { f =>
+      s""""$f":{"base_sec":${f"${b(f)}%.3f"},"scaled_sec":${f"${s(f)}%.3f"},""" +
+        s""""drift":${f"${s(f) / b(f)}%.3f"}}"""
+    }.mkString(",")
+    println(
+      s"""{"metric":"screen_drift","factor":$factor,"base":"$base",""" +
+        s""""scaled":"$scaled","batch_rows":64,$body,"flag_above":2.0}""")
+    spark.stop()
+  }
+}
+
 /** Scale-slope measurement over the heavy query family: one decade of
   * ACTUAL scaling data for the operators whose 100 TB arguments are
   * otherwise plan-shape reasoning. Runs each query at the base dir and at

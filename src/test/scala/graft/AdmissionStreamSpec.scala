@@ -59,12 +59,10 @@ class AdmissionStreamSpec extends SparkSpec {
     assert(SignatureIndex.signatures(spark, store, "corpus").count() === 4)
   }
 
-  test("auto-compaction bounds index file count across many micro-batches, data intact") {
+  test("auto-compaction bounds per-bucket file counts across many micro-batches, data intact") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
     val store = new TableStore(tmpDir("admission-compact"))
-    // 8 distinct-vocabulary seeds: enough rows that the inflation below
-    // actually materializes 8 part files (empty partitions write none)
     SignatureIndex.build(
       (1L to 8L).map(i =>
         (i, (0 until 8).map(j => s"seed${i}v$j").mkString("base ", " ", " fin")))
@@ -72,39 +70,37 @@ class AdmissionStreamSpec extends SparkSpec {
       "doc_id", "text", p, store, "corpus")
 
     // distinct vocabulary per doc → everything is admitted, every batch
-    // appends a version; compact bounds must keep file counts flat
+    // link-appends into each tier's touched buckets; the fold-in bucket
+    // compaction (OverlayLock.appendOrCompactBucketed) must keep the
+    // per-bucket file counts flat — 20 one-pair drains would otherwise
+    // average 20*32/64 = 10 files per pos-tier bucket vs the bound of 8
     def novelDoc(i: Long) = Doc(100L + i,
       (0 until 8).map(j => s"w${i}x$j").mkString("token ", " ", " end"))
-
-    // inflate the seeded version's file count so the FIRST cycle provably
-    // crosses the bound — the policy must fire, not vacuously hold
-    store.write(store.read(spark, "corpus_sigs").repartition(8), "corpus_sigs")
-    assert(store.fileCount("corpus_sigs") > 3,
-      s"inflation produced only ${store.fileCount("corpus_sigs")} files")
 
     val admitted = scala.collection.mutable.ArrayBuffer[Long]()
     val input = MemoryStream[Doc]
     val chk = tmpDir("admission-compact-chk")
-    val maxFiles = 3
-    (0 until 6).foreach { cycle =>
+    (0 until 10).foreach { cycle =>
       input.addData(novelDoc(cycle * 2), novelDoc(cycle * 2 + 1))
       val q = AdmissionStream.start(input.toDF(), "doc_id", "text",
         store, "corpus", threshold = 0.5, checkpointDir = chk,
         sink = df => admitted.synchronized {
           admitted ++= df.collect().map(_.getAs[Long]("doc_id"))
-        },
-        compactMaxFiles = maxFiles, compactTargetFiles = 1)
+        })
       q.awaitTermination()
       // invariant HOLDS CONTINUOUSLY, not just at the end: compaction ran
-      // whenever a batch pushed the count past the bound
-      assert(store.fileCount("corpus_sigs") <= maxFiles + 1,
-        s"cycle $cycle left ${store.fileCount("corpus_sigs")} files")
+      // whenever a drain pushed a touched bucket to the bound
+      Seq("corpus_sigs", "corpus_pos", "corpus_band").foreach { tbl =>
+        val counts = store.bucketFileCounts(tbl)
+        assert(counts.isEmpty || counts.values.max <= 8,
+          s"cycle $cycle left ${counts.values.max} files in a $tbl bucket")
+      }
     }
     // every admitted doc's signature survived the compaction rewrites
-    assert(admitted.size === 12)
+    assert(admitted.size === 20)
     val ids = SignatureIndex.signatures(spark, store, "corpus")
       .select("id").as[Long].collect().sorted
-    assert(ids === ((1L to 8L) ++ (0 until 12).map(100L + _)).sorted)
+    assert(ids === ((1L to 8L) ++ (0 until 20).map(100L + _)).sorted)
     // and the compacted index still screens: an exact replay of an
     // admitted doc is dropped
     admitted.clear()
@@ -113,8 +109,7 @@ class AdmissionStreamSpec extends SparkSpec {
       store, "corpus", threshold = 0.5, checkpointDir = chk,
       sink = df => admitted.synchronized {
         admitted ++= df.collect().map(_.getAs[Long]("doc_id"))
-      },
-      compactMaxFiles = maxFiles, compactTargetFiles = 1)
+      })
     q.awaitTermination()
     assert(admitted.isEmpty, "replayed content must still be screened after compaction")
   }

@@ -202,7 +202,7 @@ class SignatureIndexSpec extends SparkSpec {
     (0 until n).map(g => (idBase + g,
       (0 until 20).map(i => s"$ns${g}w$i").mkString(" "))).toDF("doc_id", "text")
 
-  test("supersede drain commits O(batch) bytes: marker rows, never a sigs rewrite; retired ids cannot re-enter") {
+  test("supersede drain commits O(batch) bytes: tombstones, never a tier rewrite; retired ids cannot re-enter") {
     implicit val scope: CacheScope = new CacheScope
     val small = new TableStore(tmpDir("sigsup-s"))
     val big = new TableStore(tmpDir("sigsup-b"))
@@ -237,29 +237,108 @@ class SignatureIndexSpec extends SparkSpec {
     scope.release()
   }
 
-  test("supersede markers fold into the base past the policy bound; served state unmoved") {
+  test("supersede tombstones fold into the base past the policy bound; served state unmoved") {
     implicit val scope: CacheScope = new CacheScope
     val store = new TableStore(tmpDir("sigsup-fold"))
     SignatureIndex.build(snippetsOf("a", 1200, 0L), "doc_id", "text", pc, store, "c")
     def fulls(lo: Int, hi: Int) = uniqueDocs("a", hi).filter($"doc_id" >= lo)
       .select(($"doc_id" + 100000L).as("doc_id"), $"text")
-    // drain 1: 600 retirements — below the 1024 marker floor, so they
-    // land as marker rows (raw grows; served swaps)
+    // drain 1: 600 retirements — below the 1024 tombstone floor, so they
+    // land in the _rm member (base grows; served swaps); the manifest
+    // counters price the policy without any corpus-sized count job
     assert(SignatureIndex.supersede(spark, fulls(0, 600), "doc_id", "text",
       store, "c", 0.75).count() === 600)
-    val raw1 = store.read(spark, "c_sigs")
-    assert(raw1.filter(col("n_sh") < 0).count() === 600, "markers live in the table")
+    val (m1, _) = SignatureIndex.readManifest(store, "c").get
+    assert(m1.nRm === 600 && m1.rm.isDefined, "tombstones live in the _rm member")
+    assert(m1.nLive === 1200)
+    assert(store.read(spark, "c_rm").count() === 600)
     assert(SignatureIndex.signatures(spark, store, "c").count() === 1200)
-    // drain 2: 600 more — markers + retired cross the bound, the drain
-    // rides the amortized fold and every marker clears
+    // drain 2: 600 more — tombstones + retired cross the bound, the drain
+    // rides the amortized fold and the tombstone pin clears
     assert(SignatureIndex.supersede(spark, fulls(600, 1200), "doc_id", "text",
       store, "c", 0.75).count() === 600)
-    val raw2 = store.read(spark, "c_sigs")
-    assert(raw2.filter(col("n_sh") < 0).count() === 0, "the fold cleared the markers")
+    val (m2, _) = SignatureIndex.readManifest(store, "c").get
+    assert(m2.nRm === 0 && m2.rm.isEmpty, "the fold cleared the tombstones")
+    assert(m2.nLive === 1200)
     val served = SignatureIndex.signatures(spark, store, "c")
     assert(served.count() === 1200)
     assert(served.filter(col("id") < 100000L).count() === 0,
       "every snippet is genuinely gone from the folded base")
+    // the projection tiers folded WITH the sigs: no retired id's rows ride
+    assert(store.read(spark, "c_pos").select(col("id")).distinct().count() === 1200)
+    assert(store.read(spark, "c_band").select(col("id")).distinct().count() === 1200)
+    scope.release()
+  }
+
+  test("supersede passes docs too short to shingle through unindexed (the screen convention)") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigsup-short"))
+    SignatureIndex.build(docsDf(Seq((1L, words("a", 0, 40)))),
+      "doc_id", "text", pc, store, "c")
+    val admitted = SignatureIndex.supersede(spark,
+      docsDf(Seq((100L, "tiny"), (101L, words("z", 0, 30)))),
+      "doc_id", "text", store, "c", minContainment = 0.75)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(100L, 101L),
+      "the unshingleable doc passes through instead of being silently lost")
+    // ... but it is recorded nowhere: the index never saw it
+    assert(SignatureIndex.signatures(spark, store, "c")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 101L))
+    scope.release()
+  }
+
+  test("supersede preDedupBatch: a snippet and its article in ONE drain admit only the article") {
+    implicit val scope: CacheScope = new CacheScope
+    val store = new TableStore(tmpDir("sigsup-prededup"))
+    SignatureIndex.build(docsDf(Seq((1L, words("x", 0, 40)))),
+      "doc_id", "text", pc, store, "c")
+    val fullA = words("a", 0, 40)
+    val snipA = fullA.split(" ").take(15).mkString(" ")
+    val batch = docsDf(Seq(
+      (100L, fullA), (101L, snipA),     // same-drain containment pair
+      (102L, words("b", 0, 30))))       // disjoint item, unaffected
+    // default: micro-batch file boundaries decide — both admit
+    val plain = SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      store, "c", 0.75).collect().map(_.getLong(0)).toSet
+    assert(plain === Set(100L, 101L, 102L))
+    // opt-in: the within-batch screen kills the contained snippet first
+    val store2 = new TableStore(tmpDir("sigsup-prededup2"))
+    SignatureIndex.build(docsDf(Seq((1L, words("x", 0, 40)))),
+      "doc_id", "text", pc, store2, "c")
+    val deduped = SignatureIndex.supersede(spark, batch, "doc_id", "text",
+      store2, "c", 0.75, preDedupBatch = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(deduped === Set(100L, 102L),
+      "the contained snippet dies in-batch; disjoint items are unaffected")
+    assert(SignatureIndex.signatures(spark, store2, "c")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 100L, 102L))
+    scope.release()
+  }
+
+  test("append keeps every tier's per-bucket file count bounded across many drains") {
+    val store = new TableStore(tmpDir("sigidx-filecap"))
+    SignatureIndex.build(corpus(), "doc_id", "text", p, store, "c")
+    // 20 one-doc appends: without the fold-in compaction the pos tier's
+    // buckets would average 20*32/64 = 10 files; the bound is 8
+    (0 until 20).foreach { k =>
+      SignatureIndex.append(spark,
+        Seq((1000L + k, (0 until 12).map(j => s"n${k}w$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store, "c")
+      Seq("c_sigs", "c_pos", "c_band").foreach { tbl =>
+        val counts = store.bucketFileCounts(tbl)
+        assert(counts.isEmpty || counts.values.max <= 8,
+          s"drain $k left ${counts.values.max} files in a $tbl bucket")
+      }
+    }
+    assert(SignatureIndex.signatures(spark, store, "c").count() === 23)
+    // the compacted index still screens: a replay of an admitted doc drops
+    implicit val scope: CacheScope = new CacheScope
+    val kept = SignatureIndex.screen(spark,
+      Seq((9999L, (0 until 12).map(j => s"n5w$j").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store, "c", threshold = 0.5).count()
+    assert(kept === 0L)
     scope.release()
   }
 
