@@ -70,6 +70,14 @@ object PostingsIndex {
   // because it is vocabulary-sized, not corpus-sized)
   private def ovlPostingsTable(name: String) = s"${name}_postings_ovl"
   private def ovlDocsTable(name: String) = s"${name}_docs_ovl"
+  // termstats DELTA member: per-term df adjustments (positive from fresh
+  // docs, negative from replaced/removed ones) committed O(batch-terms)
+  // per drain and merged into the authoritative table only at the
+  // amortized fold — the overlay discipline applied to the one remaining
+  // super-batch-sized per-drain WRITE (the vocabulary grows with the
+  // corpus under Heaps' law, so the old per-drain merge-rewrite of
+  // `_termstats` was ∝ vocabulary, not ∝ batch)
+  private def dltTermStatsTable(name: String) = s"${name}_termstats_dlt"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
@@ -113,7 +121,8 @@ object PostingsIndex {
   private[graft] final case class BmManifest(
       postings: Int, docs: Int, termStats: Int,
       nDocs: Long, sumDl: Long, lastBatchId: Long = -1L,
-      ovlPostings: Option[Int] = None, ovlDocs: Option[Int] = None)
+      ovlPostings: Option[Int] = None, ovlDocs: Option[Int] = None,
+      dltTermStats: Option[Int] = None)
 
   private def encodeManifest(m: BmManifest): String =
     s"""{"postings_v":${m.postings},"docs_v":${m.docs},""" +
@@ -121,6 +130,7 @@ object PostingsIndex {
       s""""sum_dl":${m.sumDl},""" +
       s""""ovl_postings_v":${m.ovlPostings.getOrElse(-1)},""" +
       s""""ovl_docs_v":${m.ovlDocs.getOrElse(-1)},""" +
+      s""""dlt_termstats_v":${m.dltTermStats.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): BmManifest = {
@@ -140,7 +150,8 @@ object PostingsIndex {
     BmManifest(field("postings_v").toInt, field("docs_v").toInt,
       field("termstats_v").toInt, field("n_docs"), field("sum_dl"),
       field("last_batch_id"),
-      optAbsent("ovl_postings_v"), optAbsent("ovl_docs_v"))
+      optAbsent("ovl_postings_v"), optAbsent("ovl_docs_v"),
+      optAbsent("dlt_termstats_v"))
   }
 
   /** `(count, Σdl)` of a `(doc_id, dl, ...)` frame — one tiny aggregate,
@@ -178,6 +189,7 @@ object PostingsIndex {
     OverlayLock.rollbackIfAhead(store, termStatsTable(name), m.termStats)
     m.ovlPostings.foreach(OverlayLock.rollbackIfAhead(store, ovlPostingsTable(name), _))
     m.ovlDocs.foreach(OverlayLock.rollbackIfAhead(store, ovlDocsTable(name), _))
+    m.dltTermStats.foreach(OverlayLock.rollbackIfAhead(store, dltTermStatsTable(name), _))
   }
 
   /** base ∖ overlay-doc_ids ∪ overlay — the read-time merge both
@@ -209,6 +221,59 @@ object PostingsIndex {
     mergedWithOverlay(spark, store,
       store.snapshotAt(spark, docsTable(name), m.docs),
       ovlDocsTable(name), m.ovlDocs)
+
+  /** The served `(term, df)` view: authoritative base ⊕ the delta member
+    * (cell-wise sum, non-positive cells dropped — exact arithmetic, so a
+    * served df is bit-equal to the old per-drain merge-rewrite's). */
+  private def termDfAt(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame = {
+    val base = store.snapshotAt(spark, termStatsTable(name), m.termStats)
+    m.dltTermStats match {
+      case None => base
+      case Some(pin) =>
+        base.unionByName(store.snapshotAt(spark, dltTermStatsTable(name), pin))
+          .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+          .filter(col("df") > 0)
+    }
+  }
+
+  /** Commit a per-term df adjustment (`delta` — positive and/or negative
+    * rows, already grouped by term) under the overlay discipline: the
+    * common path rewrites only the compaction-bounded DELTA member
+    * (O(batch-terms ∪ delta) bytes); past `max(1 MiB, base/8)` of
+    * pre-batch delta bytes the drain rides one amortized fold that
+    * merges base ⊕ delta ⊕ batch into the authoritative table and
+    * clears the pin. Returns the (termStats, dltTermStats) pins to
+    * publish. */
+  private def commitTermDelta(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest,
+      delta: DataFrame): (Int, Option[Int]) = {
+    val deltaFull = m.dltTermStats.exists { pin =>
+      store.byteSizeAt(dltTermStatsTable(name), pin) > math.max(
+        OvlFloorBytes.toDouble,
+        OvlFrac * store.byteSizeAt(termStatsTable(name), m.termStats))
+    }
+    if (deltaFull) {
+      val tv = store.write(
+        termDfAt(spark, store, name, m).unionByName(delta)
+          .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+          .filter(col("df") > 0),
+        termStatsTable(name), Some(m.termStats))
+      (tv, None)
+    } else {
+      val dv = m.dltTermStats match {
+        case Some(pin) => store.write(
+          store.snapshotAt(spark, dltTermStatsTable(name), pin)
+            .unionByName(delta)
+            .groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .filter(col("df") =!= 0).coalesce(4),
+          dltTermStatsTable(name), Some(pin))
+        case None => store.write(delta.filter(col("df") =!= 0).coalesce(4),
+          dltTermStatsTable(name), store.currentVersion(dltTermStatsTable(name)))
+      }
+      (m.termStats, Some(dv))
+    }
+  }
 
   /** The batch's bucket list under `spec` — a bounded collect, at most
     * nBuckets distinct values (the [[IvfIndex.balance]] class of
@@ -402,15 +467,13 @@ object PostingsIndex {
       val freshPostings = postingsOf(fresh)
       val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
         store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
-      // df merge is CELL-WISE SUM — the one sketch-free mergeable tier
-      val tv = store.write(
-        store.snapshotAt(spark, termStatsTable(name), m.termStats)
-          .unionByName(termStatsOf(freshPostings))
-          .groupBy(col("term")).agg(sum(col("df")).as("df")),
-        termStatsTable(name), Some(m.termStats))
+      // df merge is CELL-WISE SUM — the one sketch-free mergeable tier;
+      // committed as an O(batch-terms) delta, folded amortized
+      val (tv, dltv) = commitTermDelta(spark, store, name, m,
+        termStatsOf(freshPostings))
       val (dn, dsdl) = docCounters(fresh)
       commitManifest(store, name,
-        m.copy(postings = pv, docs = dv, termStats = tv,
+        m.copy(postings = pv, docs = dv, termStats = tv, dltTermStats = dltv,
           nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
           lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
       true
@@ -499,21 +562,18 @@ object PostingsIndex {
       try {
       val (rmN, rmSdl) = docCounters(replacedDocs)
       val freshPostings = postingsOf(fresh)
-      // termstats: vocabulary-sized authoritative merge-rewrite — df
-      // delta = fresh − removed, cell-wise (exact subtraction, the
-      // remove-path arithmetic composed with append's merge); the
+      // termstats: df delta = fresh − removed, cell-wise (exact
+      // subtraction, the remove-path arithmetic composed with append's
+      // merge), committed O(batch-terms) into the delta member; the
       // removed side explodes the replaced docs' stored term lists —
       // already distinct per doc, so df is a row count
       val removedTermDf = replacedDocs
         .select(explode(col("terms")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val tv = store.write(
-        store.snapshotAt(spark, termStatsTable(name), m.termStats)
-          .unionByName(termStatsOf(freshPostings))
+      val (tv, dltv) = commitTermDelta(spark, store, name, m,
+        termStatsOf(freshPostings)
           .unionByName(removedTermDf.withColumn("df", -col("df")))
-          .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
-          .filter(col("df") > 0),
-        termStatsTable(name), Some(m.termStats))
+          .groupBy(col("term")).agg(sum(col("df")).as("df")))
       // fold-vs-overlay on the PRE-batch overlay size (file-metadata
       // reads) — the IvfIndex.upsertStamped policy on the postings tier
       val overlayFull = m.ovlPostings.exists { pin =>
@@ -556,7 +616,7 @@ object PostingsIndex {
           m.copy(ovlPostings = Some(opv), ovlDocs = Some(odv))
         }
       commitManifest(store, name,
-        next.copy(termStats = tv,
+        next.copy(termStats = tv, dltTermStats = dltv,
           nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl,
           lastBatchId = stamp.getOrElse(m.lastBatchId)),
         Some(mv))
@@ -565,24 +625,33 @@ object PostingsIndex {
     } finally fresh.unpersist()
   }
 
-  /** Maintenance operator: fold the revision overlay into the base tiers
-    * now (one corpus-sized rewrite + one swap), regardless of the
-    * automatic policy. Termstats and counters already describe the
-    * served view, so only the two corpus tiers move. No-op when the
-    * overlay is empty. */
+  /** Maintenance operator: fold the revision overlay AND the termstats
+    * delta into their base tiers now (one rewrite each + one swap),
+    * regardless of the automatic policies. Counters already describe the
+    * served view. No-op when both overlays are empty. */
   def compactOverlay(spark: SparkSession, store: TableStore, name: String): Unit =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
-        if (m.ovlPostings.isDefined || m.ovlDocs.isDefined) {
+        if (m.ovlPostings.isDefined || m.ovlDocs.isDefined ||
+            m.dltTermStats.isDefined) {
           rollbackAll(store, name, m)
-          val pv = store.write(postingsAt(spark, store, name, m),
-            postingsTable(name), Some(m.postings))
-          val dv = store.writeBucketed(docsAt(spark, store, name, m),
-            docsTable(name), docSpec(store, name), Some(m.docs))
+          val pv =
+            if (m.ovlPostings.isEmpty) m.postings
+            else store.write(postingsAt(spark, store, name, m),
+              postingsTable(name), Some(m.postings))
+          val dv =
+            if (m.ovlDocs.isEmpty) m.docs
+            else store.writeBucketed(docsAt(spark, store, name, m),
+              docsTable(name), docSpec(store, name), Some(m.docs))
+          val tv =
+            if (m.dltTermStats.isEmpty) m.termStats
+            else store.write(termDfAt(spark, store, name, m),
+              termStatsTable(name), Some(m.termStats))
           commitManifest(store, name,
-            m.copy(postings = pv, docs = dv,
-              ovlPostings = None, ovlDocs = None), Some(mv))
+            m.copy(postings = pv, docs = dv, termStats = tv,
+              ovlPostings = None, ovlDocs = None, dltTermStats = None),
+            Some(mv))
         }
       }
     }
@@ -617,10 +686,11 @@ object PostingsIndex {
         val pv = store.write(
           postStored.join(drop, postStored("doc_id") === col("_rm_id"), "left_anti"),
           postingsTable(name), Some(m.postings))
-        // df subtraction from the removed docs' stored term lists — the
-        // postings tier is read once (the kept-rows rewrite), not twice
+        // df subtraction from the removed docs' stored term lists — a
+        // takedown rewrites the authoritative table anyway, so the
+        // termstats delta folds in here and its pin clears
         val tv = store.write(
-          store.snapshotAt(spark, termStatsTable(name), m.termStats)
+          termDfAt(spark, store, name, m)
             .unionByName(removedDocs.select(explode(col("terms")).as("term"))
               .groupBy(col("term")).agg(count(lit(1)).as("df"))
               .withColumn("df", -col("df")))
@@ -630,7 +700,7 @@ object PostingsIndex {
         commitManifest(store, name,
           m.copy(postings = pv, docs = dv, termStats = tv,
             nDocs = m.nDocs - rmN, sumDl = m.sumDl - rmSdl,
-            ovlPostings = None, ovlDocs = None), Some(mv))
+            ovlPostings = None, ovlDocs = None, dltTermStats = None), Some(mv))
         rmN
       }
     }
@@ -759,7 +829,7 @@ object PostingsIndex {
     // docs table is the membership/rebuild source, never a serve-time scan
     val stats = spark.range(1)
       .select(lit(m.nDocs).as("_n"), lit(m.sumDl).as("_sum_dl"))
-    val termDf = store.snapshotAt(spark, termStatsTable(name), m.termStats)
+    val termDf = termDfAt(spark, store, name, m)
       .select(col("term"), col("df").as("_df"))
     Retrieval.bm25ScoreAndTopK(post,
       Retrieval.probeTerms(probes, probeIdCol, probeTermsCol, termDf, stats, maxDfFrac),

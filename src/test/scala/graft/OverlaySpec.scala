@@ -117,6 +117,39 @@ class OverlaySpec extends SparkSpec {
     assert(m.ovlPostings.isDefined && m.ovlDocs.isDefined)
   }
 
+  /** Corpus-GROWING vocabulary (every doc contributes unique terms) — the
+    * regime where the old per-drain `_termstats` merge-rewrite was
+    * ∝ vocabulary (Heaps' law made it the last super-batch-sized
+    * per-drain write). */
+  private def uddf(ids: Range, suffix: String = "") = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i.toLong,
+      s"u${i}a$suffix u${i}b u${i}c common shared")).toDF("doc_id", "text")
+  }
+
+  test("postings upsert commits O(batch-terms) — flat under a corpus-growing vocabulary") {
+    val small = new TableStore(tmpDir("ovl-bm-vocab-s"))
+    val big = new TableStore(tmpDir("ovl-bm-vocab-b"))
+    PostingsIndex.build(uddf(1 to 200), "doc_id", "text", small, "bm")
+    PostingsIndex.build(uddf(1 to 2000), "doc_id", "text", big, "bm")
+    val batch = uddf(10 to 17, "x")
+    val beforeS = treeFiles(small.root)
+    PostingsIndex.upsert(spark, batch, "doc_id", "text", small, "bm")
+    val bytesS = bytesCreatedSince(beforeS, small.root)
+    val beforeB = treeFiles(big.root)
+    PostingsIndex.upsert(spark, batch, "doc_id", "text", big, "bm")
+    val bytesB = bytesCreatedSince(beforeB, big.root)
+    assert(bytesS > 0 && bytesB > 0)
+    assert(bytesB < 2L * bytesS,
+      s"10x the vocabulary must not move the upsert's committed bytes: $bytesS -> $bytesB")
+    // the drain landed a termstats DELTA, not a vocabulary-sized rewrite
+    val (m, _) = PostingsIndex.readManifest(big, "bm").get
+    assert(m.dltTermStats.isDefined, "the df adjustment rides the delta member")
+    assert(big.byteSizeAt("bm_termstats_dlt", m.dltTermStats.get) <
+      big.byteSizeAt("bm_termstats", m.termStats) / 4,
+      "the delta member stays a sliver of the authoritative table")
+  }
+
   // ------------------------------------------------- keeper tombstones
 
   private def ksig(g: Int, perturb: Int = 0): Long =

@@ -298,7 +298,7 @@ class UpsertSpec extends SparkSpec {
     val store = new CrashStore(tmpDir("ups-bm-crash"))
     PostingsIndex.build(ddf(1 to 80), "doc_id", "text", store, "bm")
     val before = serveBm(store)
-    store.failTable = Some("bm_termstats")
+    store.failTable = Some("bm_termstats_dlt")
     intercept[RuntimeException] {
       PostingsIndex.upsert(spark, ddf(42 to 44, "x"), "doc_id", "text", store, "bm")
     }
