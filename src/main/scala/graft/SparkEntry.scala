@@ -520,6 +520,7 @@ object SparkEntry {
     guarded("q127Stage")(q127StageRoot(s, dir))
     guarded("q133Seed")(q133SeedRoot(s, dir))
     guarded("q139Seed")(q139SeedRoot(s, dir))
+    guarded("q145Seed")(q145SeedRoot(s, dir))
   }
 
   /** q139's seed + admission-loop stage: the perceptual index seeded with
@@ -845,6 +846,68 @@ object SparkEntry {
       root
     })
 
+  /** q146's seed + keeper stage: the video QUALITY keeper — a
+    * quality-carrying FrameIndex (buildWithQuality) seeded with FULL
+    * originals of groups 1–12 at quality 10, and three staged drains
+    * driving the replace-if-better fold where the match evidence is
+    * MUTUAL containment (a re-encode) and the tiebreak is the score:
+    * better re-encodes replace (q 20 vs 10), worse ones reject (q 5),
+    * ties keep the incumbent, a BETTER CLIP never displaces its source
+    * (containment is one-directional — q 50 rejects), and a drain-3
+    * re-encode of a drain-1 replacement wins again (the evolving-state
+    * chain v0 → v1 → v2). */
+  private val q146SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q146SeedRoot(s: SparkSession, dir: String): String =
+    q146SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q146seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val sigs = graft.operators.Multimodal.dHashes(videoFrameCards(s, dir))
+        .select(expr("item_id div 10").as("id"),
+          pmod(col("item_id"), lit(10)).cast("int").as("frame"),
+          col("dhash").as("sig"))
+        .withColumn("g", expr("id div 10"))
+        .withColumn("variant", pmod(col("id"), lit(10)))
+        .join(seeds, Seq("g"))
+      def slice(v: Int, lo: Int, hi: Int, q: Double, maxFrame: Int = 6) =
+        sigs.filter(col("variant") === v && col("gi").between(lo, hi) &&
+            col("frame") < maxFrame)
+          .select(col("id"), col("frame"), col("sig"), lit(q).as("q"))
+      graft.operators.FrameIndex.buildWithQuality(
+        slice(0, 1, 12, q = 10.0),
+        maxHamming = 6, minContainment = 0.99, store, "keep_idx")
+      val drains = Seq(
+        slice(1, 1, 2, q = 20.0).unionByName(slice(1, 3, 4, q = 5.0))
+          .unionByName(slice(0, 13, 14, q = 10.0)),
+        slice(2, 13, 13, q = 30.0).unionByName(slice(2, 5, 5, q = 10.0))
+          .unionByName(slice(3, 6, 6, q = 50.0, maxFrame = 2))
+          .unionByName(slice(0, 15, 15, q = 10.0)),
+        slice(2, 1, 1, q = 25.0).unionByName(slice(1, 7, 7, q = 20.0))
+          .unionByName(slice(1, 8, 8, q = 10.0)))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
   /** q144's universe: the first 30 long-enough docs (≥40 tokens), each
     * with its derived variants as raw-token slices — the oracle replays
     * the same slicing over `lower(text)` (lowercasing commutes with
@@ -906,6 +969,77 @@ object SparkEntry {
           .unionByName(pick(1, 1, 2, "full_text")),
         pick(6, 7, 0, "full_text").unionByName(pick(15, 15, 0, "full_text"))
           .unionByName(pick(8, 8, 3, "snip_text")).unionByName(overlap))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
+  /** q145's seed + semantic-admission stage: the IVF index built over
+    * the `% 10 ∉ {0, 9}` split (q110's fixture discipline — same cell
+    * sizing rule, so the oracle's md5 k-means chain replays verbatim),
+    * and three staged drains in DOUBLE space driving the SemDeDup
+    * screen-then-admit loop: EXACT COPIES of stored vectors (cosine ≈ 1
+    * ≥ the 0.95 gate — reject), SIGN-FLIPPED novel vectors (alternate
+    * dims negated — an orthogonal-ish map whose cosine against
+    * everything stored concentrates near 0, far below the gate — admit),
+    * and copies of EARLIER-DRAIN admissions (reject, the evolving-state
+    * proof). Every transform is replayed by the oracle in SQL. */
+  private val q145SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q145SeedRoot(s: SparkSession, dir: String): String =
+    q145SeedCache.computeIfAbsent(dir, _ => {
+      import graft.functions.VectorFunctions.{l2Norm, toDouble}
+      val root = newTmpDir("graft_q145seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0 &&
+        pmod(col("vec_id"), lit(10)) =!= 9)
+      val nCells = math.max(8, (seed.count() / 56L).toInt)
+      locally {
+        implicit val scope: graft.operators.CacheScope = new graft.operators.CacheScope
+        try graft.operators.IvfIndex.build(seed, "vec_id", "embedding",
+          nCells = nCells, iterations = 1, store, "emb_idx")
+        finally scope.release()
+      }
+      // drains in DOUBLE space (the q127 discipline: the oracle's
+      // arithmetic replays exactly); zero-norm rows carry no direction
+      // and are excluded from the constructed fixtures
+      val rows = emb
+        .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+        .withColumn("_n", l2Norm(col("embedding"))).filter(col("_n") > 0)
+        .select(col("vec_id"), col("embedding"))
+      val seedRows = rows.filter(pmod(col("vec_id"), lit(10)) =!= 0 &&
+        pmod(col("vec_id"), lit(10)) =!= 9)
+      val novelBase = rows.filter(pmod(col("vec_id"), lit(10)) === 9)
+      def copies(k: Int) = seedRows.filter(pmod(col("vec_id"), lit(40)) === k)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      def flips(k: Int, idBase: Long) = novelBase
+        .filter(pmod(col("vec_id"), lit(3)) === k)
+        .select((col("vec_id") + idBase).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(i, lit(2)) === 0, -x).otherwise(x))
+            .as("embedding"))
+      val drains = Seq(
+        copies(1).unionByName(flips(0, 2000000L)),
+        copies(2).unionByName(flips(1, 2000000L))
+          .unionByName(flips(0, 3000000L)), // copy of a drain-1 admission
+        flips(2, 2000000L)
+          .unionByName(flips(1, 3000000L))) // copy of a drain-2 admission
       val stageDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(root, "stage"))
       drains.zipWithIndex.foreach { case (d, k) =>
@@ -3710,6 +3844,74 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: SEMANTIC ADMISSION LOOP — q139's managed screen-then-admit
+    // for the EMBEDDING family (IvfIndex.admitNovelStream), closing the
+    // gap where every other modality had a novelty gate but the vector
+    // tier had only the ad-hoc q68 screen: per drain, probe the
+    // persisted cells, reject arrivals whose best stored neighbour
+    // reaches the cosine gate (q61's SemDeDup rule), admit the rest
+    // across every tier under the batchId gate — one swap, evolving
+    // state (a copy of a drain-1 admission rejects in drain 2). Output
+    // = admitted flag per staged id, replayed by the oracle as the md5
+    // IVF chain + the probe/cosine screen + 3-drain set logic.
+    "q145_semantic_admission_loop" -> ((s, dir) => {
+      val seedRoot = q145SeedRoot(s, dir)
+      val root = newTmpDir("graft_q145run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.IvfIndex.admitNovelStream(stream, "vec_id", "embedding",
+        store, "emb_idx", s"$root/chk", threshold = 0.95, nProbe = 2)
+        .awaitTermination()
+      val staged = s.read.parquet(s"$seedRoot/stage").select(col("vec_id"))
+      val finalIds = graft.operators.IvfIndex
+        .vectors(s, store, "emb_idx").select(col("id").as("_in_id"))
+      staged.join(finalIds, staged("vec_id") === col("_in_id"), "left")
+        .select(col("vec_id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("admitted"))
+        .orderBy(col("item_id"))
+    }),
+
+    // ext: VIDEO KEEPER ADMISSION — q142's replace-if-better rule
+    // composed with q143's containment evidence on the FRAME family
+    // (FrameIndex.admitKeepBestStream): a MUTUALLY-contained arrival (a
+    // re-encode of the same cut) replaces its stored match when its
+    // quality score is strictly higher, rejects otherwise (ties keep
+    // the incumbent); an arrival strictly CONTAINED in a stored video
+    // (a clip) rejects regardless of quality — a higher-resolution clip
+    // never displaces the full cut; retirements, admissions and the
+    // batchId publish in one swap. Output = final committed membership,
+    // replayed by the oracle as the q143 frame/hash machinery + the
+    // quality-keeper set logic over 3 drains.
+    "q146_video_keeper_admission" -> ((s, dir) => {
+      val seedRoot = q146SeedRoot(s, dir)
+      val root = newTmpDir("graft_q146run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.FrameIndex.admitKeepBestStream(stream, store, "keep_idx",
+        s"$root/chk").awaitTermination()
+      val seeds = t(s, dir, "documents").select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      val seedVids = seeds.filter(col("gi").between(1, 12))
+        .select((col("g") * 10).as("id"))
+      val universe = seedVids
+        .unionByName(s.read.parquet(s"$seedRoot/stage").select(col("id")))
+        .distinct()
+      val finalIds = graft.operators.FrameIndex
+        .frames(s, store, "keep_idx").select(col("id").as("_in_id")).distinct()
+      universe.join(finalIds, universe("id") === col("_in_id"), "left")
+        .select(col("id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("stored"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -6035,6 +6237,119 @@ object SparkEntry {
         |LEFT JOIN s3 ON s3.vid = u.vid
         |ORDER BY item_id""".stripMargin,
 
+    // q146 replay: q143's frame/hash machinery + the QUALITY-keeper set
+    // logic — both directed containments per pair (pairc), per-video
+    // quality from the roles table, then per drain: an arrival rejects
+    // iff ∃ stored match with cont(arrival→stored) ≥ 0.99 AND NOT
+    // (mutual AND strictly better quality); an admitted arrival retires
+    // every stored video contained in it. Output = s_3 membership.
+    "q146_video_keeper_admission" ->
+      """WITH seeds AS (
+        |  SELECT g, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g FROM documents ORDER BY doc_id LIMIT 30)),
+        |roles AS (
+        |  SELECT s.g, s.gi, m.slot, m.nfr, m.pert, m.cut, m.drain, m.q
+        |  FROM seeds s JOIN (VALUES
+        |    (0, 6, 0, 0, 0, 1, 12, 10.0),
+        |    (1, 6, 0, 0, 1, 1, 2, 20.0),
+        |    (1, 6, 0, 0, 1, 3, 4, 5.0),
+        |    (0, 6, 0, 0, 1, 13, 14, 10.0),
+        |    (2, 6, 1, 0, 2, 13, 13, 30.0),
+        |    (2, 6, 1, 0, 2, 5, 5, 10.0),
+        |    (3, 2, 0, 0, 2, 6, 6, 50.0),
+        |    (0, 6, 0, 0, 2, 15, 15, 10.0),
+        |    (2, 6, 1, 0, 3, 1, 1, 25.0),
+        |    (1, 6, 0, 0, 3, 7, 7, 20.0),
+        |    (1, 6, 0, 0, 3, 8, 8, 10.0)
+        |  ) m(slot, nfr, pert, cut, drain, lo, hi, q)
+        |  ON s.gi BETWEEN m.lo AND m.hi),
+        |items AS (
+        |  SELECT r.g, r.g * 10 + r.slot AS vid, f.f,
+        |    CASE WHEN r.cut = 1 AND f.f >= 2 THEN f.f + 100 ELSE f.f END AS fs,
+        |    r.pert, r.drain, (r.g * 10 + r.slot) * 10 + f.f AS ik
+        |  FROM roles r, range(0, 6) f(f) WHERE f.f < r.nfr),
+        |vq AS (SELECT g * 10 + slot AS vid, max(q) AS q FROM roles
+        |  GROUP BY g * 10 + slot),
+        |grid AS (
+        |  SELECT ik, vid, f, gx.gx, gy.gy,
+        |    CASE WHEN pert = 1
+        |      THEN (((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |              * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |            + CASE WHEN (gx.gx + gy.gy) % 2 = 0 THEN 1 ELSE 0 END) % 256
+        |      ELSE ((((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)
+        |             * ((g*131 + fs*57 + gx.gx*31 + gy.gy*17 + 7) % 65536)) // 256) % 256
+        |    END AS lum
+        |  FROM items, range(0, 9) gx(gx), range(0, 8) gy(gy)),
+        |sigbits AS (
+        |  SELECT a.ik, a.vid, a.f, CAST(a.gy * 8 + a.gx AS INT) AS b,
+        |    CASE WHEN a.lum < bb.lum THEN 1 ELSE 0 END AS sbit
+        |  FROM grid a JOIN grid bb
+        |    ON bb.ik = a.ik AND bb.gy = a.gy AND bb.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |chunks AS (
+        |  SELECT ik, vid, f, CAST(b // 9 AS INT) AS chunk,
+        |    CAST(sum(sbit << (b % 9)) AS BIGINT) AS value
+        |  FROM sigbits WHERE b < 63 GROUP BY ik, vid, f, chunk),
+        |cand AS (
+        |  SELECT DISTINCT a.ik AS a_ik, b.ik AS b_ik, a.vid AS a_vid,
+        |    b.vid AS b_vid, a.f AS a_f, b.f AS b_f
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.value = b.value AND a.vid < b.vid),
+        |ham AS (
+        |  SELECT c.a_vid, c.b_vid, c.a_f, c.b_f,
+        |    sum(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN sigbits sa ON sa.ik = c.a_ik
+        |  JOIN sigbits sb ON sb.ik = c.b_ik AND sb.b = sa.b
+        |  GROUP BY c.a_vid, c.b_vid, c.a_f, c.b_f),
+        |fm AS (
+        |  SELECT a_vid AS x, b_vid AS y, a_f AS xf FROM ham WHERE hamming <= 6
+        |  UNION SELECT b_vid, a_vid, b_f FROM ham WHERE hamming <= 6),
+        |nf AS (SELECT vid, count(DISTINCT f) AS n FROM items GROUP BY vid),
+        |cont AS (
+        |  SELECT d.x, d.y, CAST(count(DISTINCT d.xf) AS DOUBLE) / nf.n AS c
+        |  FROM fm d JOIN nf ON nf.vid = d.x
+        |  GROUP BY d.x, d.y, nf.n),
+        |pairc AS (
+        |  SELECT a.x, a.y, a.c AS cxy, COALESCE(b.c, 0) AS cyx
+        |  FROM cont a LEFT JOIN cont b ON b.x = a.y AND b.y = a.x),
+        |s0 AS (SELECT vid FROM items WHERE drain = 0 GROUP BY vid),
+        |b1 AS (SELECT vid FROM items WHERE drain = 1 GROUP BY vid),
+        |rj1 AS (SELECT DISTINCT p.x AS vid FROM pairc p
+        |  JOIN b1 ON b1.vid = p.x JOIN s0 ON s0.vid = p.y
+        |  JOIN vq qx ON qx.vid = p.x JOIN vq qy ON qy.vid = p.y
+        |  WHERE p.cxy >= 0.99 AND (p.cyx < 0.99 OR qx.q <= qy.q)),
+        |a1 AS (SELECT vid FROM b1 ANTI JOIN rj1 USING (vid)),
+        |r1 AS (SELECT DISTINCT p.y AS vid FROM pairc p
+        |  JOIN s0 ON s0.vid = p.y JOIN a1 ON a1.vid = p.x WHERE p.cyx >= 0.99),
+        |s1 AS (SELECT vid FROM s0 ANTI JOIN r1 USING (vid)
+        |  UNION SELECT vid FROM a1),
+        |b2 AS (SELECT vid FROM items WHERE drain = 2 GROUP BY vid),
+        |rj2 AS (SELECT DISTINCT p.x AS vid FROM pairc p
+        |  JOIN b2 ON b2.vid = p.x JOIN s1 ON s1.vid = p.y
+        |  JOIN vq qx ON qx.vid = p.x JOIN vq qy ON qy.vid = p.y
+        |  WHERE p.cxy >= 0.99 AND (p.cyx < 0.99 OR qx.q <= qy.q)),
+        |a2 AS (SELECT vid FROM b2 ANTI JOIN rj2 USING (vid)),
+        |r2 AS (SELECT DISTINCT p.y AS vid FROM pairc p
+        |  JOIN s1 ON s1.vid = p.y JOIN a2 ON a2.vid = p.x WHERE p.cyx >= 0.99),
+        |s2 AS (SELECT vid FROM s1 ANTI JOIN r2 USING (vid)
+        |  UNION SELECT vid FROM a2),
+        |b3 AS (SELECT vid FROM items WHERE drain = 3 GROUP BY vid),
+        |rj3 AS (SELECT DISTINCT p.x AS vid FROM pairc p
+        |  JOIN b3 ON b3.vid = p.x JOIN s2 ON s2.vid = p.y
+        |  JOIN vq qx ON qx.vid = p.x JOIN vq qy ON qy.vid = p.y
+        |  WHERE p.cxy >= 0.99 AND (p.cyx < 0.99 OR qx.q <= qy.q)),
+        |a3 AS (SELECT vid FROM b3 ANTI JOIN rj3 USING (vid)),
+        |r3 AS (SELECT DISTINCT p.y AS vid FROM pairc p
+        |  JOIN s2 ON s2.vid = p.y JOIN a3 ON a3.vid = p.x WHERE p.cyx >= 0.99),
+        |s3 AS (SELECT vid FROM s2 ANTI JOIN r3 USING (vid)
+        |  UNION SELECT vid FROM a3)
+        |SELECT u.vid AS item_id,
+        |  CASE WHEN s3.vid IS NOT NULL THEN 1 ELSE 0 END AS stored
+        |FROM (SELECT vid FROM items GROUP BY vid) u
+        |LEFT JOIN s3 ON s3.vid = u.vid
+        |ORDER BY item_id""".stripMargin,
+
     // q144 replay: q143's supersede unroll for TEXT — the q69 md5
     // minhash chain at k=128 over token-slice variants (full / first-
     // half snippet / quarter+partner overlap), per-item DISTINCT-hash
@@ -6140,6 +6455,101 @@ object SparkEntry {
         |FROM (SELECT item_id FROM items GROUP BY item_id) u
         |LEFT JOIN s3 ON s3.item_id = u.item_id
         |ORDER BY u.item_id""".stripMargin,
+
+    // q145 replay: the q110 md5 k-means chain (seed rank, one mean
+    // update, zero-norm centroid guard, refit-free assignment) + the
+    // fixture's staged transforms (exact copies, alternate-dim sign
+    // flips) + the SemDeDup screen unrolled over 3 drains — reject iff
+    // any stored vector in the top-2 probed cells reaches 0.95 cosine,
+    // admitted rows join the stored set for the NEXT drain's screen.
+    // Output = admitted flag per staged id.
+    "q145_semantic_admission_loop" ->
+      """WITH ecast AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        |corpus AS (SELECT * FROM ecast WHERE id % 10 NOT IN (0, 9)),
+        |novelbase AS (SELECT * FROM ecast WHERE id % 10 = 9),
+        |flip AS (SELECT id, list_transform(v,
+        |  (x, i) -> CASE WHEN (i - 1) % 2 = 0 THEN -x ELSE x END) AS v FROM novelbase),
+        |d1 AS (SELECT id + 1000000 AS id, v FROM corpus WHERE id % 40 = 1
+        |  UNION ALL SELECT id + 2000000, v FROM flip WHERE id % 3 = 0),
+        |d2 AS (SELECT id + 1000000 AS id, v FROM corpus WHERE id % 40 = 2
+        |  UNION ALL SELECT id + 2000000, v FROM flip WHERE id % 3 = 1
+        |  UNION ALL SELECT id + 3000000, v FROM flip WHERE id % 3 = 0),
+        |d3 AS (SELECT id + 2000000 AS id, v FROM flip WHERE id % 3 = 2
+        |  UNION ALL SELECT id + 3000000, v FROM flip WHERE id % 3 = 1),
+        |seeds AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cell
+        |  FROM corpus
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))
+        |    <= greatest(8, (SELECT count(*) FROM embeddings WHERE vec_id % 10 NOT IN (0, 9)) // 56)),
+        |a1 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, s.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, s.v) DESC, s.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN seeds s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, u.pos AS pos, avg(u.x) AS m FROM (
+        |    SELECT cell, unnest(list_transform(v,
+        |      (x, i) -> struct_pack(pos := i - 1, x := x))) AS u
+        |    FROM a1) GROUP BY cell, u.pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS c_v FROM m1 GROUP BY cell),
+        |c1live AS (
+        |  SELECT * FROM c1 WHERE list_sum(list_transform(c_v, x -> x * x)) > 0),
+        |s0 AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM corpus b CROSS JOIN c1live c) WHERE rnk = 1),
+        |p1 AS (SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM d1 b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |rj1 AS (SELECT DISTINCT p.q_id AS id FROM p1 p
+        |  JOIN s0 a USING (cell) JOIN d1 qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id AND list_cosine_similarity(qb.v, a.v) >= 0.95),
+        |adm1 AS (SELECT * FROM d1 ANTI JOIN rj1 USING (id)),
+        |g1 AS (SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM adm1 b CROSS JOIN c1live c) WHERE rnk = 1),
+        |s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM g1),
+        |p2 AS (SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM d2 b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |rj2 AS (SELECT DISTINCT p.q_id AS id FROM p2 p
+        |  JOIN s1 a USING (cell) JOIN d2 qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id AND list_cosine_similarity(qb.v, a.v) >= 0.95),
+        |adm2 AS (SELECT * FROM d2 ANTI JOIN rj2 USING (id)),
+        |g2 AS (SELECT id, v, cell FROM (
+        |    SELECT b.id, b.v, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS rnk
+        |    FROM adm2 b CROSS JOIN c1live c) WHERE rnk = 1),
+        |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM g2),
+        |p3 AS (SELECT q_id, cell FROM (
+        |    SELECT b.id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY b.id
+        |        ORDER BY list_cosine_similarity(b.v, c.c_v) DESC, c.cell ASC) AS c_rank
+        |    FROM d3 b CROSS JOIN c1live c) WHERE c_rank <= 2),
+        |rj3 AS (SELECT DISTINCT p.q_id AS id FROM p3 p
+        |  JOIN s2 a USING (cell) JOIN d3 qb ON p.q_id = qb.id
+        |  WHERE p.q_id <> a.id AND list_cosine_similarity(qb.v, a.v) >= 0.95),
+        |adm3 AS (SELECT * FROM d3 ANTI JOIN rj3 USING (id)),
+        |staged AS (SELECT id FROM d1 UNION ALL SELECT id FROM d2
+        |  UNION ALL SELECT id FROM d3),
+        |fin AS (SELECT id FROM adm1 UNION ALL SELECT id FROM adm2
+        |  UNION ALL SELECT id FROM adm3)
+        |SELECT st.id AS item_id,
+        |  CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END AS admitted
+        |FROM staged st LEFT JOIN fin f USING (id)
+        |ORDER BY item_id""".stripMargin,
 
     // q132 replay: the WAV synthesis arithmetic (the oracle never parses
     // RIFF bytes — it replays the sample VALUES the decoder provably

@@ -55,14 +55,20 @@ object FrameIndex {
   private val RmFrac: Double = IvfIndex.OvlFrac
 
   /** Frames pin + both screening budgets + the admission gate; `rmFrames`
-    * pins the tombstone member when a supersede fold has retired ids. */
+    * pins the tombstone member when a supersede/keeper fold has retired
+    * ids. `hasQuality` marks a KEEPER family ([[buildWithQuality]]): the
+    * frames member carries a per-video quality column and mutates through
+    * [[admitKeepBestBatch]]'s replace-if-better fold — the two layouts
+    * never mix (the [[PerceptualIndex.PercManifest]] guard). */
   private[graft] final case class FrameManifest(
       frames: Int, maxHamming: Int, minContainment: Double,
-      lastBatchId: Long = -1L, rmFrames: Option[Int] = None)
+      lastBatchId: Long = -1L, rmFrames: Option[Int] = None,
+      hasQuality: Boolean = false)
 
   private def encodeManifest(m: FrameManifest): String =
     s"""{"frames_v":${m.frames},"max_hamming":${m.maxHamming},""" +
       s""""min_containment":${m.minContainment},""" +
+      s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
       s""""rm_frames_v":${m.rmFrames.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
@@ -74,13 +80,24 @@ object FrameIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim
     }
-    // absent = pre-tombstone manifest (older persisted index)
+    // absent = pre-tombstone / pre-quality manifest (older persisted index)
     val rm =
       if (s.indexOf("\"rm_frames_v\":") < 0) None
       else { val v = raw("rm_frames_v").toInt; if (v < 0) None else Some(v) }
+    val hasQ = s.indexOf("\"has_quality\":") >= 0 && raw("has_quality") != "0"
     FrameManifest(raw("frames_v").toInt, raw("max_hamming").toInt,
-      raw("min_containment").toDouble, raw("last_batch_id").toLong, rm)
+      raw("min_containment").toDouble, raw("last_batch_id").toLong, rm, hasQ)
   }
+
+  private def requirePlain(m: FrameManifest, name: String, op: String): Unit =
+    require(!m.hasQuality,
+      s"frame index $name is a KEEPER family (quality-carrying) — " +
+        s"$op would drop its quality column; use admitKeepBestBatch/Stream")
+
+  private def requireQuality(m: FrameManifest, name: String, op: String): Unit =
+    require(m.hasQuality,
+      s"frame index $name is a plain family — $op needs a " +
+        "quality-carrying index; build it with buildWithQuality")
 
   private[graft] def readManifest(
       store: TableStore, name: String): Option[(FrameManifest, Int)] =
@@ -132,6 +149,15 @@ object FrameIndex {
       col(sigc).cast("long").as("sig"))
   }
 
+  /** `(id, frame, sig, q)` of a quality-carrying frame batch (first four
+    * columns, any names) — `q` is a per-VIDEO score denormalized onto
+    * every frame row (readers take max per id). */
+  private def frameQualityShape(frames: DataFrame): DataFrame = {
+    val Seq(idc, framec, sigc, qc) = frames.columns.take(4).toSeq
+    frames.select(col(idc).as("id"), col(framec).cast("int").as("frame"),
+      col(sigc).cast("long").as("sig"), col(qc).cast("double").as("q"))
+  }
+
   // ------------------------------------------------------------------ build
 
   /** Persist `(id, frame, sig)` rows (first three columns, any names)
@@ -157,6 +183,36 @@ object FrameIndex {
         commitManifest(store, name,
           FrameManifest(fv, maxHamming, minContainment,
             prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+      }
+    }
+  }
+
+  /** [[build]] for a KEEPER family: persist `(id, frame, sig, quality)`
+    * rows (first four columns, any names) — the quality score is whatever
+    * the pipeline's keeper rule ranks by (decoded resolution, bitrate —
+    * the q137 RefinedWeb rule on the video family), denormalized onto
+    * every frame row so the replace-if-better fold
+    * ([[admitKeepBestBatch]]) compares arrivals against stored quality
+    * without re-decoding anything. */
+  def buildWithQuality(
+      frames: DataFrame,
+      maxHamming: Int,
+      minContainment: Double,
+      store: TableStore,
+      name: String): Unit = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
+        val fv = store.write(frameQualityShape(frames), framesTable(name))
+        commitManifest(store, name,
+          FrameManifest(fv, maxHamming, minContainment,
+            prev.map(_._1.lastBatchId).getOrElse(-1L),
+            hasQuality = true), prev.map(_._2))
       }
     }
   }
@@ -200,6 +256,7 @@ object FrameIndex {
       screenFirst: Boolean = false,
       maxBucketSize: Int = 200): Boolean = {
     val (m, mv) = requireManifest(store, name)
+    requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     val stored = servedFramesAt(spark, store, name, m)
@@ -387,6 +444,15 @@ object FrameIndex {
     * without retiring (shared intros are not subsumption). Everything —
     * retirements, admissions, the batchId — publishes in ONE swap.
     *
+    * By default, in-batch containment BETWEEN arrivals is not screened
+    * (micro-batch file boundaries decide what arrives together): a clip
+    * and its full cut in ONE drain both admit, and the clip can never be
+    * retired later (retirement only targets STORED items). `preDedupBatch
+    * = true` opts into a within-batch directed-containment screen first —
+    * contained batch videos die (mutual containment keeps the smallest
+    * id; greedy, one pass — the [[PerceptualIndex.admitKeepBestBatch]]
+    * semantics) before the stored-state fold.
+    *
     * Cost shape: the screen is the banded batch-vs-stored containment
     * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
     * linked frame appends, retirements land in the compaction-bounded
@@ -399,10 +465,12 @@ object FrameIndex {
       batchId: Long,
       store: TableStore,
       name: String,
-      maxBucketSize: Int = 200): Boolean =
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Boolean =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
-        supersedeStamped(spark, frames, store, name, Some(batchId), maxBucketSize)
+        supersedeStamped(spark, frames, store, name, Some(batchId),
+          maxBucketSize, preDedupBatch)
       }
     }
 
@@ -412,30 +480,59 @@ object FrameIndex {
       frames: DataFrame,
       store: TableStore,
       name: String,
-      maxBucketSize: Int = 200): Unit =
+      maxBucketSize: Int = 200,
+      preDedupBatch: Boolean = false): Unit =
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
-        supersedeStamped(spark, frames, store, name, None, maxBucketSize)
+        supersedeStamped(spark, frames, store, name, None, maxBucketSize,
+          preDedupBatch)
       }
       ()
     }
 
+  /** Within-batch directed-containment losers (the opt-in face of
+    * [[supersede]]'s `preDedupBatch`): a batch video CONTAINED in another
+    * batch video dies — mutual containment keeps the SMALLEST id. GREEDY,
+    * one pass: losses are not re-evaluated after a winner dies (a
+    * containment chain in one burst keeps only its maximal members). */
+  private def inBatchContainmentLosers(
+      batch: DataFrame, maxHamming: Int, minContainment: Double,
+      maxBucketSize: Int)(implicit caches: CacheScope): DataFrame =
+    Dedup.videoContainmentDirected(batch, batch, maxHamming,
+        minContainment, maxBucketSize)
+      .filter(col("batch_id") =!= col("stored_id"))
+      .select(
+        when(col("containment_batch") >= minContainment &&
+            (col("containment_stored") < minContainment ||
+              col("batch_id") > col("stored_id")), col("batch_id"))
+          .when(col("containment_stored") >= minContainment &&
+            (col("containment_batch") < minContainment ||
+              col("stored_id") > col("batch_id")), col("stored_id"))
+          .as("id"))
+      .filter(col("id").isNotNull).distinct()
+
   private def supersedeStamped(
       spark: SparkSession, frames: DataFrame,
       store: TableStore, name: String, stamp: Option[Long],
-      maxBucketSize: Int): Boolean = {
+      maxBucketSize: Int, preDedupBatch: Boolean = false): Boolean = {
     val (m, mv) = requireManifest(store, name)
+    requirePlain(m, name, "a supersede fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     val stored = servedFramesAt(spark, store, name, m)
     implicit val scope: CacheScope = new CacheScope
     // insert-only against BASE ids (⊇ retired ids until the fold) + the
     // in-batch (id, frame) canonicalization — appendStamped's contracts
-    val batch = frameShape(frames)
+    val batch0 = frameShape(frames)
       .join(store.snapshotAt(spark, framesTable(name), m.frames)
         .select(col("id")), Seq("id"), "left_anti")
       .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch =
+      if (!preDedupBatch) batch0
+      else scope.pin(batch0.join(
+        broadcast(inBatchContainmentLosers(batch0, m.maxHamming,
+          m.minContainment, maxBucketSize)), Seq("id"), "left_anti"))
     try {
       // both directed containments per (arrival, stored) pair at the
       // persisted budgets — rejection and subsumption from one screen
@@ -496,11 +593,177 @@ object FrameIndex {
           } finally removedIds.unpersist()
         } finally admitted.unpersist()
       } finally directed.unpersist()
+    } finally { batch0.unpersist(); scope.release() }
+  }
+
+  /** [[admitSupersedeBatch]] as a live sink — the video keeper loop.
+    * `preDedupBatch` as in [[admitSupersedeBatch]]. */
+  def admitSupersedeStream(
+      stream: DataFrame,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      availableNow: Boolean = true,
+      preDedupBatch: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitSupersedeBatch(batch.sparkSession, batch, batchId, store, name,
+          preDedupBatch = preDedupBatch)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
+  // ------------------------------------------------------------------ keeper
+
+  /** KEEPER-AWARE admission for the frame family —
+    * [[PerceptualIndex.admitKeepBestBatch]]'s replace-if-better fold
+    * where the match evidence is STRUCTURAL containment
+    * ([[Dedup.videoContainmentDirected]]'s two denominators) and the
+    * tiebreak is a quality score (decoded resolution, bitrate — the
+    * higher-resolution re-encode of the same cut replaces it):
+    *
+    *  - MUTUAL containment (a re-encode: both directions ≥ the pinned
+    *    threshold): the arrival admits iff its quality STRICTLY exceeds
+    *    every such match's — and then retires them all in the same swap;
+    *    worse or equal copies reject (ties keep the incumbent);
+    *  - arrival strictly CONTAINED in a stored video (a clip, not
+    *    mutual): rejects regardless of quality — a higher-quality CLIP
+    *    never displaces the full cut it was taken from;
+    *  - arrival SUBSUMES a stored video (the [[admitSupersedeBatch]]
+    *    rule): admits and retires it;
+    *  - partial overlaps admit without retiring.
+    *
+    * Same contracts as the supersede face: insert-only by id, in-batch
+    * (id, frame) canonicalization (quality ties to the max per id),
+    * O(batch ∪ tombstones) commits, the batchId gate in one swap.
+    * In-batch containment between arrivals is not screened (the
+    * documented [[admitSupersedeBatch]] hole — route bursts through its
+    * `preDedupBatch` first if needed). Returns true when folded, false
+    * on replay. */
+  def admitKeepBestBatch(
+      spark: SparkSession,
+      frames: DataFrame,
+      batchId: Long,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Boolean =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        keepBestStamped(spark, frames, store, name, Some(batchId), maxBucketSize)
+      }
+    }
+
+  /** [[admitKeepBestBatch]] without the gate — the ad-hoc fold. */
+  def keepBest(
+      spark: SparkSession,
+      frames: DataFrame,
+      store: TableStore,
+      name: String,
+      maxBucketSize: Int = 200): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        keepBestStamped(spark, frames, store, name, None, maxBucketSize)
+      }
+      ()
+    }
+
+  private def keepBestStamped(
+      spark: SparkSession, frames: DataFrame,
+      store: TableStore, name: String, stamp: Option[Long],
+      maxBucketSize: Int): Boolean = {
+    val (m, mv) = requireManifest(store, name)
+    requireQuality(m, name, "a replace-if-better fold")
+    if (stamp.exists(_ <= m.lastBatchId)) return false
+    rollbackAll(store, name, m)
+    val stored = servedFramesAt(spark, store, name, m)
+    implicit val scope: CacheScope = new CacheScope
+    // insert-only against BASE ids + in-batch (id, frame) canonicalization
+    // (min sig; quality folds to the max per id — one score per video)
+    val batch = frameQualityShape(frames)
+      .join(store.snapshotAt(spark, framesTable(name), m.frames)
+        .select(col("id")), Seq("id"), "left_anti")
+      .groupBy(col("id"), col("frame"))
+      .agg(min(col("sig")).as("sig"), max(col("q")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchQ = batch.groupBy(col("id")).agg(max(col("q")).as("_qb"))
+      val storedQ = stored.groupBy(col("id")).agg(max(col("q")).as("_qs"))
+      // both directed containments per (arrival, stored) pair, at the
+      // persisted budgets, quality joined on both sides
+      val directed = Dedup.videoContainmentDirected(
+          batch.select(col("id"), col("frame"), col("sig")),
+          stored.select(col("id"), col("frame"), col("sig")),
+          m.maxHamming, m.minContainment, maxBucketSize)
+        .join(batchQ.withColumnRenamed("id", "batch_id"), Seq("batch_id"))
+        .join(storedQ.withColumnRenamed("id", "stored_id"), Seq("stored_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val t = m.minContainment
+        // reject iff ∃ match: the arrival is contained AND NOT (mutual
+        // with strictly better quality)
+        val rejected = directed
+          .filter(col("containment_batch") >= t &&
+            (col("containment_stored") < t || col("_qb") <= col("_qs")))
+          .select(col("batch_id").as("id")).distinct()
+        val admitted = batch
+          .join(broadcast(rejected), Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // an admitted arrival retires every stored video it covers —
+          // the beaten mutual matches AND the subsumed clips
+          val removedIds = directed
+            .filter(col("containment_stored") >= t)
+            .join(admitted.select(col("id").as("batch_id")).distinct(),
+              Seq("batch_id"), "left_semi")
+            .select(col("stored_id").as("id")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val rmFull = m.rmFrames.exists { pin =>
+              store.byteSizeAt(rmTable(name), pin) > math.max(
+                RmFloorBytes.toDouble,
+                RmFrac * store.byteSizeAt(framesTable(name), m.frames))
+            }
+            val next =
+              if (rmFull) {
+                val fv = store.write(
+                  stored.join(broadcast(removedIds), Seq("id"), "left_anti")
+                    .unionByName(admitted),
+                  framesTable(name), Some(m.frames))
+                m.copy(frames = fv, rmFrames = None)
+              } else {
+                val fv = OverlayLock.appendOrCompact(store, framesTable(name),
+                  m.frames,
+                  store.snapshotAt(spark, framesTable(name), m.frames), admitted)
+                val rv =
+                  if (removedIds.isEmpty) m.rmFrames
+                  else Some(m.rmFrames match {
+                    case Some(p) => store.write(
+                      store.snapshotAt(spark, rmTable(name), p)
+                        .select(col("id"))
+                        .unionByName(removedIds).distinct().coalesce(4),
+                      rmTable(name), Some(p))
+                    case None => store.write(removedIds.coalesce(4),
+                      rmTable(name), store.currentVersion(rmTable(name)))
+                  })
+                m.copy(frames = fv, rmFrames = rv)
+              }
+            commitManifest(store, name,
+              next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
+              Some(mv))
+            true
+          } finally removedIds.unpersist()
+        } finally admitted.unpersist()
+      } finally directed.unpersist()
     } finally { batch.unpersist(); scope.release() }
   }
 
-  /** [[admitSupersedeBatch]] as a live sink — the video keeper loop. */
-  def admitSupersedeStream(
+  /** [[admitKeepBestBatch]] as a live sink — the video quality-keeper
+    * loop. */
+  def admitKeepBestStream(
       stream: DataFrame,
       store: TableStore,
       name: String,
@@ -509,7 +772,7 @@ object FrameIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitSupersedeBatch(batch.sparkSession, batch, batchId, store, name)
+        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name)
         ()
       }
     (if (availableNow)

@@ -451,6 +451,79 @@ object IvfIndex {
     else writer).start()
   }
 
+  /** The SEMANTIC screen-then-admit loop as ONE exactly-once fold — the
+    * embedding-side [[PerceptualIndex.admitNovelBatch]], closing the gap
+    * where every other modality had a managed novelty gate but the vector
+    * family had only the ad-hoc [[dedupAgainstIndex]]: SCREEN the arriving
+    * batch against the pinned stored state (probe `nProbe` cells, reject
+    * every row whose best stored neighbour reaches `threshold` cosine —
+    * q61's SemDeDup rule at the gate), admit the rest across every tier,
+    * record the batchId — all derived from one manifest read and
+    * published by one swap, so the stored set EVOLVES between drains
+    * exactly once per delivered batch: a near-copy of a vector admitted
+    * two drains ago is rejected BY that admission. Zero-norm arrivals
+    * have no direction, match nothing, and admit. The screening policy
+    * (threshold, nProbe) travels with the sink call, not the manifest —
+    * the IVF family serves many thresholds for different purposes
+    * ([[dedupAgainstIndex]]'s contract), unlike the single-budget
+    * signature families. In-batch near-dups of EACH OTHER both admit
+    * (the screen is against stored state — the [[PerceptualIndex
+    * .admitNovelBatch]] contract). Returns true when folded, false on
+    * replay. */
+  def admitNovelBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      threshold: Double,
+      nProbe: Int): Boolean =
+    withIndexLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val (m, _) = requireManifest(store, name)
+        if (batchId <= m.lastBatchId) false
+        else {
+          // the screen reads manifest-PINNED member versions, so orphan
+          // successors from a prior crash cannot leak in; pinned because
+          // appendStamped's tier commits would otherwise re-run the
+          // probe join per tier
+          val novel = dedupAgainstIndex(spark, batch, idCol, vecCol,
+              store, name, threshold, nProbe)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            novel.count()
+            appendStamped(spark, novel, idCol, vecCol, store, name, Some(batchId))
+          } finally novel.unpersist()
+        }
+      }
+    }
+
+  /** [[admitNovelBatch]] as a live sink — the semantic admission loop
+    * ([[admitStream]] with the SemDeDup screen in front). */
+  def admitNovelStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: TableStore,
+      name: String,
+      checkpoint: String,
+      threshold: Double,
+      nProbe: Int,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitNovelBatch(batch.sparkSession, batch, batchId, idCol, vecCol,
+          store, name, threshold, nProbe)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   /** UPSERT: replace-or-insert the batch's ids across every tier in ONE
     * manifest swap. [[remove]]-then-[[append]] has two commit points,
     * which is two defects a changed vector cannot afford: a reader

@@ -317,4 +317,82 @@ class FrameIndexSpec extends SparkSpec {
       .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
     assert(after === Set(90L, 710L, 720L))
   }
+
+  test("supersede preDedupBatch: a clip and its full cut in ONE drain admit only the cut") {
+    val store = new TableStore(tmpDir("frame-sup-prededup"))
+    FrameIndex.build(frameDf(video(1)),
+      maxHamming = 6, minContainment = 0.99, store, "vid")
+    val batch = frameDf(
+      video(6, id = 900L) ++                 // the full cut
+        clip(6, id = 901L, perturb = 1) ++   // its clip, same drain
+        video(70, id = 902L))                // disjoint novel, unaffected
+    // default: micro-batch file boundaries decide — both admit, and the
+    // clip can never be retired later (the documented hole)
+    assert(FrameIndex.admitSupersedeBatch(spark, batch, 0L, store, "vid"))
+    assert(FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      === Set(10L, 900L, 901L, 902L))
+    // opt-in: the within-batch screen kills the contained clip first
+    val store2 = new TableStore(tmpDir("frame-sup-prededup2"))
+    FrameIndex.build(frameDf(video(1)),
+      maxHamming = 6, minContainment = 0.99, store2, "vid")
+    assert(FrameIndex.admitSupersedeBatch(spark, batch, 0L, store2, "vid",
+      preDedupBatch = true))
+    assert(FrameIndex.frames(spark, store2, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      === Set(10L, 900L, 902L),
+      "the contained clip dies in-batch; disjoint items are unaffected")
+  }
+
+  // ------------------------------------------------------------------ keeper
+
+  /** Quality-carrying frames: `video(g)` rows + a per-video score. */
+  private def qframes(rows: Seq[(Long, Int, Long)], q: Double) = {
+    val s = spark; import s.implicits._
+    rows.map { case (id, f, sg) => (id, f, sg, q) }.toDF("id", "frame", "sig", "q")
+  }
+
+  test("keeper: a better re-encode replaces; worse/tie rejects; a better CLIP never displaces its source; evolving state + replay") {
+    val store = new TableStore(tmpDir("frame-keep"))
+    // stored: full videos of groups 1-4, quality 10
+    FrameIndex.buildWithQuality(
+      qframes((1 to 4).flatMap(video(_)), 10.0),
+      maxHamming = 6, minContainment = 0.99, store, "vid")
+    def ids() = FrameIndex.frames(spark, store, "vid")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    // drain 0
+    assert(FrameIndex.admitKeepBestBatch(spark,
+      qframes(video(1, id = 900L, perturb = 1), 20.0)       // better re-encode → replace
+        .unionByName(qframes(video(2, id = 901L, perturb = 2), 5.0))  // worse → reject
+        .unionByName(qframes(video(3, id = 902L, perturb = 3), 10.0)) // tie → reject
+        .unionByName(qframes(clip(4, id = 903L, perturb = 1), 50.0))  // better CLIP → reject
+        .unionByName(qframes(video(80, id = 904L), 10.0)),  // novel → admit
+      0L, store, "vid"))
+    assert(ids() === Set(20L, 30L, 40L, 900L, 904L),
+      "better re-encode replaced 10; worse/tie kept incumbents; the clip " +
+        "never displaces its source; novel admitted")
+    // replay refused
+    assert(!FrameIndex.admitKeepBestBatch(spark,
+      qframes(video(90, id = 990L), 10.0), 0L, store, "vid"))
+    assert(ids() === Set(20L, 30L, 40L, 900L, 904L))
+    // drain 1: a still-better re-encode of DRAIN-0's replacement wins
+    // (evolving state), and a worse re-encode of the novel admission loses
+    assert(FrameIndex.admitKeepBestBatch(spark,
+      qframes(video(1, id = 910L, perturb = 4), 30.0)
+        .unionByName(qframes(video(80, id = 911L, perturb = 1), 5.0)),
+      1L, store, "vid"))
+    assert(ids() === Set(20L, 30L, 40L, 904L, 910L),
+      "the drain-1 arrival replaced drain-0's admission; the worse copy lost")
+    // plain ops refuse the quality layout (and vice versa)
+    intercept[IllegalArgumentException] {
+      FrameIndex.append(spark, frameDf(video(99, id = 995L)), store, "vid")
+    }
+    val plain = new TableStore(tmpDir("frame-keep-plain"))
+    FrameIndex.build(stored(2), maxHamming = 6, minContainment = 0.99,
+      plain, "vid")
+    intercept[IllegalArgumentException] {
+      FrameIndex.admitKeepBestBatch(spark,
+        qframes(video(1, id = 997L), 10.0), 0L, plain, "vid")
+    }
+  }
 }

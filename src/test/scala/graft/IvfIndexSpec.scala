@@ -188,6 +188,38 @@ class IvfIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("admitNovelBatch: evolving state, replay refusal, one-swap fold") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("ivfidx-admit"))
+    IvfIndex.build(corpus(), "vec_id", "embedding", nCells = 2, iterations = 2, store, "emb")
+    def ids() = IvfIndex.vectors(spark, store, "emb")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // drain 0: a near-copy of stored rejects, a novel direction admits
+    val d0 = Seq(
+      (201L, Array(1.0f, 0.02f, 0.05f)), // ~stored x cluster → reject
+      (203L, Array(0.0f, 0.0f, 1.0f)))   // novel → admit
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.admitNovelBatch(spark, d0, 0L, "vec_id", "embedding",
+      store, "emb", threshold = 0.9, nProbe = 2), "first drain folds")
+    assert(ids() === Set(1L, 2L, 3L, 4L, 5L, 6L, 203L))
+    // replayed batchId: refused, state unmoved
+    assert(!IvfIndex.admitNovelBatch(spark, d0, 0L, "vec_id", "embedding",
+      store, "emb", threshold = 0.9, nProbe = 2), "replay refused")
+    assert(ids() === Set(1L, 2L, 3L, 4L, 5L, 6L, 203L))
+    // drain 1: a near-copy of DRAIN-0's admission rejects (evolving
+    // state); another novel direction admits alongside it
+    val d1 = Seq(
+      (301L, Array(0.0f, 0.05f, 1.0f)),   // ~203 (admitted drain 0) → reject
+      (302L, Array(-1.0f, 0.0f, 0.0f)))   // novel → admit
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.admitNovelBatch(spark, d1, 1L, "vec_id", "embedding",
+      store, "emb", threshold = 0.9, nProbe = 2))
+    assert(ids() === Set(1L, 2L, 3L, 4L, 5L, 6L, 203L, 302L),
+      "the copy of an earlier admission is rejected BY that admission")
+    scope.release()
+  }
+
   /** Exact cosine top-k of each batch vector against the whole corpus —
     * the oracle the full-probe path must match. */
   private def exactTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
