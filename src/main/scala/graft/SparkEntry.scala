@@ -521,6 +521,7 @@ object SparkEntry {
     guarded("q133Seed")(q133SeedRoot(s, dir))
     guarded("q139Seed")(q139SeedRoot(s, dir))
     guarded("q145Seed")(q145SeedRoot(s, dir))
+    guarded("q147Seed")(q147SeedRoot(s, dir))
   }
 
   /** q139's seed + admission-loop stage: the perceptual index seeded with
@@ -1040,6 +1041,67 @@ object SparkEntry {
           .unionByName(flips(0, 3000000L)), // copy of a drain-1 admission
         flips(2, 2000000L)
           .unionByName(flips(1, 3000000L))) // copy of a drain-2 admission
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "stage"))
+      drains.zipWithIndex.foreach { case (d, k) =>
+        val part = s"$root/_part$k"
+        d.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        try f.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-"))
+            java.nio.file.Files.move(p, stageDir.resolve(s"b$k.parquet"))
+        } finally f.close()
+        locally {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(part))
+          try w.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      root
+    })
+
+  /** q147's seed + keeper stage: the TEXT quality keeper — a
+    * quality-carrying SignatureIndex (buildWithQuality, k=64/16 bands:
+    * the fixture's near-dup pairs sit at J ≈ 0.97, far above the 0.5
+    * gate) seeded with FULL docs gi 1–12 at quality 10, and three
+    * staged drains of one-token-suffixed near-copies driving the
+    * replace-if-better fold: better copies replace (q 20), worse reject
+    * (q 5), ties keep the incumbent (q 10), a drain-2 better copy of a
+    * DRAIN-1 admission replaces it (evolving state), and a drain-3
+    * still-better copy of a drain-1 REPLACEMENT wins again (the
+    * base → slot1 → slot4 chain). */
+  private val q147SeedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q147SeedRoot(s: SparkSession, dir: String): String =
+    q147SeedCache.computeIfAbsent(dir, _ => {
+      val root = newTmpDir("graft_q147seed").toString
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val base = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 40)
+        .select(col("doc_id").as("g"), col("text"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+      def pick(slot: Int, sfx: String, lo: Int, hi: Int, q: Double) =
+        base.filter(col("gi").between(lo, hi))
+          .select((col("g") * 10 + slot).as("doc_id"),
+            (if (sfx.isEmpty) col("text")
+             else concat(col("text"), lit(" " + sfx))).as("text"),
+            lit(q).as("q"))
+      graft.operators.SignatureIndex.buildWithQuality(
+        pick(0, "", 1, 12, q = 10.0), "doc_id", "text", "q",
+        graft.operators.SignatureIndex.Params(3, 64, 16), store, "keep_idx")
+      val drains = Seq(
+        pick(1, "keeperalpha", 1, 2, q = 20.0)
+          .unionByName(pick(2, "keeperbeta", 3, 4, q = 5.0))
+          .unionByName(pick(0, "", 13, 14, q = 10.0)),
+        pick(3, "keepergamma", 13, 13, q = 30.0)
+          .unionByName(pick(3, "keepergamma", 5, 5, q = 10.0))
+          .unionByName(pick(0, "", 15, 15, q = 10.0)),
+        pick(4, "keeperepsilon", 1, 1, q = 25.0)
+          .unionByName(pick(1, "keeperalpha", 7, 7, q = 20.0))
+          .unionByName(pick(2, "keeperbeta", 8, 8, q = 10.0)))
       val stageDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(root, "stage"))
       drains.zipWithIndex.foreach { case (d, k) =>
@@ -3912,6 +3974,49 @@ object SparkEntry {
         .orderBy(col("item_id"))
     }),
 
+    // ext: TEXT KEEPER ADMISSION — q142's replace-if-better rule on the
+    // TEXT family (SignatureIndex.admitKeepBestStream), completing the
+    // novelty/keeper/supersede matrix: arrivals screen against the
+    // pinned stored state with the JACCARD near-dup rule (q117's
+    // keep-best, managed — a keeper ranks interchangeable copies, where
+    // q144's supersede ranks coverage); a near-dup arrival replaces its
+    // stored matches when its quality is strictly higher, rejects
+    // otherwise (ties keep the incumbent); retirements, admissions and
+    // the batchId publish in one swap; candidates come from the
+    // persisted bucketed banding tier. Output = final committed
+    // membership, replayed by the oracle as the q69 md5 minhash chain
+    // (k=64, banding included — LSH candidate semantics, not just the
+    // threshold) + quality-keeper set logic over 3 drains.
+    "q147_text_keeper_admission" -> ((s, dir) => {
+      val seedRoot = q147SeedRoot(s, dir)
+      val root = newTmpDir("graft_q147run").toString
+      copyTree(s"$seedRoot/idx", s"$root/idx")
+      val store = new graft.operators.TableStore(s"$root/idx")
+      val streamSchema = s.read.parquet(s"$seedRoot/stage").schema
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$seedRoot/stage")
+      graft.operators.SignatureIndex.admitKeepBestStream(stream,
+        "doc_id", "text", "q", store, "keep_idx", threshold = 0.5,
+        s"$root/chk").awaitTermination()
+      val seedIds = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 40)
+        .select(col("doc_id").as("g"))
+        .orderBy(col("g")).limit(30)
+        .withColumn("gi", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("g"))))
+        .filter(col("gi").between(1, 12))
+        .select((col("g") * 10).as("doc_id"))
+      val universe = seedIds
+        .unionByName(s.read.parquet(s"$seedRoot/stage").select(col("doc_id")))
+        .distinct()
+      val finalIds = graft.operators.SignatureIndex
+        .signatures(s, store, "keep_idx").select(col("id").as("_in_id"))
+      universe.join(finalIds, universe("doc_id") === col("_in_id"), "left")
+        .select(col("doc_id").as("item_id"),
+          (!isnull(col("_in_id"))).cast("int").as("stored"))
+        .orderBy(col("item_id"))
+    }),
+
     // ext: AUDIO NEAR-DUP — the audio member of the multimodal×dedup
     // family: REAL RIFF/PCM parse on the executors (wavPcm16Mono — the
     // fixture's WAV bytes round-trip through the actual byte-walking
@@ -6349,6 +6454,110 @@ object SparkEntry {
         |FROM (SELECT vid FROM items GROUP BY vid) u
         |LEFT JOIN s3 ON s3.vid = u.vid
         |ORDER BY item_id""".stripMargin,
+
+    // q147 replay: the q69 md5 minhash chain at k=64 over one-token-
+    // suffixed near-copies, WITH the banding replayed (candidates must
+    // share a band — LSH semantics, not just the threshold; the
+    // string_agg bucket is candidate-equivalent to the engine's slice
+    // hash), then the quality-keeper set logic over 3 drains: reject
+    // iff any matched stored doc's quality >= the arrival's; an
+    // admitted arrival retires all its matches. Output = s_3
+    // membership over the whole universe.
+    "q147_text_keeper_admission" ->
+      """WITH gis AS (
+        |  SELECT g, t, row_number() OVER (ORDER BY g) AS gi FROM (
+        |    SELECT doc_id AS g, string_split(lower(text), ' ') AS t
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 40
+        |    ORDER BY doc_id LIMIT 30)),
+        |roles AS (
+        |  SELECT gg.g, gg.gi, m.slot, m.sfx, m.drain, m.q, gg.t
+        |  FROM gis gg JOIN (VALUES
+        |    (0, '', 0, 1, 12, 10.0),
+        |    (1, 'keeperalpha', 1, 1, 2, 20.0),
+        |    (2, 'keeperbeta', 1, 3, 4, 5.0),
+        |    (0, '', 1, 13, 14, 10.0),
+        |    (3, 'keepergamma', 2, 13, 13, 30.0),
+        |    (3, 'keepergamma', 2, 5, 5, 10.0),
+        |    (0, '', 2, 15, 15, 10.0),
+        |    (4, 'keeperepsilon', 3, 1, 1, 25.0),
+        |    (1, 'keeperalpha', 3, 7, 7, 20.0),
+        |    (2, 'keeperbeta', 3, 8, 8, 10.0)
+        |  ) m(slot, sfx, drain, lo, hi, q) ON gg.gi BETWEEN m.lo AND m.hi),
+        |items AS (
+        |  SELECT g * 10 + slot AS item_id, drain, q,
+        |    CASE WHEN sfx = '' THEN t ELSE list_append(t, sfx) END AS tok
+        |  FROM roles),
+        |sh AS (
+        |  SELECT item_id, list_transform(range(1, len(tok) - 1),
+        |    i -> array_to_string(list_slice(tok, i, i + 2), ' ')) AS s
+        |  FROM items WHERE len(tok) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT item_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT item_id, unnest(s) AS shingle FROM sh)),
+        |fam AS (
+        |  SELECT i,
+        |    CAST('0x' || substring(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS a,
+        |    CAST('0x' || substring(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS b
+        |  FROM range(1, 65) r(i)),
+        |sig AS (
+        |  SELECT item_id, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hv + b) % 2305843009213693951 AS BIGINT)) AS v
+        |  FROM hs, fam GROUP BY item_id, i),
+        |banded AS (
+        |  SELECT item_id, CAST((i - 1) // 4 AS INTEGER) AS band,
+        |    string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM sig GROUP BY item_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.item_id AS xid, b.item_id AS yid
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.item_id <> b.item_id),
+        |mt AS (
+        |  SELECT c.xid, c.yid
+        |  FROM cand c
+        |  JOIN sig sa ON sa.item_id = c.xid
+        |  JOIN sig sb ON sb.item_id = c.yid AND sb.i = sa.i
+        |  GROUP BY c.xid, c.yid
+        |  HAVING CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 64 >= 0.5),
+        |vq AS (SELECT item_id, max(q) AS q FROM items GROUP BY item_id),
+        |s0 AS (SELECT item_id FROM items WHERE drain = 0 GROUP BY item_id),
+        |b1 AS (SELECT item_id FROM items WHERE drain = 1 GROUP BY item_id),
+        |rj1 AS (SELECT DISTINCT m.xid AS item_id FROM mt m
+        |  JOIN b1 ON b1.item_id = m.xid JOIN s0 ON s0.item_id = m.yid
+        |  JOIN vq qx ON qx.item_id = m.xid JOIN vq qy ON qy.item_id = m.yid
+        |  WHERE qy.q >= qx.q),
+        |a1 AS (SELECT item_id FROM b1 ANTI JOIN rj1 USING (item_id)),
+        |r1 AS (SELECT DISTINCT m.yid AS item_id FROM mt m
+        |  JOIN s0 ON s0.item_id = m.yid JOIN a1 ON a1.item_id = m.xid),
+        |s1 AS (SELECT item_id FROM s0 ANTI JOIN r1 USING (item_id)
+        |  UNION SELECT item_id FROM a1),
+        |b2 AS (SELECT item_id FROM items WHERE drain = 2 GROUP BY item_id),
+        |rj2 AS (SELECT DISTINCT m.xid AS item_id FROM mt m
+        |  JOIN b2 ON b2.item_id = m.xid JOIN s1 ON s1.item_id = m.yid
+        |  JOIN vq qx ON qx.item_id = m.xid JOIN vq qy ON qy.item_id = m.yid
+        |  WHERE qy.q >= qx.q),
+        |a2 AS (SELECT item_id FROM b2 ANTI JOIN rj2 USING (item_id)),
+        |r2 AS (SELECT DISTINCT m.yid AS item_id FROM mt m
+        |  JOIN s1 ON s1.item_id = m.yid JOIN a2 ON a2.item_id = m.xid),
+        |s2 AS (SELECT item_id FROM s1 ANTI JOIN r2 USING (item_id)
+        |  UNION SELECT item_id FROM a2),
+        |b3 AS (SELECT item_id FROM items WHERE drain = 3 GROUP BY item_id),
+        |rj3 AS (SELECT DISTINCT m.xid AS item_id FROM mt m
+        |  JOIN b3 ON b3.item_id = m.xid JOIN s2 ON s2.item_id = m.yid
+        |  JOIN vq qx ON qx.item_id = m.xid JOIN vq qy ON qy.item_id = m.yid
+        |  WHERE qy.q >= qx.q),
+        |a3 AS (SELECT item_id FROM b3 ANTI JOIN rj3 USING (item_id)),
+        |r3 AS (SELECT DISTINCT m.yid AS item_id FROM mt m
+        |  JOIN s2 ON s2.item_id = m.yid JOIN a3 ON a3.item_id = m.xid),
+        |s3 AS (SELECT item_id FROM s2 ANTI JOIN r3 USING (item_id)
+        |  UNION SELECT item_id FROM a3)
+        |SELECT u.item_id,
+        |  CASE WHEN s3.item_id IS NOT NULL THEN 1 ELSE 0 END AS stored
+        |FROM (SELECT item_id FROM items GROUP BY item_id) u
+        |LEFT JOIN s3 ON s3.item_id = u.item_id
+        |ORDER BY u.item_id""".stripMargin,
 
     // q144 replay: q143's supersede unroll for TEXT — the q69 md5
     // minhash chain at k=128 over token-slice variants (full / first-

@@ -89,12 +89,16 @@ object SignatureIndex {
     * same swap as the rows they describe, so the supersede fold policy
     * and [[remove]]'s return value never run a count job over the
     * corpus-sized tiers (the [[PostingsIndex.BmManifest]] counter
-    * rationale). `rm = None` ⇔ no tombstones. */
+    * rationale). `rm = None` ⇔ no tombstones. `hasQuality` marks a
+    * KEEPER family ([[buildWithQuality]]): the sigs tier carries a
+    * per-doc quality column and mutates through [[admitKeepBestBatch]]'s
+    * replace-if-better fold — the two layouts never mix (the
+    * [[PerceptualIndex.PercManifest]] guard). */
   private[graft] final case class SigManifest(
       sigs: Int, pos: Int, band: Int,
       shingleN: Int, numHashes: Int, bands: Int,
       nLive: Long, nRm: Long, lastBatchId: Long = -1L,
-      rm: Option[Int] = None) {
+      rm: Option[Int] = None, hasQuality: Boolean = false) {
     def params: Params = Params(shingleN, numHashes, bands)
   }
 
@@ -102,6 +106,7 @@ object SignatureIndex {
     s"""{"sigs_v":${m.sigs},"pos_v":${m.pos},"band_v":${m.band},""" +
       s""""rm_v":${m.rm.getOrElse(-1)},"shingle_n":${m.shingleN},""" +
       s""""num_hashes":${m.numHashes},"bands":${m.bands},""" +
+      s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
       s""""n_live":${m.nLive},"n_rm":${m.nRm},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
@@ -114,10 +119,22 @@ object SignatureIndex {
       s.substring(from, end).trim.toLong
     }
     val rm = { val v = field("rm_v"); if (v < 0) None else Some(v.toInt) }
+    // absent = pre-quality manifest (older persisted index): plain family
+    val hasQ = s.indexOf("\"has_quality\":") >= 0 && field("has_quality") != 0L
     SigManifest(field("sigs_v").toInt, field("pos_v").toInt, field("band_v").toInt,
       field("shingle_n").toInt, field("num_hashes").toInt, field("bands").toInt,
-      field("n_live"), field("n_rm"), field("last_batch_id"), rm)
+      field("n_live"), field("n_rm"), field("last_batch_id"), rm, hasQ)
   }
+
+  private def requirePlain(m: SigManifest, name: String, op: String): Unit =
+    require(!m.hasQuality,
+      s"signature index $name is a KEEPER family (quality-carrying) — " +
+        s"$op would drop its quality column; use admitKeepBestBatch/Stream")
+
+  private def requireQuality(m: SigManifest, name: String, op: String): Unit =
+    require(m.hasQuality,
+      s"signature index $name is a plain family — $op needs a " +
+        "quality-carrying index; build it with buildWithQuality")
 
   private[graft] def readManifest(
       store: TableStore, name: String): Option[(SigManifest, Int)] =
@@ -160,6 +177,19 @@ object SignatureIndex {
         // distinct shingle strings is the q23 argument (~2⁻⁶⁴)
         size(hashedShingleSet(col(textCol), p.shingleN)).cast("long").as("n_sh"))
       .filter(size(col("sig")) > 0) // docs long enough to shingle
+
+  /** [[signaturesOf]] for a KEEPER family: the per-doc quality score
+    * (whatever the pipeline ranks by — a fastText quality logit, a
+    * length/perplexity composite, the q117 rule) rides IN the sigs row,
+    * so the replace-if-better fold compares arrivals against stored
+    * quality without re-reading any text. */
+  private def signaturesOfQ(
+      df: DataFrame, idCol: String, textCol: String, qCol: String, p: Params) =
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), p.shingleN, p.numHashes).as("sig"),
+        size(hashedShingleSet(col(textCol), p.shingleN)).cast("long").as("n_sh"),
+        col(qCol).cast("double").as("q"))
+      .filter(size(col("sig")) > 0)
 
   /** The position projection `(id, i, v)` of a signature frame. */
   private def positionsOf(sigs: DataFrame): DataFrame =
@@ -267,6 +297,43 @@ object SignatureIndex {
       }
     }
 
+  /** [[build]] for a KEEPER family: the sigs tier carries `(id, sig,
+    * n_sh, q)` — `qCol` is the per-doc quality score the replace-if-
+    * better fold ranks by. The projection tiers are quality-blind (they
+    * only generate candidates). */
+  def buildWithQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      qCol: String,
+      p: Params,
+      store: TableStore,
+      name: String,
+      sigBuckets: Int = SigBuckets,
+      posBuckets: Int = PosBuckets,
+      bandBuckets: Int = BandBuckets): Unit =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        val prev = readManifest(store, name)
+        prev.foreach { case (m, _) => rollbackAll(store, name, m) }
+        val spark = df.sparkSession
+        val sv = store.writeBucketed(
+          signaturesOfQ(df, idCol, textCol, qCol, p),
+          sigsTable(name), BucketSpec(sigBuckets, Seq("id"), sortCols = Seq("id")))
+        val committed = store.snapshotAt(spark, sigsTable(name), sv)
+        val pv = store.writeBucketed(positionsOf(committed), posTable(name),
+          BucketSpec(posBuckets, Seq("i", "v"), sortCols = Seq("i", "v")))
+        val bv = store.writeBucketed(bandedOf(committed, p), bandTable(name),
+          BucketSpec(bandBuckets, Seq("band", "bucket"),
+            sortCols = Seq("band", "bucket")))
+        val n = committed.count()
+        commitManifest(store, name,
+          SigManifest(sv, pv, bv, p.shingleN, p.numHashes, p.bands, n, 0L,
+            prev.map(_._1.lastBatchId).getOrElse(-1L),
+            hasQuality = true), prev.map(_._2))
+      }
+    }
+
   /** The index's model parameters, as persisted in the manifest. */
   def params(spark: SparkSession, store: TableStore, name: String): Params =
     requireManifest(store, name)._1.params
@@ -309,6 +376,7 @@ object SignatureIndex {
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       store: TableStore, name: String, stamp: Option[Long]): Boolean = {
     val (m, mv) = requireManifest(store, name)
+    requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     // pinned: the three tier writes + the counter would otherwise each
@@ -618,6 +686,71 @@ object SignatureIndex {
       .filter(col("id").isNotNull).distinct()
   }
 
+  /** Publish one screen-fold drain — shared by [[supersede]] and
+    * [[admitKeepBestBatch]]: admissions link-append into every tier's
+    * touched buckets, retirements merge into the tombstone member, ONE
+    * manifest swap carries rows + counters + the batchId; past the
+    * manifest-counter policy bound (`max(1024, live/8)` tombstones) the
+    * drain rides one amortized fold that rewrites the served view into
+    * all tiers and clears the tombstones. `admitted` carries the
+    * family's full sigs-tier schema (with `q` for a keeper family — the
+    * projection derivations select their own columns). */
+  private def commitScreenFold(
+      spark: SparkSession, store: TableStore, name: String,
+      m: SigManifest, mv: Int,
+      admitted: DataFrame, retired: DataFrame,
+      admittedN: Long, retiredN: Long, stamp: Option[Long]): Unit = {
+    val p = m.params
+    // fold policy priced from the MANIFEST counters (no corpus jobs)
+    if (m.nRm + retiredN > math.max(1024L, m.nLive / 8)) {
+      // amortized fold: the served view minus this batch's retirements
+      // plus its admissions, rewritten into every tier, tombstones cleared
+      val served = minusRm(spark, store, name, m)(
+        store.snapshotAt(spark, sigsTable(name), m.sigs))
+      val kept = served.join(broadcast(retired), Seq("id"), "left_anti")
+        .unionByName(admitted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sv = store.writeBucketed(kept, sigsTable(name),
+          sigSpec(store, name), Some(m.sigs))
+        val pv = store.writeBucketed(positionsOf(kept), posTable(name),
+          posSpec(store, name), Some(m.pos))
+        val bv = store.writeBucketed(bandedOf(kept, p), bandTable(name),
+          bandSpec(store, name), Some(m.band))
+        commitManifest(store, name,
+          m.copy(sigs = sv, pos = pv, band = bv,
+            nLive = m.nLive + admittedN - retiredN, nRm = 0L,
+            rm = None, lastBatchId = stamp.getOrElse(m.lastBatchId)),
+          Some(mv))
+      } finally kept.unpersist()
+    } else {
+      // O(batch ∪ tombstones): admissions link-append into each tier's
+      // touched buckets, retirements merge into the small tombstone
+      // member, ONE manifest swap publishes all of it
+      val sv = OverlayLock.appendOrCompactBucketed(spark, store,
+        sigsTable(name), m.sigs, admitted)
+      val pv = OverlayLock.appendOrCompactBucketed(spark, store,
+        posTable(name), m.pos, positionsOf(admitted))
+      val bv = OverlayLock.appendOrCompactBucketed(spark, store,
+        bandTable(name), m.band, bandedOf(admitted, p))
+      val rv =
+        if (retiredN == 0L) m.rm
+        else Some(m.rm match {
+          case Some(pin) => store.write(
+            store.snapshotAt(spark, rmTable(name), pin).select(col("id"))
+              .unionByName(retired).distinct().coalesce(4),
+            rmTable(name), Some(pin))
+          case None => store.write(retired.coalesce(4),
+            rmTable(name), store.currentVersion(rmTable(name)))
+        })
+      commitManifest(store, name,
+        m.copy(sigs = sv, pos = pv, band = bv,
+          nLive = m.nLive + admittedN - retiredN,
+          nRm = m.nRm + retiredN, rm = rv,
+          lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+    }
+  }
+
   /** SUPERSEDE admission — the text keeper, [[FrameIndex
     * .admitSupersedeBatch]]'s fold on sketch containment: an arrival
     * CONTAINED in a stored doc (its own-side estimate ≥ the threshold —
@@ -673,6 +806,7 @@ object SignatureIndex {
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
+        requirePlain(m, name, "a supersede fold")
         rollbackAll(store, name, m)
         val p = m.params
         // insert-only against the BASE id set (⊇ tombstoned ids until the
@@ -708,55 +842,8 @@ object SignatureIndex {
           .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
             "left_semi")
           .select(col("stored_id").as("id")).distinct())
-        val admittedN = admitted.count()
-        val retiredN = retired.count()
-        // fold policy priced from the MANIFEST counters (no corpus jobs)
-        if (m.nRm + retiredN > math.max(1024L, m.nLive / 8)) {
-          // amortized fold: the served view minus this batch's
-          // retirements plus its admissions, rewritten into every tier,
-          // tombstones cleared
-          val served = minusRm(spark, store, name, m)(
-            store.snapshotAt(spark, sigsTable(name), m.sigs))
-          val kept = served.join(broadcast(retired), Seq("id"), "left_anti")
-            .unionByName(admitted)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val sv = store.writeBucketed(kept, sigsTable(name),
-              sigSpec(store, name), Some(m.sigs))
-            val pv = store.writeBucketed(positionsOf(kept), posTable(name),
-              posSpec(store, name), Some(m.pos))
-            val bv = store.writeBucketed(bandedOf(kept, p), bandTable(name),
-              bandSpec(store, name), Some(m.band))
-            commitManifest(store, name,
-              m.copy(sigs = sv, pos = pv, band = bv,
-                nLive = m.nLive + admittedN - retiredN, nRm = 0L,
-                rm = None), Some(mv))
-          } finally kept.unpersist()
-        } else {
-          // O(batch ∪ tombstones): admissions link-append into each
-          // tier's touched buckets, retirements merge into the small
-          // tombstone member, ONE manifest swap publishes all of it
-          val sv = OverlayLock.appendOrCompactBucketed(spark, store,
-            sigsTable(name), m.sigs, admitted)
-          val pv = OverlayLock.appendOrCompactBucketed(spark, store,
-            posTable(name), m.pos, positionsOf(admitted))
-          val bv = OverlayLock.appendOrCompactBucketed(spark, store,
-            bandTable(name), m.band, bandedOf(admitted, p))
-          val rv =
-            if (retiredN == 0L) m.rm
-            else Some(m.rm match {
-              case Some(pin) => store.write(
-                store.snapshotAt(spark, rmTable(name), pin).select(col("id"))
-                  .unionByName(retired).distinct().coalesce(4),
-                rmTable(name), Some(pin))
-              case None => store.write(retired.coalesce(4),
-                rmTable(name), store.currentVersion(rmTable(name)))
-            })
-          commitManifest(store, name,
-            m.copy(sigs = sv, pos = pv, band = bv,
-              nLive = m.nLive + admittedN - retiredN,
-              nRm = m.nRm + retiredN, rm = rv), Some(mv))
-        }
+        commitScreenFold(spark, store, name, m, mv, admitted, retired,
+          admitted.count(), retired.count(), stamp = None)
         // admitted rows pass through with their original columns; docs
         // too short to shingle never entered the gate — pass them too
         val keptIds = admitted.select(col("id").as("_adm_id"))
@@ -768,4 +855,167 @@ object SignatureIndex {
             size(hashedShingleSet(col(textCol), p.shingleN)) <= 0))
       }
     }
+
+  // ------------------------------------------------------------------ keeper
+
+  /** KEEPER-AWARE admission — the text [[PerceptualIndex
+    * .admitKeepBestBatch]], completing the novelty/keeper/supersede
+    * matrix for the text family (q117's keep-best rule was ad-hoc only):
+    * screen the arriving `(id, text, quality)` batch against the pinned
+    * stored state with the JACCARD near-dup rule (estimated J ≥
+    * `threshold` against any stored doc — the [[screen]] evidence, NOT
+    * containment: a keeper ranks INTERCHANGEABLE copies, where the
+    * supersede face ranks coverage); an arrival admits iff it matches
+    * NOTHING (novel) or its quality STRICTLY exceeds every matched
+    * stored doc's — and then retires all its matches in the same swap.
+    * Worse or equal copies reject; ties keep the incumbent. Everything —
+    * retirements, admissions, the batchId — publishes in ONE swap.
+    *
+    * Same contracts as [[supersede]]: insert-only by id against the
+    * BASE id set, in-batch duplicate ids fold to the (highest-quality,
+    * then smallest-hash) row, docs too short to shingle PASS THROUGH
+    * unindexed, in-batch near-dups of each other both admit (micro-
+    * batch boundaries decide what arrives together), and every drain
+    * commits O(batch ∪ tombstones) with bucket-pruned reads — the
+    * candidate generation is the persisted band tier, the fetch-back
+    * the candidates' id-buckets, the fold policy the manifest counters.
+    * Returns the admitted batch rows, original columns. */
+  def admitKeepBestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      qCol: String,
+      store: TableStore,
+      name: String,
+      threshold: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        keepBestStamped(spark, batch, idCol, textCol, qCol, store, name,
+          threshold, maxBucketSize, Some(batchId))
+      }
+    }
+
+  /** [[admitKeepBestBatch]] without the gate — the ad-hoc fold. */
+  def keepBest(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      qCol: String,
+      store: TableStore,
+      name: String,
+      threshold: Double,
+      maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame =
+    withLock(store, name) {
+      OverlayLock.retryOnConflict() {
+        keepBestStamped(spark, batch, idCol, textCol, qCol, store, name,
+          threshold, maxBucketSize, None)
+      }
+    }
+
+  private def keepBestStamped(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      qCol: String, store: TableStore, name: String, threshold: Double,
+      maxBucketSize: Int, stamp: Option[Long])(
+      implicit caches: CacheScope): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val (m, mv) = requireManifest(store, name)
+    requireQuality(m, name, "a replace-if-better fold")
+    val p = m.params
+    if (stamp.exists(_ <= m.lastBatchId))
+      return batch.filter(lit(false)) // replayed batchId: nothing folds
+    rollbackAll(store, name, m)
+    // insert-only against the BASE id set; in-batch duplicate ids fold
+    // to the (highest-quality, smallest-hash) row — deterministic under
+    // any partitioning
+    val batchSigs = caches.pin(
+      signaturesOfQ(batch, idCol, textCol, qCol, p)
+        .join(baseSigsForIds(spark, store, name, m,
+            batch.select(col(idCol).as("id"))).select(col("id")),
+          Seq("id"), "left_anti")
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("sig"), col("n_sh"), col("q")),
+          struct(-col("q"), xxhash64(col("sig")))).as("_w"))
+        .select(col("id"), col("_w.sig").as("sig"),
+          col("_w.n_sh").as("n_sh"), col("_w.q").as("q")))
+    // candidates from the persisted banding tier, pruned to the batch's
+    // cells; stored (sig, q) fetch-back from the candidates' id-buckets
+    val sb = caches.pin(bandedOf(batchSigs, p))
+    val storedBand = caches.pin(minusRm(spark, store, name, m)(
+      prunedAt(spark, store, bandTable(name), m.band,
+        touchedBuckets(bandSpec(store, name),
+          sb.select(col("band"), col("bucket"))))))
+    val hot = hotCells(sb, Seq("band", "bucket"), maxBucketSize)
+      .union(hotCells(storedBand, Seq("band", "bucket"), maxBucketSize))
+      .distinct()
+    val coldB = sb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val coldC = storedBand.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val cand = caches.pin(coldB.alias("a")
+      .join(coldC.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
+      .distinct())
+    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
+      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    val matches = caches.pin(cand
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs")),
+        Seq("batch_id"))
+      .join(storedSigs.select(col("id").as("stored_id"), col("sig").as("_ss"),
+        col("q").as("_qs")), Seq("stored_id"))
+      .filter((org.apache.spark.sql.graft.NativeFunctions
+        .long_positions_equal(col("_bs"), col("_ss")).cast("double") / p.numHashes)
+        >= threshold)
+      .select(col("batch_id"), col("stored_id"), col("_qs")))
+    // admit iff no match holds quality >= the arrival's
+    val admitted = caches.pin(batchSigs
+      .join(matches.groupBy(col("batch_id")).agg(max(col("_qs")).as("_best"))
+        .withColumnRenamed("batch_id", "id"), Seq("id"), "left")
+      .filter(col("_best").isNull || col("q") > col("_best"))
+      .select(col("id"), col("sig"), col("n_sh"), col("q")))
+    // an admitted arrival beat ALL its matches — they all retire
+    val retired = caches.pin(matches
+      .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
+        "left_semi")
+      .select(col("stored_id").as("id")).distinct())
+    commitScreenFold(spark, store, name, m, mv, admitted, retired,
+      admitted.count(), retired.count(), stamp)
+    val keptIds = admitted.select(col("id").as("_adm_id"))
+    val shingleable = batch
+      .filter(size(hashedShingleSet(col(textCol), p.shingleN)) > 0)
+    shingleable
+      .join(broadcast(keptIds), shingleable(idCol) === col("_adm_id"), "left_semi")
+      .unionByName(batch.filter(
+        size(hashedShingleSet(col(textCol), p.shingleN)) <= 0))
+  }
+
+  /** [[admitKeepBestBatch]] as a live sink — the text quality-keeper
+    * loop. */
+  def admitKeepBestStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      qCol: String,
+      store: TableStore,
+      name: String,
+      threshold: Double,
+      checkpoint: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        implicit val scope: CacheScope = new CacheScope
+        try admitKeepBestBatch(batch.sparkSession, batch, batchId,
+          idCol, textCol, qCol, store, name, threshold).count()
+        finally scope.release()
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 }

@@ -512,8 +512,18 @@ object ScaleBench {
     // screen + tombstoned retirements (frame appends + rm-id merges)
     "q143_video_supersede_admission",
     // r16: text supersede — sketch containment at the admission gate;
-    // the stored side is the narrow (id, sig, n_sh) position projection
-    "q144_text_supersede_admission")
+    // r17 serves its candidates from the persisted bucketed position tier
+    "q144_text_supersede_admission",
+    // r17: semantic admission — the SemDeDup screen-then-admit loop on
+    // the IVF family; the fixture's drain slices scale with the corpus,
+    // so this one measures the probe/screen/admit chain genuinely growing
+    "q145_semantic_admission_loop",
+    // r17: video quality keeper — constant 30-group fixture through
+    // three keeper drains; directed-containment screen + quality joins
+    "q146_video_keeper_admission",
+    // r17: text quality keeper — constant 30-doc universe through three
+    // keeper drains; banded candidates from the persisted projection
+    "q147_text_keeper_admission")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleBench <baseSfDir> <scaledDir> <factor>")

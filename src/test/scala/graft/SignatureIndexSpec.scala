@@ -315,6 +315,58 @@ class SignatureIndexSpec extends SparkSpec {
     scope.release()
   }
 
+  test("keeper: a better near-copy replaces; worse/tie rejects; evolving chain; replay refused; layout guards") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val store = new TableStore(tmpDir("sigidx-keep"))
+    def doc(ns: String) = (0 until 40).map(i => s"$ns$i").mkString(" ")
+    def near(ns: String, tag: String) = doc(ns) + " " + tag
+    def qdf(rows: (Long, String, Double)*) = rows.toDF("doc_id", "text", "q")
+    SignatureIndex.buildWithQuality(
+      qdf((10L, doc("a"), 10.0), (20L, doc("b"), 10.0), (30L, doc("c"), 10.0)),
+      "doc_id", "text", "q", pc, store, "c")
+    def ids() = SignatureIndex.signatures(spark, store, "c")
+      .collect().map(_.getLong(0)).toSet
+    // drain 0: better copy of a replaces; worse copy of b rejects;
+    // novel admits
+    val d0 = qdf((101L, near("a", "x"), 20.0), (102L, near("b", "y"), 5.0),
+      (103L, doc("d"), 10.0))
+    val adm0 = SignatureIndex.admitKeepBestBatch(spark, d0, 0L,
+      "doc_id", "text", "q", store, "c", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(adm0 === Set(101L, 103L))
+    assert(ids() === Set(20L, 30L, 101L, 103L))
+    // replayed batchId refused, state unmoved
+    assert(SignatureIndex.admitKeepBestBatch(spark, d0, 0L,
+      "doc_id", "text", "q", store, "c", threshold = 0.5).count() === 0)
+    assert(ids() === Set(20L, 30L, 101L, 103L))
+    // drain 1: a still-better copy of DRAIN-0's replacement wins (the
+    // a → 101 → 201 chain); a tie against c keeps the incumbent
+    val d1 = qdf((201L, near("a", "z"), 30.0), (202L, near("c", "w"), 10.0))
+    val adm1 = SignatureIndex.admitKeepBestBatch(spark, d1, 1L,
+      "doc_id", "text", "q", store, "c", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(adm1 === Set(201L))
+    assert(ids() === Set(20L, 30L, 103L, 201L))
+    // a retired id cannot re-enter under its own name
+    assert(SignatureIndex.admitKeepBestBatch(spark,
+      qdf((10L, doc("zz"), 99.0)), 2L,
+      "doc_id", "text", "q", store, "c", threshold = 0.5).count() === 0)
+    assert(!ids().contains(10L))
+    // layout guards both ways
+    intercept[IllegalArgumentException] {
+      SignatureIndex.append(spark, Seq((900L, doc("e"))).toDF("doc_id", "text"),
+        "doc_id", "text", store, "c")
+    }
+    val plain = new TableStore(tmpDir("sigidx-keep-plain"))
+    SignatureIndex.build(corpus(), "doc_id", "text", p, plain, "c")
+    intercept[IllegalArgumentException] {
+      SignatureIndex.admitKeepBestBatch(spark, qdf((901L, doc("f"), 1.0)), 0L,
+        "doc_id", "text", "q", plain, "c", threshold = 0.5).count()
+    }
+    scope.release()
+  }
+
   test("append keeps every tier's per-bucket file count bounded across many drains") {
     val store = new TableStore(tmpDir("sigidx-filecap"))
     SignatureIndex.build(corpus(), "doc_id", "text", p, store, "c")

@@ -13,12 +13,15 @@
 # r16: the perceptual/frame index suites join the loop — they carry the
 # racing-admitters case, the crash-window gates, and the keeper/supersede
 # tombstone folds (r16 result recorded in COVERAGE.md).
+# r17: SignatureIndexSpec joins — the text family became a manifest-
+# governed overlay (bucketed projection tiers + rm member), so its
+# supersede/fold/replay paths now exercise the OverlayLock discipline.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 n="${1:-20}"
 cmds=()
 for _ in $(seq 1 "$n"); do
-  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec graft.UpsertSpec graft.PerceptualIndexSpec graft.FrameIndexSpec")
+  cmds+=("testOnly graft.CorpusProfileSpec graft.IvfAdmissionSpec graft.PostingsIndexSpec graft.UpsertSpec graft.PerceptualIndexSpec graft.FrameIndexSpec graft.SignatureIndexSpec")
 done
 log=$(mktemp /tmp/graft_race_loop.XXXXXX.log)
 sbt -batch "${cmds[@]}" >"$log" 2>&1 || true
