@@ -662,8 +662,10 @@ object CorpusProfile {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, batchId,
-          groupCol, distinctCol, idCol, numCol, k, b, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitBatch(batch.sparkSession, batch, batchId,
+            groupCol, distinctCol, idCol, numCol, k, b, store, name)
+        }
         ()
       }
     (if (availableNow)

@@ -379,7 +379,9 @@ object FrameIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitNovelBatch(batch.sparkSession, batch, batchId, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitNovelBatch(batch.sparkSession, batch, batchId, store, name)
+        }
         ()
       }
     (if (availableNow)
@@ -397,7 +399,9 @@ object FrameIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, batchId, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitBatch(batch.sparkSession, batch, batchId, store, name)
+        }
         ()
       }
     (if (availableNow)
@@ -608,8 +612,10 @@ object FrameIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitSupersedeBatch(batch.sparkSession, batch, batchId, store, name,
-          preDedupBatch = preDedupBatch)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitSupersedeBatch(batch.sparkSession, batch, batchId, store, name,
+            preDedupBatch = preDedupBatch)
+        }
         ()
       }
     (if (availableNow)
@@ -772,7 +778,9 @@ object FrameIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name)
+        }
         ()
       }
     (if (availableNow)

@@ -443,7 +443,9 @@ object IvfIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        }
         ()
       }
     (if (availableNow)
@@ -515,8 +517,10 @@ object IvfIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitNovelBatch(batch.sparkSession, batch, batchId, idCol, vecCol,
-          store, name, threshold, nProbe)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitNovelBatch(batch.sparkSession, batch, batchId, idCol, vecCol,
+            store, name, threshold, nProbe)
+        }
         ()
       }
     (if (availableNow)
@@ -725,7 +729,9 @@ object IvfIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, vecCol, store, name)
+        }
         ()
       }
     (if (availableNow)

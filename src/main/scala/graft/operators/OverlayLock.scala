@@ -112,6 +112,35 @@ private[graft] object OverlayLock {
     }
   }
 
+  /** Daemon pool for concurrent member-table commits; sized generously —
+    * tasks are Spark actions that spend their time blocked on executors,
+    * not on these threads. */
+  private lazy val commitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-overlay-commit")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run INDEPENDENT member-table commits of one overlay swap concurrently
+    * — each tier append is its own small Spark job, and serializing them
+    * stacks fixed job latency onto every micro-batch drain; different
+    * member tables never share a CAS or a commit lock, so their staging
+    * writes compose. Waits for ALL tasks to settle before returning or
+    * throwing (first failure wins), so a failed attempt never leaves a
+    * straggler commit racing the caller's rollback-and-retry. */
+  private[graft] def inParallel(tasks: Seq[() => Any]): Seq[Any] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Try}
+    implicit val ec: scala.concurrent.ExecutionContext = commitPool
+    val settled = Await.result(
+      Future.sequence(tasks.map(t => Future(Try(t())))), Duration.Inf)
+    settled.collectFirst { case Failure(e) => e }.foreach(e => throw e)
+    settled.map(_.get)
+  }
+
   /** Roll a member table back to its manifest pin when (and only when)
     * orphan successors sit above it AND the pinned version still exists.
     * Both guards matter in degenerate repair states: a pin AHEAD of the

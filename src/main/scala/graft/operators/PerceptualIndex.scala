@@ -385,8 +385,10 @@ object PerceptualIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitNovelBatch(batch.sparkSession, batch, batchId, store, name,
-          preDedupBatch = preDedupBatch)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitNovelBatch(batch.sparkSession, batch, batchId, store, name,
+            preDedupBatch = preDedupBatch)
+        }
         ()
       }
     (if (availableNow)
@@ -585,8 +587,10 @@ object PerceptualIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name,
-          preDedupBatch = preDedupBatch)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitKeepBestBatch(batch.sparkSession, batch, batchId, store, name,
+            preDedupBatch = preDedupBatch)
+        }
         ()
       }
     (if (availableNow)
@@ -605,7 +609,9 @@ object PerceptualIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, batchId, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitBatch(batch.sparkSession, batch, batchId, store, name)
+        }
         ()
       }
     (if (availableNow)

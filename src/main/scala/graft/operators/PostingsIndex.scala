@@ -760,7 +760,9 @@ object PostingsIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitUpsertBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        }
         ()
       }
     (if (availableNow)
@@ -783,7 +785,9 @@ object PostingsIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        DrainConf.withDrainConf(batch.sparkSession) {
+          admitBatch(batch.sparkSession, batch, batchId, idCol, textCol, store, name)
+        }
         ()
       }
     (if (availableNow)

@@ -33,6 +33,13 @@ import graft.functions.TextFunctions._
   *    HASH-BUCKETED by (band, bucket): the Jaccard screen's candidates
   *    read only the batch's band-buckets — never a re-banding of the
   *    full sigs tier;
+  *  - `<name>_delta` — the LSM memtable: each drain's admissions land
+  *    here as ONE plain O(batch) linked append (no shuffle, no
+  *    bucketing) instead of three bucketed tier appends; every screen
+  *    unions its pruned base-tier read with the same projection derived
+  *    IN-PLAN from this small member (filtered by the identical bucket
+  *    rule, so hot-cell counts and candidates match a fold-merged tier
+  *    exactly), and the amortized fold absorbs it into the tiers;
   *  - `<name>_rm` — tombstoned ids (a supersede fold's retirements);
   *    compaction-bounded, broadcast-subtracted by every read, folded
   *    into the base tiers past the policy bound;
@@ -71,6 +78,7 @@ object SignatureIndex {
   private def posTable(name: String) = s"${name}_pos"
   private def bandTable(name: String) = s"${name}_band"
   private def rmTable(name: String) = s"${name}_rm"
+  private def deltaTable(name: String) = s"${name}_delta"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
@@ -98,16 +106,18 @@ object SignatureIndex {
       sigs: Int, pos: Int, band: Int,
       shingleN: Int, numHashes: Int, bands: Int,
       nLive: Long, nRm: Long, lastBatchId: Long = -1L,
-      rm: Option[Int] = None, hasQuality: Boolean = false) {
+      rm: Option[Int] = None, hasQuality: Boolean = false,
+      dlt: Option[Int] = None, nDelta: Long = 0L) {
     def params: Params = Params(shingleN, numHashes, bands)
   }
 
   private def encodeManifest(m: SigManifest): String =
     s"""{"sigs_v":${m.sigs},"pos_v":${m.pos},"band_v":${m.band},""" +
-      s""""rm_v":${m.rm.getOrElse(-1)},"shingle_n":${m.shingleN},""" +
+      s""""rm_v":${m.rm.getOrElse(-1)},"dlt_v":${m.dlt.getOrElse(-1)},""" +
+      s""""shingle_n":${m.shingleN},""" +
       s""""num_hashes":${m.numHashes},"bands":${m.bands},""" +
       s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
-      s""""n_live":${m.nLive},"n_rm":${m.nRm},""" +
+      s""""n_live":${m.nLive},"n_rm":${m.nRm},"n_dlt":${m.nDelta},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): SigManifest = {
@@ -118,12 +128,17 @@ object SignatureIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim.toLong
     }
+    def optField(k: String, dflt: Long): Long =
+      if (s.indexOf("\"" + k + "\":") >= 0) field(k) else dflt
     val rm = { val v = field("rm_v"); if (v < 0) None else Some(v.toInt) }
+    // absent = pre-delta manifest (older persisted index): no delta member
+    val dlt = { val v = optField("dlt_v", -1L); if (v < 0) None else Some(v.toInt) }
     // absent = pre-quality manifest (older persisted index): plain family
     val hasQ = s.indexOf("\"has_quality\":") >= 0 && field("has_quality") != 0L
     SigManifest(field("sigs_v").toInt, field("pos_v").toInt, field("band_v").toInt,
       field("shingle_n").toInt, field("num_hashes").toInt, field("bands").toInt,
-      field("n_live"), field("n_rm"), field("last_batch_id"), rm, hasQ)
+      field("n_live"), field("n_rm"), field("last_batch_id"), rm, hasQ,
+      dlt, optField("n_dlt", 0L))
   }
 
   private def requirePlain(m: SigManifest, name: String, op: String): Unit =
@@ -145,9 +160,21 @@ object SignatureIndex {
         java.nio.charset.StandardCharsets.UTF_8)), v)
     }
 
+  /** MIGRATION NOTE: indexes persisted by the pre-manifest layout (a bare
+    * `_sigs` + `_params` pair, no `_manifest` member) are not readable by
+    * this version — the manifest pins the projection tiers every screen
+    * now reads, and those tiers don't exist in a legacy index. The
+    * supported migration is an explicit [[build]] from the corpus text
+    * (one full shingle+hash pass — the same cost the legacy build paid),
+    * which replaces every member and writes the manifest. */
   private def requireManifest(store: TableStore, name: String): (SigManifest, Int) =
     readManifest(store, name).getOrElse(throw new IllegalStateException(
-      s"signature index $name has no manifest — build it first"))
+      s"signature index $name has no manifest — build it first" +
+        (if (store.exists(s"${name}_params"))
+          s" (a legacy pre-manifest ${name}_params layout exists: this " +
+            "version adds persisted projection tiers a legacy index lacks — " +
+            "rebuild from the corpus text with build())"
+         else "")))
 
   private def commitManifest(
       store: TableStore, name: String, m: SigManifest, expected: Option[Int]): Unit =
@@ -163,6 +190,7 @@ object SignatureIndex {
     OverlayLock.rollbackIfAhead(store, posTable(name), m.pos)
     OverlayLock.rollbackIfAhead(store, bandTable(name), m.band)
     m.rm.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+    m.dlt.foreach(OverlayLock.rollbackIfAhead(store, deltaTable(name), _))
   }
 
   // ------------------------------------------------------------- projections
@@ -217,10 +245,18 @@ object SignatureIndex {
 
   /** The buckets `keys` can hash into under `spec` — a bounded collect,
     * at most nBuckets distinct values (the [[IvfIndex.balance]] class of
-    * control-plane read). */
+    * control-plane read). ONE narrow job: per-partition dedup via
+    * `mapPartitions` + driver-side union, instead of `distinct().collect()`
+    * — the distinct's exchange costs a drain two extra stage launches per
+    * probe, and each partition can contribute at most nBuckets ints, so
+    * the driver merge is bounded no matter the batch size. */
   private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
-    keys.select(spec.bucketColumn.as("_b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    keys.select(spec.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val s = new scala.collection.mutable.HashSet[Int]
+        it.foreach(r => s.add(r.getInt(0)))
+        s.iterator
+      }.collect().distinct.toSeq
 
   /** A member tier PRUNED to `touched` buckets: `_bucket isin(...)`
     * prunes at the directory level, so unread buckets are never opened
@@ -250,13 +286,49 @@ object SignatureIndex {
         Seq("id"), "left_anti")
     }
 
-  /** Base sigs rows pruned to the buckets `ids` can hash into — the keyed
-    * read behind the insert-only screen and the candidate fetch-back. */
-  private def baseSigsForIds(
+  /** The delta member's full (small) frame, when one is pinned — the
+    * index's LSM memtable: per-drain admissions land here as ONE plain
+    * append, and the bucketed tiers absorb it at the amortized fold. */
+  private def deltaFrame(
+      spark: SparkSession, store: TableStore, name: String,
+      m: SigManifest): Option[DataFrame] =
+    m.dlt.map(dv => store.snapshotAt(spark, deltaTable(name), dv))
+
+  /** A projection tier PRUNED to `touched` buckets, INCLUDING the delta
+    * member's contribution: the pruned base read unioned with the same
+    * projection derived IN-PLAN from the small delta and filtered by the
+    * exact bucket rule the directory pruning applied — readers see
+    * precisely the rows a fold-merged tier would hold in those buckets
+    * (hot-cell exactness included: a cell's base and delta rows share
+    * one bucket id). No extra job: the delta is a one-to-few-file scan
+    * inside the same plan. */
+  private def prunedWithDelta(
       spark: SparkSession, store: TableStore, name: String, m: SigManifest,
-      ids: DataFrame): DataFrame =
-    prunedAt(spark, store, sigsTable(name), m.sigs,
-      touchedBuckets(sigSpec(store, name), ids))
+      table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
+      fromDelta: DataFrame => DataFrame): DataFrame = {
+    val base = prunedAt(spark, store, table, pin, touched)
+    deltaFrame(spark, store, name, m) match {
+      case None => base
+      case Some(d) =>
+        val derived = fromDelta(d)
+        base.unionByName(
+          if (touched.isEmpty) derived.filter(lit(false))
+          else derived.filter(
+            spec.bucketColumn.isin(touched.map(Integer.valueOf): _*)))
+    }
+  }
+
+  /** Indexed sigs rows (base ∪ delta, NO tombstone subtraction — a
+    * retired id may not re-enter under its own name until the fold
+    * forgets it) pruned to the buckets `ids` can hash into — the keyed
+    * read behind the insert-only screen and the candidate fetch-back. */
+  private def indexedSigsForIds(
+      spark: SparkSession, store: TableStore, name: String, m: SigManifest,
+      ids: DataFrame): DataFrame = {
+    val spec = sigSpec(store, name)
+    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs, spec,
+      touchedBuckets(spec, ids), identity)
+  }
 
   // ------------------------------------------------------------------ build
 
@@ -338,12 +410,75 @@ object SignatureIndex {
   def params(spark: SparkSession, store: TableStore, name: String): Params =
     requireManifest(store, name)._1.params
 
-  /** The SERVED `(id, sig, n_sh)` corpus signatures: base rows minus any
-    * id a supersede fold has tombstoned (manifest-pinned read). */
+  /** The SERVED `(id, sig, n_sh)` corpus signatures: base ∪ delta rows
+    * minus any id a supersede fold has tombstoned (manifest-pinned
+    * read). */
   def signatures(spark: SparkSession, store: TableStore, name: String): DataFrame = {
     val (m, _) = requireManifest(store, name)
+    servedView(spark, store, name, m)
+  }
+
+  /** Base ∪ delta minus tombstones — the manifest-consistent served view
+    * every fold and every full read derives from. */
+  private def servedView(
+      spark: SparkSession, store: TableStore, name: String,
+      m: SigManifest): DataFrame = {
+    val base = store.snapshotAt(spark, sigsTable(name), m.sigs)
     minusRm(spark, store, name, m)(
-      store.snapshotAt(spark, sigsTable(name), m.sigs))
+      deltaFrame(spark, store, name, m).map(base.unionByName(_)).getOrElse(base))
+  }
+
+  /** When accumulated memtable/tombstone rows have earned their amortized
+    * rewrite — the manifest-counter-priced policy shared by every drain
+    * face (no corpus-sized count job ever runs). */
+  private def foldBound(m: SigManifest): Long = math.max(1024L, m.nLive / 8)
+
+  /** The memtable write: commit `fresh` to the delta member as ONE plain
+    * linked append — no shuffle, no bucketing, O(batch) bytes — instead
+    * of three bucketed tier appends per drain. Past the file bound the
+    * append folds into a small rewrite ([[OverlayLock.appendOrCompact]]);
+    * past [[foldBound]] rows the CALLER folds the whole delta into the
+    * bucketed tiers ([[foldAllTiers]]). */
+  private def appendDelta(
+      spark: SparkSession, store: TableStore, name: String, m: SigManifest,
+      fresh: DataFrame): Int =
+    m.dlt match {
+      case Some(pin) => OverlayLock.appendOrCompact(store, deltaTable(name), pin,
+        store.snapshotAt(spark, deltaTable(name), pin), fresh.coalesce(4))
+      case None => store.write(fresh.coalesce(4), deltaTable(name),
+        store.currentVersion(deltaTable(name)))
+    }
+
+  /** Amortized fold: rewrite the SERVED view — minus this batch's
+    * retirements, plus its admissions — into all three bucketed tiers
+    * CONCURRENTLY, clearing the tombstone and delta members in the same
+    * manifest swap. */
+  private def foldAllTiers(
+      spark: SparkSession, store: TableStore, name: String,
+      m: SigManifest, mv: Int, admitted: DataFrame, retired: Option[DataFrame],
+      admittedN: Long, retiredN: Long, stamp: Option[Long]): Unit = {
+    val p = m.params
+    val served = servedView(spark, store, name, m)
+    val keptPre = retired
+      .map(r => served.join(broadcast(r), Seq("id"), "left_anti"))
+      .getOrElse(served)
+    val kept = keptPre.unionByName(admitted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kept.count() // materialize once; the three rewrites read the cache
+      val Seq(sv, pv, bv) = OverlayLock.inParallel(Seq(
+        () => store.writeBucketed(kept, sigsTable(name),
+          sigSpec(store, name), Some(m.sigs)),
+        () => store.writeBucketed(positionsOf(kept), posTable(name),
+          posSpec(store, name), Some(m.pos)),
+        () => store.writeBucketed(bandedOf(kept, p), bandTable(name),
+          bandSpec(store, name), Some(m.band)))).map(_.asInstanceOf[Int])
+      commitManifest(store, name,
+        m.copy(sigs = sv, pos = pv, band = bv,
+          nLive = m.nLive + admittedN - retiredN, nRm = 0L, rm = None,
+          dlt = None, nDelta = 0L,
+          lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+    } finally kept.unpersist()
   }
 
   // ----------------------------------------------------------- append/remove
@@ -390,7 +525,7 @@ object SignatureIndex {
       // the signature with the smallest array hash (deterministic under
       // any partitioning — the PostingsIndex.tokenized canonicalization)
       val fresh = batchSigs
-        .join(baseSigsForIds(spark, store, name, m, batchSigs).select(col("id")),
+        .join(indexedSigsForIds(spark, store, name, m, batchSigs).select(col("id")),
           Seq("id"), "left_anti")
         .groupBy(col("id"))
         .agg(min_by(struct(col("sig"), col("n_sh")),
@@ -399,15 +534,18 @@ object SignatureIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = fresh.count()
-        val sv = OverlayLock.appendOrCompactBucketed(spark, store,
-          sigsTable(name), m.sigs, fresh)
-        val pv = OverlayLock.appendOrCompactBucketed(spark, store,
-          posTable(name), m.pos, positionsOf(fresh))
-        val bv = OverlayLock.appendOrCompactBucketed(spark, store,
-          bandTable(name), m.band, bandedOf(fresh, m.params))
-        commitManifest(store, name,
-          m.copy(sigs = sv, pos = pv, band = bv, nLive = m.nLive + n,
-            lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        if (m.nDelta + n > foldBound(m))
+          // the memtable earned its rewrite: absorb delta + fresh into
+          // the bucketed tiers, clearing the delta and tombstones
+          foldAllTiers(spark, store, name, m, mv, fresh, None, n, 0L, stamp)
+        else {
+          // O(batch): ONE plain linked append into the delta member —
+          // the projection tiers are served union-style until the fold
+          val dv = appendDelta(spark, store, name, m, fresh)
+          commitManifest(store, name,
+            m.copy(dlt = Some(dv), nDelta = m.nDelta + n, nLive = m.nLive + n,
+              lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        }
         true
       } finally fresh.unpersist()
     } finally batchSigs.unpersist()
@@ -448,10 +586,12 @@ object SignatureIndex {
         val sv = store.compact(spark, sigsTable(name), maxFilesPerBucket)
         val pv = store.compact(spark, posTable(name), maxFilesPerBucket)
         val bv = store.compact(spark, bandTable(name), maxFilesPerBucket)
-        if (sv.isDefined || pv.isDefined || bv.isDefined)
+        val dv = m.dlt.flatMap(_ => store.compactPlain(spark, deltaTable(name)))
+        if (sv.isDefined || pv.isDefined || bv.isDefined || dv.isDefined)
           commitManifest(store, name,
             m.copy(sigs = sv.getOrElse(m.sigs), pos = pv.getOrElse(m.pos),
-              band = bv.getOrElse(m.band)), Some(mv))
+              band = bv.getOrElse(m.band),
+              dlt = dv.orElse(m.dlt)), Some(mv))
       }
     }
 
@@ -471,26 +611,34 @@ object SignatureIndex {
       OverlayLock.retryOnConflict() {
         val (m, mv) = requireManifest(store, name)
         rollbackAll(store, name, m)
-        val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
-        val served = minusRm(spark, store, name, m)(
-          store.snapshotAt(spark, sigsTable(name), m.sigs))
+        val served = servedView(spark, store, name, m)
+        // cast the drop list to the STORED id type before any bucket math:
+        // equality joins would survive a type mismatch via implicit casts,
+        // but Murmur3 bucket hashes differ by input type, so an uncast
+        // drop list silently prunes to the wrong buckets and under-counts
+        val idType = served.schema("id").dataType
+        val drop = broadcast(
+          ids.select(col(ids.columns.head).cast(idType).as("_rm_id")).distinct())
         // the dropped-count read is keyed: only the drop list's buckets
         val removed = minusRm(spark, store, name, m)(
-          baseSigsForIds(spark, store, name, m, drop.select(col("_rm_id").as("id"))))
+          indexedSigsForIds(spark, store, name, m, drop.select(col("_rm_id").as("id"))))
           .join(drop, col("id") === col("_rm_id"), "left_semi")
           .count()
         val kept = served.join(drop, served("id") === col("_rm_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val sv = store.writeBucketed(kept, sigsTable(name),
-            sigSpec(store, name), Some(m.sigs))
-          val pv = store.writeBucketed(positionsOf(kept), posTable(name),
-            posSpec(store, name), Some(m.pos))
-          val bv = store.writeBucketed(bandedOf(kept, m.params), bandTable(name),
-            bandSpec(store, name), Some(m.band))
+          kept.count() // materialize once; the three rewrites read the cache
+          val Seq(sv, pv, bv) = OverlayLock.inParallel(Seq(
+            () => store.writeBucketed(kept, sigsTable(name),
+              sigSpec(store, name), Some(m.sigs)),
+            () => store.writeBucketed(positionsOf(kept), posTable(name),
+              posSpec(store, name), Some(m.pos)),
+            () => store.writeBucketed(bandedOf(kept, m.params), bandTable(name),
+              bandSpec(store, name), Some(m.band)))).map(_.asInstanceOf[Int])
           commitManifest(store, name,
             m.copy(sigs = sv, pos = pv, band = bv,
-              nLive = m.nLive - removed, nRm = 0L, rm = None), Some(mv))
+              nLive = m.nLive - removed, nRm = 0L, rm = None,
+              dlt = None, nDelta = 0L), Some(mv))
           removed
         } finally kept.unpersist()
       }
@@ -530,9 +678,11 @@ object SignatureIndex {
     val p = m.params
     val batchSigs = caches.pin(signaturesOf(batch, idCol, textCol, p))
     val sb = caches.pin(bandedOf(batchSigs, p))
+    val bandSp = bandSpec(store, name)
     val storedBand = caches.pin(minusRm(spark, store, name, m)(
-      prunedAt(spark, store, bandTable(name), m.band,
-        touchedBuckets(bandSpec(store, name), sb.select(col("band"), col("bucket"))))))
+      prunedWithDelta(spark, store, name, m, bandTable(name), m.band, bandSp,
+        touchedBuckets(bandSp, sb.select(col("band"), col("bucket"))),
+        d => bandedOf(d, p))))
     val hot = hotCells(sb, Seq("band", "bucket"), maxBucketSize)
       .union(hotCells(storedBand, Seq("band", "bucket"), maxBucketSize)).distinct()
     val coldB = sb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
@@ -544,8 +694,8 @@ object SignatureIndex {
       .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
       .distinct())
     // fetch-back: candidate stored signatures from their id-buckets only
-    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
-      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    val storedSigs = indexedSigsForIds(spark, store, name, m,
+      cand.select(col("stored_id").as("id")))
     val dropIds = cand
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs")),
         Seq("batch_id"))
@@ -611,12 +761,14 @@ object SignatureIndex {
       batchSigs: DataFrame, minContainment: Double, maxBucketSize: Int)(
       implicit caches: CacheScope): DataFrame = {
     val pb = caches.pin(positionsOf(batchSigs))
+    val posSp = posSpec(store, name)
     val ps = caches.pin(minusRm(spark, store, name, m)(
-      prunedAt(spark, store, posTable(name), m.pos,
-        touchedBuckets(posSpec(store, name), pb.select(col("i"), col("v"))))))
+      prunedWithDelta(spark, store, name, m, posTable(name), m.pos, posSp,
+        touchedBuckets(posSp, pb.select(col("i"), col("v"))),
+        d => positionsOf(d))))
     val cand = caches.pin(candidatePairs(pb, ps, maxBucketSize))
-    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
-      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    val storedSigs = indexedSigsForIds(spark, store, name, m,
+      cand.select(col("stored_id").as("id")))
     containmentScores(cand, batchSigs, storedSigs, m.params, minContainment)
   }
 
@@ -686,54 +838,50 @@ object SignatureIndex {
       .filter(col("id").isNotNull).distinct()
   }
 
+  /** Both admission counters, each as ONE narrow job (per-partition size
+    * + driver sum — no aggregation exchange), run CONCURRENTLY —
+    * `admitted` and `retired` are pinned by the caller, so this
+    * materializes both caches while pricing the fold policy at a single
+    * job latency per drain. */
+  private def countAdmittedRetired(
+      admitted: DataFrame, retired: DataFrame): (Long, Long) = {
+    def narrowCount(df: DataFrame): Long =
+      df.select(lit(1).as("_one")).queryExecution.toRdd
+        .mapPartitions { it =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+          Iterator.single(n)
+        }.collect().sum
+    val Seq(a, r) = OverlayLock.inParallel(Seq(
+      () => narrowCount(admitted), () => narrowCount(retired)))
+    (a.asInstanceOf[Long], r.asInstanceOf[Long])
+  }
+
   /** Publish one screen-fold drain — shared by [[supersede]] and
-    * [[admitKeepBestBatch]]: admissions link-append into every tier's
-    * touched buckets, retirements merge into the tombstone member, ONE
+    * [[admitKeepBestBatch]]: admissions land as ONE plain linked append
+    * into the delta member (the memtable — screens serve base ∪ delta
+    * union-style), retirements merge into the tombstone member, ONE
     * manifest swap carries rows + counters + the batchId; past the
-    * manifest-counter policy bound (`max(1024, live/8)` tombstones) the
-    * drain rides one amortized fold that rewrites the served view into
-    * all tiers and clears the tombstones. `admitted` carries the
-    * family's full sigs-tier schema (with `q` for a keeper family — the
-    * projection derivations select their own columns). */
+    * manifest-counter policy bound ([[foldBound]] tombstones OR delta
+    * rows) the drain rides one amortized fold that rewrites the served
+    * view into all bucketed tiers and clears both small members.
+    * `admitted` carries the family's full sigs-tier schema (with `q`
+    * for a keeper family — the projection derivations select their own
+    * columns). */
   private def commitScreenFold(
       spark: SparkSession, store: TableStore, name: String,
       m: SigManifest, mv: Int,
       admitted: DataFrame, retired: DataFrame,
       admittedN: Long, retiredN: Long, stamp: Option[Long]): Unit = {
-    val p = m.params
     // fold policy priced from the MANIFEST counters (no corpus jobs)
-    if (m.nRm + retiredN > math.max(1024L, m.nLive / 8)) {
-      // amortized fold: the served view minus this batch's retirements
-      // plus its admissions, rewritten into every tier, tombstones cleared
-      val served = minusRm(spark, store, name, m)(
-        store.snapshotAt(spark, sigsTable(name), m.sigs))
-      val kept = served.join(broadcast(retired), Seq("id"), "left_anti")
-        .unionByName(admitted)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val sv = store.writeBucketed(kept, sigsTable(name),
-          sigSpec(store, name), Some(m.sigs))
-        val pv = store.writeBucketed(positionsOf(kept), posTable(name),
-          posSpec(store, name), Some(m.pos))
-        val bv = store.writeBucketed(bandedOf(kept, p), bandTable(name),
-          bandSpec(store, name), Some(m.band))
-        commitManifest(store, name,
-          m.copy(sigs = sv, pos = pv, band = bv,
-            nLive = m.nLive + admittedN - retiredN, nRm = 0L,
-            rm = None, lastBatchId = stamp.getOrElse(m.lastBatchId)),
-          Some(mv))
-      } finally kept.unpersist()
-    } else {
-      // O(batch ∪ tombstones): admissions link-append into each tier's
-      // touched buckets, retirements merge into the small tombstone
-      // member, ONE manifest swap publishes all of it
-      val sv = OverlayLock.appendOrCompactBucketed(spark, store,
-        sigsTable(name), m.sigs, admitted)
-      val pv = OverlayLock.appendOrCompactBucketed(spark, store,
-        posTable(name), m.pos, positionsOf(admitted))
-      val bv = OverlayLock.appendOrCompactBucketed(spark, store,
-        bandTable(name), m.band, bandedOf(admitted, p))
-      val rv =
+    if (m.nRm + retiredN > foldBound(m) || m.nDelta + admittedN > foldBound(m))
+      foldAllTiers(spark, store, name, m, mv, admitted, Some(retired),
+        admittedN, retiredN, stamp)
+    else {
+      // O(batch ∪ tombstones): admissions ride ONE plain linked append
+      // into the delta member, retirements merge into the small
+      // tombstone member; the two member commits are independent tables,
+      // so they run CONCURRENTLY, and ONE manifest swap publishes both
+      val rvThunk: () => Any = () =>
         if (retiredN == 0L) m.rm
         else Some(m.rm match {
           case Some(pin) => store.write(
@@ -743,8 +891,13 @@ object SignatureIndex {
           case None => store.write(retired.coalesce(4),
             rmTable(name), store.currentVersion(rmTable(name)))
         })
+      val res = OverlayLock.inParallel(Seq(
+        () => appendDelta(spark, store, name, m, admitted),
+        rvThunk))
+      val dv = res(0).asInstanceOf[Int]
+      val rv = res(1).asInstanceOf[Option[Int]]
       commitManifest(store, name,
-        m.copy(sigs = sv, pos = pv, band = bv,
+        m.copy(dlt = Some(dv), nDelta = m.nDelta + admittedN,
           nLive = m.nLive + admittedN - retiredN,
           nRm = m.nRm + retiredN, rm = rv,
           lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
@@ -781,15 +934,17 @@ object SignatureIndex {
     * fold, so the burst admits only its maximal members.
     *
     * Cost shape: EVERY drain commits O(batch ∪ tombstones) — admissions
-    * land as linked appends in each tier's touched buckets, retirements
-    * in the small `_rm` member every read subtracts — and EVERY drain's
-    * reads are bucket-pruned to the batch's probe cells (candidates
-    * from the persisted position tier, fetch-back from the id-bucketed
-    * sigs tier). The fold policy prices itself from the MANIFEST
-    * counters — no count job ever runs over a corpus-sized tier; past
-    * `max(1024, live/8)` marker rows the drain rides one amortized fold
-    * that rewrites the served view into all tiers and clears the
-    * tombstones.
+    * ride ONE plain linked append into the `_delta` memtable (no
+    * bucketed tier is touched per drain), retirements the small `_rm`
+    * member every read subtracts — and EVERY drain's reads are
+    * bucket-pruned to the batch's probe cells (candidates from the
+    * persisted position tier ∪ the delta's in-plan projection,
+    * fetch-back from the id-bucketed sigs tier ∪ delta). The fold
+    * policy prices itself from the MANIFEST counters — no count job
+    * ever runs over a corpus-sized tier; past `max(1024, live/8)`
+    * tombstone OR delta rows the drain rides one amortized fold that
+    * rewrites the served view into all tiers and clears both small
+    * members.
     *
     * @return the admitted batch rows, original columns (the [[screen]]
     *         convention) */
@@ -809,15 +964,15 @@ object SignatureIndex {
         requirePlain(m, name, "a supersede fold")
         rollbackAll(store, name, m)
         val p = m.params
-        // insert-only against the BASE id set (⊇ tombstoned ids until the
-        // fold — a retired id can never re-enter under its own name and be
-        // hidden by the subtraction), read from the batch's id-buckets
-        // only (the batch's full id list is a superset of the shingleable
-        // ids — superset-safe, it only prunes less); in-batch duplicate
-        // ids fold to the smallest-hash signature
+        // insert-only against the INDEXED id set (base ∪ delta, ⊇
+        // tombstoned ids until the fold — a retired id can never re-enter
+        // under its own name and be hidden by the subtraction), read from
+        // the batch's id-buckets only (the batch's full id list is a
+        // superset of the shingleable ids — superset-safe, it only prunes
+        // less); in-batch duplicate ids fold to the smallest-hash signature
         val batchSigs0 = caches.pin(
           signaturesOf(batch, idCol, textCol, p)
-            .join(baseSigsForIds(spark, store, name, m,
+            .join(indexedSigsForIds(spark, store, name, m,
                 batch.select(col(idCol).as("id"))).select(col("id")),
               Seq("id"), "left_anti")
             .groupBy(col("id"))
@@ -842,8 +997,9 @@ object SignatureIndex {
           .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
             "left_semi")
           .select(col("stored_id").as("id")).distinct())
+        val (admittedN, retiredN) = countAdmittedRetired(admitted, retired)
         commitScreenFold(spark, store, name, m, mv, admitted, retired,
-          admitted.count(), retired.count(), stamp = None)
+          admittedN, retiredN, stamp = None)
         // admitted rows pass through with their original columns; docs
         // too short to shingle never entered the gate — pass them too
         val keptIds = admitted.select(col("id").as("_adm_id"))
@@ -929,12 +1085,12 @@ object SignatureIndex {
     if (stamp.exists(_ <= m.lastBatchId))
       return batch.filter(lit(false)) // replayed batchId: nothing folds
     rollbackAll(store, name, m)
-    // insert-only against the BASE id set; in-batch duplicate ids fold
-    // to the (highest-quality, smallest-hash) row — deterministic under
-    // any partitioning
+    // insert-only against the INDEXED id set (base ∪ delta); in-batch
+    // duplicate ids fold to the (highest-quality, smallest-hash) row —
+    // deterministic under any partitioning
     val batchSigs = caches.pin(
       signaturesOfQ(batch, idCol, textCol, qCol, p)
-        .join(baseSigsForIds(spark, store, name, m,
+        .join(indexedSigsForIds(spark, store, name, m,
             batch.select(col(idCol).as("id"))).select(col("id")),
           Seq("id"), "left_anti")
         .groupBy(col("id"))
@@ -942,13 +1098,15 @@ object SignatureIndex {
           struct(-col("q"), xxhash64(col("sig")))).as("_w"))
         .select(col("id"), col("_w.sig").as("sig"),
           col("_w.n_sh").as("n_sh"), col("_w.q").as("q")))
-    // candidates from the persisted banding tier, pruned to the batch's
-    // cells; stored (sig, q) fetch-back from the candidates' id-buckets
+    // candidates from the persisted banding tier (∪ the delta's in-plan
+    // banding), pruned to the batch's cells; stored (sig, q) fetch-back
+    // from the candidates' id-buckets
     val sb = caches.pin(bandedOf(batchSigs, p))
+    val bandSp = bandSpec(store, name)
     val storedBand = caches.pin(minusRm(spark, store, name, m)(
-      prunedAt(spark, store, bandTable(name), m.band,
-        touchedBuckets(bandSpec(store, name),
-          sb.select(col("band"), col("bucket"))))))
+      prunedWithDelta(spark, store, name, m, bandTable(name), m.band, bandSp,
+        touchedBuckets(bandSp, sb.select(col("band"), col("bucket"))),
+        d => bandedOf(d, p))))
     val hot = hotCells(sb, Seq("band", "bucket"), maxBucketSize)
       .union(hotCells(storedBand, Seq("band", "bucket"), maxBucketSize))
       .distinct()
@@ -960,8 +1118,8 @@ object SignatureIndex {
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("batch_id"), col("b.id").as("stored_id"))
       .distinct())
-    val storedSigs = prunedAt(spark, store, sigsTable(name), m.sigs,
-      touchedBuckets(sigSpec(store, name), cand.select(col("stored_id").as("id"))))
+    val storedSigs = indexedSigsForIds(spark, store, name, m,
+      cand.select(col("stored_id").as("id")))
     val matches = caches.pin(cand
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("_bs")),
         Seq("batch_id"))
@@ -982,8 +1140,9 @@ object SignatureIndex {
       .join(admitted.select(col("id").as("batch_id")), Seq("batch_id"),
         "left_semi")
       .select(col("stored_id").as("id")).distinct())
+    val (admittedN, retiredN) = countAdmittedRetired(admitted, retired)
     commitScreenFold(spark, store, name, m, mv, admitted, retired,
-      admitted.count(), retired.count(), stamp)
+      admittedN, retiredN, stamp)
     val keptIds = admitted.select(col("id").as("_adm_id"))
     val shingleable = batch
       .filter(size(hashedShingleSet(col(textCol), p.shingleN)) > 0)
@@ -1008,10 +1167,16 @@ object SignatureIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        implicit val scope: CacheScope = new CacheScope
-        try admitKeepBestBatch(batch.sparkSession, batch, batchId,
-          idCol, textCol, qCol, store, name, threshold).count()
-        finally scope.release()
+        DrainConf.withDrainConf(batch.sparkSession) {
+          implicit val scope: CacheScope = new CacheScope
+          // the fold commits EAGERLY inside admitKeepBestBatch; the
+          // returned pass-through rows are for callers with a sink — this
+          // loop has none, so evaluating them would re-scan the batch for
+          // nothing
+          try admitKeepBestBatch(batch.sparkSession, batch, batchId,
+            idCol, textCol, qCol, store, name, threshold)
+          finally scope.release()
+        }
         ()
       }
     (if (availableNow)

@@ -147,6 +147,35 @@ class TableStore(val root: String) {
     else None
   }
 
+  /** Version-pinned parquet readers, memoized per (session, table,
+    * version): a committed version dir is immutable, but building a
+    * reader over it is NOT free — the file listing, footer schema read
+    * and relation resolution cost tens of milliseconds of driver time
+    * (sometimes a schema-inference job), and a single admission drain
+    * builds the same pinned reads many times over. The key carries the
+    * dir's mtime so a version number recreated after a rollback (same
+    * `vN`, different files — the CAS-retry path) never serves a stale
+    * file list; existence is re-checked on every hit because [[prune]]
+    * deletes superseded dirs. Bounded by wholesale clear — entries are
+    * plans, not data, and stores are per-overlay-root. */
+  private val readerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def parquetAt(spark: SparkSession, name: String, v: Int): DataFrame = {
+    val dir = versionPath(name, v)
+    if (!Files.exists(dir))
+      throw new IllegalStateException(
+        s"table $name has no version v$v under $root (pruned or never committed)")
+    val key = System.identityHashCode(spark) + "#" + name + "#" + v + "#" +
+      Files.getLastModifiedTime(dir).toMillis
+    if (readerMemo.size > 256) readerMemo.clear()
+    readerMemo.computeIfAbsent(key, _ =>
+      declaredSchemaAt(name, v) match {
+        case Some(s) => spark.read.schema(s).parquet(dir.toString)
+        case None => spark.read.parquet(dir.toString)
+      })
+  }
+
   /** Read the table with its logical schema (the `_bucket` layout column,
     * when present, stays internal). */
   def read(spark: SparkSession, name: String): DataFrame = {
@@ -162,10 +191,7 @@ class TableStore(val root: String) {
     * the concurrent winner's rows are silently lost. */
   def snapshot(spark: SparkSession, name: String): (DataFrame, Int) = {
     val v = requireVersion(name)
-    val df = declaredSchemaAt(name, v) match {
-      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
-      case None => spark.read.parquet(versionPath(name, v).toString)
-    }
+    val df = parquetAt(spark, name, v)
     (if (bucketSpec(name).isDefined) df.drop("_bucket") else df, v)
   }
 
@@ -173,11 +199,7 @@ class TableStore(val root: String) {
     * read-modify-write sibling of [[readRaw]]. */
   def snapshotRaw(spark: SparkSession, name: String): (DataFrame, Int) = {
     val v = requireVersion(name)
-    val df = declaredSchemaAt(name, v) match {
-      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
-      case None => spark.read.parquet(versionPath(name, v).toString)
-    }
-    (df, v)
+    (parquetAt(spark, name, v), v)
   }
 
   /** Read a SPECIFIC committed version — the manifest-resolved read a
@@ -190,14 +212,7 @@ class TableStore(val root: String) {
     * immediate predecessor are retained by [[prune]], so a valid pin is
     * always readable. */
   def snapshotAt(spark: SparkSession, name: String, version: Int): DataFrame = {
-    val dir = versionPath(name, version)
-    if (!Files.exists(dir))
-      throw new IllegalStateException(
-        s"table $name has no version v$version under $root (pruned or never committed)")
-    val df = declaredSchemaAt(name, version) match {
-      case Some(s) => spark.read.schema(s).parquet(dir.toString)
-      case None => spark.read.parquet(dir.toString)
-    }
+    val df = parquetAt(spark, name, version)
     if (bucketSpec(name).isDefined) df.drop("_bucket") else df
   }
 
@@ -206,16 +221,8 @@ class TableStore(val root: String) {
     * bucketed member to the buckets a key batch can touch
     * (`filter(col("_bucket").isin(...))` prunes at the directory level,
     * so the bytes read are ∝ the touched buckets, never the corpus). */
-  def snapshotRawAt(spark: SparkSession, name: String, version: Int): DataFrame = {
-    val dir = versionPath(name, version)
-    if (!Files.exists(dir))
-      throw new IllegalStateException(
-        s"table $name has no version v$version under $root (pruned or never committed)")
-    declaredSchemaAt(name, version) match {
-      case Some(s) => spark.read.schema(s).parquet(dir.toString)
-      case None => spark.read.parquet(dir.toString)
-    }
-  }
+  def snapshotRawAt(spark: SparkSession, name: String, version: Int): DataFrame =
+    parquetAt(spark, name, version)
 
   /** Whether this version's files still exist on disk — lets overlay
     * recovery distinguish "orphans above the pin" (roll back) from "pin
@@ -260,13 +267,8 @@ class TableStore(val root: String) {
   /** Read a bucketed table INCLUDING the `_bucket` partition column, so
     * callers can prune to touched buckets (`filter(col("_bucket").isin…)`
     * prunes at the directory level — unread buckets are never opened). */
-  def readRaw(spark: SparkSession, name: String): DataFrame = {
-    val v = requireVersion(name)
-    declaredSchemaAt(name, v) match {
-      case Some(s) => spark.read.schema(s).parquet(versionPath(name, v).toString)
-      case None => spark.read.parquet(versionPath(name, v).toString)
-    }
-  }
+  def readRaw(spark: SparkSession, name: String): DataFrame =
+    parquetAt(spark, name, requireVersion(name))
 
   /** Metadata-only schema evolution — the `ALTER TABLE ADD COLUMN` of this
     * store: commit a next version whose data files are hard links of the
@@ -399,8 +401,18 @@ class TableStore(val root: String) {
     val curDir = versionPath(name, expected)
     val staging = newStaging(name)
     stagingWrite(staging) {
+      // pinned partition count, capped below nBuckets: an append writes at
+      // most one file per touched bucket either way, and its cost is
+      // dominated by per-TASK parquet writer setup (~150 ms measured) on
+      // one end and by serialized per-FILE writer opens (~20 ms each) on
+      // the other — 1 task serializes ~nBuckets opens (measured ~1.3 s),
+      // nBuckets tasks pay nBuckets setups. 16 tasks × a few opens each is
+      // the measured sweet spot for micro-batch appends, and a bulk append
+      // still splits by bucket across those tasks. NOT an AQE-coalesced
+      // adaptive count: size-based coalescing sees "tiny" and serializes
+      // the opens.
       spec.sortedForWrite(rows.withColumn("_bucket", spec.bucketColumn)
-          .repartition(spec.nBuckets, col("_bucket")))
+          .repartition(math.min(spec.nBuckets, 16), col("_bucket")))
         .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
       // carry the old parts AFTER the write (the appendRows rationale:
       // "overwrite" clears pre-existing staging files); part-file names

@@ -47,6 +47,9 @@ object AdmissionStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the drain’s jobs are pure batch queries — run them at the drain shuffle width
+        // (see DrainConf: fixed small partitions beat per-stage AQE re-plans here)
+        graft.operators.DrainConf.withDrainConf(batch.sparkSession) {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           implicit val scope: CacheScope = new CacheScope
@@ -65,6 +68,7 @@ object AdmissionStream {
             }
             sink(admitted)
           } finally scope.release()
+        }
         }
         ()
       }
@@ -95,6 +99,8 @@ object AdmissionStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pure-batch drain jobs at the drain shuffle width (see DrainConf)
+        graft.operators.DrainConf.withDrainConf(batch.sparkSession) {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           implicit val scope: CacheScope = new CacheScope
@@ -105,6 +111,7 @@ object AdmissionStream {
             })
             sink(admitted)
           } finally scope.release()
+        }
         }
         ()
       }
