@@ -34,7 +34,10 @@ import graft.functions.TextFunctions
   *  - `<name>_termstats` — `(term, df)`: per-term document frequency,
   *    maintained by CELL-WISE SUM (append adds the fresh docs' distinct
   *    terms, takedown subtracts exactly) so serving never re-aggregates
-  *    the vocabulary from postings;
+  *    the vocabulary from postings; TERM-HASH-BUCKETED so a serve read
+  *    prunes to the query's term buckets ([[termDfForTerms]]) — the
+  *    vocabulary is ∝ corpus under Heaps' law, and scoring only ever
+  *    needs the query's terms;
   *  - `<name>_manifest` — every member's version + the streaming
   *    admission gate's `last_batch_id`, swapped once per mutation.
   *
@@ -51,8 +54,8 @@ import graft.functions.TextFunctions
   * Scale shape: build/append pay one (doc, term) exchange over their
   * input (never over history); state is Σ dl postings rows; serving
   * joins the tiny probe-term set (broadcast) onto the stored postings —
-  * scored volume Σ_t df(t), never probes × corpus — plus a read of the
-  * vocabulary-sized termstats table; the corpus counters (N, Σdl) come
+  * scored volume Σ_t df(t), never probes × corpus — plus a bucket-pruned
+  * read of the query's termstats buckets; the corpus counters (N, Σdl) come
   * straight from the manifest, zero Spark jobs. The scoring tail is
   * [[Retrieval.bm25ScoreAndTopK]], shared with the ad-hoc path, so the
   * served scores are bit-identical to a fresh index build.
@@ -107,6 +110,18 @@ object PostingsIndex {
   private def docSpec(store: TableStore, name: String): BucketSpec =
     store.bucketSpec(docsTable(name)).getOrElse(
       BucketSpec(DocBuckets, Seq("doc_id"), sortCols = Seq("doc_id")))
+
+  /** Default term-hash bucket count for the termstats tier — the same
+    * clustered-table rule as [[DocBuckets]], keyed by term so a serve
+    * read prunes to the QUERY's term buckets ([[termDfForTerms]]). */
+  val TermBuckets: Int = 32
+
+  /** The termstats tier's recorded bucket layout (term-hash buckets,
+    * term-sorted within files); a legacy plain layout upgrades at its
+    * next full rewrite. */
+  private def termSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(termStatsTable(name)).getOrElse(
+      BucketSpec(TermBuckets, Seq("term"), sortCols = Seq("term")))
 
   // ---------------------------------------------------------------- manifest
 
@@ -222,20 +237,65 @@ object PostingsIndex {
       store.snapshotAt(spark, docsTable(name), m.docs),
       ovlDocsTable(name), m.ovlDocs)
 
-  /** The served `(term, df)` view: authoritative base ⊕ the delta member
-    * (cell-wise sum, non-positive cells dropped — exact arithmetic, so a
-    * served df is bit-equal to the old per-drain merge-rewrite's). */
-  private def termDfAt(
+  /** Raw `(term, df)` rows of base ∪ delta, UNMERGED and UNCLAMPED — the
+    * single source every served/folded df view groups and clamps ONCE
+    * (double-clamping forgives a transiently negative cell before a later
+    * positive delta lands, over-counting relative to a one-shot merge). */
+  private def rawTermRows(
       spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame = {
     val base = store.snapshotAt(spark, termStatsTable(name), m.termStats)
     m.dltTermStats match {
       case None => base
       case Some(pin) =>
         base.unionByName(store.snapshotAt(spark, dltTermStatsTable(name), pin))
+    }
+  }
+
+  /** The served `(term, df)` view: authoritative base ⊕ the delta member
+    * (cell-wise sum, non-positive cells dropped — exact arithmetic, so a
+    * served df is bit-equal to the old per-drain merge-rewrite's). */
+  private def termDfAt(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest): DataFrame =
+    m.dltTermStats match {
+      case None => store.snapshotAt(spark, termStatsTable(name), m.termStats)
+      case Some(_) =>
+        rawTermRows(spark, store, name, m)
           .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
           .filter(col("df") > 0)
     }
-  }
+
+  /** [[termDfAt]] PRUNED to the buckets `termKeys` hash into — the serve
+    * read BM25 scoring actually needs: scoring touches only the QUERY'S
+    * terms, so on a term-bucketed termstats layout the base read opens
+    * only those buckets (directory-level pruning) and the delta filters
+    * by the same rule — every served term's df is exact, and the
+    * vocabulary-sized base⊕delta merge never runs at query time. At
+    * 100 TB the vocabulary is billions of terms (Heaps' law); this keeps
+    * the last per-query vocab-sized read off the serve path. Falls back
+    * to the full merge on a legacy plain layout. */
+  private def termDfForTerms(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest,
+      termKeys: DataFrame): DataFrame =
+    store.bucketSpec(termStatsTable(name)) match {
+      case None => termDfAt(spark, store, name, m) // legacy plain layout
+      case Some(spec) =>
+        val touched = touchedBuckets(spec, termKeys)
+        val raw = store.snapshotRawAt(spark, termStatsTable(name), m.termStats)
+        val base = (if (touched.isEmpty) raw.filter(lit(false))
+          else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+          .drop("_bucket")
+        m.dltTermStats match {
+          case None => base
+          case Some(pin) =>
+            val d0 = store.snapshotAt(spark, dltTermStatsTable(name), pin)
+            val d = if (touched.isEmpty) d0.filter(lit(false))
+              else d0.filter(
+                spec.bucketColumn.isin(touched.map(Integer.valueOf): _*))
+            base.unionByName(d)
+              .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
+              .filter(col("df") > 0)
+        }
+    }
 
   /** Commit a per-term df adjustment (`delta` — positive and/or negative
     * rows, already grouped by term) under the overlay discipline: the
@@ -254,11 +314,15 @@ object PostingsIndex {
         OvlFrac * store.byteSizeAt(termStatsTable(name), m.termStats))
     }
     if (deltaFull) {
-      val tv = store.write(
-        termDfAt(spark, store, name, m).unionByName(delta)
+      // fold from the RAW base ∪ delta ∪ batch union with ONE final
+      // clamp — clamping the served view first and again after the batch
+      // merge would forgive a transiently negative cell before a later
+      // positive delta lands (over-counting vs a one-shot merge)
+      val tv = store.writeBucketed(
+        rawTermRows(spark, store, name, m).unionByName(delta)
           .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
           .filter(col("df") > 0),
-        termStatsTable(name), Some(m.termStats))
+        termStatsTable(name), termSpec(store, name), Some(m.termStats))
       (tv, None)
     } else {
       val dv = m.dltTermStats match {
@@ -277,10 +341,17 @@ object PostingsIndex {
 
   /** The batch's bucket list under `spec` — a bounded collect, at most
     * nBuckets distinct values (the [[IvfIndex.balance]] class of
-    * control-plane read). */
+    * control-plane read). ONE narrow job — per-partition dedup +
+    * driver-side union instead of a distinct exchange (the
+    * [[SignatureIndex]] probe rationale: each partition contributes at
+    * most nBuckets ints, so the merge is bounded at any batch size). */
   private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
-    keys.select(spec.bucketColumn.as("_b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    keys.select(spec.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val s = new scala.collection.mutable.HashSet[Int]
+        it.foreach(r => s.add(r.getInt(0)))
+        s.iterator
+      }.collect().distinct.toSeq
 
   /** Base docs rows PRUNED to the buckets `keys` can hash into — the
     * keyed read every per-batch bookkeeping path goes through:
@@ -398,9 +469,10 @@ object PostingsIndex {
           val pv = store.write(postingsOf(tok), postingsTable(name))
           // derive df from the COMMITTED postings (a parquet read) so the
           // tokenize+explode chain is never recomputed for the third table
-          val tv = store.write(
+          val tv = store.writeBucketed(
             termStatsOf(store.snapshotAt(spark, postingsTable(name), pv)),
-            termStatsTable(name))
+            termStatsTable(name),
+            BucketSpec(TermBuckets, Seq("term"), sortCols = Seq("term")))
           val (n, sdl) = docCounters(store.snapshotAt(spark, docsTable(name), dv))
           commitManifest(store, name,
             BmManifest(pv, dv, tv, n, sdl,
@@ -461,7 +533,7 @@ object PostingsIndex {
       // O(batch) member commits for the corpus-sized tables: only the
       // fresh rows are written, the pinned version's files carry as links
       // (the compacting variants fold a rewrite in when counts creep);
-      // termstats below stays a merge-rewrite — it is vocabulary-sized
+      // termstats rides its O(batch-terms) delta member below
       val dv = OverlayLock.appendOrCompactBucketed(spark, store,
         docsTable(name), m.docs, docRowsOf(fresh))
       val freshPostings = postingsOf(fresh)
@@ -646,8 +718,8 @@ object PostingsIndex {
               docsTable(name), docSpec(store, name), Some(m.docs))
           val tv =
             if (m.dltTermStats.isEmpty) m.termStats
-            else store.write(termDfAt(spark, store, name, m),
-              termStatsTable(name), Some(m.termStats))
+            else store.writeBucketed(termDfAt(spark, store, name, m),
+              termStatsTable(name), termSpec(store, name), Some(m.termStats))
           commitManifest(store, name,
             m.copy(postings = pv, docs = dv, termStats = tv,
               ovlPostings = None, ovlDocs = None, dltTermStats = None),
@@ -688,15 +760,17 @@ object PostingsIndex {
           postingsTable(name), Some(m.postings))
         // df subtraction from the removed docs' stored term lists — a
         // takedown rewrites the authoritative table anyway, so the
-        // termstats delta folds in here and its pin clears
-        val tv = store.write(
-          termDfAt(spark, store, name, m)
+        // termstats delta folds in here and its pin clears; merged from
+        // the RAW base ∪ delta union with ONE final clamp (the
+        // commitTermDelta fold rationale)
+        val tv = store.writeBucketed(
+          rawTermRows(spark, store, name, m)
             .unionByName(removedDocs.select(explode(col("terms")).as("term"))
               .groupBy(col("term")).agg(count(lit(1)).as("df"))
               .withColumn("df", -col("df")))
             .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
             .filter(col("df") > 0),
-          termStatsTable(name), Some(m.termStats))
+          termStatsTable(name), termSpec(store, name), Some(m.termStats))
         commitManifest(store, name,
           m.copy(postings = pv, docs = dv, termStats = tv,
             nDocs = m.nDocs - rmN, sumDl = m.sumDl - rmSdl,
@@ -833,7 +907,13 @@ object PostingsIndex {
     // docs table is the membership/rebuild source, never a serve-time scan
     val stats = spark.range(1)
       .select(lit(m.nDocs).as("_n"), lit(m.sumDl).as("_sum_dl"))
-    val termDf = termDfAt(spark, store, name, m)
+    // df serve read pruned to the QUERY's term buckets — the same
+    // lower+filter normalization probeTerms applies, so the key set
+    // covers every term the join will look up
+    val termDf = termDfForTerms(spark, store, name, m,
+        probes.select(explode(col(probeTermsCol)).as("term"))
+          .select(lower(col("term")).as("term"))
+          .filter(length(col("term")) > 0))
       .select(col("term"), col("df").as("_df"))
     Retrieval.bm25ScoreAndTopK(post,
       Retrieval.probeTerms(probes, probeIdCol, probeTermsCol, termDf, stats, maxDfFrac),

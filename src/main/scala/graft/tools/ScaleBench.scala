@@ -275,7 +275,11 @@ object ScreenProbe {
           sigStore, "c", threshold = 0.8).count()
         finally scope.release()
       }
-      // supersede advances state — one timed pass on a fresh store copy
+      // supersede advances state — one timed pass, and it MUTATES
+      // sigStore, so this face must stay LAST among the text faces:
+      // reordering would contaminate the screen timings above with the
+      // supersede's committed admissions/tombstones (the ordering is
+      // load-bearing, documented rather than paying a store copy here)
       val tSup = {
         implicit val scope: CacheScope = new CacheScope
         val t0 = System.nanoTime()
