@@ -1939,12 +1939,14 @@ object SparkEntry {
         s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
           .parquet(st.stageDir).as[graft.streaming.EventStreams.Event],
         steps)
-      progress.writeStream.format("parquet")
-        .option("path", s"$root/progress")
-        .option("checkpointLocation", s"$root/chk")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      graft.operators.DrainConf.withStreamStateConf(s) {
+        progress.writeStream.format("parquet")
+          .option("path", s"$root/progress")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       val reached = s.read.parquet(s"$root/progress")
         .groupBy(col("user_id")).agg(max(col("reached")).as("_reached"))
       val k = steps.size
@@ -3115,12 +3117,14 @@ object SparkEntry {
         s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
           .parquet(st.stageDir).as[graft.streaming.EventStreams.Event],
         gapSeconds = 1800L, watermarkDelay = "30 minutes")
-      sessions.writeStream.format("parquet")
-        .option("path", s"$root/sessions")
-        .option("checkpointLocation", s"$root/chk")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      graft.operators.DrainConf.withStreamStateConf(s) {
+        sessions.writeStream.format("parquet")
+          .option("path", s"$root/sessions")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$root/sessions")
         .filter(col("session_start") < lit(st.sentinelTs)) // flush sessions out
         .groupBy(col("user_id"))
@@ -3144,12 +3148,14 @@ object SparkEntry {
         s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
           .parquet(st.stageDir),
         windowLength = "1 hour", watermarkDelay = "30 minutes")
-      windows.writeStream.format("parquet")
-        .option("path", s"$root/windows")
-        .option("checkpointLocation", s"$root/chk")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      graft.operators.DrainConf.withStreamStateConf(s) {
+        windows.writeStream.format("parquet")
+          .option("path", s"$root/windows")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$root/windows")
         .filter(col("window_start") <= lit(st.maxTs)) // the flush window out
         .select(col("window_start"), col("window_end"), col("event_type"),
@@ -4125,12 +4131,14 @@ object SparkEntry {
         s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
           .parquet(st.stageDir),
         keyCols = Seq("event_id"), tsCol = "ts", watermarkDelay = "30 minutes")
-      deduped.writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/chk")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      graft.operators.DrainConf.withStreamStateConf(s) {
+        deduped.writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$root/out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),

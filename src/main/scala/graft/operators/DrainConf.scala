@@ -43,8 +43,39 @@ private[graft] object DrainConf {
       "spark.sql.shuffle.partitions" -> parts)
   }
 
-  def withDrainConf[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val o = overrides(spark)
+  def withDrainConf[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+    withOverrides(spark, overrides(spark))(body)
+
+  /** Shuffle width for a STATEFUL streaming query's own plan (windowed
+    * aggregation, flatMapGroupsWithState, dropDuplicatesWithinWatermark).
+    * The state-store partition count is pinned to
+    * `spark.sql.shuffle.partitions` at QUERY START and every micro-batch
+    * then runs that many stateful tasks, each paying state-store
+    * open/replay/commit — at the session width of a 32-core host that is
+    * ~32 near-empty state tasks per drain on a trigger-bounded batch
+    * (measured q103: 32-task FlatMapGroupsWithState stages at 12–19 s of
+    * executor time per 0.6 s of wall). A micro-batch is trigger-bounded,
+    * so the right width is small and deployment-known: size
+    * `spark.graft.streamStatePartitions` to the live key cardinality ÷
+    * target state-partition size in production; the default (the drain
+    * width) suits trigger-bounded local drains. */
+  private val StatePartitionsKey = "spark.graft.streamStatePartitions"
+
+  /** Run a stateful streaming query's start→drain under the stream state
+    * width: the conf flip must cover QUERY START (the engine clones the
+    * session conf then), so wrap `start().awaitTermination()`, not the
+    * foreachBatch body. Restores the session conf after the drain; safe
+    * because the drained session is exclusive to the caller (the
+    * [[withDrainConf]] argument). */
+  def withStreamStateConf[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val parts = spark.conf.getOption(StatePartitionsKey)
+      .orElse(spark.conf.getOption(PartitionsKey)).getOrElse("8")
+    withOverrides(spark, Seq("spark.sql.shuffle.partitions" -> parts))(body)
+  }
+
+  private def withOverrides[A](
+      spark: org.apache.spark.sql.SparkSession,
+      o: Seq[(String, String)])(body: => A): A = {
     val prev = o.map { case (k, _) => k -> spark.conf.getOption(k) }
     o.foreach { case (k, v) => spark.conf.set(k, v) }
     try body

@@ -574,21 +574,28 @@ object FrameIndex {
                   framesTable(name), Some(m.frames))
                 m.copy(frames = fv, rmFrames = None)
               } else {
-                val fv = OverlayLock.appendOrCompact(store, framesTable(name),
-                  m.frames,
-                  store.snapshotAt(spark, framesTable(name), m.frames), admitted)
-                val rv =
-                  if (removedIds.isEmpty) m.rmFrames
-                  else Some(m.rmFrames match {
-                    case Some(p) => store.write(
-                      store.snapshotAt(spark, rmTable(name), p)
-                        .select(col("id"))
-                        .unionByName(removedIds).distinct().coalesce(4),
-                      rmTable(name), Some(p))
-                    case None => store.write(removedIds.coalesce(4),
-                      rmTable(name), store.currentVersion(rmTable(name)))
-                  })
-                m.copy(frames = fv, rmFrames = rv)
+                // frames append + tombstone merge are independent tables —
+                // committed concurrently (the [[OverlayLock.inParallel]]
+                // rationale)
+                val rmEmpty = removedIds.isEmpty
+                val results = OverlayLock.inParallel(Seq(
+                  () => OverlayLock.appendOrCompact(store, framesTable(name),
+                    m.frames,
+                    store.snapshotAt(spark, framesTable(name), m.frames),
+                    admitted)) ++
+                  (if (rmEmpty) Seq.empty
+                   else Seq(() => m.rmFrames match {
+                     case Some(p) => store.write(
+                       store.snapshotAt(spark, rmTable(name), p)
+                         .select(col("id"))
+                         .unionByName(removedIds).distinct().coalesce(4),
+                       rmTable(name), Some(p))
+                     case None => store.write(removedIds.coalesce(4),
+                       rmTable(name), store.currentVersion(rmTable(name)))
+                   })))
+                val rv = if (rmEmpty) m.rmFrames
+                  else Some(results.last.asInstanceOf[Int])
+                m.copy(frames = results.head.asInstanceOf[Int], rmFrames = rv)
               }
             commitManifest(store, name,
               next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
@@ -741,21 +748,28 @@ object FrameIndex {
                   framesTable(name), Some(m.frames))
                 m.copy(frames = fv, rmFrames = None)
               } else {
-                val fv = OverlayLock.appendOrCompact(store, framesTable(name),
-                  m.frames,
-                  store.snapshotAt(spark, framesTable(name), m.frames), admitted)
-                val rv =
-                  if (removedIds.isEmpty) m.rmFrames
-                  else Some(m.rmFrames match {
-                    case Some(p) => store.write(
-                      store.snapshotAt(spark, rmTable(name), p)
-                        .select(col("id"))
-                        .unionByName(removedIds).distinct().coalesce(4),
-                      rmTable(name), Some(p))
-                    case None => store.write(removedIds.coalesce(4),
-                      rmTable(name), store.currentVersion(rmTable(name)))
-                  })
-                m.copy(frames = fv, rmFrames = rv)
+                // frames append + tombstone merge are independent tables —
+                // committed concurrently (the [[OverlayLock.inParallel]]
+                // rationale)
+                val rmEmpty = removedIds.isEmpty
+                val results = OverlayLock.inParallel(Seq(
+                  () => OverlayLock.appendOrCompact(store, framesTable(name),
+                    m.frames,
+                    store.snapshotAt(spark, framesTable(name), m.frames),
+                    admitted)) ++
+                  (if (rmEmpty) Seq.empty
+                   else Seq(() => m.rmFrames match {
+                     case Some(p) => store.write(
+                       store.snapshotAt(spark, rmTable(name), p)
+                         .select(col("id"))
+                         .unionByName(removedIds).distinct().coalesce(4),
+                       rmTable(name), Some(p))
+                     case None => store.write(removedIds.coalesce(4),
+                       rmTable(name), store.currentVersion(rmTable(name)))
+                   })))
+                val rv = if (rmEmpty) m.rmFrames
+                  else Some(results.last.asInstanceOf[Int])
+                m.copy(frames = results.head.asInstanceOf[Int], rmFrames = rv)
               }
             commitManifest(store, name,
               next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),

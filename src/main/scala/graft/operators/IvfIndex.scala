@@ -370,23 +370,32 @@ object IvfIndex {
       val fresh = screenOvl(
         assigned.join(stored.select(col("id")), Seq("id"), "left_anti"))
         .select(col("id"), col("v"), col("cell")) // stored column order
-      val vv = OverlayLock.appendOrCompact(store, vectorsTable(name),
-        m.vectors, stored, fresh)
-      // the int8 sibling is SERVING state — it must see the same append,
-      // or quantized probes silently miss everything admitted since the
-      // last quantizeStored
-      val qv = m.qvectors.map { qPin =>
-        val (scale, qvc) = quantizeCols(col("v"))
-        val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
-        val qFresh = screenOvl(
-          assigned.join(qStored.select(col("id")), Seq("id"), "left_anti"))
-          .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
-        OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
-      }
-      // the PQ tier too — encoded against the COMMITTED codebook
-      // (refit-free, like the int8 re-quantization)
-      val pcV = m.pqCodes.map(pin =>
-        PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin))
+      // materialize the pinned assignment once, then commit the three
+      // independent tiers concurrently (different tables, no shared CAS —
+      // the [[OverlayLock.inParallel]] rationale: serializing them stacks
+      // three fixed job latencies onto every micro-batch drain)
+      assigned.count()
+      val results = OverlayLock.inParallel(Seq(
+        () => OverlayLock.appendOrCompact(store, vectorsTable(name),
+          m.vectors, stored, fresh)) ++
+        // the int8 sibling is SERVING state — it must see the same append,
+        // or quantized probes silently miss everything admitted since the
+        // last quantizeStored
+        m.qvectors.map(qPin => () => {
+          val (scale, qvc) = quantizeCols(col("v"))
+          val qStored = store.snapshotAt(spark, qVectorsTable(name), qPin)
+          val qFresh = screenOvl(
+            assigned.join(qStored.select(col("id")), Seq("id"), "left_anti"))
+            .select(col("id"), col("cell"), scale.as("scale"), qvc.as("qv"))
+          OverlayLock.appendOrCompact(store, qVectorsTable(name), qPin, qStored, qFresh)
+        }).toSeq ++
+        // the PQ tier too — encoded against the COMMITTED codebook
+        // (refit-free, like the int8 re-quantization)
+        m.pqCodes.map(pin =>
+          () => PqIndex.appendEncodedAt(spark, assigned, store, name, m, pin)).toSeq)
+      val vv = results.head.asInstanceOf[Int]
+      val qv = m.qvectors.map(_ => results(1).asInstanceOf[Int])
+      val pcV = m.pqCodes.map(_ => results.last.asInstanceOf[Int])
       commitManifest(store, name,
         m.copy(vectors = vv, qvectors = qv, pqCodes = pcV,
           lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
@@ -612,23 +621,32 @@ object IvfIndex {
               case None => store.write(merged.coalesce(8), table)
             }
           }
-          val ovv = ovlWrite(ovlVectorsTable(name), m.ovlVectors,
-            assigned.select(col("id"), col("v"), col("cell")))
-          val oqv = m.qvectors.map { _ =>
-            val (scale, qvc) = quantizeCols(col("v"))
-            ovlWrite(ovlQVectorsTable(name), m.ovlQvectors,
-              assigned.select(col("id"), col("cell"),
-                scale.as("scale"), qvc.as("qv")))
-          }
-          val opc = m.pqCodes.map { _ =>
-            val cbRows = store.snapshotAt(spark, PqIndex.codebookTableName(name),
-              m.pqCodebook.getOrElse(throw new IllegalStateException(
-                s"index $name has PQ codes but no codebook pin")))
-            ovlWrite(ovlPqCodesTable(name), m.ovlPqCodes,
-              PqIndex.encodeAssigned(spark, assigned, cbRows)
-                .select(col("id"), col("cell"), col("n_codes")))
-          }
-          m.copy(ovlVectors = Some(ovv), ovlQvectors = oqv, ovlPqCodes = opc)
+          // materialize the pinned assignment once, then rewrite the
+          // three independent overlay members concurrently (different
+          // tables, no shared CAS — the [[OverlayLock.inParallel]]
+          // rationale on the revision path)
+          assigned.count()
+          val results = OverlayLock.inParallel(Seq(
+            () => ovlWrite(ovlVectorsTable(name), m.ovlVectors,
+              assigned.select(col("id"), col("v"), col("cell")))) ++
+            m.qvectors.map(_ => () => {
+              val (scale, qvc) = quantizeCols(col("v"))
+              ovlWrite(ovlQVectorsTable(name), m.ovlQvectors,
+                assigned.select(col("id"), col("cell"),
+                  scale.as("scale"), qvc.as("qv")))
+            }).toSeq ++
+            m.pqCodes.map(_ => () => {
+              val cbRows = store.snapshotAt(spark, PqIndex.codebookTableName(name),
+                m.pqCodebook.getOrElse(throw new IllegalStateException(
+                  s"index $name has PQ codes but no codebook pin")))
+              ovlWrite(ovlPqCodesTable(name), m.ovlPqCodes,
+                PqIndex.encodeAssigned(spark, assigned, cbRows)
+                  .select(col("id"), col("cell"), col("n_codes")))
+            }).toSeq)
+          val oqv = m.qvectors.map(_ => results(1).asInstanceOf[Int])
+          val opc = m.pqCodes.map(_ => results.last.asInstanceOf[Int])
+          m.copy(ovlVectors = Some(results.head.asInstanceOf[Int]),
+            ovlQvectors = oqv, ovlPqCodes = opc)
         }
       commitManifest(store, name,
         next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))

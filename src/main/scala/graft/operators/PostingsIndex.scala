@@ -530,20 +530,30 @@ object PostingsIndex {
         Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one aggregate over the pinned batch FIRST: it materializes the
+      // fresh cache, so the three concurrent member commits below read it
+      // instead of racing to compute it
+      val (dn, dsdl) = docCounters(fresh)
       // O(batch) member commits for the corpus-sized tables: only the
       // fresh rows are written, the pinned version's files carry as links
       // (the compacting variants fold a rewrite in when counts creep);
-      // termstats rides its O(batch-terms) delta member below
-      val dv = OverlayLock.appendOrCompactBucketed(spark, store,
-        docsTable(name), m.docs, docRowsOf(fresh))
+      // termstats rides its O(batch-terms) delta member. The three
+      // members are independent tables (no shared CAS), so their commits
+      // run concurrently — serializing them stacks three fixed job
+      // latencies onto every micro-batch drain (the
+      // [[OverlayLock.inParallel]] rationale).
       val freshPostings = postingsOf(fresh)
-      val pv = OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
-        store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings)
-      // df merge is CELL-WISE SUM — the one sketch-free mergeable tier;
-      // committed as an O(batch-terms) delta, folded amortized
-      val (tv, dltv) = commitTermDelta(spark, store, name, m,
-        termStatsOf(freshPostings))
-      val (dn, dsdl) = docCounters(fresh)
+      val Seq(dvA, pvA, tvA) = OverlayLock.inParallel(Seq(
+        () => OverlayLock.appendOrCompactBucketed(spark, store,
+          docsTable(name), m.docs, docRowsOf(fresh)),
+        () => OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
+          store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings),
+        // df merge is CELL-WISE SUM — the one sketch-free mergeable tier;
+        // committed as an O(batch-terms) delta, folded amortized
+        () => commitTermDelta(spark, store, name, m, termStatsOf(freshPostings))))
+      val dv = dvA.asInstanceOf[Int]
+      val pv = pvA.asInstanceOf[Int]
+      val (tv, dltv) = tvA.asInstanceOf[(Int, Option[Int])]
       commitManifest(store, name,
         m.copy(postings = pv, docs = dv, termStats = tv, dltTermStats = dltv,
           nDocs = m.nDocs + dn, sumDl = m.sumDl + dsdl,
@@ -642,10 +652,9 @@ object PostingsIndex {
       val removedTermDf = replacedDocs
         .select(explode(col("terms")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val (tv, dltv) = commitTermDelta(spark, store, name, m,
-        termStatsOf(freshPostings)
-          .unionByName(removedTermDf.withColumn("df", -col("df")))
-          .groupBy(col("term")).agg(sum(col("df")).as("df")))
+      val termDelta = termStatsOf(freshPostings)
+        .unionByName(removedTermDf.withColumn("df", -col("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
       // fold-vs-overlay on the PRE-batch overlay size (file-metadata
       // reads) — the IvfIndex.upsertStamped policy on the postings tier
       val overlayFull = m.ovlPostings.exists { pin =>
@@ -653,22 +662,32 @@ object PostingsIndex {
           OvlFloorBytes.toDouble,
           OvlFrac * store.byteSizeAt(postingsTable(name), m.postings))
       }
+      // the termstats-delta commit and the two postings/docs-tier commits
+      // are independent tables (no shared CAS) — run each branch's three
+      // member commits concurrently instead of stacking their fixed job
+      // latencies onto every revision drain (fresh and replacedDocs are
+      // pinned AND materialized above, so the concurrent jobs read the
+      // cache rather than racing to compute it)
       val next =
         if (overlayFull) {
           // amortized fold: commit each corpus tier's served view with
           // the batch replaced, clear the overlay pins
-          val pv = store.write(
-            postingsAt(spark, store, name, m)
-              .join(batchIds, Seq("doc_id"), "left_anti")
-              .unionByName(freshPostings),
-            postingsTable(name), Some(m.postings))
-          val dv = store.writeBucketed(
-            docsAt(spark, store, name, m)
-              .join(batchIds, Seq("doc_id"), "left_anti")
-              .unionByName(docRowsOf(fresh)),
-            docsTable(name), docSpec(store, name), Some(m.docs))
-          m.copy(postings = pv, docs = dv,
-            ovlPostings = None, ovlDocs = None)
+          val Seq(tvA, pvA, dvA) = OverlayLock.inParallel(Seq(
+            () => commitTermDelta(spark, store, name, m, termDelta),
+            () => store.write(
+              postingsAt(spark, store, name, m)
+                .join(batchIds, Seq("doc_id"), "left_anti")
+                .unionByName(freshPostings),
+              postingsTable(name), Some(m.postings)),
+            () => store.writeBucketed(
+              docsAt(spark, store, name, m)
+                .join(batchIds, Seq("doc_id"), "left_anti")
+                .unionByName(docRowsOf(fresh)),
+              docsTable(name), docSpec(store, name), Some(m.docs))))
+          val (tv, dltv) = tvA.asInstanceOf[(Int, Option[Int])]
+          m.copy(postings = pvA.asInstanceOf[Int], docs = dvA.asInstanceOf[Int],
+            ovlPostings = None, ovlDocs = None,
+            termStats = tv, dltTermStats = dltv)
         } else {
           // overlay rewrite: old overlay minus the batch's ids plus the
           // batch — at most one row-set per doc_id, O(overlay) bytes
@@ -683,12 +702,17 @@ object PostingsIndex {
               case None => store.write(merged.coalesce(8), table)
             }
           }
-          val opv = ovlWrite(ovlPostingsTable(name), m.ovlPostings, freshPostings)
-          val odv = ovlWrite(ovlDocsTable(name), m.ovlDocs, docRowsOf(fresh))
-          m.copy(ovlPostings = Some(opv), ovlDocs = Some(odv))
+          val Seq(tvA, opvA, odvA) = OverlayLock.inParallel(Seq(
+            () => commitTermDelta(spark, store, name, m, termDelta),
+            () => ovlWrite(ovlPostingsTable(name), m.ovlPostings, freshPostings),
+            () => ovlWrite(ovlDocsTable(name), m.ovlDocs, docRowsOf(fresh))))
+          val (tv, dltv) = tvA.asInstanceOf[(Int, Option[Int])]
+          m.copy(ovlPostings = Some(opvA.asInstanceOf[Int]),
+            ovlDocs = Some(odvA.asInstanceOf[Int]),
+            termStats = tv, dltTermStats = dltv)
         }
       commitManifest(store, name,
-        next.copy(termStats = tv, dltTermStats = dltv,
+        next.copy(
           nDocs = m.nDocs + addN - rmN, sumDl = m.sumDl + addSdl - rmSdl,
           lastBatchId = stamp.getOrElse(m.lastBatchId)),
         Some(mv))

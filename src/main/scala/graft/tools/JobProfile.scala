@@ -47,8 +47,14 @@ object JobProfile {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         e match {
           case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-            val plan = s.physicalPlanDescription.linesIterator
-              .filterNot(_.trim.isEmpty).take(4).mkString(" | ").take(240)
+            // first plan lines + any scan Location lines, so a bare
+            // "Scan parquet" exec names WHICH table it read
+            val lines = s.physicalPlanDescription.linesIterator
+              .filterNot(_.trim.isEmpty).toSeq
+            val plan = (lines.take(4) ++
+              lines.filter(l => l.contains("Location:") || l.contains("file:"))
+                .take(3).map(_.trim.take(160)))
+              .mkString(" | ").take(640)
             execs.put(s.executionId, (s.time,
               s.description.takeWhile(_ != '\n').take(50) + " :: " + plan))
           case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
