@@ -3615,9 +3615,12 @@ object SparkEntry {
       val batch = hashed(40, Seq(0, 1, 2)).unionByName(
           hashed(50, Seq(0)).join(storedIds, Seq("item_id"), "left_anti"))
         .select(col("item_id").as("id"), col("dhash").as("sig"))
-      val matches = graft.operators.PerceptualIndex.screen(s, batch, store, "img_idx")
-        .groupBy(col("batch_id"))
-        .agg(count(lit(1)).as("n_stored_matches"))
+      // the per-id match counts are batch-bounded (≤ one row per batch
+      // item) — broadcast them so the outer join never shuffles the batch
+      val matches = broadcast(
+        graft.operators.PerceptualIndex.screen(s, batch, store, "img_idx")
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_stored_matches")))
       batch.join(matches, batch("id") === col("batch_id"), "left")
         .select(col("id").as("item_id"),
           coalesce(col("n_stored_matches"), lit(0L)).as("n_stored_matches"),
@@ -3756,8 +3759,10 @@ object SparkEntry {
         .unionByName(v3full)
         .unionByName(v3full.filter(col("frame") < 2)
           .select((col("id") + 1).as("id"), col("frame"), col("sig")))
-      val matches = graft.operators.FrameIndex.screen(s, batch, store, "vid_idx")
-        .groupBy(col("batch_id")).agg(count(lit(1)).as("n_contained_in"))
+      // batch-bounded per-id counts — broadcast, as in q133
+      val matches = broadcast(
+        graft.operators.FrameIndex.screen(s, batch, store, "vid_idx")
+          .groupBy(col("batch_id")).agg(count(lit(1)).as("n_contained_in")))
       val ids = batch.select(col("id")).distinct()
       ids.join(matches, ids("id") === col("batch_id"), "left")
         .select(col("id").as("video_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted FRAME-signature index — [[PerceptualIndex]] for families
@@ -14,43 +14,62 @@ import org.apache.spark.sql.functions._
   * hold this family: one row per id, and its screen has no directed
   * denominator. Here the stored corpus is `(id, frame, sig)`, the
   * manifest pins BOTH screening parameters (`max_hamming` per frame,
-  * `min_containment` per video) alongside the member version and the
+  * `min_containment` per video) alongside the member versions and the
   * admission gate, and every mutation is one manifest swap.
   *
-  * Storage (the [[IvfIndex]]/[[CorpusProfile]] manifest discipline,
-  * fifth instance):
-  *  - `<name>_frames` — `(id, frame, sig: long)`, the indexed corpus;
-  *  - `<name>_manifest` — frames version + `max_hamming` +
-  *    `min_containment` + the streaming gate's `last_batch_id`.
+  * Storage (the [[SignatureIndex]]/[[PerceptualIndex]] projection
+  * discipline on the frame family):
+  *  - `<name>_frames` — `(id, frame, sig[, q])`, HASH-BUCKETED by id:
+  *    the insert-only id screen reads only the batch's id-buckets;
+  *  - `<name>_band` — `(id, frame, sig, n_frames[, _vq], chunk, value)`,
+  *    HASH-BUCKETED by (chunk, value): a containment screen's candidates
+  *    read only the batch's probe cells' buckets — never a posexplode of
+  *    every stored frame. `n_frames` (the video's DISTINCT frame count —
+  *    the directed denominator) and `_vq` (the video's MAX quality, for
+  *    keeper families) ride DENORMALIZED in the row, so the screen's
+  *    stored-side per-video aggregates never scan the full frames tier;
+  *  - `<name>_delta` — the LSM memtable: each drain's admissions land
+  *    here as ONE plain O(batch) linked append of `(id, frame, sig[, q])`
+  *    rows; screens union their pruned base read with the same
+  *    projection derived IN-PLAN from this small member (per-video stats
+  *    re-derived over the delta — batch-sized), filtered by the
+  *    identical bucket rule; the amortized fold absorbs it;
+  *  - `<name>_rm` — tombstoned VIDEO ids (a supersede/keeper fold's
+  *    retirements); compaction-bounded, broadcast-subtracted by every
+  *    read, folded past the policy bound;
+  *  - `<name>_manifest` — member pins + both screening budgets + the
+  *    streaming gate's `last_batch_id`.
   *
-  * The admission loop ([[admitNovelBatch]]): SCREEN the arriving videos
-  * against committed state with [[Dedup.videoContainmentAgainst]] (the
-  * arrival-side Broder denominator — rejecting is about what the
-  * arrival adds), admit every frame of the non-contained arrivals,
-  * record the batchId — one swap, so the stored set EVOLVES between
-  * drains exactly once per delivered batch.
-  *
-  * Scale shape: [[append]]/admission commit ONLY the batch's frame rows
-  * (linked members, [[OverlayLock.appendOrCompact]]); [[screen]] is the
-  * frameless chunk-band pigeonhole equi-join of
-  * [[Dedup.videoContainmentAgainst]] — batch-proportional work against
-  * 8 bytes × frames of serving state, hot buckets capped on both sides,
-  * per-arrival frame counts broadcast.
+  * Scale shape: admission commits ONE plain O(batch) memtable append;
+  * every screen reads a bounded set of constant-size buckets (∝ the
+  * batch's probe cells — [[graft.PrunedScreenSpec]] measures it); the
+  * amortized fold is the one stored-size rewrite. A legacy index (no
+  * `band_v` pin) falls back to deriving the projection from the full
+  * frames read until its next full rewrite.
   */
 object FrameIndex {
 
   private def framesTable(name: String) = s"${name}_frames"
+  private def bandTable(name: String) = s"${name}_band"
+  private def deltaTable(name: String) = s"${name}_delta"
   // tombstone member: VIDEO ids whose frame rows are retired by a
-  // supersede fold ([[admitSupersedeBatch]] — the full cut retiring the
-  // stored clip it subsumes); the read-time subtraction that keeps a
-  // supersede drain from rewriting the whole frames member (the
-  // [[PerceptualIndex]] keeper-tombstone discipline on the frame family)
+  // supersede/keeper fold — the read-time subtraction that keeps a
+  // retirement drain from rewriting the whole frames member
   private def rmTable(name: String) = s"${name}_rm"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
-  /** Tombstone-compaction policy — [[IvfIndex.OvlFrac]]'s rationale on
-    * the retired-id set's bytes vs the frames member's. */
+  /** Default STARTING bucket counts: deliberately small — a screen's
+    * pruned read opens one file per touched bucket, so oversized counts
+    * tax every drain with near-empty file opens. Growth is automatic:
+    * every amortized fold doubles the count until the tier fits the
+    * per-bucket byte target ([[OverlayLock.grownSpec]]). */
+  val FrameBuckets: Int = 4
+  val BandBuckets: Int = 8
+
+  /** Tombstone/delta-compaction policy — [[IvfIndex.OvlFrac]]'s rationale
+    * on the retired-id set's (and memtable's) bytes vs the frames
+    * member's. */
   private val RmFloorBytes: Long = IvfIndex.OvlFloorBytes
   private val RmFrac: Double = IvfIndex.OvlFrac
 
@@ -59,17 +78,22 @@ object FrameIndex {
     * ids. `hasQuality` marks a KEEPER family ([[buildWithQuality]]): the
     * frames member carries a per-video quality column and mutates through
     * [[admitKeepBestBatch]]'s replace-if-better fold — the two layouts
-    * never mix (the [[PerceptualIndex.PercManifest]] guard). */
+    * never mix (the [[PerceptualIndex.PercManifest]] guard). `band =
+    * None` marks a legacy pre-projection index (full-derive fallback);
+    * `dlt = None` ⇔ empty memtable. */
   private[graft] final case class FrameManifest(
       frames: Int, maxHamming: Int, minContainment: Double,
       lastBatchId: Long = -1L, rmFrames: Option[Int] = None,
-      hasQuality: Boolean = false)
+      hasQuality: Boolean = false,
+      band: Option[Int] = None, dlt: Option[Int] = None)
 
   private def encodeManifest(m: FrameManifest): String =
     s"""{"frames_v":${m.frames},"max_hamming":${m.maxHamming},""" +
       s""""min_containment":${m.minContainment},""" +
       s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
       s""""rm_frames_v":${m.rmFrames.getOrElse(-1)},""" +
+      s""""band_v":${m.band.getOrElse(-1)},""" +
+      s""""dlt_v":${m.dlt.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): FrameManifest = {
@@ -80,13 +104,15 @@ object FrameIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim
     }
-    // absent = pre-tombstone / pre-quality manifest (older persisted index)
-    val rm =
-      if (s.indexOf("\"rm_frames_v\":") < 0) None
-      else { val v = raw("rm_frames_v").toInt; if (v < 0) None else Some(v) }
+    // absent = pre-tombstone / pre-quality / pre-projection manifest
+    // (older persisted index)
+    def optAbsent(k: String): Option[Int] =
+      if (s.indexOf("\"" + k + "\":") < 0) None
+      else { val v = raw(k).toInt; if (v < 0) None else Some(v) }
     val hasQ = s.indexOf("\"has_quality\":") >= 0 && raw("has_quality") != "0"
     FrameManifest(raw("frames_v").toInt, raw("max_hamming").toInt,
-      raw("min_containment").toDouble, raw("last_batch_id").toLong, rm, hasQ)
+      raw("min_containment").toDouble, raw("last_batch_id").toLong,
+      optAbsent("rm_frames_v"), hasQ, optAbsent("band_v"), optAbsent("dlt_v"))
   }
 
   private def requirePlain(m: FrameManifest, name: String, op: String): Unit =
@@ -123,24 +149,248 @@ object FrameIndex {
 
   private def rollbackAll(store: TableStore, name: String, m: FrameManifest): Unit = {
     OverlayLock.rollbackIfAhead(store, framesTable(name), m.frames)
+    m.band.foreach(OverlayLock.rollbackIfAhead(store, bandTable(name), _))
     m.rmFrames.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+    m.dlt.foreach(OverlayLock.rollbackIfAhead(store, deltaTable(name), _))
   }
 
-  /** The SERVED frame corpus: base ∖ tombstoned VIDEO ids (a supersede
-    * fold's retirements — their frame rows stay in the files until the
-    * amortized fold). The tombstone set is compaction-bounded, so it
-    * broadcasts into the anti-join; an index no supersede fold has
-    * touched has no pin and reads the base directly. */
+  // ------------------------------------------------------------- projections
+
+  /** The chunk columns of [[Dedup.videoContainmentAgainst]]' frameless
+    * pigeonhole — the SAME bit slicing, so pruned candidates equal the
+    * ad-hoc screen's. */
+  private def chunkCols(maxHamming: Int): Seq[Column] = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+  }
+
+  /** The per-video stats the directed screens need, DENORMALIZED onto
+    * every frame row: `n_frames` = the video's DISTINCT frame count (the
+    * Broder denominator), `_vq` = the video's MAX quality (keeper
+    * families — [[Dedup.videoContainmentDirected]] callers took
+    * `max(q) per id` from the full tier; here it rides in the row). */
+  private def withVideoStats(rows: DataFrame, hasQ: Boolean): DataFrame = {
+    val aggs =
+      if (hasQ) Seq(countDistinct(col("frame")).as("n_frames"),
+        max(col("q")).as("_vq"))
+      else Seq(countDistinct(col("frame")).as("n_frames"))
+    rows.join(rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*), Seq("id"))
+  }
+
+  /** The banding projection rows of a frames frame (per-video stats
+    * already attached): one row per (frame row, chunk). */
+  private def bandedOf(rowsWithStats: DataFrame, maxHamming: Int): DataFrame =
+    rowsWithStats.select(col("*"),
+      posexplode(array(chunkCols(maxHamming): _*)).as(Seq("chunk", "value")))
+
+  /** Band-tier columns (quality families carry `_vq`). */
+  private def bandCols(hasQ: Boolean): Seq[Column] =
+    (Seq(col("id"), col("frame"), col("sig"), col("n_frames")) ++
+      (if (hasQ) Seq(col("_vq")) else Nil)) ++ Seq(col("chunk"), col("value"))
+
+  private def frameSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(framesTable(name)).getOrElse(
+      BucketSpec(FrameBuckets, Seq("id"), sortCols = Seq("id")))
+  private def bandSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(bandTable(name)).getOrElse(
+      BucketSpec(BandBuckets, Seq("chunk", "value"), sortCols = Seq("chunk", "value")))
+
+  /** The buckets `keys` can hash into under `spec` — ONE narrow job,
+    * bounded by nBuckets (the [[SignatureIndex.touchedBuckets]] probe). */
+  private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
+    keys.select(spec.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val s = new scala.collection.mutable.HashSet[Int]
+        it.foreach(r => s.add(r.getInt(0)))
+        s.iterator
+      }.collect().distinct.toSeq
+
+  private def prunedAt(
+      spark: SparkSession, store: TableStore, table: String, pin: Int,
+      touched: Seq[Int]): DataFrame = {
+    val raw = store.snapshotRawAt(spark, table, pin)
+    (if (touched.isEmpty) raw.filter(lit(false))
+     else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+      .drop("_bucket")
+  }
+
+  private def deltaFrame(
+      spark: SparkSession, store: TableStore, name: String,
+      m: FrameManifest): Option[DataFrame] =
+    m.dlt.map(dv => store.snapshotAt(spark, deltaTable(name), dv))
+
+  /** A tier PRUNED to `touched` buckets INCLUDING the delta member's
+    * in-plan contribution (the [[PerceptualIndex]] discipline). */
+  private def prunedWithDelta(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
+      fromDelta: DataFrame => DataFrame): DataFrame = {
+    val base = prunedAt(spark, store, table, pin, touched)
+    deltaFrame(spark, store, name, m) match {
+      case None => base
+      case Some(d) =>
+        val derived = fromDelta(d)
+        base.unionByName(
+          if (touched.isEmpty) derived.filter(lit(false))
+          else derived.filter(
+            spec.bucketColumn.isin(touched.map(Integer.valueOf): _*)))
+    }
+  }
+
+  /** The broadcast tombstone-id subtraction every served read applies. */
+  private def minusRm(
+      spark: SparkSession, store: TableStore, name: String,
+      m: FrameManifest)(df: DataFrame): DataFrame =
+    m.rmFrames match {
+      case None => df
+      case Some(pin) => df.join(broadcast(
+          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
+        Seq("id"), "left_anti")
+    }
+
+  /** Indexed VIDEO ids of the batch's id-buckets (base ∪ delta, NO
+    * tombstone subtraction — a retired id may not re-enter under its own
+    * name until the fold forgets it): the insert-only screen's read. */
+  private def indexedIdsForIds(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      ids: DataFrame): DataFrame = {
+    val spec = frameSpec(store, name)
+    prunedWithDelta(spark, store, name, m, framesTable(name), m.frames, spec,
+      touchedBuckets(spec, ids), identity).select(col("id"))
+  }
+
+  /** The SERVED frame corpus: (base ∪ delta) ∖ tombstoned VIDEO ids —
+    * the manifest-consistent view folds and full reads derive from. */
   private def servedFramesAt(
       spark: SparkSession, store: TableStore, name: String,
       m: FrameManifest): DataFrame = {
     val base = store.snapshotAt(spark, framesTable(name), m.frames)
-    m.rmFrames match {
-      case None => base
-      case Some(pin) => base.join(broadcast(
-          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
-        Seq("id"), "left_anti")
+    minusRm(spark, store, name, m)(
+      deltaFrame(spark, store, name, m).map(base.unionByName(_)).getOrElse(base))
+  }
+
+  /** The SERVED banding projection restricted to the batch's probe
+    * cells: bucket-pruned base band read ∪ the delta's in-plan
+    * projection (per-video stats re-derived over the small delta),
+    * tombstones subtracted — exactly the rows a fold-merged tier would
+    * hold in those buckets. Falls back to the full served derive on a
+    * legacy pre-projection layout. */
+  private def servedBandForCells(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      batchBanded: DataFrame): DataFrame = {
+    def project(rows: DataFrame): DataFrame =
+      bandedOf(withVideoStats(rows, m.hasQuality), m.maxHamming)
+        .select(bandCols(m.hasQuality): _*)
+    m.band match {
+      case None => // legacy layout: derive from the full served view
+        project(servedFramesAt(spark, store, name, m))
+      case Some(pin) =>
+        val spec = bandSpec(store, name)
+        minusRm(spark, store, name, m)(
+          prunedWithDelta(spark, store, name, m, bandTable(name), pin, spec,
+            touchedBuckets(spec, batchBanded.select(col("chunk"), col("value"))),
+            project))
     }
+  }
+
+  // -------------------------------------------------------- pruned screens
+
+  /** Matched (batch frame, stored frame) pairs within the hamming budget,
+    * candidates from the PRUNED projection — the same frameless
+    * chunk-band pigeonhole, per-side hot caps and verify tail as
+    * [[Dedup.videoContainmentAgainst]]/[[Dedup.videoContainmentDirected]]
+    * (bit-equal: the pruned stored side holds exactly the full
+    * projection's rows in the batch's cells; cells outside the batch
+    * produce no pairs; a cell's hot-count is exact because its rows share
+    * one bucket). Stored-side `n_frames` (and `_vq`) ride through on
+    * every matched row. */
+  private def prunedMatched(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      batchPinned: DataFrame, maxBucketSize: Int)(
+      implicit caches: CacheScope): DataFrame = {
+    val sb = caches.pin(batchPinned.select(col("id"), col("frame"), col("sig"),
+      posexplode(array(chunkCols(m.maxHamming): _*)).as(Seq("chunk", "value"))))
+    val sc = caches.pin(servedBandForCells(spark, store, name, m, sb))
+    def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val carried = Seq(col("b.n_frames").as("n_frames_stored")) ++
+      (if (m.hasQuality) Seq(col("b._vq").as("_sq")) else Nil)
+    // the BATCH side is trigger-bounded — always the small side of this
+    // join — so broadcast it explicitly: the stored side (pruned buckets
+    // of a possibly-billion-frame tier) must never shuffle for a screen
+    broadcast(coldB).alias("a")
+      .join(coldC.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value"))
+      .select(Seq(col("a.id").as("batch_id"), col("b.id").as("stored_id"),
+        col("a.frame").as("b_frame"), col("b.frame").as("s_frame"),
+        graft.functions.TextFunctions.hamming64(col("a.sig"), col("b.sig"))
+          .as("hamming")) ++ carried: _*)
+      .dropDuplicates("batch_id", "stored_id", "b_frame", "s_frame")
+      .filter(col("hamming") <= m.maxHamming)
+  }
+
+  /** [[Dedup.videoContainmentAgainst]] served from the pruned projection:
+    * per (arriving video, stored video), the fraction of the ARRIVAL's
+    * frames matching any stored frame within the budget.
+    * @return (batch_id, stored_id, n_frames_batch, n_matched,
+    *         containment ≥ minContainment) */
+  private def prunedContainmentAgainst(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      batch: DataFrame, maxBucketSize: Int)(
+      implicit caches: CacheScope): DataFrame = {
+    val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
+    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize)
+    val perPair = matched.groupBy(col("batch_id"), col("stored_id"))
+      .agg(countDistinct(col("b_frame")).as("n_matched"))
+    val counts = batchPinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("n_frames_batch"))
+    perPair
+      .join(broadcast(counts.select(col("id").as("batch_id"),
+        col("n_frames_batch"))), Seq("batch_id"))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_frames_batch"))
+      .filter(col("containment") >= m.minContainment)
+      .select(col("batch_id"), col("stored_id"), col("n_frames_batch"),
+        col("n_matched"), col("containment"))
+  }
+
+  /** [[Dedup.videoContainmentDirected]] served from the pruned
+    * projection: BOTH directed containments per (arriving, stored) pair —
+    * the stored-side denominator comes from the denormalized `n_frames`
+    * on the matched rows (never a per-drain aggregate over the full
+    * frames tier). Quality families additionally carry the stored
+    * video's `_sq` (its max quality). */
+  private def prunedContainmentDirected(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      batch: DataFrame, maxBucketSize: Int)(
+      implicit caches: CacheScope): DataFrame = {
+    val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
+    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize)
+    val pairAggs = Seq(
+      countDistinct(col("b_frame")).as("n_matched_batch"),
+      countDistinct(col("s_frame")).as("n_matched_stored"),
+      // constant per stored_id (denormalized) — max picks that constant
+      max(col("n_frames_stored")).as("n_frames_stored")) ++
+      (if (m.hasQuality) Seq(max(col("_sq")).as("_sq")) else Nil)
+    val perPair = matched.groupBy(col("batch_id"), col("stored_id"))
+      .agg(pairAggs.head, pairAggs.tail: _*)
+    val bCounts = batchPinned.groupBy(col("id"))
+      .agg(countDistinct(col("frame")).as("n_frames_batch"))
+    perPair
+      .join(broadcast(bCounts.select(col("id").as("batch_id"),
+        col("n_frames_batch"))), Seq("batch_id"))
+      .withColumn("containment_batch",
+        col("n_matched_batch").cast("double") / col("n_frames_batch"))
+      .withColumn("containment_stored",
+        col("n_matched_stored").cast("double") / col("n_frames_stored"))
+      .filter(greatest(col("containment_batch"), col("containment_stored"))
+        >= m.minContainment)
   }
 
   private def frameShape(frames: DataFrame): DataFrame = {
@@ -160,6 +410,26 @@ object FrameIndex {
 
   // ------------------------------------------------------------------ build
 
+  private def buildTiers(
+      spark: SparkSession, store: TableStore, name: String,
+      rows: DataFrame, maxHamming: Int, hasQ: Boolean,
+      frameBuckets: Int, bandBuckets: Int,
+      expectedFrames: Option[Int], expectedBand: Option[Int]): (Int, Int) = {
+    val fv = store.writeBucketed(rows, framesTable(name),
+      BucketSpec(frameBuckets, Seq("id"), sortCols = Seq("id")), expectedFrames)
+    // derive the projection from the COMMITTED frames (a parquet read) so
+    // the caller's input chain runs once, not twice
+    val committed = store.snapshotAt(spark, framesTable(name), fv)
+    val bv = store.writeBucketed(
+      bandedOf(withVideoStats(committed, hasQ), maxHamming)
+        .select(bandCols(hasQ): _*),
+      bandTable(name),
+      BucketSpec(bandBuckets, Seq("chunk", "value"),
+        sortCols = Seq("chunk", "value")),
+      expectedBand.orElse(store.currentVersion(bandTable(name))))
+    (fv, bv)
+  }
+
   /** Persist `(id, frame, sig)` rows (first three columns, any names)
     * and the screening budgets. Rebuilding replaces the corpus; the
     * admission gate survives, as in every family here. */
@@ -168,7 +438,9 @@ object FrameIndex {
       maxHamming: Int,
       minContainment: Double,
       store: TableStore,
-      name: String): Unit = {
+      name: String,
+      frameBuckets: Int = FrameBuckets,
+      bandBuckets: Int = BandBuckets): Unit = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     require(minContainment > 0.0 && minContainment <= 1.0,
@@ -177,12 +449,16 @@ object FrameIndex {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
-        val fv = store.write(frameShape(frames), framesTable(name))
+        val spark = frames.sparkSession
+        val (fv, bv) = buildTiers(spark, store, name, frameShape(frames),
+          maxHamming, hasQ = false, frameBuckets, bandBuckets,
+          prev.map(_._1.frames), prev.flatMap(_._1.band))
         // a rebuild replaces the corpus wholesale — prior retirements are
-        // moot, the tombstone pin clears
+        // moot, the tombstone and memtable pins clear
         commitManifest(store, name,
           FrameManifest(fv, maxHamming, minContainment,
-            prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+            prev.map(_._1.lastBatchId).getOrElse(-1L), band = Some(bv)),
+          prev.map(_._2))
       }
     }
   }
@@ -199,7 +475,9 @@ object FrameIndex {
       maxHamming: Int,
       minContainment: Double,
       store: TableStore,
-      name: String): Unit = {
+      name: String,
+      frameBuckets: Int = FrameBuckets,
+      bandBuckets: Int = BandBuckets): Unit = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     require(minContainment > 0.0 && minContainment <= 1.0,
@@ -208,11 +486,14 @@ object FrameIndex {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
-        val fv = store.write(frameQualityShape(frames), framesTable(name))
+        val spark = frames.sparkSession
+        val (fv, bv) = buildTiers(spark, store, name, frameQualityShape(frames),
+          maxHamming, hasQ = true, frameBuckets, bandBuckets,
+          prev.map(_._1.frames), prev.flatMap(_._1.band))
         commitManifest(store, name,
           FrameManifest(fv, maxHamming, minContainment,
             prev.map(_._1.lastBatchId).getOrElse(-1L),
-            hasQuality = true), prev.map(_._2))
+            hasQuality = true, band = Some(bv)), prev.map(_._2))
       }
     }
   }
@@ -234,10 +515,76 @@ object FrameIndex {
 
   // ---------------------------------------------------------- append/remove
 
+  /** When accumulated memtable/tombstone bytes have earned their
+    * amortized rewrite — file-metadata reads, no Spark job. The floor is
+    * conf-overridable (`spark.graft.foldFloorBytes`) so growth tests can
+    * exercise folds at test scale. */
+  private def foldDue(
+      spark: SparkSession, store: TableStore, name: String,
+      m: FrameManifest): Boolean = {
+    val floor = spark.conf.getOption("spark.graft.foldFloorBytes")
+      .map(_.toLong).getOrElse(RmFloorBytes)
+    val baseBytes = store.byteSizeAt(framesTable(name), m.frames)
+    val pending = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L) +
+      m.rmFrames.map(store.byteSizeAt(rmTable(name), _)).getOrElse(0L)
+    pending > math.max(floor.toDouble, RmFrac * baseBytes)
+  }
+
+  /** The memtable write — ONE plain O(batch) linked append. */
+  private def appendDelta(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      fresh: DataFrame): Int =
+    m.dlt match {
+      case Some(pin) => OverlayLock.appendOrCompact(store, deltaTable(name), pin,
+        store.snapshotAt(spark, deltaTable(name), pin), fresh.coalesce(4))
+      case None => store.write(fresh.coalesce(4), deltaTable(name),
+        store.currentVersion(deltaTable(name)))
+    }
+
+  /** Amortized fold: rewrite the SERVED view — minus this batch's
+    * retirements, plus its admissions — into both bucketed tiers
+    * concurrently, clearing the tombstone and delta members in the same
+    * manifest swap. A legacy layout (no band pin) gains the projection
+    * tier here — its one full rewrite. */
+  private def foldAllTiers(
+      spark: SparkSession, store: TableStore, name: String,
+      m: FrameManifest, admitted: DataFrame,
+      retired: Option[DataFrame]): FrameManifest = {
+    val served = servedFramesAt(spark, store, name, m)
+    val keptPre = retired
+      .map(r => served.join(broadcast(r), Seq("id"), "left_anti"))
+      .getOrElse(served)
+    val kept = keptPre.unionByName(admitted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kept.count() // materialize once; both rewrites read the cache
+      // rebucket-at-fold: double each tier's bucket count past the
+      // per-bucket byte target ([[OverlayLock.grownSpec]]) so pruned
+      // reads stay constant-per-bucket as the corpus grows
+      val spark2 = kept.sparkSession
+      val grow = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L)
+      val frameBytes = store.byteSizeAt(framesTable(name), m.frames) + grow
+      val bandBytes = m.band.map(store.byteSizeAt(bandTable(name), _))
+        .getOrElse(0L) + grow * (m.maxHamming + 1)
+      val Seq(fv, bv) = OverlayLock.inParallel(Seq(
+        () => store.writeBucketed(kept, framesTable(name),
+          OverlayLock.grownSpec(spark2, frameSpec(store, name), frameBytes),
+          Some(m.frames)),
+        () => store.writeBucketed(
+          bandedOf(withVideoStats(kept, m.hasQuality), m.maxHamming)
+            .select(bandCols(m.hasQuality): _*),
+          bandTable(name),
+          OverlayLock.grownSpec(spark2, bandSpec(store, name), bandBytes),
+          m.band.orElse(store.currentVersion(bandTable(name))))))
+        .map(_.asInstanceOf[Int])
+      m.copy(frames = fv, band = Some(bv), rmFrames = None, dlt = None)
+    } finally kept.unpersist()
+  }
+
   /** Fold a frame batch into committed state — INSERT-ONLY by VIDEO id
     * (a re-sent id is a no-op for ALL its frames: frame sets are
-    * atomic per item, never merged across deliveries), O(batch) linked
-    * member commit, one manifest swap. */
+    * atomic per item, never merged across deliveries), ONE plain
+    * O(batch) memtable commit, one manifest swap. */
   def append(
       spark: SparkSession,
       frames: DataFrame,
@@ -259,7 +606,6 @@ object FrameIndex {
     requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val stored = servedFramesAt(spark, store, name, m)
     // the screen-then-admit fold: drop batch videos CONTAINED in the
     // stored corpus (the persisted budgets), admit the rest whole —
     // both halves read the SAME pinned stored version, so the loop is
@@ -270,8 +616,8 @@ object FrameIndex {
       else {
         implicit val scope: CacheScope = new CacheScope
         try {
-          val dup = Dedup.videoContainmentAgainst(batch0, stored,
-              m.maxHamming, m.minContainment, maxBucketSize)
+          val dup = prunedContainmentAgainst(spark, store, name, m, batch0,
+              maxBucketSize)
             .select(col("batch_id").as("id")).distinct()
           // materialize the survivor list before the scope's pins release
           val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
@@ -281,29 +627,31 @@ object FrameIndex {
         } finally scope.release()
       }
     try {
-      // insert-only against the BASE id set (⊇ retired ids until the
-      // fold): a re-sent id is a no-op, and a SUPERSEDED id can never
-      // re-enter under its own name and be silently hidden by the
-      // tombstone subtraction
+      // insert-only against the INDEXED id set (base ∪ delta, including
+      // tombstoned ids — they may not re-enter under their own name until
+      // the fold forgets them), read from the batch's id-buckets only
       val fresh = batch
-        .join(store.snapshotAt(spark, framesTable(name), m.frames)
-          .select(col("id")), Seq("id"), "left_anti")
+        .join(indexedIdsForIds(spark, store, name, m, batch),
+          Seq("id"), "left_anti")
         // at most one signature per (id, frame): a batch carrying a
         // frame twice (two staged files in one trigger) indexes the
         // smallest sig — deterministic under any partitioning (the
         // PerceptualIndex.appendStamped canonicalization)
         .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
-      val fv = OverlayLock.appendOrCompact(store, framesTable(name), m.frames,
-        stored, fresh)
+      val next =
+        if (foldDue(spark, store, name, m))
+          foldAllTiers(spark, store, name, m, fresh, None)
+        else m.copy(dlt = Some(appendDelta(spark, store, name, m, fresh)))
       commitManifest(store, name,
-        m.copy(frames = fv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
       true
     } finally if (screenFirst) batch.unpersist()
   }
 
   /** Takedown: next frames version without ANY frame of the given ids —
     * after removal an arrival contained only in the removed videos is
-    * admitted again (the screen's memory genuinely forgets). Returns
+    * admitted again (the screen's memory genuinely forgets). Rewrites
+    * both tiers, folding any pending memtable/tombstones. Returns
     * VIDEOS removed (not frame rows). */
   def remove(
       spark: SparkSession,
@@ -317,13 +665,26 @@ object FrameIndex {
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
         val stored = servedFramesAt(spark, store, name, m)
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
-        val before = stored.select(col("id")).distinct().count()
-        val keptN = kept.select(col("id")).distinct().count()
-        // the rewrite serves from the SERVED view, so pending supersede
-        // retirements fold in here and the tombstone pin clears
-        val fv = store.write(kept, framesTable(name), Some(m.frames))
-        commitManifest(store, name, m.copy(frames = fv, rmFrames = None), Some(mv))
-        before - keptN
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val before = stored.select(col("id")).distinct().count()
+          val keptN = kept.select(col("id")).distinct().count()
+          // the rewrite serves from the SERVED view, so pending
+          // retirements + the memtable fold in here and the pins clear
+          val Seq(fv, bv) = OverlayLock.inParallel(Seq(
+            () => store.writeBucketed(kept, framesTable(name),
+              frameSpec(store, name), Some(m.frames)),
+            () => store.writeBucketed(
+              bandedOf(withVideoStats(kept, m.hasQuality), m.maxHamming)
+                .select(bandCols(m.hasQuality): _*),
+              bandTable(name), bandSpec(store, name),
+              m.band.orElse(store.currentVersion(bandTable(name))))))
+            .map(_.asInstanceOf[Int])
+          commitManifest(store, name,
+            m.copy(frames = fv, band = Some(bv), rmFrames = None, dlt = None),
+            Some(mv))
+          before - keptN
+        } finally kept.unpersist()
       }
     }
 
@@ -411,9 +772,10 @@ object FrameIndex {
 
   /** Admission screen, served from committed state: per (arriving
     * video, stored video), the arrival-side containment at the INDEX'S
-    * persisted budgets — [[Dedup.videoContainmentAgainst]] with the
-    * manifest's parameters, the stored side a pinned 8-byte-per-frame
-    * read. Callers aggregate to an admit/reject flag (q140's tail).
+    * persisted budgets — [[Dedup.videoContainmentAgainst]]'s semantics
+    * with the stored side a bucket-pruned read of the persisted banding
+    * projection. Callers aggregate to an admit/reject flag (q140's
+    * tail).
     *
     * @return (batch_id, stored_id, n_frames_batch, n_matched,
     *         containment ≥ stored min_containment) */
@@ -424,10 +786,8 @@ object FrameIndex {
       name: String,
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    Dedup.videoContainmentAgainst(
-      frameShape(batchFrames),
-      servedFramesAt(spark, store, name, m),
-      m.maxHamming, m.minContainment, maxBucketSize)
+    prunedContainmentAgainst(spark, store, name, m, frameShape(batchFrames),
+      maxBucketSize)
   }
 
   // --------------------------------------------------------------- supersede
@@ -457,12 +817,12 @@ object FrameIndex {
     * id; greedy, one pass — the [[PerceptualIndex.admitKeepBestBatch]]
     * semantics) before the stored-state fold.
     *
-    * Cost shape: the screen is the banded batch-vs-stored containment
-    * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
-    * linked frame appends, retirements land in the compaction-bounded
-    * tombstone member every read subtracts, and past
-    * `max(1 MiB, frames/8)` the tombstones ride the next drain into an
-    * amortized base rewrite. Returns true when folded, false on replay. */
+    * Cost shape: the screen reads the batch's probe cells from the
+    * persisted projection; EVERY drain commits O(batch ∪ tombstones) —
+    * admissions are ONE plain memtable append, retirements land in the
+    * compaction-bounded tombstone member every read subtracts, and past
+    * the policy bound the pending members ride the next drain into an
+    * amortized tier rewrite. Returns true when folded, false on replay. */
   def admitSupersedeBatch(
       spark: SparkSession,
       frames: DataFrame,
@@ -523,13 +883,15 @@ object FrameIndex {
     requirePlain(m, name, "a supersede fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val stored = servedFramesAt(spark, store, name, m)
     implicit val scope: CacheScope = new CacheScope
-    // insert-only against BASE ids (⊇ retired ids until the fold) + the
-    // in-batch (id, frame) canonicalization — appendStamped's contracts
-    val batch0 = frameShape(frames)
-      .join(store.snapshotAt(spark, framesTable(name), m.frames)
-        .select(col("id")), Seq("id"), "left_anti")
+    // insert-only against the INDEXED id set (base ∪ delta ⊇ retired ids
+    // until the fold) + the in-batch (id, frame) canonicalization —
+    // appendStamped's contracts; the id screen reads only the batch's
+    // id-buckets
+    val batch0pre = frameShape(frames)
+    val batch0 = batch0pre
+      .join(indexedIdsForIds(spark, store, name, m, batch0pre),
+        Seq("id"), "left_anti")
       .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batch =
@@ -539,9 +901,10 @@ object FrameIndex {
           m.minContainment, maxBucketSize)), Seq("id"), "left_anti"))
     try {
       // both directed containments per (arrival, stored) pair at the
-      // persisted budgets — rejection and subsumption from one screen
-      val directed = Dedup.videoContainmentDirected(batch, stored,
-          m.maxHamming, m.minContainment, maxBucketSize)
+      // persisted budgets — rejection and subsumption from one screen,
+      // candidates from the pruned projection
+      val directed = prunedContainmentDirected(spark, store, name, m, batch,
+          maxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val rejected = directed
@@ -559,30 +922,17 @@ object FrameIndex {
             .select(col("stored_id").as("id")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            // fold-vs-tombstone on the PRE-batch tombstone size — the
-            // PerceptualIndex.keepBestStamped policy on the frame family
-            val rmFull = m.rmFrames.exists { pin =>
-              store.byteSizeAt(rmTable(name), pin) > math.max(
-                RmFloorBytes.toDouble,
-                RmFrac * store.byteSizeAt(framesTable(name), m.frames))
-            }
             val next =
-              if (rmFull) {
-                val fv = store.write(
-                  stored.join(broadcast(removedIds), Seq("id"), "left_anti")
-                    .unionByName(admitted),
-                  framesTable(name), Some(m.frames))
-                m.copy(frames = fv, rmFrames = None)
-              } else {
-                // frames append + tombstone merge are independent tables —
-                // committed concurrently (the [[OverlayLock.inParallel]]
-                // rationale)
+              if (foldDue(spark, store, name, m))
+                foldAllTiers(spark, store, name, m, admitted, Some(removedIds))
+              else {
+                // O(batch ∪ tombstones): admissions are ONE plain
+                // memtable append, retirements merge into the small
+                // tombstone member — two independent tables, committed
+                // concurrently
                 val rmEmpty = removedIds.isEmpty
                 val results = OverlayLock.inParallel(Seq(
-                  () => OverlayLock.appendOrCompact(store, framesTable(name),
-                    m.frames,
-                    store.snapshotAt(spark, framesTable(name), m.frames),
-                    admitted)) ++
+                  () => appendDelta(spark, store, name, m, admitted)) ++
                   (if (rmEmpty) Seq.empty
                    else Seq(() => m.rmFrames match {
                      case Some(p) => store.write(
@@ -595,7 +945,7 @@ object FrameIndex {
                    })))
                 val rv = if (rmEmpty) m.rmFrames
                   else Some(results.last.asInstanceOf[Int])
-                m.copy(frames = results.head.asInstanceOf[Int], rmFrames = rv)
+                m.copy(dlt = Some(results.head.asInstanceOf[Int]), rmFrames = rv)
               }
             commitManifest(store, name,
               next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
@@ -692,27 +1042,25 @@ object FrameIndex {
     requireQuality(m, name, "a replace-if-better fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val stored = servedFramesAt(spark, store, name, m)
     implicit val scope: CacheScope = new CacheScope
-    // insert-only against BASE ids + in-batch (id, frame) canonicalization
-    // (min sig; quality folds to the max per id — one score per video)
-    val batch = frameQualityShape(frames)
-      .join(store.snapshotAt(spark, framesTable(name), m.frames)
-        .select(col("id")), Seq("id"), "left_anti")
+    // insert-only against the INDEXED id set + in-batch (id, frame)
+    // canonicalization (min sig; quality folds to the max per id — one
+    // score per video); the id screen reads only the batch's id-buckets
+    val batchPre = frameQualityShape(frames)
+    val batch = batchPre
+      .join(indexedIdsForIds(spark, store, name, m, batchPre),
+        Seq("id"), "left_anti")
       .groupBy(col("id"), col("frame"))
       .agg(min(col("sig")).as("sig"), max(col("q")).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val batchQ = batch.groupBy(col("id")).agg(max(col("q")).as("_qb"))
-      val storedQ = stored.groupBy(col("id")).agg(max(col("q")).as("_qs"))
       // both directed containments per (arrival, stored) pair, at the
-      // persisted budgets, quality joined on both sides
-      val directed = Dedup.videoContainmentDirected(
-          batch.select(col("id"), col("frame"), col("sig")),
-          stored.select(col("id"), col("frame"), col("sig")),
-          m.maxHamming, m.minContainment, maxBucketSize)
+      // persisted budgets — the stored side's quality (its max per
+      // video) rides denormalized on the projection rows as `_sq`
+      val directed = prunedContainmentDirected(spark, store, name, m,
+          batch.select(col("id"), col("frame"), col("sig")), maxBucketSize)
         .join(batchQ.withColumnRenamed("id", "batch_id"), Seq("batch_id"))
-        .join(storedQ.withColumnRenamed("id", "stored_id"), Seq("stored_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val t = m.minContainment
@@ -720,7 +1068,7 @@ object FrameIndex {
         // with strictly better quality)
         val rejected = directed
           .filter(col("containment_batch") >= t &&
-            (col("containment_stored") < t || col("_qb") <= col("_qs")))
+            (col("containment_stored") < t || col("_qb") <= col("_sq")))
           .select(col("batch_id").as("id")).distinct()
         val admitted = batch
           .join(broadcast(rejected), Seq("id"), "left_anti")
@@ -735,28 +1083,15 @@ object FrameIndex {
             .select(col("stored_id").as("id")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val rmFull = m.rmFrames.exists { pin =>
-              store.byteSizeAt(rmTable(name), pin) > math.max(
-                RmFloorBytes.toDouble,
-                RmFrac * store.byteSizeAt(framesTable(name), m.frames))
-            }
             val next =
-              if (rmFull) {
-                val fv = store.write(
-                  stored.join(broadcast(removedIds), Seq("id"), "left_anti")
-                    .unionByName(admitted),
-                  framesTable(name), Some(m.frames))
-                m.copy(frames = fv, rmFrames = None)
-              } else {
-                // frames append + tombstone merge are independent tables —
-                // committed concurrently (the [[OverlayLock.inParallel]]
-                // rationale)
+              if (foldDue(spark, store, name, m))
+                foldAllTiers(spark, store, name, m, admitted, Some(removedIds))
+              else {
+                // admissions → memtable, retirements → tombstones; two
+                // independent tables, committed concurrently
                 val rmEmpty = removedIds.isEmpty
                 val results = OverlayLock.inParallel(Seq(
-                  () => OverlayLock.appendOrCompact(store, framesTable(name),
-                    m.frames,
-                    store.snapshotAt(spark, framesTable(name), m.frames),
-                    admitted)) ++
+                  () => appendDelta(spark, store, name, m, admitted)) ++
                   (if (rmEmpty) Seq.empty
                    else Seq(() => m.rmFrames match {
                      case Some(p) => store.write(
@@ -769,7 +1104,7 @@ object FrameIndex {
                    })))
                 val rv = if (rmEmpty) m.rmFrames
                   else Some(results.last.asInstanceOf[Int])
-                m.copy(frames = results.head.asInstanceOf[Int], rmFrames = rv)
+                m.copy(dlt = Some(results.head.asInstanceOf[Int]), rmFrames = rv)
               }
             commitManifest(store, name,
               next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),

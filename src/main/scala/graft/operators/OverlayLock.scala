@@ -141,6 +141,30 @@ private[graft] object OverlayLock {
     settled.map(_.get)
   }
 
+  /** Rebucket-at-fold policy: the constant-per-bucket-bytes rule the
+    * pruned-read proofs assume, as CODE instead of scaladoc advice. A
+    * bucketed tier's count is pinned at build time; a genuinely growing
+    * corpus would otherwise silently violate the sizing invariant every
+    * bucket-pruned screen depends on (bytes per touched bucket grow with
+    * the corpus). Every AMORTIZED FOLD — the one moment the tier is
+    * rewritten wholesale anyway — doubles the bucket count until the
+    * tier's projected bytes fit `spark.graft.targetBucketBytes` per
+    * bucket (default 64 MiB — the clustered-table file-size class;
+    * deployments size it to their scan-granularity target). Growth is
+    * monotone and costs nothing extra: the fold was already writing
+    * every row, and the new count is recorded in the table manifest so
+    * every later read derives its touched buckets from the grown
+    * layout. The no-growth case returns the spec unchanged. */
+  private[graft] def grownSpec(
+      spark: org.apache.spark.sql.SparkSession,
+      spec: BucketSpec, projectedBytes: Long): BucketSpec = {
+    val target = spark.conf.getOption("spark.graft.targetBucketBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    var n = spec.nBuckets
+    while (projectedBytes / n > target && n < (1 << 20)) n *= 2
+    if (n == spec.nBuckets) spec else spec.copy(nBuckets = n)
+  }
+
   /** Roll a member table back to its manifest pin when (and only when)
     * orphan successors sit above it AND the pinned version still exists.
     * Both guards matter in degenerate repair states: a pin AHEAD of the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted 64-bit perceptual-signature index — the pixel/audio-side
@@ -14,17 +14,37 @@ import org.apache.spark.sql.functions._
   * single-digit-GB table while the payload bytes stay wherever they
   * live.
   *
-  * Storage (the [[IvfIndex]]/[[CorpusProfile]] manifest discipline,
-  * fourth instance):
-  *  - `<name>_sigs` — `(id, sig: long)`, the indexed corpus;
-  *  - `<name>_manifest` — one file pinning the sigs version, carrying
-  *    the SCREENING PARAMETER (`max_hamming` — the banding geometry
-  *    derives from it, so every screen uses the model's own budget
-  *    rather than trusting callers to repeat it) and the streaming
-  *    admission gate's `last_batch_id`. Mutations commit the member
-  *    first (an invisible orphan) and swap the manifest once; a crash
-  *    anywhere before the swap is invisible and the redelivered batch
-  *    folds exactly once ([[admitBatch]]).
+  * Storage (member tables pinned by `<name>_manifest` — the
+  * [[SignatureIndex]] overlay discipline with the screening PROJECTION
+  * persisted and bucketed, so a drain's read is pruned to the cells its
+  * batch hashes into instead of re-banding the full stored tier per
+  * micro-batch):
+  *
+  *  - `<name>_sigs` — `(id, sig: long)` (`(id, sig, q)` for a KEEPER
+  *    family), HASH-BUCKETED by id: the insert-only id screen reads only
+  *    the buckets the batch's ids hash into;
+  *  - `<name>_band` — `(id, chunk, value, sig[, q])`, one row per
+  *    signature chunk ([[Dedup.hammingBandedPairs]]' pigeonhole bands),
+  *    HASH-BUCKETED by (chunk, value): a hamming screen's candidates
+  *    read only the batch's probe cells' buckets — never a posexplode of
+  *    every stored signature. `sig` (and `q`) ride denormalized in the
+  *    row so the verify/score tail never fetches back from the sigs
+  *    tier;
+  *  - `<name>_delta` — the LSM memtable ([[SignatureIndex]]'s `_delta`):
+  *    each drain's admissions land here as ONE plain O(batch) linked
+  *    append instead of two bucketed tier appends; every screen unions
+  *    its pruned base read with the same projection derived IN-PLAN from
+  *    this small member (filtered by the identical bucket rule, so
+  *    hot-cell counts and candidates match a fold-merged tier exactly),
+  *    and the amortized fold absorbs it into the tiers;
+  *  - `<name>_rm` — tombstoned ids (a keeper fold's retirements);
+  *    compaction-bounded, broadcast-subtracted by every read, folded
+  *    into the base tiers past the policy bound;
+  *  - `<name>_manifest` — member pins + the SCREENING PARAMETER
+  *    (`max_hamming` — the banding geometry derives from it, so every
+  *    screen uses the model's own budget) + the streaming admission
+  *    gate's `last_batch_id`. Mutations commit members first (invisible
+  *    orphans) and swap the manifest once.
   *
   * The daily admission loop, for pixels:
   * {{{
@@ -34,27 +54,39 @@ import org.apache.spark.sql.functions._
   * PerceptualIndex.append(spark, novel, store, "imgs")
   * }}}
   *
-  * Scale shape: [[append]] commits ONLY the batch's 8-byte rows (linked
-  * members, [[OverlayLock.appendOrCompact]]); [[screen]] is the
-  * chunk-band pigeonhole equi-join of [[Dedup.hammingBandedPairsAgainst]]
-  * — batch-proportional work against a narrow projection of constant
-  * serving state, hot buckets capped on both sides.
+  * Scale shape: [[append]]/admission commit ONE plain O(batch) linked
+  * delta append; every screen reads a bounded set of constant-size
+  * buckets (∝ the batch's probe cells, independent of stored-corpus
+  * size — [[graft.PrunedScreenSpec]] measures it); the amortized fold
+  * is the one stored-size rewrite, paid every ~`OvlFrac` of growth. A
+  * legacy index persisted before the band tier existed (no `band_v` pin)
+  * falls back to deriving the projection from the full sigs read until
+  * its next full rewrite.
   */
 object PerceptualIndex {
 
   private def sigsTable(name: String) = s"${name}_sigs"
+  private def bandTable(name: String) = s"${name}_band"
+  private def deltaTable(name: String) = s"${name}_delta"
   // tombstone member (KEEPER families): ids whose base rows are retired by
   // replace-if-better folds — the read-time subtraction that keeps a
-  // replacement drain from rewriting the whole sigs member (the
-  // [[IvfIndex]]/[[PostingsIndex]] revision-overlay discipline, reduced to
-  // its removal half: replacements INSERT under new ids, so no shadow rows
-  // are needed, only retirements)
+  // replacement drain from rewriting the whole sigs member
   private def rmTable(name: String) = s"${name}_rm"
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
-  /** Tombstone-compaction policy — [[IvfIndex.OvlFrac]]'s rationale on
-    * the retired-id set's bytes vs the sigs member's. */
+  /** Default STARTING bucket counts: deliberately small — a screen's
+    * pruned read opens one file per touched bucket, so oversized counts
+    * tax every drain with near-empty file opens. Growth is automatic:
+    * every amortized fold doubles the count until the tier fits the
+    * per-bucket byte target ([[OverlayLock.grownSpec]]), so the
+    * pruned-read invariant holds at any corpus size without manual
+    * sizing. */
+  val SigBuckets: Int = 4
+  val BandBuckets: Int = 8
+
+  /** Tombstone/delta-compaction policy — [[IvfIndex.OvlFrac]]'s rationale
+    * on the retired-id set's (and memtable's) bytes vs the sigs member's. */
   private val RmFloorBytes: Long = IvfIndex.OvlFloorBytes
   private val RmFrac: Double = IvfIndex.OvlFrac
 
@@ -63,15 +95,20 @@ object PerceptualIndex {
     * carries a per-item quality column and mutates through
     * [[admitKeepBestBatch]]'s replace-if-better fold — the two layouts
     * never mix (plain folds on a quality index, or vice versa, fail
-    * loudly instead of corrupting the member schema). */
+    * loudly instead of corrupting the member schema). `band = None`
+    * marks a legacy pre-projection index (full-derive fallback);
+    * `dlt = None` ⇔ empty memtable. */
   private[graft] final case class PercManifest(
       sigs: Int, maxHamming: Int, lastBatchId: Long = -1L,
-      hasQuality: Boolean = false, rmSigs: Option[Int] = None)
+      hasQuality: Boolean = false, rmSigs: Option[Int] = None,
+      band: Option[Int] = None, dlt: Option[Int] = None)
 
   private def encodeManifest(m: PercManifest): String =
     s"""{"sigs_v":${m.sigs},"max_hamming":${m.maxHamming},""" +
       s""""has_quality":${if (m.hasQuality) 1 else 0},""" +
       s""""rm_sigs_v":${m.rmSigs.getOrElse(-1)},""" +
+      s""""band_v":${m.band.getOrElse(-1)},""" +
+      s""""dlt_v":${m.dlt.getOrElse(-1)},""" +
       s""""last_batch_id":${m.lastBatchId}}"""
 
   private def decodeManifest(s: String): PercManifest = {
@@ -82,13 +119,15 @@ object PerceptualIndex {
       val end = s.indexWhere(c => c == ',' || c == '}', from)
       s.substring(from, end).trim.toLong
     }
-    // absent = pre-quality/pre-tombstone manifest (older persisted index)
+    // absent = pre-quality/pre-tombstone/pre-projection manifest (older
+    // persisted index)
     def optAbsent(k: String): Option[Int] =
       if (s.indexOf("\"" + k + "\":") < 0) None
       else { val v = field(k); if (v < 0) None else Some(v.toInt) }
     val hasQ = s.indexOf("\"has_quality\":") >= 0 && field("has_quality") != 0L
     PercManifest(field("sigs_v").toInt, field("max_hamming").toInt,
-      field("last_batch_id"), hasQ, optAbsent("rm_sigs_v"))
+      field("last_batch_id"), hasQ, optAbsent("rm_sigs_v"),
+      optAbsent("band_v"), optAbsent("dlt_v"))
   }
 
   private[graft] def readManifest(
@@ -115,24 +154,178 @@ object PerceptualIndex {
 
   private def rollbackAll(store: TableStore, name: String, m: PercManifest): Unit = {
     OverlayLock.rollbackIfAhead(store, sigsTable(name), m.sigs)
+    m.band.foreach(OverlayLock.rollbackIfAhead(store, bandTable(name), _))
     m.rmSigs.foreach(OverlayLock.rollbackIfAhead(store, rmTable(name), _))
+    m.dlt.foreach(OverlayLock.rollbackIfAhead(store, deltaTable(name), _))
   }
 
-  /** The SERVED signature corpus: base ∖ tombstoned ids (a keeper fold's
-    * retirements — their base rows stay in the files until the amortized
-    * fold). The tombstone set is compaction-bounded, so it broadcasts
-    * into the anti-join; plain families have no pin and read the base
-    * directly. */
+  // ------------------------------------------------------------- projections
+
+  /** The chunk columns of [[Dedup.hammingBandedPairs]]' pigeonhole — the
+    * SAME bit slicing, so pruned candidates equal the ad-hoc screen's. */
+  private def chunkCols(maxHamming: Int): Seq[Column] = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    (0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+  }
+
+  /** The banding projection `(…, chunk, value)` of a sigs frame — the
+    * persisted tier's rows, also derived IN-PLAN from the small delta
+    * member so screens see base ∪ delta exactly as a fold-merged tier. */
+  private def bandedOf(sigs: DataFrame, maxHamming: Int): DataFrame =
+    sigs.select(col("*"),
+      posexplode(array(chunkCols(maxHamming): _*)).as(Seq("chunk", "value")))
+
+  private def sigSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(sigsTable(name)).getOrElse(
+      BucketSpec(SigBuckets, Seq("id"), sortCols = Seq("id")))
+  private def bandSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(bandTable(name)).getOrElse(
+      BucketSpec(BandBuckets, Seq("chunk", "value"), sortCols = Seq("chunk", "value")))
+
+  /** The buckets `keys` can hash into under `spec` — ONE narrow job,
+    * bounded by nBuckets (the [[SignatureIndex.touchedBuckets]] probe). */
+  private def touchedBuckets(spec: BucketSpec, keys: DataFrame): Seq[Int] =
+    keys.select(spec.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val s = new scala.collection.mutable.HashSet[Int]
+        it.foreach(r => s.add(r.getInt(0)))
+        s.iterator
+      }.collect().distinct.toSeq
+
+  /** A member tier PRUNED to `touched` buckets (directory-level pruning —
+    * unread buckets are never opened). */
+  private def prunedAt(
+      spark: SparkSession, store: TableStore, table: String, pin: Int,
+      touched: Seq[Int]): DataFrame = {
+    val raw = store.snapshotRawAt(spark, table, pin)
+    (if (touched.isEmpty) raw.filter(lit(false))
+     else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+      .drop("_bucket")
+  }
+
+  /** The delta member's full (small) frame, when one is pinned. */
+  private def deltaFrame(
+      spark: SparkSession, store: TableStore, name: String,
+      m: PercManifest): Option[DataFrame] =
+    m.dlt.map(dv => store.snapshotAt(spark, deltaTable(name), dv))
+
+  /** A tier PRUNED to `touched` buckets INCLUDING the delta member's
+    * contribution, filtered by the identical bucket rule — readers see
+    * precisely the rows a fold-merged tier would hold in those buckets
+    * (hot-cell exactness included: a cell's base and delta rows share one
+    * bucket id). */
+  private def prunedWithDelta(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
+      fromDelta: DataFrame => DataFrame): DataFrame = {
+    val base = prunedAt(spark, store, table, pin, touched)
+    deltaFrame(spark, store, name, m) match {
+      case None => base
+      case Some(d) =>
+        val derived = fromDelta(d)
+        base.unionByName(
+          if (touched.isEmpty) derived.filter(lit(false))
+          else derived.filter(
+            spec.bucketColumn.isin(touched.map(Integer.valueOf): _*)))
+    }
+  }
+
+  /** The broadcast tombstone-id subtraction every served read applies. */
+  private def minusRm(
+      spark: SparkSession, store: TableStore, name: String,
+      m: PercManifest)(df: DataFrame): DataFrame =
+    m.rmSigs match {
+      case None => df
+      case Some(pin) => df.join(broadcast(
+          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
+        Seq("id"), "left_anti")
+    }
+
+  /** Indexed sigs rows of the batch's id-buckets (base ∪ delta, NO
+    * tombstone subtraction — a retired id may not re-enter under its own
+    * name until the fold forgets it): the insert-only screen's read. */
+  private def indexedSigsForIds(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      ids: DataFrame): DataFrame = {
+    val spec = sigSpec(store, name)
+    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs, spec,
+      touchedBuckets(spec, ids), identity)
+  }
+
+  /** The SERVED signature corpus: (base ∪ delta) ∖ tombstoned ids — the
+    * manifest-consistent view folds and full reads derive from. */
   private def servedSigsAt(
       spark: SparkSession, store: TableStore, name: String,
       m: PercManifest): DataFrame = {
     val base = store.snapshotAt(spark, sigsTable(name), m.sigs)
-    m.rmSigs match {
-      case None => base
-      case Some(pin) => base.join(broadcast(
-          store.snapshotAt(spark, rmTable(name), pin).select(col("id"))),
-        Seq("id"), "left_anti")
+    minusRm(spark, store, name, m)(
+      deltaFrame(spark, store, name, m).map(base.unionByName(_)).getOrElse(base))
+  }
+
+  /** The SERVED banding projection restricted to the batch's probe cells:
+    * a bucket-pruned read of the persisted band tier ∪ the delta's
+    * in-plan projection, tombstones subtracted — exactly the rows
+    * `bandedOf(servedSigsAt)` holds in the touched buckets (candidates
+    * and hot-cell counts match, because a cell's rows all live in one
+    * bucket). Falls back to the full served derive on a legacy
+    * pre-projection layout. */
+  private def servedBandForCells(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      batchBanded: DataFrame): DataFrame =
+    m.band match {
+      case None => // legacy layout: derive from the full served view
+        bandedOf(servedSigsAt(spark, store, name, m), m.maxHamming)
+      case Some(pin) =>
+        val spec = bandSpec(store, name)
+        minusRm(spark, store, name, m)(
+          prunedWithDelta(spark, store, name, m, bandTable(name), pin, spec,
+            touchedBuckets(spec, batchBanded.select(col("chunk"), col("value"))),
+            d => bandedOf(d, m.maxHamming)))
     }
+
+  // -------------------------------------------------------- pruned screens
+
+  /** Batch-vs-stored hamming candidates from the PRUNED projection — the
+    * same chunk-band pigeonhole, hot caps and verify tail as
+    * [[Dedup.hammingBandedPairsAgainst]] (bit-equal results: the pruned
+    * stored side holds exactly the full projection's rows in the batch's
+    * cells, cells outside the batch produce no pairs, and a cell's
+    * hot-count is exact because its rows share one bucket). Extra stored
+    * columns (`q`) ride through to the output.
+    *
+    * @return (batch_id, stored_id, hamming ≤ maxHamming[, _sq]) */
+  private def prunedPairsAgainst(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      batch: DataFrame, maxBucketSize: Int,
+      carryQ: Boolean)(implicit caches: CacheScope): DataFrame = {
+    val sb = caches.pin(bandedOf(batch.select(col("id"), col("sig")), m.maxHamming))
+    val storedCols =
+      if (carryQ) Seq(col("id"), col("sig"), col("q"), col("chunk"), col("value"))
+      else Seq(col("id"), col("sig"), col("chunk"), col("value"))
+    val sc = caches.pin(
+      servedBandForCells(spark, store, name, m, sb).select(storedCols: _*))
+    def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
+      .select("chunk", "value")
+    val hot = hotSide(sb).union(hotSide(sc)).distinct()
+    val coldB = sb.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val coldC = sc.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val outCols = Seq(col("a.id").as("batch_id"), col("b.id").as("stored_id"),
+      graft.functions.TextFunctions.hamming64(col("a.sig"), col("b.sig"))
+        .as("hamming")) ++ (if (carryQ) Seq(col("b.q").as("_sq")) else Nil)
+    // the BATCH side is trigger-bounded — always the small side of this
+    // join — so broadcast it explicitly: the stored side (pruned buckets
+    // of a possibly-billion-item tier) must never shuffle for a screen,
+    // and size estimates over a bucket-pruned scan are too coarse to
+    // pick the right side automatically
+    broadcast(coldB).alias("a")
+      .join(coldC.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value"))
+      .select(outCols: _*)
+      .dropDuplicates("batch_id", "stored_id")
+      .filter(col("hamming") <= m.maxHamming)
   }
 
   private def sigShape(sigs: DataFrame): DataFrame = {
@@ -160,24 +353,48 @@ object PerceptualIndex {
 
   // ------------------------------------------------------------------ build
 
+  private def buildTiers(
+      spark: SparkSession, store: TableStore, name: String,
+      rows: DataFrame, maxHamming: Int,
+      sigBuckets: Int, bandBuckets: Int, expectedSigs: Option[Int],
+      expectedBand: Option[Int]): (Int, Int) = {
+    val sv = store.writeBucketed(rows, sigsTable(name),
+      BucketSpec(sigBuckets, Seq("id"), sortCols = Seq("id")), expectedSigs)
+    // derive the projection from the COMMITTED sigs (a parquet read) so
+    // the caller's input chain runs once, not twice
+    val committed = store.snapshotAt(spark, sigsTable(name), sv)
+    val bv = store.writeBucketed(bandedOf(committed, maxHamming), bandTable(name),
+      BucketSpec(bandBuckets, Seq("chunk", "value"),
+        sortCols = Seq("chunk", "value")), expectedBand)
+    (sv, bv)
+  }
+
   /** Persist `(id, sig)` rows (first two columns, any names) and the
     * screening budget. Rebuilding replaces the corpus; the admission
-    * gate survives, as in every family here. */
+    * gate survives, as in every family here. `sigBuckets`/`bandBuckets`
+    * are the clustered-table knob — size each to a constant per-bucket
+    * byte target at scale so screen reads stay corpus-size-independent. */
   def build(
       sigs: DataFrame,
       maxHamming: Int,
       store: TableStore,
-      name: String): Unit = {
+      name: String,
+      sigBuckets: Int = SigBuckets,
+      bandBuckets: Int = BandBuckets): Unit = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
-        val sv = store.write(sigShape(sigs), sigsTable(name))
+        val spark = sigs.sparkSession
+        val (sv, bv) = buildTiers(spark, store, name, sigShape(sigs),
+          maxHamming, sigBuckets, bandBuckets,
+          prev.map(_._1.sigs), prev.flatMap(_._1.band))
         commitManifest(store, name,
           PercManifest(sv, maxHamming,
-            prev.map(_._1.lastBatchId).getOrElse(-1L)), prev.map(_._2))
+            prev.map(_._1.lastBatchId).getOrElse(-1L), band = Some(bv)),
+          prev.map(_._2))
       }
     }
   }
@@ -185,24 +402,31 @@ object PerceptualIndex {
   /** [[build]] for a KEEPER family: persist `(id, sig, quality)` rows
     * (first three columns, any names) — the quality score is whatever
     * the pipeline's keeper rule ranks by (decoded width×height for
-    * images, the q137 RefinedWeb rule) and rides IN the member, so the
-    * replace-if-better fold ([[admitKeepBestBatch]]) compares arrivals
-    * against stored quality without re-decoding anything. */
+    * images, the q137 RefinedWeb rule) and rides IN the member (and
+    * denormalized in the projection rows), so the replace-if-better fold
+    * compares arrivals against stored quality without re-decoding
+    * anything. */
   def buildWithQuality(
       sigs: DataFrame,
       maxHamming: Int,
       store: TableStore,
-      name: String): Unit = {
+      name: String,
+      sigBuckets: Int = SigBuckets,
+      bandBuckets: Int = BandBuckets): Unit = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     withLock(store, name) {
       OverlayLock.retryOnConflict() {
         val prev = readManifest(store, name)
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
-        val sv = store.write(sigQualityShape(sigs), sigsTable(name))
+        val spark = sigs.sparkSession
+        val (sv, bv) = buildTiers(spark, store, name, sigQualityShape(sigs),
+          maxHamming, sigBuckets, bandBuckets,
+          prev.map(_._1.sigs), prev.flatMap(_._1.band))
         commitManifest(store, name,
           PercManifest(sv, maxHamming,
-            prev.map(_._1.lastBatchId).getOrElse(-1L), hasQuality = true),
+            prev.map(_._1.lastBatchId).getOrElse(-1L), hasQuality = true,
+            band = Some(bv)),
           prev.map(_._2))
       }
     }
@@ -221,9 +445,77 @@ object PerceptualIndex {
 
   // ---------------------------------------------------------- append/remove
 
+  /** When accumulated memtable/tombstone bytes have earned their
+    * amortized rewrite — file-metadata reads, no Spark job. The floor is
+    * conf-overridable (`spark.graft.foldFloorBytes`) so growth tests can
+    * exercise folds at test scale; the default keeps parquet's fixed
+    * per-file overhead from dominating tiny tiers. */
+  private def foldDue(
+      spark: SparkSession, store: TableStore, name: String,
+      m: PercManifest): Boolean = {
+    val floor = spark.conf.getOption("spark.graft.foldFloorBytes")
+      .map(_.toLong).getOrElse(RmFloorBytes)
+    val baseBytes = store.byteSizeAt(sigsTable(name), m.sigs)
+    val pending = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L) +
+      m.rmSigs.map(store.byteSizeAt(rmTable(name), _)).getOrElse(0L)
+    pending > math.max(floor.toDouble, RmFrac * baseBytes)
+  }
+
+  /** The memtable write: commit `fresh` to the delta member as ONE plain
+    * linked append — no shuffle, no bucketing, O(batch) bytes — instead
+    * of two bucketed tier appends per drain. */
+  private def appendDelta(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      fresh: DataFrame): Int =
+    m.dlt match {
+      case Some(pin) => OverlayLock.appendOrCompact(store, deltaTable(name), pin,
+        store.snapshotAt(spark, deltaTable(name), pin), fresh.coalesce(4))
+      case None => store.write(fresh.coalesce(4), deltaTable(name),
+        store.currentVersion(deltaTable(name)))
+    }
+
+  /** Amortized fold: rewrite the SERVED view — minus this batch's
+    * retirements, plus its admissions — into both bucketed tiers
+    * concurrently, clearing the tombstone and delta members in the same
+    * manifest swap. A legacy layout (no band pin) gains the projection
+    * tier here — its one full rewrite. */
+  private def foldAllTiers(
+      spark: SparkSession, store: TableStore, name: String,
+      m: PercManifest, admitted: DataFrame,
+      retired: Option[DataFrame]): PercManifest = {
+    val served = servedSigsAt(spark, store, name, m)
+    val keptPre = retired
+      .map(r => served.join(broadcast(r), Seq("id"), "left_anti"))
+      .getOrElse(served)
+    val kept = keptPre.unionByName(admitted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kept.count() // materialize once; both rewrites read the cache
+      // rebucket-at-fold: double each tier's bucket count past the
+      // per-bucket byte target (projected from the pre-fold on-disk
+      // bytes — within 2x is enough, the next fold corrects), so pruned
+      // reads stay constant-per-bucket as the corpus grows
+      val spark2 = kept.sparkSession
+      val grow = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L)
+      val sigBytes = store.byteSizeAt(sigsTable(name), m.sigs) + grow
+      val bandBytes = m.band.map(store.byteSizeAt(bandTable(name), _))
+        .getOrElse(0L) + grow * (m.maxHamming + 1)
+      val Seq(sv, bv) = OverlayLock.inParallel(Seq(
+        () => store.writeBucketed(kept, sigsTable(name),
+          OverlayLock.grownSpec(spark2, sigSpec(store, name), sigBytes),
+          Some(m.sigs)),
+        () => store.writeBucketed(bandedOf(kept, m.maxHamming), bandTable(name),
+          OverlayLock.grownSpec(spark2, bandSpec(store, name), bandBytes),
+          m.band.orElse(
+            store.currentVersion(bandTable(name)))))).map(_.asInstanceOf[Int])
+      m.copy(sigs = sv, band = Some(bv), rmSigs = None, dlt = None)
+    } finally kept.unpersist()
+  }
+
   /** Fold a signature batch into committed state — INSERT-ONLY by id
-    * (re-sent ids are no-ops), O(batch) linked member commit
-    * ([[OverlayLock.appendOrCompact]]), one manifest swap. */
+    * (re-sent ids are no-ops), ONE plain O(batch) memtable commit
+    * ([[appendDelta]]), one manifest swap; the bucketed tiers absorb the
+    * memtable at the amortized fold. */
   def append(
       spark: SparkSession,
       sigs: DataFrame,
@@ -246,7 +538,6 @@ object PerceptualIndex {
     requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val stored = servedSigsAt(spark, store, name, m)
     // the screen-then-admit fold: drop batch items within the persisted
     // budget of ANY stored signature, admit the rest — both halves read
     // the SAME pinned stored version, so the loop is one atomic decision
@@ -267,8 +558,11 @@ object PerceptualIndex {
                 Dedup.hammingBandedPairs(batch0, m.maxHamming, maxBucketSize)
                   .select(col("b_id").as("id")).distinct()),
               Seq("id"), "left_anti")
-          val dup = Dedup.hammingBandedPairsAgainst(preDeduped, stored,
-              m.maxHamming, maxBucketSize)
+          // candidates from the PRUNED projection (the served view's
+          // rows in the batch's probe cells — never a re-banding of the
+          // full stored tier)
+          val dup = prunedPairsAgainst(spark, store, name, m, preDeduped,
+              maxBucketSize, carryQ = false)
             .select(col("batch_id").as("id")).distinct()
           // materialize the survivor list before the scope's pins release
           val novel = preDeduped.join(broadcast(dup), Seq("id"), "left_anti")
@@ -278,25 +572,33 @@ object PerceptualIndex {
         } finally scope.release()
       }
     try {
+      // insert-only against the INDEXED id set (base ∪ delta, including
+      // tombstoned ids — they may not re-enter under their own name until
+      // the fold forgets them), read from the batch's id-buckets only
       val fresh = batch
-        .join(stored.select(col("id")), Seq("id"), "left_anti")
+        .join(indexedSigsForIds(spark, store, name, m, batch).select(col("id")),
+          Seq("id"), "left_anti")
         // at most one signature per id: a batch carrying an id twice (two
         // staged files in one trigger) indexes the smallest sig —
         // deterministic under any partitioning (the
         // PostingsIndex.tokenized canonicalization rationale; signatures
         // order directly, no digest needed)
         .groupBy(col("id")).agg(min(col("sig")).as("sig"))
-      val sv = OverlayLock.appendOrCompact(store, sigsTable(name), m.sigs,
-        stored, fresh)
+      val next =
+        if (foldDue(spark, store, name, m))
+          foldAllTiers(spark, store, name, m, fresh, None)
+        else m.copy(dlt = Some(appendDelta(spark, store, name, m, fresh)))
       commitManifest(store, name,
-        m.copy(sigs = sv, lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
       true
     } finally if (screenFirst) batch.unpersist()
   }
 
   /** Takedown: next sigs version without the given ids — after removal a
     * future arrival resembling only the removed items is admitted again
-    * (the screen's memory genuinely forgets). Returns rows removed. */
+    * (the screen's memory genuinely forgets). Rewrites both tiers (the
+    * amortized-rewrite class), folding any pending memtable/tombstones.
+    * Returns rows removed. */
   def remove(
       spark: SparkSession,
       ids: DataFrame,
@@ -308,15 +610,25 @@ object PerceptualIndex {
         rollbackAll(store, name, m)
         val drop = broadcast(ids.select(col(ids.columns.head).as("_rm_id")).distinct())
         // the takedown rewrite serves double duty: the SERVED view minus
-        // the dropped ids folds any keeper tombstones into the base, and
-        // the swap clears the pin
+        // the dropped ids folds keeper tombstones + the memtable into the
+        // base, and the swap clears the pins
         val stored = servedSigsAt(spark, store, name, m)
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
-        val before = stored.count()
-        val keptN = kept.count()
-        val sv = store.write(kept, sigsTable(name), Some(m.sigs))
-        commitManifest(store, name, m.copy(sigs = sv, rmSigs = None), Some(mv))
-        before - keptN
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val before = stored.count()
+          val keptN = kept.count()
+          val Seq(sv, bv) = OverlayLock.inParallel(Seq(
+            () => store.writeBucketed(kept, sigsTable(name),
+              sigSpec(store, name), Some(m.sigs)),
+            () => store.writeBucketed(bandedOf(kept, m.maxHamming), bandTable(name),
+              bandSpec(store, name), m.band.orElse(
+                store.currentVersion(bandTable(name)))))).map(_.asInstanceOf[Int])
+          commitManifest(store, name,
+            m.copy(sigs = sv, band = Some(bv), rmSigs = None, dlt = None),
+            Some(mv))
+          before - keptN
+        } finally kept.unpersist()
       }
     }
 
@@ -420,15 +732,13 @@ object PerceptualIndex {
     * B(q10), B~C(q11) with A far from C, both A and B die and only C
     * admits, where sequential folds would keep A: the kept set is not a
     * maximal independent set, the [[admitNovelBatch]] caveat).
-    * Cost shape: the screen is the banded batch-vs-stored
-    * join; EVERY drain commits O(batch ∪ tombstones) — admissions are
-    * linked appends to the base, retirements land in the compaction-
-    * bounded tombstone member that every read subtracts
-    * (base ∖ retired ids), and past `max(1 MiB, base/8)` the
-    * tombstones ride the next drain into an amortized base rewrite —
-    * the [[IvfIndex]] revision-overlay discipline reduced to its
-    * removal half, since replacements insert under NEW ids and need no
-    * shadow rows. Returns true when folded, false on replay. */
+    * Cost shape: the screen reads the batch's probe cells from the
+    * persisted projection; EVERY drain commits O(batch ∪ tombstones) —
+    * admissions are ONE plain memtable append, retirements land in the
+    * compaction-bounded tombstone member that every read subtracts
+    * (base ∖ retired ids), and past the policy bound the pending members
+    * ride the next drain into an amortized tier rewrite. Returns true
+    * when folded, false on replay. */
   def admitKeepBestBatch(
       spark: SparkSession,
       sigs: DataFrame,
@@ -468,17 +778,18 @@ object PerceptualIndex {
     requireQuality(m, name, "a replace-if-better fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    val stored = servedSigsAt(spark, store, name, m)
     implicit val scope: CacheScope = new CacheScope
     // in-batch id duplicates: highest quality wins, ties to smallest sig
     // (deterministic under any partitioning); a re-sent EXISTING id is a
     // no-op whole — the insert-only contract, which also keeps a
     // tombstoned id from re-entering the base under its own name and
-    // being silently hidden by the subtraction (base ids ⊇ retired ids
-    // until the fold, so one anti-join covers both)
-    val batch0 = sigQualityShape(sigs)
-      .join(store.snapshotAt(spark, sigsTable(name), m.sigs).select(col("id")),
-        Seq("id"), "left_anti")
+    // being silently hidden by the subtraction (indexed ids ⊇ retired ids
+    // until the fold, so one anti-join covers both). The id screen reads
+    // only the batch's id-buckets.
+    val batch0pre = sigQualityShape(sigs)
+    val batch0 = batch0pre
+      .join(indexedSigsForIds(spark, store, name, m, batch0pre)
+        .select(col("id")), Seq("id"), "left_anti")
       .groupBy(col("id"))
       .agg(min_by(struct(col("sig"), col("q")),
         struct(-col("q"), col("sig"))).as("_w"))
@@ -504,12 +815,11 @@ object PerceptualIndex {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     try {
-      // every (arrival, stored) pair within the persisted budget, scored
-      val scored = Dedup.hammingBandedPairsAgainst(
-          batch.select(col("id"), col("sig")), stored,
-          m.maxHamming, maxBucketSize)
-        .join(stored.select(col("id").as("stored_id"), col("q").as("_sq")),
-          Seq("stored_id"))
+      // every (arrival, stored) pair within the persisted budget, scored —
+      // stored quality rides denormalized in the projection rows, so the
+      // screen never re-reads the sigs tier for it
+      val scored = prunedPairsAgainst(spark, store, name, m,
+        batch.select(col("id"), col("sig")), maxBucketSize, carryQ = true)
       // admit iff no match holds quality >= the arrival's
       val admitted = batch
         .join(scored.groupBy(col("batch_id")).agg(max(col("_sq")).as("_best"))
@@ -525,43 +835,32 @@ object PerceptualIndex {
           .select(col("stored_id").as("id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // fold-vs-tombstone on the PRE-batch tombstone size (file-
-          // metadata reads) — the IvfIndex.upsertStamped policy on the
-          // retired-id set
-          val rmFull = m.rmSigs.exists { pin =>
-            store.byteSizeAt(rmTable(name), pin) > math.max(
-              RmFloorBytes.toDouble,
-              RmFrac * store.byteSizeAt(sigsTable(name), m.sigs))
-          }
           val next =
-            if (rmFull) {
+            if (foldDue(spark, store, name, m))
               // amortized fold: the served view minus this batch's
-              // retirements plus its admissions, tombstone pin cleared
-              val sv = store.write(
-                stored.join(broadcast(removedIds), Seq("id"), "left_anti")
-                  .unionByName(admitted),
-                sigsTable(name), Some(m.sigs))
-              m.copy(sigs = sv, rmSigs = None)
-            } else {
-              // O(batch ∪ tombstones): admissions link-append to the
-              // BASE (insert-only ids never collide with retired rows
-              // still in the files), retirements merge into the small
-              // tombstone member
-              val sv = OverlayLock.appendOrCompact(store, sigsTable(name),
-                m.sigs,
-                store.snapshotAt(spark, sigsTable(name), m.sigs), admitted)
-              val rv =
-                if (removedIds.isEmpty) m.rmSigs
-                else Some(m.rmSigs match {
-                  case Some(p) => store.write(
-                    store.snapshotAt(spark, rmTable(name), p)
-                      .select(col("id"))
-                      .unionByName(removedIds).distinct().coalesce(4),
-                    rmTable(name), Some(p))
-                  case None => store.write(removedIds.coalesce(4),
-                    rmTable(name), store.currentVersion(rmTable(name)))
-                })
-              m.copy(sigs = sv, rmSigs = rv)
+              // retirements plus its admissions, memtable + tombstone
+              // pins cleared
+              foldAllTiers(spark, store, name, m, admitted, Some(removedIds))
+            else {
+              // O(batch ∪ tombstones): admissions are ONE plain memtable
+              // append, retirements merge into the small tombstone member
+              // — two independent tables, committed concurrently
+              val rmEmpty = removedIds.isEmpty
+              val results = OverlayLock.inParallel(Seq(
+                () => appendDelta(spark, store, name, m, admitted)) ++
+                (if (rmEmpty) Seq.empty
+                 else Seq(() => m.rmSigs match {
+                   case Some(p) => store.write(
+                     store.snapshotAt(spark, rmTable(name), p)
+                       .select(col("id"))
+                       .unionByName(removedIds).distinct().coalesce(4),
+                     rmTable(name), Some(p))
+                   case None => store.write(removedIds.coalesce(4),
+                     rmTable(name), store.currentVersion(rmTable(name)))
+                 })))
+              val rv = if (rmEmpty) m.rmSigs
+                else Some(results.last.asInstanceOf[Int])
+              m.copy(dlt = Some(results.head.asInstanceOf[Int]), rmSigs = rv)
             }
           commitManifest(store, name,
             next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)),
@@ -620,10 +919,12 @@ object PerceptualIndex {
   }
 
   /** Admission screen, served from committed state: every (batch item,
-    * stored item) pair within the INDEX'S hamming budget —
-    * [[Dedup.hammingBandedPairsAgainst]] with the persisted parameter,
-    * the stored side a manifest-pinned 8-byte-per-item read. Callers
-    * aggregate to an admit/reject flag or a match count (q130's tail).
+    * stored item) pair within the INDEX'S hamming budget — the
+    * [[Dedup.hammingBandedPairsAgainst]] semantics with the persisted
+    * parameter, the stored side a bucket-pruned read of the persisted
+    * banding projection (never a re-banding of the full stored tier).
+    * Callers aggregate to an admit/reject flag or a match count (q130's
+    * tail).
     *
     * @return (batch_id, stored_id, hamming ≤ stored max_hamming) */
   def screen(
@@ -633,9 +934,7 @@ object PerceptualIndex {
       name: String,
       maxBucketSize: Int = 200)(implicit caches: CacheScope): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    Dedup.hammingBandedPairsAgainst(
-      sigShape(batchSigs),
-      servedSigsAt(spark, store, name, m),
-      m.maxHamming, maxBucketSize)
+    prunedPairsAgainst(spark, store, name, m, sigShape(batchSigs),
+      maxBucketSize, carryQ = false)
   }
 }

@@ -89,10 +89,12 @@ object PostingsIndex {
   private val OvlFloorBytes: Long = IvfIndex.OvlFloorBytes
   private val OvlFrac: Double = IvfIndex.OvlFrac
 
-  /** Default doc_id-hash bucket count for the docs tier. At 100 TB the
-    * caller sizes this to a constant per-bucket byte target
-    * ([[build]]'s `docBuckets`); the default suits the test SFs. */
-  val DocBuckets: Int = 32
+  /** Default STARTING doc_id-hash bucket count for the docs tier —
+    * deliberately small (a keyed read opens one file per touched
+    * bucket); every amortized fold doubles it past the per-bucket byte
+    * target ([[OverlayLock.grownSpec]]), so the pruned-read invariant
+    * holds at any corpus size without manual sizing. */
+  val DocBuckets: Int = 8
 
   /** Small batches additionally push their EXACT id set into the scan
     * (Spark plants it as a parquet In / min-max range filter), so a
@@ -111,10 +113,11 @@ object PostingsIndex {
     store.bucketSpec(docsTable(name)).getOrElse(
       BucketSpec(DocBuckets, Seq("doc_id"), sortCols = Seq("doc_id")))
 
-  /** Default term-hash bucket count for the termstats tier — the same
-    * clustered-table rule as [[DocBuckets]], keyed by term so a serve
-    * read prunes to the QUERY's term buckets ([[termDfForTerms]]). */
-  val TermBuckets: Int = 32
+  /** Default STARTING term-hash bucket count for the termstats tier —
+    * the same grow-at-fold rule as [[DocBuckets]], keyed by term so a
+    * serve read prunes to the QUERY's term buckets
+    * ([[termDfForTerms]]). */
+  val TermBuckets: Int = 8
 
   /** The termstats tier's recorded bucket layout (term-hash buckets,
     * term-sorted within files); a legacy plain layout upgrades at its
@@ -317,12 +320,20 @@ object PostingsIndex {
       // fold from the RAW base ∪ delta ∪ batch union with ONE final
       // clamp — clamping the served view first and again after the batch
       // merge would forgive a transiently negative cell before a later
-      // positive delta lands (over-counting vs a one-shot merge)
+      // positive delta lands (over-counting vs a one-shot merge).
+      // Rebucket-at-fold: the term count grows with the vocabulary
+      // (Heaps' law), so the fold doubles the bucket count past the
+      // per-bucket byte target ([[OverlayLock.grownSpec]]).
+      val projected = store.byteSizeAt(termStatsTable(name), m.termStats) +
+        m.dltTermStats.map(store.byteSizeAt(dltTermStatsTable(name), _))
+          .getOrElse(0L)
       val tv = store.writeBucketed(
         rawTermRows(spark, store, name, m).unionByName(delta)
           .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
           .filter(col("df") > 0),
-        termStatsTable(name), termSpec(store, name), Some(m.termStats))
+        termStatsTable(name),
+        OverlayLock.grownSpec(spark, termSpec(store, name), projected),
+        Some(m.termStats))
       (tv, None)
     } else {
       val dv = m.dltTermStats match {
@@ -683,7 +694,14 @@ object PostingsIndex {
               docsAt(spark, store, name, m)
                 .join(batchIds, Seq("doc_id"), "left_anti")
                 .unionByName(docRowsOf(fresh)),
-              docsTable(name), docSpec(store, name), Some(m.docs))))
+              docsTable(name),
+              // rebucket-at-fold (OverlayLock.grownSpec): hold the
+              // per-bucket byte target as the corpus grows
+              OverlayLock.grownSpec(spark, docSpec(store, name),
+                store.byteSizeAt(docsTable(name), m.docs) +
+                  m.ovlDocs.map(store.byteSizeAt(ovlDocsTable(name), _))
+                    .getOrElse(0L)),
+              Some(m.docs))))
           val (tv, dltv) = tvA.asInstanceOf[(Int, Option[Int])]
           m.copy(postings = pvA.asInstanceOf[Int], docs = dvA.asInstanceOf[Int],
             ovlPostings = None, ovlDocs = None,

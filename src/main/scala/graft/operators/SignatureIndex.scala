@@ -82,11 +82,16 @@ object SignatureIndex {
   private def manifestTable(name: String) = s"${name}_manifest"
   private val manifestFile = "manifest.json"
 
-  /** Default bucket counts for the test SFs; size each to a constant
-    * per-bucket byte target at scale ([[build]]'s parameters). */
-  val SigBuckets: Int = 32
-  val PosBuckets: Int = 64
-  val BandBuckets: Int = 64
+  /** Default STARTING bucket counts: deliberately small — a screen's
+    * pruned read opens one file per touched bucket, so oversized counts
+    * tax every drain with near-empty file opens. Growth is automatic:
+    * every amortized fold doubles a tier's count until it fits the
+    * per-bucket byte target ([[OverlayLock.grownSpec]]), so the
+    * pruned-read invariant holds at any corpus size without manual
+    * sizing. */
+  val SigBuckets: Int = 8
+  val PosBuckets: Int = 16
+  val BandBuckets: Int = 16
 
   final case class Params(shingleN: Int, numHashes: Int, bands: Int) {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
@@ -466,13 +471,27 @@ object SignatureIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       kept.count() // materialize once; the three rewrites read the cache
+      // rebucket-at-fold: double each tier's bucket count past the
+      // per-bucket byte target ([[OverlayLock.grownSpec]]) so pruned
+      // reads stay constant-per-bucket as the corpus grows (projected
+      // from the pre-fold on-disk bytes — within 2x is enough, the next
+      // fold corrects)
+      val spark2 = kept.sparkSession
+      val grow = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L)
+      def projected(table: String, pin: Int, mult: Long): Long =
+        store.byteSizeAt(table, pin) + grow * mult
       val Seq(sv, pv, bv) = OverlayLock.inParallel(Seq(
         () => store.writeBucketed(kept, sigsTable(name),
-          sigSpec(store, name), Some(m.sigs)),
+          OverlayLock.grownSpec(spark2, sigSpec(store, name),
+            projected(sigsTable(name), m.sigs, 1L)), Some(m.sigs)),
         () => store.writeBucketed(positionsOf(kept), posTable(name),
-          posSpec(store, name), Some(m.pos)),
+          OverlayLock.grownSpec(spark2, posSpec(store, name),
+            projected(posTable(name), m.pos, p.numHashes.toLong)),
+          Some(m.pos)),
         () => store.writeBucketed(bandedOf(kept, p), bandTable(name),
-          bandSpec(store, name), Some(m.band)))).map(_.asInstanceOf[Int])
+          OverlayLock.grownSpec(spark2, bandSpec(store, name),
+            projected(bandTable(name), m.band, p.bands.toLong)),
+          Some(m.band)))).map(_.asInstanceOf[Int])
       commitManifest(store, name,
         m.copy(sigs = sv, pos = pv, band = bv,
           nLive = m.nLive + admittedN - retiredN, nRm = 0L, rm = None,

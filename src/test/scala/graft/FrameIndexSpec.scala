@@ -118,8 +118,10 @@ class FrameIndexSpec extends SparkSpec {
     assert(FrameIndex.admitBatch(spark, b0, 0L, store, "vid"), "first batch folds")
     assert(!FrameIndex.admitBatch(spark, b0, 0L, store, "vid"), "replay refused")
     assert(FrameIndex.frames(spark, store, "vid").count() === 48)
+    // a drain's admissions now land in the DELTA memtable (one plain
+    // linked append) — inject the crash on IT and verify the manifest gate
     val b1 = frameDf(video(52, id = 220L))
-    store.failTable = Some("vid_frames")
+    store.failTable = Some("vid_delta")
     intercept[RuntimeException] {
       FrameIndex.admitBatch(spark, b1, 1L, store, "vid")
     }

@@ -91,10 +91,11 @@ class PerceptualIndexSpec extends SparkSpec {
     assert(PerceptualIndex.admitBatch(spark, b0, 0L, store, "img"), "first batch folds")
     assert(!PerceptualIndex.admitBatch(spark, b0, 0L, store, "img"), "replay refused")
     assert(PerceptualIndex.signatures(spark, store, "img").count() === 12)
-    // crash between the sigs member commit... the member is the only
-    // data table, so inject on IT and verify the manifest gate
+    // crash between the member data commit and the manifest swap — a
+    // drain's admissions now land in the DELTA memtable (one plain
+    // linked append), so inject on IT and verify the manifest gate
     val b1 = sigDf(Seq((220L, sig(52))))
-    store.failTable = Some("img_sigs")
+    store.failTable = Some("img_delta")
     intercept[RuntimeException] {
       PerceptualIndex.admitBatch(spark, b1, 1L, store, "img")
     }

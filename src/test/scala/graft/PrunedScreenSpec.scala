@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CacheScope, SignatureIndex, TableStore}
+import graft.operators.{CacheScope, FrameIndex, PerceptualIndex, SignatureIndex, TableStore}
 import SignatureIndex.Params
 
 /** The admission SCREENS' read-cost contract — the [[PrunedReadSpec]]
@@ -103,6 +103,80 @@ class PrunedScreenSpec extends SparkSpec {
     assert(dSmall > 0 && dBig > 0)
     assert(dBig < 3L * dSmall,
       s"10x the stored index must not move the Jaccard screen's bytes read: $dSmall -> $dBig")
+    scope.release()
+  }
+
+  /** Deterministic well-separated 64-bit signatures (the
+    * [[PerceptualIndexSpec]] family): distinct high bits per group, low
+    * bits for within-group perturbation. */
+  private def psig(group: Int, perturb: Int = 0): Long =
+    (0x9E3779B97F4A7C15L * (group + 1)) & ~0x3FL | (perturb.toLong & 0x3FL)
+
+  test("perceptual screen reads ∝ batch probe cells — flat at 10x stored index") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    val small = new TableStore(tmpDir("scr-perc-s"))
+    val big = new TableStore(tmpDir("scr-perc-b"))
+    // 1x and 10x corpora, bucket counts scaled alongside (per-bucket
+    // byte target held — the clustered-table rule)
+    PerceptualIndex.build(
+      (0 until 400).map(g => (g * 10L, psig(g))).toDF("id", "sig"),
+      maxHamming = 6, small, "img", sigBuckets = 8, bandBuckets = 32)
+    PerceptualIndex.build(
+      (0 until 4000).map(g => (g * 10L, psig(g))).toDF("id", "sig"),
+      maxHamming = 6, big, "img", sigBuckets = 80, bandBuckets = 320)
+    // 2-item probe: one near-copy of stored group 7, one novel item
+    val batch = Seq((100000L, psig(7, 3)), (100001L, psig(999999)))
+      .toDF("id", "sig")
+    val dSmall = measure(
+      PerceptualIndex.screen(spark, batch, small, "img").count())
+    val dBig = measure(
+      PerceptualIndex.screen(spark, batch, big, "img").count())
+    assert(dSmall > 0 && dBig > 0, "the screen must actually read")
+    assert(dBig < 3L * dSmall,
+      s"10x the stored index must not move the perceptual screen's bytes read: $dSmall -> $dBig")
+    // never a corpus-wide re-banding: reads stay a sliver of the big
+    // store's band + sigs tiers
+    val (m, _) = PerceptualIndex.readManifest(big, "img").get
+    val corpusBytes = big.byteSizeAt("img_band", m.band.get) +
+      big.byteSizeAt("img_sigs", m.sigs)
+    assert(dBig < corpusBytes / 2,
+      s"a screen drain ($dBig B) must not scan the stored tiers ($corpusBytes B)")
+    scope.release()
+  }
+
+  /** Frame-family signatures: distinct high bits per (group, frame). */
+  private def fsig(group: Int, frame: Int, perturb: Int = 0): Long =
+    (0x9E3779B97F4A7C15L * (group * 31 + frame * 7 + 1)) & ~0x3FL |
+      (perturb.toLong & 0x3FL)
+
+  test("frame containment screen reads ∝ batch probe cells — flat at 10x stored index") {
+    implicit val scope: CacheScope = new CacheScope
+    val s = spark; import s.implicits._
+    def corpus(n: Int) = (0 until n).flatMap(g =>
+      (0 until 4).map(f => (g * 10L, f, fsig(g, f)))).toDF("id", "frame", "sig")
+    val small = new TableStore(tmpDir("scr-frame-s"))
+    val big = new TableStore(tmpDir("scr-frame-b"))
+    FrameIndex.build(corpus(200), maxHamming = 6, minContainment = 0.75,
+      small, "vid", frameBuckets = 8, bandBuckets = 32)
+    FrameIndex.build(corpus(2000), maxHamming = 6, minContainment = 0.75,
+      big, "vid", frameBuckets = 80, bandBuckets = 320)
+    // 2-video probe: one re-encode of stored video 7, one novel video
+    val batch = ((0 until 4).map(f => (100000L, f, fsig(7, f, 3))) ++
+      (0 until 4).map(f => (100001L, f, fsig(888888, f))))
+      .toDF("id", "frame", "sig")
+    val dSmall = measure(
+      FrameIndex.screen(spark, batch, small, "vid").count())
+    val dBig = measure(
+      FrameIndex.screen(spark, batch, big, "vid").count())
+    assert(dSmall > 0 && dBig > 0, "the screen must actually read")
+    assert(dBig < 3L * dSmall,
+      s"10x the stored index must not move the frame screen's bytes read: $dSmall -> $dBig")
+    val (m, _) = FrameIndex.readManifest(big, "vid").get
+    val corpusBytes = big.byteSizeAt("vid_band", m.band.get) +
+      big.byteSizeAt("vid_frames", m.frames)
+    assert(dBig < corpusBytes / 2,
+      s"a screen drain ($dBig B) must not scan the stored tiers ($corpusBytes B)")
     scope.release()
   }
 
