@@ -63,15 +63,22 @@ object Bench {
     val retryEnabled = loadBefore >= 0 && loadBefore < retryLoadCap
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      def onePass(): Double = {
+      // per-PASS loadavg (sampled when the pass ends): noise adjudication
+      // per query instead of per run — a pass that ran under a loaded
+      // host is visible next to its own time, so a "regression" whose
+      // slow passes all carry high loadavg reads as interference, not
+      // code (additions-only: passes_raw and every existing field are
+      // untouched)
+      def onePass(): (Double, Double) = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, hostLoad()._1)
       }
       val base = (1 to basePasses).map(_ => onePass())
       val times =
-        if (!failed && retryEnabled && base.max > 2 * base.min) base :+ onePass()
+        if (!failed && retryEnabled && base.map(_._1).max > 2 * base.map(_._1).min)
+          base :+ onePass()
         else base
       // Release this query's app-lifetime cache pins before the next query
       // starts: with 85 queries in one JVM the pins otherwise accumulate
@@ -97,33 +104,40 @@ object Bench {
     // A failed query's elapsed time is its (fast) failure path, not a plan
     // cost — nulling it keeps a query that starts throwing from reading as
     // a speedup. Failures are named, not just counted.
-    def qJson(name: String, times: Seq[Double], ok: Boolean): String = {
-      val raw = times.map(t => f"$t%.4f").mkString("[", ",", "]")
-      s""""$name":{"sec":${if (ok) f"${times.min}%.4f" else "null"},""" +
-        s""""passes_raw":$raw,"ok":$ok}"""
+    def qJson(name: String, times: Seq[(Double, Double)], ok: Boolean): String = {
+      val raw = times.map(t => f"${t._1}%.4f").mkString("[", ",", "]")
+      val loads = times.map(t => f"${t._2}%.2f").mkString("[", ",", "]")
+      s""""$name":{"sec":${if (ok) f"${times.map(_._1).min}%.4f" else "null"},""" +
+        s""""passes_raw":$raw,"passes_loadavg":$loads,"ok":$ok}"""
     }
     // legacy flat map (driver contract): failed queries omitted so they
     // can't deflate the headline total
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v.min }
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v.map(_._1).min }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v, ok) => qJson(k, v, ok) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v.min }.sum
+    val total = results.collect { case (_, v, true) => v.map(_._1).min }.sum
     val nOk = results.count(_._3)
     val failedNames = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val json =
+    val head =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_detail":$detail,"sf":"$sfDir","passes":$basePasses,""" +
+        s""""sf":"$sfDir","passes":$basePasses,""" +
         s""""third_pass_when_spread_gt":2.0,"retry_enabled":$retryEnabled,""" +
         s""""retry_loadavg_cap":$retryLoadCap,"n_queries":${results.size},""" +
         s""""n_ok":$nOk,"failed":$failedNames,"cpus":$cpus,""" +
         s""""host_cpus":$cpusBefore,"loadavg_before":$loadBefore,""" +
-        s""""loadavg_after":$loadAfter}"""
-    // stdout line (driver log-tail contract) AND a structured file, so the
-    // driver's BENCH_r{N}.json "parsed" field never depends on regexing sbt
-    // output from the log.
-    println(json)
+        s""""loadavg_after":$loadAfter"""
+    // Tail-truncation safety (the r17 driver capture lost its per-query
+    // comparison to a mid-JSON cut): stdout now prints the BULKY per-pass
+    // detail on its own line FIRST and the contract line — all required
+    // fields plus the full queries map, ~¼ the bytes — LAST, so a
+    // fixed-byte tail capture always holds the contract line intact.
+    // Additions-only: every previously emitted field still appears, and
+    // BENCH.json keeps the single combined object exactly as before.
+    val json = head + s""","queries_detail":$detail}"""
+    println(s"""{"queries_detail":$detail}""")
+    println(head + "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }

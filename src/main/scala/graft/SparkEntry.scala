@@ -3174,19 +3174,28 @@ object SparkEntry {
     "q96_stream_enrich" -> ((s, dir) => {
       val st = prepareEventStage(s, dir)
       val root = newTmpDir("graft_q96run").toString
+      // QUERY-lifetime dimension cache: micro-batch execution re-plans
+      // the stream-static join per drain, so each of the ~6 drains
+      // otherwise re-SCANS the static dimension parquet to rebuild its
+      // broadcast (guide §3.1). The pin lives inside the timed query —
+      // built fresh on every invocation, released before it returns —
+      // so every bench pass still computes from the parquet inputs.
       val dim = t(s, dir, "customer").select(
         col("c_custkey").cast("long").as("user_id"),
         col("c_mktsegment").as("segment"))
-      val enriched = graft.streaming.EventStreams.enrich(
-        s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
-          .parquet(st.stageDir),
-        dim, Seq("user_id"))
-      enriched.writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/chk")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val enriched = graft.streaming.EventStreams.enrich(
+          s.readStream.schema(st.schema).option("maxFilesPerTrigger", "1")
+            .parquet(st.stageDir),
+          dim, Seq("user_id"))
+        enriched.writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } finally dim.unpersist()
       s.read.parquet(s"$root/out")
         .filter(col("event_type") =!= "flush")
         .groupBy(col("event_type"), col("segment"))

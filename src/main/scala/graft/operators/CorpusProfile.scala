@@ -528,20 +528,36 @@ object CorpusProfile {
         .top_k_pairs_distinct(-col("hv").cast("double"), col("hv"), k).as("tk"))
       .select(col("group"), explode(col("tk.neighbor_id")).as("hv"))
 
+    // the two member commits touch independent tables (separate staging
+    // dirs, separate locks). The kmv commit is submitted FIRST so it
+    // overlaps the level fold's canonical-level probe — foldLevelState
+    // runs a driver-side collect job BEFORE its member write can even be
+    // submitted, and serializing probe → paired-writes stacked that full
+    // job latency onto every drain (§2.6: overlap independent jobs).
+    // Per-batch wall time is now max(kmv write, probe + lvl write), and
+    // as before no commit is still in flight when the caller acts on a
+    // failure (a retry that rolled back a table while our own write was
+    // mid-commit would race ourselves).
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = memberCommitEc
+    val kvF = Future(store.write(kmvMerged, kmvTable(name), Some(kmvPin)))
+    val inf = scala.concurrent.duration.Duration.Inf
     // level sample: re-derive the canonical minimal level over
     // (stored survivors ∪ batch) — correctness argument in the scaladoc
-    val lvlStored = store.snapshotAt(spark, lvlTable(name), lvlPin)
-    val lvlMerged = foldLevelState(lvlStored,
-      levelInputRows(batch, groupCol, idCol, numCol), b)
-
-    // the two member commits touch independent tables (separate staging
-    // dirs, separate locks): submit both write jobs concurrently — the
-    // per-batch wall time is the slower of the two, not their sum. A
-    // half-failed pair is just the crash-orphan state the manifest swap
-    // below never observes and the next fold's rollback cleans up.
-    val (kv, lv) = commitMembersPaired(
-      store.write(kmvMerged, kmvTable(name), Some(kmvPin)),
-      store.write(lvlMerged, lvlTable(name), Some(lvlPin)))
+    val lvT = scala.util.Try {
+      val lvlStored = store.snapshotAt(spark, lvlTable(name), lvlPin)
+      val lvlMerged = foldLevelState(lvlStored,
+        levelInputRows(batch, groupCol, idCol, numCol), b)
+      store.write(lvlMerged, lvlTable(name), Some(lvlPin))
+    }
+    val kvT = Await.ready(kvF, inf).value.get
+    val (kv, lv) = (kvT, lvT) match {
+      case (scala.util.Success(a), scala.util.Success(bv)) => (a, bv)
+      case _ =>
+        val failures = Seq(kvT, lvT).collect { case scala.util.Failure(e) => e }
+        throw failures.find(_.isInstanceOf[VersionConflictException])
+          .getOrElse(failures.head)
+    }
 
     commitManifest(spark, store, name,
       m.copy(kmv = Some(kv), lvl = Some(lv),

@@ -207,6 +207,41 @@ object FrameIndex {
         s.iterator
       }.collect().distinct.toSeq
 
+  /** BOTH tiers' touched buckets from ONE narrow job over the (pinned)
+    * batch's banding projection — the frames tier's id-buckets and the
+    * band tier's (chunk, value)-cell buckets fused, one probe round-trip
+    * per drain instead of two (the [[SignatureIndex.touchedBucketsPair]]
+    * discipline on the frame family). Probing from the PRE-anti-join
+    * batch is superset-safe: a wider bucket list reads whole extra
+    * cells, an unprobed cell produces no candidate pairs, and per-cell
+    * hot counts are exact for every read cell either way. */
+  private def touchedBucketsPair(
+      specA: BucketSpec, specB: BucketSpec, rows: DataFrame): (Seq[Int], Seq[Int]) = {
+    val both = rows.select(specA.bucketColumn.as("_a"), specB.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val a = new scala.collection.mutable.HashSet[Int]
+        val b = new scala.collection.mutable.HashSet[Int]
+        it.foreach { r => a.add(r.getInt(0)); b.add(r.getInt(1)) }
+        Iterator.single((a.toArray, b.toArray))
+      }.collect()
+    (both.flatMap(_._1).distinct.toSeq, both.flatMap(_._2).distinct.toSeq)
+  }
+
+  /** The batch's banding projection keys — id + (chunk, value) — for the
+    * fused probe. */
+  private def probeRows(batch: DataFrame, maxHamming: Int): DataFrame =
+    batch.select(col("id"),
+      posexplode(array(chunkCols(maxHamming): _*)).as(Seq("chunk", "value")))
+
+  /** ONE narrow count (per-partition size + driver sum); also
+    * materializes the frame's cache pin. */
+  private def narrowCount(df: DataFrame): Long =
+    df.select(lit(1).as("_one")).queryExecution.toRdd
+      .mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single(n)
+      }.collect().sum
+
   private def prunedAt(
       spark: SparkSession, store: TableStore, table: String, pin: Int,
       touched: Seq[Int]): DataFrame = {
@@ -227,6 +262,15 @@ object FrameIndex {
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
       table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
       fromDelta: DataFrame => DataFrame): DataFrame = {
+    // legacy plain layout: no `_bucket` to prune on and the default
+    // spec's rule does not describe the stored files — serve the FULL
+    // pinned read (∪ unfiltered delta) until the next full rewrite
+    // (result-identical; the [[PerceptualIndex.prunedWithDelta]] note)
+    if (store.bucketSpec(table).isEmpty) {
+      val base = store.snapshotAt(spark, table, pin)
+      return deltaFrame(spark, store, name, m)
+        .map(d => base.unionByName(fromDelta(d))).getOrElse(base)
+    }
     val base = prunedAt(spark, store, table, pin, touched)
     deltaFrame(spark, store, name, m) match {
       case None => base
@@ -255,11 +299,17 @@ object FrameIndex {
     * name until the fold forgets it): the insert-only screen's read. */
   private def indexedIdsForIds(
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
-      ids: DataFrame): DataFrame = {
-    val spec = frameSpec(store, name)
-    prunedWithDelta(spark, store, name, m, framesTable(name), m.frames, spec,
-      touchedBuckets(spec, ids), identity).select(col("id"))
-  }
+      ids: DataFrame): DataFrame =
+    indexedIdsForBuckets(spark, store, name, m,
+      touchedBuckets(frameSpec(store, name), ids))
+
+  /** [[indexedIdsForIds]] with the bucket probe already done (the
+    * fused-probe callers pass their precomputed id-bucket list). */
+  private def indexedIdsForBuckets(
+      spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
+      touched: Seq[Int]): DataFrame =
+    prunedWithDelta(spark, store, name, m, framesTable(name), m.frames,
+      frameSpec(store, name), touched, identity).select(col("id"))
 
   /** The SERVED frame corpus: (base ∪ delta) ∖ tombstoned VIDEO ids —
     * the manifest-consistent view folds and full reads derive from. */
@@ -279,7 +329,7 @@ object FrameIndex {
     * legacy pre-projection layout. */
   private def servedBandForCells(
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
-      batchBanded: DataFrame): DataFrame = {
+      batchBanded: DataFrame, cellTouched: Option[Seq[Int]] = None): DataFrame = {
     def project(rows: DataFrame): DataFrame =
       bandedOf(withVideoStats(rows, m.hasQuality), m.maxHamming)
         .select(bandCols(m.hasQuality): _*)
@@ -290,7 +340,8 @@ object FrameIndex {
         val spec = bandSpec(store, name)
         minusRm(spark, store, name, m)(
           prunedWithDelta(spark, store, name, m, bandTable(name), pin, spec,
-            touchedBuckets(spec, batchBanded.select(col("chunk"), col("value"))),
+            cellTouched.getOrElse(
+              touchedBuckets(spec, batchBanded.select(col("chunk"), col("value")))),
             project))
     }
   }
@@ -308,11 +359,12 @@ object FrameIndex {
     * every matched row. */
   private def prunedMatched(
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
-      batchPinned: DataFrame, maxBucketSize: Int)(
+      batchPinned: DataFrame, maxBucketSize: Int,
+      cellTouched: Option[Seq[Int]] = None)(
       implicit caches: CacheScope): DataFrame = {
     val sb = caches.pin(batchPinned.select(col("id"), col("frame"), col("sig"),
       posexplode(array(chunkCols(m.maxHamming): _*)).as(Seq("chunk", "value"))))
-    val sc = caches.pin(servedBandForCells(spark, store, name, m, sb))
+    val sc = caches.pin(servedBandForCells(spark, store, name, m, sb, cellTouched))
     def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("chunk", "value")
@@ -342,10 +394,12 @@ object FrameIndex {
     *         containment ≥ minContainment) */
   private def prunedContainmentAgainst(
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
-      batch: DataFrame, maxBucketSize: Int)(
+      batch: DataFrame, maxBucketSize: Int,
+      cellTouched: Option[Seq[Int]] = None)(
       implicit caches: CacheScope): DataFrame = {
     val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
-    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize)
+    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize,
+      cellTouched)
     val perPair = matched.groupBy(col("batch_id"), col("stored_id"))
       .agg(countDistinct(col("b_frame")).as("n_matched"))
     val counts = batchPinned.groupBy(col("id"))
@@ -368,10 +422,12 @@ object FrameIndex {
     * video's `_sq` (its max quality). */
   private def prunedContainmentDirected(
       spark: SparkSession, store: TableStore, name: String, m: FrameManifest,
-      batch: DataFrame, maxBucketSize: Int)(
+      batch: DataFrame, maxBucketSize: Int,
+      cellTouched: Option[Seq[Int]] = None)(
       implicit caches: CacheScope): DataFrame = {
     val batchPinned = caches.pin(batch.select(col("id"), col("frame"), col("sig")))
-    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize)
+    val matched = prunedMatched(spark, store, name, m, batchPinned, maxBucketSize,
+      cellTouched)
     val pairAggs = Seq(
       countDistinct(col("b_frame")).as("n_matched_batch"),
       countDistinct(col("s_frame")).as("n_matched_stored"),
@@ -609,43 +665,57 @@ object FrameIndex {
     // the screen-then-admit fold: drop batch videos CONTAINED in the
     // stored corpus (the persisted budgets), admit the rest whole —
     // both halves read the SAME pinned stored version, so the loop is
-    // one atomic decision
-    val batch0 = frameShape(frames)
-    val batch =
-      if (!screenFirst) batch0
-      else {
-        implicit val scope: CacheScope = new CacheScope
-        try {
-          val dup = prunedContainmentAgainst(spark, store, name, m, batch0,
-              maxBucketSize)
-            .select(col("batch_id").as("id")).distinct()
-          // materialize the survivor list before the scope's pins release
-          val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          novel.count()
-          novel
-        } finally scope.release()
-      }
+    // one atomic decision. The shaped batch is pinned ONCE so the probe
+    // and every later consumer share one materialization of the raw
+    // input chain, and the probe job collects BOTH tiers' touched
+    // buckets in one round ([[touchedBucketsPair]]).
+    implicit val outer: CacheScope = new CacheScope
     try {
-      // insert-only against the INDEXED id set (base ∪ delta, including
-      // tombstoned ids — they may not re-enter under their own name until
-      // the fold forgets them), read from the batch's id-buckets only
-      val fresh = batch
-        .join(indexedIdsForIds(spark, store, name, m, batch),
-          Seq("id"), "left_anti")
-        // at most one signature per (id, frame): a batch carrying a
-        // frame twice (two staged files in one trigger) indexes the
-        // smallest sig — deterministic under any partitioning (the
-        // PerceptualIndex.appendStamped canonicalization)
-        .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
-      val next =
-        if (foldDue(spark, store, name, m))
-          foldAllTiers(spark, store, name, m, fresh, None)
-        else m.copy(dlt = Some(appendDelta(spark, store, name, m, fresh)))
-      commitManifest(store, name,
-        next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-      true
-    } finally if (screenFirst) batch.unpersist()
+      val batch0 = outer.pin(frameShape(frames))
+      val (idBuckets, cellBuckets) =
+        if (screenFirst)
+          touchedBucketsPair(frameSpec(store, name), bandSpec(store, name),
+            probeRows(batch0, m.maxHamming))
+        else (touchedBuckets(frameSpec(store, name), batch0.select(col("id"))),
+          Seq.empty[Int])
+      val batch =
+        if (!screenFirst) batch0
+        else {
+          val scope: CacheScope = new CacheScope
+          try {
+            val dup = prunedContainmentAgainst(spark, store, name, m, batch0,
+                maxBucketSize, Some(cellBuckets))(scope)
+              .select(col("batch_id").as("id")).distinct()
+            // materialize the survivor list before the scope's pins release
+            val novel = batch0.join(broadcast(dup), Seq("id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            novel.count()
+            novel
+          } finally scope.release()
+        }
+      try {
+        // insert-only against the INDEXED id set (base ∪ delta, including
+        // tombstoned ids — they may not re-enter under their own name until
+        // the fold forgets them), read from the batch's id-buckets only
+        // (precomputed — for the screened path `batch` ⊆ `batch0`, so the
+        // fused probe's bucket list is a superset of what the read needs)
+        val fresh = batch
+          .join(indexedIdsForBuckets(spark, store, name, m, idBuckets),
+            Seq("id"), "left_anti")
+          // at most one signature per (id, frame): a batch carrying a
+          // frame twice (two staged files in one trigger) indexes the
+          // smallest sig — deterministic under any partitioning (the
+          // PerceptualIndex.appendStamped canonicalization)
+          .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
+        val next =
+          if (foldDue(spark, store, name, m))
+            foldAllTiers(spark, store, name, m, fresh, None)
+          else m.copy(dlt = Some(appendDelta(spark, store, name, m, fresh)))
+        commitManifest(store, name,
+          next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        true
+      } finally if (screenFirst) batch.unpersist()
+    } finally outer.release()
   }
 
   /** Takedown: next frames version without ANY frame of the given ids —
@@ -884,13 +954,20 @@ object FrameIndex {
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     implicit val scope: CacheScope = new CacheScope
+    // the shaped batch is pinned ONCE (probe + anti-join share one
+    // materialization of the raw input chain) and the probe job collects
+    // BOTH tiers' touched buckets in one round ([[touchedBucketsPair]];
+    // pre-anti-join cells are a superset — identical results);
     // insert-only against the INDEXED id set (base ∪ delta ⊇ retired ids
     // until the fold) + the in-batch (id, frame) canonicalization —
     // appendStamped's contracts; the id screen reads only the batch's
     // id-buckets
-    val batch0pre = frameShape(frames)
+    val batch0pre = scope.pin(frameShape(frames))
+    val (idBuckets, cellBuckets) = touchedBucketsPair(
+      frameSpec(store, name), bandSpec(store, name),
+      probeRows(batch0pre, m.maxHamming))
     val batch0 = batch0pre
-      .join(indexedIdsForIds(spark, store, name, m, batch0pre),
+      .join(indexedIdsForBuckets(spark, store, name, m, idBuckets),
         Seq("id"), "left_anti")
       .groupBy(col("id"), col("frame")).agg(min(col("sig")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -904,7 +981,7 @@ object FrameIndex {
       // persisted budgets — rejection and subsumption from one screen,
       // candidates from the pruned projection
       val directed = prunedContainmentDirected(spark, store, name, m, batch,
-          maxBucketSize)
+          maxBucketSize, Some(cellBuckets))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val rejected = directed
@@ -929,8 +1006,14 @@ object FrameIndex {
                 // O(batch ∪ tombstones): admissions are ONE plain
                 // memtable append, retirements merge into the small
                 // tombstone member — two independent tables, committed
-                // concurrently
-                val rmEmpty = removedIds.isEmpty
+                // concurrently. The emptiness gate runs as ONE serial
+                // narrow count first: it materializes the whole pinned
+                // screen chain at full drain width, so the concurrent
+                // commits read the cache instead of contending on
+                // uncached pins inside a coalesced write (measured on
+                // the text keeper: fusing the gate into the commit
+                // branches cost +0.5 s/drain).
+                val rmEmpty = narrowCount(removedIds) == 0L
                 val results = OverlayLock.inParallel(Seq(
                   () => appendDelta(spark, store, name, m, admitted)) ++
                   (if (rmEmpty) Seq.empty
@@ -1043,12 +1126,17 @@ object FrameIndex {
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
     implicit val scope: CacheScope = new CacheScope
-    // insert-only against the INDEXED id set + in-batch (id, frame)
-    // canonicalization (min sig; quality folds to the max per id — one
-    // score per video); the id screen reads only the batch's id-buckets
-    val batchPre = frameQualityShape(frames)
+    // pinned shaped batch + ONE fused probe job (both tiers' touched
+    // buckets — the [[supersedeStamped]] discipline); insert-only
+    // against the INDEXED id set + in-batch (id, frame) canonicalization
+    // (min sig; quality folds to the max per id — one score per video);
+    // the id screen reads only the batch's id-buckets
+    val batchPre = scope.pin(frameQualityShape(frames))
+    val (idBuckets, cellBuckets) = touchedBucketsPair(
+      frameSpec(store, name), bandSpec(store, name),
+      probeRows(batchPre, m.maxHamming))
     val batch = batchPre
-      .join(indexedIdsForIds(spark, store, name, m, batchPre),
+      .join(indexedIdsForBuckets(spark, store, name, m, idBuckets),
         Seq("id"), "left_anti")
       .groupBy(col("id"), col("frame"))
       .agg(min(col("sig")).as("sig"), max(col("q")).as("q"))
@@ -1059,7 +1147,8 @@ object FrameIndex {
       // persisted budgets — the stored side's quality (its max per
       // video) rides denormalized on the projection rows as `_sq`
       val directed = prunedContainmentDirected(spark, store, name, m,
-          batch.select(col("id"), col("frame"), col("sig")), maxBucketSize)
+          batch.select(col("id"), col("frame"), col("sig")), maxBucketSize,
+          Some(cellBuckets))
         .join(batchQ.withColumnRenamed("id", "batch_id"), Seq("batch_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1088,8 +1177,11 @@ object FrameIndex {
                 foldAllTiers(spark, store, name, m, admitted, Some(removedIds))
               else {
                 // admissions → memtable, retirements → tombstones; two
-                // independent tables, committed concurrently
-                val rmEmpty = removedIds.isEmpty
+                // independent tables, committed concurrently — the
+                // emptiness gate is ONE serial narrow count that
+                // materializes the pinned screen chain first (the
+                // [[supersedeStamped]] note)
+                val rmEmpty = narrowCount(removedIds) == 0L
                 val results = OverlayLock.inParallel(Seq(
                   () => appendDelta(spark, store, name, m, admitted)) ++
                   (if (rmEmpty) Seq.empty

@@ -96,6 +96,18 @@ private[graft] object OverlayLock {
     import org.apache.spark.sql.functions.col
     val spec = store.bucketSpec(table).getOrElse(throw new IllegalStateException(
       s"$table is not bucketed — use appendOrCompact"))
+    // rebucket-on-append: an APPEND-ONLY tier never passes through an
+    // amortized fold, so [[grownSpec]]'s per-bucket byte invariant must
+    // hook the append path itself or per-bucket bytes grow without bound
+    // (the pure-append corpus case). The check is one file-metadata walk;
+    // growth rehashes every bucket id, so it rides a full rewrite at the
+    // grown layout — amortized the same way as the fold-side growth
+    // (bytes double between rewrites).
+    val grown = grownSpec(spark, spec, store.byteSizeAt(table, pin))
+    if (grown.nBuckets != spec.nBuckets)
+      return store.writeBucketed(
+        store.snapshotAt(spark, table, pin).unionByName(fresh),
+        table, grown, Some(pin))
     val oversized = store.bucketFileCounts(table)
       .filter(_._2 >= maxFilesPerBucket).keySet
     if (oversized.isEmpty) store.appendRowsBucketed(fresh, table, pin)

@@ -194,6 +194,34 @@ object PerceptualIndex {
         s.iterator
       }.collect().distinct.toSeq
 
+  /** BOTH tiers' touched buckets from ONE narrow job over the (pinned)
+    * batch's banding projection — id-buckets and (chunk, value)-cell
+    * buckets fused, one probe round-trip per drain instead of two (the
+    * [[SignatureIndex.touchedBucketsPair]] discipline). Probing from the
+    * PRE-anti-join batch is superset-safe: wider bucket lists read whole
+    * extra cells, unprobed cells produce no candidate pairs, and per-cell
+    * hot counts are exact for every read cell either way. */
+  private def touchedBucketsPair(
+      specA: BucketSpec, specB: BucketSpec, rows: DataFrame): (Seq[Int], Seq[Int]) = {
+    val both = rows.select(specA.bucketColumn.as("_a"), specB.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val a = new scala.collection.mutable.HashSet[Int]
+        val b = new scala.collection.mutable.HashSet[Int]
+        it.foreach { r => a.add(r.getInt(0)); b.add(r.getInt(1)) }
+        Iterator.single((a.toArray, b.toArray))
+      }.collect()
+    (both.flatMap(_._1).distinct.toSeq, both.flatMap(_._2).distinct.toSeq)
+  }
+
+  /** ONE narrow count (per-partition size + driver sum); also
+    * materializes the frame's cache pin. */
+  private def narrowCount(df: DataFrame): Long =
+    df.select(lit(1).as("_one")).queryExecution.toRdd
+      .mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single(n)
+      }.collect().sum
+
   /** A member tier PRUNED to `touched` buckets (directory-level pruning —
     * unread buckets are never opened). */
   private def prunedAt(
@@ -220,6 +248,17 @@ object PerceptualIndex {
       spark: SparkSession, store: TableStore, name: String, m: PercManifest,
       table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
       fromDelta: DataFrame => DataFrame): DataFrame = {
+    // legacy plain layout (tier written unbucketed by an older version):
+    // no `_bucket` column exists to prune on, and the default spec's
+    // bucket rule does not describe the stored files — serve the FULL
+    // pinned read (∪ the unfiltered delta projection) until the next
+    // full rewrite upgrades the layout; pruning is an optimization, so
+    // the full read is result-identical
+    if (store.bucketSpec(table).isEmpty) {
+      val base = store.snapshotAt(spark, table, pin)
+      return deltaFrame(spark, store, name, m)
+        .map(d => base.unionByName(fromDelta(d))).getOrElse(base)
+    }
     val base = prunedAt(spark, store, table, pin, touched)
     deltaFrame(spark, store, name, m) match {
       case None => base
@@ -248,11 +287,17 @@ object PerceptualIndex {
     * name until the fold forgets it): the insert-only screen's read. */
   private def indexedSigsForIds(
       spark: SparkSession, store: TableStore, name: String, m: PercManifest,
-      ids: DataFrame): DataFrame = {
-    val spec = sigSpec(store, name)
-    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs, spec,
-      touchedBuckets(spec, ids), identity)
-  }
+      ids: DataFrame): DataFrame =
+    indexedSigsForBuckets(spark, store, name, m,
+      touchedBuckets(sigSpec(store, name), ids))
+
+  /** [[indexedSigsForIds]] with the bucket probe already done (the
+    * fused-probe callers pass their precomputed id-bucket list). */
+  private def indexedSigsForBuckets(
+      spark: SparkSession, store: TableStore, name: String, m: PercManifest,
+      touched: Seq[Int]): DataFrame =
+    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs,
+      sigSpec(store, name), touched, identity)
 
   /** The SERVED signature corpus: (base ∪ delta) ∖ tombstoned ids — the
     * manifest-consistent view folds and full reads derive from. */
@@ -273,7 +318,7 @@ object PerceptualIndex {
     * pre-projection layout. */
   private def servedBandForCells(
       spark: SparkSession, store: TableStore, name: String, m: PercManifest,
-      batchBanded: DataFrame): DataFrame =
+      batchBanded: DataFrame, cellTouched: Option[Seq[Int]] = None): DataFrame =
     m.band match {
       case None => // legacy layout: derive from the full served view
         bandedOf(servedSigsAt(spark, store, name, m), m.maxHamming)
@@ -281,7 +326,8 @@ object PerceptualIndex {
         val spec = bandSpec(store, name)
         minusRm(spark, store, name, m)(
           prunedWithDelta(spark, store, name, m, bandTable(name), pin, spec,
-            touchedBuckets(spec, batchBanded.select(col("chunk"), col("value"))),
+            cellTouched.getOrElse(touchedBuckets(spec,
+              batchBanded.select(col("chunk"), col("value")))),
             d => bandedOf(d, m.maxHamming)))
     }
 
@@ -299,13 +345,15 @@ object PerceptualIndex {
   private def prunedPairsAgainst(
       spark: SparkSession, store: TableStore, name: String, m: PercManifest,
       batch: DataFrame, maxBucketSize: Int,
-      carryQ: Boolean)(implicit caches: CacheScope): DataFrame = {
+      carryQ: Boolean, cellTouched: Option[Seq[Int]] = None)(
+      implicit caches: CacheScope): DataFrame = {
     val sb = caches.pin(bandedOf(batch.select(col("id"), col("sig")), m.maxHamming))
     val storedCols =
       if (carryQ) Seq(col("id"), col("sig"), col("q"), col("chunk"), col("value"))
       else Seq(col("id"), col("sig"), col("chunk"), col("value"))
     val sc = caches.pin(
-      servedBandForCells(spark, store, name, m, sb).select(storedCols: _*))
+      servedBandForCells(spark, store, name, m, sb, cellTouched)
+        .select(storedCols: _*))
     def hotSide(s: DataFrame) = s.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize)
       .select("chunk", "value")
@@ -540,12 +588,23 @@ object PerceptualIndex {
     rollbackAll(store, name, m)
     // the screen-then-admit fold: drop batch items within the persisted
     // budget of ANY stored signature, admit the rest — both halves read
-    // the SAME pinned stored version, so the loop is one atomic decision
-    val batch0 = sigShape(sigs)
+    // the SAME pinned stored version, so the loop is one atomic decision.
+    // The shaped batch is pinned ONCE (probe + anti-join share one
+    // materialization of the raw input chain), and the probe job collects
+    // BOTH tiers' touched buckets in one round ([[touchedBucketsPair]]).
+    implicit val outer: CacheScope = new CacheScope
+    try {
+    val batch0 = outer.pin(sigShape(sigs))
+    val (idBuckets, cellBuckets) =
+      if (screenFirst)
+        touchedBucketsPair(sigSpec(store, name), bandSpec(store, name),
+          bandedOf(batch0, m.maxHamming))
+      else (touchedBuckets(sigSpec(store, name), batch0.select(col("id"))),
+        Seq.empty[Int])
     val batch =
       if (!screenFirst) batch0
       else {
-        implicit val scope: CacheScope = new CacheScope
+        val scope: CacheScope = new CacheScope
         try {
           // opt-in WITHIN-BATCH screen (closes the documented in-batch
           // hole): a burst of near-copies inside one drain collapses to
@@ -562,7 +621,7 @@ object PerceptualIndex {
           // rows in the batch's probe cells — never a re-banding of the
           // full stored tier)
           val dup = prunedPairsAgainst(spark, store, name, m, preDeduped,
-              maxBucketSize, carryQ = false)
+              maxBucketSize, carryQ = false, Some(cellBuckets))(scope)
             .select(col("batch_id").as("id")).distinct()
           // materialize the survivor list before the scope's pins release
           val novel = preDeduped.join(broadcast(dup), Seq("id"), "left_anti")
@@ -575,9 +634,11 @@ object PerceptualIndex {
       // insert-only against the INDEXED id set (base ∪ delta, including
       // tombstoned ids — they may not re-enter under their own name until
       // the fold forgets them), read from the batch's id-buckets only
+      // (precomputed — for the screened path `batch` ⊆ `batch0`, so the
+      // fused probe's bucket list is a superset of what the read needs)
       val fresh = batch
-        .join(indexedSigsForIds(spark, store, name, m, batch).select(col("id")),
-          Seq("id"), "left_anti")
+        .join(indexedSigsForBuckets(spark, store, name, m, idBuckets)
+          .select(col("id")), Seq("id"), "left_anti")
         // at most one signature per id: a batch carrying an id twice (two
         // staged files in one trigger) indexes the smallest sig —
         // deterministic under any partitioning (the
@@ -592,6 +653,7 @@ object PerceptualIndex {
         next.copy(lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
       true
     } finally if (screenFirst) batch.unpersist()
+    } finally outer.release()
   }
 
   /** Takedown: next sigs version without the given ids — after removal a
@@ -786,9 +848,15 @@ object PerceptualIndex {
     // being silently hidden by the subtraction (indexed ids ⊇ retired ids
     // until the fold, so one anti-join covers both). The id screen reads
     // only the batch's id-buckets.
-    val batch0pre = sigQualityShape(sigs)
+    // pinned shaped batch + ONE fused probe job (both tiers' touched
+    // buckets — the [[appendStamped]] discipline; pre-anti-join cells are
+    // a superset, identical results)
+    val batch0pre = scope.pin(sigQualityShape(sigs))
+    val (idBuckets, cellBuckets) = touchedBucketsPair(
+      sigSpec(store, name), bandSpec(store, name),
+      bandedOf(batch0pre.select(col("id"), col("sig")), m.maxHamming))
     val batch0 = batch0pre
-      .join(indexedSigsForIds(spark, store, name, m, batch0pre)
+      .join(indexedSigsForBuckets(spark, store, name, m, idBuckets)
         .select(col("id")), Seq("id"), "left_anti")
       .groupBy(col("id"))
       .agg(min_by(struct(col("sig"), col("q")),
@@ -819,7 +887,8 @@ object PerceptualIndex {
       // stored quality rides denormalized in the projection rows, so the
       // screen never re-reads the sigs tier for it
       val scored = prunedPairsAgainst(spark, store, name, m,
-        batch.select(col("id"), col("sig")), maxBucketSize, carryQ = true)
+        batch.select(col("id"), col("sig")), maxBucketSize, carryQ = true,
+        Some(cellBuckets))
       // admit iff no match holds quality >= the arrival's
       val admitted = batch
         .join(scored.groupBy(col("batch_id")).agg(max(col("_sq")).as("_best"))
@@ -844,8 +913,12 @@ object PerceptualIndex {
             else {
               // O(batch ∪ tombstones): admissions are ONE plain memtable
               // append, retirements merge into the small tombstone member
-              // — two independent tables, committed concurrently
-              val rmEmpty = removedIds.isEmpty
+              // — two independent tables, committed concurrently; the
+              // emptiness gate is ONE serial narrow count that
+              // materializes the pinned screen chain at full drain width
+              // first, so the commits read the cache (the
+              // [[FrameIndex.supersedeStamped]] note)
+              val rmEmpty = narrowCount(removedIds) == 0L
               val results = OverlayLock.inParallel(Seq(
                 () => appendDelta(spark, store, name, m, admitted)) ++
                 (if (rmEmpty) Seq.empty

@@ -126,6 +126,24 @@ object PostingsIndex {
     store.bucketSpec(termStatsTable(name)).getOrElse(
       BucketSpec(TermBuckets, Seq("term"), sortCols = Seq("term")))
 
+  /** Default STARTING term-hash bucket count for the POSTINGS tier
+    * itself — the termstats treatment applied to the corpus-sized
+    * inverted index: BM25 scoring only ever joins the QUERY's terms
+    * onto the postings, so a term-bucketed layout lets every serve read
+    * prune to the query's term buckets at the directory level instead
+    * of scanning Σ dl postings rows per probe batch. Same
+    * grow-at-fold rule as the other tiers ([[OverlayLock.grownSpec]]).
+    * Doc-keyed mutations (remove, the upsert fold) rewrite the tier
+    * wholesale anyway, so the term layout costs them nothing extra. */
+  val PostBuckets: Int = 8
+
+  /** The postings tier's recorded bucket layout; a legacy plain layout
+    * (pre-term-bucketing index) upgrades at its next full rewrite and
+    * serves full-scan reads until then. */
+  private def postSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(postingsTable(name)).getOrElse(
+      BucketSpec(PostBuckets, Seq("term"), sortCols = Seq("term")))
+
   // ---------------------------------------------------------------- manifest
 
   /** Member pins + the admission gate + the CORPUS COUNTERS. N and Σdl
@@ -267,22 +285,23 @@ object PostingsIndex {
           .filter(col("df") > 0)
     }
 
-  /** [[termDfAt]] PRUNED to the buckets `termKeys` hash into — the serve
-    * read BM25 scoring actually needs: scoring touches only the QUERY'S
-    * terms, so on a term-bucketed termstats layout the base read opens
-    * only those buckets (directory-level pruning) and the delta filters
-    * by the same rule — every served term's df is exact, and the
-    * vocabulary-sized base⊕delta merge never runs at query time. At
-    * 100 TB the vocabulary is billions of terms (Heaps' law); this keeps
-    * the last per-query vocab-sized read off the serve path. Falls back
-    * to the full merge on a legacy plain layout. */
-  private def termDfForTerms(
+  /** [[termDfAt]] PRUNED to the buckets in `touched` (the query terms'
+    * termstats buckets) — the serve read BM25 scoring actually needs:
+    * scoring touches only the QUERY'S terms, so on a term-bucketed
+    * termstats layout the base read opens only those buckets
+    * (directory-level pruning) and the delta filters by the same rule —
+    * every served term's df is exact, and the vocabulary-sized
+    * base⊕delta merge never runs at query time. At 100 TB the
+    * vocabulary is billions of terms (Heaps' law); this keeps the last
+    * per-query vocab-sized read off the serve path. `touched = None` ⇔
+    * legacy plain layout ⇒ full merge. */
+  private def termDfForBuckets(
       spark: SparkSession, store: TableStore, name: String, m: BmManifest,
-      termKeys: DataFrame): DataFrame =
-    store.bucketSpec(termStatsTable(name)) match {
+      touchedOpt: Option[Seq[Int]]): DataFrame =
+    touchedOpt match {
       case None => termDfAt(spark, store, name, m) // legacy plain layout
-      case Some(spec) =>
-        val touched = touchedBuckets(spec, termKeys)
+      case Some(touched) =>
+        val spec = termSpec(store, name)
         val raw = store.snapshotRawAt(spark, termStatsTable(name), m.termStats)
         val base = (if (touched.isEmpty) raw.filter(lit(false))
           else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
@@ -298,6 +317,52 @@ object PostingsIndex {
               .groupBy(col("term")).agg(greatest(sum(col("df")), lit(0L)).as("df"))
               .filter(col("df") > 0)
         }
+    }
+
+  /** The served POSTINGS pruned to the buckets in `touched` (the query
+    * terms' postings buckets): the base read opens only those buckets —
+    * never Σ dl rows per probe batch — and the compaction-bounded
+    * revision overlay merges in unpruned (small by policy; rows outside
+    * the query's terms are dropped by the scoring join). `touched =
+    * None` ⇔ legacy plain layout ⇒ full merged read. */
+  private def postingsForBuckets(
+      spark: SparkSession, store: TableStore, name: String, m: BmManifest,
+      touchedOpt: Option[Seq[Int]]): DataFrame =
+    touchedOpt match {
+      case None => postingsAt(spark, store, name, m) // legacy plain layout
+      case Some(touched) =>
+        val raw = store.snapshotRawAt(spark, postingsTable(name), m.postings)
+        val base = (if (touched.isEmpty) raw.filter(lit(false))
+          else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+          .drop("_bucket")
+        mergedWithOverlay(spark, store, base,
+          ovlPostingsTable(name), m.ovlPostings)
+    }
+
+  /** BOTH term-keyed tiers' touched buckets from ONE narrow job over the
+    * query's normalized term keys — the serve-side probe fused (the
+    * [[SignatureIndex.touchedBucketsPair]] discipline); None per side ⇔
+    * that tier is a legacy plain layout. */
+  private def touchedTermBuckets(
+      store: TableStore, name: String, termKeys: DataFrame)
+      : (Option[Seq[Int]], Option[Seq[Int]]) =
+    (store.bucketSpec(termStatsTable(name)),
+      store.bucketSpec(postingsTable(name))) match {
+      case (None, None) => (None, None)
+      case (tsSpec, postSpec) =>
+        // both specs key by `term`; compute each present side's bucket
+        // column in one pass (a missing side rides a dummy column)
+        val a = tsSpec.map(_.bucketColumn).getOrElse(lit(0)).as("_a")
+        val b = postSpec.map(_.bucketColumn).getOrElse(lit(0)).as("_b")
+        val both = termKeys.select(a, b)
+          .queryExecution.toRdd.mapPartitions { it =>
+            val sa = new scala.collection.mutable.HashSet[Int]
+            val sb = new scala.collection.mutable.HashSet[Int]
+            it.foreach { r => sa.add(r.getInt(0)); sb.add(r.getInt(1)) }
+            Iterator.single((sa.toArray, sb.toArray))
+          }.collect()
+        (tsSpec.map(_ => both.flatMap(_._1).distinct.toSeq),
+          postSpec.map(_ => both.flatMap(_._2).distinct.toSeq))
     }
 
   /** Commit a per-term df adjustment (`delta` — positive and/or negative
@@ -477,7 +542,10 @@ object PostingsIndex {
         try {
           val dv = store.writeBucketed(docRowsOf(tok), docsTable(name),
             BucketSpec(docBuckets, Seq("doc_id"), sortCols = Seq("doc_id")))
-          val pv = store.write(postingsOf(tok), postingsTable(name))
+          // postings are TERM-bucketed so serve reads prune to the
+          // query's term buckets ([[postingsForTerms]])
+          val pv = store.writeBucketed(postingsOf(tok), postingsTable(name),
+            BucketSpec(PostBuckets, Seq("term"), sortCols = Seq("term")))
           // derive df from the COMMITTED postings (a parquet read) so the
           // tokenize+explode chain is never recomputed for the third table
           val tv = store.writeBucketed(
@@ -557,7 +625,12 @@ object PostingsIndex {
       val Seq(dvA, pvA, tvA) = OverlayLock.inParallel(Seq(
         () => OverlayLock.appendOrCompactBucketed(spark, store,
           docsTable(name), m.docs, docRowsOf(fresh)),
-        () => OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
+        // term-bucketed layout preserved across appends (legacy plain
+        // postings keep the linked-append path until a full rewrite)
+        () => if (store.bucketSpec(postingsTable(name)).isDefined)
+          OverlayLock.appendOrCompactBucketed(spark, store,
+            postingsTable(name), m.postings, freshPostings)
+        else OverlayLock.appendOrCompact(store, postingsTable(name), m.postings,
           store.snapshotAt(spark, postingsTable(name), m.postings), freshPostings),
         // df merge is CELL-WISE SUM — the one sketch-free mergeable tier;
         // committed as an O(batch-terms) delta, folded amortized
@@ -685,11 +758,19 @@ object PostingsIndex {
           // the batch replaced, clear the overlay pins
           val Seq(tvA, pvA, dvA) = OverlayLock.inParallel(Seq(
             () => commitTermDelta(spark, store, name, m, termDelta),
-            () => store.write(
+            // the amortized fold is the one wholesale rewrite — rebucket
+            // the term layout past the per-bucket byte target here (a
+            // legacy plain tier upgrades to the bucketed layout too)
+            () => store.writeBucketed(
               postingsAt(spark, store, name, m)
                 .join(batchIds, Seq("doc_id"), "left_anti")
                 .unionByName(freshPostings),
-              postingsTable(name), Some(m.postings)),
+              postingsTable(name),
+              OverlayLock.grownSpec(spark, postSpec(store, name),
+                store.byteSizeAt(postingsTable(name), m.postings) +
+                  m.ovlPostings.map(store.byteSizeAt(ovlPostingsTable(name), _))
+                    .getOrElse(0L)),
+              Some(m.postings)),
             () => store.writeBucketed(
               docsAt(spark, store, name, m)
                 .join(batchIds, Seq("doc_id"), "left_anti")
@@ -752,8 +833,8 @@ object PostingsIndex {
           rollbackAll(store, name, m)
           val pv =
             if (m.ovlPostings.isEmpty) m.postings
-            else store.write(postingsAt(spark, store, name, m),
-              postingsTable(name), Some(m.postings))
+            else store.writeBucketed(postingsAt(spark, store, name, m),
+              postingsTable(name), postSpec(store, name), Some(m.postings))
           val dv =
             if (m.ovlDocs.isEmpty) m.docs
             else store.writeBucketed(docsAt(spark, store, name, m),
@@ -797,9 +878,9 @@ object PostingsIndex {
         val dv = store.writeBucketed(keptDocs, docsTable(name),
           docSpec(store, name), Some(m.docs))
         val postStored = postingsAt(spark, store, name, m)
-        val pv = store.write(
+        val pv = store.writeBucketed(
           postStored.join(drop, postStored("doc_id") === col("_rm_id"), "left_anti"),
-          postingsTable(name), Some(m.postings))
+          postingsTable(name), postSpec(store, name), Some(m.postings))
         // df subtraction from the removed docs' stored term lists — a
         // takedown rewrites the authoritative table anyway, so the
         // termstats delta folds in here and its pin clears; merged from
@@ -943,19 +1024,24 @@ object PostingsIndex {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val (m, _) = requireManifest(store, name)
-    val post = postingsAt(spark, store, name, m)
+    // ONE fused probe job over the query's normalized term keys (the
+    // same lower+filter normalization probeTerms applies, so the key
+    // set covers every term the joins will look up), then BOTH serve
+    // reads — the per-term dfs AND the postings themselves — prune to
+    // the query's term buckets at the directory level: scored volume is
+    // Σ_t df(t) over the query's terms, and the bytes READ are ∝ the
+    // query's buckets, never the corpus (Σ dl postings rows)
+    val termKeys = probes.select(explode(col(probeTermsCol)).as("term"))
+      .select(lower(col("term")).as("term"))
+      .filter(length(col("term")) > 0)
+    val (tsTouched, postTouched) = touchedTermBuckets(store, name, termKeys)
+    val post = postingsForBuckets(spark, store, name, m, postTouched)
       .select(col("doc_id"), col("dl").as("_dl"), col("term"), col("tf").as("_tf"))
     // corpus stats come from the MANIFEST counters — zero Spark jobs; the
     // docs table is the membership/rebuild source, never a serve-time scan
     val stats = spark.range(1)
       .select(lit(m.nDocs).as("_n"), lit(m.sumDl).as("_sum_dl"))
-    // df serve read pruned to the QUERY's term buckets — the same
-    // lower+filter normalization probeTerms applies, so the key set
-    // covers every term the join will look up
-    val termDf = termDfForTerms(spark, store, name, m,
-        probes.select(explode(col(probeTermsCol)).as("term"))
-          .select(lower(col("term")).as("term"))
-          .filter(length(col("term")) > 0))
+    val termDf = termDfForBuckets(spark, store, name, m, tsTouched)
       .select(col("term"), col("df").as("_df"))
     Retrieval.bm25ScoreAndTopK(post,
       Retrieval.probeTerms(probes, probeIdCol, probeTermsCol, termDf, stats, maxDfFrac),

@@ -263,6 +263,23 @@ object SignatureIndex {
         s.iterator
       }.collect().distinct.toSeq
 
+  /** BOTH tiers' touched buckets from ONE narrow job over a (pinned)
+    * batch projection exposing the key columns of both specs — the
+    * drain's two leading probes fused: each saved probe is a saved
+    * job round-trip on every micro-batch, and each partition still
+    * contributes at most nBuckets ints per side. */
+  private def touchedBucketsPair(
+      specA: BucketSpec, specB: BucketSpec, rows: DataFrame): (Seq[Int], Seq[Int]) = {
+    val both = rows.select(specA.bucketColumn.as("_a"), specB.bucketColumn.as("_b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val a = new scala.collection.mutable.HashSet[Int]
+        val b = new scala.collection.mutable.HashSet[Int]
+        it.foreach { r => a.add(r.getInt(0)); b.add(r.getInt(1)) }
+        Iterator.single((a.toArray, b.toArray))
+      }.collect()
+    (both.flatMap(_._1).distinct.toSeq, both.flatMap(_._2).distinct.toSeq)
+  }
+
   /** A member tier PRUNED to `touched` buckets: `_bucket isin(...)`
     * prunes at the directory level, so unread buckets are never opened
     * and the bytes read are ∝ the batch's probe keys, never the corpus
@@ -311,6 +328,15 @@ object SignatureIndex {
       spark: SparkSession, store: TableStore, name: String, m: SigManifest,
       table: String, pin: Int, spec: BucketSpec, touched: Seq[Int],
       fromDelta: DataFrame => DataFrame): DataFrame = {
+    // legacy plain layout: no `_bucket` to prune on and the default
+    // spec's rule does not describe the stored files — serve the FULL
+    // pinned read (∪ unfiltered delta) until the next full rewrite
+    // (result-identical; the [[PerceptualIndex.prunedWithDelta]] note)
+    if (store.bucketSpec(table).isEmpty) {
+      val base = store.snapshotAt(spark, table, pin)
+      return deltaFrame(spark, store, name, m)
+        .map(d => base.unionByName(fromDelta(d))).getOrElse(base)
+    }
     val base = prunedAt(spark, store, table, pin, touched)
     deltaFrame(spark, store, name, m) match {
       case None => base
@@ -331,9 +357,17 @@ object SignatureIndex {
       spark: SparkSession, store: TableStore, name: String, m: SigManifest,
       ids: DataFrame): DataFrame = {
     val spec = sigSpec(store, name)
-    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs, spec,
-      touchedBuckets(spec, ids), identity)
+    indexedSigsForBuckets(spark, store, name, m, touchedBuckets(spec, ids))
   }
+
+  /** [[indexedSigsForIds]] with the bucket probe already done — the
+    * fused-probe callers ([[touchedBucketsPair]]) pass their
+    * precomputed id-bucket list. */
+  private def indexedSigsForBuckets(
+      spark: SparkSession, store: TableStore, name: String, m: SigManifest,
+      touched: Seq[Int]): DataFrame =
+    prunedWithDelta(spark, store, name, m, sigsTable(name), m.sigs,
+      sigSpec(store, name), touched, identity)
 
   // ------------------------------------------------------------------ build
 
@@ -454,20 +488,23 @@ object SignatureIndex {
         store.currentVersion(deltaTable(name)))
     }
 
-  /** Amortized fold: rewrite the SERVED view — minus this batch's
-    * retirements, plus its admissions — into all three bucketed tiers
-    * CONCURRENTLY, clearing the tombstone and delta members in the same
-    * manifest swap. */
-  private def foldAllTiers(
+  /** Amortized fold: rewrite the SERVED view of the ALREADY-COMMITTED
+    * next member state (`mNew` carries the drain's new delta/rm pins and
+    * updated counters) into all three bucketed tiers CONCURRENTLY, and
+    * publish ONE manifest swap that clears the tombstone and delta
+    * members. The fold runs AFTER the drain's O(batch) member commits —
+    * that ordering is what lets the drain's row counters come from the
+    * committed files' footers instead of a pre-commit count job — and
+    * the served content is identical either way: servedView(mNew) =
+    * (base ∪ delta_old ∪ admitted) ∖ (rm_old ∪ retired), exactly the
+    * old fold's kept set (admitted ids are disjoint from the tombstones
+    * by the insert-only screen). The interim member versions are
+    * unpublished orphans this swap supersedes. */
+  private def foldServed(
       spark: SparkSession, store: TableStore, name: String,
-      m: SigManifest, mv: Int, admitted: DataFrame, retired: Option[DataFrame],
-      admittedN: Long, retiredN: Long, stamp: Option[Long]): Unit = {
-    val p = m.params
-    val served = servedView(spark, store, name, m)
-    val keptPre = retired
-      .map(r => served.join(broadcast(r), Seq("id"), "left_anti"))
-      .getOrElse(served)
-    val kept = keptPre.unionByName(admitted)
+      mNew: SigManifest, mv: Int): Unit = {
+    val p = mNew.params
+    val kept = servedView(spark, store, name, mNew)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       kept.count() // materialize once; the three rewrites read the cache
@@ -476,27 +513,24 @@ object SignatureIndex {
       // reads stay constant-per-bucket as the corpus grows (projected
       // from the pre-fold on-disk bytes — within 2x is enough, the next
       // fold corrects)
-      val spark2 = kept.sparkSession
-      val grow = m.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L)
+      val grow = mNew.dlt.map(store.byteSizeAt(deltaTable(name), _)).getOrElse(0L)
       def projected(table: String, pin: Int, mult: Long): Long =
         store.byteSizeAt(table, pin) + grow * mult
       val Seq(sv, pv, bv) = OverlayLock.inParallel(Seq(
         () => store.writeBucketed(kept, sigsTable(name),
-          OverlayLock.grownSpec(spark2, sigSpec(store, name),
-            projected(sigsTable(name), m.sigs, 1L)), Some(m.sigs)),
+          OverlayLock.grownSpec(spark, sigSpec(store, name),
+            projected(sigsTable(name), mNew.sigs, 1L)), Some(mNew.sigs)),
         () => store.writeBucketed(positionsOf(kept), posTable(name),
-          OverlayLock.grownSpec(spark2, posSpec(store, name),
-            projected(posTable(name), m.pos, p.numHashes.toLong)),
-          Some(m.pos)),
+          OverlayLock.grownSpec(spark, posSpec(store, name),
+            projected(posTable(name), mNew.pos, p.numHashes.toLong)),
+          Some(mNew.pos)),
         () => store.writeBucketed(bandedOf(kept, p), bandTable(name),
-          OverlayLock.grownSpec(spark2, bandSpec(store, name),
-            projected(bandTable(name), m.band, p.bands.toLong)),
-          Some(m.band)))).map(_.asInstanceOf[Int])
+          OverlayLock.grownSpec(spark, bandSpec(store, name),
+            projected(bandTable(name), mNew.band, p.bands.toLong)),
+          Some(mNew.band)))).map(_.asInstanceOf[Int])
       commitManifest(store, name,
-        m.copy(sigs = sv, pos = pv, band = bv,
-          nLive = m.nLive + admittedN - retiredN, nRm = 0L, rm = None,
-          dlt = None, nDelta = 0L,
-          lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
+        mNew.copy(sigs = sv, pos = pv, band = bv,
+          nRm = 0L, rm = None, dlt = None, nDelta = 0L), Some(mv))
     } finally kept.unpersist()
   }
 
@@ -533,8 +567,8 @@ object SignatureIndex {
     requirePlain(m, name, "an insert-only fold")
     if (stamp.exists(_ <= m.lastBatchId)) return false
     rollbackAll(store, name, m)
-    // pinned: the three tier writes + the counter would otherwise each
-    // re-run the shingle+hash chain end-to-end
+    // pinned: the probe job and the delta write both consume the
+    // shingle+hash chain
     val batchSigs = signaturesOf(batch, idCol, textCol, m.params)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -552,19 +586,21 @@ object SignatureIndex {
         .select(col("id"), col("_w.sig").as("sig"), col("_w.n_sh").as("n_sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the count materializes the pinned chain at full drain width, so
+        // the delta write's coalesce(4) reads the cache (measured: letting
+        // the write materialize the chain itself is slower — the
+        // countAdmittedRetired note)
         val n = fresh.count()
-        if (m.nDelta + n > foldBound(m))
-          // the memtable earned its rewrite: absorb delta + fresh into
-          // the bucketed tiers, clearing the delta and tombstones
-          foldAllTiers(spark, store, name, m, mv, fresh, None, n, 0L, stamp)
-        else {
-          // O(batch): ONE plain linked append into the delta member —
-          // the projection tiers are served union-style until the fold
-          val dv = appendDelta(spark, store, name, m, fresh)
-          commitManifest(store, name,
-            m.copy(dlt = Some(dv), nDelta = m.nDelta + n, nLive = m.nLive + n,
-              lastBatchId = stamp.getOrElse(m.lastBatchId)), Some(mv))
-        }
+        // O(batch): ONE plain linked append into the delta member — the
+        // projection tiers are served union-style until the fold
+        val mNew = m.copy(dlt = Some(appendDelta(spark, store, name, m, fresh)),
+          nDelta = m.nDelta + n, nLive = m.nLive + n,
+          lastBatchId = stamp.getOrElse(m.lastBatchId))
+        if (mNew.nDelta > foldBound(m))
+          // the memtable earned its rewrite: absorb the (just-committed)
+          // delta into the bucketed tiers, clearing delta and tombstones
+          foldServed(spark, store, name, mNew, mv)
+        else commitManifest(store, name, mNew, Some(mv))
         true
       } finally fresh.unpersist()
     } finally batchSigs.unpersist()
@@ -777,13 +813,15 @@ object SignatureIndex {
     * id-bucketed sigs tier. */
   private def containmentAgainstStored(
       spark: SparkSession, store: TableStore, name: String, m: SigManifest,
-      batchSigs: DataFrame, minContainment: Double, maxBucketSize: Int)(
+      batchSigs: DataFrame, minContainment: Double, maxBucketSize: Int,
+      posTouched: Option[Seq[Int]] = None)(
       implicit caches: CacheScope): DataFrame = {
     val pb = caches.pin(positionsOf(batchSigs))
     val posSp = posSpec(store, name)
     val ps = caches.pin(minusRm(spark, store, name, m)(
       prunedWithDelta(spark, store, name, m, posTable(name), m.pos, posSp,
-        touchedBuckets(posSp, pb.select(col("i"), col("v"))),
+        posTouched.getOrElse(
+          touchedBuckets(posSp, pb.select(col("i"), col("v")))),
         d => positionsOf(d))))
     val cand = caches.pin(candidatePairs(pb, ps, maxBucketSize))
     val storedSigs = indexedSigsForIds(spark, store, name, m,
@@ -861,7 +899,11 @@ object SignatureIndex {
     * + driver sum — no aggregation exchange), run CONCURRENTLY —
     * `admitted` and `retired` are pinned by the caller, so this
     * materializes both caches while pricing the fold policy at a single
-    * job latency per drain. */
+    * job latency per drain. Measured keeper (this round): folding the
+    * counts INTO the commit jobs instead is SLOWER — the delta write's
+    * `coalesce(4)` then materializes the whole screen chain at reduced
+    * parallelism while both commit branches contend on the same uncached
+    * pins (+0.5 s/drain on q144) — so the count round stays. */
   private def countAdmittedRetired(
       admitted: DataFrame, retired: DataFrame): (Long, Long) = {
     def narrowCount(df: DataFrame): Long =
@@ -892,10 +934,22 @@ object SignatureIndex {
       admitted: DataFrame, retired: DataFrame,
       admittedN: Long, retiredN: Long, stamp: Option[Long]): Unit = {
     // fold policy priced from the MANIFEST counters (no corpus jobs)
-    if (m.nRm + retiredN > foldBound(m) || m.nDelta + admittedN > foldBound(m))
-      foldAllTiers(spark, store, name, m, mv, admitted, Some(retired),
-        admittedN, retiredN, stamp)
-    else {
+    if (m.nRm + retiredN > foldBound(m) || m.nDelta + admittedN > foldBound(m)) {
+      val mNew = m.copy(nDelta = m.nDelta + admittedN,
+        nLive = m.nLive + admittedN - retiredN, nRm = m.nRm + retiredN,
+        dlt = Some(appendDelta(spark, store, name, m, admitted)),
+        rm = if (retiredN == 0L) m.rm
+          else Some(m.rm match {
+            case Some(pin) => store.write(
+              store.snapshotAt(spark, rmTable(name), pin).select(col("id"))
+                .unionByName(retired).distinct().coalesce(4),
+              rmTable(name), Some(pin))
+            case None => store.write(retired.coalesce(4),
+              rmTable(name), store.currentVersion(rmTable(name)))
+          }),
+        lastBatchId = stamp.getOrElse(m.lastBatchId))
+      foldServed(spark, store, name, mNew, mv)
+    } else {
       // O(batch ∪ tombstones): admissions ride ONE plain linked append
       // into the delta member, retirements merge into the small
       // tombstone member; the two member commits are independent tables,
@@ -983,17 +1037,25 @@ object SignatureIndex {
         requirePlain(m, name, "a supersede fold")
         rollbackAll(store, name, m)
         val p = m.params
+        // ONE probe job over the batch's pinned signatures: the sigs
+        // tier's id-buckets AND the position tier's (i, v)-cell buckets
+        // fused ([[touchedBucketsPair]]). Probing cells from the
+        // PRE-anti-join signatures is superset-safe: a wider bucket list
+        // reads whole extra cells, a cell the (anti-joined) batch never
+        // probes produces no candidate pairs, and per-cell hot counts
+        // are exact for every read cell either way — results identical.
+        val sigAll = caches.pin(signaturesOf(batch, idCol, textCol, p))
+        val (idBuckets, posBuckets) = touchedBucketsPair(
+          sigSpec(store, name), posSpec(store, name), positionsOf(sigAll))
         // insert-only against the INDEXED id set (base ∪ delta, ⊇
         // tombstoned ids until the fold — a retired id can never re-enter
         // under its own name and be hidden by the subtraction), read from
-        // the batch's id-buckets only (the batch's full id list is a
-        // superset of the shingleable ids — superset-safe, it only prunes
-        // less); in-batch duplicate ids fold to the smallest-hash signature
+        // the batch's id-buckets only; in-batch duplicate ids fold to the
+        // smallest-hash signature
         val batchSigs0 = caches.pin(
-          signaturesOf(batch, idCol, textCol, p)
-            .join(indexedSigsForIds(spark, store, name, m,
-                batch.select(col(idCol).as("id"))).select(col("id")),
-              Seq("id"), "left_anti")
+          sigAll
+            .join(indexedSigsForBuckets(spark, store, name, m, idBuckets)
+              .select(col("id")), Seq("id"), "left_anti")
             .groupBy(col("id"))
             .agg(min_by(struct(col("sig"), col("n_sh")),
               xxhash64(col("sig"))).as("_w"))
@@ -1004,7 +1066,7 @@ object SignatureIndex {
             broadcast(inBatchContainmentLosers(batchSigs0, p, minContainment,
               maxBucketSize)), Seq("id"), "left_anti"))
         val pairs = caches.pin(containmentAgainstStored(spark, store, name, m,
-          batchSigs, minContainment, maxBucketSize))
+          batchSigs, minContainment, maxBucketSize, Some(posBuckets)))
         val rejected = pairs
           .filter(col("containment_batch") >= minContainment)
           .select(col("batch_id").as("id")).distinct()
@@ -1104,14 +1166,21 @@ object SignatureIndex {
     if (stamp.exists(_ <= m.lastBatchId))
       return batch.filter(lit(false)) // replayed batchId: nothing folds
     rollbackAll(store, name, m)
+    // ONE probe job over the batch's pinned signatures: id-buckets and
+    // band-cell buckets fused ([[touchedBucketsPair]]); probing cells
+    // from the PRE-anti-join signatures is superset-safe (the
+    // [[supersede]] note — extra whole cells never pair, hot counts
+    // exact per read cell)
+    val sigAll = caches.pin(signaturesOfQ(batch, idCol, textCol, qCol, p))
+    val (idBuckets, bandBuckets) = touchedBucketsPair(
+      sigSpec(store, name), bandSpec(store, name), bandedOf(sigAll, p))
     // insert-only against the INDEXED id set (base ∪ delta); in-batch
     // duplicate ids fold to the (highest-quality, smallest-hash) row —
     // deterministic under any partitioning
     val batchSigs = caches.pin(
-      signaturesOfQ(batch, idCol, textCol, qCol, p)
-        .join(indexedSigsForIds(spark, store, name, m,
-            batch.select(col(idCol).as("id"))).select(col("id")),
-          Seq("id"), "left_anti")
+      sigAll
+        .join(indexedSigsForBuckets(spark, store, name, m, idBuckets)
+          .select(col("id")), Seq("id"), "left_anti")
         .groupBy(col("id"))
         .agg(min_by(struct(col("sig"), col("n_sh"), col("q")),
           struct(-col("q"), xxhash64(col("sig")))).as("_w"))
@@ -1124,8 +1193,7 @@ object SignatureIndex {
     val bandSp = bandSpec(store, name)
     val storedBand = caches.pin(minusRm(spark, store, name, m)(
       prunedWithDelta(spark, store, name, m, bandTable(name), m.band, bandSp,
-        touchedBuckets(bandSp, sb.select(col("band"), col("bucket"))),
-        d => bandedOf(d, p))))
+        bandBuckets, d => bandedOf(d, p))))
     val hot = hotCells(sb, Seq("band", "bucket"), maxBucketSize)
       .union(hotCells(storedBand, Seq("band", "bucket"), maxBucketSize))
       .distinct()

@@ -123,6 +123,22 @@ object Similarity {
     else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
   }
 
+  /** Spread a compute-dense small scan across the cores when the file
+    * layout gives it fewer partitions (guide §2.5 input skew): signature
+    * hashing costs ~tables × bits × d flops per row, so a one-file corpus
+    * otherwise hashes on ONE task (measured q30: a single 3.2 s task under
+    * 32 idle cores). No-op — and no extra exchange — when the scan is
+    * already at least core-parallel, which any corpus-scale file count
+    * provides; the repartition is round-robin on a trigger-bounded small
+    * input, physical-only (every consumer is partitioning-independent —
+    * the same invariance the multi-core oracle runs already prove). */
+  private def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** Exact cosine top-k neighbours per vector (self-join, excludes self).
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -383,7 +399,8 @@ object Similarity {
       bits: Int = 12,
       tables: Int = 4,
       maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
-    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val base = spreadSmallScan(
+      df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"lsh:$t").as("b")))
@@ -425,7 +442,8 @@ object Similarity {
       tables: Int = 2,
       nFlips: Int = 3,
       maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
-    val base = caches.pin(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val base = caches.pin(spreadSmallScan(
+      df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2Norm(col("v"))))
     // corpus side: ONE exact bucket per table — the stored footprint
     val corpusCols = (0 until tables).map(t =>
@@ -649,7 +667,8 @@ object Similarity {
       bits: Int = 10,
       tables: Int = 6,
       maxBucketSize: Int = 1000)(implicit caches: CacheScope): DataFrame = {
-    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val base = spreadSmallScan(
+      df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2Norm(col("v")))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col("v"), bits, seed = s"ndp:$t").as("b")))

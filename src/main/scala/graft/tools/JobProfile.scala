@@ -81,7 +81,8 @@ object JobProfile {
     val jobs = done.asScala.toSeq.sortBy(_._1)
     println(f"[jobprofile] $name: $wall%.2f s wall, ${jobs.size} jobs, " +
       f"${jobs.map(_._2).sum / 1e3}%.2f s summed ($n rows)")
-    jobs.filter(_._2 > 200).foreach { case (id, ms, site) =>
+    val jobMinMs = sys.env.getOrElse("JOBPROFILE_MIN_MS", "200").toLong
+    jobs.filter(_._2 > jobMinMs).foreach { case (id, ms, site) =>
       println(f"[jobprofile]   job $id%3d ${ms / 1e3}%7.3f s  $site")
     }
     val st = stages.asScala.toSeq.sortBy(_._1)

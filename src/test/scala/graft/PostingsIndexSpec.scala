@@ -191,6 +191,19 @@ class PostingsIndexSpec extends SparkSpec {
         name: String, expected: Int): Int = {
       check(name); super.appendRows(rows, name, expected)
     }
+    override def appendRowsBucketed(rows: org.apache.spark.sql.DataFrame,
+        name: String, expected: Int): Int = {
+      check(name); super.appendRowsBucketed(rows, name, expected)
+    }
+    override def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String,
+        spec: graft.operators.BucketSpec, expected: Option[Int]): Int = {
+      check(name); super.writeBucketed(df, name, spec, expected)
+    }
+    override def commitBucketMerge(rewritten: org.apache.spark.sql.DataFrame,
+        name: String, touched: Set[Int], filesPerBucket: Int, expected: Int): Int = {
+      check(name)
+      super.commitBucketMerge(rewritten, name, touched, filesPerBucket, expected)
+    }
   }
 
   test("streamed admission over any micro-batch split equals batch appends") {

@@ -86,4 +86,31 @@ class RebucketSpec extends SparkSpec {
       assert(PerceptualIndex.signatures(spark, store, "img").count() === 150)
     }
   }
+
+  test("an APPEND-ONLY bucketed tier also grows past the per-bucket target") {
+    // the docs tier of a postings index mutates only through
+    // OverlayLock.appendOrCompactBucketed — it never rides an amortized
+    // fold, so growth must hook the append path itself or per-bucket
+    // bytes grow without bound on a pure-append corpus
+    val s = spark; import s.implicits._
+    withConf("spark.graft.targetBucketBytes" -> "1024") {
+      def docs(r: Range) = r.map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo foxtrot token$i " * 4))
+        .toDF("doc_id", "text")
+      val store = new TableStore(tmpDir("rebucket-append"))
+      graft.operators.PostingsIndex.build(docs(1 to 40), "doc_id", "text",
+        store, "bm")
+      val d0 = store.bucketSpec("bm_docs").get.nBuckets
+      graft.operators.PostingsIndex.append(spark, docs(41 to 400),
+        "doc_id", "text", store, "bm")
+      graft.operators.PostingsIndex.append(spark, docs(401 to 420),
+        "doc_id", "text", store, "bm")
+      val d1 = store.bucketSpec("bm_docs").get.nBuckets
+      assert(d1 > d0 && d1 % d0 === 0,
+        s"append-only docs tier must double past the target: $d0 -> $d1")
+      // served state intact over the grown layout
+      assert(graft.operators.PostingsIndex
+        .postings(spark, store, "bm").select("doc_id").distinct().count() >= 420)
+    }
+  }
 }
