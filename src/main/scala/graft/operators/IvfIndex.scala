@@ -75,6 +75,22 @@ object IvfIndex {
   private[graft] val OvlFloorBytes: Long = 1L << 20
   private[graft] val OvlFrac: Double = 0.125
 
+  /** Default STARTING cell-hash bucket count for the FLOAT tier — the
+    * bucket-pruned-read discipline applied to the vector family: every
+    * probe only ever scores the probed cells' rows, so a cell-bucketed
+    * layout lets the serve/screen read open only the probed cells'
+    * buckets at the directory level instead of scanning the corpus
+    * (`vectorsForCells`). Small start + [[OverlayLock.grownSpec]]
+    * doubling at every wholesale rewrite — the standard sizing rule. */
+  val VecBuckets: Int = 8
+
+  /** The float tier's recorded bucket layout; a legacy plain layout
+    * upgrades at its next full rewrite and serves full reads until
+    * then. */
+  private def vecSpec(store: TableStore, name: String): BucketSpec =
+    store.bucketSpec(vectorsTable(name)).getOrElse(
+      BucketSpec(VecBuckets, Seq("cell"), sortCols = Seq("cell")))
+
   // ---------------------------------------------------------------- manifest
 
   /** Pinned member-table versions for the whole index family plus the
@@ -214,7 +230,8 @@ object IvfIndex {
       nCells: Int,
       iterations: Int,
       store: TableStore,
-      name: String)(implicit caches: CacheScope): DataFrame =
+      name: String,
+      vecBuckets: Int = VecBuckets)(implicit caches: CacheScope): DataFrame =
     withIndexLock(store, name) {
       OverlayLock.retryOnConflict() {
         val spark = df.sparkSession
@@ -222,8 +239,12 @@ object IvfIndex {
         prev.foreach { case (m, _) => rollbackAll(store, name, m) }
         val fitted = KMeans.fit(df, idCol, vecCol, nCells, iterations)
         val cv = store.write(fitted, centroidsTable(name))
-        val vv = store.write(
-          assign(df, idCol, vecCol, centroidVectorsOf(fitted)), vectorsTable(name))
+        // float tier CELL-bucketed so probes read only the probed cells'
+        // buckets ([[vectorsForCells]])
+        val vv = store.writeBucketed(
+          assign(df, idCol, vecCol, centroidVectorsOf(fitted)), vectorsTable(name),
+          BucketSpec(vecBuckets, Seq("cell"), sortCols = Seq("cell")),
+          store.currentVersion(vectorsTable(name)))
         // sibling tiers re-derive from the COMMITTED new float rows (a
         // parquet read — the assignment pass is never recomputed per tier)
         val storedNew = store.snapshotAt(spark, vectorsTable(name), vv)
@@ -279,6 +300,34 @@ object IvfIndex {
   private def baseVectorsAt(
       spark: SparkSession, store: TableStore, name: String, m: IvfManifest): DataFrame =
     store.snapshotAt(spark, vectorsTable(name), m.vectors)
+
+  /** The SERVED float tier PRUNED to the buckets the probed cells hash
+    * into: ONE narrow bounded collect over the (batch-bounded) probe
+    * cell rows, then a directory-level `_bucket isin(...)` read of the
+    * base — bytes read ∝ the probed cells' buckets, never the corpus —
+    * with the compaction-bounded revision overlay merged in unpruned
+    * (rows outside the probed cells are dropped by the cell equi-join,
+    * so results are exact). Falls back to the full served read on a
+    * legacy plain layout. */
+  private def vectorsForCells(
+      spark: SparkSession, store: TableStore, name: String, m: IvfManifest,
+      probeCellRows: DataFrame): DataFrame =
+    store.bucketSpec(vectorsTable(name)) match {
+      case None => vectorsAt(spark, store, name, m) // legacy plain layout
+      case Some(spec) =>
+        val touched = probeCellRows.select(spec.bucketColumn.as("_b"))
+          .queryExecution.toRdd.mapPartitions { it =>
+            val s0 = new scala.collection.mutable.HashSet[Int]
+            it.foreach(r => s0.add(r.getInt(0)))
+            s0.iterator
+          }.collect().distinct.toSeq
+        val raw = store.snapshotRawAt(spark, vectorsTable(name), m.vectors)
+        val base = (if (touched.isEmpty) raw.filter(lit(false))
+          else raw.filter(col("_bucket").isin(touched.map(Integer.valueOf): _*)))
+          .drop("_bucket")
+        mergedWithOverlay(spark, store, base,
+          ovlVectorsTable(name), m.ovlVectors)
+    }
 
   private def centroidVectorsOf(fittedLongForm: DataFrame): DataFrame =
     KMeans.centroidVectors(fittedLongForm)
@@ -376,7 +425,12 @@ object IvfIndex {
       // three fixed job latencies onto every micro-batch drain)
       assigned.count()
       val results = OverlayLock.inParallel(Seq(
-        () => OverlayLock.appendOrCompact(store, vectorsTable(name),
+        // bucket layout preserved across appends (legacy plain tiers keep
+        // the linked-append path until a full rewrite)
+        () => if (store.bucketSpec(vectorsTable(name)).isDefined)
+          OverlayLock.appendOrCompactBucketed(spark, store,
+            vectorsTable(name), m.vectors, fresh)
+        else OverlayLock.appendOrCompact(store, vectorsTable(name),
           m.vectors, stored, fresh)) ++
         // the int8 sibling is SERVING state — it must see the same append,
         // or quantized probes silently miss everything admitted since the
@@ -670,10 +724,18 @@ object IvfIndex {
             .unionByName(rows(assigned))
         case None => mergedBase
       }
-    val vv = store.write(
+    // the amortized fold is the one wholesale rewrite — rebucket the
+    // float tier's cell layout past the per-bucket byte target here
+    // (a legacy plain tier upgrades to the bucketed layout too)
+    val vv = store.writeBucketed(
       foldOne(vectorsAt(spark, store, name, m),
         _.select(col("id"), col("v"), col("cell"))),
-      vectorsTable(name), Some(m.vectors))
+      vectorsTable(name),
+      OverlayLock.grownSpec(spark, vecSpec(store, name),
+        store.byteSizeAt(vectorsTable(name), m.vectors) +
+          m.ovlVectors.map(store.byteSizeAt(ovlVectorsTable(name), _))
+            .getOrElse(0L)),
+      Some(m.vectors))
     val qv = m.qvectors.map { qPin =>
       val (scale, qvc) = quantizeCols(col("v"))
       store.write(
@@ -783,7 +845,8 @@ object IvfIndex {
         val kept = stored.join(drop, stored("id") === col("_rm_id"), "left_anti")
         val before = stored.count()
         val keptN = kept.count()
-        val vv = store.write(kept, vectorsTable(name), Some(m.vectors))
+        val vv = store.writeBucketed(kept, vectorsTable(name),
+          vecSpec(store, name), Some(m.vectors))
         val qv = m.qvectors.map { qPin =>
           val qStored = qVectorsAt(spark, store, name, m)
           store.write(qStored.join(drop, qStored("id") === col("_rm_id"), "left_anti"),
@@ -1032,8 +1095,23 @@ object IvfIndex {
       k: Int,
       nProbe: Int): DataFrame = {
     val (m, _) = requireManifest(store, name)
-    topKAgainst(batch, idCol, vecCol, k, nProbe,
-      centroidsAt(spark, store, name, m), vectorsAt(spark, store, name, m))
+    // the float tier is cell-bucketed: collect the probed cells' bucket
+    // list (ONE narrow bounded job over the batch-bounded probe rows)
+    // and read only those buckets ([[vectorsForCells]]); the probe side
+    // is trigger/probe-table-bounded, so broadcast it explicitly — size
+    // estimates over a bucket-pruned scan are too coarse to pick the
+    // build side, and the stored side must never shuffle for a serve
+    val q = probeQueries(batch, idCol, vecCol)
+    val probes = probeCells(q, probeCentroidsOf(centroidsAt(spark, store, name, m)),
+        nProbe)
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
+    store.bucketSpec(vectorsTable(name)) match {
+      case None => // legacy plain layout: the old full-read join
+        topKFromProbes(probes, vectorsAt(spark, store, name, m), k)
+      case Some(_) =>
+        topKFromProbes(broadcast(probes),
+          vectorsForCells(spark, store, name, m, probes.select(col("cell"))), k)
+    }
   }
 
   /** [[topK]] served from the int8 table — same probe ranking (the model
@@ -1139,6 +1217,14 @@ object IvfIndex {
     val q = probeQueries(batch, idCol, vecCol)
     val probes = probeCells(q, probeCentroidsOf(centroidVectors), nProbe)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("cell"))
+    topKFromProbes(probes, corpusVectors, k)
+  }
+
+  /** The shared scoring tail: candidates are an equi-join on `cell`
+    * against the corpus rows, scored inside the join (the exchange
+    * carries `(id, id, double)`), partial top-k per query. */
+  private def topKFromProbes(
+      probes: DataFrame, corpusVectors: DataFrame, k: Int): DataFrame = {
     val corpus = corpusVectors
       .withColumn("nrm", l2Norm(col("v")))
     // a stored vector lives in exactly one cell → each (q_id, id) pair

@@ -197,4 +197,41 @@ class PrunedScreenSpec extends SparkSpec {
       s"10x the stored index must not move the supersede drain's bytes read: $dSmall -> $dBig")
     scope.release()
   }
+
+  /** Deterministic unit-ish embeddings: component j of vector i is a
+    * hash-derived double — distinct directions, no zero norms. */
+  private def vec(i: Int): Seq[Double] =
+    (0 until 8).map(j => (((i * 31 + j) * 0x9E3779B9L) % 1000L).toDouble / 1000.0 + 0.01)
+
+  test("IVF probe reads ∝ probed cells' buckets — flat at 10x stored index") {
+    val s = spark; import s.implicits._
+    implicit val scope: CacheScope = new CacheScope
+    def corpus(n: Int) = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val small = new TableStore(tmpDir("scr-ivf-s"))
+    val big = new TableStore(tmpDir("scr-ivf-b"))
+    // 1x and 10x corpora with cells AND cell-buckets scaled alongside
+    // (constant cell occupancy — the declared IVF sizing doctrine — and
+    // the per-bucket byte target held)
+    graft.operators.IvfIndex.build(corpus(400), "vec_id", "embedding",
+      nCells = 16, iterations = 2, small, "emb", vecBuckets = 8)
+    graft.operators.IvfIndex.build(corpus(4000), "vec_id", "embedding",
+      nCells = 160, iterations = 2, big, "emb", vecBuckets = 80)
+    val probe = Seq((100000L, vec(7)), (100001L, vec(123))).toDF("vec_id", "embedding")
+    val dSmall = measure(
+      graft.operators.IvfIndex.topK(spark, probe, "vec_id", "embedding",
+        small, "emb", k = 1, nProbe = 2).count())
+    val dBig = measure(
+      graft.operators.IvfIndex.topK(spark, probe, "vec_id", "embedding",
+        big, "emb", k = 1, nProbe = 2).count())
+    assert(dSmall > 0 && dBig > 0, "the probe must actually read")
+    assert(dBig < 3L * dSmall,
+      s"10x the stored index must not move the IVF probe's bytes read: $dSmall -> $dBig")
+    // never a corpus-wide float scan: reads stay a sliver of the big
+    // store's float tier
+    val (m, _) = graft.operators.IvfIndex.readManifest(big, "emb").get
+    val corpusBytes = big.byteSizeAt("emb_vectors", m.vectors)
+    assert(dBig < corpusBytes / 2,
+      s"a probe ($dBig B) must not scan the stored float tier ($corpusBytes B)")
+    scope.release()
+  }
 }
